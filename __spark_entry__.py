@@ -1,38 +1,810 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is a Spark-first implementation of one
+operator-semantic from SURVEY.md §2 (reference file:line cited in the
+implementing module); ``oracle_sql()`` holds the DuckDB-equivalent ANSI
+SQL. Column names and value rounding are kept identical on both sides
+(driver hashes values after sorting columns by name).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from z316_sales_data_pipeline_spark.functions import scalar, text, vector
+from z316_sales_data_pipeline_spark.operators import dedup, joins, setops, similarity, windows
+from z316_sales_data_pipeline_spark.plans import reconcile, sales_facts
+from z316_sales_data_pipeline_spark.plans.sales_facts import (
+    ITENS_FACT_SQL,
+    PEDIDOS_FACT_SQL,
+    SQL_DESCONTO_STR,
+    sql_parse_discount,
+)
+from z316_sales_data_pipeline_spark.sources.tables import load_table
+from z316_sales_data_pipeline_spark.streaming import pipeline as streaming_pipeline
+
+# ---------------------------------------------------------------------------
+# Flagship entry — smoke-checked by the driver on sf0.001.
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the order-grain sales fact (SURVEY §3.1 step 4)."""
+    return sales_facts.pedidos_fact(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# Query implementations (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style rollup: the E-family aggregate shapes on lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _d1_item_product_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — broadcast lookup join, silent drop-on-miss (inner)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return joins.lookup_join(
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
+        part.select("p_partkey", "p_name", "p_retailprice"),
+        li.l_partkey == part.p_partkey,
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "p_name",
+        F.round(F.col("p_retailprice") * F.col("l_quantity"), 4).alias("custo_item"),
+    )
+
+
+_D1_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, p_name,
+       round(p_retailprice * l_quantity, 4) AS custo_item
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def _d2_order_customer_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — left enrichment join (tolerated-miss, nullable attribution)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return joins.lookup_join(
+        orders, cust.select("c_custkey", "c_name", "c_mktsegment"), orders.o_custkey == cust.c_custkey, "left"
+    ).select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
+
+
+_D2_SQL = """
+SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def _d4_incremental_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 — anti-join incremental guard: orders with no lineitems yet."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return joins.incremental_guard(
+        orders.select(F.col("o_orderkey"), F.col("o_orderstatus")),
+        li.select(F.col("l_orderkey").alias("o_orderkey")),
+        "o_orderkey",
+    )
+
+
+_D4_SQL = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+"""
+
+
+def _d6_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 — existence (semi) join: customers that have ordered."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return joins.existence_check(
+        cust.select("c_custkey", "c_name"),
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        exists=True,
+    )
+
+
+_D6_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def _d5_regroup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 — folder-regroup as pivot-style conditional aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).cast("long").alias("n_purchase"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("long").alias("n_error"),
+        F.round(F.max(F.when(F.col("event_type") == "purchase", F.col("value"))), 4).alias("max_purchase"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+_D5_SQL = """
+SELECT user_id,
+       cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       round(max(CASE WHEN event_type = 'purchase' THEN value END), 4) AS max_purchase,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+def _c1_required_fields_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 — required-fields + type predicate (webhook validation shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("props").isNotNull()
+        & (F.col("event_type") == "purchase")
+    ).select("event_id", "user_id", "value")
+
+
+_C1_SQL = """
+SELECT event_id, user_id, value FROM events
+WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND props IS NOT NULL
+  AND event_type = 'purchase'
+"""
+
+
+def _e8_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 — duplicate detection: (user, type) groups with >1 event."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+_E8_SQL = """
+SELECT user_id, event_type, count(*) AS n FROM events
+GROUP BY user_id, event_type HAVING count(*) > 1
+"""
+
+
+def _w1_group_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — per-group total on every row (allocation building block)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = windows.group_total(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_orderkey",
+        F.col("l_extendedprice"),
+        "order_total",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", F.round("order_total", 4).alias("order_total")
+    )
+
+
+_W1_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       round(sum(l_extendedprice) OVER (PARTITION BY l_orderkey), 4) AS order_total
+FROM lineitem
+"""
+
+
+def _w2_dedup_keeprule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — keep-rule dedup: earliest event per (user, type)."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.dedup_keep_rule(
+        ev.select("event_id", "user_id", "event_type", "ts"),
+        ["user_id", "event_type"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+    )
+
+
+_W2_SQL = """
+SELECT event_id, user_id, event_type, ts FROM (
+    SELECT event_id, user_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+def _w4_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — min-by: first event id per user (hash agg, no window)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_id", F.struct(F.col("ts"), F.col("event_id"))).alias("first_event_id"),
+        F.min("ts").alias("first_ts"),
+    )
+
+
+_W4_SQL = """
+SELECT user_id, first_event_id, first_ts FROM (
+    SELECT user_id, event_id AS first_event_id,
+           min(ts) OVER (PARTITION BY user_id) AS first_ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+def _topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: 3 priciest lineitems per order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return windows.top_k_per_group(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_orderkey",
+        [F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()],
+        3,
+    )
+
+
+_TOPK_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, cast(rn AS INTEGER) AS rank_in_group FROM (
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+    FROM lineitem
+) WHERE rn <= 3
+"""
+
+
+def _g1_reconciliation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reconcile.reconciliation_summary(spark, sf_dir)
+
+
+_G1_SQL = """
+WITH o AS (SELECT DISTINCT o_orderkey AS id FROM orders),
+     l AS (SELECT DISTINCT l_orderkey AS id FROM lineitem),
+     c AS (SELECT DISTINCT c_custkey AS id FROM customer),
+     oc AS (SELECT DISTINCT o_custkey AS id FROM orders),
+     rel1 AS (
+        SELECT cast(sum(CASE WHEN l.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ord_only_a,
+               cast(sum(CASE WHEN o.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ord_only_b,
+               cast(sum(CASE WHEN o.id IS NOT NULL AND l.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ord_common,
+               count(*) AS ord_union
+        FROM o FULL OUTER JOIN l ON o.id = l.id
+     ),
+     rel2 AS (
+        SELECT cast(sum(CASE WHEN oc.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS cust_only_a,
+               cast(sum(CASE WHEN c.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS cust_only_b,
+               cast(sum(CASE WHEN c.id IS NOT NULL AND oc.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS cust_common,
+               count(*) AS cust_union
+        FROM c FULL OUTER JOIN oc ON c.id = oc.id
+     )
+SELECT * FROM rel1 CROSS JOIN rel2
+"""
+
+
+def _g2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — distinct union of two key spaces."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return setops.union_sets(cust, supp)
+
+
+_G2_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def _g3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — intersection of two key spaces."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return setops.intersection(cust.distinct(), supp.distinct())
+
+
+_G3_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def _f1_f3_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F3 — lenient date reformat (fall-through on failure) + compact ts."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ds = F.when(k % 5 == 0, F.lit("not-a-date")).otherwise(F.date_format("o_orderdate", "dd/MM/yyyy"))
+    base = orders.select("o_orderkey", "o_orderdate", ds.alias("data_str"))
+    return base.select(
+        "o_orderkey",
+        "data_str",
+        scalar.reformat_date_lenient("data_str").alias("data_iso"),
+        scalar.format_compact_ts("o_orderdate").alias("ts_compact"),
+        scalar.parse_compact_ts(scalar.format_compact_ts("o_orderdate")).alias("ts_roundtrip"),
+    )
+
+
+_F1_SQL = """
+WITH base AS (
+    SELECT o_orderkey, o_orderdate,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'not-a-date'
+                ELSE strftime(o_orderdate, '%d/%m/%Y') END AS data_str
+    FROM orders
+)
+SELECT o_orderkey, data_str,
+       coalesce(strftime(try_strptime(data_str, '%d/%m/%Y'), '%Y-%m-%d'), data_str) AS data_iso,
+       strftime(o_orderdate, '%Y%m%dT%H%M%S') AS ts_compact,
+       try_strptime(strftime(o_orderdate, '%Y%m%dT%H%M%S'), '%Y%m%dT%H%M%S') AS ts_roundtrip
+FROM base
+"""
+
+
+def _f5_discount_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — percent-or-absolute discount parse, clamped, lenient."""
+    orders = sales_facts.with_order_discount_str(load_table(spark, sf_dir, "orders"))
+    return orders.select(
+        "o_orderkey",
+        "desconto_str",
+        F.round(scalar.parse_discount(F.col("desconto_str"), F.col("o_totalprice")), 4).alias(
+            "desconto_valor"
+        ),
+    )
+
+
+_F5_SQL = f"""
+WITH o AS (SELECT o_orderkey, o_totalprice, {SQL_DESCONTO_STR} AS desconto_str FROM orders)
+SELECT o_orderkey, desconto_str,
+       round({sql_parse_discount("desconto_str", "o_totalprice")}, 4) AS desconto_valor
+FROM o
+"""
+
+
+def _f8_category_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — ' >> ' category split; secundaria '' when absent."""
+    part = sales_facts.with_categoria(load_table(spark, sf_dir, "part"))
+    return part.select(
+        "p_partkey",
+        "categoria",
+        scalar.category_principal("categoria").alias("categoria_principal"),
+        scalar.category_secundaria("categoria").alias("categoria_secundaria"),
+    )
+
+
+_F8_SQL = """
+WITH p AS (
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 3 <> 0 THEN p_type || ' >> ' || p_brand ELSE p_type END AS categoria
+    FROM part
+)
+SELECT p_partkey, categoria,
+       str_split(categoria, ' >> ')[1] AS categoria_principal,
+       coalesce(str_split(categoria, ' >> ')[2], '') AS categoria_secundaria
+FROM p
+"""
+
+
+def _f9_f10_blob_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F10 — filename template build + regex parse roundtrip."""
+    orders = load_table(spark, sf_dir, "orders")
+    uuid_like = F.md5(F.col("o_orderkey").cast("string"))
+    ts = scalar.format_compact_ts("o_orderdate")
+    name = F.concat(
+        F.lit("z316-tiny-api-"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("-pdv-"),
+        ts,
+        F.lit("-"),
+        uuid_like,
+        F.lit(".json"),
+    )
+    base = orders.select("o_orderkey", name.alias("blob_name"))
+    parsed = scalar.parse_blob_name("blob_name")
+    return base.select(
+        "o_orderkey",
+        "blob_name",
+        parsed["dados_id"].alias("dados_id"),
+        parsed["data_type"].alias("data_type"),
+        parsed["ts"].alias("ts_part"),
+        parsed["uuid"].alias("uuid_part"),
+    )
+
+
+_F9_SQL = r"""
+WITH base AS (
+    SELECT o_orderkey,
+           'z316-tiny-api-' || cast(o_orderkey AS VARCHAR) || '-pdv-' ||
+           strftime(o_orderdate, '%Y%m%dT%H%M%S') || '-' || md5(cast(o_orderkey AS VARCHAR)) ||
+           '.json' AS blob_name
+    FROM orders
+)
+SELECT o_orderkey, blob_name,
+       regexp_extract(blob_name, 'z316-tiny-api-(\d+)-(produto|pdv|pesquisa)(?:-(\d+))?-(\d{8}T\d{6})-([a-f0-9-]+)\.json', 1) AS dados_id,
+       regexp_extract(blob_name, 'z316-tiny-api-(\d+)-(produto|pdv|pesquisa)(?:-(\d+))?-(\d{8}T\d{6})-([a-f0-9-]+)\.json', 2) AS data_type,
+       regexp_extract(blob_name, 'z316-tiny-api-(\d+)-(produto|pdv|pesquisa)(?:-(\d+))?-(\d{8}T\d{6})-([a-f0-9-]+)\.json', 4) AS ts_part,
+       regexp_extract(blob_name, 'z316-tiny-api-(\d+)-(produto|pdv|pesquisa)(?:-(\d+))?-(\d{8}T\d{6})-([a-f0-9-]+)\.json', 5) AS uuid_part
+FROM base
+"""
+
+
+def _f12_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 — canonical md5 checksum over sorted-field rendering."""
+    orders = load_table(spark, sf_dir, "orders")
+    canonical = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderpriority"),
+        F.col("o_orderstatus"),
+    )
+    return orders.select("o_orderkey", F.md5(canonical).alias("checksum"))
+
+
+_F12_SQL = """
+SELECT o_orderkey,
+       md5(cast(o_orderkey AS VARCHAR) || '|' || o_orderpriority || '|' || o_orderstatus) AS checksum
+FROM orders
+"""
+
+
+def _f15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 — JSON path extraction from the events props payload."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
+_F15_SQL = """
+SELECT event_id, cast(json_extract_string(props, '$.k') AS BIGINT) AS k_value FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# North-star training-data operators
+# ---------------------------------------------------------------------------
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 of normalized text (min-id keep rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.withColumn("fp", F.md5(norm))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_DEDUP_EXACT_SQL = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality metrics: token counts, punct ratio, composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.char_count("text").alias("n_chars_actual"),
+        text.whitespace_token_count("text").cast("long").alias("n_tokens"),
+        F.round(text.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(text.quality_score("text"), 6).alias("quality"),
+    )
+
+
+_TEXT_QUALITY_SQL = r"""
+WITH t AS (
+    SELECT doc_id, text,
+           length(text) AS n_chars_actual,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
+    FROM documents
+)
+SELECT doc_id,
+       cast(n_chars_actual AS INTEGER) AS n_chars_actual,
+       cast(n_tokens AS BIGINT) AS n_tokens,
+       round(CASE WHEN n_chars_actual = 0 THEN 0.0
+                  ELSE n_punct / cast(n_chars_actual AS DOUBLE) END, 6) AS punct_ratio,
+       round((
+           (CASE WHEN n_chars_actual BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN (CASE WHEN n_chars_actual = 0 THEN 0.0
+                            ELSE n_punct / cast(n_chars_actual AS DOUBLE) END) < 0.2
+                 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN n_tokens > 0
+                      AND n_chars_actual / cast(n_tokens AS DOUBLE) BETWEEN 3.0 AND 12.0
+                 THEN 1.0 ELSE 0.0 END)
+       ) / 3.0, 6) AS quality
+FROM t
+"""
+
+
+def _token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (letter runs / digit runs / punct chars)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+        text.whitespace_token_count("text").cast("long").alias("n_ws_tokens"),
+    )
+
+
+_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+       cast(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_ws_tokens
+FROM documents
+"""
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID by stopword-hit argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.language_id("text").alias("lang_pred"))
+
+
+def _lang_id_sql() -> str:
+    hits = []
+    for lang, words in text.STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        hits.append(
+            f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            f"t -> list_contains({arr}, t))) AS hits_{lang}"
+        )
+    langs = list(text.STOPWORDS)
+    greatest = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = "CASE "
+    for lang in langs:
+        case += f"WHEN hits_{lang} = best AND best > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH h AS (SELECT doc_id, {', '.join(hits)} FROM documents),
+     b AS (SELECT *, {greatest} AS best FROM h)
+SELECT doc_id, {case} AS lang_pred FROM b
+"""
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level Jaccard similarity for pairs blocked by source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", "source", threshold=0.5, shingle_k=1)
+
+
+_NGRAM_JACCARD_SQL = r"""
+WITH t AS (
+    SELECT source, doc_id,
+           list_distinct(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+    FROM documents
+)
+SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.toks, b.toks)) /
+             cast(len(list_distinct(a.toks || b.toks)) AS DOUBLE), 6) AS jaccard
+FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) /
+      cast(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5
+"""
+
+
+def _minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (rows-only check: hash family is
+    engine-specific, not SQL-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_dup_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+def _simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup groups (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_dup_groups(docs, "text", "doc_id").select("simhash", "n")
+
+
+_KNN_QUERY_VEC = [1.0 if i % 2 == 0 else -1.0 for i in range(64)]
+
+
+def _knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k to a constant query vector."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return similarity.brute_force_top_k(emb, "embedding", "vec_id", _KNN_QUERY_VEC, k=10)
+
+
+def _knn_sql() -> str:
+    vec = "[" + ", ".join(str(v) for v in _KNN_QUERY_VEC) + "]"
+    return f"""
+SELECT vec_id,
+       round(list_dot_product(cast(embedding AS DOUBLE[]), {vec}) /
+             (sqrt(list_dot_product(cast(embedding AS DOUBLE[]), cast(embedding AS DOUBLE[]))) *
+              sqrt(list_dot_product({vec}::DOUBLE[], {vec}::DOUBLE[]))), 6) AS cos
+FROM embeddings
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within label blocks (cos ≥ 0.3)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return dedup.embedding_near_dup_pairs(emb, "embedding", "vec_id", 0.3, block_col="label")
+
+
+_EMB_NEAR_DUP_SQL = """
+WITH e AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb) /
+      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.3
+"""
+
+
+def _lsh_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via hyperplane-LSH bucket probe (rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return similarity.lsh_top_k(emb, "embedding", "vec_id", _KNN_QUERY_VEC, k=10, n_planes=4)
+
+
+def _tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate (batch twin of S-extension)."""
+    ev = load_table(spark, sf_dir, "events")
+    return streaming_pipeline.tumbling_counts(ev)
+
+
+_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization by 30-minute inactivity gap (batch twin)."""
+    ev = load_table(spark, sf_dir, "events")
+    return streaming_pipeline.session_windows(ev)
+
+
+_SESSION_SQL = """
+WITH e AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_sess,
+           event_id
+    FROM events
+),
+s AS (
+    SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM e
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       user_id,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM s GROUP BY user_id, sess_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pedidos_fact": sales_facts.pedidos_fact,
+        "itens_fact": sales_facts.itens_fact,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "d1_item_product_lookup": _d1_item_product_lookup,
+        "d2_order_customer_left": _d2_order_customer_left,
+        "d4_incremental_guard": _d4_incremental_guard,
+        "d5_regroup_pivot": _d5_regroup_pivot,
+        "d6_semi_join": _d6_semi_join,
+        "c1_required_fields_filter": _c1_required_fields_filter,
+        "e8_duplicate_groups": _e8_duplicate_groups,
+        "w1_group_total": _w1_group_total,
+        "w2_dedup_keeprule": _w2_dedup_keeprule,
+        "w4_min_by": _w4_min_by,
+        "topk_per_group": _topk_per_group,
+        "g1_reconciliation_summary": _g1_reconciliation_summary,
+        "g2_union_distinct": _g2_union_distinct,
+        "g3_intersect": _g3_intersect,
+        "f1_f3_date_suite": _f1_f3_date_suite,
+        "f5_discount_parse": _f5_discount_parse,
+        "f8_category_split": _f8_category_split,
+        "f9_f10_blob_names": _f9_f10_blob_names,
+        "f12_checksum": _f12_checksum,
+        "f15_json_extract": _f15_json_extract,
+        "dedup_exact": _dedup_exact,
+        "text_quality": _text_quality,
+        "token_count_bpe": _token_count_bpe,
+        "lang_id": _lang_id,
+        "ngram_jaccard": _ngram_jaccard,
+        "minhash_near_dup": _minhash_near_dup,
+        "simhash_groups": _simhash_groups,
+        "knn_brute_force": _knn_brute_force,
+        "embedding_near_dup": _embedding_near_dup,
+        "lsh_top_k": _lsh_top_k,
+        "tumbling_counts": _tumbling_counts,
+        "session_windows": _session_windows,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pedidos_fact": PEDIDOS_FACT_SQL,
+        "itens_fact": ITENS_FACT_SQL,
+        "q1_pricing_summary": _Q1_SQL,
+        "d1_item_product_lookup": _D1_SQL,
+        "d2_order_customer_left": _D2_SQL,
+        "d4_incremental_guard": _D4_SQL,
+        "d5_regroup_pivot": _D5_SQL,
+        "d6_semi_join": _D6_SQL,
+        "c1_required_fields_filter": _C1_SQL,
+        "e8_duplicate_groups": _E8_SQL,
+        "w1_group_total": _W1_SQL,
+        "w2_dedup_keeprule": _W2_SQL,
+        "w4_min_by": _W4_SQL,
+        "topk_per_group": _TOPK_SQL,
+        "g1_reconciliation_summary": _G1_SQL,
+        "g2_union_distinct": _G2_SQL,
+        "g3_intersect": _G3_SQL,
+        "f1_f3_date_suite": _F1_SQL,
+        "f5_discount_parse": _F5_SQL,
+        "f8_category_split": _F8_SQL,
+        "f9_f10_blob_names": _F9_SQL,
+        "f12_checksum": _F12_SQL,
+        "f15_json_extract": _F15_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "text_quality": _TEXT_QUALITY_SQL,
+        "token_count_bpe": _TOKEN_COUNT_SQL,
+        "lang_id": _lang_id_sql(),
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "knn_brute_force": _knn_sql(),
+        "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        "tumbling_counts": _TUMBLING_SQL,
+        "session_windows": _SESSION_SQL,
+        # minhash_near_dup / simhash_groups / lsh_top_k: engine-specific
+        # hash families — rows-only checks by design.
+    }

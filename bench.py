@@ -1,0 +1,73 @@
+"""Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Per-query timing = full plan execution to a count-style action (the
+result is materialized, not collected to the driver). Wall metric is
+the sum over headline queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from z316_sales_data_pipeline_spark.session import get_spark
+
+# Headline set: the flagship facts + one representative per operator
+# family (join, window, agg, setop, text, vector, streaming-twin).
+HEADLINE = [
+    "pedidos_fact",
+    "itens_fact",
+    "q1_pricing_summary",
+    "d1_item_product_lookup",
+    "w1_group_total",
+    "w2_dedup_keeprule",
+    "topk_per_group",
+    "g1_reconciliation_summary",
+    "dedup_exact",
+    "text_quality",
+    "minhash_near_dup",
+    "knn_brute_force",
+    "tumbling_counts",
+    "session_windows",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        # write-free materialization: count() executes the whole plan
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

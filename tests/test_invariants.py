@@ -1,0 +1,96 @@
+"""Invariant tests ported from the reference's reconciliation checkers
+(SURVEY §5): conservation of allocated discounts, dedup uniqueness,
+set-algebra sanity, sink delete semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from z316_sales_data_pipeline_spark import sinks
+from z316_sales_data_pipeline_spark.operators import dedup, windows
+from z316_sales_data_pipeline_spark.plans import sales_facts
+from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+
+def test_allocation_conservation(spark, sf_dir):
+    """sum(desconto_pedido_alocado) per order == desconto_pedido (F7 law)."""
+    itens = sales_facts.itens_fact(spark, sf_dir)
+    pedidos = sales_facts.pedidos_fact(spark, sf_dir)
+    allocated = itens.groupBy("pedido_id").agg(
+        F.sum("desconto_pedido_alocado").alias("alloc_total")
+    )
+    joined = pedidos.join(allocated, "pedido_id").select(
+        F.max(F.abs(F.col("alloc_total") - F.col("desconto_pedido"))).alias("max_err")
+    )
+    assert joined.collect()[0]["max_err"] < 0.01  # rounding at 4 decimals, N items
+
+
+def test_dedup_unique_per_key(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.dedup_keep_rule(
+        ev, ["user_id", "event_type"], [F.col("ts").asc(), F.col("event_id").asc()]
+    )
+    dups = out.groupBy("user_id", "event_type").count().filter(F.col("count") > 1).count()
+    assert dups == 0
+
+
+def test_keep_rule_picks_earliest(spark):
+    data = [
+        (1, "2024-01-02 00:00:00", "b"),
+        (1, "2024-01-01 00:00:00", "a"),
+        (2, "2024-01-05 00:00:00", "c"),
+    ]
+    df = spark.createDataFrame(data, "k int, ts string, v string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = windows.dedup_keep_rule(df, "k", [F.col("ts").asc()])
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "a", 2: "c"}
+
+
+def test_minhash_detects_near_duplicates(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again in the yard "
+        "while the sun sets slowly behind the old wooden fence near the quiet river "
+        "and the birds sing their evening songs from the tall green trees"
+    )
+    near = base.replace("yard", "garden")  # one token of ~40 -> J ~ 0.93
+    far = "completely different words describing unrelated topics entirely here now"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_near_dup_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert all(3 not in p for p in found)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(5, "Hello  World"), (2, "hello world"), (9, "other")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in dedup.exact_dedup(df, "text", "doc_id").collect()}
+    # normalization folds case+whitespace; min id 2 represents the pair
+    assert out == {2: 2, 9: 1}
+
+
+def test_delete_where_verify_zero(spark, sf_dir):
+    """B6 — DELETE WHERE then verify count == 0 (api_to_gcs-checker.py:106-128)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cond = F.col("o_orderstatus") == "F"
+    remaining = sinks.delete_where(orders, cond)
+    assert remaining.filter(cond).count() == 0
+    assert remaining.count() == orders.count() - orders.filter(cond).count()
+
+
+def test_anti_join_delete(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    bad = orders.filter(F.col("o_orderkey") % 100 == 0).select("o_orderkey")
+    out = sinks.anti_join_delete(orders, bad, "o_orderkey")
+    assert out.filter(F.col("o_orderkey") % 100 == 0).count() == 0
+
+
+def test_pedidos_fact_grain(spark, sf_dir):
+    """One row per order that has items (inner-join drop-on-miss grain)."""
+    pedidos = sales_facts.pedidos_fact(spark, sf_dir)
+    assert pedidos.groupBy("pedido_id").count().filter(F.col("count") > 1).count() == 0

@@ -1,0 +1,121 @@
+"""Text-analysis column builders (north-star training-data operators).
+
+All pure column algebra — JVM-side, codegen'd, no Python workers — so
+they run at full scan speed over a 100 TB `documents` table. Each has a
+matching ANSI-SQL oracle in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish word/number/punctuation tokenizer: runs of letters, runs of
+# digits, or single non-space punctuation — a deterministic, regex-only
+# stand-in for a learned BPE vocabulary.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(c: Column | str) -> Column:
+    """Number of whitespace-separated tokens; 0 for empty/blank text."""
+    t = F.trim(_col(c))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, TOKEN_SPLIT_RE)))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """Count of BPE-ish tokens (letter runs / digit runs / punct chars)."""
+    return F.size(F.regexp_extract_all(_col(c), F.lit(BPE_ISH_RE), F.lit(0)))
+
+
+def char_count(c: Column | str) -> Column:
+    return F.length(_col(c))
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Share of non-alphanumeric, non-space characters."""
+    c = _col(c)
+    n_punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(n_punct / F.length(c))
+
+
+# Tiny per-language stopword lists: enough signal for an n-gram-free
+# heuristic language ID over short documents. Public common words only.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "las"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "zu"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"],
+    "pt": ["o", "a", "de", "que", "e", "do", "da", "em", "um", "para"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我", "他", "这"],
+}
+
+
+def stopword_hit_count(c: Column | str, lang: str) -> Column:
+    """Count tokens (with multiplicity) that are ``lang`` stopwords."""
+    tokens = F.split(F.lower(F.trim(_col(c))), TOKEN_SPLIT_RE)
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(words, t)))
+
+
+def language_id(c: Column | str, langs: list[str] | None = None) -> Column:
+    """Heuristic language ID: argmax of stopword hit counts.
+
+    Ties break by list order ('und' when nothing matches). Designed as
+    one pass of column algebra — no UDF, no shuffle.
+    """
+    langs = langs or list(STOPWORDS)
+    counts = [stopword_hit_count(c, lang) for lang in langs]
+    best = F.greatest(*counts) if len(counts) > 1 else counts[0]
+    expr = F.lit("und")
+    # Build reversed so earlier langs win ties.
+    for lang, cnt in reversed(list(zip(langs, counts))):
+        expr = F.when((cnt == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1].
+
+    Blend of: length sweet-spot (50..5000 chars), low punctuation ratio,
+    and mean-word-length sanity (3..12 chars). Mirrors the usual
+    pretraining-corpus quality filters; deterministic and SQL-matchable.
+    """
+    c = _col(c)
+    n = F.length(c)
+    len_ok = F.when((n >= 50) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(c) < 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    ntok = whitespace_token_count(c)
+    mean_word = F.when(ntok > 0, n.cast("double") / ntok).otherwise(F.lit(0.0))
+    word_ok = F.when((mean_word >= 3.0) & (mean_word <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + word_ok) / F.lit(3.0)
+
+
+def fingerprint64(c: Column | str) -> Column:
+    """64-bit content fingerprint of normalized text (xxhash64).
+
+    Normalization: lowercase, collapse whitespace runs, trim — so
+    near-identical formatting hashes identically (exact-dup detection).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(_col(c)), r"\s+", " "))
+    return F.xxhash64(norm)
+
+
+def shingles(c: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles (token n-grams) of the normalized text.
+
+    Built via slice-based transform over the token array — pure column
+    algebra, no UDF. Empty array when fewer than k tokens.
+    """
+    tokens = F.split(F.trim(F.regexp_replace(F.lower(_col(c)), r"\s+", " ")), " ")
+    n = F.size(tokens)
+    # sequence(1, 0) would produce a DESCENDING [1, 0] — guard short texts.
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, k), " "))

@@ -1,0 +1,33 @@
+"""Vector column builders for embedding similarity (north-star ops).
+
+Dot product / norm / cosine over ``array<float>`` columns via
+``F.zip_with`` + ``F.aggregate`` — JVM-side higher-order functions, no
+Python workers, so a brute-force scan stays at full codegen speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    prods = F.zip_with(_col(a), _col(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(F.aggregate(_col(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def literal_vector(vec: list[float]) -> Column:
+    """A constant query vector as an array<double> literal column."""
+    return F.array(*[F.lit(float(v)) for v in vec])

@@ -1,0 +1,68 @@
+"""Reconciliation plans (SURVEY §3 honorable-mention entry point).
+
+The reference's data_validation suite is pure set algebra over id
+collections (gcs_to_bq-checker.py:37-60; api_to_gcs-checker.py:59-89)
+plus keep-rule duplicate resolution (:130-173). Same semantics here,
+over the driver tables: every check is a left_anti/except/full-outer on
+the KEY ONLY, so at 100 TB the shuffle carries one column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import setops
+from ..sources.tables import load_table
+
+
+def orders_missing_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — o_custkey values with no customer row (RI violation set)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return setops.difference(
+        orders.select(F.col("o_custkey").alias("id")),
+        customer.select(F.col("c_custkey").alias("id")),
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style anti-join: dimension rows never referenced by the fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+def _setdiff_counts(a: DataFrame, b: DataFrame, prefix: str) -> DataFrame:
+    """One-row summary of a↔b key-set relations via a single full-outer
+    join on distinct keys (declarative twin of Python set -, &, |)."""
+    a = a.select(F.col(a.columns[0]).alias("id")).distinct().withColumn("__a", F.lit(1))
+    b = b.select(F.col(b.columns[0]).alias("id")).distinct().withColumn("__b", F.lit(1))
+    j = a.join(b, "id", "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("__b").isNull(), 1).otherwise(0)).alias(f"{prefix}_only_a"),
+        F.sum(F.when(F.col("__a").isNull(), 1).otherwise(0)).alias(f"{prefix}_only_b"),
+        F.sum(F.when(F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1).otherwise(0)).alias(
+            f"{prefix}_common"
+        ),
+        F.count(F.lit(1)).alias(f"{prefix}_union"),
+    )
+
+
+def reconciliation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's multi-way set-difference report as ONE summary row.
+
+    Mirrors compare_ids (gcs_to_bq-checker.py:37-60) over the driver
+    tables: orders↔lineitem order-key space and customer↔orders
+    customer-key space. Two one-row aggregates cross-joined — constant
+    output size regardless of input scale.
+    """
+    orders_k = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    lineitem_k = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    customer_k = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ocust_k = load_table(spark, sf_dir, "orders").select("o_custkey")
+    ord_rel = _setdiff_counts(orders_k, lineitem_k, "ord")
+    cust_rel = _setdiff_counts(customer_k, ocust_k, "cust")
+    return ord_rel.crossJoin(cust_rel)

@@ -1,0 +1,64 @@
+"""Sink semantics (SURVEY §2.B) — partitioned append, overwrite refresh,
+delete emulation.
+
+The reference's BigQuery sink behaviors, re-expressed for a Parquet
+lake (Delta would add ACID DELETE/MERGE; vanilla Parquet emulates):
+
+- B2/B3: append into a day-partitioned table, clustering approximated
+  by ``sortWithinPartitions`` (Parquet row-group min/max stats then
+  give data skipping on the cluster keys).
+- B4: truncate-and-reload = ``mode("overwrite")``.
+- B6: targeted DELETE = anti-join rewrite + overwrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    cluster_cols: list[str] | None = None,
+    mode: str = "append",
+) -> None:
+    """B2/B3 — day-partitioned, cluster-sorted append.
+
+    Reference: gcs_to_bq/main.py:193-205 (TimePartitioning DAY) and
+    sales_to_bq/main.py:360-363 (clustering_fields). Sorting within
+    partitions before write is the Parquet stand-in for BigQuery
+    clustering: row-group stats on the sort keys → scan skipping.
+    """
+    out = df
+    if cluster_cols:
+        out = out.sortWithinPartitions(*cluster_cols)
+    out.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def overwrite_dimension(df: DataFrame, path: str) -> None:
+    """B4 — truncate-and-reload full refresh
+    (contatos_to_bq/main.py:97-129)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def delete_where(table: DataFrame, condition: Column) -> DataFrame:
+    """B6 — targeted DELETE as a filter rewrite.
+
+    Reference: api_to_gcs-checker.py:106-128 (DELETE WHERE uuid=…, then
+    verify count==0). Caller persists the result with overwrite; the
+    verification count is ``result.filter(condition).count() == 0``.
+    """
+    return table.filter(~condition)
+
+
+def anti_join_delete(table: DataFrame, bad: DataFrame, key: str | list[str]) -> DataFrame:
+    """B6 (set form) — remove all rows whose key appears in ``bad``."""
+    keys = [key] if isinstance(key, str) else key
+    return table.join(bad.select(*keys).distinct(), keys, "left_anti")
+
+
+def with_day_partition(df: DataFrame, ts_col: str, alias: str = "day") -> DataFrame:
+    """Day partition column (BigQuery DAY time-partitioning analogue)."""
+    return df.withColumn(alias, F.to_date(F.col(ts_col)))

@@ -1,0 +1,55 @@
+"""Parquet table sources (SURVEY §2.A — scans).
+
+The reference's scans (A2 file source, A4 paginated full scan, A7 SQL
+scan) all collapse, Spark-side, to a single declarative
+``spark.read.parquet`` per table: Catalyst owns column pruning and
+predicate pushdown from there. Pagination / triggering are transport
+details that do not survive into the engine (SURVEY A4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at any scale factor we
+# target; fact tables shuffle on their keys. Used by plans to pick
+# join strategies explicitly instead of trusting the size estimator.
+DIMENSION_TABLES = {"region", "nation", "customer", "supplier", "part"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which the vectorized
+        # Parquet reader rejects. Read nanos as long (runtime SQL conf)
+        # and convert to a microsecond timestamp JVM-side. The nanos in
+        # the driver data are exact multiples of 1000, so `div 1000` is
+        # lossless; duckdb applies the same truncation on its side.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register each table as a temp view for the SQL API surface."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,109 @@
+"""Structured Streaming drivers (SURVEY §2.I).
+
+The reference is an event-driven system (webhook → GCS event → Pub/Sub
+→ loaders). Spark-side that is ONE streaming query per stage group:
+file-source readStream → the SAME batch transforms → foreachBatch
+multi-sink. Batch/stream share code verbatim (S3: backfill is the same
+query under Trigger.AvailableNow).
+
+Windowed aggregations over the ``events`` table (tumbling/sliding/
+session + watermark) are the engine's extension beyond the reference
+(which defers all time bucketing to BigQuery day partitions).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def file_stream(spark: SparkSession, path: str, schema, fmt: str = "json") -> DataFrame:
+    """A2 — file-notification source (GCS-finalize analogue).
+
+    ``maxFilesPerTrigger`` is the engine's rate limiting (S5) — the
+    declarative replacement for the reference's sleep()-based pacing.
+    """
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1000)
+        .load(path)
+    )
+
+
+def run_multi_sink(
+    stream_df: DataFrame,
+    sinks: dict[str, Callable[[DataFrame], None]],
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """S6 — one source fanned out to N sinks inside foreachBatch.
+
+    Reference: gcs_to_bq/main.py:351-372 (one Pub/Sub message → pdv +
+    produto×N + pesquisa tables). foreachBatch gives exactly-once per
+    sink when each write is idempotent (overwrite-by-partition or
+    dedup-keyed append).
+    """
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for _, write in sinks.items():
+                write(batch_df)
+        finally:
+            batch_df.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(_process).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def dedup_stream(stream_df: DataFrame, key_cols: list[str], event_time: str, watermark: str) -> DataFrame:
+    """S2 — exactly-once-ish ingest guard.
+
+    The reference's pre-publish dedup (backfill/api_to_gcs-backfill.py
+    :120-126) becomes watermarked dropDuplicates: state is bounded by
+    the watermark horizon instead of an unbounded Python set.
+    """
+    return stream_df.withWatermark(event_time, watermark).dropDuplicates(key_cols)
+
+
+def tumbling_counts(events: DataFrame, window_len: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregate over the events stream.
+
+    Works identically on a batch DataFrame (window() is just an
+    expression) — the batch twin is what the oracle checks.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n"),
+            F.col("total_value"),
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Sessionization via session_window (stateful in streaming; plain
+    aggregate in batch)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col("user_id"),
+            F.col("n_events"),
+            F.col("session_value"),
+        )
+    )
