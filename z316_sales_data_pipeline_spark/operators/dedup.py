@@ -50,22 +50,34 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-def _minhash_component(shingle_arr: Column, seed: int) -> Column:
-    # NOTE: the transform lambda must take ONE argument — a two-arg
-    # lambda would receive the array index as its second parameter and
-    # silently shadow the seed.
-    return F.array_min(F.transform(shingle_arr, lambda s: F.xxhash64(s, F.lit(seed))))
+def _minhash_sig_expr(shingle_col: str, n_hashes: int) -> Column:
+    """Signature as ONE nested higher-order expression.
+
+    ``transform(sequence(...))`` makes codegen emit a loop over a tiny
+    body; materializing n_hashes separate array_min(transform(...))
+    columns instead makes whole-stage codegen compile n copies of the
+    hash kernel (~16 s of janino time for n=32 — measured).
+    Family: h_i(s) = xxhash64(s, i) (the index is hashed with the
+    shingle, giving independent-enough permutations).
+    NOTE: lambda args in SQL transform are positional — (element) only;
+    a two-arg lambda would bind the array index, silently changing the
+    family.
+    """
+    return F.expr(
+        f"transform(sequence(0, {n_hashes - 1}), "
+        f"i -> array_min(transform({shingle_col}, s -> xxhash64(s, i))))"
+    )
 
 
 def minhash_signature(df: DataFrame, text_col: str, n_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
     """Add ``minhash`` (array of n 64-bit mins over seeded xxhash64).
 
     One narrow map stage — n_hashes array traversals per row, zero
-    shuffle. Seeded family: h_i(s) = xxhash64(s, seed=i).
+    shuffle.
     """
-    sh = shingles(text_col, shingle_k)
-    sig = F.array(*[_minhash_component(sh, i) for i in range(n_hashes)])
-    return df.withColumn("minhash", sig)
+    return df.withColumn("__sh", shingles(text_col, shingle_k)).withColumn(
+        "minhash", _minhash_sig_expr("__sh", n_hashes)
+    ).drop("__sh")
 
 
 def lsh_bands(df: DataFrame, n_bands: int = 8, rows_per_band: int = 4) -> DataFrame:
@@ -73,25 +85,17 @@ def lsh_bands(df: DataFrame, n_bands: int = 8, rows_per_band: int = 4) -> DataFr
 
     Docs sharing any band bucket are candidate pairs. Output has
     n_bands rows per doc — the only row amplification in the pipeline.
+    One compact loop expression (band hash = xxhash64 over the band's
+    signature slice) so codegen stays small; callers should persist the
+    signature column first or the whole minhash expression gets inlined
+    n_bands × rows_per_band times.
     """
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("minhash", b * rows_per_band + r + 1).cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(n_bands)
-        ]
+    band_expr = F.expr(
+        f"explode(transform(sequence(0, {n_bands - 1}), "
+        f"b -> struct(b AS band_id, "
+        f"xxhash64(slice(minhash, b * {rows_per_band} + 1, {rows_per_band})) AS band_hash)))"
     )
-    return df.withColumn("band", F.explode(bands)).select(
+    return df.withColumn("band", band_expr).select(
         "*", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
     ).drop("band")
 
@@ -121,29 +125,40 @@ def minhash_near_dup_pairs(
     splitting.
     """
     rows_per_band = n_hashes // n_bands
-    base = df.select(
-        F.col(id_col), shingles(text_col, shingle_k).alias("__sh")
-    ).filter(F.size("__sh") > 0)
-    sig = base.withColumn(
-        "minhash", F.array(*[_minhash_component(F.col("__sh"), i) for i in range(n_hashes)])
+    # Persist the signature frame: it is read by band generation AND the
+    # final exact-verify rejoin, and the cache barrier stops Catalyst
+    # from inlining the minhash expression into every band slice. At
+    # lake scale this is the signature table you'd materialize at rest.
+    # repartition: a single small parquet file arrives as ONE input
+    # split, which would serialize the whole signature computation on a
+    # single core; at lake scale the source is already many splits and
+    # this is a no-op-sized shuffle of (id, text).
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(n_parts)
+        .select(F.col(id_col), shingles(text_col, shingle_k).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+        .withColumn("minhash", _minhash_sig_expr("__sh", n_hashes))
+        .persist()
     )
-    banded = lsh_bands(sig, n_bands, rows_per_band).select(id_col, "__sh", "band_id", "band_hash")
-    left = banded.select(
-        F.col("band_id"), F.col("band_hash"),
-        F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"),
-    )
-    right = banded.select(
-        F.col("band_id"), F.col("band_hash"),
-        F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"),
-    )
+    # Band rows carry KEYS ONLY through the self-join shuffle; the heavy
+    # shingle arrays rejoin only for the (small) candidate-pair set.
+    banded = lsh_bands(base, n_bands, rows_per_band).select(id_col, "band_id", "band_hash").persist()
+    left = banded.select("band_id", "band_hash", F.col(id_col).alias("id_a"))
+    right = banded.select("band_id", "band_hash", F.col(id_col).alias("id_b"))
     pairs = (
         left.join(right, ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = base.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = base.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     return (
-        pairs.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
