@@ -15,7 +15,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from z316_sales_data_pipeline_spark.functions import scalar, text, vector
-from z316_sales_data_pipeline_spark.operators import dedup, joins, setops, similarity, windows
+from z316_sales_data_pipeline_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    setops,
+    similarity,
+    windows,
+)
 from z316_sales_data_pipeline_spark.plans import reconcile, sales_facts
 from z316_sales_data_pipeline_spark.plans.sales_facts import (
     ITENS_FACT_SQL,
@@ -23,6 +30,7 @@ from z316_sales_data_pipeline_spark.plans.sales_facts import (
     SQL_DESCONTO_STR,
     sql_parse_discount,
 )
+from z316_sales_data_pipeline_spark.sources import json_ingest
 from z316_sales_data_pipeline_spark.sources.tables import load_table
 from z316_sales_data_pipeline_spark.streaming import pipeline as streaming_pipeline
 
@@ -726,6 +734,295 @@ FROM s GROUP BY user_id, sess_id
 """
 
 
+def _d3_chained_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — chained tolerated-failure lookups (NFC-e shape): three left
+    joins, each nullable on miss."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select("o_orderkey", "c_name", "n_name", "r_name")
+    )
+
+
+_D3_SQL = """
+SELECT o_orderkey, c_name, n_name, r_name
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def _g4_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 — symmetric difference of two key sets (set-equality check)."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    ocust = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    return setops.symmetric_difference(cust.distinct(), ocust.distinct())
+
+
+_G4_SQL = """
+(SELECT DISTINCT c_custkey AS id FROM customer
+ EXCEPT SELECT DISTINCT o_custkey FROM orders)
+UNION
+(SELECT DISTINCT o_custkey AS id FROM orders
+ EXCEPT SELECT DISTINCT c_custkey FROM customer)
+"""
+
+
+def _e7_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — distinct-set extraction over two columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+_E7_SQL = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+def _w3_pick_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — first-match pick (pedidos[0] analogue): first order per
+    customer by date."""
+    orders = load_table(spark, sf_dir, "orders")
+    return windows.pick_first(
+        orders.select("o_custkey", "o_orderkey", "o_orderdate"),
+        "o_custkey",
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+    )
+
+
+_W3_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+) WHERE rn = 1
+"""
+
+
+def _f2_contact_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — 'dd/MM/yyyy HH:mm:ss' contact-datetime parse roundtrip."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", F.date_format("ts", "dd/MM/yyyy HH:mm:ss").alias("data_criacao")
+    )
+    return base.select(
+        "event_id", "data_criacao", scalar.parse_contact_datetime("data_criacao").alias("criado_em")
+    )
+
+
+_F2_SQL = """
+WITH base AS (
+    SELECT event_id, strftime(ts, '%d/%m/%Y %H:%M:%S') AS data_criacao FROM events
+)
+SELECT event_id, data_criacao,
+       try_strptime(data_criacao, '%d/%m/%Y %H:%M:%S') AS criado_em
+FROM base
+"""
+
+
+def _f11_split_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — split-based filename parse: ts = parts[-6],
+    uuid = join(parts[-5:]) (api_to_gcs/main.py:141-142)."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.md5(F.col("o_orderkey").cast("string"))
+    uuid_dashed = F.concat_ws(
+        "-",
+        F.substring(m, 1, 8),
+        F.substring(m, 9, 4),
+        F.substring(m, 13, 4),
+        F.substring(m, 17, 4),
+        F.substring(m, 21, 12),
+    )
+    name = F.concat(
+        F.lit("z316-tiny-api-"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("-pdv-"),
+        scalar.format_compact_ts("o_orderdate"),
+        F.lit("-"),
+        uuid_dashed,
+        F.lit(".json"),
+    )
+    base = load_table(spark, sf_dir, "orders").select("o_orderkey", name.alias("file_name"))
+    arr = F.split(F.regexp_replace("file_name", r"\.json$", ""), "-")
+    n = F.size(arr)
+    return base.select(
+        "o_orderkey",
+        "file_name",
+        F.try_element_at(arr, n - F.lit(5)).alias("ts_part"),
+        F.array_join(F.slice(arr, n - F.lit(4), 5), "-").alias("uuid_part"),
+    )
+
+
+_F11_SQL = r"""
+WITH base AS (
+    SELECT o_orderkey,
+           'z316-tiny-api-' || cast(o_orderkey AS VARCHAR) || '-pdv-' ||
+           strftime(o_orderdate, '%Y%m%dT%H%M%S') || '-' ||
+           substr(md5(cast(o_orderkey AS VARCHAR)), 1, 8) || '-' ||
+           substr(md5(cast(o_orderkey AS VARCHAR)), 9, 4) || '-' ||
+           substr(md5(cast(o_orderkey AS VARCHAR)), 13, 4) || '-' ||
+           substr(md5(cast(o_orderkey AS VARCHAR)), 17, 4) || '-' ||
+           substr(md5(cast(o_orderkey AS VARCHAR)), 21, 12) || '.json' AS file_name
+    FROM orders
+),
+p AS (
+    SELECT o_orderkey, file_name,
+           str_split(regexp_replace(file_name, '\.json$', ''), '-') AS parts
+    FROM base
+)
+SELECT o_orderkey, file_name,
+       parts[len(parts) - 5] AS ts_part,
+       array_to_string(parts[len(parts) - 4:], '-') AS uuid_part
+FROM p
+"""
+
+
+def _rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate (engine surface beyond the reference's E-ops)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_value"),
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_value
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def _q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style: filtered 3-way join, revenue top-10."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < "1998-01-01")
+            & (F.col("l_shipdate") > "1998-01-01")
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def _q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style: multi-dimension join, revenue per nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+_Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _json_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/F14/F15 — nested-JSON ingest: synthesize → from_json →
+    explode(itens) → rollup. Oracle computes the same result straight
+    from lineitem: equality proves the JSON roundtrip is lossless."""
+    return json_ingest.json_ingest_rollup(spark, sf_dir)
+
+
+_JSON_INGEST_SQL = """
+SELECT l_orderkey AS numero, o_orderstatus AS situacao,
+       count(*) AS n_itens,
+       round(sum(l_extendedprice), 4) AS valor_total,
+       round(sum(l_extendedprice * l_quantity), 4) AS base_total
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_orderkey, o_orderstatus
+"""
+
+
+def _c5_validate_or_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — validate-or-delete sweep: the quarantined (invalid) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    valid = (
+        F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+        & F.col("event_type").isin("purchase", "signup")
+    )
+    return ev.filter(~valid).select("event_id", "event_type", "value")
+
+
+_C5_SQL = """
+SELECT event_id, event_type, value FROM events
+WHERE NOT (event_id IS NOT NULL AND value IS NOT NULL AND value >= 0
+           AND event_type IN ('purchase', 'signup'))
+"""
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing — binary payload → mapInPandas stub decode.
+
+    The payload is the document text encoded as bytes (stand-in for an
+    image blob); every stub feature is a pure function of byte length,
+    so the Arrow-batched Pandas path is oracle-checkable in plain SQL.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.concat(F.lit("synth://"), F.col("source")).alias("source_uri"),
+    )
+    return multimodal.extract_features(media)
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       cast(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+       cast((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS fake_height,
+       cast((octet_length(encode(text)) * 131) % 2147483647 AS BIGINT) AS byte_checksum
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -768,6 +1065,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_top_k": _lsh_top_k,
         "tumbling_counts": _tumbling_counts,
         "session_windows": _session_windows,
+        "d3_chained_enrichment": _d3_chained_enrichment,
+        "g4_symmetric_difference": _g4_symmetric_difference,
+        "e7_distinct_values": _e7_distinct_values,
+        "w3_pick_first": _w3_pick_first,
+        "f2_contact_datetime": _f2_contact_datetime,
+        "f11_split_name_parse": _f11_split_name_parse,
+        "rollup_agg": _rollup_agg,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_nation_volume": _q5_nation_volume,
+        "json_ingest_rollup": _json_ingest_rollup,
+        "c5_validate_or_delete": _c5_validate_or_delete,
+        "multimodal_features": _multimodal_features,
     }
 
 
@@ -805,6 +1114,18 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "tumbling_counts": _TUMBLING_SQL,
         "session_windows": _SESSION_SQL,
+        "d3_chained_enrichment": _D3_SQL,
+        "g4_symmetric_difference": _G4_SQL,
+        "e7_distinct_values": _E7_SQL,
+        "w3_pick_first": _W3_SQL,
+        "f2_contact_datetime": _F2_SQL,
+        "f11_split_name_parse": _F11_SQL,
+        "rollup_agg": _ROLLUP_SQL,
+        "q3_shipping_priority": _Q3_SQL,
+        "q5_nation_volume": _Q5_SQL,
+        "json_ingest_rollup": _JSON_INGEST_SQL,
+        "c5_validate_or_delete": _C5_SQL,
+        "multimodal_features": _MULTIMODAL_SQL,
         # minhash_near_dup / simhash_groups / lsh_top_k: engine-specific
         # hash families — rows-only checks by design.
     }

@@ -1,0 +1,64 @@
+"""Multimodal plumbing + sink semantics tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from z316_sales_data_pipeline_spark import sinks
+from z316_sales_data_pipeline_spark.operators import multimodal
+from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+
+def _media(spark):
+    data = [
+        (1, b"x" * 640, "image", "synth://a"),
+        (2, b"y" * 100, "audio", "synth://b"),
+        (3, None, "image", "synth://c"),
+    ]
+    return spark.createDataFrame(data, multimodal.MEDIA_SCHEMA)
+
+
+def test_extract_features_arrow_path(spark):
+    out = {r["media_id"]: r for r in multimodal.extract_features(_media(spark)).collect()}
+    assert out[1]["n_bytes"] == 640
+    assert out[1]["fake_width"] == 0  # 640 % 640
+    assert out[2]["n_bytes"] == 100
+    assert out[2]["byte_checksum"] == (100 * 131) % 2147483647
+    assert out[3]["n_bytes"] is None  # null payload tolerated
+
+
+def test_real_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"")
+
+
+def test_frame_sample_plan(spark):
+    out = multimodal.frame_sample_plan(_media(spark).filter("media_id = 1"), every_nth=2)
+    rows = out.collect()
+    # 640 bytes -> 6 frames, sampled every 2nd -> indices 0,2,4
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """B3 — day-partitioned write; reading one day scans one partition."""
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    out = str(tmp_path / "events_table")
+    sinks.write_partitioned(
+        sinks.with_day_partition(ev, "ts"), out, "day", cluster_cols=["user_id"]
+    )
+    re_read = spark.read.parquet(out)
+    one_day = re_read.filter(F.col("day") == "2024-01-01")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert one_day.count() > 0
+    # partition pruning shows in the file scan's partition filters
+    assert "day" in plan
+
+
+def test_overwrite_dimension(spark, tmp_path):
+    out = str(tmp_path / "dim")
+    df1 = spark.range(10).withColumnRenamed("id", "k")
+    df2 = spark.range(3).withColumnRenamed("id", "k")
+    sinks.overwrite_dimension(df1, out)
+    sinks.overwrite_dimension(df2, out)
+    assert spark.read.parquet(out).count() == 3  # B4 truncate-and-reload

@@ -1,0 +1,90 @@
+"""Structured Streaming smoke tests (SURVEY §2.I).
+
+The reference's event-driven path as a file-source streaming query:
+landing dir → readStream → dedup guard → foreachBatch multi-sink,
+driven to completion with Trigger.AvailableNow (the S3 backfill mode).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from z316_sales_data_pipeline_spark.streaming import pipeline
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("dados_id", T.StringType()),
+        T.StructField("tipo", T.StringType()),
+        T.StructField("valor", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _write_landing(tmp_path, rows):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, row in enumerate(rows):
+        (landing / f"evt_{i}.json").write_text(json.dumps(row) + "\n")
+    return str(landing)
+
+
+def test_file_stream_multi_sink_available_now(spark, tmp_path):
+    rows = [
+        {"dados_id": "1", "tipo": "inclusao_pedido", "valor": 10.0, "ts": "2024-01-01T10:00:00"},
+        {"dados_id": "1", "tipo": "inclusao_pedido", "valor": 10.0, "ts": "2024-01-01T10:00:05"},
+        {"dados_id": "2", "tipo": "inclusao_pedido", "valor": 5.0, "ts": "2024-01-01T10:01:00"},
+        {"dados_id": "3", "tipo": "outro_evento", "valor": 1.0, "ts": "2024-01-01T10:02:00"},
+    ]
+    landing = _write_landing(tmp_path, rows)
+    out_valid = str(tmp_path / "valid")
+    out_all = str(tmp_path / "all")
+
+    stream = pipeline.file_stream(spark, landing, EVENT_SCHEMA)
+    deduped = pipeline.dedup_stream(stream, ["dados_id"], "ts", "1 hour")
+
+    sinks = {
+        "valid": lambda df: (
+            df.filter(F.col("tipo") == "inclusao_pedido")
+            .write.mode("append")
+            .parquet(out_valid)
+        ),
+        "all": lambda df: df.write.mode("append").parquet(out_all),
+    }
+    q = pipeline.run_multi_sink(deduped, sinks, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    valid = spark.read.parquet(out_valid)
+    allrows = spark.read.parquet(out_all)
+    # dedup guard: dados_id=1 appears once; C1 filter drops tipo=outro_evento
+    assert allrows.count() == 3
+    assert valid.count() == 2
+    assert valid.filter(F.col("dados_id") == "1").count() == 1
+
+
+def test_tumbling_counts_streaming_matches_batch(spark, tmp_path, sf_dir):
+    """The windowed agg gives identical results via readStream and batch
+    (unified code path, S3)."""
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    staged = str(tmp_path / "events_parquet")
+    ev.write.parquet(staged)
+
+    batch_out = pipeline.tumbling_counts(spark.read.parquet(staged))
+    stream_src = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    stream_agg = pipeline.tumbling_counts(stream_src)
+    q = (
+        stream_agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM tumbling_out").collect()}
+    want = {tuple(r) for r in batch_out.collect()}
+    assert got == want

@@ -1,0 +1,98 @@
+"""Multimodal column plumbing (north-star ops).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata;
+decode / feature-extraction runs as Arrow-batched Pandas functions via
+``mapInPandas`` (the sanctioned slow path — real codec libraries are
+not in this environment, so the decode kernel is a clearly-marked
+deterministic stub, while the Spark-side plumbing — schema, batch
+iteration, partitioning — is real and tested).
+
+Scale notes: mapInPandas streams Arrow batches, so peak memory is one
+batch per core, not one partition; keep ``spark.sql.execution.arrow.
+maxRecordsPerBatch`` sized to the blob size. Feature extraction is a
+narrow map — no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField("source_uri", T.StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, n_bytes long, fake_width int, fake_height int, byte_checksum long"
+)
+
+
+def real_decode(payload: bytes) -> dict:
+    """The real decode kernel would live here (PIL / ffmpeg / soundfile).
+
+    Not available in this environment — any caller that needs true
+    pixel/sample access must go through :func:`stub_decode` in tests.
+    """
+    raise NotImplementedError("media codecs not available in this build; use stub_decode")
+
+
+def stub_decode(payload: bytes) -> dict:
+    """Deterministic fake decode: derives pseudo-dimensions and a
+    checksum from the byte length so the full Arrow plumbing is
+    testable without codec libraries AND oracle-checkable in plain SQL
+    (every output is a pure function of octet length)."""
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "fake_width": n % 640,
+        "fake_height": (n * 7) % 480,
+        "byte_checksum": (n * 131) % 2147483647,
+    }
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode/feature-extract each blob via mapInPandas (Arrow batches)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(lambda p: stub_decode(bytes(p)) if p is not None else None)
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [f["n_bytes"] if f else None for f in feats],
+                    "fake_width": [f["fake_width"] if f else None for f in feats],
+                    "fake_height": [f["fake_height"] if f else None for f in feats],
+                    "byte_checksum": [f["byte_checksum"] if f else None for f in feats],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: explode a per-blob frame index.
+
+    The real decoder would yield frames; the stub yields the frame
+    INDEX plan (deterministic), which is what the distribution layer
+    cares about: one output row per sampled frame, partitioned by
+    media_id so one video's frames stay together.
+    """
+    n_frames = (F.length("payload") / F.lit(100)).cast("int")
+    return (
+        media.withColumn("__n_frames", F.greatest(n_frames, F.lit(1)))
+        .withColumn(
+            "frame_idx",
+            F.explode(F.sequence(F.lit(0), F.col("__n_frames") - 1, F.lit(every_nth))),
+        )
+        .select("media_id", "media_type", "frame_idx")
+    )
