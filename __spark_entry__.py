@@ -1023,6 +1023,154 @@ FROM documents
 """
 
 
+def _f14_pubsub_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14/A6 — Pub/Sub envelope: base64(json) → unbase64 → from_json.
+
+    The envelope is synthesized deterministically (same string in the
+    oracle), so the check proves the decode+parse chain, not the synth.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    payload = F.concat(
+        F.lit('{"dados_id": '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(', "status": "'),
+        F.col("o_orderstatus"),
+        F.lit('"}'),
+    )
+    enveloped = orders.select("o_orderkey", F.base64(F.encode(payload, "UTF-8")).alias("data_b64"))
+    schema = "dados_id BIGINT, status STRING"
+    decoded = enveloped.select(
+        "o_orderkey",
+        F.from_json(F.unbase64("data_b64").cast("string"), schema).alias("msg"),
+    )
+    return decoded.select(
+        "o_orderkey",
+        F.col("msg.dados_id").alias("dados_id"),
+        F.col("msg.status").alias("status"),
+    )
+
+
+_F14_SQL = """
+WITH env AS (
+    SELECT o_orderkey,
+           to_base64(encode('{"dados_id": ' || cast(o_orderkey AS VARCHAR) ||
+                            ', "status": "' || o_orderstatus || '"}')) AS data_b64
+    FROM orders
+)
+SELECT o_orderkey,
+       cast(json_extract_string(decode(from_base64(data_b64)), '$.dados_id') AS BIGINT) AS dados_id,
+       json_extract_string(decode(from_base64(data_b64)), '$.status') AS status
+FROM env
+"""
+
+
+def _w2_keeprule_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (full form) — keep-rule dedup with backfill demotion.
+
+    Reference api_to_gcs-checker.py:141-173: duplicates of one dados_id
+    keep the MIN real timestamp, but backfill copies (T000000 stamps)
+    lose to any real-timestamped copy. Here: events per (user, type),
+    rows with minute==0 marked as backfill, order (is_backfill asc,
+    ts asc, id asc).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(F.minute("ts") == 0, F.lit(1)).otherwise(F.lit(0)).alias("is_backfill"),
+    )
+    return windows.dedup_keep_rule(
+        marked,
+        ["user_id", "event_type"],
+        [F.col("is_backfill").asc(), F.col("ts").asc(), F.col("event_id").asc()],
+    )
+
+
+_W2B_SQL = """
+SELECT event_id, user_id, event_type, ts, is_backfill FROM (
+    SELECT event_id, user_id, event_type, ts,
+           CASE WHEN minute(ts) = 0 THEN 1 ELSE 0 END AS is_backfill,
+           row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CASE WHEN minute(ts) = 0 THEN 1 ELSE 0 END, ts, event_id
+           ) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+def _c2_status_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — API status-code dispatch as a CASE disposition column.
+
+    Reference api_to_gcs/main.py:76-90: '3'→ok, '2'→hard fail,
+    '1'+codigo_erro='1'→auth fail, else retry. Statuses synthesized
+    deterministically from the order key.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    status = F.when(k % 10 < 6, F.lit("3")).when(k % 10 < 8, F.lit("2")).otherwise(F.lit("1"))
+    cod = F.when(k % 2 == 0, F.lit("1")).otherwise(F.lit("0"))
+    base = orders.select("o_orderkey", status.alias("status_processamento"), cod.alias("codigo_erro"))
+    disp = (
+        F.when(F.col("status_processamento") == "3", F.lit("ok"))
+        .when(F.col("status_processamento") == "2", F.lit("validation_error"))
+        .when(
+            (F.col("status_processamento") == "1") & (F.col("codigo_erro") == "1"),
+            F.lit("auth_error"),
+        )
+        .otherwise(F.lit("retry"))
+    )
+    return base.withColumn("disposition", disp)
+
+
+_C2_SQL = """
+WITH base AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 < 6 THEN '3'
+                WHEN o_orderkey % 10 < 8 THEN '2' ELSE '1' END AS status_processamento,
+           CASE WHEN o_orderkey % 2 = 0 THEN '1' ELSE '0' END AS codigo_erro
+    FROM orders
+)
+SELECT o_orderkey, status_processamento, codigo_erro,
+       CASE WHEN status_processamento = '3' THEN 'ok'
+            WHEN status_processamento = '2' THEN 'validation_error'
+            WHEN status_processamento = '1' AND codigo_erro = '1' THEN 'auth_error'
+            ELSE 'retry' END AS disposition
+FROM base
+"""
+
+
+def _a5_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — bucket-listing scan: blob manifest → parse names → per-folder
+    id sets (gcs_to_bq-checker.py:15-27 shape, driven from orders)."""
+    orders = load_table(spark, sf_dir, "orders")
+    folder = F.concat(
+        scalar.format_compact_ts("o_orderdate"),
+        F.lit("-"),
+        F.col("o_orderkey").cast("string"),
+    )
+    manifest = orders.select(folder.alias("folder"))
+    return manifest.select(
+        "folder",
+        F.regexp_extract("folder", r"^(\d{8}T\d{6})-(\d+)$", 1).alias("folder_ts"),
+        F.regexp_extract("folder", r"^(\d{8}T\d{6})-(\d+)$", 2).cast("long").alias("dados_id"),
+    )
+
+
+_A5_SQL = r"""
+WITH m AS (
+    SELECT strftime(o_orderdate, '%Y%m%dT%H%M%S') || '-' || cast(o_orderkey AS VARCHAR) AS folder
+    FROM orders
+)
+SELECT folder,
+       regexp_extract(folder, '^(\d{8}T\d{6})-(\d+)$', 1) AS folder_ts,
+       cast(regexp_extract(folder, '^(\d{8}T\d{6})-(\d+)$', 2) AS BIGINT) AS dados_id
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1077,6 +1225,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_ingest_rollup": _json_ingest_rollup,
         "c5_validate_or_delete": _c5_validate_or_delete,
         "multimodal_features": _multimodal_features,
+        "f14_pubsub_decode": _f14_pubsub_decode,
+        "w2_keeprule_backfill": _w2_keeprule_backfill,
+        "c2_status_dispatch": _c2_status_dispatch,
+        "a5_manifest_scan": _a5_manifest_scan,
     }
 
 
@@ -1126,6 +1278,10 @@ def oracle_sql() -> dict[str, str]:
         "json_ingest_rollup": _JSON_INGEST_SQL,
         "c5_validate_or_delete": _C5_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
+        "f14_pubsub_decode": _F14_SQL,
+        "w2_keeprule_backfill": _W2B_SQL,
+        "c2_status_dispatch": _C2_SQL,
+        "a5_manifest_scan": _A5_SQL,
         # minhash_near_dup / simhash_groups / lsh_top_k: engine-specific
         # hash families — rows-only checks by design.
     }

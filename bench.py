@@ -33,8 +33,13 @@ HEADLINE = [
     "text_quality",
     "minhash_near_dup",
     "knn_brute_force",
+    "embedding_near_dup",
     "tumbling_counts",
     "session_windows",
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "json_ingest_rollup",
+    "multimodal_features",
 ]
 
 
