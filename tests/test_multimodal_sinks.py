@@ -55,6 +55,19 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "day" in plan
 
 
+def test_run_sales_pipeline_multi_sink(spark, sf_dir, tmp_path):
+    """S6 — one facts DAG fanned out to two partitioned sinks (SURVEY §3.1)."""
+    from z316_sales_data_pipeline_spark.plans.pipeline import run_sales_pipeline
+
+    counts = run_sales_pipeline(spark, sf_dir, str(tmp_path / "out"))
+    assert counts["pedidos"] > 0
+    assert counts["itens_pedido"] >= counts["pedidos"]
+    pedidos = spark.read.parquet(str(tmp_path / "out" / "pedidos"))
+    # lineage columns present (C6); day partition column exists (B3)
+    for c in ("uuid", "source_id", "update_timestamp", "pedido_dia"):
+        assert c in pedidos.columns
+
+
 def test_overwrite_dimension(spark, tmp_path):
     out = str(tmp_path / "dim")
     df1 = spark.range(10).withColumnRenamed("id", "k")
