@@ -50,34 +50,48 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-def _minhash_sig_expr(shingle_col: str, n_hashes: int) -> Column:
-    """Signature as ONE nested higher-order expression.
+# Permutation family: h_i(x) = (x * a_i + b_i) mod P over the hashed
+# shingle x. P < 2^31 keeps every intermediate product under 2^62, so
+# the arithmetic is ANSI-overflow-safe; a_i derives from the Knuth
+# multiplicative constant. Affine-over-one-hash replaces the earlier
+# xxhash64(s, i) family: hashing each shingle STRING n_hashes times was
+# the dominant cost, and higher-order transform() expressions evaluate
+# interpreted (outside whole-stage codegen). min() aggregate columns
+# over an exploded (doc, shingle-hash) relation stay fully codegen'd
+# and get map-side partial aggregation for free.
+_MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 
-    ``transform(sequence(...))`` makes codegen emit a loop over a tiny
-    body; materializing n_hashes separate array_min(transform(...))
-    columns instead makes whole-stage codegen compile n copies of the
-    hash kernel (~16 s of janino time for n=32 — measured).
-    Family: h_i(s) = xxhash64(s, i) (the index is hashed with the
-    shingle, giving independent-enough permutations).
-    NOTE: lambda args in SQL transform are positional — (element) only;
-    a two-arg lambda would bind the array index, silently changing the
-    family.
+
+def _perm(h: Column, i: int) -> Column:
+    a = (2654435761 * (i + 1)) % _MINHASH_P
+    b = (40503 * i + 1) % _MINHASH_P
+    return F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))
+
+
+def _shingle_hashes(df: DataFrame, text_col: str, id_col: str, shingle_k: int) -> DataFrame:
+    """Exploded (id, h) relation: one row per shingle, hashed to 64-bit.
+
+    The explode runs AFTER a repartition by id (callers), so shingle
+    generation parallelizes even when the source arrives as one split.
     """
-    return F.expr(
-        f"transform(sequence(0, {n_hashes - 1}), "
-        f"i -> array_min(transform({shingle_col}, s -> xxhash64(s, i))))"
+    return df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("__s")
+    ).select(id_col, F.xxhash64("__s").alias("__h"))
+
+
+def minhash_signature(df: DataFrame, text_col: str, id_col: str, n_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
+    """(id, minhash array<long>) — one shuffle (the groupBy on id).
+
+    Signature min_i over pmod-affine permutations of the shingle hash;
+    all codegen, partial-aggregated map-side.
+    """
+    ex = _shingle_hashes(df, text_col, id_col, shingle_k).withColumn(
+        "__hp", F.pmod(F.col("__h"), F.lit(_MINHASH_P))
     )
-
-
-def minhash_signature(df: DataFrame, text_col: str, n_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
-    """Add ``minhash`` (array of n 64-bit mins over seeded xxhash64).
-
-    One narrow map stage — n_hashes array traversals per row, zero
-    shuffle.
-    """
-    return df.withColumn("__sh", shingles(text_col, shingle_k)).withColumn(
-        "minhash", _minhash_sig_expr("__sh", n_hashes)
-    ).drop("__sh")
+    aggs = [F.min(_perm(F.col("__hp"), i)).alias(f"__m{i}") for i in range(n_hashes)]
+    return ex.groupBy(id_col).agg(*aggs).select(
+        id_col, F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("minhash")
+    )
 
 
 def lsh_bands(df: DataFrame, n_bands: int = 8, rows_per_band: int = 4) -> DataFrame:
@@ -125,26 +139,35 @@ def minhash_near_dup_pairs(
     splitting.
     """
     rows_per_band = n_hashes // n_bands
-    # Persist the signature frame: it is read by band generation AND the
-    # final exact-verify rejoin, and the cache barrier stops Catalyst
-    # from inlining the minhash expression into every band slice. At
-    # lake scale this is the signature table you'd materialize at rest.
-    # repartition: a single small parquet file arrives as ONE input
-    # split, which would serialize the whole signature computation on a
-    # single core; at lake scale the source is already many splits and
-    # this is a no-op-sized shuffle of (id, text).
+    # repartition first: a single small parquet file arrives as ONE
+    # input split, which would serialize shingle generation on a single
+    # core; at lake scale the source is already many splits and this is
+    # a no-op-sized shuffle of (id, text).
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    base = (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(n_parts)
-        .select(F.col(id_col), shingles(text_col, shingle_k).alias("__sh"))
-        .filter(F.size("__sh") > 0)
-        .withColumn("minhash", _minhash_sig_expr("__sh", n_hashes))
+    # Distinct (id, shingle-hash) relation — persisted because it feeds
+    # the signature aggregation, the per-doc size aggregation, AND the
+    # candidate-pair intersection join. At lake scale this is the
+    # shingle table you'd materialize at rest. Everything downstream is
+    # codegen'd hash aggregates / hash joins — no array columns, no
+    # collect_set (ObjectHashAggregate falls out of whole-stage codegen
+    # and measured ~2× slower end-to-end).
+    ex = (
+        _shingle_hashes(
+            df.select(F.col(id_col), F.col(text_col)).repartition(n_parts),
+            text_col,
+            id_col,
+            shingle_k,
+        )
+        .dropDuplicates([id_col, "__h"])
+        .withColumn("__hp", F.pmod(F.col("__h"), F.lit(_MINHASH_P)))
         .persist()
     )
-    # Band rows carry KEYS ONLY through the self-join shuffle; the heavy
-    # shingle arrays rejoin only for the (small) candidate-pair set.
-    banded = lsh_bands(base, n_bands, rows_per_band).select(id_col, "band_id", "band_hash").persist()
+    aggs = [F.min(_perm(F.col("__hp"), i)).alias(f"__m{i}") for i in range(n_hashes)]
+    sig = ex.groupBy(id_col).agg(*aggs).select(
+        id_col, F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("minhash")
+    )
+    # Band rows carry KEYS ONLY through the self-join shuffle.
+    banded = lsh_bands(sig, n_bands, rows_per_band).select(id_col, "band_id", "band_hash")
     left = banded.select("band_id", "band_hash", F.col(id_col).alias("id_a"))
     right = banded.select("band_id", "band_hash", F.col(id_col).alias("id_b"))
     pairs = (
@@ -153,12 +176,27 @@ def minhash_near_dup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_a = base.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    sh_b = base.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    # Exact Jaccard by relational set algebra on the hashed shingles
+    # (64-bit hashes: collision-safe in practice): |A∩B| from a join of
+    # the candidate pairs back onto ``ex`` twice, |A∪B| = |A|+|B|-|A∩B|.
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nsh"))
+    ea = ex.select(F.col(id_col).alias("id_a"), "__h")
+    eb = ex.select(F.col(id_col).alias("id_b"), "__h")
+    inter = (
+        pairs.join(ea, "id_a")
+        .join(eb, ["id_b", "__h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__ninter"))
+    )
     return (
-        pairs.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"__ninter": 0})
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("__nsh").alias("__na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__nsh").alias("__nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("__ninter") / (F.col("__na") + F.col("__nb") - F.col("__ninter")), 6),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -187,27 +225,44 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash(c: Column | str, n_bits: int = 16) -> Column:
-    """SimHash signature (bit-majority of per-token hashes).
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str, n_bits: int = 16) -> DataFrame:
+    """(id, simhash) via bit-majority of per-token hashes.
 
-    n_bits column expressions over one token-hash array; no shuffle.
+    Formulated as explode(tokens) → xxhash64 → n_bits conditional-sum
+    aggregate columns → bit reassembly. All codegen with map-side
+    partial aggregation (the earlier per-row filter() over a token-hash
+    array evaluated interpreted, n_bits passes per document).
     """
-    col = F.col(c) if isinstance(c, str) else c
-    tokens = F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    n = F.size(tokens)
-    acc = F.lit(0).cast("long")
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    tokens = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(n_parts)
+        .select(
+            id_col,
+            F.explode(
+                F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+            ).alias("__t"),
+        )
+        .select(id_col, F.xxhash64("__t").alias("__h"))
+    )
+    bit_sums = [
+        F.sum(F.when(F.col("__h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1).otherwise(0)).alias(f"__b{b}")
+        for b in range(n_bits)
+    ]
+    agg = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *bit_sums)
+    sig = None
     for b in range(n_bits):
-        mask = F.lit(1 << b).cast("long")
-        ones = F.size(F.filter(hashes, lambda h, m=mask: h.bitwiseAND(m) != 0))
-        acc = acc + F.when(ones * 2 > n, mask).otherwise(F.lit(0).cast("long"))
-    return acc
+        term = F.when(F.col(f"__b{b}") * 2 > F.col("__n"), F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select(id_col, sig.alias("simhash"))
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str, n_bits: int = 16) -> DataFrame:
     """Groups of documents sharing a SimHash signature (near-dup sets)."""
     return (
-        df.withColumn("simhash", simhash(text_col, n_bits))
+        simhash_signatures(df, text_col, id_col, n_bits)
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.col("n") > 1)
