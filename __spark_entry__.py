@@ -734,6 +734,54 @@ FROM s GROUP BY user_id, sess_id
 """
 
 
+def _sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (1h window, 15min slide — batch twin)."""
+    ev = load_table(spark, sf_dir, "events")
+    return streaming_pipeline.sliding_counts(ev)
+
+
+# Reproduce Spark's epoch-aligned sliding-window expansion: an event at
+# t belongs to every window start k*slide with t-len < k*slide <= t.
+_SLIDING_SQL = """
+WITH w AS (
+    SELECT unnest(generate_series(
+               CAST(floor((epoch_us(ts) - 3600000000) / 900000000) AS BIGINT) + 1,
+               CAST(floor(epoch_us(ts) / 900000000) AS BIGINT))) AS k,
+           event_type, value
+    FROM events
+)
+SELECT make_timestamp(k * 900000000) AS window_start,
+       make_timestamp(k * 900000000 + 3600000000) AS window_end,
+       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM w GROUP BY 1, 2, 3
+"""
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (portable polynomial hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.rolling_fingerprint("text").alias("fp"))
+
+
+_DOC_FP_SQL = """
+SELECT doc_id, list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      [CAST(ascii(c) AS BIGINT)
+       FOR c IN regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '')]),
+    (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+FROM documents
+"""
+
+
+def _ivf_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell-probed approximate nearest neighbours (rows-only check:
+    centroid assignment is engine-specific plan logic)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return similarity.ivf_top_k(emb, "embedding", "vec_id", _KNN_QUERY_VEC, k=10, n_cells=16, n_probe=4)
+
+
 def _d3_chained_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 — chained tolerated-failure lookups (NFC-e shape): three left
     joins, each nullable on miss."""
@@ -1213,6 +1261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_top_k": _lsh_top_k,
         "tumbling_counts": _tumbling_counts,
         "session_windows": _session_windows,
+        "sliding_counts": _sliding_counts,
+        "doc_fingerprint": _doc_fingerprint,
+        "ivf_top_k": _ivf_top_k,
         "d3_chained_enrichment": _d3_chained_enrichment,
         "g4_symmetric_difference": _g4_symmetric_difference,
         "e7_distinct_values": _e7_distinct_values,
@@ -1266,6 +1317,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "tumbling_counts": _TUMBLING_SQL,
         "session_windows": _SESSION_SQL,
+        "sliding_counts": _SLIDING_SQL,
+        "doc_fingerprint": _DOC_FP_SQL,
         "d3_chained_enrichment": _D3_SQL,
         "g4_symmetric_difference": _G4_SQL,
         "e7_distinct_values": _E7_SQL,
@@ -1282,6 +1335,7 @@ def oracle_sql() -> dict[str, str]:
         "w2_keeprule_backfill": _W2B_SQL,
         "c2_status_dispatch": _C2_SQL,
         "a5_manifest_scan": _A5_SQL,
-        # minhash_near_dup / simhash_groups / lsh_top_k: engine-specific
-        # hash families — rows-only checks by design.
+        # minhash_near_dup / simhash_groups / lsh_top_k / ivf_top_k:
+        # engine-specific hash/quantizer families — rows-only checks by
+        # design.
     }

@@ -90,6 +90,41 @@ def test_anti_join_delete(spark, sf_dir):
     assert out.filter(F.col("o_orderkey") % 100 == 0).count() == 0
 
 
+def test_rolling_fingerprint_collision_and_match(spark):
+    """Same normalized text -> same fingerprint; different text differs."""
+    from z316_sales_data_pipeline_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "goodbye world")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["fp"] for r in df.select("doc_id", rolling_fingerprint("text").alias("fp")).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    """IVF probe of 4/16 cells must recover most of the exact top-10."""
+    from z316_sales_data_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = [1.0 if i % 2 == 0 else -1.0 for i in range(64)]
+    exact = {r["vec_id"] for r in similarity.brute_force_top_k(emb, "embedding", "vec_id", q, k=10).collect()}
+    approx = {r["vec_id"] for r in similarity.ivf_top_k(emb, "embedding", "vec_id", q, k=10).collect()}
+    assert len(exact & approx) >= 5  # >= 50% recall at nprobe/cells = 1/4
+
+
+def test_sliding_window_row_amplification(spark, sf_dir):
+    """1h window / 15min slide -> every event is counted exactly 4 times."""
+    from z316_sales_data_pipeline_spark.streaming import pipeline as sp
+
+    ev = load_table(spark, sf_dir, "events")
+    total = sp.sliding_counts(ev).agg(F.sum("n")).collect()[0][0]
+    assert total == 4 * ev.count()
+
+
 def test_pedidos_fact_grain(spark, sf_dir):
     """One row per order that has items (inner-join drop-on-miss grain)."""
     pedidos = sales_facts.pedidos_fact(spark, sf_dir)

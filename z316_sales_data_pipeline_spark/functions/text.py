@@ -106,6 +106,24 @@ def fingerprint64(c: Column | str) -> Column:
     return F.xxhash64(norm)
 
 
+def rolling_fingerprint(c: Column | str, base: int = 31, mod: int = 2147483647) -> Column:
+    """Polynomial rolling-hash fingerprint of the normalized text.
+
+    h = fold(chars, 0, (acc, ch) -> (acc*base + codepoint(ch)) mod P)
+    with P = 2^31-1: every intermediate stays < 2^36, so the arithmetic
+    is ANSI-overflow-safe — and, unlike xxhash64, the recurrence is
+    portable SQL (the DuckDB oracle reproduces it bit-for-bit with
+    list_reduce). Use fingerprint64 when speed matters more than
+    cross-engine portability.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(_col(c)), r"\s+", " "))
+    return F.aggregate(
+        F.split(norm, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * F.lit(base) + F.ascii(ch), F.lit(mod)),
+    )
+
+
 def shingles(c: Column | str, k: int = 3) -> Column:
     """Array of k-word shingles (token n-grams) of the normalized text.
 

@@ -281,15 +281,21 @@ def embedding_near_dup_pairs(
     tables / small corpora); with ``block_col`` (e.g. an LSH bucket or
     label) the self-join shuffles on the block key — the scale path.
     """
+    from ..functions.vector import dot, norm
+
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
-    base = df.select(*cols)
+    # Precompute each row's L2 norm ONCE (n rows) instead of inside the
+    # pair expression (n² evals): higher-order aggregate() runs
+    # interpreted, so the per-pair work must be a single dot product.
+    base = df.select(*cols).withColumn("__nrm", norm(vec_col))
     on = [block_col] if block_col else []
-    a = base.select(*( [F.col(block_col)] if block_col else [] ), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = base.select(*( [F.col(block_col)] if block_col else [] ), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    blk = [F.col(block_col)] if block_col else []
+    a = base.select(*blk, F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("__nrm").alias("na"))
+    b = base.select(*blk, F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("__nrm").alias("nb"))
     joined = a.join(b, on) if on else a.crossJoin(b)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos") >= threshold)
         .select(*(on), "id_a", "id_b", "cos")
     )

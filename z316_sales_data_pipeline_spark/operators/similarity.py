@@ -87,3 +87,58 @@ def lsh_top_k(
         if sum(a * b for a, b in zip(query_vec, p)) >= 0:
             q_bucket |= 1 << i
     return brute_force_top_k(bucketed.filter(F.col("bucket") == q_bucket), vec_col, id_col, query_vec, k)
+
+
+def _centroids(df: DataFrame, vec_col: str, id_col: str, n_cells: int) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the n_cells lowest-id vectors.
+
+    A k-means fit would drift run-to-run; fixed seeds keep the oracle
+    and the invariant tests stable. At lake scale this is the tiny
+    trained-centroid table you'd broadcast (it IS broadcast below —
+    collected driver-side like any model parameter, never the data).
+    """
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    return [(i, [float(x) for x in r[1]]) for i, r in enumerate(rows)]
+
+
+def ivf_top_k(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid cell,
+    probe only the n_probe cells nearest the query, exact top-k within.
+
+    Plan: one narrow map stage for assignment (greatest-of-dots over
+    broadcast centroid literals — no Python, no shuffle), a pruning
+    filter on the cell id, then TakeOrderedAndProject. At rest,
+    partition the table by ``cell`` so the probe filter becomes
+    partition pruning — the scan reads n_probe/n_cells of the data.
+    """
+    cents = _centroids(df, vec_col, id_col, n_cells)
+
+    # cell = argmax_i dot(v, c_i): build a greatest() chain over literal
+    # centroid dots; ties resolve to the lowest cell id.
+    def cell_expr(col: Column) -> Column:
+        dots = [dot(col, literal_vector(c)) for _, c in cents]
+        best = F.greatest(*dots) if len(dots) > 1 else dots[0]
+        cell = F.lit(len(cents) - 1)
+        for i in range(len(cents) - 2, -1, -1):
+            cell = F.when(dots[i] == best, F.lit(i)).otherwise(cell)
+        return cell
+
+    # Probe cells for the query, computed plan-build time (tiny).
+    q_dots = sorted(
+        ((i, sum(a * b for a, b in zip(query_vec, c))) for i, c in cents),
+        key=lambda t: (-t[1], t[0]),
+    )
+    probe = [i for i, _ in q_dots[:n_probe]]
+
+    assigned = df.withColumn("cell", cell_expr(F.col(vec_col)))
+    return (
+        brute_force_top_k(assigned.filter(F.col("cell").isin(probe)), vec_col, id_col, query_vec, k)
+    )

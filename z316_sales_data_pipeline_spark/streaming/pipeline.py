@@ -93,6 +93,36 @@ def tumbling_counts(events: DataFrame, window_len: str = "1 hour", watermark: st
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window aggregate (overlapping windows).
+
+    Each event lands in window_len/slide windows; Spark expands the
+    row per window epoch-aligned to the slide. Batch twin = the same
+    expression, which is what the oracle checks (DuckDB reproduces the
+    expansion with generate_series over the slide index).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col("event_type"),
+            F.col("n"),
+            F.col("total_value"),
+        )
+    )
+
+
 def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Sessionization via session_window (stateful in streaming; plain
     aggregate in batch)."""
