@@ -40,6 +40,9 @@ HEADLINE = [
     "q5_nation_volume",
     "json_ingest_rollup",
     "multimodal_features",
+    "sliding_counts",
+    "doc_fingerprint",
+    "ivf_top_k",
 ]
 
 

@@ -65,6 +65,46 @@ def test_file_stream_multi_sink_available_now(spark, tmp_path):
     assert valid.filter(F.col("dados_id") == "1").count() == 1
 
 
+def test_running_user_totals_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state accumulates across micro-batches —
+    the second batch's emission includes the first batch's events."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"user_id": [1, 1, 2], "value": [10.0, 5.0, 7.0]}).to_parquet(src / "b0.parquet")
+    pd.DataFrame({"user_id": [1, 2], "value": [2.0, 3.0]}).to_parquet(src / "b1.parquet")
+
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .parquet(str(src))
+    )
+    q = (
+        pipeline.running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM running_out").collect()
+    # update-mode memory sink appends each batch's emissions; n_events
+    # is cumulative, so the max-n row per user is the final state
+    last = {}
+    for r in rows:
+        if r["user_id"] not in last or r["n_events"] > last[r["user_id"]][0]:
+            last[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert last[1] == (3, 17.0)
+    assert last[2] == (2, 10.0)
+    # both users emitted more than once => state really crossed batches
+    assert len(rows) >= 3
+
+
 def test_tumbling_counts_streaming_matches_batch(spark, tmp_path, sf_dir):
     """The windowed agg gives identical results via readStream and batch
     (unified code path, S3)."""

@@ -69,13 +69,14 @@ def _perm(h: Column, i: int) -> Column:
 
 
 def _shingle_hashes(df: DataFrame, text_col: str, id_col: str, shingle_k: int) -> DataFrame:
-    """Exploded (id, h) relation: one row per shingle, hashed to 64-bit.
-
-    The explode runs AFTER a repartition by id (callers), so shingle
-    generation parallelizes even when the source arrives as one split.
+    """Exploded (id, h) relation: one row per DISTINCT shingle, hashed
+    to 64-bit. array_distinct before the explode gives set semantics in
+    the same narrow stage — no dedup shuffle. The explode runs AFTER a
+    repartition by id (callers), so shingle generation parallelizes
+    even when the source arrives as one split.
     """
     return df.select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("__s")
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("__s")
     ).select(id_col, F.xxhash64("__s").alias("__h"))
 
 
@@ -126,7 +127,7 @@ def minhash_near_dup_pairs(
     text_col: str,
     id_col: str,
     threshold: float = 0.7,
-    n_hashes: int = 32,
+    n_hashes: int = 16,
     n_bands: int = 8,
     shingle_k: int = 3,
 ) -> DataFrame:
@@ -137,6 +138,11 @@ def minhash_near_dup_pairs(
     distinct pairs. At 100 TB the shuffle key cardinality is ~n_docs ×
     n_bands; hot buckets (boilerplate dups) are bounded by AQE skew
     splitting.
+
+    Defaults (16 hashes = 8 bands × 2 rows) put the S-curve's steep
+    part near J≈0.35: candidate recall at J=0.5 is ~0.90 (vs ~0.40 for
+    8×4) — false positives cost only a cheap verified join, missed
+    candidates are unrecoverable.
     """
     rows_per_band = n_hashes // n_bands
     # repartition first: a single small parquet file arrives as ONE
@@ -145,12 +151,12 @@ def minhash_near_dup_pairs(
     # a no-op-sized shuffle of (id, text).
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     # Distinct (id, shingle-hash) relation — persisted because it feeds
-    # the signature aggregation, the per-doc size aggregation, AND the
-    # candidate-pair intersection join. At lake scale this is the
-    # shingle table you'd materialize at rest. Everything downstream is
-    # codegen'd hash aggregates / hash joins — no array columns, no
-    # collect_set (ObjectHashAggregate falls out of whole-stage codegen
-    # and measured ~2× slower end-to-end).
+    # the signature aggregation AND the candidate-pair intersection
+    # join. At lake scale this is the shingle table you'd materialize
+    # at rest. Everything downstream is codegen'd hash aggregates /
+    # hash joins — no array columns, no collect_set
+    # (ObjectHashAggregate falls out of whole-stage codegen and
+    # measured ~2× slower end-to-end).
     ex = (
         _shingle_hashes(
             df.select(F.col(id_col), F.col(text_col)).repartition(n_parts),
@@ -158,16 +164,26 @@ def minhash_near_dup_pairs(
             id_col,
             shingle_k,
         )
-        .dropDuplicates([id_col, "__h"])
         .withColumn("__hp", F.pmod(F.col("__h"), F.lit(_MINHASH_P)))
         .persist()
     )
+    # ONE grouped pass yields the signature AND the per-doc distinct
+    # shingle count (the Jaccard denominator) — no second aggregation.
     aggs = [F.min(_perm(F.col("__hp"), i)).alias(f"__m{i}") for i in range(n_hashes)]
-    sig = ex.groupBy(id_col).agg(*aggs).select(
-        id_col, F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("minhash")
+    sig = (
+        ex.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__nsh"), *aggs)
+        .select(
+            id_col,
+            "__nsh",
+            F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("minhash"),
+        )
+        .persist()
     )
     # Band rows carry KEYS ONLY through the self-join shuffle.
-    banded = lsh_bands(sig, n_bands, rows_per_band).select(id_col, "band_id", "band_hash")
+    banded = lsh_bands(sig.select(id_col, "minhash"), n_bands, rows_per_band).select(
+        id_col, "band_id", "band_hash"
+    )
     left = banded.select("band_id", "band_hash", F.col(id_col).alias("id_a"))
     right = banded.select("band_id", "band_hash", F.col(id_col).alias("id_b"))
     pairs = (
@@ -179,7 +195,7 @@ def minhash_near_dup_pairs(
     # Exact Jaccard by relational set algebra on the hashed shingles
     # (64-bit hashes: collision-safe in practice): |A∩B| from a join of
     # the candidate pairs back onto ``ex`` twice, |A∪B| = |A|+|B|-|A∩B|.
-    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nsh"))
+    sizes = sig.select(id_col, "__nsh")
     ea = ex.select(F.col(id_col).alias("id_a"), "__h")
     eb = ex.select(F.col(id_col).alias("id_b"), "__h")
     inter = (

@@ -93,6 +93,38 @@ def tumbling_counts(events: DataFrame, window_len: str = "1 hour", watermark: st
     )
 
 
+def running_user_totals(stream_df: DataFrame) -> DataFrame:
+    """Custom stateful operator: cumulative per-user count/total across
+    micro-batches, via ``applyInPandasWithState``.
+
+    The pattern for operators Spark's built-ins can't express (running
+    aggregates emitted every batch, custom eviction, session models
+    beyond session_window): state lives per group key in the state
+    store, the function sees Arrow-batched pandas frames, and output
+    mode 'update' emits one row per touched key per batch. State is a
+    single (n, total) tuple per user — O(keys), not O(events).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def sliding_counts(
     events: DataFrame,
     window_len: str = "1 hour",
