@@ -21,6 +21,7 @@ from z316_sales_data_pipeline_spark.operators import (
     multimodal,
     setops,
     similarity,
+    skew,
     windows,
 )
 from z316_sales_data_pipeline_spark.plans import reconcile, sales_facts
@@ -633,6 +634,105 @@ def _minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific, not SQL-portable)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_near_dup_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+def _salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (hot-key mitigation); must equal the
+    plain GROUP BY, which is exactly what the oracle asserts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = skew.salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {"n": ("count", F.lit(1)), "sum_qty": ("sum", F.col("l_quantity"))},
+        salt_col="l_orderkey",
+    )
+    return out.select("l_returnflag", "n", F.round("sum_qty", 4).alias("sum_qty"))
+
+
+_SALTED_AGG_SQL = """
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q18_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape: agg→having→fact-fact join→broadcast dim. The
+    order-quantity rollup reduces lineitem to order grain BEFORE any
+    join (6M→1.5M rows at sf1; same ratio at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_name")), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 4) > 250) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def _minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, portable-hash variant: the rolling
+    polynomial shingle hash makes signatures, candidate generation and
+    Jaccard all reproducible in ANSI SQL, so this one is value-checked
+    (validating the banding/verify pipeline the fast variant shares)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_dup_pairs(docs, "text", "doc_id", threshold=0.5, portable=True)
+
+
+# Mirrors the Spark plan stage by stage: normalize+tokenize → k=3 word
+# shingles → distinct rolling hashes → 16 affine-permutation minima →
+# 8 bands of 2 rows (joined on the raw slice values: equal slices are
+# exactly what equal band hashes encode) → exact Jaccard ≥ τ.
+_MINHASH_PORTABLE_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct([
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+          [CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(array_to_string(toks[i:i+2], ' '), '')]),
+        (acc, c) -> (acc * 31 + c) % 2147483647)
+      FOR i IN generate_series(1, len(toks) - 2)]) AS hs
+  FROM base WHERE len(toks) >= 3
+),
+sig AS (
+  SELECT doc_id, hs, len(hs) AS nsh,
+    [list_min([(h * ((2654435761 * (i + 1)) % 2147483647) + (40503 * i + 1) % 2147483647) % 2147483647
+               FOR h IN hs])
+     FOR i IN generate_series(0, 15)] AS mh
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, u.b AS band_id, mh[2*u.b + 1] AS m1, mh[2*u.b + 2] AS m2
+  FROM sig, unnest(generate_series(0, 7)) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.m1 = b.m1 AND a.m2 = b.m2
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+             (sa.nsh + sb.nsh - len(list_intersect(sa.hs, sb.hs))), 6) AS jaccard
+FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+      (sa.nsh + sb.nsh - len(list_intersect(sa.hs, sb.hs))) >= 0.5
+"""
 
 
 def _simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1255,6 +1355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "ngram_jaccard": _ngram_jaccard,
         "minhash_near_dup": _minhash_near_dup,
+        "minhash_portable": _minhash_portable,
+        "salted_agg": _salted_agg,
+        "q18_top_customers": _q18_top_customers,
         "simhash_groups": _simhash_groups,
         "knn_brute_force": _knn_brute_force,
         "embedding_near_dup": _embedding_near_dup,
@@ -1319,6 +1422,9 @@ def oracle_sql() -> dict[str, str]:
         "session_windows": _SESSION_SQL,
         "sliding_counts": _SLIDING_SQL,
         "doc_fingerprint": _DOC_FP_SQL,
+        "minhash_portable": _MINHASH_PORTABLE_SQL,
+        "salted_agg": _SALTED_AGG_SQL,
+        "q18_top_customers": _Q18_SQL,
         "d3_chained_enrichment": _D3_SQL,
         "g4_symmetric_difference": _G4_SQL,
         "e7_distinct_values": _E7_SQL,

@@ -43,6 +43,7 @@ HEADLINE = [
     "sliding_counts",
     "doc_fingerprint",
     "ivf_top_k",
+    "q18_top_customers",
 ]
 
 

@@ -1,0 +1,70 @@
+"""Scale-posture tests: salting equivalence and bucketed co-located
+joins (the 100 TB recipes are only worth shipping if they provably
+keep the semantics of their naive counterparts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from z316_sales_data_pipeline_spark.operators import skew
+from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r["l_returnflag"]: (r["n"], round(r["qty"], 4))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (r["n"], round(r["qty"], 4))
+        for r in skew.salted_aggregate(
+            li,
+            ["l_returnflag"],
+            {"n": ("count", F.lit(1)), "qty": ("sum", F.col("l_quantity"))},
+            salt_col="l_orderkey",
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    plain = li.join(part, li.l_partkey == part.p_partkey).count()
+    salted = skew.salted_join(
+        li.withColumnRenamed("l_partkey", "p_partkey"),
+        part,
+        on="p_partkey",
+        salt_source="l_orderkey",
+    ).count()
+    assert salted == plain
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key pre-co-locates the data:
+    the sort-merge join plan must contain NO shuffle Exchange."""
+    import uuid as _uuid
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tl, to = f"b_li_{_uuid.uuid4().hex[:8]}", f"b_or_{_uuid.uuid4().hex[:8]}"
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (at test scale everything broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
+        lt, ot = spark.table(tl), spark.table(to)
+        joined = lt.join(ot, lt.l_orderkey == ot.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # co-located buckets: the join needs NO shuffle exchange
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == li.count()  # fk: every lineitem matches
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+        spark.sql(f"DROP TABLE IF EXISTS {tl}")
+        spark.sql(f"DROP TABLE IF EXISTS {to}")

@@ -1,0 +1,102 @@
+"""Regenerate docs/PLANS.md: formatted physical plans for the headline
+queries, with the scale-relevant properties to check for each.
+
+Usage: python tools/explain_plans.py
+
+The plans are evidence that the declarative DAGs compile to the
+physical shapes the 100 TB design calls for: column-pruned scans with
+pushed filters, broadcast dimension joins, partial aggregation before
+every exchange, TakeOrderedAndProject for top-k, no Python in the hot
+path except where Arrow-batched by design.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from z316_sales_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# query -> what the plan must show (the reviewer's checklist)
+CHECKLIST = {
+    "pedidos_fact": (
+        "Flagship order-grain fact. Expect: parquet scans pruned to the "
+        "referenced columns with PushedFilters; part and orders sides "
+        "broadcast (BroadcastHashJoin); ONE shuffle exchange, at the "
+        "order-grain HashAggregate, with partial_sum map-side."
+    ),
+    "itens_fact": (
+        "Line-grain fact with proportional discount allocation. Expect: "
+        "broadcast dimension join; a single Window exchange on pedido_id "
+        "shared by the allocation sums."
+    ),
+    "q1_pricing_summary": (
+        "TPC-H Q1 shape. Expect: scan of exactly 7 lineitem columns, "
+        "shipdate filter pushed, partial+final HashAggregate around one "
+        "exchange, WholeStageCodegen spans covering scan→agg."
+    ),
+    "d1_item_product_lookup": (
+        "Dimension lookup join. Expect: BroadcastHashJoin (never "
+        "SortMergeJoin) with the part side broadcast; no exchange on the "
+        "probe side."
+    ),
+    "minhash_near_dup": (
+        "MinHash-LSH near-dup. Expect: codegen HashAggregate for the "
+        "signature minima (no ObjectHashAggregate), band self-join on "
+        "key columns only, exact-verify joins carrying (id, hash) pairs "
+        "— payload text never shuffles. The static pair-verify joins "
+        "show as SortMergeJoin (cardinality unknown pre-AQE): at this "
+        "SF AQE converts them to broadcast at runtime; at lake scale, "
+        "where candidate pairs are large, SMJ on id is the right plan."
+    ),
+    "knn_brute_force": (
+        "Exact ANN baseline. Expect: TakeOrderedAndProject (per-partition "
+        "heap + driver merge), NOT a global Sort + Limit."
+    ),
+    "ivf_top_k": (
+        "IVF ANN. Expect: the cell filter applied before the top-k scan "
+        "(partition-prunable at rest), then TakeOrderedAndProject."
+    ),
+    "tumbling_counts": (
+        "Windowed aggregate. Expect: window expansion projected before "
+        "partial aggregation; one exchange on (window, event_type)."
+    ),
+    "g1_reconciliation_summary": (
+        "Set-algebra reconciliation. Expect: key-only projections before "
+        "the anti/semi joins; aggregates reduce to counts before any "
+        "result assembly. The FullOuter set-equality joins are "
+        "SortMergeJoin by necessity (full-outer cannot broadcast)."
+    ),
+}
+
+
+def main() -> None:
+    spark = get_spark("explain")
+    qs = entrymod.queries()
+    out = [
+        "# Physical plans (auto-generated — `python tools/explain_plans.py`)",
+        "",
+        f"Captured at sf_dir={SF_DIR} on local[*]; AQE on (plans show",
+        "`AdaptiveSparkPlan isFinalPlan=false` — runtime re-optimization",
+        "may further coalesce shuffles / switch to broadcast).",
+        "",
+    ]
+    for name, check in CHECKLIST.items():
+        df = qs[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        out += [f"## {name}", "", check, "", "```", buf.getvalue().rstrip(), "```", ""]
+    with open("/root/repo/docs/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote docs/PLANS.md ({len(CHECKLIST)} plans)")
+
+
+if __name__ == "__main__":
+    main()

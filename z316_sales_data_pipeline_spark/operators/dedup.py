@@ -68,16 +68,32 @@ def _perm(h: Column, i: int) -> Column:
     return F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))
 
 
-def _shingle_hashes(df: DataFrame, text_col: str, id_col: str, shingle_k: int) -> DataFrame:
+def _rolling_hash(c: Column) -> Column:
+    """Portable polynomial hash of an (already-normalized) string:
+    fold(chars, 0, (acc, ch) -> (acc*31 + codepoint) mod 2^31-1).
+    Bit-for-bit reproducible in ANSI SQL (DuckDB list_reduce), unlike
+    xxhash64 — used by the oracle-checked portable MinHash variant.
+    """
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * F.lit(31) + F.ascii(ch), F.lit(_MINHASH_P)),
+    )
+
+
+def _shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int, portable: bool = False
+) -> DataFrame:
     """Exploded (id, h) relation: one row per DISTINCT shingle, hashed
     to 64-bit. array_distinct before the explode gives set semantics in
     the same narrow stage — no dedup shuffle. The explode runs AFTER a
     repartition by id (callers), so shingle generation parallelizes
     even when the source arrives as one split.
     """
+    hash_fn = _rolling_hash(F.col("__s")) if portable else F.xxhash64("__s")
     return df.select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("__s")
-    ).select(id_col, F.xxhash64("__s").alias("__h"))
+    ).select(id_col, hash_fn.alias("__h"))
 
 
 def minhash_signature(df: DataFrame, text_col: str, id_col: str, n_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
@@ -130,8 +146,15 @@ def minhash_near_dup_pairs(
     n_hashes: int = 16,
     n_bands: int = 8,
     shingle_k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH, verified with exact Jaccard.
+
+    ``portable=True`` swaps xxhash64 shingle hashing for the rolling
+    polynomial hash, making every intermediate value (signatures,
+    candidates, Jaccard) reproducible in ANSI SQL — the oracle checks
+    that variant value-for-value, which transitively validates the
+    banding/verification pipeline the fast variant shares.
 
     Plan shape: map (signatures) → explode (bands) → shuffle on
     (band_id, band_hash) → bucket-local self-join → exact verify →
@@ -163,6 +186,7 @@ def minhash_near_dup_pairs(
             text_col,
             id_col,
             shingle_k,
+            portable,
         )
         .withColumn("__hp", F.pmod(F.col("__h"), F.lit(_MINHASH_P)))
         .persist()

@@ -121,15 +121,15 @@ def ivf_top_k(
     """
     cents = _centroids(df, vec_col, id_col, n_cells)
 
-    # cell = argmax_i dot(v, c_i): build a greatest() chain over literal
-    # centroid dots; ties resolve to the lowest cell id.
+    # cell = argmax_i dot(v, c_i). Materialize the 16 dots into ONE
+    # array column and argmax with array_position(array_max) — a
+    # greatest()+when-chain would re-evaluate each interpreted dot
+    # aggregate up to 3× (no CSE across HOF expressions; measured ~3×
+    # slower). Ties resolve to the lowest cell id (array_position
+    # returns the first match).
     def cell_expr(col: Column) -> Column:
-        dots = [dot(col, literal_vector(c)) for _, c in cents]
-        best = F.greatest(*dots) if len(dots) > 1 else dots[0]
-        cell = F.lit(len(cents) - 1)
-        for i in range(len(cents) - 2, -1, -1):
-            cell = F.when(dots[i] == best, F.lit(i)).otherwise(cell)
-        return cell
+        dots = F.array(*[dot(col, literal_vector(c)) for _, c in cents])
+        return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
     # Probe cells for the query, computed plan-build time (tiny).
     q_dots = sorted(
