@@ -1,0 +1,47 @@
+"""Physical-plan regression guards.
+
+Perf properties are invariants too: these tests pin the plan shapes the
+100 TB design depends on, so a refactor that silently de-broadcasts a
+dimension join or drops an aggregation out of codegen fails CI, not a
+benchmark three rounds later.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_broadcasts_and_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pedidos_fact")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan  # order-grain agg only
+
+
+def test_lookup_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "d1_item_product_lookup")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_topk_uses_heap_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "knn_brute_force")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_minhash_aggregates_stay_in_codegen(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "minhash_near_dup")
+    assert "ObjectHashAggregate" not in plan, plan
+
+
+def test_q1_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    cols = scan.split("[", 1)[1].split("]", 1)[0].split(",")
+    # 7 referenced lineitem columns, not the full 16-column table
+    assert len(cols) == 7, scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in scan, scan

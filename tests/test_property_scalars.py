@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for the quirky scalar semantics.
+
+The reference's per-row Python (discount parsing, lenient dates, BRL
+numbers) is the part most likely to drift in a reimplementation —
+property tests pin the laws over the whole input space, not just the
+golden rows. One Spark job per property: hypothesis generates a batch
+of inputs, a single createDataFrame evaluates the expression on all of
+them (per-example Spark jobs would take minutes).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from z316_sales_data_pipeline_spark.functions import scalar
+
+_SETTINGS = dict(
+    # each example is a BATCH of up to 300 inputs evaluated in one Spark
+    # job — 15 examples ≈ 4500 inputs per law at ~0.3 s/job
+    max_examples=15,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    deadline=None,
+)
+
+
+def _eval(spark, values, expr_builder, in_type="string"):
+    df = spark.createDataFrame([(v,) for v in values], f"v {in_type}")
+    return [r["out"] for r in df.select(expr_builder(F.col("v")).alias("out")).collect()]
+
+
+@given(st.lists(st.text(max_size=24), min_size=1, max_size=300))
+@settings(**_SETTINGS)
+def test_lenient_date_never_null_on_nonnull(spark, texts):
+    """F1 law: output is the reformatted date OR the input unchanged —
+    never null for non-null input, never an exception."""
+    outs = _eval(spark, texts, scalar.reformat_date_lenient)
+    for inp, out in zip(texts, outs):
+        assert out is not None
+        if out != inp:  # it parsed: must be ISO yyyy-MM-dd
+            assert len(out) == 10 and out[4] == "-" and out[7] == "-"
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.from_regex(r"[0-9]{1,6},[0-9]{1,4}", fullmatch=True),
+            st.from_regex(r"[0-9]{1,6}\.[0-9]{1,4}", fullmatch=True),
+            st.text(max_size=12),
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+@settings(**_SETTINGS)
+def test_brl_number_parse_law(spark, texts):
+    """F4 law: comma-decimal strings parse like their dot twins;
+    garbage -> null, never an exception (ANSI-safe try_cast)."""
+    outs = _eval(spark, texts, scalar.parse_brl_number)
+    for inp, out in zip(texts, outs):
+        norm = inp.replace(",", ".", 1)
+        try:
+            want = float(norm)
+            if norm.count(".") <= 1 and "," not in norm:
+                assert out is not None and abs(out - want) < 1e-9
+        except ValueError:
+            pass  # unparseable either way; just must not throw
+
+
+@given(
+    st.lists(st.floats(min_value=0.01, max_value=1e6, allow_nan=False), min_size=1, max_size=300),
+    st.integers(min_value=0, max_value=95),
+)
+@settings(**_SETTINGS)
+def test_discount_parse_clamp_law(spark, totals, pct):
+    """F5 laws: percent form scales the total; absolute form passes
+    through; result is never negative (max(0, .) clamp) and garbage
+    parses to 0.0 (sales_to_bq/main.py:120-132)."""
+    rows = [(f"{pct}%", t) for t in totals] + [("-50,0", totals[0]), ("junk", totals[0])]
+    df = sparkify(spark, rows)
+    outs = [
+        r["out"]
+        for r in df.select(
+            scalar.parse_discount(F.col("d"), F.col("t")).alias("out")
+        ).collect()
+    ]
+    for (d, t), out in zip(rows, outs):
+        assert out is not None and out >= 0.0
+        if d.endswith("%"):
+            assert abs(out - (pct / 100.0) * t) < 1e-6
+        else:
+            assert out == 0.0  # negative clamps to 0; junk parses to 0
+
+
+def sparkify(spark, rows):
+    return spark.createDataFrame(rows, "d string, t double")

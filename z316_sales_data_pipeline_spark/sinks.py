@@ -62,3 +62,29 @@ def anti_join_delete(table: DataFrame, bad: DataFrame, key: str | list[str]) -> 
 def with_day_partition(df: DataFrame, ts_col: str, alias: str = "day") -> DataFrame:
     """Day partition column (BigQuery DAY time-partitioning analogue)."""
     return df.withColumn(alias, F.to_date(F.col(ts_col)))
+
+
+def merge_upsert(
+    existing: DataFrame, updates: DataFrame, key: str | list[str], version_col: str
+) -> DataFrame:
+    """Idempotent MERGE emulation: newest version per key wins.
+
+    The reference reprocesses events by re-firing the same payload
+    through the pipeline (B7, gcs_to_bq-checker.py:62-79) and relies on
+    later dedup to repair; a lake sink does it properly — union the
+    updates, keep the max-``version_col`` row per key (ties: update
+    wins via a source-rank tiebreak). Caller overwrites the table with
+    the result (Delta's MERGE INTO would do this in place).
+    """
+    keys = [key] if isinstance(key, str) else key
+    from pyspark.sql import Window
+
+    tagged = existing.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc(), F.col("__src").desc())
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
