@@ -783,6 +783,26 @@ WHERE list_dot_product(a.emb, b.emb) /
 """
 
 
+def _embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-matmul (applyInPandas + numpy) twin of embedding_near_dup
+    — one vectorized matmul per block instead of n² interpreted dots."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return dedup.embedding_near_dup_blocked(emb, "embedding", "vec_id", 0.3, "label")
+
+
+_EMB_BLOCKED_SQL = """
+WITH e AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb) /
+      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.3
+"""
+
+
 def _lsh_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via hyperplane-LSH bucket probe (rows-only)."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
@@ -1042,6 +1062,40 @@ _ROLLUP_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_value
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def _cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate — all 2^n grouping sets in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_value"),
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_value
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def _percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (sort-based aggregate;
+    use approx_percentile at lake scale when exactness can yield)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+FROM lineitem GROUP BY l_returnflag
 """
 
 
@@ -1361,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": _simhash_groups,
         "knn_brute_force": _knn_brute_force,
         "embedding_near_dup": _embedding_near_dup,
+        "embedding_near_dup_blocked": _embedding_near_dup_blocked,
         "lsh_top_k": _lsh_top_k,
         "tumbling_counts": _tumbling_counts,
         "session_windows": _session_windows,
@@ -1374,6 +1429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_contact_datetime": _f2_contact_datetime,
         "f11_split_name_parse": _f11_split_name_parse,
         "rollup_agg": _rollup_agg,
+        "cube_agg": _cube_agg,
+        "percentile_prices": _percentile_prices,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_nation_volume": _q5_nation_volume,
         "json_ingest_rollup": _json_ingest_rollup,
@@ -1418,6 +1475,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "knn_brute_force": _knn_sql(),
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        "embedding_near_dup_blocked": _EMB_BLOCKED_SQL,
         "tumbling_counts": _TUMBLING_SQL,
         "session_windows": _SESSION_SQL,
         "sliding_counts": _SLIDING_SQL,
@@ -1432,6 +1490,8 @@ def oracle_sql() -> dict[str, str]:
         "f2_contact_datetime": _F2_SQL,
         "f11_split_name_parse": _F11_SQL,
         "rollup_agg": _ROLLUP_SQL,
+        "cube_agg": _CUBE_SQL,
+        "percentile_prices": _PERCENTILE_SQL,
         "q3_shipping_priority": _Q3_SQL,
         "q5_nation_volume": _Q5_SQL,
         "json_ingest_rollup": _JSON_INGEST_SQL,

@@ -90,6 +90,27 @@ def test_anti_join_delete(spark, sf_dir):
     assert out.filter(F.col("o_orderkey") % 100 == 0).count() == 0
 
 
+def test_blocked_matmul_matches_expression_cosine(spark, sf_dir):
+    """applyInPandas numpy path == column-expression path, pair for pair."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    expr = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_near_dup_pairs(
+            emb, "embedding", "vec_id", 0.3, block_col="label"
+        ).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_near_dup_blocked(
+            emb, "embedding", "vec_id", 0.3, "label"
+        ).collect()
+    }
+    assert expr.keys() == blocked.keys()
+    assert all(abs(expr[k] - blocked[k]) < 1e-9 for k in expr)
+
+
 def test_rolling_fingerprint_collision_and_match(spark):
     """Same normalized text -> same fingerprint; different text differs."""
     from z316_sales_data_pipeline_spark.functions.text import rolling_fingerprint

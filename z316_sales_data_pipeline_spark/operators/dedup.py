@@ -36,8 +36,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     fingerprint; deterministic keep-rule (min id) like the reference's
     W2 dedup keep-rule.
     """
+    # repartition first: a single-file source arrives as one split and
+    # would run the normalize+hash regex serially on one core
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.withColumn("__fp", fingerprint64(text_col))
+        df.repartition(n_parts)
+        .withColumn("__fp", fingerprint64(text_col))
         .groupBy("__fp")
         .agg(
             F.min(id_col).alias(id_col),
@@ -327,6 +331,8 @@ def embedding_near_dup_pairs(
     # Precompute each row's L2 norm ONCE (n rows) instead of inside the
     # pair expression (n² evals): higher-order aggregate() runs
     # interpreted, so the per-pair work must be a single dot product.
+    # (For large blocks, prefer embedding_near_dup_blocked — one numpy
+    # matmul per block instead of n² interpreted dot products.)
     base = df.select(*cols).withColumn("__nrm", norm(vec_col))
     on = [block_col] if block_col else []
     blk = [F.col(block_col)] if block_col else []
@@ -338,4 +344,51 @@ def embedding_near_dup_pairs(
         .withColumn("cos", F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos") >= threshold)
         .select(*(on), "id_a", "id_b", "cos")
+    )
+
+
+def embedding_near_dup_blocked(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float, block_col: str
+) -> DataFrame:
+    """Blocked pairwise-cosine near-dup via applyInPandas + numpy.
+
+    The 100 TB path for embedding dedup: shuffle once on the block key
+    (an LSH bucket / IVF cell / label), then ONE vectorized matmul per
+    block computes every pairwise cosine — versus n² per-pair dot
+    products. Arrow moves each block as columnar batches; memory is
+    bounded by the largest block (keep blocks ≤ ~10⁴ vectors; split
+    hot blocks upstream with a salt).
+
+    Output matches embedding_near_dup_pairs up to float-summation
+    order (numpy pairwise vs sequential), asserted in tests with 1e-9
+    tolerance.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        mat = np.stack(pdf[vec_col].map(np.asarray, na_action=None).to_list()).astype("float64")
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        iu = np.triu_indices(len(pdf), k=1)
+        keep = sims[iu] >= threshold
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[0][keep]],
+                "id_b": ids[iu[1][keep]],
+                "cos": np.round(sims[iu][keep], 6),
+            }
+        )
+
+    out_schema = "id_a long, id_b long, cos double"
+    return (
+        df.select(F.col(block_col), F.col(id_col), F.col(vec_col))
+        .groupBy(block_col)
+        .applyInPandas(per_block, out_schema)
     )
