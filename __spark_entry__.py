@@ -1081,6 +1081,42 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def _asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest click at-or-before each purchase, per user
+    (windowed carry-forward — one shuffle, no range join)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 4).alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.round("value", 4).alias("click_value")
+    )
+    out = joins.asof_join(
+        purchases, clicks, key="user_id", ts="ts", tiebreak="event_id", carry=["click_value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.col("ts_r").alias("click_ts"),
+        F.col("event_id_r").alias("click_event_id"),
+        F.col("click_value_r").alias("click_value"),
+    )
+
+
+# Tie-break pinned to (b.ts, b.event_id) max, matching the Spark
+# window's deterministic carry order.
+_ASOF_SQL = """
+SELECT a.event_id, a.user_id, a.ts, round(a.value, 4) AS purchase_value,
+       b.ts AS click_ts, b.event_id AS click_event_id, round(b.value, 4) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+JOIN (SELECT * FROM events WHERE event_type = 'click') b
+  ON a.user_id = b.user_id AND b.ts <= a.ts
+QUALIFY row_number() OVER (PARTITION BY a.event_id ORDER BY b.ts DESC, b.event_id DESC) = 1
+"""
+
+
 def _percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (sort-based aggregate;
     use approx_percentile at lake scale when exactness can yield)."""
@@ -1431,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": _rollup_agg,
         "cube_agg": _cube_agg,
         "percentile_prices": _percentile_prices,
+        "asof_join": _asof_join,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_nation_volume": _q5_nation_volume,
         "json_ingest_rollup": _json_ingest_rollup,
@@ -1492,6 +1529,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_agg": _ROLLUP_SQL,
         "cube_agg": _CUBE_SQL,
         "percentile_prices": _PERCENTILE_SQL,
+        "asof_join": _ASOF_SQL,
         "q3_shipping_priority": _Q3_SQL,
         "q5_nation_volume": _Q5_SQL,
         "json_ingest_rollup": _JSON_INGEST_SQL,

@@ -90,6 +90,35 @@ def test_anti_join_delete(spark, sf_dir):
     assert out.filter(F.col("o_orderkey") % 100 == 0).count() == 0
 
 
+def test_asof_join_semantics(spark):
+    """Inclusive <=, max-(ts, tiebreak) on ties, inner drop on no-match,
+    atomic row carry when some right values are null."""
+    from z316_sales_data_pipeline_spark.operators import joins as J
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 5), (3, 20, 100)],
+        "event_id long, user_id long, ts long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (10, 100, 50, 1.0),   # exact tie with left 1 -> matches (inclusive)
+            (10, 100, 51, None),  # same ts, higher id -> wins tie; null value carried AS the row
+            (10, 90, 40, 2.0),
+            (20, 150, 60, 3.0),   # after left 3's ts -> no match for user 20
+        ],
+        "user_id long, ts long, event_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["event_id"]: (r["ts_r"], r["event_id_r"], r["value_r"])
+        for r in J.asof_join(
+            left, right, key="user_id", ts="ts", tiebreak="event_id", carry=["value"]
+        ).collect()
+    }
+    assert set(out) == {1}  # user 10 at ts=5 has no earlier click; user 20 none <= 20
+    ts_r, id_r, val_r = out[1]
+    assert id_r == 51 and val_r is None  # tie -> higher event_id row, carried atomically
+
+
 def test_blocked_matmul_matches_expression_cosine(spark, sf_dir):
     """applyInPandas numpy path == column-expression path, pair for pair."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(

@@ -67,6 +67,11 @@ CHECKLIST = {
         "Windowed aggregate. Expect: window expansion projected before "
         "partial aggregation; one exchange on (window, event_type)."
     ),
+    "asof_join": (
+        "As-of temporal join. Expect: ONE exchange on user_id feeding a "
+        "single Window (running last-carry) — no range join, no "
+        "nested-loop, no per-row probe."
+    ),
     "g1_reconciliation_summary": (
         "Set-algebra reconciliation. Expect: key-only projections before "
         "the anti/semi joins; aggregates reduce to counts before any "

@@ -84,3 +84,64 @@ def regroup_pivot(
             ).alias(f"{t}_list")
         )
     return df.groupBy(group_col).agg(*aggs)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    carry: list[str],
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right.ts <= left.ts`` for the same key (inner semantics).
+
+    Beyond the reference (which has only single-key equi-joins) — the
+    temporal-alignment primitive a training-data pipeline needs
+    (features as-of a label timestamp, latest click before a purchase).
+
+    Plan: union both sides tagged, ONE shuffle on the key, and a
+    running ``last(ignorenulls)`` window over a single STRUCT carries
+    the right side's latest row forward atomically (per-column carries
+    could mix rows when right values are null) — never a range join,
+    never a per-row search. Ties on ts resolve deterministically:
+    right-before-left at equal ts (inclusive <=), then ascending
+    ``tiebreak`` — the carried row is the max (ts, tiebreak) right row.
+    """
+    from pyspark.sql import Window
+
+    carry_all = [ts, tiebreak] + [c for c in carry if c not in (ts, tiebreak)]
+    struct_ddl = (
+        "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in carry_all) + ">"
+    )
+    l_tagged = left.withColumn("__side", F.lit(1)).withColumn(
+        "__carry", F.lit(None).cast(struct_ddl)
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in carry_all]).alias("__carry"),
+    )
+    for c in l_tagged.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(l_tagged.schema[c].dataType))
+    unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(
+            F.col(ts).asc(),
+            F.col("__side").asc(),
+            F.col("__carry")[tiebreak].asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("__carry", F.last("__carry", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__side") == 1).filter(F.col("__carry").isNotNull())
+    for c in carry_all:
+        out = out.withColumn(f"{c}{suffix}", F.col("__carry")[c])
+    return out.drop("__side", "__carry")
+
+
