@@ -1117,6 +1117,179 @@ QUALIFY row_number() OVER (PARTITION BY a.event_id ORDER BY b.ts DESC, b.event_i
 """
 
 
+def _range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via time-bucketed equi-join: clicks in the hour
+    before each purchase, per user (no nested-loop, no theta join)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    paired = joins.range_join_bucketed(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="click_ts", lower_s=3600, upper_s=0
+    )
+    return paired.groupBy("event_id", "user_id", "ts").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("click_value"), 4).alias("click_value_sum"),
+    )
+
+
+_RANGE_JOIN_SQL = """
+SELECT a.event_id, a.user_id, a.ts, count(*) AS n_clicks,
+       round(sum(b.value), 4) AS click_value_sum
+FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+JOIN (SELECT * FROM events WHERE event_type = 'click') b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
+GROUP BY a.event_id, a.user_id, a.ts
+"""
+
+
+def _lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag sequence analysis: inter-event gap per user and
+    session-break flag (gap > 30 min) — one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    return ev.select("event_id", "user_id", "ts", "event_type").withColumns(
+        {
+            "gap_s": F.round(gap, 4),
+            "is_session_start": F.coalesce(gap > 1800.0, F.lit(True)),
+        }
+    )
+
+
+_LEAD_LAG_SQL = """
+SELECT event_id, user_id, ts, event_type,
+       round(epoch(ts) - lag(epoch(ts)) OVER w, 4) AS gap_s,
+       coalesce((epoch(ts) - lag(epoch(ts)) OVER w) > 1800.0, TRUE) AS is_session_start
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+def _q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4 shape: EXISTS → left-semi join, then count by priority.
+    The semi join keeps lineitem key-only (no payload shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    window = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        window.join(returned, window.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def _q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10 shape: fact-fact join reduced by pushed-down filters,
+    broadcast dims for customer attribution of returned-item revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+            ).select("o_orderkey", "o_custkey"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+    return revenue.join(
+        F.broadcast(
+            cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+                "c_custkey", "c_name", "c_acctbal", "n_name"
+            )
+        ),
+        revenue.o_custkey == F.col("c_custkey"),
+    ).select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+"""
+
+
+def _q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12 shape: join + conditional (CASE) counts per class."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .join(orders.select("o_orderkey", "o_orderpriority"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def _q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 shape: distinct-aggregate (count of distinct suppliers
+    per part class); the distinct folds into a two-phase aggregate, no
+    collect_set blow-up."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 4, 7)
+                ).select("p_partkey", "p_brand", "p_type", "p_size")
+            ),
+            li.l_partkey == part.p_partkey,
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_size IN (1, 4, 7)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 def _percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (sort-based aggregate;
     use approx_percentile at lake scale when exactness can yield)."""
@@ -1468,6 +1641,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": _cube_agg,
         "percentile_prices": _percentile_prices,
         "asof_join": _asof_join,
+        "range_join_clicks": _range_join_clicks,
+        "lead_lag_gaps": _lead_lag_gaps,
+        "q4_priority_count": _q4_priority_count,
+        "q10_returned_revenue": _q10_returned_revenue,
+        "q12_priority_classes": _q12_priority_classes,
+        "q16_supplier_cnt": _q16_supplier_cnt,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_nation_volume": _q5_nation_volume,
         "json_ingest_rollup": _json_ingest_rollup,
@@ -1530,6 +1709,12 @@ def oracle_sql() -> dict[str, str]:
         "cube_agg": _CUBE_SQL,
         "percentile_prices": _PERCENTILE_SQL,
         "asof_join": _ASOF_SQL,
+        "range_join_clicks": _RANGE_JOIN_SQL,
+        "lead_lag_gaps": _LEAD_LAG_SQL,
+        "q4_priority_count": _Q4_SQL,
+        "q10_returned_revenue": _Q10_SQL,
+        "q12_priority_classes": _Q12_SQL,
+        "q16_supplier_cnt": _Q16_SQL,
         "q3_shipping_priority": _Q3_SQL,
         "q5_nation_volume": _Q5_SQL,
         "json_ingest_rollup": _JSON_INGEST_SQL,

@@ -119,6 +119,34 @@ def test_asof_join_semantics(spark):
     assert id_r == 51 and val_r is None  # tie -> higher event_id row, carried atomically
 
 
+def test_range_join_bucketed_boundaries(spark):
+    """Window [ts-lower, ts+upper) is closed-open and exact for
+    fractional-second timestamps that straddle bucket edges."""
+    from z316_sales_data_pipeline_spark.operators import joins as J
+
+    left = spark.createDataFrame(
+        [(1, 1, 7200.5)], "pid long, user_id long, epoch double"
+    ).select("pid", "user_id", F.timestamp_seconds("epoch").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, 3600.5, 10),  # exactly ts-lower -> included (closed)
+            (1, 3600.4, 11),  # just before window -> out
+            (1, 7200.5, 12),  # exactly ts -> excluded (open upper, upper_s=0)
+            (1, 7199.9, 13),  # in window, lives in the truncated top sliver
+            (2, 7000.0, 14),  # other key -> out
+        ],
+        "user_id long, repoch double, rid long",
+    ).select("user_id", F.timestamp_seconds("repoch").alias("click_ts"), "rid")
+    got = sorted(
+        r["rid"]
+        for r in J.range_join_bucketed(
+            left, right, key="user_id", left_ts="ts", right_ts="click_ts",
+            lower_s=3600, upper_s=0,
+        ).collect()
+    )
+    assert got == [10, 13]
+
+
 def test_blocked_matmul_matches_expression_cosine(spark, sf_dir):
     """applyInPandas numpy path == column-expression path, pair for pair."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(

@@ -72,6 +72,15 @@ CHECKLIST = {
         "single Window (running last-carry) — no range join, no "
         "nested-loop, no per-row probe."
     ),
+    "range_join_clicks": (
+        "Interval join. Expect: hash equi-join on (user_id, __bucket) "
+        "with the range predicate as a residual filter — never "
+        "BroadcastNestedLoopJoin or CartesianProduct."
+    ),
+    "lead_lag_gaps": (
+        "lead/lag sequence. Expect: one exchange on user_id, one Window "
+        "with both lag frames fused."
+    ),
     "g1_reconciliation_summary": (
         "Set-algebra reconciliation. Expect: key-only projections before "
         "the anti/semi joins; aggregates reduce to counts before any "

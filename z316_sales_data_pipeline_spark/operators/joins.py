@@ -86,6 +86,53 @@ def regroup_pivot(
     return df.groupBy(group_col).agg(*aggs)
 
 
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    bucket_s: int | None = None,
+) -> DataFrame:
+    """Interval join: pair each left row with right rows of the same key
+    whose timestamp lies in ``[left_ts - lower_s, left_ts + upper_s)``.
+
+    Beyond the reference (equi-joins only). A naive theta-join on the
+    range predicate is a per-key nested loop (BroadcastNestedLoopJoin at
+    worst); instead the time axis is quantized into buckets of width
+    >= the window span, the left side is exploded to the 2-3 buckets its
+    window can touch, and the join becomes an EQUI-join on
+    (key, bucket) + a cheap residual filter — shuffle-partitionable,
+    AQE-skew-splittable, and scale-linear like any hash join.
+    """
+    span = lower_s + upper_s
+    width = bucket_s or max(span, 1)
+    assert span // width + 3 <= 5, "bucket width too small vs span"
+    # unix_timestamp truncates sub-second fractions, so bucketing is
+    # done on whole seconds (one extra trailing bucket covers the
+    # truncated sliver) while the residual filter compares the REAL
+    # timestamps — membership stays exact for fractional timestamps.
+    lb = F.unix_timestamp(F.col(left_ts))
+    probe = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor((lb - F.lit(lower_s)) / width),
+                F.floor((lb + F.lit(upper_s)) / width) + 1,
+            )
+        ),
+    )
+    build = right.withColumn("__bucket", F.floor(F.unix_timestamp(F.col(right_ts)) / width))
+    lo = F.col(left_ts) - F.expr(f"INTERVAL {lower_s} SECOND")
+    hi = F.col(left_ts) + F.expr(f"INTERVAL {upper_s} SECOND")
+    out = probe.join(build, [key, "__bucket"]).filter(
+        (F.col(right_ts) >= lo) & (F.col(right_ts) < hi)
+    )
+    return out.drop("__bucket")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
