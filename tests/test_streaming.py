@@ -105,6 +105,44 @@ def test_running_user_totals_state_across_batches(spark, tmp_path):
     assert len(rows) >= 3
 
 
+def test_interval_join_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Watermarked stream-stream interval join emits exactly the pairs
+    the batch bucketed range join produces."""
+    from z316_sales_data_pipeline_spark.operators import joins as J
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    p_dir, c_dir = str(tmp_path / "p"), str(tmp_path / "c")
+    purchases.write.parquet(p_dir)
+    clicks.write.parquet(c_dir)
+
+    p_stream = spark.readStream.schema(purchases.schema).parquet(p_dir)
+    c_stream = spark.readStream.schema(clicks.schema).parquet(c_dir)
+    q = (
+        pipeline.interval_join_stream(p_stream, c_stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("interval_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql(
+        "SELECT event_id, click_ts FROM interval_out").collect()}
+    want = {
+        tuple(r)
+        for r in J.range_join_bucketed(
+            purchases, clicks, key="user_id", left_ts="ts", right_ts="click_ts",
+            lower_s=3600, upper_s=0,
+        ).select("event_id", "click_ts").collect()
+    }
+    assert got == want and got
+
+
 def test_tumbling_counts_streaming_matches_batch(spark, tmp_path, sf_dir):
     """The windowed agg gives identical results via readStream and batch
     (unified code path, S3)."""

@@ -71,6 +71,35 @@ def dedup_stream(stream_df: DataFrame, key_cols: list[str], event_time: str, wat
     return stream_df.withWatermark(event_time, watermark).dropDuplicates(key_cols)
 
 
+def interval_join_stream(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    key: str = "user_id",
+    lower_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to same-user
+    clicks in the preceding ``lower_s`` seconds.
+
+    The time-range condition plus BOTH watermarks lets Spark bound the
+    join state on each side (clicks older than purchase-watermark −
+    lower_s are evicted) — without them a stream-stream join's state
+    grows forever. Batch twin: operators.joins.range_join_bucketed
+    (tested equal). Columns: purchases(event_id, user_id, ts),
+    clicks(user_id, click_ts, click_value).
+    """
+    p = purchases.withWatermark("ts", watermark)
+    c = clicks.withWatermark("click_ts", watermark)
+    cond = (
+        (p[key] == c[key])
+        & (F.col("click_ts") >= F.col("ts") - F.expr(f"INTERVAL {lower_s} SECOND"))
+        & (F.col("click_ts") < F.col("ts"))
+    )
+    return p.join(c, cond, "inner").select(
+        p[key].alias(key), "event_id", "ts", "click_ts", "click_value"
+    )
+
+
 def tumbling_counts(events: DataFrame, window_len: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window aggregate over the events stream.
 
