@@ -1290,6 +1290,132 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+def _grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: the general multi-grain aggregate (rollup/cube are
+    its specializations) — one pass over the fact, expand-then-agg."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 4) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 4) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def _pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (D5's regroup generalized): order counts per priority,
+    one column per status. Explicit value list keeps it single-pass
+    (no extra distinct-scan job) and schema-stable at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _a4_union_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/G5 — paginated full scan as a union of page frames: the
+    transport detail (pages) disappears into unionByName + one agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    pages = [
+        cust.filter(F.col("c_custkey") % 3 == p).withColumn("page", F.lit(p + 1))
+        for p in range(3)
+    ]
+    return setops.union_pages(pages).groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("page").alias("n_pages"),
+        F.round(F.sum("c_acctbal"), 4).alias("acctbal_total"),
+    )
+
+
+_A4_UNION_SQL = """
+SELECT c_mktsegment, count(*) AS n, count(DISTINCT (c_custkey % 3) + 1) AS n_pages,
+       round(sum(c_acctbal), 4) AS acctbal_total
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def _f16_url_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 — URL assembly + token sanitize (api_to_gcs/main.py:59,205-231):
+    build the API URL per order, then strip the token for log output."""
+    orders = load_table(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://api.example.com/pedido.obter.php?token=SECRET&id="),
+        F.col("o_orderkey").cast("string"),
+        F.lit("&formato=json"),
+    )
+    return orders.select(
+        "o_orderkey",
+        url.alias("url"),
+        F.split(url, r"\?token=").getItem(0).alias("safe_url"),
+        F.regexp_replace(url, r"token=[^&]*", "token=***").alias("masked_url"),
+    )
+
+
+_F16_SQL = """
+SELECT o_orderkey,
+       'https://api.example.com/pedido.obter.php?token=SECRET&id=' || o_orderkey || '&formato=json' AS url,
+       str_split('https://api.example.com/pedido.obter.php?token=SECRET&id=' || o_orderkey || '&formato=json', '?token=')[1] AS safe_url,
+       regexp_replace('https://api.example.com/pedido.obter.php?token=SECRET&id=' || o_orderkey || '&formato=json', 'token=[^&]*', 'token=***') AS masked_url
+FROM orders
+"""
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-data curation:
+    md5-hash-mod bucketing keeps ~20% per language stratum, stable
+    across runs/engines/cluster sizes (no RNG, no seed coordination —
+    the sample is a pure function of the key, so re-runs and late
+    arrivals land identically; portable to the DuckDB oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < 20)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+_STRATIFIED_SQL = """
+SELECT lang, count(*) AS n_sampled, round(avg(n_chars), 4) AS avg_chars
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 20
+GROUP BY lang
+"""
+
+
 def _percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (sort-based aggregate;
     use approx_percentile at lake scale when exactness can yield)."""
@@ -1647,6 +1773,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": _q10_returned_revenue,
         "q12_priority_classes": _q12_priority_classes,
         "q16_supplier_cnt": _q16_supplier_cnt,
+        "grouping_sets_agg": _grouping_sets_agg,
+        "pivot_status_counts": _pivot_status_counts,
+        "a4_union_pages": _a4_union_pages,
+        "f16_url_assembly": _f16_url_assembly,
+        "stratified_sample": _stratified_sample,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_nation_volume": _q5_nation_volume,
         "json_ingest_rollup": _json_ingest_rollup,
@@ -1715,6 +1846,11 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_revenue": _Q10_SQL,
         "q12_priority_classes": _Q12_SQL,
         "q16_supplier_cnt": _Q16_SQL,
+        "grouping_sets_agg": _GROUPING_SETS_SQL,
+        "pivot_status_counts": _PIVOT_SQL,
+        "a4_union_pages": _A4_UNION_SQL,
+        "f16_url_assembly": _F16_SQL,
+        "stratified_sample": _STRATIFIED_SQL,
         "q3_shipping_priority": _Q3_SQL,
         "q5_nation_volume": _Q5_SQL,
         "json_ingest_rollup": _JSON_INGEST_SQL,
