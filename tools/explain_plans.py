@@ -85,7 +85,9 @@ CHECKLIST = {
         "Set-algebra reconciliation. Expect: key-only projections before "
         "the anti/semi joins; aggregates reduce to counts before any "
         "result assembly. The FullOuter set-equality joins are "
-        "SortMergeJoin by necessity (full-outer cannot broadcast)."
+        "SortMergeJoin by necessity (full-outer cannot broadcast). The "
+        "final BroadcastNestedLoopJoin Cross is the 1-row x 1-row "
+        "summary assembly — constant-size at any data scale."
     ),
 }
 
