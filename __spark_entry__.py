@@ -608,6 +608,98 @@ SELECT doc_id, {case} AS lang_pred FROM b
 """
 
 
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents; synthetic PII is appended first so
+    the masking rules demonstrably fire on every row."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com cpf 123.456.789-09 tel +55 11 98765-4321"),
+    )
+    return docs.select(
+        "doc_id",
+        text.pii_scrub(dirty).alias("clean_text"),
+        (F.length(dirty) - F.length(text.pii_scrub(dirty))).alias("n_masked_chars"),
+    )
+
+
+_PII_SCRUB_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact: user' || doc_id || '@example.com cpf 123.456.789-09 tel +55 11 98765-4321' AS dirty
+  FROM documents
+), s AS (
+  SELECT doc_id, dirty,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\d{3}\.\d{3}\.\d{3}-\d{2}', '<CPF>', 'g'),
+           '\+?\d[\d()/ .-]{7,}\d', '<PHONE>', 'g') AS clean_text
+  FROM d
+)
+SELECT doc_id, clean_text, length(dirty) - length(clean_text) AS n_masked_chars FROM s
+"""
+
+
+def _curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus curation cascade: first failing rule wins —
+    too_short → low_quality → lang_unknown → keep. One scan, zero
+    shuffles; every rule is a codegen'd column predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = text.quality_score("text")
+    lang_pred = text.language_id("text")
+    decision = (
+        F.when(F.length("text") < 50, F.lit("too_short"))
+        .when(quality < 0.5, F.lit("low_quality"))
+        .when(lang_pred == "und", F.lit("lang_unknown"))
+        .otherwise(F.lit("keep"))
+    )
+    return docs.select(
+        "doc_id", "lang", decision.alias("decision"), F.round(quality, 6).alias("quality")
+    )
+
+
+def _curation_sql() -> str:
+    hits = []
+    for lang, words in text.STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        hits.append(
+            f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            f"t -> list_contains({arr}, t))) AS hits_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in text.STOPWORDS) + ")"
+    return rf"""
+WITH t AS (
+    SELECT doc_id, lang, text,
+           length(text) AS n_chars_a,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+           {', '.join(hits)}
+    FROM documents
+), q AS (
+    SELECT doc_id, lang, n_chars_a, {best} AS best,
+           ((CASE WHEN n_chars_a BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN (CASE WHEN n_chars_a = 0 THEN 0.0
+                             ELSE n_punct / cast(n_chars_a AS DOUBLE) END) < 0.2
+                  THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN n_tokens > 0
+                       AND n_chars_a / cast(n_tokens AS DOUBLE) BETWEEN 3.0 AND 12.0
+                  THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
+    FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN n_chars_a < 50 THEN 'too_short'
+            WHEN quality < 0.5 THEN 'low_quality'
+            WHEN best = 0 THEN 'lang_unknown'
+            ELSE 'keep' END AS decision,
+       round(quality, 6) AS quality
+FROM q
+"""
+
+
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-level Jaccard similarity for pairs blocked by source."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1778,6 +1870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_union_pages": _a4_union_pages,
         "f16_url_assembly": _f16_url_assembly,
         "stratified_sample": _stratified_sample,
+        "pii_scrub": _pii_scrub,
+        "curation_filter": _curation_filter,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_nation_volume": _q5_nation_volume,
         "json_ingest_rollup": _json_ingest_rollup,
@@ -1851,6 +1945,8 @@ def oracle_sql() -> dict[str, str]:
         "a4_union_pages": _A4_UNION_SQL,
         "f16_url_assembly": _F16_SQL,
         "stratified_sample": _STRATIFIED_SQL,
+        "pii_scrub": _PII_SCRUB_SQL,
+        "curation_filter": _curation_sql(),
         "q3_shipping_priority": _Q3_SQL,
         "q5_nation_volume": _Q5_SQL,
         "json_ingest_rollup": _JSON_INGEST_SQL,

@@ -107,3 +107,21 @@ def test_language_id(spark):
         text.language_id("t"),
     )
     assert vals == ["en", "es", "und"]
+
+
+def test_pii_scrub(spark):
+    vals = _vals(
+        spark,
+        [
+            ("mail a.b+c@x-y.co.uk now",),
+            ("cpf 123.456.789-09 fim",),
+            ("call +55 (11) 98765-4321 ok",),
+            ("no pii here",),
+        ],
+        "t string",
+        text.pii_scrub("t"),
+    )
+    assert vals[0] == "mail <EMAIL> now"
+    assert vals[1] == "cpf <CPF> fim"  # CPF rule fires before the phone rule
+    assert vals[2] == "call <PHONE> ok"
+    assert vals[3] == "no pii here"

@@ -96,6 +96,25 @@ def quality_score(c: Column | str) -> Column:
     return (len_ok + punct_ok + word_ok) / F.lit(3.0)
 
 
+# PII patterns kept RE2-compatible (no lookarounds) so the same regex
+# runs on Spark (Java regex) and SQL oracles alike.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_CPF_RE = r"\d{3}\.\d{3}\.\d{3}-\d{2}"
+PII_PHONE_RE = r"\+?\d[\d()/ .-]{7,}\d"
+
+
+def pii_scrub(c: Column | str) -> Column:
+    """Mask emails, CPF-format ids, and phone-like digit runs.
+
+    Training-corpus hygiene pass: order matters (CPF before the generic
+    phone pattern, or the phone rule would eat the CPF's digit run).
+    Pure column expressions — codegen'd, shuffle-free, scale-linear.
+    """
+    out = F.regexp_replace(_col(c), PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_CPF_RE, "<CPF>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
 def fingerprint64(c: Column | str) -> Column:
     """64-bit content fingerprint of normalized text (xxhash64).
 
