@@ -45,3 +45,38 @@ def test_q1_scan_prunes_columns(spark, sf_dir):
     # 7 referenced lineitem columns, not the full 16-column table
     assert len(cols) == 7, scan
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in scan, scan
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "range_join_clicks")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan, plan
+
+
+def test_asof_join_single_shuffle_no_join_node(spark, sf_dir):
+    # carry-forward formulation: ONE exchange on the key, zero join operators
+    plan = _plan(spark, sf_dir, "asof_join")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_q10_broadcasts_dims_and_prereduces_fact(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_returned_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+    # the lineitem returnflag filter must reach the parquet scan
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+
+
+def test_q4_semi_join_prunes_lineitem_payload(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_priority_count")
+    assert "LeftSemi" in plan, plan
+    scan = next(
+        l for l in plan.splitlines() if "FileScan parquet" in l and "lineitem" in l
+    )
+    cols = scan.split("[", 1)[1].split("]", 1)[0].split(",")
+    assert len(cols) == 2, scan  # l_orderkey + l_returnflag only
+
+
+def test_stratified_sample_single_agg_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "stratified_sample")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
