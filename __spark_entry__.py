@@ -700,6 +700,21 @@ FROM q
 """
 
 
+def _approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based profiling: HLL distinct + quantile sketch per
+    event_type. Rows-only check (sketch estimates are engine-specific);
+    tests/test_invariants.py pins the ≤5% relative-error bound against
+    exact answers. At lake scale these replace exact distinct/percentile
+    everywhere a 2-5% error is acceptable: fixed memory, one pass, and
+    the partial sketches merge associatively across executors."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-level Jaccard similarity for pairs blocked by source."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1872,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "pii_scrub": _pii_scrub,
         "curation_filter": _curation_filter,
+        "approx_profile": _approx_profile,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_nation_volume": _q5_nation_volume,
         "json_ingest_rollup": _json_ingest_rollup,

@@ -207,3 +207,52 @@ def test_pedidos_fact_grain(spark, sf_dir):
     """One row per order that has items (inner-join drop-on-miss grain)."""
     pedidos = sales_facts.pedidos_fact(spark, sf_dir)
     assert pedidos.groupBy("pedido_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    """HLL distinct and quantile sketches land within 5% of exact."""
+    import __spark_entry__ as entrymod
+
+    approx = {
+        r["event_type"]: r
+        for r in entrymod.queries()["approx_profile"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for etype, e in exact.items():
+        a = approx[etype]
+        assert abs(a["approx_users"] - e["users"]) <= 0.05 * e["users"] + 1
+        assert abs(a["value_quantiles"][0] - e["p50"]) <= 0.05 * abs(e["p50"]) + 1e-6
+
+
+def test_compact_partitions_bounds_file_count(spark, sf_dir, tmp_path):
+    """Compaction rewrites many small files into per-partition counts
+    sized by rows, independent of input file count."""
+    import glob
+
+    from z316_sales_data_pipeline_spark import sinks
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    frag = str(tmp_path / "frag")
+    # simulate streaming-append fragmentation: ~64 files per partition
+    ev.repartition(64).write.partitionBy("day").parquet(frag)
+    n_frag = len(glob.glob(f"{frag}/day=*/*.parquet"))
+
+    compacted = str(tmp_path / "compact")
+    sinks.compact_partitions(spark.read.parquet(frag), compacted, "day", target_rows_per_file=10_000)
+    files_per_day = {}
+    for f in glob.glob(f"{compacted}/day=*/*.parquet"):
+        d = f.split("day=")[1].split("/")[0]
+        files_per_day[d] = files_per_day.get(d, 0) + 1
+    assert n_frag > 10 * sum(files_per_day.values())
+    assert max(files_per_day.values()) <= 3  # ~1-2k rows/day at sf0.01 -> 1 file
+    back = spark.read.parquet(compacted)
+    assert back.count() == ev.count()

@@ -88,3 +88,40 @@ def merge_upsert(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+
+
+def compact_partitions(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    target_rows_per_file: int = 1_000_000,
+) -> None:
+    """Small-file compaction: rewrite with file counts sized to the data.
+
+    Streaming appends (B2) leave one file per micro-batch per partition;
+    at lake scale that is millions of kilobyte files and scan startup
+    dominates. Rewrite each day-partition into
+    ceil(rows / target_rows_per_file) files by repartitioning on
+    (partition, uniform salt) — no global sort, one shuffle, output
+    file count independent of input file count.
+    """
+    per_part = df.groupBy(partition_col).count()
+    # driver-side only the (partition, n_files) pairs — O(#partitions),
+    # not O(rows); the row data itself never leaves the executors
+    plan = {
+        r[0]: max(1, -(-r[1] // target_rows_per_file)) for r in per_part.collect()
+    }
+    n_files = F.coalesce(
+        *[
+            F.when(F.col(partition_col) == p, F.lit(n)).otherwise(F.lit(None))
+            for p, n in plan.items()
+        ]
+    ) if plan else F.lit(1)
+    salted = df.withColumn("__slot", (F.rand(seed=42) * n_files).cast("int"))
+    (
+        salted.repartition(F.col(partition_col), F.col("__slot"))
+        .drop("__slot")
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
