@@ -1275,6 +1275,70 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 """
 
 
+def _session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as ID assignment: cumulative sum of gap-breaks
+    (> 30 min) per user. Unlike session_window (which aggregates),
+    this labels EVERY event with its session — the form downstream
+    training pipelines join on. Two window passes, one shuffle (both
+    windows share the user_id partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    is_break = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    return (
+        ev.select("event_id", "user_id", "ts", is_break.alias("brk"))
+        .withColumn(
+            "session_seq",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .select("event_id", "user_id", "ts", "session_seq")
+    )
+
+
+_SESSION_IDS_SQL = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT event_id, user_id, ts,
+       sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+FROM g
+"""
+
+
+def _rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame analytic: per customer, each order's trailing-7-day
+    order-value sum. RANGE frames need a numeric ordering key in Spark,
+    so the frame runs over epoch seconds — semantically identical to
+    RANGE BETWEEN INTERVAL 7 DAYS in the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("rev_7d"),
+    )
+
+
+_ROLLING_7D_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 4) AS rev_7d
+FROM orders
+"""
+
+
 def _q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q4 shape: EXISTS → left-semi join, then count by priority.
     The semi join keeps lineitem key-only (no payload shuffle)."""
@@ -1876,6 +1940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _asof_join,
         "range_join_clicks": _range_join_clicks,
         "lead_lag_gaps": _lead_lag_gaps,
+        "session_ids": _session_ids,
+        "rolling_7d_revenue": _rolling_7d_revenue,
         "q4_priority_count": _q4_priority_count,
         "q10_returned_revenue": _q10_returned_revenue,
         "q12_priority_classes": _q12_priority_classes,
@@ -1952,6 +2018,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _ASOF_SQL,
         "range_join_clicks": _RANGE_JOIN_SQL,
         "lead_lag_gaps": _LEAD_LAG_SQL,
+        "session_ids": _SESSION_IDS_SQL,
+        "rolling_7d_revenue": _ROLLING_7D_SQL,
         "q4_priority_count": _Q4_SQL,
         "q10_returned_revenue": _Q10_SQL,
         "q12_priority_classes": _Q12_SQL,
