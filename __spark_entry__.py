@@ -700,6 +700,74 @@ FROM q
 """
 
 
+def _embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors, fully declarative:
+    posexplode → two-level aggregate → reassemble ordered array. This
+    is the k-means/IVF building block; the position-grain aggregate
+    shuffles (label, pos) pairs — dim× more rows than vectors but
+    each tiny, and partial aggregation collapses them map-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy("label", "pos")
+        .agg(F.avg("col").alias("v"), F.count(F.lit(1)).alias("n"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: F.round(s["v"], 6)
+            ).alias("centroid"),
+            F.first("n").alias("n_vectors"),
+        )
+    )
+
+
+_EMBEDDING_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT label, u.i AS pos, u.v
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i,
+                       unnest(embedding::DOUBLE[]) AS v) u
+), p AS (
+  SELECT label, pos, avg(v) AS v, count(*) AS n
+  FROM e GROUP BY label, pos
+)
+SELECT label, array_agg(round(v, 6) ORDER BY pos) AS centroid, first(n) AS n_vectors
+FROM p GROUP BY label
+"""
+
+
+def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (not just pairs): connected components over the
+    word-Jaccard pair graph by iterative min-label propagation. The
+    oracle replays the closure with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", "source", threshold=0.5, shingle_k=1)
+    return dedup.connected_components(docs, pairs, id_col="doc_id")
+
+
+_DUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE t AS (
+    SELECT source, doc_id,
+           list_distinct(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+    FROM documents
+), p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) /
+          cast(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5
+), e AS (
+    SELECT id_a AS src, id_b AS dst FROM p
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM p
+), reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
 def _approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based profiling: HLL distinct + quantile sketch per
     event_type. Rows-only check (sketch estimates are engine-specific);
@@ -1954,6 +2022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _pii_scrub,
         "curation_filter": _curation_filter,
         "approx_profile": _approx_profile,
+        "embedding_centroids": _embedding_centroids,
+        "dup_clusters": _dup_clusters,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_nation_volume": _q5_nation_volume,
         "json_ingest_rollup": _json_ingest_rollup,
@@ -2031,6 +2101,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "curation_filter": _curation_sql(),
+        "embedding_centroids": _EMBEDDING_CENTROIDS_SQL,
+        "dup_clusters": _DUP_CLUSTERS_SQL,
         "q3_shipping_priority": _Q3_SQL,
         "q5_nation_volume": _Q5_SQL,
         "json_ingest_rollup": _JSON_INGEST_SQL,

@@ -256,3 +256,17 @@ def test_compact_partitions_bounds_file_count(spark, sf_dir, tmp_path):
     assert max(files_per_day.values()) <= 3  # ~1-2k rows/day at sf0.01 -> 1 file
     back = spark.read.parquet(compacted)
     assert back.count() == ev.count()
+
+
+def test_connected_components_chain(spark):
+    """A 4-node path graph needs multi-hop propagation; isolated node
+    stays a singleton."""
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 9]], "id long")
+    pairs = spark.createDataFrame(
+        [(3, 4), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(nodes, pairs, id_col="id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}

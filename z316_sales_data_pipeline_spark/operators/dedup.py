@@ -392,3 +392,57 @@ def embedding_near_dup_blocked(
         .groupBy(block_col)
         .applyInPandas(per_block, out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (duplicate-cluster assignment)
+# ---------------------------------------------------------------------------
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Cluster assignment over the near-dup pair graph: every node gets
+    the MINIMUM id reachable from it (canonical representative).
+
+    The one genuinely iterative algorithm in the engine: min-label
+    propagation, a driver-side loop over fully distributed steps (each
+    iteration = one join + one aggregate; nothing but the convergence
+    counter ever reaches the driver). Iterations needed = graph
+    diameter; near-dup graphs are overwhelmingly tiny cliques, so 2-3
+    passes converge. ``localCheckpoint`` truncates the lineage so plan
+    size stays constant across iterations.
+
+    ``pairs`` needs columns id_a/id_b; ``nodes`` one id column (also
+    covers isolated docs, which become singleton clusters).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    edges.persist()
+    labels = nodes.select(F.col(id_col).alias("nid"), F.col(id_col).alias("label"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.nid)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.nid == neighbor_min.src, "left")
+            .select("nid", F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "nid")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("nid").alias(id_col), F.col("label").alias("cluster_id"))
