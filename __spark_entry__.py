@@ -1948,6 +1948,358 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-style shapes adapted to the reduced driver schema
+# ---------------------------------------------------------------------------
+
+
+def _q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-style: bilateral trade volume between two nations by
+    ship year. Both nation joins broadcast; the disjunctive nation-pair
+    predicate prunes rows before the final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def _q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-style profit by supplier nation and order year. The
+    driver schema has no partsupp, so unit cost is proxied by
+    p_retailprice (documented measure definition, not a quirk)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity), 4) AS sum_profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = p_partkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def _q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-style: orders-per-customer histogram. Left join keeps
+    zero-order customers; count(o_orderkey) ignores the null rows the
+    left join manufactures. Two-level aggregate, both map-side-partial."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q13_SQL = """
+WITH c_orders AS (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM c_orders GROUP BY c_count
+"""
+
+
+def _q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-style: promo revenue share for one ship month.
+    Conditional aggregate over a broadcast part join; the shipdate
+    filter reaches the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+              / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+"""
+
+
+def _q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-style: revenue from below-average-quantity line items
+    of one brand. The correlated subquery is decorrelated by hand into
+    a per-part aggregate joined back (both sides tiny after the brand
+    filter, so the join broadcasts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    branded = li.join(
+        F.broadcast(part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    per_part = branded.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.5).alias("qty_cutoff")
+    )
+    return (
+        branded.join(F.broadcast(per_part), branded.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("qty_cutoff"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def _q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-style: disjunction of brand/size/quantity bands. One
+    broadcast join; the OR-of-ANDs predicate stays a single codegen
+    filter (no union-of-scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(band).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+
+
+_Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def _q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-style: above-average-balance customers who never
+    placed a very large order, grouped by a country code (nationkey
+    mod 10 — the driver schema has no phone; every customer here has
+    orders, so the anti-join target is the large-order subset).
+    Scalar avg broadcast as a 1-row cross join; NOT EXISTS is the
+    canonical left_anti join with the filter pushed below it."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    big_orders = orders.filter(F.col("o_totalprice") > 460000.0).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT c_nationkey % 10 AS cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal), 4) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 460000.0)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: cluster representatives + train/eval contamination
+# ---------------------------------------------------------------------------
+
+
+def _cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection per near-dup cluster: connected
+    components over the Jaccard pair graph, then a keep-rule window
+    (longest doc wins, doc_id breaks ties). This is the W2 keep-rule
+    applied to corpus curation — dedup that KEEPS one survivor instead
+    of reporting pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", "source", threshold=0.5, shingle_k=1)
+    cc = dedup.connected_components(docs, pairs, id_col="doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("cluster_id"),
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars"),
+            F.col("cluster_size"),
+        )
+    )
+
+
+_CLUSTER_REP_SQL = r"""
+WITH RECURSIVE t AS (
+    SELECT source, doc_id,
+           list_distinct(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+    FROM documents
+), p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) /
+          cast(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5
+), e AS (
+    SELECT id_a AS src, id_b AS dst FROM p
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM p
+), reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+), cc AS (
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT cluster_id, doc_id AS rep_doc_id, n_chars,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM cc JOIN documents USING (doc_id)
+QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1
+"""
+
+
+def _contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: for each eval doc (source = src0),
+    the fraction of its distinct 3-word shingles that appear anywhere
+    in the train split (every other source). Explode → distinct →
+    left join against the distinct train-shingle set → ratio. At lake
+    scale the train set is huge: the join is the semi-join the plan
+    needs anyway, and a bloom filter on the shingle hash is the
+    drop-in upgrade (documented, not needed at bench SF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(text.shingles("text", 3))).alias("s")
+    )
+    train = (
+        sh.filter(F.col("source") != "src0").select("s").distinct().withColumn("__hit", F.lit(1))
+    )
+    return (
+        sh.filter(F.col("source") == "src0")
+        .join(train, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_matched"),
+            F.round(
+                F.sum(F.coalesce("__hit", F.lit(0))) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+_CONTAMINATION_SQL = r"""
+WITH t AS (
+    SELECT doc_id, source,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), sh AS (
+    SELECT doc_id, source,
+           unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS s
+    FROM t
+), train AS (
+    SELECT DISTINCT s FROM sh WHERE source <> 'src0'
+)
+SELECT doc_id, count(*) AS n_shingles,
+       sum(CASE WHEN train.s IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
+       round(sum(CASE WHEN train.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           AS contamination
+FROM sh LEFT JOIN train ON sh.s = train.s
+WHERE sh.source = 'src0'
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -2024,6 +2376,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_profile": _approx_profile,
         "embedding_centroids": _embedding_centroids,
         "dup_clusters": _dup_clusters,
+        "cluster_representative": _cluster_representative,
+        "contamination_check": _contamination_check,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q9_profit_by_nation_year": _q9_profit_by_nation_year,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q17_small_qty_revenue": _q17_small_qty_revenue,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q22_idle_customers": _q22_idle_customers,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_nation_volume": _q5_nation_volume,
         "json_ingest_rollup": _json_ingest_rollup,
@@ -2103,6 +2464,15 @@ def oracle_sql() -> dict[str, str]:
         "curation_filter": _curation_sql(),
         "embedding_centroids": _EMBEDDING_CENTROIDS_SQL,
         "dup_clusters": _DUP_CLUSTERS_SQL,
+        "cluster_representative": _CLUSTER_REP_SQL,
+        "contamination_check": _CONTAMINATION_SQL,
+        "q7_volume_shipping": _Q7_SQL,
+        "q9_profit_by_nation_year": _Q9_SQL,
+        "q13_customer_distribution": _Q13_SQL,
+        "q14_promo_revenue": _Q14_SQL,
+        "q17_small_qty_revenue": _Q17_SQL,
+        "q19_disjunctive_revenue": _Q19_SQL,
+        "q22_idle_customers": _Q22_SQL,
         "q3_shipping_priority": _Q3_SQL,
         "q5_nation_volume": _Q5_SQL,
         "json_ingest_rollup": _JSON_INGEST_SQL,

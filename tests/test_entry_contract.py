@@ -16,7 +16,13 @@ def test_oracle_keys_subset_of_queries():
     o = set(entrymod.oracle_sql())
     assert o <= q
     # the rows-only exceptions are intentional and enumerated
-    assert q - o == {"minhash_near_dup", "simhash_groups", "lsh_top_k", "ivf_top_k"}
+    assert q - o == {
+        "minhash_near_dup",
+        "simhash_groups",
+        "lsh_top_k",
+        "ivf_top_k",
+        "approx_profile",
+    }
 
 
 def test_queries_run_and_have_stable_schema(spark, sf_dir):
