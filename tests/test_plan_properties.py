@@ -80,3 +80,46 @@ def test_q4_semi_join_prunes_lineitem_payload(spark, sf_dir):
 def test_stratified_sample_single_agg_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "stratified_sample")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q7_nation_pair_filter_pushed_to_both_dim_scans(spark, sf_dir):
+    """Catalyst must infer the per-side nation-name disjunction from the
+    pair predicate and push it into BOTH broadcast nation scans — the
+    fact side never sees rows for unrelated nations' suppliers early."""
+    plan = _plan(spark, sf_dir, "q7_volume_shipping")
+    assert "SortMergeJoin" not in plan, plan
+    nation_scans = [
+        l for l in plan.splitlines() if "FileScan parquet" in l and "nation" in l
+    ]
+    assert sum("NATION_" in s for s in nation_scans) == 2, plan
+
+
+def test_q17_decorrelated_avg_broadcasts_back(spark, sf_dir):
+    """The hand-decorrelated per-part average must come back as a
+    broadcast build side with the quantity cutoff as a residual join
+    condition — no sort-merge, no second shuffle of the fact."""
+    plan = _plan(spark, sf_dir, "q17_small_qty_revenue")
+    assert "partial_avg" in plan, plan
+    assert "qty_cutoff" in plan and "SortMergeJoin" not in plan, plan
+    brand_scans = [l for l in plan.splitlines() if "p_brand" in l and "FileScan" in l]
+    assert all("Brand#1" in s for s in brand_scans) and brand_scans, plan
+
+
+def test_q22_anti_join_filter_pushed_below(spark, sf_dir):
+    """NOT EXISTS compiles to LeftAnti with the large-order filter
+    pushed into the orders scan, so the anti-join build side is small
+    enough to broadcast at any scale where few orders are 'large'."""
+    plan = _plan(spark, sf_dir, "q22_idle_customers")
+    assert "LeftAnti, BuildRight" in plan, plan
+    orders_scan = next(
+        l for l in plan.splitlines() if "FileScan parquet" in l and "o_totalprice" in l
+    )
+    assert "460000" in orders_scan, plan
+
+
+def test_contamination_check_stays_in_codegen(spark, sf_dir):
+    """Shingle explode feeds plain hash aggregates (no collect_set /
+    ObjectHashAggregate); the train-set dedup is a key-only aggregate."""
+    plan = _plan(spark, sf_dir, "contamination_check")
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "partial_count" in plan and "Generate explode" in plan, plan

@@ -81,6 +81,30 @@ CHECKLIST = {
         "lead/lag sequence. Expect: one exchange on user_id, one Window "
         "with both lag frames fused."
     ),
+    "q7_volume_shipping": (
+        "Bilateral trade volume. Expect: all four dimension joins "
+        "BroadcastHashJoin; the nation-pair OR-predicate decomposed and "
+        "pushed into BOTH nation scans as a per-side disjunction; one "
+        "exchange at the (nation, nation, year) aggregate."
+    ),
+    "q17_small_qty_revenue": (
+        "Decorrelated correlated subquery. Expect: brand filter pushed "
+        "into the part scan on both branches; the per-part avg aggregate "
+        "broadcast back (BroadcastHashJoin with the quantity cutoff as "
+        "residual condition); scalar final aggregate."
+    ),
+    "q22_idle_customers": (
+        "NOT-EXISTS country rollup. Expect: LeftAnti BroadcastHashJoin "
+        "with the o_totalprice filter pushed into the orders scan; the "
+        "scalar avg enters as a 1-row IdentityBroadcast cross join "
+        "(constant size at any scale)."
+    ),
+    "contamination_check": (
+        "Train/eval shingle audit. Expect: Generate(explode) feeding "
+        "codegen HashAggregates (key-only distinct for the train set — "
+        "no ObjectHashAggregate); left join on the shingle string; at "
+        "lake scale the join key is the natural bloom-filter column."
+    ),
     "g1_reconciliation_summary": (
         "Set-algebra reconciliation. Expect: key-only projections before "
         "the anti/semi joins; aggregates reduce to counts before any "
