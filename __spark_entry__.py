@@ -2299,6 +2299,42 @@ GROUP BY doc_id
 """
 
 
+def _kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-seeded Lloyd k-means, 2 fixed iterations — the iterative
+    sibling of connected components. The DuckDB oracle replays the
+    identical schedule (round-6 centroids/distances, lowest-cluster
+    tie-break), so the assignment is value-checked, not rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign(emb, "embedding", "vec_id", "label", n_iters=2)
+
+
+_KMEANS_SQL = """
+WITH ex AS (
+    SELECT vec_id, u.pos, u.x
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos,
+                         unnest(embedding::DOUBLE[]) AS x) u
+), c0 AS (
+    SELECT label AS cluster, pos, round(avg(x), 6) AS c
+    FROM ex JOIN embeddings USING (vec_id) GROUP BY 1, 2
+), d1 AS (
+    SELECT vec_id, cluster, sum((x - c) * (x - c)) AS d2
+    FROM ex JOIN c0 USING (pos) GROUP BY 1, 2
+), a1 AS (
+    SELECT vec_id, cluster FROM d1
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY round(d2, 6), cluster) = 1
+), c1 AS (
+    SELECT cluster, pos, round(avg(x), 6) AS c
+    FROM a1 JOIN ex USING (vec_id) GROUP BY 1, 2
+), d2_ AS (
+    SELECT vec_id, cluster, sum((x - c) * (x - c)) AS d2
+    FROM ex JOIN c1 USING (pos) GROUP BY 1, 2
+)
+SELECT vec_id, cluster FROM d2_
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY round(d2, 6), cluster) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2378,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _dup_clusters,
         "cluster_representative": _cluster_representative,
         "contamination_check": _contamination_check,
+        "kmeans_refine": _kmeans_refine,
         "q7_volume_shipping": _q7_volume_shipping,
         "q9_profit_by_nation_year": _q9_profit_by_nation_year,
         "q13_customer_distribution": _q13_customer_distribution,
@@ -2466,6 +2503,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _DUP_CLUSTERS_SQL,
         "cluster_representative": _CLUSTER_REP_SQL,
         "contamination_check": _CONTAMINATION_SQL,
+        "kmeans_refine": _KMEANS_SQL,
         "q7_volume_shipping": _Q7_SQL,
         "q9_profit_by_nation_year": _Q9_SQL,
         "q13_customer_distribution": _Q13_SQL,

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from z316_sales_data_pipeline_spark import sinks
-from z316_sales_data_pipeline_spark.operators import dedup, windows
+from z316_sales_data_pipeline_spark.operators import dedup, similarity, windows
 from z316_sales_data_pipeline_spark.plans import sales_facts
 from z316_sales_data_pipeline_spark.sources.tables import load_table
 
@@ -270,3 +270,24 @@ def test_connected_components_chain(spark):
         for r in dedup.connected_components(nodes, pairs, id_col="id").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
+def test_kmeans_reassigns_mislabeled_seed(spark):
+    """Two well-separated clusters; one point seeded with the wrong
+    label must migrate to its geometric cluster within one iteration,
+    and the partition must be stable by the second."""
+    rows = [
+        (1, [0.0, 0.0], 0),
+        (2, [0.1, 0.0], 0),
+        (3, [0.0, 0.1], 0),
+        (4, [10.0, 10.0], 1),
+        (5, [10.1, 10.0], 1),
+        (6, [9.9, 10.1], 0),  # mislabeled seed
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.kmeans_assign(emb, "embedding", "vec_id", "label", n_iters=2).collect()
+    }
+    assert got[6] == got[4] == got[5]
+    assert got[1] == got[2] == got[3] != got[6]

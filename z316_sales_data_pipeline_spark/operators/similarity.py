@@ -142,3 +142,62 @@ def ivf_top_k(
     return (
         brute_force_top_k(assigned.filter(F.col("cell").isin(probe)), vec_col, id_col, query_vec, k)
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd) refinement — deterministic, oracle-checkable
+# ---------------------------------------------------------------------------
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    seed_label_col: str,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Label-seeded Lloyd k-means over an embedding column, fully
+    distributed and engine-portable.
+
+    Seeds are the per-label centroids; each iteration re-assigns every
+    vector to its nearest centroid (squared L2) and recomputes means.
+    Everything is explode → codegen hash aggregates — the distance
+    matrix is (vector, cluster, pos)-grain rows collapsed map-side, so
+    no higher-order functions and no Python run per row. The driver
+    loop only carries plan handles; nothing is collected.
+
+    Determinism across engines (the oracle replays the same schedule):
+    centroids and distances are rounded to 6 decimals before any
+    comparison, and argmin ties break toward the lowest cluster id —
+    float sum-order noise (~1e-13) cannot flip either.
+
+    At lake scale: rows shuffled per iteration = N·dim (assignment
+    join is a broadcast of k·dim centroid cells), so cost is linear in
+    data size with a tiny all-to-one at each centroid update —
+    the textbook Spark k-means shape without MLlib's private formats.
+    """
+    # Materialized once (eager localCheckpoint): every iteration joins
+    # this (vid, pos, x) grain twice; recomputing the explode per use
+    # would rescan the vectors 2·n_iters times. Checkpoint also keeps
+    # the plan constant-depth across iterations.
+    ex = df.select(
+        F.col(id_col).alias("__vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__x"),
+    ).localCheckpoint(eager=True)
+    seeds = df.select(F.col(id_col).alias("__vid"), F.col(seed_label_col).alias("cluster"))
+    assign = seeds
+    for _ in range(n_iters):
+        cents = (
+            assign.join(ex, "__vid")
+            .groupBy("cluster", "__pos")
+            .agg(F.round(F.avg("__x"), 6).alias("__c"))
+        )
+        dists = (
+            ex.join(F.broadcast(cents), "__pos")
+            .groupBy("__vid", "cluster")
+            .agg(F.sum((F.col("__x") - F.col("__c")) * (F.col("__x") - F.col("__c"))).alias("__d2"))
+        )
+        assign = dists.groupBy("__vid").agg(
+            F.min_by("cluster", F.struct(F.round("__d2", 6).alias("d"), F.col("cluster"))).alias(
+                "cluster"
+            )
+        )
+    return assign.select(F.col("__vid").alias(id_col), "cluster")
