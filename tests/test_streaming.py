@@ -65,6 +65,35 @@ def test_file_stream_multi_sink_available_now(spark, tmp_path):
     assert valid.filter(F.col("dados_id") == "1").count() == 1
 
 
+def test_dedup_state_crosses_micro_batches(spark, tmp_path):
+    """S2 — the dedup guard's state outlives the micro-batch: a
+    duplicate dados_id arriving in a LATER batch (within the watermark)
+    is dropped, not re-emitted."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    first = {"dados_id": "1", "tipo": "inclusao_pedido", "valor": 10.0, "ts": "2024-01-01T10:00:00"}
+    dup = {"dados_id": "1", "tipo": "inclusao_pedido", "valor": 99.0, "ts": "2024-01-01T10:05:00"}
+    fresh = {"dados_id": "2", "tipo": "inclusao_pedido", "valor": 5.0, "ts": "2024-01-01T10:06:00"}
+    (landing / "b0.json").write_text(json.dumps(first) + "\n")
+    (landing / "b1.json").write_text(json.dumps(dup) + "\n" + json.dumps(fresh) + "\n")
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .json(str(landing))
+    )
+    out = str(tmp_path / "out")
+    q = pipeline.run_multi_sink(
+        pipeline.dedup_stream(stream, ["dados_id"], "ts", "1 hour"),
+        {"out": lambda df: df.write.mode("append").parquet(out)},
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 2  # the later-batch duplicate was dropped by state
+    assert got.filter(F.col("dados_id") == "1").collect()[0]["valor"] == 10.0
+
+
 def test_running_user_totals_state_across_batches(spark, tmp_path):
     """applyInPandasWithState: state accumulates across micro-batches —
     the second batch's emission includes the first batch's events."""
