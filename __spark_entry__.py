@@ -32,7 +32,7 @@ from z316_sales_data_pipeline_spark.plans.sales_facts import (
     sql_parse_discount,
 )
 from z316_sales_data_pipeline_spark.sources import json_ingest
-from z316_sales_data_pipeline_spark.sources.tables import load_table
+from z316_sales_data_pipeline_spark.sources.tables import load_table, register_views
 from z316_sales_data_pipeline_spark.streaming import pipeline as streaming_pipeline
 
 # ---------------------------------------------------------------------------
@@ -2299,6 +2299,88 @@ GROUP BY doc_id
 """
 
 
+def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked kNN graph: top-3 cosine neighbors for EVERY vector
+    within its label block — the clustering/semantic-dedup building
+    block, value-checked against the same ranking in DuckDB. Uses the
+    numpy matmul-per-block path; ``similarity.knn_graph`` is the
+    expression twin (equivalence pinned in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return similarity.knn_graph_blocked(emb, "embedding", "vec_id", k=3, block_col="label")
+
+
+_KNN_GRAPH_SQL = """
+WITH e AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS emb FROM embeddings),
+p AS (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           round(list_dot_product(a.emb, b.emb) /
+                 (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+                 6) AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, cos, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM p
+) WHERE rnk <= 3
+"""
+
+
+def _repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: the fraction of a doc's
+    word bigrams covered by its single most frequent bigram. Explode →
+    two codegen aggregates; no per-row Python, no collect_list."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", F.explode(text.shingles("text", 2)).alias("g"))
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_bigram_frac"),
+    )
+
+
+_REPETITION_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                 i -> array_to_string(toks[i:i+1], ' '))) AS g
+    FROM t
+), pg AS (
+    SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g
+)
+SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_count,
+       round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+FROM pg GROUP BY doc_id
+"""
+
+
+# One SQL text, two engines: the engine's spark.sql surface runs the
+# IDENTICAL string the oracle runs — BigQuery-style SQL consumers of
+# the reference can port queries verbatim.
+_PORTABLE_SQL = """
+SELECT c_mktsegment, c_custkey, rnk FROM (
+    SELECT c_mktsegment, c_custkey,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey) AS rnk
+    FROM customer
+) t WHERE rnk <= 5
+"""
+
+
+def _sql_surface_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/SQL surface — the engine accepts ANSI SQL verbatim: this
+    entry registers the tables as views and runs the exact oracle
+    string through spark.sql. Parity by construction."""
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(_PORTABLE_SQL)
+
+
 def _kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-seeded Lloyd k-means, 2 fixed iterations — the iterative
     sibling of connected components. The DuckDB oracle replays the
@@ -2415,6 +2497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_representative": _cluster_representative,
         "contamination_check": _contamination_check,
         "kmeans_refine": _kmeans_refine,
+        "knn_graph": _knn_graph,
+        "repetition_ratio": _repetition_ratio,
+        "sql_surface_portable": _sql_surface_portable,
         "q7_volume_shipping": _q7_volume_shipping,
         "q9_profit_by_nation_year": _q9_profit_by_nation_year,
         "q13_customer_distribution": _q13_customer_distribution,
@@ -2504,6 +2589,9 @@ def oracle_sql() -> dict[str, str]:
         "cluster_representative": _CLUSTER_REP_SQL,
         "contamination_check": _CONTAMINATION_SQL,
         "kmeans_refine": _KMEANS_SQL,
+        "knn_graph": _KNN_GRAPH_SQL,
+        "repetition_ratio": _REPETITION_SQL,
+        "sql_surface_portable": _PORTABLE_SQL,
         "q7_volume_shipping": _Q7_SQL,
         "q9_profit_by_nation_year": _Q9_SQL,
         "q13_customer_distribution": _Q13_SQL,

@@ -291,3 +291,25 @@ def test_kmeans_reassigns_mislabeled_seed(spark):
     }
     assert got[6] == got[4] == got[5]
     assert got[1] == got[2] == got[3] != got[6]
+
+
+def test_knn_graph_blocked_matches_expression(spark, sf_dir):
+    """Numpy blocked kNN graph == expression+window kNN graph, rank for
+    rank (same round-6 cosine, same tie-break)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    expr = {
+        (r["vec_id"], r["rnk"]): (r["neighbor_id"], r["cos"])
+        for r in similarity.knn_graph(emb, "embedding", "vec_id", k=3, block_col="label").collect()
+    }
+    blocked = {
+        (r["vec_id"], r["rnk"]): (r["neighbor_id"], r["cos"])
+        for r in similarity.knn_graph_blocked(
+            emb, "embedding", "vec_id", k=3, block_col="label"
+        ).collect()
+    }
+    assert expr.keys() == blocked.keys()
+    mismatches = [k for k in expr if expr[k][0] != blocked[k][0]]
+    assert not mismatches, mismatches[:5]
+    assert all(abs(expr[k][1] - blocked[k][1]) < 1e-9 for k in expr)

