@@ -1947,6 +1947,102 @@ FROM m
 """
 
 
+def _funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: per user, first 'view' and the first 'purchase' at
+    or after it; converted iff within 72 hours. One aggregate for the
+    funnel head, a conditional left join for the tail — both shuffle on
+    user_id only (the join condition's ts bound is a residual, so no
+    row explosion beyond the user's purchases)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        first_view.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user")) & (F.col("p_ts") >= F.col("first_view")),
+            "left",
+        )
+        .groupBy("user_id", "first_view")
+        .agg(F.min("p_ts").alias("first_purchase"))
+        .select(
+            "user_id",
+            "first_view",
+            "first_purchase",
+            (F.col("first_purchase") <= F.col("first_view") + F.expr("INTERVAL 72 HOURS")).alias(
+                "converted"
+            ),
+        )
+    )
+
+
+_FUNNEL_SQL = """
+WITH fv AS (
+    SELECT user_id, min(ts) AS first_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), fp AS (
+    SELECT fv.user_id, fv.first_view, min(e.ts) AS first_purchase
+    FROM fv LEFT JOIN events e
+      ON e.user_id = fv.user_id AND e.event_type = 'purchase' AND e.ts >= fv.first_view
+    GROUP BY fv.user_id, fv.first_view
+)
+SELECT user_id, first_view, first_purchase,
+       first_purchase <= first_view + INTERVAL 72 HOUR AS converted
+FROM fp
+"""
+
+
+def _retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention: of the users active on day d, how many
+    are also active on d+1. Distinct (user, day) activity relation,
+    self-joined one day forward — the DAU/retention primitive."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    nxt = act.select(F.col("user_id").alias("r_user"), F.col("day").alias("r_day"))
+    totals = act.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
+    retained = (
+        act.join(
+            nxt,
+            (F.col("user_id") == F.col("r_user")) & (F.col("r_day") == F.date_add("day", 1)),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    return (
+        totals.join(retained, "day", "left")
+        .na.fill({"n_retained": 0})
+        .select(
+            "day",
+            "n_active",
+            "n_retained",
+            F.round(F.col("n_retained") / F.col("n_active").cast("double"), 6).alias(
+                "retention_rate"
+            ),
+        )
+    )
+
+
+_RETENTION_SQL = """
+WITH act AS (
+    SELECT DISTINCT user_id, cast(ts AS DATE) AS day FROM events
+), tot AS (
+    SELECT day, count(*) AS n_active FROM act GROUP BY day
+), ret AS (
+    SELECT a.day, count(*) AS n_retained
+    FROM act a JOIN act b ON a.user_id = b.user_id AND b.day = a.day + 1
+    GROUP BY a.day
+)
+SELECT tot.day, n_active, coalesce(n_retained, 0) AS n_retained,
+       round(coalesce(n_retained, 0)::DOUBLE / n_active, 6) AS retention_rate
+FROM tot LEFT JOIN ret ON tot.day = ret.day
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style shapes adapted to the reduced driver schema
 # ---------------------------------------------------------------------------
@@ -2500,6 +2596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _knn_graph,
         "repetition_ratio": _repetition_ratio,
         "sql_surface_portable": _sql_surface_portable,
+        "funnel_conversion": _funnel_conversion,
+        "retention_daily": _retention_daily,
         "q7_volume_shipping": _q7_volume_shipping,
         "q9_profit_by_nation_year": _q9_profit_by_nation_year,
         "q13_customer_distribution": _q13_customer_distribution,
@@ -2592,6 +2690,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": _KNN_GRAPH_SQL,
         "repetition_ratio": _REPETITION_SQL,
         "sql_surface_portable": _PORTABLE_SQL,
+        "funnel_conversion": _FUNNEL_SQL,
+        "retention_daily": _RETENTION_SQL,
         "q7_volume_shipping": _Q7_SQL,
         "q9_profit_by_nation_year": _Q9_SQL,
         "q13_customer_distribution": _Q13_SQL,
