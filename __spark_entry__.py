@@ -979,11 +979,38 @@ WHERE list_dot_product(a.emb, b.emb) /
 
 
 def _lsh_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via hyperplane-LSH bucket probe (rows-only)."""
+    """Approximate top-k via hyperplane-LSH bucket probe. Value-checked:
+    the oracle replays the bucketing with the SAME four hyperplanes
+    (deterministic LCG, inlined as literals) and the query's bucket id,
+    then ranks by the same round-6 cosine."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     return similarity.lsh_top_k(emb, "embedding", "vec_id", _KNN_QUERY_VEC, k=10, n_planes=4)
+
+
+def _lsh_sql() -> str:
+    planes = similarity._hyperplanes(64, 4, seed=42)
+    q_bucket = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(_KNN_QUERY_VEC, p)) >= 0:
+            q_bucket |= 1 << i
+    vec = "[" + ", ".join(str(v) for v in _KNN_QUERY_VEC) + "]"
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bits} AS bucket FROM e)
+SELECT vec_id,
+       round(list_dot_product(v, {vec}::DOUBLE[]) /
+             (sqrt(list_dot_product(v, v)) *
+              sqrt(list_dot_product({vec}::DOUBLE[], {vec}::DOUBLE[]))), 6) AS cos
+FROM b WHERE bucket = {q_bucket}
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
 
 
 def _tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1069,12 +1096,39 @@ FROM documents
 
 
 def _ivf_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell-probed approximate nearest neighbours (rows-only check:
-    centroid assignment is engine-specific plan logic)."""
+    """IVF-cell-probed approximate nearest neighbours. Value-checked:
+    the oracle replays the full IVF schedule (centroids = 16 lowest-id
+    vectors, cell = argmax dot with lowest-cell tie-break, probe = top
+    4 cells by query dot, exact round-6 cosine top-10 within)."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     return similarity.ivf_top_k(emb, "embedding", "vec_id", _KNN_QUERY_VEC, k=10, n_cells=16, n_probe=4)
+
+
+def _ivf_sql() -> str:
+    vec = "[" + ", ".join(str(v) for v in _KNN_QUERY_VEC) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+    FROM e ORDER BY vec_id LIMIT 16
+), d AS (
+    SELECT e.vec_id, c.cell, list_dot_product(e.v, c.cv) AS dp FROM e CROSS JOIN c
+), a AS (
+    SELECT vec_id, cell FROM d
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) = 1
+), pc AS (
+    SELECT cell FROM c ORDER BY list_dot_product({vec}::DOUBLE[], cv) DESC, cell LIMIT 4
+)
+SELECT e.vec_id,
+       round(list_dot_product(e.v, {vec}::DOUBLE[]) /
+             (sqrt(list_dot_product(e.v, e.v)) *
+              sqrt(list_dot_product({vec}::DOUBLE[], {vec}::DOUBLE[]))), 6) AS cos
+FROM e JOIN a USING (vec_id)
+WHERE a.cell IN (SELECT cell FROM pc)
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
 
 
 def _d3_chained_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2648,6 +2702,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "knn_brute_force": _knn_sql(),
+        "ivf_top_k": _ivf_sql(),
+        "lsh_top_k": _lsh_sql(),
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "embedding_near_dup_blocked": _EMB_BLOCKED_SQL,
         "tumbling_counts": _TUMBLING_SQL,
