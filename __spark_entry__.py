@@ -911,9 +911,43 @@ WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
 
 
 def _simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup groups (rows-only check)."""
+    """SimHash near-dup groups (rows-only check; xxhash64 family)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_dup_groups(docs, "text", "doc_id").select("simhash", "n")
+
+
+def _simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash groups, portable-hash variant: rolling polynomial token
+    hash + bit-majority, replayed bit-for-bit by the SQL oracle — the
+    value check the xxhash64 variant can't have."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_dup_groups(docs, "text", "doc_id", portable=True).select("simhash", "n")
+
+
+def _simhash_portable_sql(n_bits: int = 16) -> str:
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (hh >> {b}) & 1 = 1 THEN 1 ELSE 0 END) AS b{b}" for b in range(n_bits)
+    )
+    sig = " + ".join(f"(CASE WHEN b{b} * 2 > n THEN {1 << b} ELSE 0 END)" for b in range(n_bits))
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents
+), h AS (
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(tok, '')]),
+             (acc, c) -> (acc * 31 + c) % 2147483647) AS hh
+    FROM t
+), b AS (
+    SELECT doc_id, count(*) AS n, {bit_sums}
+    FROM h GROUP BY doc_id
+), s AS (
+    SELECT doc_id, {sig} AS simhash FROM b
+)
+SELECT simhash, count(*) AS n FROM s GROUP BY simhash HAVING count(*) > 1
+"""
 
 
 _KNN_QUERY_VEC = [1.0 if i % 2 == 0 else -1.0 for i in range(64)]
@@ -2607,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": _salted_agg,
         "q18_top_customers": _q18_top_customers,
         "simhash_groups": _simhash_groups,
+        "simhash_portable": _simhash_portable,
         "knn_brute_force": _knn_brute_force,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_blocked": _embedding_near_dup_blocked,
@@ -2704,6 +2739,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute_force": _knn_sql(),
         "ivf_top_k": _ivf_sql(),
         "lsh_top_k": _lsh_sql(),
+        "simhash_portable": _simhash_portable_sql(),
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "embedding_near_dup_blocked": _EMB_BLOCKED_SQL,
         "tumbling_counts": _TUMBLING_SQL,

@@ -99,6 +99,24 @@ CHECKLIST = {
         "scalar avg enters as a 1-row IdentityBroadcast cross join "
         "(constant size at any scale)."
     ),
+    "kmeans_refine": (
+        "Iterative Lloyd refinement. Expect: the exploded (vid, pos, x) "
+        "relation enters as a Scan ExistingRDD (eager localCheckpoint — "
+        "constant plan depth per iteration); per-iteration BroadcastHash "
+        "join of k·dim centroid cells; codegen HashAggregates with "
+        "partial_avg/partial_sum/partial_min map-side."
+    ),
+    "funnel_conversion": (
+        "Event funnel. Expect: event_type filters pushed into both "
+        "events scans; the purchase-after-view bound is a residual "
+        "condition on the user_id equi-join (no range/nested-loop "
+        "join); one exchange on user_id reused by the aggregate."
+    ),
+    "retention_daily": (
+        "DAU retention. Expect: distinct (user, day) aggregate before "
+        "the self-join (pre-reduction), equi-join on user_id with the "
+        "day+1 match as join-key arithmetic, counts partial-aggregated."
+    ),
     "contamination_check": (
         "Train/eval shingle audit. Expect: Generate(explode) feeding "
         "codegen HashAggregates (key-only distinct for the train set — "

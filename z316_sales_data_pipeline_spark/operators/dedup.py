@@ -269,15 +269,22 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash_signatures(df: DataFrame, text_col: str, id_col: str, n_bits: int = 16) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_bits: int = 16, portable: bool = False
+) -> DataFrame:
     """(id, simhash) via bit-majority of per-token hashes.
 
     Formulated as explode(tokens) → xxhash64 → n_bits conditional-sum
     aggregate columns → bit reassembly. All codegen with map-side
     partial aggregation (the earlier per-row filter() over a token-hash
     array evaluated interpreted, n_bits passes per document).
+
+    ``portable=True`` swaps xxhash64 for the rolling polynomial hash so
+    the whole signature is reproducible in ANSI SQL (value-checked
+    oracle), same trade as ``minhash_near_dup_pairs(portable=True)``.
     """
     n_parts = df.sparkSession.sparkContext.defaultParallelism
+    hash_fn = _rolling_hash(F.col("__t")) if portable else F.xxhash64("__t")
     tokens = (
         df.select(F.col(id_col), F.col(text_col))
         .repartition(n_parts)
@@ -287,7 +294,7 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str, n_bits: int = 
                 F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
             ).alias("__t"),
         )
-        .select(id_col, F.xxhash64("__t").alias("__h"))
+        .select(id_col, hash_fn.alias("__h"))
     )
     bit_sums = [
         F.sum(F.when(F.col("__h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1).otherwise(0)).alias(f"__b{b}")
@@ -303,10 +310,12 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str, n_bits: int = 
     return agg.select(id_col, sig.alias("simhash"))
 
 
-def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str, n_bits: int = 16) -> DataFrame:
+def simhash_dup_groups(
+    df: DataFrame, text_col: str, id_col: str, n_bits: int = 16, portable: bool = False
+) -> DataFrame:
     """Groups of documents sharing a SimHash signature (near-dup sets)."""
     return (
-        simhash_signatures(df, text_col, id_col, n_bits)
+        simhash_signatures(df, text_col, id_col, n_bits, portable)
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.col("n") > 1)
