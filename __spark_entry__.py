@@ -2035,6 +2035,30 @@ FROM m
 """
 
 
+def _table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-extension — order-insensitive table fingerprint: per-row md5
+    over a canonical '|'-joined key projection, folded with an
+    addition-mod-2^31 (commutative, so partition order can't matter).
+    The cross-system reconciliation primitive: two engines agree on a
+    table iff the (n_rows, checksum) pair matches — one number to ship
+    instead of an id-set exchange. Only integer/string columns enter
+    the canonical form (float formatting differs across engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    row_h = F.conv(F.substring(F.md5(F.concat_ws("|", "o_orderkey", "o_orderstatus")), 1, 8), 16, 10).cast("long")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.pmod(F.sum(row_h), F.lit(2147483647)).alias("checksum"),
+    )
+
+
+_TABLE_CHECKSUM_SQL = """
+SELECT count(*) AS n_rows,
+       sum(('0x' || substr(md5(cast(o_orderkey AS VARCHAR) || '|' || o_orderstatus), 1, 8))::BIGINT)
+           % 2147483647 AS checksum
+FROM orders
+"""
+
+
 def _funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event funnel: per user, first 'view' and the first 'purchase' at
     or after it; converted iff within 72 hours. One aggregate for the
@@ -2687,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface_portable": _sql_surface_portable,
         "funnel_conversion": _funnel_conversion,
         "retention_daily": _retention_daily,
+        "table_checksum": _table_checksum,
         "q7_volume_shipping": _q7_volume_shipping,
         "q9_profit_by_nation_year": _q9_profit_by_nation_year,
         "q13_customer_distribution": _q13_customer_distribution,
@@ -2784,6 +2809,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_surface_portable": _PORTABLE_SQL,
         "funnel_conversion": _FUNNEL_SQL,
         "retention_daily": _RETENTION_SQL,
+        "table_checksum": _TABLE_CHECKSUM_SQL,
         "q7_volume_shipping": _Q7_SQL,
         "q9_profit_by_nation_year": _Q9_SQL,
         "q13_customer_distribution": _Q13_SQL,
