@@ -313,3 +313,20 @@ def test_knn_graph_blocked_matches_expression(spark, sf_dir):
     mismatches = [k for k in expr if expr[k][0] != blocked[k][0]]
     assert not mismatches, mismatches[:5]
     assert all(abs(expr[k][1] - blocked[k][1]) < 1e-9 for k in expr)
+
+
+def test_table_checksum_partition_invariant(spark, sf_dir):
+    """The md5-fold table fingerprint must not depend on row order or
+    partitioning — the property that makes it a cross-system primitive."""
+    import __spark_entry__ as entrymod
+
+    base = entrymod.queries()["table_checksum"](spark, sf_dir).collect()[0]
+    orders = load_table(spark, sf_dir, "orders").repartition(7)
+    row_h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "o_orderkey", "o_orderstatus")), 1, 8), 16, 10
+    ).cast("long")
+    again = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.pmod(F.sum(row_h), F.lit(2147483647)).alias("checksum"),
+    ).collect()[0]
+    assert (base["n_rows"], base["checksum"]) == (again["n_rows"], again["checksum"])
