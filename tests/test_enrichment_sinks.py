@@ -44,6 +44,24 @@ def test_merge_upsert_newest_wins(spark):
     assert len(out) == 3              # one row per key
 
 
+def test_merge_upsert_duplicate_updates_deterministic(spark):
+    """Two updates sharing (key, max version) must pick the SAME winner
+    on every run regardless of partitioning/task order — the window has
+    a stable payload-hash tiebreak past (version, source)."""
+    existing = spark.createDataFrame([(1, 0, "orig")], "id long, v long, payload string")
+    dup_updates = [(1, 5, "b"), (1, 5, "a"), (1, 5, "c")]
+    winners = set()
+    for order in (dup_updates, dup_updates[::-1]):
+        for n_parts in (1, 7):
+            updates = spark.createDataFrame(order, "id long, v long, payload string").repartition(
+                n_parts
+            )
+            rows = sinks.merge_upsert(existing, updates, "id", "v").collect()
+            assert len(rows) == 1
+            winners.add(rows[0]["payload"])
+    assert len(winners) == 1
+
+
 def test_merge_upsert_idempotent(spark):
     """Re-applying the same updates changes nothing (B7 re-trigger)."""
     existing = spark.createDataFrame([(1, 1, "a"), (2, 2, "b")], "id long, v long, p string")

@@ -11,16 +11,14 @@ def test_entry_smoke(spark):
     assert "pedido_id" in df.columns
 
 
-def test_oracle_keys_subset_of_queries():
+def test_oracle_keys_cover_all_queries():
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
-    assert o <= q
-    # the rows-only exceptions are intentional and enumerated
-    assert q - o == {
-        "minhash_near_dup",  # xxhash64 family; portable twin is value-checked
-        "simhash_groups",  # xxhash64 bit-majority
-        "approx_profile",  # sketch estimates are engine-specific
-    }
+    # every oracle-checked entry has a value-check oracle — no rows-only
+    # exceptions; the xxhash64 dedup variants live on the bench surface
+    assert o == q
+    extra = set(entrymod.bench_queries()) - q
+    assert extra == {"minhash_near_dup", "simhash_groups"}
 
 
 def test_queries_run_and_have_stable_schema(spark, sf_dir):

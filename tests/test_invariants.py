@@ -210,27 +210,31 @@ def test_pedidos_fact_grain(spark, sf_dir):
 
 
 def test_approx_sketches_error_bounds(spark, sf_dir):
-    """HLL distinct and quantile sketches land within 5% of exact."""
+    """approx_profile's bound verdicts all hold (non-vacuous: the query
+    compares each sketch to the exact answer inside the plan), and the
+    raw sketches independently land within 5% of exact."""
     import __spark_entry__ as entrymod
 
-    approx = {
-        r["event_type"]: r
-        for r in entrymod.queries()["approx_profile"](spark, sf_dir).collect()
-    }
+    rows = entrymod.queries()["approx_profile"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["approx_users_ok"] and r["quantiles_ordered_ok"] and r["p50_ok"], r
+
     ev = load_table(spark, sf_dir, "events")
-    exact = {
+    raw = {
         r["event_type"]: r
         for r in ev.groupBy("event_type")
         .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
             F.count_distinct("user_id").alias("users"),
             F.expr("percentile(value, 0.5)").alias("p50"),
         )
         .collect()
     }
-    for etype, e in exact.items():
-        a = approx[etype]
-        assert abs(a["approx_users"] - e["users"]) <= 0.05 * e["users"] + 1
-        assert abs(a["value_quantiles"][0] - e["p50"]) <= 0.05 * abs(e["p50"]) + 1e-6
+    for etype, a in raw.items():
+        assert abs(a["approx_users"] - a["users"]) <= 0.05 * a["users"] + 1
+        assert abs(a["approx_p50"] - a["p50"]) <= 0.05 * abs(a["p50"]) + 1e-6
 
 
 def test_compact_partitions_bounds_file_count(spark, sf_dir, tmp_path):
@@ -258,6 +262,30 @@ def test_compact_partitions_bounds_file_count(spark, sf_dir, tmp_path):
     assert back.count() == ev.count()
 
 
+def test_compact_partitions_deterministic_slots(spark, sf_dir, tmp_path):
+    """Slot assignment is a pure function of the data: recompacting the
+    same rows from a differently-partitioned input (the retry/replan
+    case rand() salting would skew) yields identical per-partition file
+    counts and identical per-file row counts."""
+    import glob
+
+    from z316_sales_data_pipeline_spark import sinks
+
+    ev = load_table(spark, sf_dir, "events").limit(5000).withColumn("day", F.to_date("ts"))
+
+    def compact(src, out):
+        sinks.compact_partitions(src, out, "day", target_rows_per_file=500)
+        counts = {}
+        for f in sorted(glob.glob(f"{out}/day=*/*.parquet")):
+            d = f.split("day=")[1].split("/")[0]
+            counts.setdefault(d, []).append(spark.read.parquet(f).count())
+        return {d: sorted(v) for d, v in counts.items()}
+
+    a = compact(ev.repartition(4), str(tmp_path / "a"))
+    b = compact(ev.repartition(17, "user_id"), str(tmp_path / "b"))
+    assert a == b
+
+
 def test_connected_components_chain(spark):
     """A 4-node path graph needs multi-hop propagation; isolated node
     stays a singleton."""
@@ -270,6 +298,37 @@ def test_connected_components_chain(spark):
         for r in dedup.connected_components(nodes, pairs, id_col="id").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-node path graph (diameter 199) converges inside the default
+    max_iters=20: pointer jumping makes rounds ~log2(diameter), where
+    plain min-label propagation would need 199."""
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    out = dedup.connected_components(nodes, pairs, id_col="id")
+    assert out.filter(F.col("cluster_id") != 0).count() == 0
+    assert out.count() == n
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    """Exhausting max_iters with labels still moving must raise, not
+    silently return a partial (wrong) clustering."""
+    import pytest
+
+    nodes = spark.createDataFrame([(i,) for i in range(16)], "id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(15)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(nodes, pairs, id_col="id", max_iters=2)
+
+
+def test_q7_volume_shipping_nonempty_at_sf001(spark):
+    """Guard against a vacuous oracle match: q7 is empty at sf0.001, so
+    pin the scale where the driver's check (sf0.01) has actual rows."""
+    import __spark_entry__ as entrymod
+
+    assert entrymod.queries()["q7_volume_shipping"](spark, "/root/testdata/sf0.01").count() > 0
 
 
 def test_kmeans_reassigns_mislabeled_seed(spark):

@@ -28,6 +28,16 @@ def test_extract_features_arrow_path(spark):
     assert out[3]["n_bytes"] is None  # null payload tolerated
 
 
+def test_extract_features_matches_stub_decode(spark):
+    """The vectorized batch kernel must stay value-identical to the
+    per-row stub_decode contract."""
+    rows = {r["media_id"]: r for r in multimodal.extract_features(_media(spark)).collect()}
+    for mid, payload in [(1, b"x" * 640), (2, b"y" * 100)]:
+        expected = multimodal.stub_decode(payload)
+        for k, v in expected.items():
+            assert rows[mid][k] == v, (mid, k)
+
+
 def test_real_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"")

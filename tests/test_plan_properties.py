@@ -12,7 +12,7 @@ import __spark_entry__ as entrymod
 
 
 def _plan(spark, sf_dir, name: str) -> str:
-    df = entrymod.queries()[name](spark, sf_dir)
+    df = entrymod.bench_queries()[name](spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 

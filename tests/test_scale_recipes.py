@@ -43,6 +43,18 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert salted == plain
 
 
+def test_salted_join_rejects_replication_unsafe_how(spark, sf_dir):
+    """right/full joins would emit each unmatched small-side row once
+    per salt replica — the API must refuse, not silently multiply."""
+    import pytest
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    part = load_table(spark, sf_dir, "part")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            skew.salted_join(li, part, on="p_partkey", salt_source="l_orderkey", how=how)
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     """Bucketing both sides on the join key pre-co-locates the data:
     the sort-merge join plan must contain NO shuffle Exchange."""

@@ -65,6 +65,57 @@ def test_file_stream_multi_sink_available_now(spark, tmp_path):
     assert valid.filter(F.col("dados_id") == "1").count() == 1
 
 
+def test_b7_reconciliation_backfill_closes_gap(spark, tmp_path):
+    """B7+G1 end-to-end: the G1 set-difference finds sink-missing ids,
+    the missing payloads are re-fed through the SAME AvailableNow query
+    (same checkpoint — Spark's analogue of the reference's copy/delete
+    re-trigger, gcs_to_bq-checker.py:62-79), and the difference goes to
+    zero without duplicating already-loaded ids."""
+    from z316_sales_data_pipeline_spark.operators import setops
+
+    all_rows = [
+        {
+            "dados_id": str(i),
+            "tipo": "inclusao_pedido",
+            "valor": float(i),
+            "ts": f"2024-01-01T10:00:{i:02d}",
+        }
+        for i in range(10)
+    ]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # initial load: ids 0,3,6,9 never landed (simulated partial failure)
+    for i, row in enumerate(all_rows):
+        if i % 3 != 0:
+            (landing / f"evt_{i}.json").write_text(json.dumps(row) + "\n")
+    sink = str(tmp_path / "sink")
+
+    def run_available_now():
+        stream = pipeline.file_stream(spark, str(landing), EVENT_SCHEMA)
+        q = pipeline.run_multi_sink(
+            pipeline.dedup_stream(stream, ["dados_id"], "ts", "1 hour"),
+            {"sink": lambda df: df.write.mode("append").parquet(sink)},
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run_available_now()
+    source_ids = spark.createDataFrame([(r["dados_id"],) for r in all_rows], "id string")
+    sink_ids = spark.read.parquet(sink).select(F.col("dados_id").alias("id"))
+    missing = {r["id"] for r in setops.difference(source_ids, sink_ids).collect()}
+    assert missing == {"0", "3", "6", "9"}
+
+    # B7 re-trigger: drop the missing payloads back into landing; the
+    # same checkpoint means only the unseen files are processed
+    for i in sorted(int(m) for m in missing):
+        (landing / f"refeed_{i}.json").write_text(json.dumps(all_rows[i]) + "\n")
+    run_available_now()
+
+    sink_df = spark.read.parquet(sink)
+    assert setops.difference(source_ids, sink_df.select(F.col("dados_id").alias("id"))).count() == 0
+    assert sink_df.groupBy("dados_id").count().filter(F.col("count") > 1).count() == 0
+
+
 def test_dedup_state_crosses_micro_batches(spark, tmp_path):
     """S2 — the dedup guard's state outlives the micro-batch: a
     duplicate dados_id arriving in a LATER batch (within the watermark)

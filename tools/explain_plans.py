@@ -136,7 +136,7 @@ CHECKLIST = {
 
 def main() -> None:
     spark = get_spark("explain")
-    qs = entrymod.queries()
+    qs = entrymod.bench_queries()
     out = [
         "# Physical plans (auto-generated — `python tools/explain_plans.py`)",
         "",

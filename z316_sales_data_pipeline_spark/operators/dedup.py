@@ -232,7 +232,7 @@ def minhash_near_dup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__ninter"))
     )
-    return (
+    result = (
         pairs.join(inter, ["id_a", "id_b"], "left")
         .na.fill({"__ninter": 0})
         .join(sizes.select(F.col(id_col).alias("id_a"), F.col("__nsh").alias("__na")), "id_a")
@@ -244,6 +244,15 @@ def minhash_near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # Materialize the (tiny: pairs-only) result eagerly, then free both
+    # cached intermediates — otherwise repeated invocations in one
+    # session (bench runs fast + portable back to back) accumulate
+    # cached shingle/signature blocks in executor memory. At lake scale
+    # the pair set would be written to a table here anyway.
+    out = result.localCheckpoint(eager=True)
+    ex.unpersist()
+    sig.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -416,12 +425,19 @@ def connected_components(
     the MINIMUM id reachable from it (canonical representative).
 
     The one genuinely iterative algorithm in the engine: min-label
-    propagation, a driver-side loop over fully distributed steps (each
-    iteration = one join + one aggregate; nothing but the convergence
-    counter ever reaches the driver). Iterations needed = graph
-    diameter; near-dup graphs are overwhelmingly tiny cliques, so 2-3
-    passes converge. ``localCheckpoint`` truncates the lineage so plan
-    size stays constant across iterations.
+    propagation WITH pointer jumping, a driver-side loop over fully
+    distributed steps (each iteration = two joins + one aggregate;
+    nothing but the convergence counter ever reaches the driver). Each
+    round a node takes the min of its own label, its neighbors' labels,
+    and its label's label — the shortcutting step doubles the distance
+    a label travels per round, so iterations needed is O(log diameter)
+    instead of O(diameter) (a 10⁶-long boilerplate dup chain converges
+    in ~20 rounds, not 10⁶). ``localCheckpoint`` truncates the lineage
+    so plan size stays constant across iterations.
+
+    Raises ``RuntimeError`` if the loop exhausts ``max_iters`` with
+    labels still moving — returning non-converged labels would silently
+    break the documented "minimum reachable id" contract.
 
     ``pairs`` needs columns id_a/id_b; ``nodes`` one id column (also
     covers isolated docs, which become singleton clusters).
@@ -433,15 +449,27 @@ def connected_components(
     )
     edges.persist()
     labels = nodes.select(F.col(id_col).alias("nid"), F.col(id_col).alias("label"))
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.nid)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # pointer jump: my label's label. Labels are always ids of
+        # same-component nodes, so the lookup stays within the cluster.
+        jump = labels.select(F.col("nid").alias("jnid"), F.col("label").alias("jlabel"))
         new_labels = (
             labels.join(neighbor_min, labels.nid == neighbor_min.src, "left")
-            .select("nid", F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"))
+            .join(jump, labels.label == jump.jnid, "left")
+            .select(
+                "nid",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nlabel", "label"),
+                    F.coalesce("jlabel", "label"),
+                ).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -452,6 +480,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters}; "
+            "labels were still changing — raise max_iters (rounds needed is "
+            "~log2 of the largest component's diameter)"
+        )
     return labels.select(F.col("nid").alias(id_col), F.col("label").alias("cluster_id"))

@@ -78,7 +78,17 @@ def salted_join(
     Prefer ``F.broadcast(small)`` when the small side fits in memory —
     salting is for the mid-size dimension that neither broadcasts nor
     tolerates a single hot reducer.
+
+    Only join types where an unmatched SMALL-side row is never emitted
+    are allowed: under 'right'/'full' the n_salts replicas of an
+    unmatched small row would each surface as a separate output row.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not supported — the replicated small side "
+            f"would emit unmatched rows n_salts times; use one of {sorted(allowed)}"
+        )
     salted_big = big.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts)))
     replicated = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))

@@ -73,8 +73,10 @@ def merge_upsert(
     through the pipeline (B7, gcs_to_bq-checker.py:62-79) and relies on
     later dedup to repair; a lake sink does it properly — union the
     updates, keep the max-``version_col`` row per key (ties: update
-    wins via a source-rank tiebreak). Caller overwrites the table with
-    the result (Delta's MERGE INTO would do this in place).
+    wins via a source-rank tiebreak; two updates sharing key AND
+    version fall through to a stable payload-hash tiebreak so repeated
+    runs pick the same winner). Caller overwrites the table with the
+    result (Delta's MERGE INTO would do this in place).
     """
     keys = [key] if isinstance(key, str) else key
     from pyspark.sql import Window
@@ -82,7 +84,15 @@ def merge_upsert(
     tagged = existing.withColumn("__src", F.lit(0)).unionByName(
         updates.withColumn("__src", F.lit(1))
     )
-    w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc(), F.col("__src").desc())
+    payload_cols = [c for c in existing.columns if c not in {*keys, version_col}]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(),
+        F.col("__src").desc(),
+        # deterministic final tiebreak: without it, duplicate updates
+        # (same key, same max version) pick an arbitrary task-order
+        # winner and repeated runs can emit different payloads
+        F.xxhash64(*payload_cols) if payload_cols else F.lit(0),
+    )
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -102,8 +112,12 @@ def compact_partitions(
     at lake scale that is millions of kilobyte files and scan startup
     dominates. Rewrite each day-partition into
     ceil(rows / target_rows_per_file) files by repartitioning on
-    (partition, uniform salt) — no global sort, one shuffle, output
-    file count independent of input file count.
+    (partition, deterministic hash slot) — no global sort, one shuffle,
+    output file count independent of input file count. The slot is
+    pmod(xxhash64(whole row), n_files) rather than rand(): per-task
+    rand re-seeding skews slot distribution on task retry, while the
+    hash slot is a pure function of the data (same rows → same files,
+    retried or not).
     """
     per_part = df.groupBy(partition_col).count()
     # driver-side only the (partition, n_files) pairs — O(#partitions),
@@ -117,7 +131,9 @@ def compact_partitions(
             for p, n in plan.items()
         ]
     ) if plan else F.lit(1)
-    salted = df.withColumn("__slot", (F.rand(seed=42) * n_files).cast("int"))
+    salted = df.withColumn(
+        "__slot", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), n_files)
+    )
     (
         salted.repartition(F.col(partition_col), F.col("__slot"))
         .drop("__slot")

@@ -32,16 +32,25 @@ DIMENSION_TABLES = {"region", "nation", "customer", "supplier", "part"}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which the vectorized
-        # Parquet reader rejects. Read nanos as long (runtime SQL conf)
-        # and convert to a microsecond timestamp JVM-side. The nanos in
-        # the driver data are exact multiples of 1000, so `div 1000` is
-        # lossless; duckdb applies the same truncation on its side.
+        # events.parquet stores TIMESTAMP(NANOS). Depending on the Spark
+        # build/conf this surfaces either as a raw nanosecond long
+        # (legacy nanosAsLong path) or as a micros-truncated
+        # timestamp_ntz — handle both. The nanos in the driver data are
+        # exact multiples of 1000, so either truncation is lossless and
+        # matches duckdb's micros view of the same file.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if ts_type == "timestamp_ntz":
+            # session tz is UTC, so NTZ wall time == the UTC instant the
+            # micros-long path produced; cast keeps downstream window /
+            # watermark code on one timestamp type
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
