@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from z316_sales_data_pipeline_spark.functions import scalar, text, vector
 from z316_sales_data_pipeline_spark.operators import (
+    corpus,
     dedup,
     joins,
     multimodal,
@@ -1788,6 +1789,83 @@ GROUP BY lang
 """
 
 
+def _dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (md5-hex-mod bucket):
+    a pure function of doc_id, so re-runs / backfills / other engines
+    assign identically — no RNG, no seed registry. Narrow map."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.dataset_split(docs, "doc_id").select("doc_id", "bucket", "split")
+
+
+_DATASET_SPLIT_SQL = """
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+      FROM documents)
+"""
+
+
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (sequence-packing precursor):
+    chunk c covers tokens [c*24, c*24+32); narrow explode, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.chunk_documents(docs, "text", "doc_id", chunk_tokens=32, stride=24)
+
+
+_DOC_CHUNKS_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), n AS (
+    SELECT doc_id, toks,
+           1 + CAST(floor((greatest(len(toks) - 32, 0) + 23) / 24.0) AS INT) AS n_chunks
+    FROM t
+)
+SELECT doc_id, u.c AS chunk_idx,
+       array_to_string(toks[u.c * 24 + 1 : u.c * 24 + 32], ' ') AS chunk_text,
+       len(toks[u.c * 24 + 1 : u.c * 24 + 32]) AS n_tokens
+FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(c)
+"""
+
+
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 TF-IDF terms: two codegen hash aggregates over
+    the exploded token relation + a broadcast group count; deterministic
+    (score desc, term asc) tie-break keeps it engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.tfidf_top_terms(docs, "text", "source", k=5)
+
+
+_TFIDF_SQL = r"""
+WITH tok AS (
+    SELECT source,
+           unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+    FROM documents
+), tf AS (
+    SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), df_ AS (
+    SELECT term, count(DISTINCT source) AS df FROM tok GROUP BY 1
+), ng AS (
+    SELECT count(DISTINCT source) AS n FROM documents
+)
+SELECT source, rank, term, tf, df, score
+FROM (
+    SELECT source, term, tf, df,
+           round(tf * ln(n / df), 6) AS score,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY round(tf * ln(n / df), 6) DESC, term
+           ) AS rank
+    FROM tf JOIN df_ USING (term) CROSS JOIN ng
+)
+WHERE rank <= 5
+"""
+
+
 def _percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (sort-based aggregate;
     use approx_percentile at lake scale when exactness can yield)."""
@@ -2741,6 +2819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_union_pages": _a4_union_pages,
         "f16_url_assembly": _f16_url_assembly,
         "stratified_sample": _stratified_sample,
+        "dataset_split": _dataset_split,
+        "doc_chunks": _doc_chunks,
+        "tfidf_top_terms": _tfidf_top_terms,
         "pii_scrub": _pii_scrub,
         "curation_filter": _curation_filter,
         "approx_profile": _approx_profile,
@@ -2840,6 +2921,9 @@ def oracle_sql() -> dict[str, str]:
         "a4_union_pages": _A4_UNION_SQL,
         "f16_url_assembly": _F16_SQL,
         "stratified_sample": _STRATIFIED_SQL,
+        "dataset_split": _DATASET_SPLIT_SQL,
+        "doc_chunks": _DOC_CHUNKS_SQL,
+        "tfidf_top_terms": _TFIDF_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "curation_filter": _curation_sql(),
         "embedding_centroids": _EMBEDDING_CENTROIDS_SQL,

@@ -49,6 +49,8 @@ HEADLINE = [
     "knn_graph",
     "cluster_representative",
     "funnel_conversion",
+    "doc_chunks",
+    "tfidf_top_terms",
 ]
 
 

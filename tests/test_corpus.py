@@ -1,0 +1,65 @@
+"""Corpus-preparation operator tests (split / chunk / tfidf)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from z316_sales_data_pipeline_spark.operators import corpus
+from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+
+def test_dataset_split_deterministic_and_exhaustive(spark, sf_dir):
+    """Split assignment is a pure function of the id (stable under
+    repartitioning) and every row lands in exactly one split with
+    roughly the requested proportions."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["split"] for r in corpus.dataset_split(docs, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in corpus.dataset_split(docs.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+    c = Counter(a.values())
+    n = len(a)
+    assert c["train"] + c["val"] + c["test"] == n
+    assert 0.7 * n <= c["train"] <= 0.9 * n
+
+
+def test_chunk_documents_overlapping_windows(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        corpus.chunk_documents(df, "text", "doc_id", chunk_tokens=64, stride=48).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # 100 tokens, window 64, stride 48 -> chunks at 0 and 48
+    assert len(rows) == 2
+    assert rows[0]["chunk_text"].split(" ")[0] == "t0" and rows[0]["n_tokens"] == 64
+    assert rows[1]["chunk_text"].split(" ")[0] == "t48" and rows[1]["n_tokens"] == 52
+    covered = set()
+    for r in rows:
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == {f"t{i}" for i in range(100)}  # every token in >=1 chunk
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    rows = corpus.chunk_documents(df, "text", "doc_id", chunk_tokens=64, stride=48).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_idx"] == 0 and rows[0]["n_tokens"] == 3
+
+
+def test_tfidf_surfaces_distinctive_terms(spark):
+    rows = [
+        (1, "alpha alpha alpha shared", "g1"),
+        (2, "alpha shared shared", "g1"),
+        (3, "beta beta shared", "g2"),
+        (4, "beta shared", "g2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    top = {r["source"]: r["term"] for r in corpus.tfidf_top_terms(df, "text", "source", k=1).collect()}
+    assert top == {"g1": "alpha", "g2": "beta"}
+    # a term present in every group carries zero discriminative weight
+    all_rows = corpus.tfidf_top_terms(df, "text", "source", k=10).collect()
+    shared = [r for r in all_rows if r["term"] == "shared"]
+    assert shared and all(r["score"] == 0.0 for r in shared)

@@ -1,0 +1,133 @@
+"""Corpus-preparation operators (north-star training-data ops).
+
+The three steps between "curated documents" and "training shards" that
+the reference's ETL never needed but a 100 TB text pipeline always
+does:
+
+- **dataset_split** — deterministic hash-mod train/val/test assignment.
+  A pure function of the id (md5-hex-mod, no RNG): re-runs, late
+  arrivals and other engines assign identically, so split membership
+  is reproducible lineage, not state. Narrow map — no shuffle.
+- **chunk_documents** — overlapping token-window chunking (the
+  sequence-packing precursor). explode(sequence) over precomputed
+  token arrays: one narrow Generate, no shuffle; output rows carry
+  chunk grain so downstream shard writes partition on (doc, chunk).
+- **tfidf_top_terms** — per-group TF-IDF keyword extraction. Two
+  hash aggregates (term frequency, group document frequency) and one
+  broadcastable scalar (group count); top-k via row_number window on
+  the small (group, term) relation.
+
+All column algebra — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Engine-portable deterministic bucket: first 8 md5 hex chars mod n.
+
+    Same trick as the stratified sampler: stable across runs, engines
+    and cluster sizes, and reproducible in ANSI SQL.
+    """
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % n_buckets
+    )
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Assign each row a deterministic train/val/test split label.
+
+    The bucket is a pure function of the id, so the split survives
+    re-runs, backfills and engine changes without a seed registry —
+    the property that matters when the corpus is rebuilt incrementally
+    at lake scale (a doc can never migrate between splits).
+    """
+    bucket = hash_bucket(F.col(id_col))
+    return df.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_pct, F.lit("train"))
+        .when(F.col("bucket") < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def _norm_tokens(text_col: str) -> Column:
+    """Whitespace tokens of the lowercased, space-normalized text (the
+    engine's shared tokenization, same as SimHash/Jaccard)."""
+    return F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping token windows.
+
+    Chunk c covers tokens [c*stride, c*stride + chunk_tokens); the last
+    chunk is the first one whose window reaches the end of the doc, so
+    every token lands in ≥1 chunk and short docs yield exactly one.
+    Narrow Generate (explode) — chunking shuffles nothing; at lake
+    scale the chunk rows stream straight into the shard writer.
+    """
+    toks = _norm_tokens(text_col)
+    n = F.size("__toks")
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("int")
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+            ).alias("n_tokens"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per group by TF-IDF.
+
+    tf(group, term) = total occurrences in the group; df(term) = number
+    of distinct groups containing the term; score = tf · ln(n_groups /
+    df). Two codegen hash aggregates over the exploded token relation
+    (map-side partial agg both times), a broadcast 1-row group count,
+    and a window over the small (group, term) relation. Deterministic
+    tie-break (score desc, term asc) keeps the result engine-portable.
+    """
+    tokens = df.select(F.col(group_col), F.explode(_norm_tokens(text_col)).alias("term"))
+    tf = tokens.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tokens.groupBy("term").agg(F.count_distinct(group_col).alias("df"))
+    n_groups = df.select(F.count_distinct(group_col).alias("__ng"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_groups))
+        .withColumn("score", F.round(F.col("tf") * F.log(F.col("__ng") / F.col("df")), 6))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "rank", "term", "tf", "df", "score")
+    )
