@@ -49,6 +49,36 @@ def test_chunk_short_doc_single_chunk(spark):
     assert rows[0]["chunk_idx"] == 0 and rows[0]["n_tokens"] == 3
 
 
+def test_run_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """curation → near-dup collapse → split → chunk → shard write.
+    Stage counts are monotone, the shard table partitions by split,
+    and re-running the pair finder on the survivors yields ZERO pairs
+    (two similar survivors would have shared a cluster)."""
+    from z316_sales_data_pipeline_spark.operators import dedup
+    from z316_sales_data_pipeline_spark.plans import corpus_pipeline
+
+    out = str(tmp_path / "shards")
+    counts = corpus_pipeline.run_corpus_pipeline(spark, sf_dir, out, chunk_tokens=32, stride=24)
+    assert counts["docs"] >= counts["kept"] >= counts["survivors"] > 0
+    assert counts["chunks"] >= counts["survivors"]
+
+    shards = spark.read.parquet(out)
+    assert set(r["split"] for r in shards.select("split").distinct().collect()) <= {
+        "train",
+        "val",
+        "test",
+    }
+    assert shards.count() == counts["chunks"]
+
+    survivors = corpus_pipeline.collapse_near_dups(
+        corpus_pipeline.curated_documents(spark, sf_dir)
+    )
+    re_pairs = dedup.ngram_jaccard_pairs(
+        survivors, "text", "doc_id", "source", threshold=0.5, shingle_k=1
+    )
+    assert re_pairs.count() == 0
+
+
 def test_tfidf_surfaces_distinctive_terms(spark):
     rows = [
         (1, "alpha alpha alpha shared", "g1"),

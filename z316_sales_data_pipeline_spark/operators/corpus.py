@@ -71,6 +71,7 @@ def chunk_documents(
     id_col: str,
     chunk_tokens: int = 64,
     stride: int = 48,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split each document into overlapping token windows.
 
@@ -79,6 +80,8 @@ def chunk_documents(
     every token lands in ≥1 chunk and short docs yield exactly one.
     Narrow Generate (explode) — chunking shuffles nothing; at lake
     scale the chunk rows stream straight into the shard writer.
+    ``carry_cols`` ride along to the chunk grain (e.g. the split label)
+    so downstream writes need no join back to doc grain.
     """
     toks = _norm_tokens(text_col)
     n = F.size("__toks")
@@ -86,10 +89,11 @@ def chunk_documents(
         (F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + F.lit(stride - 1)) / F.lit(stride)
     ).cast("int")
     return (
-        df.select(F.col(id_col), toks.alias("__toks"))
+        df.select(F.col(id_col), *[F.col(c) for c in carry_cols], toks.alias("__toks"))
         .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
         .select(
             id_col,
+            *carry_cols,
             "chunk_idx",
             F.array_join(
                 F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_tokens), " "
@@ -118,7 +122,11 @@ def tfidf_top_terms(
     """
     tokens = df.select(F.col(group_col), F.explode(_norm_tokens(text_col)).alias("term"))
     tf = tokens.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tokens.groupBy("term").agg(F.count_distinct(group_col).alias("df"))
+    # df(term) aggregated from the reduced tf relation (one row per
+    # (group, term)) — a hash agg over the small relation. (A window
+    # count over partition-by-term was measured 5× SLOWER: WindowExec
+    # sorts the whole relation by term, vs two codegen hash aggs.)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_groups = df.select(F.count_distinct(group_col).alias("__ng"))
     scored = (
         tf.join(dfreq, "term")
