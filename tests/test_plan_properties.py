@@ -123,3 +123,26 @@ def test_contamination_check_stays_in_codegen(spark, sf_dir):
     plan = _plan(spark, sf_dir, "contamination_check")
     assert "ObjectHashAggregate" not in plan, plan
     assert "partial_count" in plan and "Generate explode" in plan, plan
+
+
+def test_dataset_split_is_narrow(spark, sf_dir):
+    """Split assignment is a pure per-row function — zero exchanges."""
+    plan = _plan(spark, sf_dir, "dataset_split")
+    assert "Exchange" not in plan, plan
+
+
+def test_doc_chunks_is_narrow_generate(spark, sf_dir):
+    """Chunking is scan → project → explode — zero exchanges, so the
+    shard writer streams at scan speed at any scale."""
+    plan = _plan(spark, sf_dir, "doc_chunks")
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_tfidf_hash_aggs_no_window_sort(spark, sf_dir):
+    """tf and df are codegen hash aggregates; the top-k window sorts
+    only the tiny per-group relation. No ObjectHashAggregate, and no
+    sort-based aggregate for the big token relation."""
+    plan = _plan(spark, sf_dir, "tfidf_top_terms")
+    assert "ObjectHashAggregate" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final for tf and df

@@ -123,6 +123,18 @@ CHECKLIST = {
         "no ObjectHashAggregate); left join on the shingle string; at "
         "lake scale the join key is the natural bloom-filter column."
     ),
+    "doc_chunks": (
+        "Token-window chunking. Expect: scan → project → Generate "
+        "explode — ZERO exchanges; chunk rows stream straight to the "
+        "shard writer at scan speed."
+    ),
+    "tfidf_top_terms": (
+        "Per-group TF-IDF keywords. Expect: codegen HashAggregate "
+        "partial+final for tf, a second hash agg over the reduced "
+        "(group, term) relation for df (never a window sort over the "
+        "token relation), broadcast 1-row group count, and a Window "
+        "top-k only on the small scored relation."
+    ),
     "g1_reconciliation_summary": (
         "Set-algebra reconciliation. Expect: key-only projections before "
         "the anti/semi joins; aggregates reduce to counts before any "
