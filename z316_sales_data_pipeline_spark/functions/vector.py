@@ -2,7 +2,12 @@
 
 Dot product / norm / cosine over ``array<float>`` columns via
 ``F.zip_with`` + ``F.aggregate`` — JVM-side higher-order functions, no
-Python workers, so a brute-force scan stays at full codegen speed.
+Python workers. HOF expressions evaluate interpreted (outside
+whole-stage codegen), but they are still the right form: an unrolled
+fixed-dim ``getItem`` sum was measured 3× SLOWER on a 200k-pair ×
+64-dim workload (64 null-checked array accesses lose to one tight
+interpreted loop). For large blocks, the numpy matmul twin
+(``dedup.embedding_near_dup_blocked``) is the scale path.
 """
 
 from __future__ import annotations
