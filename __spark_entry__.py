@@ -1832,6 +1832,53 @@ FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(c)
 """
 
 
+def _sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → token-budget pack assignment (split/shard-local running
+    sum): the step between chunking and writing training shards. The
+    shard key bounds every window partition, so packing parallelizes
+    at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    split_docs = corpus.dataset_split(docs, "doc_id")
+    chunks = corpus.chunk_documents(
+        split_docs, "text", "doc_id", chunk_tokens=32, stride=24, carry_cols=("split",)
+    )
+    return corpus.sequence_pack(
+        chunks, "split", "doc_id", "chunk_idx", "n_tokens", budget=256, n_shards=4
+    )
+
+
+_SEQUENCE_PACK_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 4 AS shard,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), n AS (
+    SELECT doc_id, split, shard, toks,
+           1 + CAST(floor((greatest(len(toks) - 32, 0) + 23) / 24.0) AS INT) AS n_chunks
+    FROM t
+), ch AS (
+    SELECT doc_id, split, shard, u.c AS chunk_idx,
+           len(toks[u.c * 24 + 1 : u.c * 24 + 32]) AS n_tokens
+    FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(c)
+), packed AS (
+    SELECT split, shard,
+           CAST(floor((sum(n_tokens) OVER (
+                    PARTITION BY split, shard
+                    ORDER BY doc_id, chunk_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_tokens) / 256.0) AS BIGINT) AS pack_id,
+           n_tokens
+    FROM ch
+)
+SELECT split, shard, pack_id, count(*) AS n_chunks, sum(n_tokens) AS pack_tokens
+FROM packed GROUP BY split, shard, pack_id
+"""
+
+
 def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source top-5 TF-IDF terms: two codegen hash aggregates over
     the exploded token relation + a broadcast group count; deterministic
@@ -2821,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "dataset_split": _dataset_split,
         "doc_chunks": _doc_chunks,
+        "sequence_pack": _sequence_pack,
         "tfidf_top_terms": _tfidf_top_terms,
         "pii_scrub": _pii_scrub,
         "curation_filter": _curation_filter,
@@ -2923,6 +2971,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SQL,
         "dataset_split": _DATASET_SPLIT_SQL,
         "doc_chunks": _DOC_CHUNKS_SQL,
+        "sequence_pack": _SEQUENCE_PACK_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "curation_filter": _curation_sql(),

@@ -79,6 +79,27 @@ def test_run_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert re_pairs.count() == 0
 
 
+def test_sequence_pack_partitions_every_chunk_once(spark, sf_dir):
+    """Packing is a partition of the chunk set: chunk counts add up,
+    packs overflow by at most one chunk past the budget, and pack ids
+    are contiguous from 0 within every (split, shard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split_docs = corpus.dataset_split(docs, "doc_id")
+    chunks = corpus.chunk_documents(
+        split_docs, "text", "doc_id", chunk_tokens=32, stride=24, carry_cols=("split",)
+    )
+    packs = corpus.sequence_pack(
+        chunks, "split", "doc_id", "chunk_idx", "n_tokens", budget=256, n_shards=4
+    ).collect()
+    assert sum(r["n_chunks"] for r in packs) == chunks.count()
+    assert all(r["pack_tokens"] < 256 + 32 for r in packs)  # ≤ budget + one chunk
+    by_part: dict[tuple, list[int]] = {}
+    for r in packs:
+        by_part.setdefault((r["split"], r["shard"]), []).append(r["pack_id"])
+    for ids in by_part.values():
+        assert sorted(ids) == list(range(len(ids)))
+
+
 def test_tfidf_surfaces_distinctive_terms(spark):
     rows = [
         (1, "alpha alpha alpha shared", "g1"),

@@ -105,6 +105,49 @@ def chunk_documents(
     )
 
 
+def sequence_pack(
+    chunks: DataFrame,
+    split_col: str,
+    id_col: str,
+    idx_col: str,
+    tokens_col: str,
+    budget: int = 2048,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Assign chunks to fixed-token-budget training packs.
+
+    Streaming first-fit by deterministic order: within each
+    (split, shard), chunks are laid out end-to-end ordered by
+    (id, chunk_idx) and a chunk belongs to pack floor(start_offset /
+    budget) — a pack may overflow by at most one chunk (the standard
+    streaming-packing trade; the trainer truncates or pads).
+
+    The shard key (hash-mod of the doc id) is what makes the window
+    scale: packing is (split, shard)-local, so at 100 TB the running
+    sum runs on n_shards × n_splits independent partitions instead of
+    one reducer per split. Deterministic order + deterministic shard =
+    the same pack assignment on every engine and every re-run.
+
+    Returns pack grain: (split, shard, pack_id, n_chunks, pack_tokens).
+    """
+    shard = hash_bucket(F.col(id_col), n_shards)
+    w = (
+        Window.partitionBy(split_col, "shard")
+        .orderBy(F.col(id_col).asc(), F.col(idx_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    return (
+        chunks.withColumn("shard", shard)
+        .withColumn("pack_id", F.floor((cum - F.col(tokens_col)) / F.lit(budget)))
+        .groupBy(split_col, "shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(tokens_col).alias("pack_tokens"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str,
