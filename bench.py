@@ -54,6 +54,7 @@ HEADLINE = [
     "funnel_conversion",
     "doc_chunks",
     "tfidf_top_terms",
+    "sequence_pack",
 ]
 
 

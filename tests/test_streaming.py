@@ -230,6 +230,35 @@ def test_interval_join_stream_matches_batch(spark, tmp_path, sf_dir):
     assert got == want and got
 
 
+def test_chunking_streaming_matches_batch(spark, tmp_path, sf_dir):
+    """The corpus chunker is a narrow map, so the SAME code runs over
+    readStream unchanged (batch/stream unification for the training-
+    data path) and emits identical chunk rows."""
+    from z316_sales_data_pipeline_spark.operators import corpus
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    staged = str(tmp_path / "docs_parquet")
+    docs.write.parquet(staged)
+
+    batch = corpus.chunk_documents(
+        spark.read.parquet(staged), "text", "doc_id", chunk_tokens=32, stride=24
+    )
+    stream_src = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    q = (
+        corpus.chunk_documents(stream_src, "text", "doc_id", chunk_tokens=32, stride=24)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chunks_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM chunks_out").collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and got
+
+
 def test_tumbling_counts_streaming_matches_batch(spark, tmp_path, sf_dir):
     """The windowed agg gives identical results via readStream and batch
     (unified code path, S3)."""
