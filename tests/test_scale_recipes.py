@@ -80,3 +80,39 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
         spark.sql(f"DROP TABLE IF EXISTS {tl}")
         spark.sql(f"DROP TABLE IF EXISTS {to}")
+
+
+def test_zorder_write_tightens_stats_on_both_dims(spark, sf_dir, tmp_path):
+    """Z-order clustering must give tight per-file ranges on BOTH
+    cluster columns, where a single-column sort leaves the second
+    column's per-file range at ~full width (no skipping possible)."""
+    import glob
+
+    from z316_sales_data_pipeline_spark import sinks
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    plain = str(tmp_path / "plain")
+    ev.repartitionByRange(8, "user_id").sortWithinPartitions("user_id").write.parquet(plain)
+    zord = str(tmp_path / "zorder")
+    sinks.write_zordered(ev, zord, ["user_id", "value"], n_files=8)
+
+    def avg_width(path, col):
+        widths = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            r = spark.read.parquet(f).agg(
+                F.min(col).alias("mn"), F.max(col).alias("mx")
+            ).collect()[0]
+            widths.append(float(r["mx"]) - float(r["mn"]))
+        return sum(widths) / len(widths)
+
+    full_value_width = avg_width(plain, "value")  # ~global range per file
+    z_value_width = avg_width(zord, "value")
+    z_user_width = avg_width(zord, "user_id")
+    total_users = ev.agg(F.max("user_id") - F.min("user_id")).collect()[0][0]
+
+    assert spark.read.parquet(zord).count() == ev.count()
+    # the second dimension tightens a lot vs the single-column sort…
+    assert z_value_width < 0.6 * full_value_width
+    # …while the first dimension stays far tighter than the full span
+    assert z_user_width < 0.6 * total_users

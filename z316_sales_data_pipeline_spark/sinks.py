@@ -100,6 +100,74 @@ def merge_upsert(
     )
 
 
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Morton (Z-order) key: bit-interleave ``bits`` top bits of each
+    already-normalized integer column (callers scale values to
+    [0, 2^bits)). Pure shift/mask column arithmetic — codegen, no UDF.
+
+    Bit j of column c lands at position j*n_cols + c, so sorting by the
+    key clusters rows that are close in EVERY dimension — each parquet
+    file then has tight min/max stats on all z-columns at once, where a
+    single-column sort gives tight stats on one column only.
+    """
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for c_idx, c in enumerate(cols):
+        for j in range(bits):
+            bit = F.shiftright(c.cast("long"), j).bitwiseAND(F.lit(1).cast("long"))
+            key = key + F.shiftleft(bit, j * n + c_idx)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Z-order clustered write: multi-dimensional data skipping.
+
+    BigQuery clustering / Delta Z-ORDER analogue for a plain Parquet
+    lake: scale each cluster column to a ``bits``-bit rank via its
+    global min/max (one tiny agg, broadcast back), bit-interleave into
+    a Morton key, range-partition + sort by it, write. Every file then
+    covers a small hyper-rectangle of the key space, so a predicate on
+    ANY z-column prunes most files from their row-group stats — the
+    property a single-column ``sortWithinPartitions`` only gives the
+    leading column.
+
+    One pass for stats + one shuffle (the range partitioner), same cost
+    shape as the sort a clustered write needs anyway.
+    """
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"__mn_{c}") for c in zorder_cols],
+        *[F.max(c).cast("double").alias(f"__mx_{c}") for c in zorder_cols],
+    )
+    scaled_cols = []
+    top = (1 << bits) - 1
+    for c in zorder_cols:
+        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        scaled_cols.append(
+            F.least(
+                F.floor((F.col(c).cast("double") - mn) / span * (top + 1)).cast("long"),
+                F.lit(top).cast("long"),
+            )
+        )
+    keyed = df.crossJoin(F.broadcast(stats)).withColumn(
+        "__zkey", zorder_key(scaled_cols, bits)
+    )
+    parts = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        keyed.repartitionByRange(parts, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *[f"__mn_{c}" for c in zorder_cols], *[f"__mx_{c}" for c in zorder_cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def compact_partitions(
     df: DataFrame,
     path: str,
