@@ -955,6 +955,29 @@ WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
 """
 
 
+def _minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: a new batch (doc_id % 5 == 0) checked
+    against the at-rest corpus index (shingle_table + minhash_index of
+    the rest) AND within itself — the continuous-ingestion dedup path.
+    Portable hash family, so the oracle replays the FULL-corpus portable
+    pipeline restricted to pairs touching a new id (equality holds
+    because banding is deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    ex = dedup.shingle_table(corpus_docs, "text", "doc_id", portable=True)
+    idx = dedup.minhash_index(ex, "doc_id")
+    return dedup.minhash_near_dup_incremental(
+        ex, idx, new_docs, "text", "doc_id", threshold=0.5, portable=True
+    )
+
+
+_MINHASH_INCREMENTAL_SQL = (
+    _MINHASH_PORTABLE_SQL.rstrip()
+    + "\n  AND (c.id_a % 5 = 0 OR c.id_b % 5 = 0)\n"
+)
+
+
 def _simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup groups, fast xxhash64 variant (bench/library
     surface; the portable twin in queries() carries the value check)."""
@@ -2831,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "ngram_jaccard": _ngram_jaccard,
         "minhash_portable": _minhash_portable,
+        "minhash_incremental": _minhash_incremental,
         "salted_agg": _salted_agg,
         "q18_top_customers": _q18_top_customers,
         "simhash_portable": _simhash_portable,
@@ -2944,6 +2968,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_counts": _SLIDING_SQL,
         "doc_fingerprint": _DOC_FP_SQL,
         "minhash_portable": _MINHASH_PORTABLE_SQL,
+        "minhash_incremental": _MINHASH_INCREMENTAL_SQL,
         "salted_agg": _SALTED_AGG_SQL,
         "q18_top_customers": _Q18_SQL,
         "d3_chained_enrichment": _D3_SQL,

@@ -65,6 +65,30 @@ def test_minhash_detects_near_duplicates(spark):
     assert all(3 not in p for p in found)
 
 
+def test_minhash_incremental_matches_full_run(spark, sf_dir):
+    """The incremental path (new batch vs at-rest corpus index) must
+    emit exactly the full-corpus pairs that touch a new id — same hash
+    family, same banding, so the candidate sets coincide."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    ex = dedup.shingle_table(corpus_docs, "text", "doc_id")
+    idx = dedup.minhash_index(ex, "doc_id")
+    inc = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_near_dup_incremental(
+            ex, idx, new_docs, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    full = dedup.minhash_near_dup_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in full
+        if r["id_a"] % 5 == 0 or r["id_b"] % 5 == 0
+    }
+    assert inc == want
+
+
 def test_exact_dedup_keeps_min_id(spark):
     df = spark.createDataFrame(
         [(5, "Hello  World"), (2, "hello world"), (9, "other")], "doc_id long, text string"

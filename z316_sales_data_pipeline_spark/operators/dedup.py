@@ -100,6 +100,125 @@ def _shingle_hashes(
     ).select(id_col, hash_fn.alias("__h"))
 
 
+def shingle_table(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3, portable: bool = False
+) -> DataFrame:
+    """The at-rest (id, shingle-hash) relation: one row per DISTINCT
+    shingle, hashed to 64-bit and pre-reduced mod P. At lake scale this
+    is the table you materialize once per corpus partition — signatures,
+    the LSH band index and exact-verify all derive from it without ever
+    re-reading document text.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return _shingle_hashes(
+        df.select(F.col(id_col), F.col(text_col)).repartition(n_parts),
+        text_col,
+        id_col,
+        shingle_k,
+        portable,
+    ).withColumn("__hp", F.pmod(F.col("__h"), F.lit(_MINHASH_P)))
+
+
+def minhash_index(
+    ex: DataFrame, id_col: str, n_hashes: int = 16, n_bands: int = 8
+) -> DataFrame:
+    """The at-rest LSH index over a shingle table: (id, __nsh, band_id,
+    band_hash), n_bands rows per doc. Partition/bucket it by band_hash
+    at rest and candidate lookups become co-located joins.
+    """
+    rows_per_band = n_hashes // n_bands
+    aggs = [F.min(_perm(F.col("__hp"), i)).alias(f"__m{i}") for i in range(n_hashes)]
+    sig = (
+        ex.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__nsh"), *aggs)
+        .select(
+            id_col, "__nsh", F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("minhash")
+        )
+    )
+    return lsh_bands(sig, n_bands, rows_per_band).select(
+        id_col, "__nsh", "band_id", "band_hash"
+    )
+
+
+def _verified_jaccard(
+    pairs: DataFrame, ex: DataFrame, sizes: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs by relational set
+    algebra on the hashed shingle relation ``ex``; ``sizes`` is
+    (id, __nsh). |A∩B| via a double join, |A∪B| = |A|+|B|−|A∩B|."""
+    ea = ex.select(F.col(id_col).alias("id_a"), "__h")
+    eb = ex.select(F.col(id_col).alias("id_b"), "__h")
+    inter = (
+        pairs.join(ea, "id_a")
+        .join(eb, ["id_b", "__h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__ninter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"__ninter": 0})
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("__nsh").alias("__na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__nsh").alias("__nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("__ninter") / (F.col("__na") + F.col("__nb") - F.col("__ninter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_dup_incremental(
+    corpus_ex: DataFrame,
+    corpus_index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    shingle_k: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dups of a NEW batch: against the indexed corpus AND within
+    the batch — the continuous-ingestion path at 100 TB.
+
+    ``corpus_ex`` / ``corpus_index`` are the at-rest relations built
+    once by :func:`shingle_table` + :func:`minhash_index` (in practice
+    read back from parquet). Only the new batch is shingled and signed
+    here; the corpus is touched through the band-index join and the
+    candidate verify — never re-hashed, never rescanned. Id spaces must
+    be disjoint. Output matches the full-corpus run restricted to pairs
+    touching a new id (asserted in tests), because the hash family and
+    banding are deterministic.
+    """
+    ex_new = shingle_table(new_docs, text_col, id_col, shingle_k, portable).persist()
+    idx_new = minhash_index(ex_new, id_col, n_hashes, n_bands).persist()
+    all_idx = corpus_index.unionByName(idx_new)
+    left = idx_new.select("band_id", "band_hash", F.col(id_col).alias("__id_n"))
+    right = all_idx.select("band_id", "band_hash", F.col(id_col).alias("__id_o"))
+    pairs = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("__id_n") != F.col("__id_o"))
+        .select(
+            F.least("__id_n", "__id_o").alias("id_a"),
+            F.greatest("__id_n", "__id_o").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sizes = (
+        corpus_index.select(F.col(id_col), "__nsh")
+        .unionByName(idx_new.select(F.col(id_col), "__nsh"))
+        .dropDuplicates([id_col])
+    )
+    ex_all = corpus_ex.unionByName(ex_new)
+    result = _verified_jaccard(pairs, ex_all, sizes, id_col, threshold)
+    out = result.localCheckpoint(eager=True)
+    ex_new.unpersist()
+    idx_new.unpersist()
+    return out
+
+
 def minhash_signature(df: DataFrame, text_col: str, id_col: str, n_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
     """(id, minhash array<long>) — one shuffle (the groupBy on id).
 
@@ -172,29 +291,14 @@ def minhash_near_dup_pairs(
     candidates are unrecoverable.
     """
     rows_per_band = n_hashes // n_bands
-    # repartition first: a single small parquet file arrives as ONE
-    # input split, which would serialize shingle generation on a single
-    # core; at lake scale the source is already many splits and this is
-    # a no-op-sized shuffle of (id, text).
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
     # Distinct (id, shingle-hash) relation — persisted because it feeds
     # the signature aggregation AND the candidate-pair intersection
     # join. At lake scale this is the shingle table you'd materialize
-    # at rest. Everything downstream is codegen'd hash aggregates /
-    # hash joins — no array columns, no collect_set
-    # (ObjectHashAggregate falls out of whole-stage codegen and
-    # measured ~2× slower end-to-end).
-    ex = (
-        _shingle_hashes(
-            df.select(F.col(id_col), F.col(text_col)).repartition(n_parts),
-            text_col,
-            id_col,
-            shingle_k,
-            portable,
-        )
-        .withColumn("__hp", F.pmod(F.col("__h"), F.lit(_MINHASH_P)))
-        .persist()
-    )
+    # at rest (shingle_table writes exactly this). Everything downstream
+    # is codegen'd hash aggregates / hash joins — no array columns, no
+    # collect_set (ObjectHashAggregate falls out of whole-stage codegen
+    # and measured ~2× slower end-to-end).
+    ex = shingle_table(df, text_col, id_col, shingle_k, portable).persist()
     # ONE grouped pass yields the signature AND the per-doc distinct
     # shingle count (the Jaccard denominator) — no second aggregation.
     aggs = [F.min(_perm(F.col("__hp"), i)).alias(f"__m{i}") for i in range(n_hashes)]
@@ -221,29 +325,8 @@ def minhash_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # Exact Jaccard by relational set algebra on the hashed shingles
-    # (64-bit hashes: collision-safe in practice): |A∩B| from a join of
-    # the candidate pairs back onto ``ex`` twice, |A∪B| = |A|+|B|-|A∩B|.
-    sizes = sig.select(id_col, "__nsh")
-    ea = ex.select(F.col(id_col).alias("id_a"), "__h")
-    eb = ex.select(F.col(id_col).alias("id_b"), "__h")
-    inter = (
-        pairs.join(ea, "id_a")
-        .join(eb, ["id_b", "__h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__ninter"))
-    )
-    result = (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"__ninter": 0})
-        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("__nsh").alias("__na")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__nsh").alias("__nb")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("__ninter") / (F.col("__na") + F.col("__nb") - F.col("__ninter")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    # (64-bit hashes: collision-safe in practice).
+    result = _verified_jaccard(pairs, ex, sig.select(id_col, "__nsh"), id_col, threshold)
     # Materialize the (tiny: pairs-only) result eagerly, then free both
     # cached intermediates — otherwise repeated invocations in one
     # session (bench runs fast + portable back to back) accumulate
