@@ -904,6 +904,297 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6 shape: pure filtered scan-aggregate — every predicate
+    pushes to the parquet scan, one partial+final agg, zero joins. The
+    query whose 100 TB cost is exactly one column-pruned scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+"""
+
+
+def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8 shape (market share): 6-way star join, conditional
+    aggregation for the share numerator. All dimensions broadcast; the
+    fact is reduced to (year, volume, is_target) before the agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust_nat = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nat = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+        .join(cust_nat, orders.o_custkey == cust_nat.c_custkey, "left_semi")
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
+    )
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.try_divide(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(0.0)),
+                F.sum("volume"),
+            ),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+_Q8_SQL = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END) / sum(volume), 6) AS mkt_share
+FROM (
+    SELECT year(o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           sn.n_name AS supp_nation
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+      AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+) GROUP BY o_year
+"""
+
+
+def _q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11 shape: group values filtered against a fraction of the
+    GLOBAL mean — the scalar enters as a broadcast 1-row cross join,
+    so the 'HAVING > scalar subquery' costs one extra tiny stage. The
+    mean-relative threshold (vs TPC-H's fraction-of-total, which is
+    1/SF-scaled) keeps the result non-empty at EVERY scale factor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    val = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("value")
+    )
+    mean = val.agg(F.avg("value").alias("__mean"))
+    return (
+        val.crossJoin(F.broadcast(mean))
+        .filter(F.col("value") > F.col("__mean") * 1.5)
+        .select("l_partkey", "value")
+    )
+
+
+_Q11_SQL = """
+WITH val AS (
+    SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS value
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, value FROM val
+WHERE value > (SELECT avg(value) FROM val) * 1.5
+"""
+
+
+def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15 shape: per-supplier quarterly revenue, keep the row(s)
+    equal to the max — the 'view + scalar max' pattern as a broadcast
+    1-row join (never a global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+    SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def _q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 shape (correlated min subquery, decorrelated): per-part
+    minimum unit price among region-filtered suppliers, joined back on
+    equality. No partsupp table in the driver data — unit price
+    min(l_extendedprice/l_quantity) per (part, supplier) stands in for
+    ps_supplycost; the plan shape (decorrelate → broadcast min back) is
+    the point. unit_cost stays an UNROUNDED double: it is a MIN of
+    deterministic per-row divisions (no summation-order variance),
+    and rounding half-boundary doubles diverges between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    euro_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    cost = (
+        li.join(F.broadcast(part.filter(F.col("p_size") == 15).select("p_partkey", "p_name")), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(euro_supp), li.l_suppkey == euro_supp.s_suppkey)
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name")
+        .agg(F.min(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))).alias("unit_cost"))
+    )
+    min_cost = cost.groupBy("p_partkey").agg(F.min("unit_cost").alias("__mc"))
+    return (
+        cost.join(min_cost, "p_partkey")
+        .filter(F.col("unit_cost") == F.col("__mc"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_cost")
+    )
+
+
+_Q2_SQL = """
+WITH cost AS (
+    SELECT p_partkey, p_name, s_suppkey, s_name,
+           min(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND r_name = 'EUROPE'
+    GROUP BY p_partkey, p_name, s_suppkey, s_name
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, unit_cost
+FROM cost c
+WHERE unit_cost = (SELECT min(unit_cost) FROM cost m WHERE m.p_partkey = c.p_partkey)
+"""
+
+
+def _q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20 shape: nested semi-join chain — suppliers who moved
+    > 40 units of some PROMO part in 1996. Each hop reduces to keys
+    before the next join; the supplier table is only ever probed
+    semi-style (no row multiplication)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    heavy = (
+        li.filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+        .join(
+            F.broadcast(part.filter(F.col("p_type") == "PROMO").select("p_partkey")),
+            li.l_partkey == part.p_partkey,
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING round(sum(l_quantity), 4) > 40
+)
+"""
+
+
+def _q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21 shape: EXISTS + NOT EXISTS against the same fact —
+    suppliers who were the ONLY late shipper on a multi-supplier order.
+    'Late' = shipped > 60 days after the order date (the driver data
+    has no commit/receipt dates). Compiles to a semi join plus an anti
+    join on (order, supplier) keys — no row explosion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = pairs.select(F.col("l_orderkey"), F.col("l_suppkey").alias("__other"))
+    other_late = late.select(F.col("l_orderkey"), F.col("l_suppkey").alias("__other"))
+    exists_other = late.join(
+        other,
+        (late.l_orderkey == other.l_orderkey) & (F.col("l_suppkey") != F.col("__other")),
+        "left_semi",
+    )
+    lonely_late = exists_other.join(
+        other_late,
+        (exists_other.l_orderkey == other_late.l_orderkey) & (F.col("l_suppkey") != F.col("__other")),
+        "left_anti",
+    )
+    return (
+        lonely_late.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+_Q21_SQL = """
+WITH pairs AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), late AS (
+    SELECT DISTINCT l_orderkey, l_suppkey
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+), lonely AS (
+    SELECT l.l_orderkey, l.l_suppkey FROM late l
+    WHERE EXISTS (SELECT 1 FROM pairs p
+                  WHERE p.l_orderkey = l.l_orderkey AND p.l_suppkey <> l.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late o
+                      WHERE o.l_orderkey = l.l_orderkey AND o.l_suppkey <> l.l_suppkey)
+)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM lonely JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+"""
+
+
 def _minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, portable-hash variant: the rolling
     polynomial shingle hash makes signatures, candidate generation and
@@ -2915,6 +3206,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": _q17_small_qty_revenue,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q22_idle_customers": _q22_idle_customers,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q8_market_share": _q8_market_share,
+        "q11_important_parts": _q11_important_parts,
+        "q15_top_supplier": _q15_top_supplier,
+        "q20_promo_suppliers": _q20_promo_suppliers,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_nation_volume": _q5_nation_volume,
         "json_ingest_rollup": _json_ingest_rollup,
@@ -3018,6 +3316,13 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_qty_revenue": _Q17_SQL,
         "q19_disjunctive_revenue": _Q19_SQL,
         "q22_idle_customers": _Q22_SQL,
+        "q2_min_cost_supplier": _Q2_SQL,
+        "q6_forecast_revenue": _Q6_SQL,
+        "q8_market_share": _Q8_SQL,
+        "q11_important_parts": _Q11_SQL,
+        "q15_top_supplier": _Q15_SQL,
+        "q20_promo_suppliers": _Q20_SQL,
+        "q21_waiting_suppliers": _Q21_SQL,
         "q3_shipping_priority": _Q3_SQL,
         "q5_nation_volume": _Q5_SQL,
         "json_ingest_rollup": _JSON_INGEST_SQL,

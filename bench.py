@@ -55,6 +55,9 @@ HEADLINE = [
     "doc_chunks",
     "tfidf_top_terms",
     "sequence_pack",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q21_waiting_suppliers",
 ]
 
 
