@@ -18,6 +18,7 @@ from z316_sales_data_pipeline_spark.functions import scalar, text, vector
 from z316_sales_data_pipeline_spark.operators import (
     corpus,
     dedup,
+    graph,
     joins,
     multimodal,
     setops,
@@ -767,6 +768,54 @@ WITH RECURSIVE t AS (
 )
 SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """
+
+
+def _doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority scoring over the near-dup similarity graph (template/
+    boilerplate hubs rank high): fixed-iteration integer-scaled
+    PageRank — bit-exact across engines, so the iterative algorithm is
+    value-checked by unrolled SQL CTEs instead of a rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", "source", threshold=0.5, shingle_k=1)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return graph.pagerank_int(edges, docs.select("doc_id"), "doc_id", n_iters=3)
+
+
+def _doc_pagerank_sql(n_iters: int = 3, damp: int = 85, scale: int = 10**9) -> str:
+    head = r"""
+WITH t AS (
+    SELECT source, doc_id,
+           list_distinct(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+    FROM documents
+), p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) /
+          cast(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5
+), e AS (
+    SELECT id_a AS src, id_b AS dst FROM p
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM p
+), deg AS (
+    SELECT src, count(*) AS d FROM e GROUP BY src
+), nn AS (
+    SELECT count(*) AS n FROM documents
+), r0 AS (
+    SELECT doc_id AS nid, CAST(%(scale)d AS BIGINT) // (SELECT n FROM nn) AS pr FROM documents
+)""" % {"scale": scale}
+    tele = f"({100 - damp} * CAST({scale} AS BIGINT)) // (100 * (SELECT n FROM nn))"
+    for k in range(n_iters):
+        head += f""", c{k} AS (
+    SELECT e.dst, sum((r.pr * {damp}) // (100 * d.d)) AS inc
+    FROM e JOIN r{k} r ON e.src = r.nid JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+), r{k + 1} AS (
+    SELECT r.nid, {tele} + COALESCE(c.inc, 0) AS pr
+    FROM r{k} r LEFT JOIN c{k} c ON r.nid = c.dst
+)"""
+    return head + f"\nSELECT nid AS doc_id, pr FROM r{n_iters}"
 
 
 def _approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3191,6 +3240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": _embedding_centroids,
         "dup_clusters": _dup_clusters,
         "cluster_representative": _cluster_representative,
+        "doc_pagerank": _doc_pagerank,
         "contamination_check": _contamination_check,
         "kmeans_refine": _kmeans_refine,
         "knn_graph": _knn_graph,
@@ -3301,6 +3351,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": _EMBEDDING_CENTROIDS_SQL,
         "dup_clusters": _DUP_CLUSTERS_SQL,
         "cluster_representative": _CLUSTER_REP_SQL,
+        "doc_pagerank": _doc_pagerank_sql(),
         "contamination_check": _CONTAMINATION_SQL,
         "kmeans_refine": _KMEANS_SQL,
         "knn_graph": _KNN_GRAPH_SQL,

@@ -355,6 +355,37 @@ def test_q7_volume_shipping_nonempty_at_sf001(spark):
     assert entrymod.queries()["q7_volume_shipping"](spark, "/root/testdata/sf0.01").count() > 0
 
 
+def test_pagerank_int_matches_python_reference(spark):
+    """Integer PageRank is a pure function: the distributed result must
+    equal a sequential Python replay of the same recurrence exactly
+    (no tolerance), and an isolated node keeps exactly the teleport."""
+    from z316_sales_data_pipeline_spark.operators import graph
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]  # triangle + tail; 9 isolated
+    node_ids = [1, 2, 3, 4, 9]
+    directed = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(directed, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    got = {
+        r["id"]: r["pr"]
+        for r in graph.pagerank_int(edges, nodes, "id", n_iters=3).collect()
+    }
+
+    scale, damp, n = 10**9, 85, len(node_ids)
+    teleport = (100 - damp) * scale // (100 * n)
+    deg: dict[int, int] = {}
+    for s, _ in directed:
+        deg[s] = deg.get(s, 0) + 1
+    pr = {v: scale // n for v in node_ids}
+    for _ in range(3):
+        inc = {v: 0 for v in node_ids}
+        for s, d in directed:
+            inc[d] += damp * pr[s] // (100 * deg[s])
+        pr = {v: teleport + inc[v] for v in node_ids}
+    assert got == pr
+    assert got[9] == teleport  # isolated node: teleport mass only
+
+
 def test_kmeans_reassigns_mislabeled_seed(spark):
     """Two well-separated clusters; one point seeded with the wrong
     label must migrate to its geometric cluster within one iteration,

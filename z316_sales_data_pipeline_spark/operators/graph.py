@@ -1,0 +1,75 @@
+"""Graph analytics over relation-shaped edge lists (north-star ops).
+
+Connected components lives in ``operators.dedup``; this module adds
+rank-style iterative analytics. The engine's recipe for iterative
+algorithms is the same everywhere: a driver-side loop over fully
+distributed steps (join + aggregate per iteration), ``localCheckpoint``
+to keep plan depth constant, and nothing but O(1) scalars on the
+driver.
+
+``pagerank_int`` is deliberately INTEGER-scaled: every operation is a
+64-bit multiply / floor-divide / sum, so the result is bit-exact across
+engines and run orders — the same portability trick as the engine's
+rolling-hash and affine-MinHash families, which is what lets an
+iterative algorithm have a value-checked ANSI-SQL oracle (unrolled
+fixed iterations) instead of a weak rows-only check. Float PageRank
+would drift by summation order and round() games only shrink, never
+close, the cross-engine gap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_int(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    n_iters: int = 3,
+    damp_pct: int = 85,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Fixed-iteration PageRank on an integer grid of 1/`scale`.
+
+    ``edges`` is a directed (src, dst) relation — pass both directions
+    for an undirected graph. Recurrence (all integer arithmetic)::
+
+        pr_0(v)    = scale // N
+        pr_k+1(v)  = (100-damp_pct)*scale // (100*N)
+                     + Σ_{u→v} (damp_pct * pr_k(u)) // (100 * deg(u))
+
+    Dangling mass is dropped (simplified variant) — identically in the
+    oracle. Per iteration: one join edges⋈ranks (shuffle on src), one
+    hash aggregate on dst, one left join back to nodes — the same
+    shuffle discipline as min-label propagation. ``n_iters`` is fixed
+    (no convergence test) so the computation is a pure function of the
+    graph, replayable by unrolled SQL CTEs.
+    """
+    n = nodes.count()  # O(1) scalar on the driver
+    teleport = (100 - damp_pct) * scale // (100 * n)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = nodes.select(F.col(id_col).alias("nid")).withColumn(
+        "pr", F.lit(scale // n).cast("long")
+    )
+    for _ in range(n_iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.nid)
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.expr(f"(pr * {damp_pct}) div (100 * __deg)").alias("__c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            ranks.join(contrib, ranks.nid == contrib.dst, "left")
+            .select(
+                "nid",
+                (F.lit(teleport) + F.coalesce(F.col("__in"), F.lit(0))).cast("long").alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("nid").alias(id_col), F.col("pr"))
