@@ -1599,18 +1599,47 @@ LEFT JOIN region ON n_regionkey = r_regionkey
 
 
 def _g4_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G4 — symmetric difference of two key sets (set-equality check)."""
-    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
-    ocust = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
-    return setops.symmetric_difference(cust.distinct(), ocust.distinct())
+    """G4 — symmetric difference of two key sets, reported as a one-row
+    count summary: when the sets are equal, sym_diff_n = 0 is an
+    asserted VALUE rather than a vacuously-matching empty result. One
+    full-outer join on distinct keys; constant-size output at any
+    scale. (setops.symmetric_difference returns the row set itself and
+    stays tested at the operator level.)"""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("id"))
+        .distinct()
+        .withColumn("__a", F.lit(1))
+    )
+    ocust = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("id"))
+        .distinct()
+        .withColumn("__b", F.lit(1))
+    )
+    j = cust.join(ocust, "id", "full_outer")
+    only_a = F.sum(F.when(F.col("__b").isNull(), 1).otherwise(0))
+    only_b = F.sum(F.when(F.col("__a").isNull(), 1).otherwise(0))
+    return j.agg(
+        only_a.alias("only_customers"),
+        only_b.alias("only_orders"),
+        F.sum(F.when(F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1).otherwise(0)).alias(
+            "common_n"
+        ),
+        (only_a + only_b).alias("sym_diff_n"),
+    )
 
 
 _G4_SQL = """
-(SELECT DISTINCT c_custkey AS id FROM customer
- EXCEPT SELECT DISTINCT o_custkey FROM orders)
-UNION
-(SELECT DISTINCT o_custkey AS id FROM orders
- EXCEPT SELECT DISTINCT c_custkey FROM customer)
+WITH a AS (SELECT DISTINCT c_custkey AS id FROM customer),
+     b AS (SELECT DISTINCT o_custkey AS id FROM orders),
+     j AS (SELECT a.id AS ida, b.id AS idb FROM a FULL OUTER JOIN b ON a.id = b.id)
+SELECT sum(CASE WHEN idb IS NULL THEN 1 ELSE 0 END) AS only_customers,
+       sum(CASE WHEN ida IS NULL THEN 1 ELSE 0 END) AS only_orders,
+       sum(CASE WHEN ida IS NOT NULL AND idb IS NOT NULL THEN 1 ELSE 0 END) AS common_n,
+       sum(CASE WHEN idb IS NULL THEN 1 ELSE 0 END)
+         + sum(CASE WHEN ida IS NULL THEN 1 ELSE 0 END) AS sym_diff_n
+FROM j
 """
 
 
