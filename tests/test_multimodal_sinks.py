@@ -78,6 +78,29 @@ def test_run_sales_pipeline_multi_sink(spark, sf_dir, tmp_path):
         assert c in pedidos.columns
 
 
+def test_stats_manifest_covers_every_file(spark, sf_dir, tmp_path):
+    """The manifest has one row per physical file, row counts sum to
+    the table count, and min/max bound the file contents (the pruning
+    contract an external planner relies on)."""
+    import glob
+
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    out = str(tmp_path / "tbl")
+    ev.repartition(4).write.parquet(out)
+    n_written = spark.read.parquet(out).count()
+    man = {r["file"]: r for r in sinks.stats_manifest(spark, out, ["user_id", "value"]).collect()}
+    files = {f"file://{p}" for p in glob.glob(f"{out}/*.parquet")}
+    assert set(man) == files
+    assert sum(r["n_rows"] for r in man.values()) == n_written > 0
+    g = spark.read.parquet(out).agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).collect()[0]
+    assert min(r["min_user_id"] for r in man.values()) == g[0]
+    assert max(r["max_user_id"] for r in man.values()) == g[1]
+    assert min(r["min_value"] for r in man.values()) == g[2]
+    assert max(r["max_value"] for r in man.values()) == g[3]
+
+
 def test_overwrite_dimension(spark, tmp_path):
     out = str(tmp_path / "dim")
     df1 = spark.range(10).withColumnRenamed("id", "k")

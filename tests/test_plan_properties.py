@@ -146,3 +146,30 @@ def test_tfidf_hash_aggs_no_window_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tfidf_top_terms")
     assert "ObjectHashAggregate" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan  # partial+final for tf and df
+
+
+def test_q6_pure_scan_aggregate(spark, sf_dir):
+    """Q6 must be scan → filter → partial/final agg: no joins, no
+    window, predicates pushed, only the 4 referenced columns read."""
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "Join" not in plan, plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    cols = scan.split("[", 1)[1].split("]", 1)[0].split(",")
+    assert len(cols) == 4, scan  # shipdate, discount, quantity, extendedprice
+    assert "PushedFilters: [IsNotNull" in scan, scan
+
+
+def test_q8_star_join_no_cartesian(spark, sf_dir):
+    """Q8's 6-way star: dimensions broadcast, never a cartesian or
+    nested-loop product."""
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_q21_compiles_to_semi_plus_anti(spark, sf_dir):
+    """EXISTS + NOT EXISTS must stay LeftSemi + LeftAnti joins on key
+    columns — no row-exploding inner join followed by dedup."""
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan

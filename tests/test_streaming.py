@@ -230,6 +230,62 @@ def test_interval_join_stream_matches_batch(spark, tmp_path, sf_dir):
     assert got == want and got
 
 
+def test_session_timeout_evicts_and_emits_once(spark, tmp_path):
+    """Event-time timeout sessionizer: a session closes (one emitted
+    row, state removed) only when the watermark passes last-event +
+    gap; still-open sessions emit nothing."""
+    import os
+
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # b0: user 1's session at 10:00; b1: unrelated traffic at 20:00
+    # advances the watermark; b2's traffic at 21:00 lets the timeout
+    # (10:30) fire during a batch whose START watermark is 20:00.
+    def write_batch(name, users, times, values):
+        # micros timestamps: pandas' default nanos parquet would clash
+        # with the declared TimestampType stream schema
+        pd.DataFrame(
+            {"user_id": users, "ts": pd.to_datetime(times).astype("datetime64[us]"), "value": values}
+        ).to_parquet(src / name)
+
+    write_batch("b0.parquet", [1, 1], ["2024-01-01 10:00:00", "2024-01-01 10:05:00"], [1.0, 2.0])
+    write_batch("b1.parquet", [2], ["2024-01-01 20:00:00"], [5.0])
+    write_batch("b2.parquet", [3], ["2024-01-01 21:00:00"], [7.0])
+    now = os.path.getmtime(src / "b2.parquet")
+    for i, f in enumerate(["b0.parquet", "b1.parquet", "b2.parquet"]):
+        os.utime(src / f, (now - 60 * (3 - i), now - 60 * (3 - i)))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = (
+        pipeline.session_totals_with_timeout(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["user_id"]: r for r in spark.sql("SELECT * FROM sessions_out").collect()}
+    # user 1 closed by b1's watermark (10:05+30m < 20:00); user 2 closed
+    # by b2's (20:00+30m < 21:00); user 3 still open — nothing emitted
+    assert set(rows) == {1, 2}, rows
+    assert rows[1]["n_events"] == 2 and rows[1]["total_value"] == 3.0
+    assert str(rows[1]["session_start"]).startswith("2024-01-01 10:00")
+    assert str(rows[1]["session_end"]).startswith("2024-01-01 10:05")
+    assert rows[2]["n_events"] == 1 and rows[2]["total_value"] == 5.0
+
+
 def test_chunking_streaming_matches_batch(spark, tmp_path, sf_dir):
     """The corpus chunker is a narrow map, so the SAME code runs over
     readStream unchanged (batch/stream unification for the training-

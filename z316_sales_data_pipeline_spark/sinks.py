@@ -100,6 +100,24 @@ def merge_upsert(
     )
 
 
+def stats_manifest(spark, path: str, stat_cols: list[str]) -> DataFrame:
+    """Per-file statistics manifest for a written parquet table: one
+    row per physical file with row count and min/max of ``stat_cols``.
+
+    The seed of a lakehouse table format (Delta/Iceberg keep exactly
+    this in their logs): an external planner reads the manifest instead
+    of footers to prune files. Built as ONE scan grouped by
+    ``input_file_name()`` — distributed, no driver file loop; at lake
+    scale the scan is metadata-cheap because only ``stat_cols`` are
+    read.
+    """
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
 def zorder_key(cols: list[Column], bits: int = 16) -> Column:
     """Morton (Z-order) key: bit-interleave ``bits`` top bits of each
     already-normalized integer column (callers scale values to

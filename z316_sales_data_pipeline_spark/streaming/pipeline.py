@@ -154,6 +154,63 @@ def running_user_totals(stream_df: DataFrame) -> DataFrame:
     )
 
 
+def session_totals_with_timeout(stream_df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom sessionizer with EXPLICIT state eviction — the
+    applyInPandasWithState timeout contract that ``session_window``
+    hides: per-user session state (start, end, n, total) emits ONE
+    closed-session row when the event-time watermark passes the last
+    event + gap, then the state is removed. Event-time timeouts (not
+    wall clock) keep the behavior deterministic and replayable.
+
+    State is O(active users); emission is append-mode (closed sessions
+    only), so the sink sees each session exactly once.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint, total_value double"
+    )
+    state_schema = "start timestamp, end timestamp, n bigint, total double"
+    gap_ms = gap_minutes * 60 * 1000
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start, end, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [start],
+                    "session_end": [end],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        ts = pd.to_datetime(rows["ts"])
+        mn, mx, n_new, t_new = ts.min(), ts.max(), len(rows), float(rows["value"].sum())
+        if state.exists:
+            start, end, n, total = state.get
+            start, end = min(start, mn), max(end, mx)
+            n, total = n + n_new, total + t_new
+        else:
+            start, end, n, total = mn, mx, n_new, t_new
+        state.update((start, end, n, total))
+        # evict when the watermark passes the session's last event + gap
+        state.setTimeoutTimestamp(int(end.timestamp() * 1000) + gap_ms)
+
+    return (
+        stream_df.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def sliding_counts(
     events: DataFrame,
     window_len: str = "1 hour",
