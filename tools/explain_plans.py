@@ -123,6 +123,24 @@ CHECKLIST = {
         "no ObjectHashAggregate); left join on the shingle string; at "
         "lake scale the join key is the natural bloom-filter column."
     ),
+    "q8_market_share": (
+        "6-way market-share star. Expect: every dimension side a "
+        "BroadcastHashJoin (customer-nation-region collapses to a "
+        "semi-join key filter), conditional-sum aggregate after the "
+        "fact is reduced to (year, volume, supp_nation) — no cartesian."
+    ),
+    "q21_waiting_suppliers": (
+        "EXISTS + NOT EXISTS lone-late-supplier. Expect: LeftSemi and "
+        "LeftAnti joins on (order, supplier) key pairs — never an "
+        "exploding inner join + dedup; distinct pushed before joins."
+    ),
+    "doc_pagerank": (
+        "Integer PageRank, 3 fixed iterations. Expect: per iteration "
+        "one shuffle (edges⋈ranks on src) + one hash aggregate on dst; "
+        "ranks enter as Scan ExistingRDD (eager localCheckpoint) so "
+        "plan depth is constant across iterations; all arithmetic "
+        "64-bit integer (bit-exact oracle)."
+    ),
     "doc_chunks": (
         "Token-window chunking. Expect: scan → project → Generate "
         "explode — ZERO exchanges; chunk rows stream straight to the "
