@@ -565,10 +565,11 @@ def connected_components(
     ``pairs`` needs columns id_a/id_b; ``nodes`` one id column (also
     covers isolated docs, which become singleton clusters).
     """
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
+    # No distinct: duplicate edges cannot change a MIN aggregate, so
+    # deduplicating here would spend a full shuffle of the edge list to
+    # buy nothing (pair inputs are typically unique already).
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     edges.persist()
     labels = nodes.select(F.col(id_col).alias("nid"), F.col(id_col).alias("label"))
