@@ -21,6 +21,7 @@ from z316_sales_data_pipeline_spark.operators import (
     graph,
     joins,
     multimodal,
+    quality,
     setops,
     similarity,
     skew,
@@ -767,6 +768,35 @@ WITH RECURSIVE t AS (
     SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
 )
 SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+def _dq_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-contract check as ONE summary row: key uniqueness, null
+    and range violations from a single aggregate pass, RI orphans from
+    a key-only anti join — the reference's checker suite
+    (api_to_gcs-checker.py:59-89) as declarative violation counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    base = quality.constraint_summary(
+        orders,
+        key_cols=["o_orderkey"],
+        not_null_cols=["o_custkey", "o_orderdate"],
+        nonneg_cols=["o_totalprice"],
+    )
+    orphans = quality.orphan_count(orders, customer, "o_custkey", "c_custkey", "orphan_custkeys")
+    return base.crossJoin(F.broadcast(orphans))
+
+
+_DQ_ORDERS_SQL = """
+SELECT
+    (SELECT count(*) FROM orders) AS n_rows,
+    (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS dup_keys,
+    (SELECT sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders) AS null_o_custkey,
+    (SELECT sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) FROM orders) AS null_o_orderdate,
+    (SELECT sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) FROM orders) AS neg_o_totalprice,
+    (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)) AS orphan_custkeys
 """
 
 
@@ -3270,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _dup_clusters,
         "cluster_representative": _cluster_representative,
         "doc_pagerank": _doc_pagerank,
+        "dq_orders_summary": _dq_orders_summary,
         "contamination_check": _contamination_check,
         "kmeans_refine": _kmeans_refine,
         "knn_graph": _knn_graph,
@@ -3381,6 +3412,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _DUP_CLUSTERS_SQL,
         "cluster_representative": _CLUSTER_REP_SQL,
         "doc_pagerank": _doc_pagerank_sql(),
+        "dq_orders_summary": _DQ_ORDERS_SQL,
         "contamination_check": _CONTAMINATION_SQL,
         "kmeans_refine": _KMEANS_SQL,
         "knn_graph": _KNN_GRAPH_SQL,

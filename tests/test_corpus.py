@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
+import math
 from collections import Counter
+
+import pytest
 
 from z316_sales_data_pipeline_spark.operators import corpus
 from z316_sales_data_pipeline_spark.sources.tables import load_table
@@ -40,6 +43,27 @@ def test_chunk_documents_overlapping_windows(spark):
     for r in rows:
         covered.update(r["chunk_text"].split(" "))
     assert covered == {f"t{i}" for i in range(100)}  # every token in >=1 chunk
+
+
+@pytest.mark.parametrize("n", [1, 2, 31, 32, 33, 55, 56, 57, 80, 81, 100])
+def test_chunk_count_boundaries(spark, n):
+    """Chunk count matches 1 + ceil(max(n - chunk, 0) / stride) at every
+    stride boundary, the windows tile with the right overlap, and the
+    final chunk reaches the last token."""
+    chunk, stride = 32, 24
+    text = " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        corpus.chunk_documents(df, "text", "doc_id", chunk, stride).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    expected = 1 + max(0, math.ceil((n - chunk) / stride))
+    assert len(rows) == expected, (n, len(rows))
+    for c, r in enumerate(rows):
+        toks = r["chunk_text"].split(" ")
+        assert toks[0] == f"t{c * stride}"
+        assert r["n_tokens"] == min(chunk, n - c * stride)
+    assert rows[-1]["chunk_text"].split(" ")[-1] == f"t{n - 1}"
 
 
 def test_chunk_short_doc_single_chunk(spark):

@@ -1,0 +1,50 @@
+"""Declarative data-quality constraint checks (SURVEY §2.C/G lineage).
+
+The reference's data_validation suite (gcs_to_bq-checker.py,
+api_to_gcs-checker.py) runs imperative per-check queries; here every
+table-level contract — key uniqueness, non-null columns, value ranges —
+reduces to ONE aggregate pass over the table plus one anti-join per
+foreign key, each emitting violation COUNTS into a single summary row.
+Constant-size output at any scale; a scheduler alerts on any non-zero
+cell instead of diffing row sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def constraint_summary(
+    df: DataFrame,
+    key_cols: list[str],
+    not_null_cols: list[str] = (),
+    nonneg_cols: list[str] = (),
+) -> DataFrame:
+    """One-row violation summary: duplicate keys, nulls, negatives.
+
+    dup_keys counts surplus rows beyond one per key (0 = key is
+    unique). All checks share a single scan/aggregate.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct(*[F.col(c) for c in key_cols])).alias("dup_keys"),
+    ]
+    for c in not_null_cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"))
+    for c in nonneg_cols:
+        aggs.append(
+            F.sum(F.coalesce((F.col(c) < 0).cast("long"), F.lit(0))).alias(f"neg_{c}")
+        )
+    return df.agg(*aggs)
+
+
+def orphan_count(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str, alias: str
+) -> DataFrame:
+    """One-row count of child rows whose key has no parent (RI
+    violation set size) — a key-only anti join."""
+    orphans = child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(), child_key, "left_anti"
+    )
+    return orphans.agg(F.count(F.lit(1)).alias(alias))
