@@ -116,3 +116,21 @@ def test_zorder_write_tightens_stats_on_both_dims(spark, sf_dir, tmp_path):
     assert z_value_width < 0.6 * full_value_width
     # …while the first dimension stays far tighter than the full span
     assert z_user_width < 0.6 * total_users
+
+
+def test_flagship_correct_when_dims_outgrow_broadcast(spark, sf_dir):
+    """The 100x contingency: with auto-broadcast disabled (the regime
+    where a dimension no longer fits in executor memory), the flagship
+    DAG must fall back to shuffle joins and produce IDENTICAL rows.
+    F.broadcast() hints still apply — this exercises the planner's
+    freedom on the un-hinted joins."""
+    from z316_sales_data_pipeline_spark.plans import sales_facts
+
+    want = {tuple(r) for r in sales_facts.pedidos_fact(spark, sf_dir).collect()}
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = {tuple(r) for r in sales_facts.pedidos_fact(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    assert got == want and got
