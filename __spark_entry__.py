@@ -771,6 +771,48 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+def _hll_partition_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregated distinct sketches AT REST: per-(day, event_type)
+    DataSketches HLL partials, union-merged across days per event_type —
+    the 100 TB distinct-count pattern (store per-partition sketches,
+    merge at query time; never rescan raw ids). Oracle pattern as
+    approx_profile: each engine asserts its own estimate against its
+    own exact answer and the deterministic verdicts are compared;
+    tests/test_invariants.py additionally pins merged == direct
+    single-pass sketch, the merge-associativity contract itself."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("__sk"), F.count(F.lit(1)).alias("__n")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est"),
+        F.sum("__n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("__eu"))
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_events",
+            (F.abs(F.col("__est") - F.col("__eu")) <= F.col("__eu") * 0.05 + F.lit(1)).alias(
+                "merged_users_ok"
+            ),
+        )
+    )
+
+
+_HLL_ROLLUP_SQL = """
+SELECT event_type,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       count(*) AS n_events,
+       (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+          <= count(DISTINCT user_id) * 0.05 + 1) AS merged_users_ok
+FROM events GROUP BY event_type
+"""
+
+
 def _dq_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-contract check as ONE summary row: key uniqueness, null
     and range violations from a single aggregate pass, RI orphans from
@@ -3301,6 +3343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_representative": _cluster_representative,
         "doc_pagerank": _doc_pagerank,
         "dq_orders_summary": _dq_orders_summary,
+        "hll_partition_rollup": _hll_partition_rollup,
         "contamination_check": _contamination_check,
         "kmeans_refine": _kmeans_refine,
         "knn_graph": _knn_graph,
@@ -3413,6 +3456,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_representative": _CLUSTER_REP_SQL,
         "doc_pagerank": _doc_pagerank_sql(),
         "dq_orders_summary": _DQ_ORDERS_SQL,
+        "hll_partition_rollup": _HLL_ROLLUP_SQL,
         "contamination_check": _CONTAMINATION_SQL,
         "kmeans_refine": _KMEANS_SQL,
         "knn_graph": _KNN_GRAPH_SQL,

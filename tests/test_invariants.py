@@ -355,6 +355,29 @@ def test_q7_volume_shipping_nonempty_at_sf001(spark):
     assert entrymod.queries()["q7_volume_shipping"](spark, "/root/testdata/sf0.01").count() > 0
 
 
+def test_hll_merge_equals_direct_sketch(spark, sf_dir):
+    """The at-rest contract: per-day HLL partials union-merged must
+    give EXACTLY the same estimate as one direct sketch over all rows
+    (DataSketches merges are deterministic and associative), and land
+    within 5% of exact."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    rows = merged.join(direct, "event_type").collect()
+    assert rows
+    for r in rows:
+        assert r["merged_est"] == r["direct_est"], r
+        assert abs(r["merged_est"] - r["exact"]) <= 0.05 * r["exact"] + 1, r
+
+
 def test_constraint_summary_detects_seeded_violations(spark):
     """Each violation class is actually counted (not vacuously zero):
     duplicate key, null column, negative value, RI orphan."""
