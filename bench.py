@@ -58,6 +58,10 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q8_market_share",
     "q21_waiting_suppliers",
+    "minhash_incremental",
+    "doc_pagerank",
+    "dq_orders_summary",
+    "hll_partition_rollup",
 ]
 
 
