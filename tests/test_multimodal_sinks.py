@@ -78,6 +78,21 @@ def test_run_sales_pipeline_multi_sink(spark, sf_dir, tmp_path):
         assert c in pedidos.columns
 
 
+def test_snapshot_write_time_travel(spark, tmp_path):
+    """Versioned overwrite: the latest pointer flips atomically, every
+    old version stays readable (time travel), and a third write never
+    rewrites prior snapshots."""
+    tbl = str(tmp_path / "dim")
+    v1 = sinks.write_snapshot(spark.range(10).withColumnRenamed("id", "k"), tbl)
+    v2 = sinks.write_snapshot(spark.range(3).withColumnRenamed("id", "k"), tbl)
+    assert (v1, v2) == (1, 2)
+    assert sinks.read_snapshot(spark, tbl).count() == 3  # latest = v2
+    assert sinks.read_snapshot(spark, tbl, version=1).count() == 10  # time travel
+    v3 = sinks.write_snapshot(spark.range(7).withColumnRenamed("id", "k"), tbl)
+    assert v3 == 3 and sinks.read_snapshot(spark, tbl).count() == 7
+    assert sinks.read_snapshot(spark, tbl, version=1).count() == 10  # v1 untouched
+
+
 def test_stats_manifest_covers_every_file(spark, sf_dir, tmp_path):
     """The manifest has one row per physical file, row counts sum to
     the table count, and min/max bound the file contents (the pruning

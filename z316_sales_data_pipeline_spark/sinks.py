@@ -100,6 +100,42 @@ def merge_upsert(
     )
 
 
+def write_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Versioned overwrite: write a NEW immutable snapshot directory
+    (``v=N``) and flip the ``_LATEST`` pointer — readers of the old
+    version are never disturbed mid-overwrite, and any version can be
+    re-read (time travel). This is the atomic-swap half of what Delta's
+    log provides, emulated on plain parquet (reference's B4
+    truncate-and-reload, contatos_to_bq/main.py:97-129, made safe):
+    the vulnerable window shrinks from "whole rewrite" to "one pointer
+    file rename". Returns the new version number.
+    """
+    import os
+
+    os.makedirs(table_dir, exist_ok=True)
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    ]
+    new_v = max(versions, default=0) + 1
+    df.write.mode("overwrite").parquet(f"{table_dir}/v={new_v}")
+    tmp = f"{table_dir}/_LATEST.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(new_v))
+    os.replace(tmp, f"{table_dir}/_LATEST")  # atomic pointer flip
+    return new_v
+
+
+def read_snapshot(spark, table_dir: str, version: int | None = None) -> DataFrame:
+    """Read a snapshot table at ``version`` (default: the _LATEST
+    pointer) — the time-travel read path for :func:`write_snapshot`."""
+    if version is None:
+        with open(f"{table_dir}/_LATEST") as f:
+            version = int(f.read().strip())
+    return spark.read.parquet(f"{table_dir}/v={version}")
+
+
 def stats_manifest(spark, path: str, stat_cols: list[str]) -> DataFrame:
     """Per-file statistics manifest for a written parquet table: one
     row per physical file with row count and min/max of ``stat_cols``.
