@@ -2343,6 +2343,24 @@ FROM packed GROUP BY split, shard, pack_id
 """
 
 
+def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (∝ n_chars): Efraimidis–Spirbas
+    A-ES over the seedless md5 uniform — same sample on every engine
+    and every re-run; top-k via TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.weighted_sample(docs, "doc_id", "n_chars", k=20)
+
+
+_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, n_chars,
+       round(pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1.0) / 4294967296.0,
+                 1.0 / n_chars), 9) AS __key
+FROM documents
+ORDER BY __key DESC, doc_id
+LIMIT 20
+"""
+
+
 def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source top-5 TF-IDF terms: two codegen hash aggregates over
     the exploded token relation + a broadcast group count; deterministic
@@ -3334,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _dataset_split,
         "doc_chunks": _doc_chunks,
         "sequence_pack": _sequence_pack,
+        "weighted_sample": _weighted_sample,
         "tfidf_top_terms": _tfidf_top_terms,
         "pii_scrub": _pii_scrub,
         "curation_filter": _curation_filter,
@@ -3448,6 +3467,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _DATASET_SPLIT_SQL,
         "doc_chunks": _DOC_CHUNKS_SQL,
         "sequence_pack": _SEQUENCE_PACK_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "curation_filter": _curation_sql(),

@@ -6,6 +6,7 @@ import math
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from z316_sales_data_pipeline_spark.operators import corpus
 from z316_sales_data_pipeline_spark.sources.tables import load_table
@@ -101,6 +102,24 @@ def test_run_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
         survivors, "text", "doc_id", "source", threshold=0.5, shingle_k=1
     )
     assert re_pairs.count() == 0
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark, sf_dir):
+    """The A-ES sample is a pure function of the ids (stable under
+    repartitioning), has TakeOrderedAndProject in its plan (no global
+    sort), and over-represents heavy documents: the sampled mean
+    n_chars exceeds the corpus mean."""
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = corpus.weighted_sample(docs, "doc_id", "n_chars", k=20)
+    s2 = corpus.weighted_sample(docs.repartition(13), "doc_id", "n_chars", k=20)
+    rows1 = {r["doc_id"] for r in s1.collect()}
+    rows2 = {r["doc_id"] for r in s2.collect()}
+    assert rows1 == rows2 and len(rows1) == 20
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    sample_mean = s1.agg(F.avg("n_chars")).collect()[0][0]
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    assert sample_mean > corpus_mean
 
 
 def test_sequence_pack_partitions_every_chunk_once(spark, sf_dir):

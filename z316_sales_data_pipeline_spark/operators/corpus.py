@@ -105,6 +105,35 @@ def chunk_documents(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (∝ weight).
+
+    Efraimidis–Spirbas A-ES with the engine's seedless uniform: u =
+    (md5-bucket + 1) / 2³² ∈ (0, 1] is a pure function of the id, and
+    the k rows with the largest u^(1/w) are the sample. No RNG, no
+    seed coordination — re-runs, late arrivals and other engines draw
+    the SAME sample, which is what makes a 100 TB sampled corpus
+    reproducible lineage. Top-k compiles to TakeOrderedAndProject
+    (per-partition heap + driver merge, no global sort).
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**32))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.withColumn("__key", F.round(key, 9))
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, weight_col, "__key")
+    )
+
+
 def sequence_pack(
     chunks: DataFrame,
     split_col: str,
