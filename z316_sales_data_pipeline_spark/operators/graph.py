@@ -49,7 +49,12 @@ def pagerank_int(
     """
     n = nodes.count()  # O(1) scalar on the driver
     teleport = (100 - damp_pct) * scale // (100 * n)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # deg (small, one row per source node) is probed every iteration —
+    # persist it for the loop. The edge list itself is deliberately NOT
+    # persisted: callers pass an already-materialized (checkpointed)
+    # pair relation, and caching 2×|E| rows was measured a net LOSS
+    # versus recomputing the cheap union from it.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")).persist()
     ranks = nodes.select(F.col(id_col).alias("nid")).withColumn(
         "pr", F.lit(scale // n).cast("long")
     )
@@ -72,4 +77,5 @@ def pagerank_int(
             )
             .localCheckpoint(eager=True)
         )
+    deg.unpersist()
     return ranks.select(F.col("nid").alias(id_col), F.col("pr"))
