@@ -813,6 +813,61 @@ FROM events GROUP BY event_type
 """
 
 
+def _embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space train/eval contamination (cosine analogue of the
+    n-gram contamination_check): per eval vector (vec_id % 10 == 0),
+    the max cosine against any same-label train vector, flagged at
+    τ=0.3. Label blocking bounds the join exactly like the near-dup
+    path; cross-label leakage needs the LSH-bucketed variant. Dot
+    products evaluate in array order in both engines, so max/round are
+    bit-comparable."""
+    from z316_sales_data_pipeline_spark.functions.vector import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        # double-precision products BEFORE accumulation, matching the
+        # oracle's DOUBLE[] cast — float-precision products round the
+        # 6th decimal differently on boundary values
+        "embedding",
+        F.col("embedding").cast("array<double>"),
+    )
+    ev = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .select("label", F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ve"))
+        .withColumn("ne", norm("ve"))
+    )
+    tr = (
+        emb.filter(F.col("vec_id") % 10 != 0)
+        .select("label", F.col("embedding").alias("vt"))
+        .withColumn("nt", norm("vt"))
+    )
+    cos = dot(F.col("ve"), F.col("vt")) / (F.col("ne") * F.col("nt"))
+    return (
+        ev.join(tr, "label")
+        .groupBy("eval_id")
+        .agg(F.max(cos).alias("__mc"))
+        .select(
+            "eval_id",
+            F.round(F.col("__mc"), 6).alias("max_cos"),
+            (F.col("__mc") >= 0.3).alias("contaminated"),
+        )
+    )
+
+
+_EMB_CONTAMINATION_SQL = """
+WITH e AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS emb FROM embeddings),
+ev AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+tr AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+m AS (
+    SELECT ev.vec_id AS eval_id,
+           max(list_dot_product(ev.emb, tr.emb) /
+               (sqrt(list_dot_product(ev.emb, ev.emb)) * sqrt(list_dot_product(tr.emb, tr.emb)))) AS mc
+    FROM ev JOIN tr ON ev.label = tr.label
+    GROUP BY ev.vec_id
+)
+SELECT eval_id, round(mc, 6) AS max_cos, mc >= 0.3 AS contaminated FROM m
+"""
+
+
 def _dq_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-contract check as ONE summary row: key uniqueness, null
     and range violations from a single aggregate pass, RI orphans from
@@ -3364,6 +3419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_orders_summary": _dq_orders_summary,
         "hll_partition_rollup": _hll_partition_rollup,
         "contamination_check": _contamination_check,
+        "embedding_contamination": _embedding_contamination,
         "kmeans_refine": _kmeans_refine,
         "knn_graph": _knn_graph,
         "repetition_ratio": _repetition_ratio,
@@ -3478,6 +3534,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_orders_summary": _DQ_ORDERS_SQL,
         "hll_partition_rollup": _HLL_ROLLUP_SQL,
         "contamination_check": _CONTAMINATION_SQL,
+        "embedding_contamination": _EMB_CONTAMINATION_SQL,
         "kmeans_refine": _KMEANS_SQL,
         "knn_graph": _KNN_GRAPH_SQL,
         "repetition_ratio": _REPETITION_SQL,
