@@ -51,6 +51,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # watermark code on one timestamp type
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
+    if name == "embeddings":
+        # promote once at the source: float-precision dot-product terms
+        # round the 6th decimal differently from the DuckDB oracle's
+        # DOUBLE[] arithmetic on boundary values — double-precision
+        # products make every downstream cosine bit-identical
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("embedding", F.col("embedding").cast("array<double>"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
