@@ -3,10 +3,10 @@
 
 Per-query timing = full plan execution to a count-style action (the
 result is materialized, not collected to the driver). Each query runs
-twice and the MIN is reported — this VM shows up to 10× per-query
-noise between runs (frequency / neighbor effects), and min-of-2 is the
-standard way to measure the engine rather than the machine. Wall
-metric is the sum of per-query minima.
+THREE times and the MIN is reported — this VM shows up to 10x
+per-query noise between runs (frequency / neighbor effects), and the
+minimum is the standard way to measure the engine rather than the
+machine. Wall metric is the sum of per-query minima.
 """
 
 from __future__ import annotations
@@ -82,7 +82,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             # write-free materialization: count() executes the whole plan
             fn(spark, sf_dir).count()
@@ -98,7 +98,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs_per_query": 2,
+                "runs_per_query": 3,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
