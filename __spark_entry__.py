@@ -2398,6 +2398,54 @@ FROM packed GROUP BY split, shard, pack_id
 """
 
 
+def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM / tokenizer corpus statistics: top-10 bigrams per
+    language with count ≥ 3. The bigram build is an indexed transform
+    over the token array (slice guards single-token docs — note
+    sequence(1,0) in Spark DESCENDS, so it is not usable as an empty
+    guard); one explode, one codegen hash aggregate, and a window over
+    the small (lang, bigram) relation. Deterministic (count desc,
+    bigram asc) ordering keeps top-k engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    bigrams = F.expr(
+        "transform(slice(__t, 1, size(__t) - 1), (x, i) -> concat(x, ' ', element_at(__t, i + 2)))"
+    )
+    exploded = (
+        docs.select("lang", toks.alias("__t"))
+        .select("lang", F.explode(bigrams).alias("bigram"))
+    )
+    counts = exploded.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") >= 3
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "rank", "bigram", "n")
+    )
+
+
+_BIGRAM_SQL = r"""
+WITH t AS (
+    SELECT lang,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), bg AS (
+    SELECT lang, unnest([toks[i] || ' ' || toks[i + 1]
+                         FOR i IN generate_series(1, len(toks) - 1)]) AS bigram
+    FROM t
+), c AS (
+    SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT lang, rank, bigram, n
+FROM (SELECT lang, bigram, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+      FROM c)
+WHERE rank <= 10
+"""
+
+
 def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sample (∝ n_chars): Efraimidis–Spirbas
     A-ES over the seedless md5 uniform — same sample on every engine
@@ -3408,6 +3456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,
         "sequence_pack": _sequence_pack,
         "weighted_sample": _weighted_sample,
+        "bigram_counts": _bigram_counts,
         "tfidf_top_terms": _tfidf_top_terms,
         "pii_scrub": _pii_scrub,
         "curation_filter": _curation_filter,
@@ -3524,6 +3573,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _DOC_CHUNKS_SQL,
         "sequence_pack": _SEQUENCE_PACK_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "bigram_counts": _BIGRAM_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "curation_filter": _curation_sql(),
