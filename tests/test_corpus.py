@@ -157,3 +157,31 @@ def test_tfidf_surfaces_distinctive_terms(spark):
     all_rows = corpus.tfidf_top_terms(df, "text", "source", k=10).collect()
     shared = [r for r in all_rows if r["term"] == "shared"]
     assert shared and all(r["score"] == 0.0 for r in shared)
+
+
+def test_pair_graph_materializes_once_and_matches_direct(spark, sf_dir):
+    """The shared at-rest pair graph equals a direct ngram_jaccard_pairs
+    run, and the second call is a pure parquet read of the SAME
+    materialization (no rebuild)."""
+    import glob
+    import os
+
+    from z316_sales_data_pipeline_spark.operators import dedup
+    from z316_sales_data_pipeline_spark.plans import pair_graph
+
+    g1 = pair_graph.jaccard_pair_graph(spark, sf_dir, threshold=0.5, shingle_k=1)
+    cache_dirs = glob.glob(str(pair_graph._CACHE_ROOT / "pairs_*"))
+    assert cache_dirs, "pair graph was not materialized"
+    # find this sf_dir's cache by re-deriving the digest via a second call
+    mtimes_before = {d: os.path.getmtime(os.path.join(d, "_SUCCESS")) for d in cache_dirs}
+    g2 = pair_graph.jaccard_pair_graph(spark, sf_dir, threshold=0.5, shingle_k=1)
+    mtimes_after = {d: os.path.getmtime(os.path.join(d, "_SUCCESS")) for d in cache_dirs}
+    assert mtimes_before == mtimes_after, "second call rebuilt the materialization"
+
+    docs = load_table(spark, sf_dir, "documents")
+    direct = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "source", threshold=0.5, shingle_k=1
+    )
+    got = {tuple(r) for r in g1.collect()} | {tuple(r) for r in g2.collect()}
+    want = {tuple(r) for r in direct.collect()}
+    assert got == want and got

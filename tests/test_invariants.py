@@ -384,14 +384,15 @@ def test_constraint_summary_detects_seeded_violations(spark):
     from z316_sales_data_pipeline_spark.operators import quality
 
     child = spark.createDataFrame(
-        [(1, 10, 5.0), (1, 10, 6.0), (2, None, -3.0), (3, 99, 1.0)],
+        [(1, 10, 5.0), (1, 10, 6.0), (2, None, -3.0), (3, 99, 1.0), (None, 10, 1.0)],
         "k long, fk long, v double",
     )
     parent = spark.createDataFrame([(10,), (20,)], "pk long")
     row = quality.constraint_summary(
         child, key_cols=["k"], not_null_cols=["fk"], nonneg_cols=["v"]
     ).collect()[0]
-    assert row["n_rows"] == 4 and row["dup_keys"] == 1
+    # the null-keyed row is its own violation class, NOT a duplicate
+    assert row["n_rows"] == 5 and row["dup_keys"] == 1 and row["null_key_rows"] == 1
     assert row["null_fk"] == 1 and row["neg_v"] == 1
     orphans = quality.orphan_count(child, parent, "fk", "pk", "orphans").collect()[0]
     # fk=99 has no parent; the null fk row doesn't join and counts too

@@ -93,6 +93,42 @@ def test_snapshot_write_time_travel(spark, tmp_path):
     assert sinks.read_snapshot(spark, tbl, version=1).count() == 10  # v1 untouched
 
 
+def test_merge_into_snapshot_acid_with_concurrent_reader(spark, tmp_path):
+    """MERGE against the snapshot sink: snapshot v1 → merge (update one
+    key + insert a new key) → v2, while a reader that bound to v1
+    BEFORE the merge still collects the original rows afterwards, and
+    time travel to v1 returns the pre-merge table."""
+    tbl = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k long, payload string, ver long"
+    )
+    v1 = sinks.write_snapshot(base, tbl)
+    assert v1 == 1
+
+    reader_v1 = sinks.read_snapshot(spark, tbl)  # bound before the merge
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 2), (4, "d", 1)], "k long, payload string, ver long"
+    )
+    v2 = sinks.merge_into_snapshot(spark, tbl, updates, key="k", version_col="ver")
+    assert v2 == 2
+
+    merged = {
+        (r["k"], r["payload"], r["ver"])
+        for r in sinks.read_snapshot(spark, tbl).collect()
+    }
+    assert merged == {(1, "a", 1), (2, "b2", 2), (3, "c", 1), (4, "d", 1)}
+    # the concurrent reader's files were never touched
+    pre = {(r["k"], r["payload"], r["ver"]) for r in reader_v1.collect()}
+    assert pre == {(1, "a", 1), (2, "b", 1), (3, "c", 1)}
+    # and explicit time travel agrees
+    old = {
+        (r["k"], r["payload"], r["ver"])
+        for r in sinks.read_snapshot(spark, tbl, version=1).collect()
+    }
+    assert old == pre
+
+
 def test_stats_manifest_covers_every_file(spark, sf_dir, tmp_path):
     """The manifest has one row per physical file, row counts sum to
     the table count, and min/max bound the file contents (the pruning

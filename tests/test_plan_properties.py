@@ -125,6 +125,46 @@ def test_contamination_check_stays_in_codegen(spark, sf_dir):
     assert "partial_count" in plan and "Generate explode" in plan, plan
 
 
+def test_contamination_check_bloom_prunes_before_distinct(spark, sf_dir):
+    """The train-shingle side is pruned by the explicit eval-shingle
+    bloom (broadcast bitset join + bit test) BELOW its distinct, so the
+    big shuffle only carries candidates; and pruning is invisible to
+    results (no false negatives; FPs die in the exact join)."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+
+    from z316_sales_data_pipeline_spark.functions import text
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    plan = _plan(spark, sf_dir, "contamination_check")
+    # the bloom application: broadcast join on the bitset + shift/mask test
+    assert "shiftrightunsigned" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+
+    got = {tuple(r) for r in m.queries()["contamination_check"](spark, sf_dir).collect()}
+    # unpruned reference: same aggregation without the bloom
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(text.shingles("text", 3))).alias("s")
+    )
+    train = sh.filter(F.col("source") != "src0").select("s").distinct().withColumn("__hit", F.lit(1))
+    want = {
+        tuple(r)
+        for r in sh.filter(F.col("source") == "src0")
+        .join(train, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_matched"),
+            F.round(
+                F.sum(F.coalesce("__hit", F.lit(0))) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("contamination"),
+        )
+        .collect()
+    }
+    assert got == want and got
+
+
 def test_dataset_split_is_narrow(spark, sf_dir):
     """Split assignment is a pure per-row function — zero exchanges."""
     plan = _plan(spark, sf_dir, "dataset_split")

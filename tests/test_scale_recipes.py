@@ -118,6 +118,21 @@ def test_zorder_write_tightens_stats_on_both_dims(spark, sf_dir, tmp_path):
     assert z_user_width < 0.6 * total_users
 
 
+def test_zorder_key_rejects_bit_overflow(spark):
+    """4 cols × 16 bits would place bit 63 (the long sign bit), turning
+    keys negative and silently breaking the clustering order — the
+    constructor must refuse instead."""
+    import pytest
+
+    from z316_sales_data_pipeline_spark import sinks
+
+    cols = [F.col(c) for c in "abcd"]
+    with pytest.raises(ValueError, match="overflows"):
+        sinks.zorder_key(cols, bits=16)
+    # 4 × 15 = 60 bits is fine
+    assert sinks.zorder_key(cols, bits=15) is not None
+
+
 def test_flagship_correct_when_dims_outgrow_broadcast(spark, sf_dir):
     """The 100x contingency: with auto-broadcast disabled (the regime
     where a dimension no longer fits in executor memory), the flagship

@@ -286,6 +286,70 @@ def test_session_timeout_evicts_and_emits_once(spark, tmp_path):
     assert rows[2]["n_events"] == 1 and rows[2]["total_value"] == 5.0
 
 
+def test_session_timeout_splits_gap_within_batch(spark, tmp_path):
+    """Events far apart in the SAME micro-batch must still split into
+    separate sessions — output must not depend on micro-batch alignment
+    (one-file-per-trigger batches would hide a merge bug)."""
+    import os
+
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(name, users, times, values):
+        pd.DataFrame(
+            {"user_id": users, "ts": pd.to_datetime(times).astype("datetime64[us]"), "value": values}
+        ).to_parquet(src / name)
+
+    # b0: ONE batch holds two user-1 sessions (10:00-10:05 and 12:00-12:10,
+    # separated by ~2h >> 30m gap) — out of time order to exercise the sort.
+    write_batch(
+        "b0.parquet",
+        [1, 1, 1, 1],
+        ["2024-01-01 12:00:00", "2024-01-01 10:00:00", "2024-01-01 10:05:00", "2024-01-01 12:10:00"],
+        [4.0, 1.0, 2.0, 8.0],
+    )
+    # b1: unrelated traffic at 20:00 advances the watermark past 12:10+30m
+    # so the trailing open session times out and is emitted too.
+    write_batch("b1.parquet", [2], ["2024-01-01 20:00:00"], [5.0])
+    write_batch("b2.parquet", [3], ["2024-01-01 21:00:00"], [7.0])
+    now = os.path.getmtime(src / "b2.parquet")
+    for i, f in enumerate(["b0.parquet", "b1.parquet", "b2.parquet"]):
+        os.utime(src / f, (now - 60 * (3 - i), now - 60 * (3 - i)))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    q = (
+        pipeline.session_totals_with_timeout(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_split_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    u1 = sorted(
+        (
+            (str(r["session_start"]), str(r["session_end"]), r["n_events"], r["total_value"])
+            for r in spark.sql(
+                "SELECT * FROM sessions_split_out WHERE user_id = 1"
+            ).collect()
+        )
+    )
+    assert len(u1) == 2, u1
+    assert u1[0][0].startswith("2024-01-01 10:00") and u1[0][1].startswith("2024-01-01 10:05")
+    assert u1[0][2] == 2 and u1[0][3] == 3.0
+    assert u1[1][0].startswith("2024-01-01 12:00") and u1[1][1].startswith("2024-01-01 12:10")
+    assert u1[1][2] == 2 and u1[1][3] == 12.0
+
+
 def test_chunking_streaming_matches_batch(spark, tmp_path, sf_dir):
     """The corpus chunker is a narrow map, so the SAME code runs over
     readStream unchanged (batch/stream unification for the training-

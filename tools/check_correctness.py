@@ -74,11 +74,22 @@ def main() -> int:
             res = con.execute(oracles[name])
             duck_cols = [d[0] for d in res.description]
             duck_rows = res.fetchall()
+            # The driver's hash is type-sensitive: DuckDB types integer
+            # SUM as HUGEINT (int128) where Spark emits bigint, which
+            # string-normalizes identically here but hash-mismatches in
+            # CORRECTNESS_r{N}. Surface it as a local failure (r2: G4).
+            hugeint_cols = [
+                f.name
+                for f in con.execute(oracles[name]).fetch_arrow_table().schema
+                if str(f.type).startswith("decimal128(38")
+            ]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
         problems = []
+        if hugeint_cols:
+            problems.append(f"oracle HUGEINT cols (cast AS BIGINT): {hugeint_cols}")
         if sorted(spark_cols) != sorted(duck_cols):
             problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
         if len(spark_rows) != len(duck_rows):

@@ -21,14 +21,25 @@ def constraint_summary(
     not_null_cols: list[str] = (),
     nonneg_cols: list[str] = (),
 ) -> DataFrame:
-    """One-row violation summary: duplicate keys, nulls, negatives.
+    """One-row violation summary: duplicate keys, null keys, nulls,
+    negatives.
 
     dup_keys counts surplus rows beyond one per key (0 = key is
-    unique). All checks share a single scan/aggregate.
+    unique) over the rows whose key is fully non-null; rows with any
+    NULL key column are a separate violation class (null_key_rows) —
+    countDistinct drops null tuples, so folding them into dup_keys
+    would conflate the two. All checks share a single scan/aggregate.
     """
+    any_key_null = F.lit(False)
+    for c in key_cols:
+        any_key_null = any_key_null | F.col(c).isNull()
     aggs = [
         F.count(F.lit(1)).alias("n_rows"),
-        (F.count(F.lit(1)) - F.countDistinct(*[F.col(c) for c in key_cols])).alias("dup_keys"),
+        F.coalesce(F.sum(any_key_null.cast("long")), F.lit(0)).alias("null_key_rows"),
+        (
+            F.coalesce(F.sum((~any_key_null).cast("long")), F.lit(0))
+            - F.countDistinct(*[F.col(c) for c in key_cols])
+        ).alias("dup_keys"),
     ]
     for c in not_null_cols:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"))

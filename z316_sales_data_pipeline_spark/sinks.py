@@ -127,6 +127,29 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
     return new_v
 
 
+def merge_into_snapshot(
+    spark,
+    table_dir: str,
+    updates: DataFrame,
+    key: str | list[str],
+    version_col: str,
+) -> int:
+    """Transactional MERGE emulation on the snapshot sink: read the
+    _LATEST snapshot, apply :func:`merge_upsert`, write it as a NEW
+    immutable ``v=N+1`` and flip the pointer. Completes the emulated
+    ACID story (reference: api_to_gcs-checker.py:106-128
+    delete-and-verify): concurrent readers of v=N are never disturbed —
+    their files are immutable — and time travel to any prior version
+    still works. The merge itself is one shuffle (the row_number window
+    over the key); the snapshot write is append-only at the directory
+    level, so a crashed merge leaves _LATEST untouched and is simply
+    retried. Returns the new version number.
+    """
+    existing = read_snapshot(spark, table_dir)
+    merged = merge_upsert(existing, updates, key, version_col)
+    return write_snapshot(merged, table_dir)
+
+
 def read_snapshot(spark, table_dir: str, version: int | None = None) -> DataFrame:
     """Read a snapshot table at ``version`` (default: the _LATEST
     pointer) — the time-travel read path for :func:`write_snapshot`."""
@@ -165,6 +188,13 @@ def zorder_key(cols: list[Column], bits: int = 16) -> Column:
     single-column sort gives tight stats on one column only.
     """
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder_key: {n} cols × {bits} bits = {n * bits} interleaved bits "
+            "overflows the 63-bit positive long range (keys would go negative "
+            "and break the clustering sort order); reduce bits to "
+            f"<= {63 // n}"
+        )
     key = F.lit(0).cast("long")
     for c_idx, c in enumerate(cols):
         for j in range(bits):

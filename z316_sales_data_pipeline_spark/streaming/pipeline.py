@@ -175,6 +175,8 @@ def session_totals_with_timeout(stream_df: DataFrame, gap_minutes: int = 30) -> 
     state_schema = "start timestamp, end timestamp, n bigint, total double"
     gap_ms = gap_minutes * 60 * 1000
 
+    gap_delta = pd.Timedelta(milliseconds=gap_ms)
+
     def fn(key: tuple, pdfs, state: GroupState):
         if state.hasTimedOut:
             start, end, n, total = state.get
@@ -189,18 +191,41 @@ def session_totals_with_timeout(stream_df: DataFrame, gap_minutes: int = 30) -> 
                 }
             )
             return
+        # Sessions must split on the gap WITHIN a batch too, or output
+        # would depend on micro-batch alignment: sort by event time,
+        # break a segment wherever consecutive events are > gap apart,
+        # emit every closed segment now, and keep only the trailing open
+        # segment in state (its timeout closes it when the watermark
+        # passes end + gap).
         rows = pd.concat(list(pdfs))
-        ts = pd.to_datetime(rows["ts"])
-        mn, mx, n_new, t_new = ts.min(), ts.max(), len(rows), float(rows["value"].sum())
+        rows = rows.assign(__ts=pd.to_datetime(rows["ts"])).sort_values("__ts")
+        seg_id = (rows["__ts"].diff() > gap_delta).cumsum()
+        segs = [
+            (g["__ts"].iloc[0], g["__ts"].iloc[-1], len(g), float(g["value"].sum()))
+            for _, g in rows.groupby(seg_id, sort=True)
+        ]
         if state.exists:
             start, end, n, total = state.get
-            start, end = min(start, mn), max(end, mx)
-            n, total = n + n_new, total + t_new
-        else:
-            start, end, n, total = mn, mx, n_new, t_new
-        state.update((start, end, n, total))
-        # evict when the watermark passes the session's last event + gap
-        state.setTimeoutTimestamp(int(end.timestamp() * 1000) + gap_ms)
+            f_start, f_end, f_n, f_total = segs[0]
+            if f_start - pd.Timestamp(end) <= gap_delta:
+                segs[0] = (min(pd.Timestamp(start), f_start), max(pd.Timestamp(end), f_end),
+                           n + f_n, total + f_total)
+            else:
+                segs.insert(0, (pd.Timestamp(start), pd.Timestamp(end), n, total))
+        *closed, (o_start, o_end, o_n, o_total) = segs
+        state.update((o_start, o_end, o_n, o_total))
+        # evict when the watermark passes the open session's last event + gap
+        state.setTimeoutTimestamp(int(o_end.timestamp() * 1000) + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [round(c[3], 4) for c in closed],
+                }
+            )
 
     return (
         stream_df.withWatermark("ts", "0 seconds")
