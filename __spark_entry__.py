@@ -1448,12 +1448,13 @@ def _minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rest) AND within itself — the continuous-ingestion dedup path.
     Portable hash family, so the oracle replays the FULL-corpus portable
     pipeline restricted to pairs touching a new id (equality holds
-    because banding is deterministic)."""
+    because banding is deterministic). The corpus shingle/index pair is
+    the at-rest materialization (plans/pair_graph.py) — the query now
+    actually probes stored relations instead of rebuilding them, the
+    real continuous-ingestion shape."""
     docs = load_table(spark, sf_dir, "documents")
-    corpus_docs = docs.filter(F.col("doc_id") % 5 != 0)
     new_docs = docs.filter(F.col("doc_id") % 5 == 0)
-    ex = dedup.shingle_table(corpus_docs, "text", "doc_id", portable=True)
-    idx = dedup.minhash_index(ex, "doc_id")
+    ex, idx = pair_graph.minhash_corpus_index(spark, sf_dir, exclude_mod=5, portable=True)
     return dedup.minhash_near_dup_incremental(
         ex, idx, new_docs, "text", "doc_id", threshold=0.5, portable=True
     )
@@ -3412,6 +3413,223 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY round(d2, 6), cluster) =
 """
 
 
+def _dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion exact dedup: which NEW-batch docs (source
+    src0) already exist in the at-rest corpus (every other source) by
+    canonical token-set fingerprint. The corpus side — the 100 TB one —
+    is pruned by an explicit bloom filter built from the (small) new
+    batch BEFORE the join, so the at-rest fingerprint index is probed,
+    never rescanned into a shuffle (operators/bloom.py; exact-dedup
+    complement of minhash_near_dup_incremental). Bloom FPs die in the
+    exact fingerprint join, so results are prune-invariant."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = text.token_set_fingerprint("text")
+    new = docs.filter(F.col("source") == "src0").select("doc_id", fp.alias("fp"))
+    corpus = docs.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("corpus_doc_id"), fp.alias("fp")
+    )
+    new_bloom = bloom.build_bloom(new, "fp")
+    cand = bloom.bloom_prune(corpus, "fp", new_bloom)
+    return (
+        new.join(cand, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_corpus_matches"),
+            F.min("corpus_doc_id").alias("first_corpus_match"),
+        )
+    )
+
+
+_DEDUP_INCREMENTAL_SQL = r"""
+WITH f AS (
+    SELECT doc_id, source,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))), ' '))
+               AS fp
+    FROM documents
+)
+SELECT a.doc_id, count(*) AS n_corpus_matches, min(b.doc_id) AS first_corpus_match
+FROM f a JOIN f b ON a.fp = b.fp AND a.source = 'src0' AND b.source <> 'src0'
+GROUP BY a.doc_id
+"""
+
+
+def _boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate signal at n-gram granularity: a 3-gram is
+    'boilerplate' when it appears in more than 1% of DISTINCT docs (a
+    scale-free threshold — survives SF growth); each doc reports how
+    much of it is boilerplate. Two hash aggregates + one broadcast of
+    the (tiny) boilerplate set; the corpus is scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(text.shingles("text", 3))).alias("s")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__nd"))
+    boiler = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("__ndocs"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__ndocs") > F.col("__nd") * 0.01)
+        .select("s")
+        .withColumn("__b", F.lit(1))
+    )
+    return (
+        sh.join(F.broadcast(boiler), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("__b", F.lit(0))).alias("n_boilerplate"),
+            F.round(
+                F.sum(F.coalesce("__b", F.lit(0))) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("boilerplate_frac"),
+        )
+    )
+
+
+_BOILERPLATE_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS s
+    FROM t
+), c AS (
+    SELECT s, count(*) AS ndocs FROM sh GROUP BY s
+), boiler AS (
+    SELECT s FROM c WHERE ndocs > (SELECT count(*) FROM documents) * 0.01
+)
+SELECT doc_id, count(*) AS n_shingles,
+       cast(sum(CASE WHEN boiler.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       round(sum(CASE WHEN boiler.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           AS boilerplate_frac
+FROM sh LEFT JOIN boiler ON sh.s = boiler.s
+GROUP BY doc_id
+"""
+
+
+def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-governance overlap matrix: for every source pair, how
+    many canonical token-set fingerprints they share, plus the Jaccard
+    of their fingerprint sets. One fingerprint relation, one
+    equi-self-join on fp (shuffles fingerprints, never text), two tiny
+    per-source aggregates broadcast back. Output is O(|sources|²) —
+    constant at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "source", text.token_set_fingerprint("text").alias("fp")
+    ).distinct()
+    sizes = fps.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.select(F.col("source").alias("src_a"), "fp")
+    b = fps.select(F.col("source").alias("src_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n_fp").alias("__na"))), "src_a")
+        .join(F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n_fp").alias("__nb"))), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("__na") + F.col("__nb") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("fp_jaccard"),
+        )
+    )
+
+
+_SOURCE_OVERLAP_SQL = r"""
+WITH f AS (
+    SELECT DISTINCT source,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))), ' '))
+               AS fp
+    FROM documents
+), sz AS (
+    SELECT source, count(*) AS n_fp FROM f GROUP BY source
+), inter AS (
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+    FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common,
+       round(n_common::DOUBLE / (sa.n_fp + sb.n_fp - n_common), 6) AS fp_jaccard
+FROM inter
+JOIN sz sa ON sa.source = inter.src_a
+JOIN sz sb ON sb.source = inter.src_b
+"""
+
+
+def _lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal without a neural model: score each
+    doc by the corpus bigram LM — sum over its bigram occurrences of
+    the INTEGER-scaled conditional probability floor(1e6 · c(w₁w₂) /
+    c(w₁·)). Integer multiply + floor-div is bit-exact in both engines
+    (the same integer-scaling pattern that makes PageRank value-
+    checkable), where a float log-prob would diverge in the last ULP. Low avg_cond_scaled =
+    improbable token transitions = low-quality/garbled text.
+
+    Plan shape: per-doc bigram multiplicities (one hash agg), the
+    corpus bigram relation joined on the bigram key (the join any
+    n-gram LM lookup needs), prefix totals derived FROM the bigram
+    relation (no second text pass), one final per-doc agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", F.explode(text.shingles("text", 2)).alias("g"))
+    per_doc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("m"))
+    c2 = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = (
+        c2.withColumn("p", F.expr("split_part(g, ' ', 1)"))
+        .groupBy("p")
+        .agg(F.sum("n2").alias("n1"))
+    )
+    scored = (
+        per_doc.join(c2, "g")
+        .withColumn("p", F.expr("split_part(g, ' ', 1)"))
+        .join(c1, "p")
+        .withColumn("q", F.expr("(1000000L * n2) DIV n1"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        F.sum(F.col("m") * F.col("q")).alias("lm_score_scaled"),
+        F.expr("sum(m * q) DIV sum(m)").alias("avg_cond_scaled"),
+    )
+
+
+_LM_SCORE_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), bg AS (
+    SELECT doc_id, unnest([toks[i] || ' ' || toks[i + 1]
+                           FOR i IN generate_series(1, len(toks) - 1)]) AS g
+    FROM t
+), per_doc AS (
+    SELECT doc_id, g, count(*) AS m FROM bg GROUP BY 1, 2
+), c2 AS (
+    SELECT g, count(*) AS n2 FROM bg GROUP BY g
+), c1 AS (
+    SELECT split_part(g, ' ', 1) AS p, cast(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1
+)
+SELECT doc_id,
+       cast(sum(m) AS BIGINT) AS n_bigrams,
+       cast(sum(m * ((1000000 * n2) // n1)) AS BIGINT) AS lm_score_scaled,
+       cast(sum(m * ((1000000 * n2) // n1)) // sum(m) AS BIGINT) AS avg_cond_scaled
+FROM per_doc
+JOIN c2 USING (g)
+JOIN c1 ON split_part(g, ' ', 1) = c1.p
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3544,6 +3762,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_top_k": _ivf_top_k,
         "rollup_agg": _rollup_agg,
         "cube_agg": _cube_agg,
+        # -- new in round 3 (rotate into the sample next round) --
+        "dedup_incremental_exact": _dedup_incremental_exact,
+        "boilerplate_ngrams": _boilerplate_ngrams,
+        "source_overlap": _source_overlap,
+        "lm_bigram_score": _lm_bigram_score,
     }
 
 
@@ -3661,6 +3884,10 @@ def oracle_sql() -> dict[str, str]:
         "c2_status_dispatch": _C2_SQL,
         "a5_manifest_scan": _A5_SQL,
         "approx_profile": _APPROX_PROFILE_SQL,
+        "dedup_incremental_exact": _DEDUP_INCREMENTAL_SQL,
+        "boilerplate_ngrams": _BOILERPLATE_SQL,
+        "source_overlap": _SOURCE_OVERLAP_SQL,
+        "lm_bigram_score": _LM_SCORE_SQL,
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash

@@ -149,3 +149,38 @@ def test_flagship_correct_when_dims_outgrow_broadcast(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
     assert got == want and got
+
+
+def test_bloom_prune_no_false_negatives_and_prunes(spark):
+    """The explicit bloom keeps EVERY true member (no false negatives —
+    the exactness contract pruning relies on) while dropping most
+    non-members at a small m/n ratio."""
+    from z316_sales_data_pipeline_spark.operators import bloom
+
+    members = spark.range(0, 2000).select(F.concat(F.lit("k"), F.col("id")).alias("s"))
+    bf = bloom.build_bloom(members, "s", m_bits=1 << 16)
+    # probe = members ∪ disjoint non-members
+    probe = spark.range(0, 10000).select(
+        F.when(F.col("id") < 2000, F.concat(F.lit("k"), F.col("id")))
+        .otherwise(F.concat(F.lit("x"), F.col("id")))
+        .alias("s")
+    )
+    kept = {r["s"] for r in bloom.bloom_prune(probe, "s", bf, m_bits=1 << 16).collect()}
+    truth = {f"k{i}" for i in range(2000)}
+    assert truth <= kept  # no false negatives
+    fp = len(kept - truth) / 8000
+    assert fp < 0.10, f"FP rate {fp} too high for m/n=32"
+
+
+def test_source_overlap_and_boilerplate_broadcast_small_sides(spark, sf_dir):
+    """New corpus-governance queries keep their small relations on the
+    broadcast path: the boilerplate set and the per-source size table
+    must never become shuffle-join sides."""
+    import __spark_entry__ as m
+
+    for name in ["boilerplate_ngrams", "source_overlap"]:
+        plan = (
+            m.queries()[name](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan, (name, plan)

@@ -402,3 +402,56 @@ def test_tumbling_counts_streaming_matches_batch(spark, tmp_path, sf_dir):
     got = {tuple(r) for r in spark.sql("SELECT * FROM tumbling_out").collect()}
     want = {tuple(r) for r in batch_out.collect()}
     assert got == want
+
+
+def test_incremental_dedup_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """Continuous-ingestion exact dedup: new docs arriving as a STREAM
+    (foreachBatch probing the same at-rest corpus fingerprints) emit
+    exactly the batch query's dup report — each new doc lands in one
+    micro-batch, so the unioned per-batch probes equal the one-shot
+    batch run."""
+    import __spark_entry__ as m
+    from z316_sales_data_pipeline_spark.functions import text as tx
+    from z316_sales_data_pipeline_spark.operators import bloom
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = tx.token_set_fingerprint("text")
+    corpus = docs.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("corpus_doc_id"), fp.alias("fp")
+    )
+    # at-rest index (what a real pipeline would have materialized)
+    corpus_path = str(tmp_path / "corpus_fp")
+    corpus.write.parquet(corpus_path)
+    corpus_at_rest = spark.read.parquet(corpus_path)
+
+    # stage the new batch as multiple files → multiple micro-batches
+    new_src = str(tmp_path / "new_docs")
+    docs.filter(F.col("source") == "src0").repartition(4).write.parquet(new_src)
+
+    results = []
+
+    def probe(batch_df, epoch_id):
+        new = batch_df.select("doc_id", fp.alias("fp"))
+        cand = bloom.bloom_prune(corpus_at_rest, "fp", bloom.build_bloom(new, "fp"))
+        out = (
+            new.join(cand, "fp")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_corpus_matches"),
+                F.min("corpus_doc_id").alias("first_corpus_match"),
+            )
+        )
+        results.extend(tuple(r) for r in out.collect())
+
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(new_src)
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = {tuple(r) for r in m.queries()["dedup_incremental_exact"](spark, sf_dir).collect()}
+    assert set(results) == want and want

@@ -125,6 +125,20 @@ def fingerprint64(c: Column | str) -> Column:
     return F.xxhash64(norm)
 
 
+def token_set_fingerprint(c: Column | str) -> Column:
+    """Canonical bag-of-words fingerprint: md5 over the space-joined
+    SORTED DISTINCT token list of the normalized text.
+
+    Catches reorderings and repetition-only edits that byte-level
+    fingerprints miss (the dominant template-dup shape in crawled
+    corpora) while staying pure column algebra AND portable SQL — the
+    DuckDB oracle reproduces it with list_sort(list_distinct(...)):
+    plain lexicographic string sort on both engines.
+    """
+    tokens = F.split(F.trim(F.regexp_replace(F.lower(_col(c)), r"\s+", " ")), " ")
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens)), " "))
+
+
 def rolling_fingerprint(c: Column | str, base: int = 31, mod: int = 2147483647) -> Column:
     """Polynomial rolling-hash fingerprint of the normalized text.
 

@@ -1,14 +1,14 @@
-"""At-rest near-dup pair graph, materialized once and shared.
+"""At-rest derived relations, materialized once and shared.
 
-Three curation queries — dup_clusters, cluster_representative and
-doc_pagerank — consume the SAME exact-Jaccard pair relation over the
-documents table. Recomputing it per query triples the dominant cost
-(the ~|block|² exact set-intersections). At lake scale the pair graph
-is a table you materialize once per corpus snapshot next to the
-shingle table / MinHash index (operators/dedup.py) and every consumer
-reads it back; this module makes that real for the local harness: the
-first caller builds and writes parquet keyed by (source file identity,
-parameters), later callers do a pure parquet scan.
+Several curation queries consume the same expensive derived relations
+over the documents table: the word-Jaccard pair graph (dup_clusters,
+cluster_representative, doc_pagerank) and the MinHash corpus
+shingle/index pair (minhash_incremental). Recomputing them per query
+multiplies the dominant cost; at lake scale they are tables you
+materialize once per corpus snapshot next to the data and every
+consumer reads back. This module makes that real for the local
+harness: the first caller builds and writes parquet keyed by (source
+file identity, parameters); later callers do a pure parquet scan.
 
 The cache key includes the documents file's mtime/size, so a new
 corpus snapshot (or regenerated testdata) invalidates automatically —
@@ -20,8 +20,10 @@ from __future__ import annotations
 import hashlib
 import os
 from pathlib import Path
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup
 from ..sources.tables import load_table
@@ -29,6 +31,25 @@ from ..sources.tables import load_table
 # repo_root/spark-warehouse/_pair_graph — anchored to the package, not
 # the cwd, so driver/bench/pytest all hit the same cache.
 _CACHE_ROOT = Path(__file__).resolve().parents[2] / "spark-warehouse" / "_pair_graph"
+
+
+def _materialized(
+    spark: SparkSession, sf_dir: str, name: str, params_sig: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Build-once-read-many: parquet-materialize ``build()`` keyed by
+    (documents file identity, ``params_sig``); fall back to the
+    in-memory frame if the warehouse is unwritable."""
+    src = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_mtime_ns}|{st.st_size}|{params_sig}"
+        digest = hashlib.md5(sig.encode()).hexdigest()[:16]
+        out = str(_CACHE_ROOT / f"{name}_{digest}")
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            build().write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out)
+    except OSError:
+        return build()
 
 
 def jaccard_pair_graph(
@@ -40,22 +61,39 @@ def jaccard_pair_graph(
     """The (id_a, id_b, jaccard) word-Jaccard pair relation over
     ``documents``, source-blocked, read from the at-rest materialization
     (built on first use per corpus snapshot + parameters)."""
-    src = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
-    try:
-        st = os.stat(src)
-        sig = f"{src}|{st.st_mtime_ns}|{st.st_size}|{threshold}|{shingle_k}|v1"
-        digest = hashlib.md5(sig.encode()).hexdigest()[:16]
-        out = str(_CACHE_ROOT / f"pairs_{digest}")
-        if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            _build(spark, sf_dir, threshold, shingle_k).write.mode("overwrite").parquet(out)
-        return spark.read.parquet(out)
-    except OSError:
-        # unwritable warehouse / exotic sf_dir: fall back to in-memory
-        return _build(spark, sf_dir, threshold, shingle_k)
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", "source", threshold=threshold, shingle_k=shingle_k
+        )
+
+    return _materialized(spark, sf_dir, "pairs", f"{threshold}|{shingle_k}|v1", build)
 
 
-def _build(spark: SparkSession, sf_dir: str, threshold: float, shingle_k: int) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(
-        docs, "text", "doc_id", "source", threshold=threshold, shingle_k=shingle_k
+def minhash_corpus_index(
+    spark: SparkSession,
+    sf_dir: str,
+    exclude_mod: int = 5,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    shingle_k: int = 3,
+    portable: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The at-rest (shingle_table, minhash_index) pair over the CORPUS
+    split (doc_id % exclude_mod != 0 — the complement is the 'new
+    batch' the incremental query probes with). The index is derived
+    from the materialized shingle relation, not from text — the same
+    build lineage a lakehouse would have."""
+    sig = f"{exclude_mod}|{n_hashes}|{n_bands}|{shingle_k}|{portable}|v1"
+
+    def build_ex() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        corpus_docs = docs.filter(F.col("doc_id") % exclude_mod != 0)
+        return dedup.shingle_table(corpus_docs, "text", "doc_id", shingle_k, portable)
+
+    ex = _materialized(spark, sf_dir, "mh_ex", sig, build_ex)
+    idx = _materialized(
+        spark, sf_dir, "mh_idx", sig, lambda: dedup.minhash_index(ex, "doc_id", n_hashes, n_bands)
     )
+    return ex, idx
