@@ -3583,6 +3583,10 @@ def _lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation (no second text pass), one final per-doc agg."""
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select("doc_id", F.explode(text.shingles("text", 2)).alias("g"))
+    # grams is deliberately NOT cached and c2 reads the raw explode: the
+    # re-tokenize is map-side-combined straight into the count and beat
+    # the persist + extra-shuffle variant (c2 from cached per_doc) by
+    # ~1.4× at sf0.1 — measured, recorded in docs/PERF.md.
     per_doc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("m"))
     c2 = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n2"))
     c1 = (
@@ -3627,6 +3631,86 @@ FROM per_doc
 JOIN c2 USING (g)
 JOIN c1 ON split_part(g, ' ', 1) = c1.p
 GROUP BY doc_id
+"""
+
+
+def _dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup diagnostics: over the SAME candidate universe
+    (same-source doc pairs), how do the text channel (word-Jaccard ≥
+    0.5, read from the at-rest pair graph) and the embedding channel
+    (cosine ≥ 0.3 via the doc_id↔vec_id alignment) agree? One-row
+    confusion summary — the eval you run before trusting a cheaper
+    dedup channel at lake scale. Text pairs come from the shared
+    materialization; embedding pairs are block-bounded Σ|block|²
+    exact cosines (the documented in-block pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").cast("array<double>").alias("e")
+    )
+    de = docs.select("doc_id", "source").join(emb, "doc_id")
+    a = de.select(F.col("source"), F.col("doc_id").alias("id_a"), F.col("e").alias("ea"))
+    b = de.select(F.col("source"), F.col("doc_id").alias("id_b"), F.col("e").alias("eb"))
+    emb_pairs = (
+        a.join(b, "source")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(vector.cosine("ea", "eb"), 6))
+        .filter(F.col("cos") >= 0.3)
+        .select("id_a", "id_b")
+        .withColumn("__e", F.lit(1))
+    )
+    # restrict the text channel to the same universe (docs that HAVE an
+    # embedding) — at larger SFs embeddings cover a doc subset and an
+    # unrestricted text side would inflate n_text_only
+    emb_ids = emb.select("doc_id")
+    text_pairs = (
+        pair_graph.jaccard_pair_graph(spark, sf_dir, threshold=0.5, shingle_k=1)
+        .join(emb_ids.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
+        .join(emb_ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+        .select("id_a", "id_b")
+        .withColumn("__t", F.lit(1))
+    )
+    j = text_pairs.join(emb_pairs, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs_flagged"),
+        F.coalesce(F.sum(F.when(F.col("__t").isNotNull() & F.col("__e").isNotNull(), 1)), F.lit(0)).alias("n_both"),
+        F.coalesce(F.sum(F.when(F.col("__e").isNull(), 1)), F.lit(0)).alias("n_text_only"),
+        F.coalesce(F.sum(F.when(F.col("__t").isNull(), 1)), F.lit(0)).alias("n_emb_only"),
+    )
+
+
+_DEDUP_AGREEMENT_SQL = r"""
+WITH t AS (
+    SELECT source, doc_id,
+           list_distinct(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+    FROM documents
+), e AS (
+    SELECT vec_id AS doc_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings
+), tp AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE a.doc_id IN (SELECT doc_id FROM e)
+      AND b.doc_id IN (SELECT doc_id FROM e)
+      AND len(list_intersect(a.toks, b.toks)) /
+          cast(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5
+), ep AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id
+    JOIN e ea ON ea.doc_id = a.doc_id
+    JOIN e eb ON eb.doc_id = b.doc_id
+    WHERE round(list_dot_product(ea.emb, eb.emb) /
+          (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))), 6)
+          >= 0.3
+), j AS (
+    SELECT coalesce(tp.id_a, ep.id_a) AS id_a,
+           coalesce(tp.id_b, ep.id_b) AS id_b,
+           tp.id_a IS NOT NULL AS in_t, ep.id_a IS NOT NULL AS in_e
+    FROM tp FULL OUTER JOIN ep ON tp.id_a = ep.id_a AND tp.id_b = ep.id_b
+)
+SELECT cast(count(*) AS BIGINT) AS n_pairs_flagged,
+       cast(sum(CASE WHEN in_t AND in_e THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       cast(sum(CASE WHEN NOT in_e THEN 1 ELSE 0 END) AS BIGINT) AS n_text_only,
+       cast(sum(CASE WHEN NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_emb_only
+FROM j
 """
 
 
@@ -3767,6 +3851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": _boilerplate_ngrams,
         "source_overlap": _source_overlap,
         "lm_bigram_score": _lm_bigram_score,
+        "dedup_agreement": _dedup_agreement,
     }
 
 
@@ -3888,6 +3973,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": _BOILERPLATE_SQL,
         "source_overlap": _SOURCE_OVERLAP_SQL,
         "lm_bigram_score": _LM_SCORE_SQL,
+        "dedup_agreement": _DEDUP_AGREEMENT_SQL,
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash

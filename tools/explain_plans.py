@@ -161,6 +161,28 @@ CHECKLIST = {
         "final BroadcastNestedLoopJoin Cross is the 1-row x 1-row "
         "summary assembly — constant-size at any data scale."
     ),
+    "dup_clusters": (
+        "Connected components over the AT-REST pair graph. Expect: the "
+        "pair relation enters as a plain parquet Scan (materialized once "
+        "per corpus snapshot by plans/pair_graph.py — no shingle "
+        "tokenization anywhere in this plan); pointer-jumping rounds as "
+        "Scan ExistingRDD (localCheckpoint) + hash aggregates."
+    ),
+    "dedup_incremental_exact": (
+        "Continuous-ingestion exact dedup. Expect: the corpus fingerprint "
+        "side pruned by the explicit bloom BEFORE the equi-join "
+        "(BroadcastHashJoin on the bitset word + shift/mask filter below "
+        "the exchange); the new-batch side tiny; final per-doc "
+        "HashAggregate."
+    ),
+    "lm_bigram_score": (
+        "Corpus bigram-LM scoring. Expect: Generate(explode) feeding "
+        "codegen HashAggregates for both count relations (map-side "
+        "partial counts — no cached intermediate, measured faster than "
+        "persist+derive); the prefix totals and the per-doc probe join "
+        "on the bigram key; ALL probability arithmetic 64-bit integer "
+        "multiply + DIV (bit-exact oracle)."
+    ),
 }
 
 
