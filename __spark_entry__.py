@@ -3714,6 +3714,173 @@ FROM j
 """
 
 
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): 1-iteration label-seeded k-means
+    clusters the embedding space, then within each cluster every vector
+    with a cosine ≥ 0.3 lower-id neighbor is dropped — one
+    deterministic representative per semantic near-dup chain
+    (operators/dedup.py semantic_dedup). Pairwise work is confined to
+    the cluster self-join (Σ|cluster|², never n²); the oracle replays
+    the identical schedule (round-6 centroids/distances/cosines,
+    lowest-cluster and lowest-id tie-breaks)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = similarity.kmeans_assign(emb, "embedding", "vec_id", "label", n_iters=1)
+    clustered = emb.select("vec_id", "embedding").join(assign, "vec_id")
+    return dedup.semantic_dedup(clustered, "embedding", "vec_id", "cluster", threshold=0.3)
+
+
+_SEMANTIC_DEDUP_SQL = """
+WITH ex AS (
+    SELECT vec_id, u.pos, u.x
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos,
+                         unnest(embedding::DOUBLE[]) AS x) u
+), c0 AS (
+    SELECT label AS cluster, pos, round(avg(x), 6) AS c
+    FROM ex JOIN embeddings USING (vec_id) GROUP BY 1, 2
+), d1 AS (
+    SELECT vec_id, cluster, sum((x - c) * (x - c)) AS d2
+    FROM ex JOIN c0 USING (pos) GROUP BY 1, 2
+), a1 AS (
+    SELECT vec_id, cluster FROM d1
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY round(d2, 6), cluster) = 1
+), v AS (
+    SELECT a1.vec_id, a1.cluster, e.embedding::DOUBLE[] AS emb
+    FROM a1 JOIN embeddings e USING (vec_id)
+), dropped AS (
+    SELECT DISTINCT a.vec_id
+    FROM v a JOIN v b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+    WHERE round(list_dot_product(a.emb, b.emb) /
+          (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6)
+          >= 0.3
+)
+SELECT v.vec_id, v.cluster, d.vec_id IS NULL AS keep
+FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id
+"""
+
+
+def _minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-recall audit (dedup.minhash_candidate_recall) on the
+    deterministic doc_id%2 audit sample: all-pairs exact Jaccard ≥ 0.35
+    ground truth vs the raw band-join candidate set. Verified near-dup
+    output always has precision 1; what banding can silently lose is
+    RECALL — this measures it. Sampling is sound because banding is a
+    per-doc pure function (a pair is a candidate iff the two docs share
+    a band, independent of every other doc)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    return dedup.minhash_candidate_recall(docs, "text", "doc_id", true_threshold=0.35)
+
+
+# Same portable skeleton as _MINHASH_PORTABLE_SQL (rolling shingle
+# hashes → 16 affine minima → 8 bands of 2), restricted to the audit
+# sample; ground truth joins the shingle sets all-pairs.
+_MINHASH_EVAL_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents WHERE doc_id % 2 = 0
+),
+sh AS (
+  SELECT doc_id, list_distinct([
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+          [CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(array_to_string(toks[i:i+2], ' '), '')]),
+        (acc, c) -> (acc * 31 + c) % 2147483647)
+      FOR i IN generate_series(1, len(toks) - 2)]) AS hs
+  FROM base WHERE len(toks) >= 3
+),
+sig AS (
+  SELECT doc_id, hs, len(hs) AS nsh,
+    [list_min([(h * ((2654435761 * (i + 1)) % 2147483647) + (40503 * i + 1) % 2147483647) % 2147483647
+               FOR h IN hs])
+     FOR i IN generate_series(0, 15)] AS mh
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, u.b AS band_id, mh[2*u.b + 1] AS m1, mh[2*u.b + 2] AS m2
+  FROM sig, unnest(generate_series(0, 7)) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.m1 = b.m1 AND a.m2 = b.m2
+  WHERE a.doc_id < b.doc_id
+),
+t AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+        (a.nsh + b.nsh - len(list_intersect(a.hs, b.hs))), 6) >= 0.35
+),
+m AS (
+  SELECT (SELECT count(*) FROM t) AS n_true,
+         (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM t JOIN cand USING (id_a, id_b)) AS n_tp
+)
+SELECT cast(n_true AS BIGINT) AS n_true,
+       cast(n_candidates AS BIGINT) AS n_candidates,
+       cast(n_tp AS BIGINT) AS n_tp,
+       round(n_tp / nullif(n_true, 0), 6) AS recall,
+       round(n_tp / nullif(n_candidates, 0), 6) AS candidate_precision
+FROM m
+"""
+
+
+def _source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α=0.5) dataset-mixture plan over the documents
+    corpus (operators/corpus.py source_mixture): target share ∝
+    tokens^α — the knob that keeps a 100 TB web crawl from drowning
+    small high-quality sources. One hash aggregate to source grain +
+    a broadcast one-row total; output is O(|sources|)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.source_mixture(docs, "text", "source", alpha=0.5)
+
+
+_SOURCE_MIXTURE_SQL = r"""
+WITH per AS (
+  SELECT source,
+         cast(count(*) AS BIGINT) AS n_docs,
+         cast(sum(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT cast(sum(n_tokens) AS BIGINT) AS t,
+         sum(pow(cast(n_tokens AS DOUBLE), 0.5)) AS tw
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / cast(t AS DOUBLE), 6) AS raw_share,
+       round(pow(cast(n_tokens AS DOUBLE), 0.5) / tw, 6) AS target_share,
+       round(pow(cast(n_tokens AS DOUBLE), 0.5) / tw * t / n_tokens, 6) AS sample_epochs
+FROM per, tot
+"""
+
+
+def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab coverage curve (operators/corpus.py
+    vocab_coverage): top-16 tokens by corpus frequency with cumulative
+    token-stream coverage. The corpus collapses to vocab grain in one
+    hash aggregate; top-n via TakeOrderedAndProject; the running-sum
+    window touches only the 16 surviving rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.vocab_coverage(docs, "text", top_n=16)
+
+
+_VOCAB_COVERAGE_SQL = r"""
+WITH tok AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+), cnts AS (
+  SELECT token, cast(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+), tot AS (
+  SELECT cast(sum(cnt) AS BIGINT) AS t FROM cnts
+), top AS (
+  SELECT token, cnt, cast(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank
+  FROM cnts QUALIFY rank <= 16
+)
+SELECT rank, token, cnt,
+       round(cast(sum(cnt) OVER (ORDER BY rank) AS DOUBLE) / cast(t AS DOUBLE), 6) AS cum_coverage
+FROM top, tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3852,6 +4019,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _source_overlap,
         "lm_bigram_score": _lm_bigram_score,
         "dedup_agreement": _dedup_agreement,
+        "semantic_dedup": _semantic_dedup,
+        "minhash_eval": _minhash_eval,
+        "source_mixture": _source_mixture,
+        "vocab_coverage": _vocab_coverage,
     }
 
 
@@ -3974,6 +4145,10 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": _SOURCE_OVERLAP_SQL,
         "lm_bigram_score": _LM_SCORE_SQL,
         "dedup_agreement": _DEDUP_AGREEMENT_SQL,
+        "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "minhash_eval": _MINHASH_EVAL_SQL,
+        "source_mixture": _SOURCE_MIXTURE_SQL,
+        "vocab_coverage": _VOCAB_COVERAGE_SQL,
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash

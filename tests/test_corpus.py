@@ -185,3 +185,37 @@ def test_pair_graph_materializes_once_and_matches_direct(spark, sf_dir):
     got = {tuple(r) for r in g1.collect()} | {tuple(r) for r in g2.collect()}
     want = {tuple(r) for r in direct.collect()}
     assert got == want and got
+
+
+def test_source_mixture_plan_invariants(spark, sf_dir):
+    """Both share columns sum to 1, α=0.5 compresses the spread
+    (small sources upsampled, big ones downsampled), and epochs are
+    consistent with the two shares."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = corpus.source_mixture(docs, "text", "source", alpha=0.5).collect()
+    assert abs(sum(r["raw_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["target_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        # epochs = target_share / raw_share (ratio of the two shares)
+        assert r["sample_epochs"] == pytest.approx(r["target_share"] / r["raw_share"], rel=1e-3)
+    smallest = min(rows, key=lambda r: r["n_tokens"])
+    largest = max(rows, key=lambda r: r["n_tokens"])
+    if smallest["n_tokens"] < largest["n_tokens"]:
+        assert smallest["sample_epochs"] > largest["sample_epochs"]
+        assert smallest["target_share"] >= smallest["raw_share"]
+        assert largest["target_share"] <= largest["raw_share"]
+
+
+def test_vocab_coverage_curve(spark, sf_dir):
+    """Ranks are contiguous from 1, counts non-increasing, cumulative
+    coverage strictly increasing and ≤ 1."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        corpus.vocab_coverage(docs, "text", top_n=16).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    covs = [r["cum_coverage"] for r in rows]
+    assert all(b > a for a, b in zip(covs, covs[1:]))
+    assert covs[-1] <= 1.0

@@ -184,3 +184,36 @@ def test_source_overlap_and_boilerplate_broadcast_small_sides(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan, (name, plan)
+
+
+def test_semantic_dedup_keeps_one_per_chain(spark):
+    """Handcrafted clusters: identical vectors collapse to the lowest
+    id, orthogonal vectors all survive, and the rule is cluster-local
+    (identical vectors in DIFFERENT clusters both survive)."""
+    from z316_sales_data_pipeline_spark.operators import dedup
+
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),   # kept (lowest id of the dup pair)
+        (2, 0, [1.0, 0.0, 0.0]),   # dropped (cos=1 to id 1)
+        (3, 0, [0.0, 1.0, 0.0]),   # kept (orthogonal to both)
+        (4, 1, [1.0, 0.0, 0.0]),   # kept — same vector as id 1 but other cluster
+        (5, 1, [0.70, 0.714, 0.0]),  # kept (cos to id 4 ≈ 0.7 < 0.95)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, cluster int, embedding array<double>")
+    out = {r["vec_id"]: r["keep"] for r in dedup.semantic_dedup(df, "embedding", "vec_id", "cluster", threshold=0.95).collect()}
+    assert out == {1: True, 2: False, 3: True, 4: True, 5: True}
+
+
+def test_minhash_candidate_recall_counts_consistent(spark, sf_dir):
+    """tp ≤ min(true, candidates); ratios match the counts; recall on
+    this dup-heavy corpus is high (banding tuned for J≥0.35)."""
+    from z316_sales_data_pipeline_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    r = dedup.minhash_candidate_recall(docs, "text", "doc_id", true_threshold=0.35).collect()[0]
+    assert r["n_tp"] <= min(r["n_true"], r["n_candidates"])
+    if r["n_true"]:
+        assert r["recall"] == round(r["n_tp"] / r["n_true"], 6)
+        assert r["recall"] >= 0.8
+    if r["n_candidates"]:
+        assert r["candidate_precision"] == round(r["n_tp"] / r["n_candidates"], 6)

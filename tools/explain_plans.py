@@ -183,6 +183,32 @@ CHECKLIST = {
         "on the bigram key; ALL probability arithmetic 64-bit integer "
         "multiply + DIV (bit-exact oracle)."
     ),
+    "semantic_dedup": (
+        "SemDeDup cluster-then-prune. Expect: the pairwise cosine "
+        "self-join shuffles on the cluster key (Σ|cluster|² bound, "
+        "never n²); per-row norms projected once BEFORE the join; the "
+        "dropped-id relation reduces to ids (HashAggregate distinct) "
+        "before the final keep-flag left join."
+    ),
+    "minhash_eval": (
+        "Banding-recall audit. Expect: ONE persisted shingle relation "
+        "(InMemoryTableScan) feeding both the signature index and the "
+        "exact-verify joins; candidate self-join on (band_id, "
+        "band_hash) keys only; the final summary is 1-row × 1-row "
+        "cross joins — constant-size at any sample size."
+    ),
+    "source_mixture": (
+        "Temperature mixture plan. Expect: one codegen HashAggregate "
+        "partial+final collapsing the corpus to source grain before "
+        "any exchange, then a broadcast 1-row total — output "
+        "O(|sources|) at any corpus size."
+    ),
+    "vocab_coverage": (
+        "Vocab coverage curve. Expect: Generate(explode) → codegen "
+        "HashAggregate to token grain; top-n via TakeOrderedAndProject "
+        "(never a global sort of the vocabulary); the running-sum "
+        "Window runs over only the top-n surviving rows."
+    ),
 }
 
 

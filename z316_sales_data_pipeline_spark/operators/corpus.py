@@ -211,3 +211,85 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(group_col, "rank", "term", "tf", "df", "score")
     )
+
+
+def source_mixture(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based dataset mixture plan (the multilingual-LM
+    sampling rule of Conneau & Lample 2019 / the domain-weighting step
+    of every corpus build): target share of source i ∝ tokens_i^alpha.
+
+    alpha = 1 reproduces natural proportions; alpha -> 0 approaches
+    uniform — the knob that keeps a 100 TB web crawl from drowning the
+    small high-quality sources. ``sample_epochs`` is the number of
+    passes over the source needed to hit its target share at constant
+    total token budget (> 1 means upsampling).
+
+    Plan: one codegen hash aggregate to source grain (map-side partial
+    agg — the full corpus collapses to |sources| rows before any
+    shuffle), then a broadcast one-row total. Output is O(|sources|)
+    regardless of corpus size.
+    """
+    from ..functions.text import whitespace_token_count
+
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(whitespace_token_count(text_col)).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("__tot"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("__tot_w"),
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    return per.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__tot"), 6).alias("raw_share"),
+        F.round(w / F.col("__tot_w"), 6).alias("target_share"),
+        F.round(w / F.col("__tot_w") * F.col("__tot") / F.col("n_tokens"), 6).alias(
+            "sample_epochs"
+        ),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    top_n: int = 16,
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage curve: the ``top_n`` most frequent
+    tokens with each prefix's cumulative share of all corpus tokens —
+    the measurement behind "how big must the vocab be to cover X% of
+    the stream" when inducing a tokenizer.
+
+    Plan: explode -> one codegen hash aggregate to token grain (the
+    corpus collapses to |vocab| rows), a broadcast one-row total, and
+    TakeOrderedAndProject for the top-n (per-partition heap, no global
+    sort of the vocab). The running-sum window then runs over ONLY the
+    top_n surviving rows — never over the full vocabulary.
+    Deterministic tie-break (count desc, token asc) keeps the curve
+    engine-portable.
+    """
+    tokens = df.select(F.explode(_norm_tokens(text_col)).alias("token"))
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("__tot"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_coverage",
+            F.round(
+                F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                / F.col("__tot"),
+                6,
+            ),
+        )
+        .select("rank", "token", "cnt", "cum_coverage")
+    )

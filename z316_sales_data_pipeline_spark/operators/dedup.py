@@ -612,3 +612,136 @@ def connected_components(
             "~log2 of the largest component's diameter)"
         )
     return labels.select(F.col("nid").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (cluster-then-prune over the embedding space)
+# ---------------------------------------------------------------------------
+def semantic_dedup(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cluster_col: str,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): the embedding space is clustered first, then
+    WITHIN each cluster a vector is dropped when it has a
+    cosine >= ``threshold`` neighbor with a lower id — keeping exactly
+    one deterministic representative per semantic near-dup chain. (The
+    paper keeps a random member per group; the lowest-id rule is the
+    deterministic, engine-portable equivalent.)
+
+    Plan: pairwise cosine is confined to the cluster self-join —
+    shuffle on the cluster key, cost Σ|cluster|² instead of n², which
+    is the entire point of clustering first. Norms are precomputed per
+    row (n, not n², HOF evaluations), cosine is rounded to 6 decimals
+    before the threshold so the verdict is bit-portable, and the
+    dropped-id set (tiny relative to the corpus) flags keep/drop via
+    one left join.
+
+    Input must already carry ``cluster_col`` (e.g. from
+    ``similarity.kmeans_assign`` or an IVF cell / LSH bucket).
+    Output: (id, cluster, keep boolean) at input grain.
+    """
+    from ..functions.vector import dot, norm
+
+    base = emb.select(F.col(id_col), F.col(cluster_col), F.col(vec_col)).withColumn(
+        "__nrm", norm(vec_col)
+    )
+    a = base.select(
+        F.col(cluster_col),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = base.select(
+        F.col(cluster_col),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    dropped = (
+        a.join(b, cluster_col)
+        .filter(F.col("__idb") < F.col("__ida"))
+        .withColumn(
+            "__cos",
+            F.round(dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    return base.join(
+        dropped.withColumn("__drop", F.lit(True)), id_col, "left"
+    ).select(id_col, cluster_col, F.col("__drop").isNull().alias("keep"))
+
+
+def minhash_candidate_recall(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    true_threshold: float = 0.35,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    shingle_k: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """Candidate-generation recall audit for the MinHash-LSH banding —
+    the eval you run BEFORE trusting the banded pipeline at 100 TB.
+
+    Verified near-dup output always has precision 1 (false candidates
+    die in the exact-Jaccard verify); what the banding can silently
+    lose is RECALL — true pairs that never share a band are gone
+    forever. This measures it: ground truth = ALL-pairs exact Jaccard
+    >= ``true_threshold`` over the input, compared against the raw
+    band-join candidate set (pre-verify).
+
+    Ground truth is quadratic by nature, so run this on a
+    deterministic AUDIT SAMPLE (e.g. ``doc_id % k == 0``), never the
+    full corpus. Sampling is sound for this eval because banding is a
+    per-document pure function: a pair is a candidate iff the two docs
+    share a band, independent of every other doc, so the sample's
+    recall estimates the population's.
+
+    One row: n_true, n_candidates, n_tp, recall, candidate_precision.
+    """
+    ex = shingle_table(df, text_col, id_col, shingle_k, portable).persist()
+    idx = minhash_index(ex, id_col, n_hashes, n_bands)
+    left = idx.select("band_id", "band_hash", F.col(id_col).alias("id_a"))
+    right = idx.select("band_id", "band_hash", F.col(id_col).alias("id_b"))
+    cand = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .persist()
+    )
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nsh"))
+    all_pairs = (
+        sizes.select(F.col(id_col).alias("id_a"))
+        .crossJoin(sizes.select(F.col(id_col).alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    true_pairs = _verified_jaccard(all_pairs, ex, sizes, id_col, true_threshold).persist()
+    n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_tp = true_pairs.join(cand, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_tp"))
+    out = (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_tp)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_tp",
+            F.round(F.try_divide(F.col("n_tp"), F.col("n_true")), 6).alias("recall"),
+            F.round(F.try_divide(F.col("n_tp"), F.col("n_candidates")), 6).alias(
+                "candidate_precision"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ex.unpersist()
+    cand.unpersist()
+    true_pairs.unpersist()
+    return out
