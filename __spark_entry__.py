@@ -3766,8 +3766,12 @@ def _minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     output always has precision 1; what banding can silently lose is
     RECALL — this measures it. Sampling is sound because banding is a
     per-doc pure function (a pair is a candidate iff the two docs share
-    a band, independent of every other doc)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    a band, independent of every other doc). The id cap bounds the
+    audit at ≤500 docs at ANY scale factor — ground truth is quadratic
+    by nature, so the sample size must not grow with the corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 1000)
+    )
     return dedup.minhash_candidate_recall(docs, "text", "doc_id", true_threshold=0.35)
 
 
@@ -3777,7 +3781,7 @@ def _minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_EVAL_SQL = """
 WITH base AS (
   SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
-  FROM documents WHERE doc_id % 2 = 0
+  FROM documents WHERE doc_id % 2 = 0 AND doc_id < 1000
 ),
 sh AS (
   SELECT doc_id, list_distinct([
