@@ -3759,6 +3759,92 @@ FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id
 """
 
 
+def _semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion SemDeDup: the new batch (vec_id % 5 == 0)
+    is assigned to the at-rest cluster model
+    (similarity.centroid_table / nearest_centroid_assign) and pruned
+    against the at-rest kept representatives AND lower-id batch
+    members (operators/dedup.py semantic_dedup_incremental) — the
+    embedding-space complement of minhash_incremental. The corpus is
+    touched only through its kept-rep relation and the k·dim centroid
+    model; the oracle replays the identical schedule."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    assign = similarity.kmeans_assign(corpus, "embedding", "vec_id", "label", n_iters=1)
+    clustered = corpus.select("vec_id", "embedding").join(assign, "vec_id")
+    flags = dedup.semantic_dedup(clustered, "embedding", "vec_id", "cluster", threshold=0.3)
+    kept = clustered.join(flags.filter(F.col("keep")).select("vec_id"), "vec_id")
+    cents = similarity.centroid_table(assign, corpus, "embedding", "vec_id")
+    new_assign = similarity.nearest_centroid_assign(new, "embedding", "vec_id", cents)
+    new_clustered = new.select("vec_id", "embedding").join(new_assign, "vec_id")
+    return dedup.semantic_dedup_incremental(
+        kept, new_clustered, "embedding", "vec_id", "cluster", threshold=0.3
+    )
+
+
+_SEMANTIC_DEDUP_INC_SQL = """
+WITH ex AS (
+    SELECT vec_id, u.pos, u.x
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos,
+                         unnest(embedding::DOUBLE[]) AS x) u
+), exc AS (
+    SELECT * FROM ex WHERE vec_id % 5 <> 0
+), c0 AS (
+    SELECT label AS cluster, pos, round(avg(x), 6) AS c
+    FROM exc JOIN embeddings USING (vec_id) GROUP BY 1, 2
+), d1 AS (
+    SELECT vec_id, cluster, sum((x - c) * (x - c)) AS d2
+    FROM exc JOIN c0 USING (pos) GROUP BY 1, 2
+), a1 AS (
+    SELECT vec_id, cluster FROM d1
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY round(d2, 6), cluster) = 1
+), v AS (
+    SELECT a1.vec_id, a1.cluster, e.embedding::DOUBLE[] AS emb
+    FROM a1 JOIN embeddings e USING (vec_id)
+), cdrop AS (
+    SELECT DISTINCT a.vec_id
+    FROM v a JOIN v b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+    WHERE round(list_dot_product(a.emb, b.emb) /
+          (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6)
+          >= 0.3
+), kept AS (
+    SELECT v.vec_id, v.cluster, v.emb
+    FROM v LEFT JOIN cdrop d ON v.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+), cent AS (
+    SELECT a1.cluster, exc.pos, round(avg(exc.x), 6) AS c
+    FROM a1 JOIN exc USING (vec_id) GROUP BY 1, 2
+), nd AS (
+    SELECT ex.vec_id, cent.cluster, sum((ex.x - cent.c) * (ex.x - cent.c)) AS d2
+    FROM ex JOIN cent ON ex.pos = cent.pos
+    WHERE ex.vec_id % 5 = 0
+    GROUP BY 1, 2
+), na AS (
+    SELECT vec_id, cluster FROM nd
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY round(d2, 6), cluster) = 1
+), nv AS (
+    SELECT na.vec_id, na.cluster, e.embedding::DOUBLE[] AS emb
+    FROM na JOIN embeddings e USING (vec_id)
+), ndrop AS (
+    SELECT a.vec_id
+    FROM nv a JOIN kept b ON a.cluster = b.cluster
+    WHERE round(list_dot_product(a.emb, b.emb) /
+          (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6)
+          >= 0.3
+    UNION
+    SELECT a.vec_id
+    FROM nv a JOIN nv b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+    WHERE round(list_dot_product(a.emb, b.emb) /
+          (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6)
+          >= 0.3
+)
+SELECT nv.vec_id, nv.cluster, d.vec_id IS NULL AS keep
+FROM nv LEFT JOIN ndrop d ON nv.vec_id = d.vec_id
+"""
+
+
 def _minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding-recall audit (dedup.minhash_candidate_recall) on the
     deterministic doc_id%2 audit sample: all-pairs exact Jaccard ≥ 0.35
@@ -4024,6 +4110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_score": _lm_bigram_score,
         "dedup_agreement": _dedup_agreement,
         "semantic_dedup": _semantic_dedup,
+        "semantic_dedup_incremental": _semantic_dedup_incremental,
         "minhash_eval": _minhash_eval,
         "source_mixture": _source_mixture,
         "vocab_coverage": _vocab_coverage,
@@ -4150,6 +4237,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_bigram_score": _LM_SCORE_SQL,
         "dedup_agreement": _DEDUP_AGREEMENT_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "semantic_dedup_incremental": _SEMANTIC_DEDUP_INC_SQL,
         "minhash_eval": _MINHASH_EVAL_SQL,
         "source_mixture": _SOURCE_MIXTURE_SQL,
         "vocab_coverage": _VOCAB_COVERAGE_SQL,

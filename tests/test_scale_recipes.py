@@ -217,3 +217,52 @@ def test_minhash_candidate_recall_counts_consistent(spark, sf_dir):
         assert r["recall"] >= 0.8
     if r["n_candidates"]:
         assert r["candidate_precision"] == round(r["n_tp"] / r["n_candidates"], 6)
+
+
+def test_semantic_dedup_incremental_rep_contract(spark):
+    """A new vector dupping a kept rep is dropped; one dupping only a
+    vector that is NOT among the reps survives (SemDeDup retention
+    contract: duplicates are measured against what remains of the
+    corpus); in-batch chains keep their lowest id; cluster isolation
+    holds."""
+    from z316_sales_data_pipeline_spark.operators import dedup
+
+    reps = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cluster int, embedding array<double>",
+    )
+    new = [
+        (10, 0, [1.0, 0.0, 0.0]),    # dup of cluster-0 rep -> dropped
+        (11, 0, [0.0, 0.0, 1.0]),    # orthogonal to rep and batch -> kept
+        (12, 1, [1.0, 0.0, 0.0]),    # same vector but cluster 1's rep is orthogonal -> kept
+        (13, 1, [1.0, 0.0, 0.0]),    # in-batch dup of 12 -> dropped
+    ]
+    df = spark.createDataFrame(new, "vec_id long, cluster int, embedding array<double>")
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in dedup.semantic_dedup_incremental(
+            reps, df, "embedding", "vec_id", "cluster", threshold=0.95
+        ).collect()
+    }
+    assert out == {10: False, 11: True, 12: True, 13: False}
+
+
+def test_nearest_centroid_assign_matches_kmeans_probe(spark, sf_dir):
+    """Rebuilding centroids from a 1-iter assignment and re-probing
+    with nearest_centroid_assign reproduces kmeans_assign's 2-iter
+    result — the incremental probe half is bit-consistent with the
+    batch clustering it extends."""
+    from z316_sales_data_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    two = {
+        (r["vec_id"], r["cluster"])
+        for r in similarity.kmeans_assign(emb, "embedding", "vec_id", "label", n_iters=2).collect()
+    }
+    one = similarity.kmeans_assign(emb, "embedding", "vec_id", "label", n_iters=1)
+    cents = similarity.centroid_table(one, emb, "embedding", "vec_id")
+    probed = {
+        (r["vec_id"], r["cluster"])
+        for r in similarity.nearest_centroid_assign(emb, "embedding", "vec_id", cents).collect()
+    }
+    assert probed == two

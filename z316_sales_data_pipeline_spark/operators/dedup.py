@@ -745,3 +745,71 @@ def minhash_candidate_recall(
     cand.unpersist()
     true_pairs.unpersist()
     return out
+
+
+def semantic_dedup_incremental(
+    corpus_kept: DataFrame,
+    new_assigned: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cluster_col: str,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Continuous-ingestion SemDeDup: prune a NEW batch (already
+    assigned to the at-rest cluster model by
+    ``similarity.nearest_centroid_assign``) against the at-rest KEPT
+    representatives and within itself.
+
+    A new vector survives iff it has no cosine >= ``threshold``
+    neighbor among (a) the kept reps of its cluster and (b) lower-id
+    new vectors of its cluster. Matching only against REPS (not
+    dropped corpus vectors) is the SemDeDup retention contract: reps
+    are what remain of the corpus, so they are what duplicates must be
+    measured against. The corpus is touched only through its kept-rep
+    relation and the k·dim centroid model — never re-clustered, never
+    rescanned; per-batch cost is |batch| x (cluster-local reps + new),
+    the continuous-ingestion shape.
+
+    ``corpus_kept``: (cluster, vec) of at-rest representatives;
+    ``new_assigned``: (id, cluster, vec) of the batch. Output:
+    (id, cluster, keep) at batch grain.
+    """
+    from ..functions.vector import dot, norm
+
+    nb = new_assigned.select(F.col(id_col), F.col(cluster_col), F.col(vec_col)).withColumn(
+        "__nrm", norm(vec_col)
+    )
+    a = nb.select(
+        F.col(cluster_col),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+        F.col("__nrm").alias("__na"),
+    )
+    reps = corpus_kept.select(F.col(cluster_col), F.col(vec_col).alias("__vr")).withColumn(
+        "__nr", norm("__vr")
+    )
+    drop_rep = (
+        a.join(reps, cluster_col)
+        .withColumn("__cos", F.round(dot("__va", "__vr") / (F.col("__na") * F.col("__nr")), 6))
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    b = nb.select(
+        F.col(cluster_col),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    drop_new = (
+        a.join(b, cluster_col)
+        .filter(F.col("__idb") < F.col("__ida"))
+        .withColumn("__cos", F.round(dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6))
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    dropped = drop_rep.unionByName(drop_new).distinct()
+    return nb.join(dropped.withColumn("__drop", F.lit(True)), id_col, "left").select(
+        id_col, cluster_col, F.col("__drop").isNull().alias("keep")
+    )

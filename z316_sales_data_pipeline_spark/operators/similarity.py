@@ -303,3 +303,48 @@ def knn_graph_blocked(
         .groupBy(block_col)
         .applyInPandas(per_block, out_schema)
     )
+
+
+def centroid_table(assign: DataFrame, df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(cluster, __pos, __c) centroid relation from an assignment — the
+    model-parameter half of a Lloyd step, materialized as a tiny k·dim
+    relation you persist at rest and broadcast to probes (the cluster
+    model new batches are assigned against). Round-6 matches
+    ``kmeans_assign``'s internal centroids, so an assignment built here
+    is bit-portable to the SQL oracle."""
+    ex = df.select(
+        F.col(id_col).alias("__vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__x"),
+    )
+    a = assign.select(F.col(id_col).alias("__vid"), "cluster")
+    return a.join(ex, "__vid").groupBy("cluster", "__pos").agg(
+        F.round(F.avg("__x"), 6).alias("__c")
+    )
+
+
+def nearest_centroid_assign(df: DataFrame, vec_col: str, id_col: str, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest (squared-L2) centroid from a
+    (cluster, __pos, __c) relation — the probe half of a Lloyd step,
+    reused by incremental semantic dedup. The centroid relation is
+    broadcast (k·dim rows — model parameters, not data); the explode +
+    two hash aggregates are the same codegen shape as
+    ``kmeans_assign``'s iteration, with the same round-6 +
+    lowest-cluster tie-break for engine portability."""
+    ex = df.select(
+        F.col(id_col).alias("__vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__x"),
+    )
+    dists = (
+        ex.join(F.broadcast(centroids), "__pos")
+        .groupBy("__vid", "cluster")
+        .agg(F.sum((F.col("__x") - F.col("__c")) * (F.col("__x") - F.col("__c"))).alias("__d2"))
+    )
+    return (
+        dists.groupBy("__vid")
+        .agg(
+            F.min_by("cluster", F.struct(F.round("__d2", 6).alias("d"), F.col("cluster"))).alias(
+                "cluster"
+            )
+        )
+        .select(F.col("__vid").alias(id_col), "cluster")
+    )
