@@ -3913,6 +3913,71 @@ FROM m
 """
 
 
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction: the first 3 BPE merge rules learned from
+    the documents corpus (operators/corpus.py bpe_merges), with the
+    corpus symbol count after each rule. Fixed distributed iterations
+    over the vocabulary-grain word-count relation; the argmax pair per
+    step is an O(1) collected model parameter (IVF-centroid
+    precedent); the oracle replays the identical schedule as an
+    unrolled CTE chain with the same greedy left-to-right merge fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.bpe_merges(docs, "text", n_merges=3)
+
+
+def _bpe_sql(n_merges: int = 3) -> str:
+    """Unrolled-CTE oracle for bpe_merges: per step, pair counts from
+    the current word relation, argmax pair, then the identical greedy
+    left-to-right merge.
+
+    The merge is a delimiter-string replace: the symbol sequence is
+    rendered as D D s1 D D s2 D D … (D = chr(31), never in a token)
+    and the pattern D lhs D D rhs D → D lhs·rhs D. Literal replace()
+    scans left-to-right non-overlapping — exactly the BPE apply scan —
+    and consuming one delimiter from each flank keeps the DD-separator
+    invariant, so chained matches ("a a a a" → "aa aa") behave
+    correctly. (A list_reduce fold with a struct accumulator — the
+    direct mirror of the Spark F.aggregate — silently corrupts rows in
+    DuckDB 1.0.0: accumulator state leaks across rows in a vector
+    chunk. Negative result; hence the string form.)"""
+    dd = "chr(31)||chr(31)"
+    ctes = [
+        r"""w1 AS (
+  SELECT cast(count(*) AS BIGINT) AS cnt, regexp_split_to_array(word, '') AS syms
+  FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        FROM documents)
+  GROUP BY word
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT u.pr.lhs AS lhs, u.pr.rhs AS rhs, cast(sum(cnt) AS BIGINT) AS pc
+  FROM w{i}, unnest(list_transform(generate_series(1, len(syms) - 1),
+                                   j -> {{'lhs': syms[j], 'rhs': syms[j + 1]}})) AS u(pr)
+  GROUP BY 1, 2
+), b{i} AS (
+  SELECT lhs, rhs, pc FROM p{i} ORDER BY pc DESC, lhs, rhs LIMIT 1
+), w{i + 1} AS (
+  SELECT cnt, string_split(
+      trim(replace(
+          {dd} || array_to_string(syms, {dd}) || {dd},
+          chr(31) || b{i}.lhs || {dd} || b{i}.rhs || chr(31),
+          chr(31) || b{i}.lhs || b{i}.rhs || chr(31)),
+        chr(31)),
+      {dd}) AS syms
+  FROM w{i}, b{i}
+)"""
+        )
+    selects = [
+        f"SELECT {i} AS step, b{i}.lhs, b{i}.rhs, b{i}.pc AS pair_count,\n"
+        f"       (SELECT cast(sum(len(syms) * cnt) AS BIGINT) FROM w{i + 1}) AS symbols_after\n"
+        f"FROM b{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def _source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature (α=0.5) dataset-mixture plan over the documents
     corpus (operators/corpus.py source_mixture): target share ∝
@@ -4114,6 +4179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_eval": _minhash_eval,
         "source_mixture": _source_mixture,
         "vocab_coverage": _vocab_coverage,
+        "bpe_merges": _bpe_merges,
     }
 
 
@@ -4241,6 +4307,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_eval": _MINHASH_EVAL_SQL,
         "source_mixture": _SOURCE_MIXTURE_SQL,
         "vocab_coverage": _VOCAB_COVERAGE_SQL,
+        "bpe_merges": _bpe_sql(3),
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash

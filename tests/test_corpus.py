@@ -219,3 +219,18 @@ def test_vocab_coverage_curve(spark, sf_dir):
     covs = [r["cum_coverage"] for r in rows]
     assert all(b > a for a, b in zip(covs, covs[1:]))
     assert covs[-1] <= 1.0
+
+
+def test_bpe_merges_classic_example(spark):
+    """banana×2 + band×1: merge schedule and compression trajectory
+    computed by hand — includes a tie at step 3 ((ban,an) vs (an,a),
+    both 2) resolved lexicographically, and the greedy left-to-right
+    apply (banana = b·an·an·a after two merges, not b·an·a·n·a)."""
+    df = spark.createDataFrame([("banana band banana",)], "text string")
+    rows = sorted(corpus.bpe_merges(df, "text", n_merges=3).collect(), key=lambda r: r["step"])
+    got = [(r["step"], r["lhs"], r["rhs"], r["pair_count"], r["symbols_after"]) for r in rows]
+    assert got == [
+        (1, "a", "n", 5, 11),   # banana -> b an an a ; band -> b an d
+        (2, "b", "an", 3, 8),   # banana -> ban an a  ; band -> ban d
+        (3, "an", "a", 2, 6),   # banana -> ban ana   ; band unchanged
+    ]

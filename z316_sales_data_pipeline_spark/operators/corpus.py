@@ -293,3 +293,101 @@ def vocab_coverage(
         )
         .select("rank", "token", "cnt", "cum_coverage")
     )
+
+
+def _merge_pair_fold(syms: Column, lhs: str, rhs: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of adjacent (lhs,
+    rhs) symbols — the BPE apply step as a single JVM-side fold
+    (F.aggregate with a (out, pend) struct accumulator). "aaa" under
+    (a,a) becomes [aa, a], exactly the classic BPE scan; the DuckDB
+    oracle replays the identical fold with list_reduce."""
+    merged = lhs + rhs
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit(None).cast("string").alias("pend")
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        return (
+            F.when(acc["pend"].isNull(), F.struct(acc["out"].alias("out"), s.alias("pend")))
+            .when(
+                (acc["pend"] == F.lit(lhs)) & (s == F.lit(rhs)),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(F.concat(acc["out"], F.array(acc["pend"])).alias("out"), s.alias("pend"))
+            )
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        )
+
+    return F.aggregate(syms, init, step, finish)
+
+
+def bpe_merges(df: DataFrame, text_col: str, n_merges: int = 3) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction: the first ``n_merges``
+    merge rules learned from the corpus (Sennrich et al. 2016) — the
+    tokenizer-training step of an LLM data pipeline, run as fixed
+    distributed iterations like the engine's PageRank/k-means.
+
+    Per step: (1) adjacent symbol pairs of every word, weighted by
+    word count, collapse in ONE codegen hash aggregate (the corpus was
+    already reduced to vocabulary grain — at 100 TB the word-count
+    relation, not the corpus, is what iterates); (2) the argmax pair
+    (count desc, then lexicographic — deterministic) is collected as an
+    O(1) model parameter, exactly like IVF centroids; (3) the merge is
+    applied with a greedy left-to-right fold and the relation is
+    re-checkpointed so plan depth stays constant across steps.
+
+    Returns one row per merge: (step, lhs, rhs, pair_count,
+    symbols_after) where symbols_after is the total corpus symbol
+    count after applying the rule — the compression trajectory. The
+    oracle replays the identical schedule as an unrolled CTE chain.
+    """
+    words = (
+        df.select(F.explode(_norm_tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("cnt", F.split(F.col("word"), "").alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    empty_pairs = F.array().cast("array<struct<lhs:string,rhs:string>>")
+    rows = []
+    for step_no in range(1, n_merges + 1):
+        pair_arr = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("lhs"),
+                    F.element_at(F.col("syms"), i + 1).alias("rhs"),
+                ),
+            ),
+        ).otherwise(empty_pairs)
+        pairs = (
+            words.select("cnt", F.explode(pair_arr).alias("pr"))
+            .groupBy(F.col("pr.lhs").alias("lhs"), F.col("pr.rhs").alias("rhs"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.col("pair_count").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+        ).limit(1).collect()
+        if not best:
+            break
+        b = best[0]
+        nxt = words.select(
+            "cnt", _merge_pair_fold(F.col("syms"), b["lhs"], b["rhs"]).alias("syms")
+        ).localCheckpoint(eager=True)
+        symbols_after = nxt.agg(
+            F.sum(F.size("syms") * F.col("cnt")).alias("n")
+        ).collect()[0]["n"]
+        rows.append((step_no, b["lhs"], b["rhs"], b["pair_count"], symbols_after))
+        words = nxt
+    return df.sparkSession.createDataFrame(
+        rows, "step int, lhs string, rhs string, pair_count long, symbols_after long"
+    )
