@@ -87,6 +87,22 @@ def test_run_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert counts["docs"] >= counts["kept"] >= counts["survivors"] > 0
     assert counts["chunks"] >= counts["survivors"]
 
+    # governance sidecars: packs cover every chunk token exactly once,
+    # the mixture plan covers every surviving source, the tokenizer
+    # table has the requested merge count
+    packs = spark.read.parquet(out + "_packs")
+    assert packs.agg(F.sum("pack_tokens")).collect()[0][0] == (
+        spark.read.parquet(out).agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    survivors_src = (
+        corpus_pipeline.collapse_near_dups(corpus_pipeline.curated_documents(spark, sf_dir))
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert counts["mixture_sources"] == survivors_src
+    assert counts["bpe_merges"] == 3
+
     shards = spark.read.parquet(out)
     assert set(r["split"] for r in shards.select("split").distinct().collect()) <= {
         "train",

@@ -67,6 +67,7 @@ def run_corpus_pipeline(
     out_dir: str,
     chunk_tokens: int = 64,
     stride: int = 48,
+    pack_budget: int = 2048,
 ) -> dict[str, int]:
     """Full corpus build; returns stage counts for observability.
 
@@ -74,10 +75,23 @@ def run_corpus_pipeline(
     trainer reads its split with pure partition pruning; chunk rows
     are sorted within partitions by (doc_id, chunk_idx) for row-group
     locality of a document's windows.
+
+    Alongside the shards, the build emits the governance sidecars a
+    training run consumes with the data — each an individually
+    oracle-checked operator, pinned here in composition:
+
+    - ``{out}_packs``   — token-budget sequence packs over the chunks
+      (``corpus.sequence_pack``), the dataloader's unit of work;
+    - ``{out}_mixture`` — temperature mixture plan over the SURVIVOR
+      corpus (``corpus.source_mixture``) — sampling weights must be
+      computed on what remains after curation/dedup, not the raw lake;
+    - ``{out}_bpe``     — the BPE merge table induced from the
+      survivor corpus (``corpus.bpe_merges``), i.e. the tokenizer is
+      trained on exactly the text the model will see.
     """
     docs = load_table(spark, sf_dir, "documents")
     kept = curated_documents(spark, sf_dir)
-    survivors = collapse_near_dups(kept)
+    survivors = collapse_near_dups(kept).localCheckpoint(eager=True)
     split_docs = corpus.dataset_split(survivors, "doc_id")
     chunks = corpus.chunk_documents(
         split_docs, "text", "doc_id", chunk_tokens, stride, carry_cols=("split",)
@@ -86,9 +100,20 @@ def run_corpus_pipeline(
         chunks, out_dir, "split", cluster_cols=["doc_id", "chunk_idx"], mode="overwrite"
     )
     written = spark.read.parquet(out_dir)
+    packs = corpus.sequence_pack(
+        written, "split", "doc_id", "chunk_idx", "n_tokens", budget=pack_budget
+    )
+    packs.write.mode("overwrite").parquet(f"{out_dir}_packs")
+    mixture = corpus.source_mixture(survivors, "text", "source")
+    mixture.write.mode("overwrite").parquet(f"{out_dir}_mixture")
+    merges = corpus.bpe_merges(survivors, "text", n_merges=3)
+    merges.write.mode("overwrite").parquet(f"{out_dir}_bpe")
     return {
         "docs": docs.count(),
         "kept": kept.count(),
         "survivors": survivors.count(),
         "chunks": written.count(),
+        "packs": spark.read.parquet(f"{out_dir}_packs").count(),
+        "mixture_sources": spark.read.parquet(f"{out_dir}_mixture").count(),
+        "bpe_merges": spark.read.parquet(f"{out_dir}_bpe").count(),
     }
