@@ -213,3 +213,49 @@ def test_q21_compiles_to_semi_plus_anti(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_semantic_dedup_no_cartesian(spark, sf_dir):
+    """The pairwise cosine is confined to the cluster-key self-join —
+    never a cartesian/nested-loop product over the embedding table."""
+    plan = _plan(spark, sf_dir, "semantic_dedup")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_vocab_coverage_heap_topn_window_after(spark, sf_dir):
+    """Top-n by frequency compiles to TakeOrderedAndProject (per-
+    partition heap) — the running-sum window never sees the full
+    vocabulary."""
+    plan = _plan(spark, sf_dir, "vocab_coverage")
+    assert "TakeOrderedAndProject" in plan, plan
+    # the window input is the take-ordered result, not the token agg:
+    # Window appears above TakeOrdered in the operator listing
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+
+
+def test_source_mixture_scans_corpus_once(spark, sf_dir):
+    """The source-grain aggregate is materialized once (eager
+    checkpoint) and both the totals and the projection derive from it —
+    the final plan must contain ZERO parquet scans (without the
+    checkpoint, Catalyst re-inlines the aggregate per consumer and the
+    corpus is scanned twice)."""
+    plan = _plan(spark, sf_dir, "source_mixture")
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_vocab_coverage_scans_corpus_once(spark, sf_dir):
+    """Same single-materialization contract for the vocab-grain count
+    relation feeding both the total and the top-n."""
+    plan = _plan(spark, sf_dir, "vocab_coverage")
+    assert plan.count("FileScan parquet") == 0, plan
+
+
+def test_nearest_centroid_probe_broadcasts_model(spark, sf_dir):
+    """The incremental probe joins the k·dim centroid relation as a
+    broadcast build side — the new batch never shuffles on pos."""
+    import __spark_entry__ as m
+
+    df = m.queries()["semantic_dedup_incremental"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan

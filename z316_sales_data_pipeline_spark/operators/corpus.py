@@ -232,14 +232,18 @@ def source_mixture(
     Plan: one codegen hash aggregate to source grain (map-side partial
     agg — the full corpus collapses to |sources| rows before any
     shuffle), then a broadcast one-row total. Output is O(|sources|)
-    regardless of corpus size.
+    regardless of corpus size. The source-grain relation is
+    materialized eagerly: both the totals and the final projection
+    derive from it, and without the checkpoint Catalyst re-inlines the
+    aggregate per consumer — a SECOND full corpus scan at lake scale
+    (caught by the plan-guard test: zero FileScans in the final plan).
     """
     from ..functions.text import whitespace_token_count
 
     per = df.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(whitespace_token_count(text_col)).alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=True)
     tot = per.agg(
         F.sum("n_tokens").alias("__tot"),
         F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("__tot_w"),
@@ -273,10 +277,15 @@ def vocab_coverage(
     sort of the vocab). The running-sum window then runs over ONLY the
     top_n surviving rows — never over the full vocabulary.
     Deterministic tie-break (count desc, token asc) keeps the curve
-    engine-portable.
+    engine-portable. The vocab-grain count relation is materialized
+    eagerly — the total and the top-n both derive from it, and without
+    the checkpoint each consumer re-inlines the aggregate, i.e. a
+    second full corpus scan at lake scale.
     """
     tokens = df.select(F.explode(_norm_tokens(text_col)).alias("token"))
-    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
+        eager=True
+    )
     tot = counts.agg(F.sum("cnt").alias("__tot"))
     top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(top_n)
     w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
