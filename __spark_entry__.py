@@ -3772,7 +3772,11 @@ def _semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
     new = emb.filter(F.col("vec_id") % 5 == 0)
     assign = similarity.kmeans_assign(corpus, "embedding", "vec_id", "label", n_iters=1)
-    clustered = corpus.select("vec_id", "embedding").join(assign, "vec_id")
+    # materialized once: feeds the batch dedup AND the kept-rep join —
+    # without it every lineage reuse re-scans the embeddings parquet
+    clustered = (
+        corpus.select("vec_id", "embedding").join(assign, "vec_id").localCheckpoint(eager=True)
+    )
     flags = dedup.semantic_dedup(clustered, "embedding", "vec_id", "cluster", threshold=0.3)
     kept = clustered.join(flags.filter(F.col("keep")).select("vec_id"), "vec_id")
     cents = similarity.centroid_table(assign, corpus, "embedding", "vec_id")

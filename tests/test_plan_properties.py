@@ -217,9 +217,13 @@ def test_q21_compiles_to_semi_plus_anti(spark, sf_dir):
 
 def test_semantic_dedup_no_cartesian(spark, sf_dir):
     """The pairwise cosine is confined to the cluster-key self-join —
-    never a cartesian/nested-loop product over the embedding table."""
+    never a cartesian/nested-loop product over the embedding table —
+    and the normed base is materialized once: the final plan re-reads
+    the checkpoint, not the parquet source (6 re-scans before the
+    fix)."""
     plan = _plan(spark, sf_dir, "semantic_dedup")
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert plan.count("FileScan parquet") == 0, plan
 
 
 def test_vocab_coverage_heap_topn_window_after(spark, sf_dir):
@@ -253,9 +257,26 @@ def test_vocab_coverage_scans_corpus_once(spark, sf_dir):
 
 def test_nearest_centroid_probe_broadcasts_model(spark, sf_dir):
     """The incremental probe joins the k·dim centroid relation as a
-    broadcast build side — the new batch never shuffles on pos."""
+    broadcast build side — the new batch never shuffles on pos.
+    Asserted on the probe subplan itself (in the full query it is
+    materialized behind a checkpoint and invisible to the final plan);
+    the full query's final plan must contain zero parquet scans (the
+    pre-fix plan re-scanned the embeddings parquet 24 times)."""
     import __spark_entry__ as m
+    from pyspark.sql import functions as F
+
+    from z316_sales_data_pipeline_spark.operators import similarity
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = similarity.kmeans_assign(emb, "embedding", "vec_id", "label", n_iters=1)
+    cents = similarity.centroid_table(assign, emb, "embedding", "vec_id")
+    probe = similarity.nearest_centroid_assign(
+        emb.filter(F.col("vec_id") % 5 == 0), "embedding", "vec_id", cents
+    )
+    probe_plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in probe_plan, probe_plan
 
     df = m.queries()["semantic_dedup_incremental"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("FileScan parquet") == 0, plan

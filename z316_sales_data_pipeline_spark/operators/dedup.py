@@ -643,11 +643,20 @@ def semantic_dedup(
     Input must already carry ``cluster_col`` (e.g. from
     ``similarity.kmeans_assign`` or an IVF cell / LSH bucket).
     Output: (id, cluster, keep boolean) at input grain.
+
+    The normed base relation is materialized eagerly: it feeds both
+    self-join sides AND the final keep-flag join, and without the
+    checkpoint each use re-scans the embedding source and re-evaluates
+    the norm HOF (measured 6 parquet scans for the one query). At lake
+    scale this is the clustered-assignment relation you'd persist at
+    rest anyway.
     """
     from ..functions.vector import dot, norm
 
-    base = emb.select(F.col(id_col), F.col(cluster_col), F.col(vec_col)).withColumn(
-        "__nrm", norm(vec_col)
+    base = (
+        emb.select(F.col(id_col), F.col(cluster_col), F.col(vec_col))
+        .withColumn("__nrm", norm(vec_col))
+        .localCheckpoint(eager=True)
     )
     a = base.select(
         F.col(cluster_col),
@@ -772,12 +781,17 @@ def semantic_dedup_incremental(
 
     ``corpus_kept``: (cluster, vec) of at-rest representatives;
     ``new_assigned``: (id, cluster, vec) of the batch. Output:
-    (id, cluster, keep) at batch grain.
+    (id, cluster, keep) at batch grain. The normed batch relation is
+    materialized eagerly (three consumers: both in-batch join sides
+    and the final keep-flag join — same re-scan trap as
+    ``semantic_dedup``).
     """
     from ..functions.vector import dot, norm
 
-    nb = new_assigned.select(F.col(id_col), F.col(cluster_col), F.col(vec_col)).withColumn(
-        "__nrm", norm(vec_col)
+    nb = (
+        new_assigned.select(F.col(id_col), F.col(cluster_col), F.col(vec_col))
+        .withColumn("__nrm", norm(vec_col))
+        .localCheckpoint(eager=True)
     )
     a = nb.select(
         F.col(cluster_col),
