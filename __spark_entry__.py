@@ -3424,7 +3424,13 @@ def _dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact fingerprint join, so results are prune-invariant."""
     docs = load_table(spark, sf_dir, "documents")
     fp = text.token_set_fingerprint("text")
-    new = docs.filter(F.col("source") == "src0").select("doc_id", fp.alias("fp"))
+    # the small new-batch side feeds the bloom build AND the probe
+    # join — materialize it once instead of re-scanning the corpus
+    new = (
+        docs.filter(F.col("source") == "src0")
+        .select("doc_id", fp.alias("fp"))
+        .localCheckpoint(eager=True)
+    )
     corpus = docs.filter(F.col("source") != "src0").select(
         F.col("doc_id").alias("corpus_doc_id"), fp.alias("fp")
     )
@@ -3519,9 +3525,14 @@ def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source aggregates broadcast back. Output is O(|sources|²) —
     constant at any corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
-    fps = docs.select(
-        "source", text.token_set_fingerprint("text").alias("fp")
-    ).distinct()
+    # doc-grain fingerprint relation, materialized once — it feeds the
+    # size aggregate AND both self-join sides; without the checkpoint
+    # each consumer re-scans the corpus and re-hashes every document
+    fps = (
+        docs.select("source", text.token_set_fingerprint("text").alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = fps.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
     a = fps.select(F.col("source").alias("src_a"), "fp")
     b = fps.select(F.col("source").alias("src_b"), "fp")

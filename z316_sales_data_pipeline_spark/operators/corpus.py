@@ -193,13 +193,23 @@ def tfidf_top_terms(
     tie-break (score desc, term asc) keeps the result engine-portable.
     """
     tokens = df.select(F.col(group_col), F.explode(_norm_tokens(text_col)).alias("term"))
-    tf = tokens.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # the reduced (group, term) relation is materialized once — it
+    # feeds dfreq, the group count AND the scored join; without the
+    # checkpoint each consumer re-inlines the explode+aggregate, i.e.
+    # three full corpus scans for one query
+    tf = (
+        tokens.groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     # df(term) aggregated from the reduced tf relation (one row per
     # (group, term)) — a hash agg over the small relation. (A window
     # count over partition-by-term was measured 5× SLOWER: WindowExec
     # sorts the whole relation by term, vs two codegen hash aggs.)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_groups = df.select(F.count_distinct(group_col).alias("__ng"))
+    # every group reaches tf (even empty text yields one '' token), so
+    # the group count derives from the reduced relation, not the corpus
+    n_groups = tf.select(F.count_distinct(group_col).alias("__ng"))
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_groups))
