@@ -774,6 +774,44 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+def _dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph (operators/graph.py
+    triangle_count) over the shared at-rest word-Jaccard pair relation
+    (plans/pair_graph.py): triangles, wedges and the global clustering
+    coefficient — how clique-like the duplicate structure is. The
+    oracle recomputes the same ordered-edge two-join census."""
+    pairs = pair_graph.jaccard_pair_graph(spark, sf_dir, threshold=0.5, shingle_k=1)
+    return graph.triangle_count(pairs)
+
+
+_DUP_TRIANGLES_SQL = r"""
+WITH t AS (
+    SELECT source, doc_id,
+           list_distinct(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+    FROM documents
+), p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) /
+          cast(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5
+), tri AS (
+    SELECT cast(count(*) AS BIGINT) AS n_triangles
+    FROM p e1
+    JOIN p e2 ON e1.id_b = e2.id_a
+    JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+), deg AS (
+    SELECT v, cast(count(*) AS BIGINT) AS d
+    FROM (SELECT id_a AS v FROM p UNION ALL SELECT id_b AS v FROM p)
+    GROUP BY v
+), wed AS (
+    SELECT cast(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg
+)
+SELECT n_triangles, n_wedges,
+       round(3.0 * n_triangles / nullif(n_wedges, 0), 6) AS global_clustering
+FROM tri, wed
+"""
+
+
 def _hll_partition_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-aggregated distinct sketches AT REST: per-(day, event_type)
     DataSketches HLL partials, union-merged across days per event_type —
@@ -4195,6 +4233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": _source_mixture,
         "vocab_coverage": _vocab_coverage,
         "bpe_merges": _bpe_merges,
+        "dup_triangles": _dup_triangles,
     }
 
 
@@ -4323,6 +4362,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mixture": _SOURCE_MIXTURE_SQL,
         "vocab_coverage": _VOCAB_COVERAGE_SQL,
         "bpe_merges": _bpe_sql(3),
+        "dup_triangles": _DUP_TRIANGLES_SQL,
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash

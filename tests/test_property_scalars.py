@@ -94,3 +94,43 @@ def test_discount_parse_clamp_law(spark, totals, pct):
 
 def sparkify(spark, rows):
     return spark.createDataFrame(rows, "d string, t double")
+
+
+@given(
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=12), min_size=1, max_size=200),
+    st.sampled_from(["aa", "ab", "ba", "bc", "ca"]),
+)
+@settings(**_SETTINGS)
+def test_bpe_merge_fold_matches_reference(spark, words, pair):
+    """The JVM-side greedy merge fold equals the classic left-to-right
+    BPE apply scan for arbitrary words over a tiny alphabet (covers
+    overlap chains like aaa/aaaa that break naive replace schemes)."""
+    from z316_sales_data_pipeline_spark.operators.corpus import _merge_pair_fold
+    from pyspark.sql import functions as F
+
+    lhs, rhs = pair[0], pair[1]
+
+    def ref(word: str) -> list[str]:
+        out, pend = [], None
+        for s in word:
+            if pend is None:
+                pend = s
+            elif pend == lhs and s == rhs:
+                out.append(lhs + rhs)
+                pend = None
+            else:
+                out.append(pend)
+                pend = s
+        if pend is not None:
+            out.append(pend)
+        return out
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    outs = {
+        r["w"]: r["m"]
+        for r in df.select(
+            "w", _merge_pair_fold(F.split("w", ""), lhs, rhs).alias("m")
+        ).collect()
+    }
+    for w in words:
+        assert outs[w] == ref(w), (w, lhs, rhs, outs[w], ref(w))

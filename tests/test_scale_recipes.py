@@ -266,3 +266,14 @@ def test_nearest_centroid_assign_matches_kmeans_probe(spark, sf_dir):
         for r in similarity.nearest_centroid_assign(emb, "embedding", "vec_id", cents).collect()
     }
     assert probed == two
+
+
+def test_triangle_count_handcrafted_graph(spark):
+    """K4 on {1,2,3,4} plus a pendant edge (4,5): 4 triangles, wedges
+    Σd(d-1)/2 = 3+3+3+6+0 = 15, clustering 3·4/15 = 0.8."""
+    from z316_sales_data_pipeline_spark.operators import graph
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    r = graph.triangle_count(pairs).collect()[0]
+    assert (r["n_triangles"], r["n_wedges"], r["global_clustering"]) == (4, 15, 0.8)

@@ -79,3 +79,49 @@ def pagerank_int(
         )
     deg.unpersist()
     return ranks.select(F.col("nid").alias(id_col), F.col("pr"))
+
+
+def triangle_count(pairs: DataFrame) -> DataFrame:
+    """Global triangle census over an undirected edge list (one row per
+    edge, id_a < id_b): triangle count, wedge (open two-path) count,
+    and the global clustering coefficient 3·triangles / wedges — the
+    standard summary of how clique-like a near-dup graph is (boilerplate
+    families triangle densely; chains of borderline pairs do not).
+
+    Node-iterator shape: with edges consistently oriented low→high id,
+    triangle a<b<c is found exactly once by joining (a,b)⋈(b,c) on the
+    middle vertex and closing with (a,c) — two equi-joins carrying id
+    pairs only, no payloads. Wedges come from the degree relation
+    (Σ d·(d−1)/2, integer arithmetic). At 100 TB, orient edges from
+    low- to high-DEGREE endpoint instead of low id to bound join
+    fan-out on hub vertices (the classic compact-forward refinement) —
+    same plan shape, different orientation key.
+
+    Output: one row (n_triangles, n_wedges, global_clustering).
+    """
+    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).localCheckpoint(
+        eager=True
+    )
+    cand = e.join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )  # (a,b) ⋈ (b,c) → open path a<b<c
+    tri = cand.join(e.select("a", F.col("b").alias("c")), ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wed = deg.agg(F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"))
+    return (
+        tri.crossJoin(wed)
+        .select(
+            "n_triangles",
+            "n_wedges",
+            F.round(F.try_divide(F.lit(3.0) * F.col("n_triangles"), F.col("n_wedges")), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )
