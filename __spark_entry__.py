@@ -774,6 +774,42 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span duplication (operators/dedup.py span_dedup):
+    per doc, the fraction of its 8-token windows that occur in ≥1
+    other document — the hash-windowed stand-in for suffix-array
+    substring dedup; catches a copied paragraph inside an
+    otherwise-unique page that doc-level near-dup misses. Portable
+    rolling hash, so the oracle replays every window hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_dedup(docs, "text", "doc_id", k=8)
+
+
+_SPAN_DEDUP_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, [
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+          [CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(array_to_string(toks[i:i+7], ' '), '')]),
+        (acc, c) -> (acc * 31 + c) % 2147483647)
+      FOR i IN generate_series(1, len(toks) - 7)] AS hs
+  FROM base WHERE len(toks) >= 8
+),
+r AS (SELECT doc_id, unnest(hs) AS h FROM w),
+f AS (SELECT h, 1 AS dup FROM r GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+SELECT r.doc_id,
+       cast(count(*) AS BIGINT) AS n_windows,
+       cast(sum(CASE WHEN f.dup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       round(sum(CASE WHEN f.dup IS NOT NULL THEN 1 ELSE 0 END) / cast(count(*) AS DOUBLE), 6)
+           AS dup_span_frac
+FROM r LEFT JOIN f ON r.h = f.h
+GROUP BY r.doc_id
+"""
+
+
 def _dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the near-dup graph (operators/graph.py
     triangle_count) over the shared at-rest word-Jaccard pair relation
@@ -4234,6 +4270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _vocab_coverage,
         "bpe_merges": _bpe_merges,
         "dup_triangles": _dup_triangles,
+        "span_dedup": _span_dedup,
     }
 
 
@@ -4363,6 +4400,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": _VOCAB_COVERAGE_SQL,
         "bpe_merges": _bpe_sql(3),
         "dup_triangles": _DUP_TRIANGLES_SQL,
+        "span_dedup": _SPAN_DEDUP_SQL,
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash

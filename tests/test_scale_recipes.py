@@ -277,3 +277,31 @@ def test_triangle_count_handcrafted_graph(spark):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     r = graph.triangle_count(pairs).collect()[0]
     assert (r["n_triangles"], r["n_wedges"], r["global_clustering"]) == (4, 15, 0.8)
+
+
+def test_span_dedup_detects_copied_paragraph(spark):
+    """A doc sharing an 8-token span with another is flagged on exactly
+    the shared windows; a fully unique doc has dup_span_frac 0; docs
+    shorter than k produce no row. A window repeated WITHIN one doc
+    only is not cross-doc duplication."""
+    from z316_sales_data_pipeline_spark.operators import dedup
+
+    span = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        (1, span + " unique tail one two three"),
+        (2, "other head goes here now " + span),
+        (3, "totally different words making up a unique document here"),
+        (4, "short doc"),
+        (5, span + " " + span),  # repeats the span internally AND shares it
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.span_dedup(df, "text", "doc_id", k=8).collect()}
+    assert 4 not in out  # < k tokens -> no windows
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_span_frac"] == 0.0
+    # docs 1, 2, 5 share the span: its window must be flagged in each
+    assert out[1]["n_dup_windows"] >= 1
+    assert out[2]["n_dup_windows"] >= 1
+    assert out[5]["n_dup_windows"] >= 2  # both occurrences count
+    for r in out.values():
+        assert 0.0 <= r["dup_span_frac"] <= 1.0
+        assert r["dup_span_frac"] == round(r["n_dup_windows"] / r["n_windows"], 6)

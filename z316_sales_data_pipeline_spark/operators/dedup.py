@@ -827,3 +827,48 @@ def semantic_dedup_incremental(
     return nb.join(dropped.withColumn("__drop", F.lit(True)), id_col, "left").select(
         id_col, cluster_col, F.col("__drop").isNull().alias("keep")
     )
+
+
+def span_dedup(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
+    """Cross-document SPAN-level duplication: for every document, the
+    fraction of its k-token windows (stride 1) that also occur in at
+    least one OTHER document — the hash-windowed approximation of
+    suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"). Doc-level near-dup
+    misses a copied paragraph inside an otherwise-unique page; this is
+    the operator that sees it.
+
+    Plan: one narrow Generate (windows via the shared shingle
+    transform), windows hashed to the portable rolling 64-bit family
+    in the same stage — only (id, hash) rows ever shuffle, never
+    window text. The occurrence relation is materialized once (it
+    feeds the cross-doc distinct count AND the per-doc rollup), then
+    two codegen hash aggregates + one hash join on the window hash.
+    Cost is O(total tokens), the same class as shingling.
+
+    Output per doc (docs with ≥ k tokens): (id, n_windows,
+    n_dup_windows, dup_span_frac).
+    """
+    rel = (
+        df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("__w"))
+        .select(F.col(id_col), _rolling_hash(F.col("__w")).alias("__h"))
+        .localCheckpoint(eager=True)
+    )
+    flagged = (
+        rel.groupBy("__h")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__h")
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        rel.join(flagged, "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce("__dup", F.lit(0))).alias("n_dup_windows"),
+            F.round(
+                F.sum(F.coalesce("__dup", F.lit(0))) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_span_frac"),
+        )
+    )
