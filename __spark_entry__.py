@@ -4029,10 +4029,21 @@ def _bpe_sql(n_merges: int = 3) -> str:
     direct mirror of the Spark F.aggregate — silently corrupts rows in
     DuckDB 1.0.0: accumulator state leaks across rows in a vector
     chunk. Negative result; hence the string form.)"""
+    return "WITH " + _bpe_ctes(n_merges) + "\n" + "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, b{i}.lhs, b{i}.rhs, b{i}.pc AS pair_count,\n"
+        f"       (SELECT cast(sum(len(syms) * cnt) AS BIGINT) FROM w{i + 1}) AS symbols_after\n"
+        f"FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+
+
+def _bpe_ctes(n_merges: int) -> str:
+    """The shared unrolled training chain (w1 … w{n+1}, p_i, b_i); the
+    word column rides along so the apply oracle can join back."""
     dd = "chr(31)||chr(31)"
     ctes = [
         r"""w1 AS (
-  SELECT cast(count(*) AS BIGINT) AS cnt, regexp_split_to_array(word, '') AS syms
+  SELECT word, cast(count(*) AS BIGINT) AS cnt, regexp_split_to_array(word, '') AS syms
   FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
         FROM documents)
   GROUP BY word
@@ -4048,7 +4059,7 @@ def _bpe_sql(n_merges: int = 3) -> str:
 ), b{i} AS (
   SELECT lhs, rhs, pc FROM p{i} ORDER BY pc DESC, lhs, rhs LIMIT 1
 ), w{i + 1} AS (
-  SELECT cnt, string_split(
+  SELECT word, cnt, string_split(
       trim(replace(
           {dd} || array_to_string(syms, {dd}) || {dd},
           chr(31) || b{i}.lhs || {dd} || b{i}.rhs || chr(31),
@@ -4058,13 +4069,37 @@ def _bpe_sql(n_merges: int = 3) -> str:
   FROM w{i}, b{i}
 )"""
         )
-    selects = [
-        f"SELECT {i} AS step, b{i}.lhs, b{i}.rhs, b{i}.pc AS pair_count,\n"
-        f"       (SELECT cast(sum(len(syms) * cnt) AS BIGINT) FROM w{i + 1}) AS symbols_after\n"
-        f"FROM b{i}"
-        for i in range(1, n_merges + 1)
-    ]
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    return ",\n".join(ctes)
+
+
+def _bpe_token_count_sql(n_merges: int = 3) -> str:
+    """Apply oracle: per-doc token stream joined to the trained
+    word→symbols relation (w{n+1}) from the shared CTE chain."""
+    return (
+        "WITH "
+        + _bpe_ctes(n_merges)
+        + f""",
+tok AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+)
+SELECT tok.doc_id,
+       cast(count(*) AS BIGINT) AS n_words,
+       cast(sum(len(w{n_merges + 1}.syms)) AS BIGINT) AS n_bpe_tokens
+FROM tok JOIN w{n_merges + 1} USING (word)
+GROUP BY tok.doc_id"""
+    )
+
+
+def _bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the induced tokenizer (operators/corpus.py
+    bpe_token_count): per-doc token counts under the first 3 learned
+    BPE rules — the train+apply pair to bpe_merges, and the number
+    that prices a document in a token-budgeted corpus. The apply side
+    is a broadcast join from the token stream to the trained
+    word→symbol-count vocabulary; documents are never re-folded."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.bpe_token_count(docs, "text", "doc_id", n_merges=3)
 
 
 def _source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4271,6 +4306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _bpe_merges,
         "dup_triangles": _dup_triangles,
         "span_dedup": _span_dedup,
+        "bpe_token_count": _bpe_token_count,
     }
 
 
@@ -4401,6 +4437,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_sql(3),
         "dup_triangles": _DUP_TRIANGLES_SQL,
         "span_dedup": _SPAN_DEDUP_SQL,
+        "bpe_token_count": _bpe_token_count_sql(3),
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash

@@ -250,3 +250,13 @@ def test_bpe_merges_classic_example(spark):
         (2, "b", "an", 3, 8),   # banana -> ban an a  ; band -> ban d
         (3, "an", "a", 2, 6),   # banana -> ban ana   ; band unchanged
     ]
+
+
+def test_bpe_token_count_prices_merges(spark):
+    """banana band: after 3 merges banana = [ban, ana] (2 tokens) and
+    band = [ban, d] (2); counts follow; n_bpe_tokens <= chars and
+    >= n_words always."""
+    df = spark.createDataFrame([(1, "banana band banana"), (2, "band")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus.bpe_token_count(df, "text", "doc_id", n_merges=3).collect()}
+    assert (out[1]["n_words"], out[1]["n_bpe_tokens"]) == (3, 6)  # 2+2+2
+    assert (out[2]["n_words"], out[2]["n_bpe_tokens"]) == (1, 2)  # ban d

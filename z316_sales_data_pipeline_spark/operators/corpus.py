@@ -368,11 +368,21 @@ def bpe_merges(df: DataFrame, text_col: str, n_merges: int = 3) -> DataFrame:
     count after applying the rule — the compression trajectory. The
     oracle replays the identical schedule as an unrolled CTE chain.
     """
+    rows, _ = _bpe_train(df, text_col, n_merges)
+    return df.sparkSession.createDataFrame(
+        rows, "step int, lhs string, rhs string, pair_count long, symbols_after long"
+    )
+
+
+def _bpe_train(df: DataFrame, text_col: str, n_merges: int):
+    """Shared BPE training loop: returns (merge rows, the final
+    word→symbols vocabulary relation) so ``bpe_merges`` reports the
+    schedule and ``bpe_token_count`` applies it without re-learning."""
     words = (
         df.select(F.explode(_norm_tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("cnt", F.split(F.col("word"), "").alias("syms"))
+        .select("word", "cnt", F.split(F.col("word"), "").alias("syms"))
         .localCheckpoint(eager=True)
     )
     empty_pairs = F.array().cast("array<struct<lhs:string,rhs:string>>")
@@ -400,13 +410,39 @@ def bpe_merges(df: DataFrame, text_col: str, n_merges: int = 3) -> DataFrame:
             break
         b = best[0]
         nxt = words.select(
-            "cnt", _merge_pair_fold(F.col("syms"), b["lhs"], b["rhs"]).alias("syms")
+            "word", "cnt", _merge_pair_fold(F.col("syms"), b["lhs"], b["rhs"]).alias("syms")
         ).localCheckpoint(eager=True)
         symbols_after = nxt.agg(
             F.sum(F.size("syms") * F.col("cnt")).alias("n")
         ).collect()[0]["n"]
         rows.append((step_no, b["lhs"], b["rhs"], b["pair_count"], symbols_after))
         words = nxt
-    return df.sparkSession.createDataFrame(
-        rows, "step int, lhs string, rhs string, pair_count long, symbols_after long"
+    return rows, words
+
+
+def bpe_token_count(
+    df: DataFrame, text_col: str, id_col: str, n_merges: int = 3
+) -> DataFrame:
+    """Apply the induced tokenizer: per document, the token count under
+    the first ``n_merges`` learned BPE rules — the train+APPLY pair to
+    ``bpe_merges``, and the number that actually prices a document in
+    a token-budgeted corpus (whitespace counts overestimate once the
+    tokenizer learns the corpus's frequent fusions).
+
+    The apply side is a broadcast join from the document token stream
+    to the word→symbol-count vocabulary relation that training already
+    produced — documents are never re-folded; at lake scale the vocab
+    relation is the tiny model table you persist beside the merge
+    rules. Output: (id, n_words, n_bpe_tokens).
+    """
+    _, vocab = _bpe_train(df, text_col, n_merges)
+    word_len = vocab.select("word", F.size("syms").alias("__nsym"))
+    toks = df.select(F.col(id_col), F.explode(_norm_tokens(text_col)).alias("word"))
+    return (
+        toks.join(F.broadcast(word_len), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__nsym").alias("n_bpe_tokens"),
+        )
     )
