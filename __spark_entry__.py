@@ -25,6 +25,7 @@ from z316_sales_data_pipeline_spark.operators import (
     quality,
     setops,
     similarity,
+    sketch,
     skew,
     windows,
 )
@@ -845,6 +846,71 @@ WITH t AS (
 SELECT n_triangles, n_wedges,
        round(3.0 * n_triangles / nullif(n_wedges, 0), 6) AS global_clustering
 FROM tri, wed
+"""
+
+
+def _heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch audit (operators/sketch.py): per-day
+    CMS partials at rest, merged by counter sum, probed for the top-20
+    exact heavy hitters (w=64 against 150 keys, so collisions are real
+    and the min-over-rows estimate is genuinely exercised) — (exact, estimate, overestimate) per key.
+    The portable affine-over-rolling-hash family makes every counter
+    bit-identical across engines, so the oracle value-checks the
+    ESTIMATES themselves (overestimate ≥ 0 is the CMS guarantee, and
+    both engines must agree on its exact value)."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = sketch.cms_table(ev, "user_id", F.to_date("ts"), d=4, w=64)
+    merged = sketch.cms_merge(sk)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("user_id"))
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
+    est = sketch.cms_probe(merged, top.select("user_id"), "user_id", d=4, w=64)
+    return top.join(est, "user_id").select(
+        "user_id",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
+def _cms_sql(d: int = 4, w: int = 256) -> str:
+    """Oracle generator replaying the CMS schedule: same rolling-hash
+    base, same affine row constants, direct (merge-equivalent) global
+    counters, min-over-rows estimates for the top-20 keys."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "[CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(CAST(user_id AS VARCHAR), '')]), "
+        "(acc, c) -> (acc * 31 + c) % 2147483647)"
+    )
+    rb_rows = "\n  UNION ALL\n".join(
+        f"  SELECT user_id, {i} AS row, ((hh * {a} + {b}) % 2147483647) % {w} AS bucket FROM h"
+        for i, (a, b) in ((i, sketch._affine(i)) for i in range(d))
+    )
+    return f"""
+WITH h AS (
+  SELECT user_id, {fold} AS hh FROM events
+), rb AS (
+{rb_rows}
+), s AS (
+  SELECT row, bucket, cast(count(*) AS BIGINT) AS c FROM rb GROUP BY 1, 2
+), top AS (
+  SELECT user_id, cast(count(*) AS BIGINT) AS exact_count
+  FROM events GROUP BY user_id ORDER BY exact_count DESC, user_id LIMIT 20
+), rbk AS (
+  SELECT DISTINCT user_id, row, bucket FROM rb
+  WHERE user_id IN (SELECT user_id FROM top)
+), est AS (
+  SELECT rbk.user_id, min(s.c) AS cms_estimate
+  FROM rbk JOIN s USING (row, bucket)
+  GROUP BY rbk.user_id
+)
+SELECT t.user_id, t.exact_count, e.cms_estimate,
+       e.cms_estimate - t.exact_count AS overestimate
+FROM top t JOIN est e USING (user_id)
 """
 
 
@@ -4307,6 +4373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_triangles": _dup_triangles,
         "span_dedup": _span_dedup,
         "bpe_token_count": _bpe_token_count,
+        "heavy_hitters_cms": _heavy_hitters_cms,
     }
 
 
@@ -4438,6 +4505,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_triangles": _DUP_TRIANGLES_SQL,
         "span_dedup": _SPAN_DEDUP_SQL,
         "bpe_token_count": _bpe_token_count_sql(3),
+        "heavy_hitters_cms": _cms_sql(4, 64),
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash

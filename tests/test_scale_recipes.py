@@ -305,3 +305,21 @@ def test_span_dedup_detects_copied_paragraph(spark):
     for r in out.values():
         assert 0.0 <= r["dup_span_frac"] <= 1.0
         assert r["dup_span_frac"] == round(r["n_dup_windows"] / r["n_windows"], 6)
+
+
+def test_cms_overestimates_only_and_merge_equals_direct(spark, sf_dir):
+    """CMS laws: estimate >= exact for EVERY key (counters only add),
+    and merging per-day partials equals the direct single-pass sketch
+    (counter-sum associativity — the at-rest contract)."""
+    from z316_sales_data_pipeline_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    merged = sketch.cms_merge(sketch.cms_table(ev, "user_id", F.to_date("ts"), d=4, w=64))
+    direct = sketch.cms_merge(sketch.cms_table(ev, "user_id", F.lit(1), d=4, w=64))
+    m = {(r["row"], r["bucket"]): r["c"] for r in merged.collect()}
+    d_ = {(r["row"], r["bucket"]): r["c"] for r in direct.collect()}
+    assert m == d_
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    est = sketch.cms_probe(merged, exact.select("user_id"), "user_id", d=4, w=64)
+    joined = exact.join(est, "user_id").collect()
+    assert joined and all(r["cms_estimate"] >= r["n"] for r in joined)

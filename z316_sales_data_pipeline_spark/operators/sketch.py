@@ -1,0 +1,89 @@
+"""Count-min frequency sketching (north-star approximate ops).
+
+The frequency-sketch sibling of the HLL distinct partials
+(``hll_partition_rollup``): per-partition count-min partials are the
+at-rest relation, merged at query time by elementwise sum (CMS merge =
+counter addition), probed with min-over-rows. The hash family is the
+engine's portable affine-over-rolling-hash family, so — unlike
+library sketches — every counter and every estimate is bit-identical
+across engines and run orders: the oracle value-checks the ESTIMATES
+themselves, not just self-asserted error verdicts.
+
+Guarantees (classic CMS): estimate >= true count always (counters only
+ever add), and estimate <= true + (e/w)·N with probability 1−(1/2)^d.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_P = 2147483647  # 2^31 − 1, shared with the MinHash family
+
+
+def _rolling_hash(c: Column) -> Column:
+    """fold(chars, 0, (acc, ch) -> (acc*31 + codepoint) mod P) — the
+    portable polynomial family (same recurrence as operators.dedup)."""
+    return F.aggregate(
+        F.split(c.cast("string"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * F.lit(31) + F.ascii(ch), F.lit(_P)),
+    )
+
+
+def _affine(i: int) -> tuple[int, int]:
+    return (2654435761 * (i + 1)) % _P, (40503 * i + 1) % _P
+
+
+def _bucket_entries(h: Column, d: int, w: int) -> Column:
+    """Array of (row, bucket) structs for the d hash rows."""
+    entries = []
+    for i in range(d):
+        a, b = _affine(i)
+        entries.append(
+            F.struct(
+                F.lit(i).alias("row"),
+                (F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P)) % F.lit(w)).alias("bucket"),
+            )
+        )
+    return F.array(*entries)
+
+
+def cms_table(
+    df: DataFrame, key_col: str, part_col: Column, d: int = 4, w: int = 256
+) -> DataFrame:
+    """The at-rest CMS partial relation: (partition, row, bucket, c) —
+    at most d·w counters per partition value, built in one codegen
+    hash aggregate over the exploded (row, bucket) pairs. At 100 TB
+    this is the tiny sketch table you store next to each ingest
+    partition; raw keys never need rescanning for frequency queries.
+    """
+    h = _rolling_hash(F.col(key_col))
+    return (
+        df.select(part_col.alias("part"), F.explode(_bucket_entries(h, d, w)).alias("rb"))
+        .groupBy("part", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_merge(sketch: DataFrame) -> DataFrame:
+    """Merge partials across partitions: elementwise counter sum."""
+    return sketch.groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+
+
+def cms_probe(
+    merged: DataFrame, keys: DataFrame, key_col: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Point-estimate each probe key: min over the d hash rows of its
+    counter. Probe keys are a small relation (heavy-hitter candidates,
+    an audit set) — the join is broadcastable; the merged sketch is
+    O(d·w) regardless of stream size."""
+    h = _rolling_hash(F.col(key_col))
+    probe = keys.select(
+        F.col(key_col), F.explode(_bucket_entries(h, d, w)).alias("rb")
+    ).select(key_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probe.join(merged, ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("c").alias("cms_estimate"))
+    )
