@@ -455,3 +455,41 @@ def test_incremental_dedup_streaming_matches_batch(spark, sf_dir, tmp_path):
 
     want = {tuple(r) for r in m.queries()["dedup_incremental_exact"](spark, sf_dir).collect()}
     assert set(results) == want and want
+
+
+def test_cms_streaming_partials_merge_to_batch(spark, sf_dir, tmp_path):
+    """Count-min at-rest maintenance under streaming ingest: each
+    micro-batch appends its CMS partial to the sketch table; merging
+    the accumulated partials equals the direct single-pass sketch of
+    everything ingested — counter-sum associativity makes the sketch
+    table maintainable by blind appends, no read-modify-write."""
+    from z316_sales_data_pipeline_spark.operators import sketch
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_src")
+    ev.repartition(4).write.parquet(src)
+    sketch_path = str(tmp_path / "cms_partials")
+
+    def append_partial(batch_df, epoch_id):
+        part = sketch.cms_table(batch_df, "user_id", F.lit(epoch_id), d=4, w=64)
+        part.write.mode("append").parquet(sketch_path)
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(append_partial)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in sketch.cms_merge(spark.read.parquet(sketch_path)).collect()
+    }
+    direct = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in sketch.cms_merge(sketch.cms_table(ev, "user_id", F.lit(0), d=4, w=64)).collect()
+    }
+    assert merged == direct and merged
