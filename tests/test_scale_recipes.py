@@ -323,3 +323,58 @@ def test_cms_overestimates_only_and_merge_equals_direct(spark, sf_dir):
     est = sketch.cms_probe(merged, exact.select("user_id"), "user_id", d=4, w=64)
     joined = exact.join(est, "user_id").collect()
     assert joined and all(r["cms_estimate"] >= r["n"] for r in joined)
+
+
+def test_incremental_cc_matches_full_recompute(spark, sf_dir):
+    """Splitting the corpus pair graph into an 'old' half (labels
+    computed and stored) and a 'new' half (arriving edges + nodes),
+    the incremental maintenance equals full CC over everything —
+    including the hard case where a new edge splices two old
+    components (star edges carry the old connectivity)."""
+    from z316_sales_data_pipeline_spark.operators import dedup
+
+    # synthetic graph engineered for the splice case:
+    # old: components {1,2,3} (edges 1-2, 2-3) and {10,11} (10-11); isolate 20
+    # new: node 30 joins 11; edge 3-10 SPLICES the two old components
+    old_nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20)], "doc_id long")
+    old_edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    labels0 = dedup.connected_components(old_nodes, old_edges, id_col="doc_id")
+    new_nodes = spark.createDataFrame([(30,)], "doc_id long")
+    new_edges = spark.createDataFrame([(11, 30), (3, 10)], "id_a long, id_b long")
+    inc = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components_incremental(
+            labels0, new_nodes, new_edges, id_col="doc_id"
+        ).collect()
+    }
+    full = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(
+            old_nodes.unionByName(new_nodes), old_edges.unionByName(new_edges), id_col="doc_id"
+        ).collect()
+    }
+    assert inc == full
+    # the splice really merged everything reachable into min id 1
+    assert dict(inc)[30] == 1 and dict(inc)[10] == 1 and dict(inc)[20] == 20
+
+    # and on the real corpus: old = pairs among doc_id % 5 != 0
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", "source", 0.5, shingle_k=1)
+    old_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    old_pairs = pairs.filter((F.col("id_a") % 5 != 0) & (F.col("id_b") % 5 != 0))
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    new_pairs = pairs.filter((F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0))
+    at_rest = dedup.connected_components(old_docs.select("doc_id"), old_pairs, id_col="doc_id")
+    inc2 = {
+        tuple(r)
+        for r in dedup.connected_components_incremental(
+            at_rest, new_docs.select("doc_id"), new_pairs, id_col="doc_id"
+        ).collect()
+    }
+    full2 = {
+        tuple(r)
+        for r in dedup.connected_components(docs.select("doc_id"), pairs, id_col="doc_id").collect()
+    }
+    assert inc2 == full2 and inc2

@@ -872,3 +872,80 @@ def span_dedup(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFra
             ).alias("dup_span_frac"),
         )
     )
+
+
+def connected_components_incremental(
+    labels_at_rest: DataFrame,
+    new_nodes: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Maintain the at-rest cluster assignment when a batch arrives:
+    seed label propagation with the EXISTING labels (id, cluster_id)
+    plus the new nodes self-labeled, then converge over only the new
+    edges plus the implicit old equivalences.
+
+    Key property: the at-rest labels are a COMPRESSED form of the old
+    graph — each node's (id, cluster_id) row is a star edge to its
+    component's canonical minimum, and stars preserve connectivity
+    exactly. So the old edge list is never re-read: propagation runs
+    over new_edges ∪ star(labels), |new_edges| + |labels| rows, and a
+    new edge that splices two old components drags BOTH stars to the
+    joint minimum in O(log diameter) pointer-jumping rounds — instead
+    of re-running CC over the full corpus graph (the
+    continuous-ingestion complement of minhash_near_dup_incremental,
+    whose output pairs are exactly ``new_edges``).
+
+    Note cluster ids stay canonical (component minimum over ALL
+    members old and new) — asserted equal to a full recompute in
+    tests.
+    """
+    seeds = labels_at_rest.select(F.col(id_col).alias("nid"), F.col("cluster_id").alias("label"))
+    fresh = new_nodes.select(F.col(id_col).alias("nid"), F.col(id_col).alias("label")).join(
+        seeds.select("nid"), "nid", "left_anti"
+    )
+    labels = seeds.unionByName(fresh)
+    # star edges from the at-rest labels: connectivity-equivalent to
+    # the old edge list (self-loops where id == cluster_id are inert)
+    star = labels_at_rest.select(
+        F.col(id_col).alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    all_pairs = new_edges.select("id_a", "id_b").unionByName(star)
+    edges = all_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        all_pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    edges.persist()
+    converged = False
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.nid)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        jump = labels.select(F.col("nid").alias("jnid"), F.col("label").alias("jlabel"))
+        stepped = (
+            labels.join(neighbor_min, labels.nid == neighbor_min.src, "left")
+            .join(jump, labels.label == jump.jnid, "left")
+            .select(
+                "nid",
+                F.col("label").alias("__prev"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nlabel", "label"),
+                    F.coalesce("jlabel", "label"),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("label") != F.col("__prev")).count()
+        labels = stepped.select("nid", "label")
+        if changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_incremental did not converge within max_iters={max_iters}"
+        )
+    return labels.select(F.col("nid").alias(id_col), F.col("label").alias("cluster_id"))
