@@ -209,6 +209,27 @@ CHECKLIST = {
         "(never a global sort of the vocabulary); the running-sum "
         "Window runs over only the top-n surviving rows."
     ),
+    "dup_triangles": (
+        "Triangle census. Expect: the at-rest pair relation enters as "
+        "a parquet scan (materialized by plans/pair_graph.py) behind "
+        "one checkpoint; two equi-joins on id pairs only (no "
+        "cartesian); degree and wedge counts as codegen hash "
+        "aggregates; final 1-row × 1-row assembly."
+    ),
+    "span_dedup": (
+        "Span-level dedup. Expect: one Generate(explode) of the "
+        "window transform with the rolling hash applied in the SAME "
+        "narrow stage (window text never shuffles); the occurrence "
+        "relation as Scan ExistingRDD feeding both the distinct-doc "
+        "count and the per-doc rollup; hash join on the window hash."
+    ),
+    "heavy_hitters_cms": (
+        "Count-min audit. Expect: the sketch build is explode → "
+        "codegen HashAggregate to (part, row, bucket) grain — counter "
+        "relation O(d·w), not O(keys); the probe joins the merged "
+        "sketch and min-aggregates per key; the top-k exact side is "
+        "TakeOrderedAndProject behind a checkpoint."
+    ),
 }
 
 
