@@ -4157,6 +4157,51 @@ GROUP BY tok.doc_id"""
     )
 
 
+def _source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift per source (operators/corpus.py
+    distribution_drift): total-variation distance between the token
+    distributions of two deterministic corpus halves (doc_id parity as
+    the snapshot stand-in) over the global top-16 vocabulary + OOV —
+    the governance gate before retraining on a new crawl. TV instead
+    of KL/JS: bounded, symmetric, defined on empty buckets, and
+    log-free (round-6 rational arithmetic is engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "snap", F.when(F.col("doc_id") % 2 == 0, F.lit("new")).otherwise(F.lit("old"))
+    )
+    return corpus.distribution_drift(docs, "text", "source", "snap", "old", "new", top_n=16)
+
+
+_SOURCE_DRIFT_SQL = r"""
+WITH tok AS (
+  SELECT source, CASE WHEN doc_id % 2 = 0 THEN 'new' ELSE 'old' END AS snap,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+), base AS (
+  SELECT source, snap, token, cast(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2, 3
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, sum(cnt) AS t FROM base GROUP BY token ORDER BY t DESC, token LIMIT 16)
+), b AS (
+  SELECT source,
+         CASE WHEN token IN (SELECT token FROM vocab) THEN token ELSE '<OOV>' END AS bucket,
+         cast(sum(CASE WHEN snap = 'old' THEN cnt ELSE 0 END) AS BIGINT) AS c_old,
+         cast(sum(CASE WHEN snap = 'new' THEN cnt ELSE 0 END) AS BIGINT) AS c_new
+  FROM base GROUP BY 1, 2
+), t AS (
+  SELECT source, cast(sum(c_old) AS BIGINT) AS t_old, cast(sum(c_new) AS BIGINT) AS t_new
+  FROM b GROUP BY source
+)
+SELECT b.source,
+       max(t.t_old) AS n_tokens_old,
+       max(t.t_new) AS n_tokens_new,
+       round(0.5 * sum(abs(c_old / cast(nullif(t_old, 0) AS DOUBLE)
+                           - c_new / cast(nullif(t_new, 0) AS DOUBLE))), 6)
+           AS tv_distance
+FROM b JOIN t USING (source)
+GROUP BY b.source
+"""
+
+
 def _bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the induced tokenizer (operators/corpus.py
     bpe_token_count): per-doc token counts under the first 3 learned
@@ -4374,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _span_dedup,
         "bpe_token_count": _bpe_token_count,
         "heavy_hitters_cms": _heavy_hitters_cms,
+        "source_drift": _source_drift,
     }
 
 
@@ -4506,6 +4552,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _SPAN_DEDUP_SQL,
         "bpe_token_count": _bpe_token_count_sql(3),
         "heavy_hitters_cms": _cms_sql(4, 64),
+        "source_drift": _SOURCE_DRIFT_SQL,
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash

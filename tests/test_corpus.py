@@ -260,3 +260,29 @@ def test_bpe_token_count_prices_merges(spark):
     out = {r["doc_id"]: r for r in corpus.bpe_token_count(df, "text", "doc_id", n_merges=3).collect()}
     assert (out[1]["n_words"], out[1]["n_bpe_tokens"]) == (3, 6)  # 2+2+2
     assert (out[2]["n_words"], out[2]["n_bpe_tokens"]) == (1, 2)  # ban d
+
+
+def test_distribution_drift_laws(spark):
+    """TV distance is 0 for identical distributions, 1 for disjoint
+    ones (all mass in different buckets), symmetric in the snapshots,
+    and NULL when a group has only one snapshot."""
+    rows = [
+        ("same", "old", "x x y"),
+        ("same", "new", "x x y"),
+        ("disjoint", "old", "aaa aaa"),
+        ("disjoint", "new", "bbb bbb"),
+        ("lonely", "old", "zzz"),
+    ]
+    df = spark.createDataFrame(rows, "source string, snap string, text string")
+    out = {
+        r["source"]: r
+        for r in corpus.distribution_drift(df, "text", "source", "snap", "old", "new").collect()
+    }
+    assert out["same"]["tv_distance"] == 0.0
+    assert out["disjoint"]["tv_distance"] == 1.0
+    assert out["lonely"]["tv_distance"] is None
+    flipped = {
+        r["source"]: r["tv_distance"]
+        for r in corpus.distribution_drift(df, "text", "source", "snap", "new", "old").collect()
+    }
+    assert flipped["disjoint"] == 1.0 and flipped["same"] == 0.0

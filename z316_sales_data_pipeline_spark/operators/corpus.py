@@ -446,3 +446,81 @@ def bpe_token_count(
             F.sum("__nsym").alias("n_bpe_tokens"),
         )
     )
+
+
+def distribution_drift(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    snap_col: str,
+    old_val: str,
+    new_val: str,
+    top_n: int = 16,
+) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots, per
+    group (source/domain): total-variation distance over a FIXED
+    comparison vocabulary — the governance metric for "did the new
+    crawl shift under me" before retraining on it.
+
+    The comparison space is the global top-``top_n`` tokens over both
+    snapshots plus one OOV bucket; TV = ½·Σ|p_old − p_new| over those
+    buckets. TV instead of KL/JS on purpose: it is bounded, symmetric,
+    defined when a bucket is empty on one side, and needs no
+    logarithms — pure rational arithmetic that round-6 makes
+    engine-portable.
+
+    Plan: ONE corpus scan into the (group, snapshot, token) count
+    relation (eager checkpoint — vocabulary, bucket counts and totals
+    all derive from it); everything downstream is vocab-grain. Output:
+    one row per group.
+    """
+    toks = df.select(
+        F.col(group_col), F.col(snap_col), F.explode(_norm_tokens(text_col)).alias("token")
+    )
+    base = (
+        toks.groupBy(group_col, snap_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        base.groupBy("token")
+        .agg(F.sum("cnt").alias("__tot"))
+        .orderBy(F.col("__tot").desc(), F.col("token").asc())
+        .limit(top_n)
+        .select("token")
+        .withColumn("__in_vocab", F.lit(1))
+    )
+    bucketed = (
+        base.join(F.broadcast(vocab), "token", "left")
+        .withColumn("bucket", F.when(F.col("__in_vocab") == 1, F.col("token")).otherwise(F.lit("<OOV>")))
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.sum(F.when(F.col(snap_col) == old_val, F.col("cnt")).otherwise(F.lit(0))).alias("c_old"),
+            F.sum(F.when(F.col(snap_col) == new_val, F.col("cnt")).otherwise(F.lit(0))).alias("c_new"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tots = bucketed.groupBy(group_col).agg(
+        F.sum("c_old").alias("t_old"), F.sum("c_new").alias("t_new")
+    )
+    return (
+        bucketed.join(tots, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.max("t_old").alias("n_tokens_old"),
+            F.max("t_new").alias("n_tokens_new"),
+            # try_divide: a group present in only ONE snapshot has no
+            # comparable distribution — its distance is NULL, not an
+            # ANSI division error (both engines null-propagate the sum)
+            F.round(
+                F.lit(0.5)
+                * F.sum(
+                    F.abs(
+                        F.try_divide(F.col("c_old"), F.col("t_old"))
+                        - F.try_divide(F.col("c_new"), F.col("t_new"))
+                    )
+                ),
+                6,
+            ).alias("tv_distance"),
+        )
+    )
