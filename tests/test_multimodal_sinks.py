@@ -159,3 +159,29 @@ def test_overwrite_dimension(spark, tmp_path):
     sinks.overwrite_dimension(df1, out)
     sinks.overwrite_dimension(df2, out)
     assert spark.read.parquet(out).count() == 3  # B4 truncate-and-reload
+
+
+def test_vacuum_snapshots_retention(spark, tmp_path):
+    """Vacuum keeps the newest keep_last versions (always including
+    _LATEST), deletes the rest, reports what it deleted; time travel
+    within the retention window still works and the latest read is
+    undisturbed."""
+    import pytest as _pytest
+
+    from z316_sales_data_pipeline_spark import sinks
+
+    t = str(tmp_path / "snap")
+    for i in range(4):
+        df = spark.createDataFrame([(i, f"val{i}")], "id long, v string")
+        sinks.write_snapshot(df, t)
+    deleted = sinks.vacuum_snapshots(t, keep_last=2)
+    assert deleted == [1, 2]
+    # latest (v=4) and the retained v=3 read fine
+    assert sinks.read_snapshot(spark, t).collect()[0]["v"] == "val3"
+    assert sinks.read_snapshot(spark, t, version=3).collect()[0]["v"] == "val2"
+    # vacuumed versions are gone
+    import os
+
+    assert not os.path.exists(f"{t}/v=1") and not os.path.exists(f"{t}/v=2")
+    with _pytest.raises(ValueError):
+        sinks.vacuum_snapshots(t, keep_last=0)

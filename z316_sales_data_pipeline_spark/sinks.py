@@ -159,6 +159,33 @@ def read_snapshot(spark, table_dir: str, version: int | None = None) -> DataFram
     return spark.read.parquet(f"{table_dir}/v={version}")
 
 
+def vacuum_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Retention for the snapshot sink: delete all but the newest
+    ``keep_last`` versions (the VACUUM half of the emulated Delta
+    lifecycle — unbounded version history is a storage leak at lake
+    scale). The _LATEST version is always retained regardless of
+    ``keep_last``; deletion walks oldest-first so a crash mid-vacuum
+    leaves a contiguous suffix of versions readable. Returns the
+    deleted version numbers.
+    """
+    import os
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+    with open(f"{table_dir}/_LATEST") as f:
+        latest = int(f.read().strip())
+    doomed = [v for v in versions[:-keep_last] if v != latest]
+    for v in doomed:
+        shutil.rmtree(f"{table_dir}/v={v}")
+    return doomed
+
+
 def stats_manifest(spark, path: str, stat_cols: list[str]) -> DataFrame:
     """Per-file statistics manifest for a written parquet table: one
     row per physical file with row count and min/max of ``stat_cols``.
