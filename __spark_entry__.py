@@ -811,6 +811,52 @@ GROUP BY r.doc_id
 """
 
 
+def _contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive training triples (operators/corpus.py
+    contrastive_triples): anchors/positives from the shared at-rest
+    near-dup pair graph, negatives from a seedless md5 hash ring over
+    the corpus ids (3-slot probe guarantees the negative differs from
+    both pair members). Pure function of the ids — other engines and
+    re-runs draw identical triples; the oracle replays the ring."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = pair_graph.jaccard_pair_graph(spark, sf_dir, threshold=0.5, shingle_k=1)
+    return corpus.contrastive_triples(docs, pairs, "doc_id")
+
+
+_CONTRASTIVE_SQL = r"""
+WITH t AS (
+    SELECT source, doc_id,
+           list_distinct(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+    FROM documents
+), p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) /
+          cast(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5
+), ring AS (
+    SELECT doc_id AS rid,
+           row_number() OVER (
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT, doc_id) AS pos
+    FROM documents
+), n AS (
+    SELECT cast(count(*) AS BIGINT) AS n FROM documents
+), b AS (
+    SELECT id_a, id_b,
+           ('0x' || substr(md5(id_a::VARCHAR || '#' || id_b::VARCHAR), 1, 8))::BIGINT AS t0,
+           n.n
+    FROM p, n
+)
+SELECT b.id_a, b.id_b,
+       CASE WHEN r1.rid <> id_a AND r1.rid <> id_b THEN r1.rid
+            WHEN r2.rid <> id_a AND r2.rid <> id_b THEN r2.rid
+            ELSE r3.rid END AS neg_id
+FROM b
+JOIN ring r1 ON r1.pos = (t0 % n) + 1
+JOIN ring r2 ON r2.pos = ((t0 + 1) % n) + 1
+JOIN ring r3 ON r3.pos = ((t0 + 2) % n) + 1
+"""
+
+
 def _dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the near-dup graph (operators/graph.py
     triangle_count) over the shared at-rest word-Jaccard pair relation
@@ -4341,6 +4387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_cms": _heavy_hitters_cms,
         "source_drift": _source_drift,
         # ---- entries below are outside the driver's 50-entry sample ----
+        "contrastive_triples": _contrastive_triples,
         "a4_union_pages": _a4_union_pages,
         "a5_manifest_scan": _a5_manifest_scan,
         "f14_pubsub_decode": _f14_pubsub_decode,
@@ -4552,6 +4599,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": _bpe_token_count_sql(3),
         "heavy_hitters_cms": _cms_sql(4, 64),
         "source_drift": _SOURCE_DRIFT_SQL,
+        "contrastive_triples": _CONTRASTIVE_SQL,
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash

@@ -286,3 +286,23 @@ def test_distribution_drift_laws(spark):
         for r in corpus.distribution_drift(df, "text", "source", "snap", "new", "old").collect()
     }
     assert flipped["disjoint"] == 1.0 and flipped["same"] == 0.0
+
+
+def test_contrastive_triples_deterministic_and_valid(spark, sf_dir):
+    """Each triple's negative differs from both pair members; the draw
+    is a pure function of the ids (stable under repartitioning); every
+    pair gets exactly one triple."""
+    from z316_sales_data_pipeline_spark.operators import dedup
+    from z316_sales_data_pipeline_spark.sources.tables import load_table as lt
+
+    docs = lt(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", "source", 0.5, shingle_k=1)
+    t1 = {tuple(r) for r in corpus.contrastive_triples(docs, pairs, "doc_id").collect()}
+    t2 = {
+        tuple(r)
+        for r in corpus.contrastive_triples(docs.repartition(13), pairs, "doc_id").collect()
+    }
+    assert t1 == t2 and len(t1) == pairs.count() > 0
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    for a, b, neg in t1:
+        assert neg != a and neg != b and neg in ids

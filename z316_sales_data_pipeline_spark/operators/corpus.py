@@ -524,3 +524,61 @@ def distribution_drift(
             ).alias("tv_distance"),
         )
     )
+
+
+def _md5_long(c: Column) -> Column:
+    """First 8 md5 hex chars as a long — the engine's seedless uniform
+    (same idiom as hash_bucket / weighted_sample), full range."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def contrastive_triples(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic (anchor, positive, negative) triples for
+    contrastive training: positives are the at-rest near-dup pairs;
+    each pair's negative is drawn from a seedless hash ring over the
+    corpus ids — a pure function of (id_a, id_b), so re-runs, late
+    batches and other engines emit identical triples (reproducible
+    training data, no seed registry).
+
+    Probing three consecutive ring slots guarantees a negative
+    distinct from BOTH pair members (3 candidates, ≤2 forbidden).
+    A drawn negative may still be an undetected near-dup of the anchor
+    — the standard in-batch-negatives compromise; the exactness
+    guarantee is only vs the pair members.
+
+    Scale shape: the ring is a global row_number over doc IDS ONLY
+    (payloads never enter the sort) and is materialized once; the
+    three candidate lookups are equi-joins on the ring position.
+    """
+    ring = (
+        docs.select(F.col(id_col).alias("__rid"))
+        .withColumn("__h", _md5_long(F.col("__rid")))
+        .withColumn("__pos", F.row_number().over(Window.orderBy("__h", "__rid")).cast("long"))
+        .select("__rid", "__pos")
+        .localCheckpoint(eager=True)
+    )
+    n_df = docs.agg(F.count(F.lit(1)).alias("__n"))
+    t0 = _md5_long(F.concat(F.col("id_a").cast("string"), F.lit("#"), F.col("id_b").cast("string")))
+    base = (
+        pairs.select("id_a", "id_b")
+        .crossJoin(F.broadcast(n_df))
+        .withColumn("__t", t0)
+        .withColumn("__p1", F.pmod(F.col("__t"), F.col("__n")) + 1)
+        .withColumn("__p2", F.pmod(F.col("__t") + 1, F.col("__n")) + 1)
+        .withColumn("__p3", F.pmod(F.col("__t") + 2, F.col("__n")) + 1)
+    )
+    r = lambda i: ring.select(F.col("__rid").alias(f"__r{i}"), F.col("__pos").alias(f"__q{i}"))  # noqa: E731
+    joined = (
+        base.join(r(1), F.col("__p1") == F.col("__q1"))
+        .join(r(2), F.col("__p2") == F.col("__q2"))
+        .join(r(3), F.col("__p3") == F.col("__q3"))
+    )
+    ok = lambda c: (F.col(c) != F.col("id_a")) & (F.col(c) != F.col("id_b"))  # noqa: E731
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.when(ok("__r1"), F.col("__r1"))
+        .when(ok("__r2"), F.col("__r2"))
+        .otherwise(F.col("__r3"))
+        .alias("neg_id"),
+    )
