@@ -811,6 +811,53 @@ GROUP BY r.doc_id
 """
 
 
+def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test split: near-dup CLUSTERS are the
+    split unit — every member of a dup cluster lands in the same split,
+    so no eval doc has a train-set near-duplicate (the contamination
+    mode a doc-level split cannot prevent; cf. contamination_check,
+    which AUDITS it — this op prevents it by construction). Clusters
+    from CC over the shared at-rest pair graph; the split is the
+    seedless md5 bucket of the CLUSTER id (corpus.dataset_split on
+    cluster_id), so singleton docs split exactly as before and dup
+    groups move atomically."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = pair_graph.jaccard_pair_graph(spark, sf_dir, threshold=0.5, shingle_k=1)
+    cc = dedup.connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+    return corpus.dataset_split(cc, "cluster_id").select("doc_id", "cluster_id", "bucket", "split")
+
+
+_LEAKAGE_SPLIT_SQL = r"""
+WITH RECURSIVE t AS (
+    SELECT source, doc_id,
+           list_distinct(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+    FROM documents
+), p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) /
+          cast(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5
+), e AS (
+    SELECT id_a AS src, id_b AS dst FROM p
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM p
+), reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+), cc AS (
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT doc_id, cluster_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster_id,
+             ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+      FROM cc)
+"""
+
+
 def _contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive training triples (operators/corpus.py
     contrastive_triples): anchors/positives from the shared at-rest
@@ -4388,6 +4435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift": _source_drift,
         # ---- entries below are outside the driver's 50-entry sample ----
         "contrastive_triples": _contrastive_triples,
+        "leakage_safe_split": _leakage_safe_split,
         "a4_union_pages": _a4_union_pages,
         "a5_manifest_scan": _a5_manifest_scan,
         "f14_pubsub_decode": _f14_pubsub_decode,
@@ -4600,6 +4648,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_cms": _cms_sql(4, 64),
         "source_drift": _SOURCE_DRIFT_SQL,
         "contrastive_triples": _CONTRASTIVE_SQL,
+        "leakage_safe_split": _LEAKAGE_SPLIT_SQL,
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash

@@ -306,3 +306,25 @@ def test_contrastive_triples_deterministic_and_valid(spark, sf_dir):
     ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     for a, b, neg in t1:
         assert neg != a and neg != b and neg in ids
+
+
+def test_leakage_safe_split_no_cross_split_pairs(spark, sf_dir):
+    """The anti-leakage invariant itself: every near-dup pair lands in
+    ONE split (cluster members share splits), and every doc is
+    assigned exactly once."""
+    import __spark_entry__ as m
+    from z316_sales_data_pipeline_spark.operators import dedup
+    from z316_sales_data_pipeline_spark.sources.tables import load_table as lt
+
+    out = m.queries()["leakage_safe_split"](spark, sf_dir)
+    rows = out.collect()
+    docs = lt(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    by_cluster: dict[int, set] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", "source", 0.5, shingle_k=1)
+    for r in pairs.collect():
+        assert split_of[r["id_a"]] == split_of[r["id_b"]], (r["id_a"], r["id_b"])
