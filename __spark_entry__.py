@@ -811,6 +811,53 @@ GROUP BY r.doc_id
 """
 
 
+def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    per user, events ordered by (ts, event_id), adjacent event-type
+    pairs counted corpus-wide with round-6 row-conditional
+    probabilities — the journey-mining summary behind funnel design
+    (funnel_conversion checks ONE path; this surfaces all of them).
+    One window on user_id + one hash aggregate; the reduced
+    (type, type) relation is materialized once (totals derive from it,
+    not from a second pass over events)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        ev.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = (
+        pairs.groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("n").alias("__t"))
+    return counts.join(tot, "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("__t"), 6).alias("p"),
+    )
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), c AS (
+  SELECT event_type, next_type, cast(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+), t AS (
+  SELECT event_type, cast(sum(n) AS BIGINT) AS t FROM c GROUP BY event_type
+)
+SELECT c.event_type, c.next_type, c.n,
+       round(c.n / cast(t.t AS DOUBLE), 6) AS p
+FROM c JOIN t USING (event_type)
+"""
+
+
 def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-proof train/val/test split: near-dup CLUSTERS are the
     split unit — every member of a dup cluster lands in the same split,
@@ -4436,6 +4483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entries below are outside the driver's 50-entry sample ----
         "contrastive_triples": _contrastive_triples,
         "leakage_safe_split": _leakage_safe_split,
+        "event_transitions": _event_transitions,
         "a4_union_pages": _a4_union_pages,
         "a5_manifest_scan": _a5_manifest_scan,
         "f14_pubsub_decode": _f14_pubsub_decode,
@@ -4649,6 +4697,7 @@ def oracle_sql() -> dict[str, str]:
         "source_drift": _SOURCE_DRIFT_SQL,
         "contrastive_triples": _CONTRASTIVE_SQL,
         "leakage_safe_split": _LEAKAGE_SPLIT_SQL,
+        "event_transitions": _EVENT_TRANSITIONS_SQL,
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash

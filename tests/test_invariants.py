@@ -488,3 +488,21 @@ def test_table_checksum_partition_invariant(spark, sf_dir):
         F.pmod(F.sum(row_h), F.lit(2147483647)).alias("checksum"),
     ).collect()[0]
     assert (base["n_rows"], base["checksum"]) == (again["n_rows"], again["checksum"])
+
+
+def test_event_transitions_rows_are_distributions(spark, sf_dir):
+    """Each source event type's outgoing probabilities sum to 1 and
+    every probability equals its count ratio."""
+    import __spark_entry__ as m
+    from collections import defaultdict
+
+    rows = m.queries()["event_transitions"](spark, sf_dir).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["event_type"]].append(r)
+    assert by_src
+    for src, rs in by_src.items():
+        tot = sum(r["n"] for r in rs)
+        assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-4, src
+        for r in rs:
+            assert r["p"] == round(r["n"] / tot, 6)
