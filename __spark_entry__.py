@@ -811,6 +811,53 @@ GROUP BY r.doc_id
 """
 
 
+def _lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier eval for the lang-ID heuristic: confusion matrix of
+    the predicted language against the labeled ``lang`` column, with
+    per-(label, prediction) counts and the label-conditional rate —
+    the audit you run before trusting a heuristic filter to curate a
+    100 TB multilingual corpus (the same prove-the-approximation
+    discipline as minhash_eval / dedup_agreement). One scan + one hash
+    aggregate; the reduced confusion relation is materialized once."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select("lang", text.language_id("text").alias("lang_pred"))
+    conf = (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = conf.groupBy("lang").agg(F.sum("n").alias("__t"))
+    return conf.join(tot, "lang").select(
+        "lang", "lang_pred", "n", F.round(F.col("n") / F.col("__t"), 6).alias("rate")
+    )
+
+
+def _lang_id_eval_sql() -> str:
+    """Confusion-matrix oracle reusing the lang-ID prediction logic."""
+    hits = []
+    for lang, words in text.STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        hits.append(
+            f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            f"t -> list_contains({arr}, t))) AS hits_{lang}"
+        )
+    langs = list(text.STOPWORDS)
+    greatest = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = "CASE "
+    for lang in langs:
+        case += f"WHEN hits_{lang} = best AND best > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH h AS (SELECT lang, {', '.join(hits)} FROM documents),
+     b AS (SELECT *, {greatest} AS best FROM h),
+     p AS (SELECT lang, {case} AS lang_pred FROM b),
+     c AS (SELECT lang, lang_pred, cast(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+     t AS (SELECT lang, cast(sum(n) AS BIGINT) AS t FROM c GROUP BY lang)
+SELECT c.lang, c.lang_pred, c.n, round(c.n / cast(t.t AS DOUBLE), 6) AS rate
+FROM c JOIN t USING (lang)
+"""
+
+
 def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over user event streams:
     per user, events ordered by (ts, event_id), adjacent event-type
@@ -4484,6 +4531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_triples": _contrastive_triples,
         "leakage_safe_split": _leakage_safe_split,
         "event_transitions": _event_transitions,
+        "lang_id_eval": _lang_id_eval,
         "a4_union_pages": _a4_union_pages,
         "a5_manifest_scan": _a5_manifest_scan,
         "f14_pubsub_decode": _f14_pubsub_decode,
@@ -4698,6 +4746,7 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_triples": _CONTRASTIVE_SQL,
         "leakage_safe_split": _LEAKAGE_SPLIT_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "lang_id_eval": _lang_id_eval_sql(),
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash
