@@ -280,3 +280,23 @@ def test_nearest_centroid_probe_broadcasts_model(spark, sf_dir):
     df = m.queries()["semantic_dedup_incremental"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 0, plan
+
+
+def test_event_transitions_single_window_pass(spark, sf_dir):
+    """One window over user_id; totals derive from the materialized
+    confusion relation, so events are scanned once (zero FileScans in
+    the final plan — the scan happened inside the checkpoint build)."""
+    plan = _plan(spark, sf_dir, "event_transitions")
+    assert plan.count("FileScan parquet") == 0, plan
+
+
+def test_contrastive_triples_ring_joins_no_cartesian(spark, sf_dir):
+    """The three candidate lookups are equi-joins on the ring position
+    — no cartesian/nested-loop; the 1-row corpus count enters as a
+    broadcast."""
+    plan = _plan(spark, sf_dir, "contrastive_triples")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan.replace(
+        "BroadcastNestedLoopJoin BuildRight, Cross", ""
+    ), plan
+    # the count crossJoin is the documented 1-row broadcast
+    assert "IdentityBroadcastMode" in plan or "BroadcastExchange" in plan, plan
