@@ -811,6 +811,38 @@ GROUP BY r.doc_id
 """
 
 
+def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 part pairs bought in the
+    same order, with support (the retail analytics the reference's
+    sales schema exists to feed). The self-join is ORDER-LOCAL —
+    shuffle on l_orderkey, cost Σ|order|² bounded by basket size
+    (~7 items), never |parts|²; top-k compiles to
+    TakeOrderedAndProject. Deterministic tie-break (n desc, part_a,
+    part_b)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(20)
+    )
+
+
+_BASKET_PAIRS_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       cast(count(*) AS BIGINT) AS n_orders
+FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
 def _lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier eval for the lang-ID heuristic: confusion matrix of
     the predicted language against the labeled ``lang`` column, with
@@ -4532,6 +4564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": _leakage_safe_split,
         "event_transitions": _event_transitions,
         "lang_id_eval": _lang_id_eval,
+        "basket_pairs": _basket_pairs,
         "a4_union_pages": _a4_union_pages,
         "a5_manifest_scan": _a5_manifest_scan,
         "f14_pubsub_decode": _f14_pubsub_decode,
@@ -4747,6 +4780,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split": _LEAKAGE_SPLIT_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "lang_id_eval": _lang_id_eval_sql(),
+        "basket_pairs": _BASKET_PAIRS_SQL,
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash
