@@ -811,6 +811,56 @@ GROUP BY r.doc_id
 """
 
 
+def _pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-grain pack manifest (operators/corpus.py
+    pack_assignments): the dataloader-facing detail of sequence_pack —
+    same deterministic window, projected at chunk grain with pack id
+    and intra-pack offset; aggregating it reproduces sequence_pack
+    exactly (pinned by test)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split_docs = corpus.dataset_split(docs, "doc_id")
+    chunks = corpus.chunk_documents(
+        split_docs, "text", "doc_id", chunk_tokens=32, stride=24, carry_cols=("split",)
+    )
+    return corpus.pack_assignments(
+        chunks, "split", "doc_id", "chunk_idx", "n_tokens", budget=256, n_shards=4
+    )
+
+
+_PACK_ASSIGNMENTS_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 4 AS shard,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), n AS (
+    SELECT doc_id, split, shard, toks,
+           1 + CAST(floor((greatest(len(toks) - 32, 0) + 23) / 24.0) AS INT) AS n_chunks
+    FROM t
+), ch AS (
+    SELECT doc_id, split, shard, u.c AS chunk_idx,
+           len(toks[u.c * 24 + 1 : u.c * 24 + 32]) AS n_tokens
+    FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(c)
+), s AS (
+    SELECT split, shard, doc_id, chunk_idx, n_tokens,
+           sum(n_tokens) OVER (
+               PARTITION BY split, shard
+               ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS start
+    FROM ch
+)
+SELECT split, shard, doc_id, cast(chunk_idx AS INTEGER) AS chunk_idx,
+       cast(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(start / 256.0) AS BIGINT) AS pack_id,
+       cast(start - CAST(floor(start / 256.0) AS BIGINT) * 256 AS BIGINT) AS offset_in_pack
+FROM s
+"""
+
+
 def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: the top-20 part pairs bought in the
     same order, with support (the retail analytics the reference's
@@ -4565,6 +4615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _event_transitions,
         "lang_id_eval": _lang_id_eval,
         "basket_pairs": _basket_pairs,
+        "pack_assignments": _pack_assignments,
         "a4_union_pages": _a4_union_pages,
         "a5_manifest_scan": _a5_manifest_scan,
         "f14_pubsub_decode": _f14_pubsub_decode,
@@ -4781,6 +4832,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "lang_id_eval": _lang_id_eval_sql(),
         "basket_pairs": _BASKET_PAIRS_SQL,
+        "pack_assignments": _PACK_ASSIGNMENTS_SQL,
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash

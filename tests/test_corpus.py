@@ -328,3 +328,33 @@ def test_leakage_safe_split_no_cross_split_pairs(spark, sf_dir):
     pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", "source", 0.5, shingle_k=1)
     for r in pairs.collect():
         assert split_of[r["id_a"]] == split_of[r["id_b"]], (r["id_a"], r["id_b"])
+
+
+def test_pack_assignments_aggregate_to_sequence_pack(spark, sf_dir):
+    """The chunk-grain manifest aggregates exactly to sequence_pack's
+    pack grain, and offsets are consistent: within a (split, shard,
+    pack) the chunk offsets are strictly increasing starting below the
+    first chunk's length."""
+    docs = load_table(spark, sf_dir, "documents")
+    split_docs = corpus.dataset_split(docs, "doc_id")
+    chunks = corpus.chunk_documents(
+        split_docs, "text", "doc_id", chunk_tokens=32, stride=24, carry_cols=("split",)
+    )
+    manifest = corpus.pack_assignments(
+        chunks, "split", "doc_id", "chunk_idx", "n_tokens", budget=256, n_shards=4
+    )
+    agg = {
+        (r["split"], r["shard"], r["pack_id"]): (r["n_chunks"], r["pack_tokens"])
+        for r in manifest.groupBy("split", "shard", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"), F.sum("n_tokens").alias("pack_tokens"))
+        .collect()
+    }
+    want = {
+        (r["split"], r["shard"], r["pack_id"]): (r["n_chunks"], r["pack_tokens"])
+        for r in corpus.sequence_pack(
+            chunks, "split", "doc_id", "chunk_idx", "n_tokens", budget=256, n_shards=4
+        ).collect()
+    }
+    assert agg == want and want
+    for r in manifest.collect():
+        assert 0 <= r["offset_in_pack"] < 256

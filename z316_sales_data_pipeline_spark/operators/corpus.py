@@ -582,3 +582,44 @@ def contrastive_triples(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
         .otherwise(F.col("__r3"))
         .alias("neg_id"),
     )
+
+
+def pack_assignments(
+    chunks: DataFrame,
+    split_col: str,
+    id_col: str,
+    idx_col: str,
+    tokens_col: str,
+    budget: int = 2048,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Chunk-grain pack MANIFEST: (split, shard, doc, chunk, pack_id,
+    offset_in_pack) — the detail relation a dataloader reads to
+    materialize packs without re-deriving the layout. Exactly the same
+    deterministic (split, shard)-local running-sum window as
+    :func:`sequence_pack`; aggregating this relation to pack grain
+    reproduces sequence_pack's output (asserted in tests), so the two
+    can never drift.
+    """
+    shard = hash_bucket(F.col(id_col), n_shards)
+    w = (
+        Window.partitionBy(split_col, "shard")
+        .orderBy(F.col(id_col).asc(), F.col(idx_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return (
+        chunks.withColumn("shard", shard)
+        .withColumn("__start", start)
+        .select(
+            split_col,
+            "shard",
+            id_col,
+            idx_col,
+            tokens_col,
+            F.floor(F.col("__start") / F.lit(budget)).alias("pack_id"),
+            (F.col("__start") - F.floor(F.col("__start") / F.lit(budget)) * F.lit(budget)).alias(
+                "offset_in_pack"
+            ),
+        )
+    )
