@@ -811,6 +811,118 @@ GROUP BY r.doc_id
 """
 
 
+def _conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from FIRST view
+    to the first purchase after it; one summary row with converted
+    count and exact interpolated p50/p90 — the latency companion to
+    funnel_conversion (which only counts). Two min-aggregates to user
+    grain, a conditional min for the post-view purchase, then a 1-row
+    percentile aggregate over the (users-sized) latency relation."""
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        )
+        .join(ev.select("user_id", "event_type", "ts"), "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("first_view").isNotNull()
+            & (F.col("ts") > F.col("first_view"))
+        )
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+        # microsecond-exact integer latency: casting each timestamp to
+        # whole seconds first truncates differently from DuckDB's
+        # fractional epoch arithmetic (half-second off at the median)
+        .withColumn(
+            "latency_us",
+            F.unix_micros("first_purchase") - F.unix_micros("first_view"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(latency_us, 0.5)") / F.lit(1e6), 4).alias("p50_latency_s"),
+        F.round(F.expr("percentile(latency_us, 0.9)") / F.lit(1e6), 4).alias("p90_latency_s"),
+    )
+
+
+_CONVERSION_LATENCY_SQL = """
+WITH fv AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+  FROM events GROUP BY user_id
+), conv AS (
+  SELECT e.user_id, fv.first_view, min(e.ts) AS first_purchase
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND fv.first_view IS NOT NULL AND e.ts > fv.first_view
+  GROUP BY e.user_id, fv.first_view
+), lat AS (
+  SELECT epoch_us(first_purchase) - epoch_us(first_view) AS latency_us FROM conv
+)
+SELECT cast(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(latency_us, 0.5) / 1e6, 4) AS p50_latency_s,
+       round(quantile_cont(latency_us, 0.9) / 1e6, 4) AS p90_latency_s
+FROM lat
+"""
+
+
+def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles) — the canonical BI deliverable of a sales star schema
+    like the reference's. One hash aggregate to customer grain, then
+    three ntile(4) windows over the REDUCED relation (never the fact
+    table), each with a deterministic (metric, customer) tie-break so
+    quartile boundaries are engine-portable."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wr = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    return per.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    ).withColumn(
+        "segment",
+        F.concat(
+            F.col("r_quartile").cast("string"),
+            F.col("f_quartile").cast("string"),
+            F.col("m_quartile").cast("string"),
+        ),
+    )
+
+
+_RFM_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         cast(count(*) AS BIGINT) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, last_order, frequency, monetary,
+       cast(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS INTEGER) AS r_quartile,
+       cast(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_quartile,
+       cast(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER) AS m_quartile,
+       cast(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS VARCHAR)
+       || cast(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS VARCHAR)
+       || cast(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS VARCHAR) AS segment
+FROM per
+"""
+
+
 def _pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-grain pack manifest (operators/corpus.py
     pack_assignments): the dataloader-facing detail of sequence_pack —
@@ -4616,6 +4728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_eval": _lang_id_eval,
         "basket_pairs": _basket_pairs,
         "pack_assignments": _pack_assignments,
+        "rfm_segments": _rfm_segments,
+        "conversion_latency": _conversion_latency,
         "a4_union_pages": _a4_union_pages,
         "a5_manifest_scan": _a5_manifest_scan,
         "f14_pubsub_decode": _f14_pubsub_decode,
@@ -4833,6 +4947,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_eval": _lang_id_eval_sql(),
         "basket_pairs": _BASKET_PAIRS_SQL,
         "pack_assignments": _PACK_ASSIGNMENTS_SQL,
+        "rfm_segments": _RFM_SQL,
+        "conversion_latency": _CONVERSION_LATENCY_SQL,
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash
