@@ -811,6 +811,64 @@ GROUP BY r.doc_id
 """
 
 
+def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users cohorted by the ISO week
+    of their FIRST event; for each (cohort_week, weeks_since) cell,
+    the share of the cohort active that week — the BI table behind
+    every retention curve (retention_daily is its day-over-day
+    special case). The user→cohort relation is reduced once and
+    materialized (it feeds both the activity join and cohort sizes);
+    weeks_since is exact integer arithmetic (both weeks are
+    Monday-truncated, so the day difference is always a multiple
+    of 7)."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    cells = (
+        active.join(cohort, "user_id")
+        .withColumn(
+            "weeks_since", (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("int")
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return cells.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "weeks_since",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
+_COHORT_RETENTION_SQL = """
+WITH cohort AS (
+  SELECT user_id, cast(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), sizes AS (
+  SELECT cohort_week, cast(count(*) AS BIGINT) AS cohort_size FROM cohort GROUP BY cohort_week
+), active AS (
+  SELECT DISTINCT user_id, cast(date_trunc('week', ts) AS DATE) AS week FROM events
+), cells AS (
+  SELECT c.cohort_week,
+         cast(date_diff('day', c.cohort_week, a.week) / 7 AS INTEGER) AS weeks_since,
+         cast(count(*) AS BIGINT) AS n_active
+  FROM active a JOIN cohort c ON a.user_id = c.user_id
+  GROUP BY 1, 2
+)
+SELECT cells.cohort_week, cells.weeks_since, cells.n_active, sizes.cohort_size,
+       round(cells.n_active / cast(sizes.cohort_size AS DOUBLE), 6) AS retention
+FROM cells JOIN sizes USING (cohort_week)
+"""
+
+
 def _conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution: per user, seconds from FIRST view
     to the first purchase after it; one summary row with converted
@@ -4730,6 +4788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_assignments": _pack_assignments,
         "rfm_segments": _rfm_segments,
         "conversion_latency": _conversion_latency,
+        "cohort_retention": _cohort_retention,
         "a4_union_pages": _a4_union_pages,
         "a5_manifest_scan": _a5_manifest_scan,
         "f14_pubsub_decode": _f14_pubsub_decode,
@@ -4949,6 +5008,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_assignments": _PACK_ASSIGNMENTS_SQL,
         "rfm_segments": _RFM_SQL,
         "conversion_latency": _CONVERSION_LATENCY_SQL,
+        "cohort_retention": _COHORT_RETENTION_SQL,
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash
