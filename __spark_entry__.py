@@ -811,6 +811,57 @@ GROUP BY r.doc_id
 """
 
 
+def _dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication scorecard from the shared at-rest pair
+    graph: how many docs participate in ≥1 near-dup pair, and the
+    share — the number a corpus owner watches per ingest source (a
+    crawler gone wrong shows up here first). Pair graph read from the
+    materialization; one explode to doc-ids-in-pairs, one distinct,
+    one broadcast join back to source grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = pair_graph.jaccard_pair_graph(spark, sf_dir, threshold=0.5, shingle_k=1)
+    dup_ids = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(dup_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("__dup", F.lit(0))).alias("n_dup_docs"),
+            F.round(F.sum(F.coalesce("__dup", F.lit(0))) / F.count(F.lit(1)), 6).alias(
+                "dup_rate"
+            ),
+        )
+    )
+
+
+_DUP_RATE_SQL = r"""
+WITH t AS (
+    SELECT source, doc_id,
+           list_distinct(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+    FROM documents
+), p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) /
+          cast(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5
+), d AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT id_a AS doc_id FROM p UNION ALL SELECT id_b FROM p)
+)
+SELECT s.source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       round(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) /
+             cast(count(*) AS DOUBLE), 6) AS dup_rate
+FROM documents s LEFT JOIN d ON s.doc_id = d.doc_id
+GROUP BY s.source
+"""
+
+
 def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: users cohorted by the ISO week
     of their FIRST event; for each (cohort_week, weeks_since) cell,
@@ -4789,6 +4840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": _rfm_segments,
         "conversion_latency": _conversion_latency,
         "cohort_retention": _cohort_retention,
+        "dup_rate_by_source": _dup_rate_by_source,
         "a4_union_pages": _a4_union_pages,
         "a5_manifest_scan": _a5_manifest_scan,
         "f14_pubsub_decode": _f14_pubsub_decode,
@@ -5009,6 +5061,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": _RFM_SQL,
         "conversion_latency": _CONVERSION_LATENCY_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
+        "dup_rate_by_source": _DUP_RATE_SQL,
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash
