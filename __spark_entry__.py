@@ -811,6 +811,55 @@ GROUP BY r.doc_id
 """
 
 
+def _embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table by 3 fixed power
+    iterations (similarity.power_iteration_top_pc) — dominant-direction
+    extraction for embedding whitening. Round-6 at every stage +
+    deterministic all-ones start make the schedule bit-portable; the
+    oracle replays it as an unrolled CTE chain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.power_iteration_top_pc(emb, "embedding", "vec_id", n_iters=3)
+
+
+def _top_pc_sql(n_iters: int = 3) -> str:
+    """Unrolled power-iteration oracle mirroring the Spark schedule."""
+    ctes = [
+        """ex AS (
+    SELECT vec_id, u.pos, u.x
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos,
+                         unnest(embedding::DOUBLE[]) AS x) u
+), m AS (
+    SELECT pos, round(avg(x), 6) AS mu FROM ex GROUP BY pos
+), cen AS (
+    SELECT ex.vec_id, ex.pos, ex.x - m.mu AS xc FROM ex JOIN m USING (pos)
+), cov AS (
+    SELECT a.pos AS p, b.pos AS q, round(sum(a.xc * b.xc), 6) AS c
+    FROM cen a JOIN cen b ON a.vec_id = b.vec_id
+    GROUP BY 1, 2
+), v0 AS (
+    SELECT pos AS q, 1.0 AS v FROM m
+)"""
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(
+            f"""w{i} AS (
+    SELECT cov.p, round(sum(cov.c * v{i - 1}.v), 6) AS w
+    FROM cov JOIN v{i - 1} ON cov.q = v{i - 1}.q
+    GROUP BY cov.p
+), n{i} AS (
+    SELECT sqrt(sum(w * w)) AS n FROM w{i}
+), v{i} AS (
+    SELECT p AS q, round(w / n, 6) AS v FROM w{i}, n{i}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT cast(q - 1 AS INTEGER) AS pos, v AS loading FROM v{n_iters}"
+    )
+
+
 def _dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication scorecard from the shared at-rest pair
     graph: how many docs participate in ≥1 near-dup pair, and the
@@ -4841,6 +4890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency": _conversion_latency,
         "cohort_retention": _cohort_retention,
         "dup_rate_by_source": _dup_rate_by_source,
+        "embedding_top_pc": _embedding_top_pc,
         "a4_union_pages": _a4_union_pages,
         "a5_manifest_scan": _a5_manifest_scan,
         "f14_pubsub_decode": _f14_pubsub_decode,
@@ -5062,6 +5112,7 @@ def oracle_sql() -> dict[str, str]:
         "conversion_latency": _CONVERSION_LATENCY_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
         "dup_rate_by_source": _DUP_RATE_SQL,
+        "embedding_top_pc": _top_pc_sql(3),
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash

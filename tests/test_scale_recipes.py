@@ -378,3 +378,19 @@ def test_incremental_cc_matches_full_recompute(spark, sf_dir):
         for r in dedup.connected_components(docs.select("doc_id"), pairs, id_col="doc_id").collect()
     }
     assert inc2 == full2 and inc2
+
+
+def test_power_iteration_finds_dominant_axis(spark):
+    """Synthetic data with variance concentrated on axis 1: after 3
+    power iterations the loading vector is unit-norm and dominated by
+    that axis."""
+    import math
+
+    from z316_sales_data_pipeline_spark.operators import similarity
+
+    rows = [(i, [((i % 7) - 3.0) * 10.0, (i % 2) * 0.1, ((i % 3) - 1.0) * 0.1]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v = {r["pos"]: r["loading"] for r in similarity.power_iteration_top_pc(df, "embedding", "vec_id").collect()}
+    assert set(v) == {0, 1, 2}
+    assert abs(math.sqrt(sum(x * x for x in v.values())) - 1.0) < 1e-4
+    assert abs(v[0]) > 0.99 and abs(v[1]) < 0.1 and abs(v[2]) < 0.1

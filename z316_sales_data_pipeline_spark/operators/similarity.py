@@ -348,3 +348,58 @@ def nearest_centroid_assign(df: DataFrame, vec_col: str, id_col: str, centroids:
         )
         .select(F.col("__vid").alias(id_col), "cluster")
     )
+
+
+def power_iteration_top_pc(
+    df: DataFrame, vec_col: str, id_col: str, n_iters: int = 3
+) -> DataFrame:
+    """Top principal component of the embedding space by FIXED power
+    iteration — the whitening/compression precursor (dominant-direction
+    removal à la common-component postprocessing for embeddings).
+
+    Same engine recipe as PageRank/k-means: a driver loop over fully
+    distributed steps with every stage rounded to 6 decimals before it
+    feeds the next (centered means, covariance cells, matvec results,
+    normalized loadings), so the schedule is bit-portable to the
+    unrolled-CTE oracle; the deterministic all-ones start avoids RNG
+    and sign ambiguity. Fixed iterations define the result (like the
+    engine's 3-step PageRank) — convergence is the caller's knob.
+
+    Plan: explode once (checkpointed), covariance by a vid-local
+    self-join collapsed to d² cells (checkpointed — every iteration
+    reuses it), then per iteration one broadcast-sized join + hash
+    aggregate over the d² relation and an O(1) norm row. Cost after
+    the covariance build is independent of corpus size.
+
+    Output: (pos, loading) at dimension grain.
+    """
+    ex = df.select(
+        F.col(id_col).alias("__vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__x"),
+    ).localCheckpoint(eager=True)
+    means = ex.groupBy("__pos").agg(F.round(F.avg("__x"), 6).alias("__mu"))
+    cent = (
+        ex.join(F.broadcast(means), "__pos")
+        .select("__vid", "__pos", (F.col("__x") - F.col("__mu")).alias("__xc"))
+        .localCheckpoint(eager=True)
+    )
+    a = cent.select("__vid", F.col("__pos").alias("p"), F.col("__xc").alias("__xa"))
+    b = cent.select("__vid", F.col("__pos").alias("q"), F.col("__xc").alias("__xb"))
+    cov = (
+        a.join(b, "__vid")
+        .groupBy("p", "q")
+        .agg(F.round(F.sum(F.col("__xa") * F.col("__xb")), 6).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    v = means.select(F.col("__pos").alias("q")).withColumn("v", F.lit(1.0))
+    for _ in range(n_iters):
+        w = (
+            cov.join(v, "q")
+            .groupBy("p")
+            .agg(F.round(F.sum(F.col("c") * F.col("v")), 6).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("__n"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("p").alias("q"), F.round(F.col("w") / F.col("__n"), 6).alias("v")
+        )
+    return v.select(F.col("q").alias("pos"), F.col("v").alias("loading"))
