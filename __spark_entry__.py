@@ -860,6 +860,63 @@ def _top_pc_sql(n_iters: int = 3) -> str:
     )
 
 
+def _embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-component removal (the APPLY half of embedding_top_pc,
+    à la all-but-the-top postprocessing): project the dominant
+    direction out of every embedding and report the projection and
+    norm before/after — the whitening step that improves cosine
+    contrast before similarity search. The d-row loading vector is a
+    broadcast model table; one exploded join + per-vector aggregates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pc = similarity.power_iteration_top_pc(emb, "embedding", "vec_id", n_iters=3)
+    ex = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    return (
+        ex.join(F.broadcast(pc), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.sum(F.col("x") * F.col("loading")), 6).alias("proj"),
+            F.round(F.sqrt(F.sum(F.col("x") * F.col("x"))), 6).alias("norm_before"),
+            F.round(
+                F.sqrt(
+                    F.sum(F.col("x") * F.col("x"))
+                    - F.pow(F.round(F.sum(F.col("x") * F.col("loading")), 6), F.lit(2.0))
+                ),
+                6,
+            ).alias("norm_after"),
+        )
+    )
+
+
+def _embedding_whiten_sql() -> str:
+    """Apply oracle: the unrolled power-iteration chain + per-vector
+    projection/norm arithmetic (norm_after via Pythagoras on the
+    ROUNDED projection, mirroring the Spark expression exactly)."""
+    chain = _top_pc_sql(3)
+    # reuse the WITH chain, swap the final SELECT for the apply step
+    with_body = chain.rsplit("\nSELECT", 1)[0]
+    return (
+        with_body
+        + """,
+pc AS (
+    SELECT q - 1 AS pos, v AS loading FROM v3
+), exx AS (
+    SELECT vec_id, u.pos - 1 AS pos, u.x
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos,
+                         unnest(embedding::DOUBLE[]) AS x) u
+)
+SELECT exx.vec_id,
+       round(sum(exx.x * pc.loading), 6) AS proj,
+       round(sqrt(sum(exx.x * exx.x)), 6) AS norm_before,
+       round(sqrt(sum(exx.x * exx.x) - pow(round(sum(exx.x * pc.loading), 6), 2)), 6)
+           AS norm_after
+FROM exx JOIN pc USING (pos)
+GROUP BY exx.vec_id"""
+    )
+
+
 def _dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication scorecard from the shared at-rest pair
     graph: how many docs participate in ≥1 near-dup pair, and the
@@ -4891,6 +4948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _cohort_retention,
         "dup_rate_by_source": _dup_rate_by_source,
         "embedding_top_pc": _embedding_top_pc,
+        "embedding_whiten": _embedding_whiten,
         "a4_union_pages": _a4_union_pages,
         "a5_manifest_scan": _a5_manifest_scan,
         "f14_pubsub_decode": _f14_pubsub_decode,
@@ -5113,6 +5171,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _COHORT_RETENTION_SQL,
         "dup_rate_by_source": _DUP_RATE_SQL,
         "embedding_top_pc": _top_pc_sql(3),
+        "embedding_whiten": _embedding_whiten_sql(),
         # Every queries() entry has a value-check oracle. The xxhash64
         # dedup variants (minhash_near_dup / simhash_groups) live on the
         # library + bench surface (see bench_queries()): their hash
