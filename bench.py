@@ -62,6 +62,13 @@ HEADLINE = [
     "doc_pagerank",
     "dq_orders_summary",
     "hll_partition_rollup",
+    # r4 additions (VERDICT r3 item 6) — the incremental/maintained
+    # paths, benched as first-class. Additions only; the original 38
+    # keep their identities so totals stay comparable round-over-round.
+    "dedup_incremental_exact",
+    "semantic_dedup_incremental",
+    "dup_clusters",
+    "repair_run",
 ]
 
 

@@ -175,6 +175,26 @@ def test_tfidf_surfaces_distinctive_terms(spark):
     assert shared and all(r["score"] == 0.0 for r in shared)
 
 
+def test_tfidf_null_text_group_counts_in_idf(spark):
+    """A group whose only text is NULL still counts toward the IDF
+    denominator (ADVICE r3): NULL coalesces to '' before tokenizing, so
+    n_groups derived from tf matches count_distinct over the source."""
+    rows = [
+        (1, "alpha shared", "g1"),
+        (2, "beta shared", "g2"),
+        (3, None, "g3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = corpus.tfidf_top_terms(df, "text", "source", k=5).collect()
+    # g3 present in the output (its '' token) → 3 groups in the IDF;
+    # 'alpha' appears in 1 of 3 groups: score = 1 * ln(3/1)
+    import math
+
+    assert {r["source"] for r in out} == {"g1", "g2", "g3"}
+    alpha = [r for r in out if r["term"] == "alpha"][0]
+    assert alpha["score"] == round(math.log(3.0), 6)
+
+
 def test_pair_graph_materializes_once_and_matches_direct(spark, sf_dir):
     """The shared at-rest pair graph equals a direct ngram_jaccard_pairs
     run, and the second call is a pure parquet read of the SAME

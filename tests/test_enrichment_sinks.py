@@ -69,3 +69,38 @@ def test_merge_upsert_idempotent(spark):
     once = sinks.merge_upsert(existing, updates, "id", "v")
     twice = sinks.merge_upsert(once, updates, "id", "v")
     assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
+
+
+def test_repair_run_sink_side_round_trip(spark, tmp_path):
+    """VERDICT r3 item 7, sink side: the repair loop against the
+    versioned snapshot sink — snapshot the dirty corpus (v=1), detect
+    losers with the keep-rule plan, DELETE them into a new snapshot
+    (v=2), verify-count like the reference checker, and time-travel
+    back to the pre-repair state."""
+    from z316_sales_data_pipeline_spark.plans.reconcile import repair_plan
+
+    rows = [
+        (1, "src0", "the same text"),
+        (2, "src0", "the   SAME text "),  # normalizes equal to doc 1 -> loser
+        (3, "src1", "the same text"),     # cross-source dup -> loser
+        (4, "src1", "unique text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    t = str(tmp_path / "docs_snap")
+    sinks.write_snapshot(docs, t)  # v=1: dirty corpus
+
+    tagged, losers = repair_plan(docs)
+    assert {r["doc_id"] for r in losers.collect()} == {2, 3}
+
+    repaired = sinks.anti_join_delete(
+        sinks.read_snapshot(spark, t), losers.select("doc_id"), "doc_id"
+    )
+    v2 = sinks.write_snapshot(repaired, t)
+    assert v2 == 2
+    # verify-count (reference api_to_gcs-checker.py:121-128): deleted
+    # rows really gone from the live table
+    live = sinks.read_snapshot(spark, t)
+    assert live.filter(F.col("doc_id").isin(2, 3)).count() == 0
+    assert live.count() == 2
+    # time travel: pre-repair snapshot intact
+    assert sinks.read_snapshot(spark, t, version=1).count() == 4

@@ -185,3 +185,30 @@ def test_vacuum_snapshots_retention(spark, tmp_path):
     assert not os.path.exists(f"{t}/v=1") and not os.path.exists(f"{t}/v=2")
     with _pytest.raises(ValueError):
         sinks.vacuum_snapshots(t, keep_last=0)
+
+
+def test_vacuum_snapshots_degraded_pointer_states(spark, tmp_path):
+    """ADVICE r3 hardening: a missing _LATEST degrades to keeping the
+    max version (no crash); a stale non-max _LATEST keeps the pinned
+    version in addition to the newest keep_last."""
+    import os
+
+    from z316_sales_data_pipeline_spark import sinks
+
+    t = str(tmp_path / "snap")
+    for i in range(4):
+        df = spark.createDataFrame([(i,)], "id long")
+        sinks.write_snapshot(df, t)
+    # missing pointer: keep_last=1 keeps only the max version
+    os.remove(f"{t}/_LATEST")
+    assert sinks.vacuum_snapshots(t, keep_last=1) == [1, 2, 3]
+    assert os.path.exists(f"{t}/v=4")
+    # rebuild, then a stale pointer at v=1: pinned version survives
+    t2 = str(tmp_path / "snap2")
+    for i in range(4):
+        sinks.write_snapshot(spark.createDataFrame([(i,)], "id long"), t2)
+    with open(f"{t2}/_LATEST", "w") as f:
+        f.write("1")
+    assert sinks.vacuum_snapshots(t2, keep_last=1) == [2, 3]
+    assert os.path.exists(f"{t2}/v=1") and os.path.exists(f"{t2}/v=4")
+    assert sinks.read_snapshot(spark, t2).collect()[0]["id"] == 0

@@ -380,6 +380,56 @@ def test_incremental_cc_matches_full_recompute(spark, sf_dir):
     assert inc2 == full2 and inc2
 
 
+def test_incremental_cc_covers_edge_only_nodes(spark):
+    """An endpoint that appears ONLY in new_edges (caller forgot to
+    list it in new_nodes) must still reach the output with correct
+    connectivity — seeds derive from the edges themselves (ADVICE r3:
+    self-healing caller contract)."""
+    from z316_sales_data_pipeline_spark.operators import dedup
+
+    labels0 = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, cluster_id long")
+    new_nodes = spark.createDataFrame([], "doc_id long")
+    # 7 and 8 appear only as edge endpoints; 8 bridges into the old component
+    new_edges = spark.createDataFrame([(7, 8), (8, 2)], "id_a long, id_b long")
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components_incremental(
+            labels0, new_nodes, new_edges, id_col="doc_id"
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (7, 1), (8, 1)}
+
+
+def test_cluster_labels_maintained_through_snapshot_sink(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r3 item 5, end-to-end: ingest (v=1 labels over the
+    corpus minus the batch) → maintain (incremental CC over the batch)
+    → consume (split/query reads _LATEST) equals a one-shot batch
+    recompute; v=1 time travel still reads the pre-batch labels."""
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import dedup
+    from z316_sales_data_pipeline_spark.plans import pair_graph
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    # point the warehouse at a fresh tmp dir so this test exercises the
+    # cold build (v=1 → maintain → v=2) regardless of harness cache state
+    monkeypatch.setattr(pair_graph, "_CACHE_ROOT", tmp_path / "wh")
+
+    maintained = pair_graph.cluster_labels(spark, sf_dir, threshold=0.5, shingle_k=1)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = pair_graph.jaccard_pair_graph(spark, sf_dir, threshold=0.5, shingle_k=1)
+    full = dedup.connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+    assert {tuple(r) for r in maintained.collect()} == {tuple(r) for r in full.collect()}
+
+    # the snapshot sink really holds both versions: v=1 = pre-batch corpus
+    import os
+
+    (cc_dir,) = [d for d in os.listdir(tmp_path / "wh") if d.startswith("cc_labels_")]
+    t = str(tmp_path / "wh" / cc_dir)
+    v1 = sinks.read_snapshot(spark, t, version=1)
+    assert v1.filter(F.col("doc_id") % 5 == 0).count() == 0  # batch not yet ingested
+    assert sinks.read_snapshot(spark, t).count() == docs.count()  # _LATEST covers all
+
+
 def test_power_iteration_finds_dominant_axis(spark):
     """Synthetic data with variance concentrated on axis 1: after 3
     power iterations the loading vector is unit-norm and dominated by

@@ -62,9 +62,26 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             spark_cols = df.columns
+            # Driver-shape guard (r3: embedding_centroids): the driver's
+            # pandas canonicalizer sort_values over every output column
+            # and crashes on unhashable cells (list/dict). Any Array/
+            # Struct/Map-typed output column is therefore a failure here
+            # even though our own multiset compare would stringify fine.
+            complex_cols = [
+                f.name
+                for f in df.schema.fields
+                if f.dataType.typeName() in ("array", "struct", "map")
+            ]
             spark_rows = [tuple(r) for r in df.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if complex_cols:
+            print(
+                f"FAIL  {name}: complex-typed output cols {complex_cols} "
+                "(driver canonicalizer cannot hash them — flatten or to_json)"
+            )
             failures.append(name)
             continue
         if name not in oracles:

@@ -62,7 +62,13 @@ def dataset_split(
 def _norm_tokens(text_col: str) -> Column:
     """Whitespace tokens of the lowercased, space-normalized text (the
     engine's shared tokenization, same as SimHash/Jaccard)."""
-    return F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    return _norm_tokens_of(F.col(text_col))
+
+
+def _norm_tokens_of(text: Column) -> Column:
+    """Column-expression variant of :func:`_norm_tokens` for callers
+    that need to pre-transform the text (e.g. NULL coalescing)."""
+    return F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
 
 
 def chunk_documents(
@@ -192,7 +198,14 @@ def tfidf_top_terms(
     and a window over the small (group, term) relation. Deterministic
     tie-break (score desc, term asc) keeps the result engine-portable.
     """
-    tokens = df.select(F.col(group_col), F.explode(_norm_tokens(text_col)).alias("term"))
+    # coalesce NULL text to '' BEFORE tokenizing: split(NULL) is NULL and
+    # explode would silently drop the group from the IDF denominator,
+    # whereas '' still yields one '' token row (ADVICE r3) — so n_groups
+    # derived from tf below counts every input group
+    tokens = df.select(
+        F.col(group_col),
+        F.explode(_norm_tokens_of(F.coalesce(F.col(text_col), F.lit("")))).alias("term"),
+    )
     # the reduced (group, term) relation is materialized once — it
     # feeds dfreq, the group count AND the scored join; without the
     # checkpoint each consumer re-inlines the explode+aggregate, i.e.

@@ -902,8 +902,20 @@ def connected_components_incremental(
     tests.
     """
     seeds = labels_at_rest.select(F.col(id_col).alias("nid"), F.col("cluster_id").alias("label"))
-    fresh = new_nodes.select(F.col(id_col).alias("nid"), F.col(id_col).alias("label")).join(
-        seeds.select("nid"), "nid", "left_anti"
+    # seed nodes = new_nodes ∪ new_edges endpoints: an endpoint that is
+    # in neither labels_at_rest nor new_nodes (caller under-reported the
+    # batch) would otherwise vanish from the output and sever
+    # connectivity through it (ADVICE r3) — deriving seeds from the
+    # edges themselves makes the caller contract self-healing
+    edge_nodes = new_edges.select(F.col("id_a").alias("nid")).unionByName(
+        new_edges.select(F.col("id_b").alias("nid"))
+    )
+    fresh = (
+        new_nodes.select(F.col(id_col).alias("nid"))
+        .unionByName(edge_nodes)
+        .distinct()
+        .join(seeds.select("nid"), "nid", "left_anti")
+        .select("nid", F.col("nid").alias("label"))
     )
     labels = seeds.unionByName(fresh)
     # star edges from the at-rest labels: connectivity-equivalent to

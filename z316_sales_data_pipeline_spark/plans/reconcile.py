@@ -66,3 +66,76 @@ def reconciliation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ord_rel = _setdiff_counts(orders_k, lineitem_k, "ord")
     cust_rel = _setdiff_counts(customer_k, ocust_k, "cust")
     return ord_rel.crossJoin(cust_rel)
+
+
+def repair_plan(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> tuple[DataFrame, DataFrame]:
+    """Detect-and-resolve half of the repair run: exact-dup groups by
+    content fingerprint, keeper = min id per group (the reference's
+    keep-rule collapses to first-ingested when every copy carries a real
+    timestamp — driver ids are ingest-ordered), losers = everyone else.
+
+    Returns (tagged, losers): ``tagged`` is the (id, source, fp, rn)
+    relation the report aggregates over; ``losers`` is the delete list
+    the sink side feeds to :func:`sinks.anti_join_delete`. One shuffle
+    on the 128-bit fingerprint; the window partitions are dup groups
+    (tiny), so no skew concern at corpus scale.
+
+    Mirrors /root/reference/data_validation/api_to_gcs-checker.py:130-173
+    (group folders by dados_id, resolve_duplicates keep-rule).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    from pyspark.sql import Window
+
+    tagged = (
+        docs.select(F.col(id_col), F.col(source_col), F.md5(norm).alias("fp"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy(F.col(id_col).asc())),
+        )
+        .localCheckpoint(eager=True)  # feeds the report AND the delete list
+    )
+    losers = tagged.filter(F.col("rn") > 1).select(id_col, source_col, "fp")
+    return tagged, losers
+
+
+def repair_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end duplicate REPAIR run over ``documents`` — the
+    reference's full checker loop composed as ONE relational plan
+    (api_to_gcs-checker.py:192-207: detect dups → keep-rule keeper →
+    delete losers → verify-count, with the delete as the B6 anti-join
+    shape from :func:`sinks.anti_join_delete`). Per-source report:
+    docs seen, dup groups touched, losers deleted, rows remaining
+    after the delete, and the verify bit (remaining == docs − losers,
+    computed from the POST-DELETE relation, not arithmetic — the same
+    independent count the reference re-queries after its DELETE).
+    """
+    from .. import sinks
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged, losers = repair_plan(docs)
+    survivors = sinks.anti_join_delete(tagged, losers.select("doc_id"), "doc_id")
+    detect = tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.when(F.col("rn") > 1, F.col("fp"))).alias("n_dup_groups"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_losers"),
+    )
+    after = survivors.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_delete"))
+    return (
+        detect.join(after, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_groups",
+            "n_losers",
+            F.coalesce("n_after_delete", F.lit(0)).alias("n_after_delete"),
+            (F.coalesce("n_after_delete", F.lit(0)) == F.col("n_docs") - F.col("n_losers"))
+            .cast("int")
+            .alias("verify_ok"),
+        )
+    )

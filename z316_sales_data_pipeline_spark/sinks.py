@@ -163,9 +163,15 @@ def vacuum_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
     """Retention for the snapshot sink: delete all but the newest
     ``keep_last`` versions (the VACUUM half of the emulated Delta
     lifecycle — unbounded version history is a storage leak at lake
-    scale). The _LATEST version is always retained regardless of
-    ``keep_last``; deletion walks oldest-first so a crash mid-vacuum
-    leaves a contiguous suffix of versions readable. Returns the
+    scale). The version the _LATEST pointer names is always retained
+    regardless of ``keep_last``; a missing _LATEST (e.g. crash before
+    the first pointer flip) degrades to keeping the max version. The
+    contiguous-suffix guarantee holds when _LATEST points at the max
+    version (the only state :func:`write_snapshot` produces); a stale
+    non-max pointer — possible only after manual rollback — keeps that
+    pinned version as an extra island, by design: the pointed-at
+    snapshot must stay readable. Deletion walks oldest-first so a crash
+    mid-vacuum still leaves every kept version readable. Returns the
     deleted version numbers.
     """
     import os
@@ -178,9 +184,15 @@ def vacuum_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
         for d in os.listdir(table_dir)
         if d.startswith("v=") and d.split("=", 1)[1].isdigit()
     )
-    with open(f"{table_dir}/_LATEST") as f:
-        latest = int(f.read().strip())
-    doomed = [v for v in versions[:-keep_last] if v != latest]
+    try:
+        with open(f"{table_dir}/_LATEST") as f:
+            latest = int(f.read().strip())
+    except FileNotFoundError:
+        latest = max(versions, default=None)
+    keep = set(versions[len(versions) - keep_last :]) if versions else set()
+    if latest is not None:
+        keep.add(latest)
+    doomed = [v for v in versions if v not in keep]
     for v in doomed:
         shutil.rmtree(f"{table_dir}/v={v}")
     return doomed
