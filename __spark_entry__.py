@@ -604,6 +604,101 @@ FROM t
 """
 
 
+def _quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality pruning plan: rank every doc inside its
+    source by the composite quality score and bucket into quartiles
+    (head/middle/tail discipline); keep = not the bottom quartile.
+    Deterministic tie-break (quality desc, doc_id asc) keeps ntile
+    engine-portable. The per-source sort is the exact eval-scale
+    variant; at 100 TB the same plan swaps the window for per-source
+    approx_percentile thresholds (one agg + broadcast join, no sort) —
+    the keep/drop decision then tolerates the sketch's rank error."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", "source", F.round(text.quality_score("text"), 6).alias("quality"))
+    w = Window.partitionBy("source").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return q.withColumn("qtile", F.ntile(4).over(w)).withColumn(
+        "keep", (F.col("qtile") < 4).cast("int")
+    )
+
+
+_QUALITY_PRUNE_SQL = r"""
+WITH t AS (
+    SELECT doc_id, source,
+           length(text) AS n_chars_actual,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
+    FROM documents
+), q AS (
+    SELECT doc_id, source,
+           round((
+               (CASE WHEN n_chars_actual BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN (CASE WHEN n_chars_actual = 0 THEN 0.0
+                                ELSE n_punct / cast(n_chars_actual AS DOUBLE) END) < 0.2
+                     THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN n_tokens > 0
+                          AND n_chars_actual / cast(n_tokens AS DOUBLE) BETWEEN 3.0 AND 12.0
+                     THEN 1.0 ELSE 0.0 END)
+           ) / 3.0, 6) AS quality
+    FROM t
+)
+SELECT doc_id, source, quality,
+       ntile(4) OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS qtile,
+       CASE WHEN ntile(4) OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) < 4
+            THEN 1 ELSE 0 END AS keep
+FROM q
+"""
+
+
+def _tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility eval per language: BPE tokens per
+    whitespace word and chars per BPE token under the induced
+    3-merge tokenizer (the number that decides whether a tokenizer
+    taxes a language — high fertility = more compute per byte of that
+    language). Aggregates the bpe_token_count per-doc relation to lang
+    grain; the tokenizer itself stays an O(1) broadcast model."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = corpus.bpe_token_count(docs, "text", "doc_id", n_merges=3)
+    return (
+        per_doc.join(docs.select("doc_id", "lang", F.length("text").alias("__chars")), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+            F.round(F.sum("n_bpe_tokens") / F.sum("n_words"), 6).alias("fertility"),
+            F.round(F.sum("__chars") / F.sum("n_bpe_tokens"), 6).alias("chars_per_bpe"),
+        )
+    )
+
+
+def _tokenizer_fertility_sql(n_merges: int = 3) -> str:
+    """Fertility oracle: the shared BPE CTE chain -> per-doc counts ->
+    lang-grain aggregate (sums cast to BIGINT for the type-sensitive
+    driver hash)."""
+    return (
+        "WITH "
+        + _bpe_ctes(n_merges)
+        + f""",
+tok AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+), perdoc AS (
+  SELECT tok.doc_id, count(*) AS n_words, sum(len(w{n_merges + 1}.syms)) AS n_bpe_tokens
+  FROM tok JOIN w{n_merges + 1} USING (word)
+  GROUP BY tok.doc_id
+)
+SELECT d.lang,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(p.n_words) AS BIGINT) AS n_words,
+       cast(sum(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       round(sum(p.n_bpe_tokens) / cast(sum(p.n_words) AS DOUBLE), 6) AS fertility,
+       round(sum(length(d.text)) / cast(sum(p.n_bpe_tokens) AS DOUBLE), 6) AS chars_per_bpe
+FROM perdoc p JOIN documents d USING (doc_id)
+GROUP BY d.lang"""
+    )
+
+
 def _token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting (letter runs / digit runs / punct chars)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -4969,15 +5064,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": _q22_idle_customers,
         # -- new this round --
         "repair_run": _repair_run,
+        "quality_prune": _quality_prune,
+        "tokenizer_fertility": _tokenizer_fertility,
         # -- previously-green keepers --
         "g4_symmetric_difference": _g4_symmetric_difference,
         "pedidos_fact": sales_facts.pedidos_fact,
         "itens_fact": sales_facts.itens_fact,
-        "minhash_portable": _minhash_portable,
         "semantic_dedup_incremental": _semantic_dedup_incremental,
-        "doc_pagerank": _doc_pagerank,
         "dup_clusters": _dup_clusters,
         # ---- entries below are outside the driver 50-entry sample ----
+        "minhash_portable": _minhash_portable,
+        "doc_pagerank": _doc_pagerank,
         "session_ids": _session_ids,
         "q12_priority_classes": _q12_priority_classes,
         "sequence_pack": _sequence_pack,
@@ -5119,6 +5216,8 @@ def oracle_sql() -> dict[str, str]:
         "d3_chained_enrichment": _D3_SQL,
         "g4_symmetric_difference": _G4_SQL,
         "repair_run": _REPAIR_RUN_SQL,
+        "quality_prune": _QUALITY_PRUNE_SQL,
+        "tokenizer_fertility": _tokenizer_fertility_sql(),
         "e7_distinct_values": _E7_SQL,
         "w3_pick_first": _W3_SQL,
         "f2_contact_datetime": _F2_SQL,

@@ -8,6 +8,8 @@ benchmark three rounds later.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 import __spark_entry__ as entrymod
 
 
@@ -300,3 +302,56 @@ def test_contrastive_triples_ring_joins_no_cartesian(spark, sf_dir):
     ), plan
     # the count crossJoin is the documented 1-row broadcast
     assert "IdentityBroadcastMode" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Two tables bucketed on the same key/count join with ZERO
+    Exchange: the write-once shuffle amortizes across every downstream
+    join — the fact-to-fact co-location strategy at 100 TB (BigQuery
+    clustering's join half, which sortWithinPartitions cannot give)."""
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a table dir orphaned by an earlier crashed session blocks
+        # saveAsTable even after DROP (the catalog no longer knows it)
+        shutil.rmtree(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:") + f"/{t}",
+                      ignore_errors=True)
+    sinks.write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8)
+    sinks.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        "o_orderkey",
+        n_buckets=8,
+    )
+    # at test scale Catalyst would broadcast the small side, which hides
+    # the property under test; force the fact-to-fact (sort-merge) path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("b_orders")
+            .join(spark.table("b_lineitem"), "o_orderkey")
+            .groupBy("o_orderkey")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # co-located join AND agg both reuse the write-time bucketing
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # equality with the plain-parquet join
+    expected = orders.join(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+    ).count()
+    total = j.agg(F.sum("count")).collect()[0][0]
+    assert total == expected
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")

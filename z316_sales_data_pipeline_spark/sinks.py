@@ -37,6 +37,31 @@ def write_partitioned(
     out.write.mode(mode).partitionBy(partition_col).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """B3 (co-location form) — hash-bucketed, bucket-sorted table.
+
+    The other half of BigQuery clustering that ``sortWithinPartitions``
+    cannot express: two tables bucketed on the SAME key into the SAME
+    bucket count are join-co-located — Catalyst proves the required
+    hash distribution from the bucketing metadata and plans the join
+    with ZERO Exchange (asserted in tests/test_plan_properties.py).
+    At 100 TB this is THE fact-to-fact join strategy: pay the shuffle
+    once at write time, amortize it over every subsequent join/agg on
+    the bucket key. Requires ``saveAsTable`` (bucket metadata lives in
+    the catalog, not the parquet footers).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    w = w.sortBy(*(sort_cols or [bucket_col]))
+    w.format("parquet").saveAsTable(table)
+
+
 def overwrite_dimension(df: DataFrame, path: str) -> None:
     """B4 — truncate-and-reload full refresh
     (contatos_to_bq/main.py:97-129)."""
