@@ -2594,6 +2594,88 @@ ORDER BY cos DESC, vec_id LIMIT 10
 """
 
 
+def _ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF probe vs exact brute force per query
+    (operators/similarity.py ann_recall_eval) — the ANN twin of
+    minhash_eval: a fixed deterministic query batch (vec_id % 100)
+    audits what the 4-of-16-cell probe misses. The oracle replays the
+    full IVF schedule and both top-k arms."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_recall_eval(
+        emb, "embedding", "vec_id", query_mod=100, k=10, n_cells=16, n_probe=4
+    )
+
+
+_ANN_RECALL_SQL = """
+WITH e0 AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+    SELECT row_number() OVER (ORDER BY vid) - 1 AS cell, v AS cv
+    FROM e0 ORDER BY vid LIMIT 16
+), a AS (
+    SELECT e0.vid, e0.v, c.cell
+    FROM e0 CROSS JOIN c
+    QUALIFY row_number() OVER (PARTITION BY e0.vid
+        ORDER BY list_dot_product(e0.v, c.cv) DESC, c.cell) = 1
+), q AS (
+    SELECT vid AS query_id, v AS qv FROM e0 WHERE vid % 100 = 0
+), probe AS (
+    SELECT q.query_id, q.qv, c.cell
+    FROM q CROSS JOIN c
+    QUALIFY row_number() OVER (PARTITION BY q.query_id
+        ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell) <= 4
+), ivf AS (
+    SELECT probe.query_id, a.vid
+    FROM probe JOIN a USING (cell)
+    QUALIFY row_number() OVER (PARTITION BY probe.query_id
+        ORDER BY round(list_dot_product(probe.qv, a.v) /
+                       (sqrt(list_dot_product(probe.qv, probe.qv)) *
+                        sqrt(list_dot_product(a.v, a.v))), 6) DESC, a.vid) <= 10
+), brute AS (
+    SELECT q.query_id, e0.vid
+    FROM q CROSS JOIN e0
+    QUALIFY row_number() OVER (PARTITION BY q.query_id
+        ORDER BY round(list_dot_product(q.qv, e0.v) /
+                       (sqrt(list_dot_product(q.qv, q.qv)) *
+                        sqrt(list_dot_product(e0.v, e0.v))), 6) DESC, e0.vid) <= 10
+), h AS (
+    SELECT ivf.query_id, count(*) AS n_hits
+    FROM ivf JOIN brute ON ivf.query_id = brute.query_id AND ivf.vid = brute.vid
+    GROUP BY ivf.query_id
+)
+SELECT q.query_id, cast(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall_at_k
+FROM q LEFT JOIN h USING (query_id)
+"""
+
+
+def _k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the events stream: for each
+    quasi-identifier cell (event_type × day), how many distinct users
+    share it — a cell with fewer than k=5 users re-identifies its
+    members by the QI alone (the privacy gate next to pii_scrub: scrub
+    removes direct identifiers, this measures indirect ones). One
+    two-key hash aggregate; output is O(|QI cells|)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .withColumn("at_risk", (F.col("n_users") < 5).cast("int"))
+    )
+
+
+_K_ANONYMITY_SQL = """
+SELECT event_type, cast(ts AS DATE) AS day,
+       cast(count(*) AS BIGINT) AS n_events,
+       cast(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CASE WHEN count(DISTINCT user_id) < 5 THEN 1 ELSE 0 END AS at_risk
+FROM events
+GROUP BY event_type, cast(ts AS DATE)
+"""
+
+
 def _d3_chained_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 — chained tolerated-failure lookups (NFC-e shape): three left
     joins, each nullable on miss."""
@@ -5073,6 +5155,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_incremental": _semantic_dedup_incremental,
         "dup_clusters": _dup_clusters,
         # ---- entries below are outside the driver 50-entry sample ----
+        # (ann_recall_eval / k_anonymity are r4 additions that did not
+        #  fit the 50 slots; they lead the r5 rotation)
+        "ann_recall_eval": _ann_recall_eval,
+        "k_anonymity": _k_anonymity,
         "minhash_portable": _minhash_portable,
         "doc_pagerank": _doc_pagerank,
         "session_ids": _session_ids,
@@ -5218,6 +5304,8 @@ def oracle_sql() -> dict[str, str]:
         "repair_run": _REPAIR_RUN_SQL,
         "quality_prune": _QUALITY_PRUNE_SQL,
         "tokenizer_fertility": _tokenizer_fertility_sql(),
+        "ann_recall_eval": _ANN_RECALL_SQL,
+        "k_anonymity": _K_ANONYMITY_SQL,
         "e7_distinct_values": _E7_SQL,
         "w3_pick_first": _W3_SQL,
         "f2_contact_datetime": _F2_SQL,

@@ -403,3 +403,84 @@ def power_iteration_top_pc(
             F.col("p").alias("q"), F.round(F.col("w") / F.col("__n"), 6).alias("v")
         )
     return v.select(F.col("q").alias("pos"), F.col("v").alias("loading"))
+
+
+def ann_recall_eval(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_mod: int = 100,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Recall@k of the IVF-probed ANN against the exact brute-force
+    baseline, per query, over a deterministic query batch
+    (``id % query_mod == 0``) — the approximation-audit for the ANN
+    path, sibling of the MinHash banding-recall audit: before shipping
+    an index configuration you measure what the probe misses.
+
+    One shared (vid, v, cell) relation (checkpointed: the 16-dot
+    argmax assignment is the expensive map and feeds both arms), then
+    two candidate streams per query — probed cells vs all vectors —
+    each reduced by a per-query top-k window, joined to count
+    overlap. The brute arm broadcasts the (tiny, fixed-size) query
+    batch against the corpus, so its cost is linear in data and the
+    whole plan has no quadratic term; at lake scale you sample the
+    same fixed number of queries from a 100 TB corpus and the audit
+    cost stays put. Round-6 cosine + id tie-breaks keep both arms
+    engine-portable.
+    """
+    from pyspark.sql import Window
+
+    cents = _centroids(df, vec_col, id_col, n_cells)
+
+    def dots_arr(col: Column) -> Column:
+        return F.array(*[dot(col, literal_vector(c)) for _, c in cents])
+
+    e = (
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("__dots", dots_arr(F.col("v")))
+        .withColumn("cell", (F.array_position("__dots", F.array_max("__dots")) - 1).cast("int"))
+        .drop("__dots")
+        .localCheckpoint(eager=True)
+    )
+    q = e.filter(F.col("vid") % query_mod == 0).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("dp").desc(), F.col("cell").asc())
+    probe = (
+        q.select("query_id", "qv", F.posexplode(dots_arr(F.col("qv"))).alias("cell", "dp"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vid").asc())
+    ivf = (
+        probe.join(e, "cell")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vid")
+    )
+    brute = (
+        e.crossJoin(F.broadcast(q))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vid")
+    )
+    hits = (
+        ivf.join(brute, ["query_id", "vid"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6).alias("recall_at_k"),
+        )
+    )
