@@ -493,3 +493,84 @@ def test_cms_streaming_partials_merge_to_batch(spark, sf_dir, tmp_path):
         for r in sketch.cms_merge(sketch.cms_table(ev, "user_id", F.lit(0), d=4, w=64)).collect()
     }
     assert merged == direct and merged
+
+
+def test_streaming_cluster_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """Continuous cluster maintenance: new docs arrive as a STREAM and
+    every micro-batch advances the snapshot-sink labels via
+    connected_components_incremental (v=1 pre-batch, v=2..N per
+    micro-batch). After the stream drains, _LATEST equals the one-shot
+    batch CC over everything — the multi-step version of the
+    cluster_labels build loop, with pairs released only once BOTH
+    endpoints have been ingested (as the incremental near-dup job
+    would emit them)."""
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import dedup
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", "source", 0.5, shingle_k=1)
+    pairs_path = str(tmp_path / "pairs")
+    pairs.select("id_a", "id_b").write.parquet(pairs_path)
+    all_pairs = spark.read.parquet(pairs_path)
+
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    t = str(tmp_path / "labels")
+    sinks.write_snapshot(
+        dedup.connected_components(
+            old.select("doc_id"),
+            all_pairs.join(old.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
+            .join(old.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"),
+            id_col="doc_id",
+        ),
+        t,
+    )
+
+    new_src = str(tmp_path / "new_docs")
+    docs.filter(F.col("doc_id") % 5 == 0).repartition(3).write.parquet(new_src)
+
+    seen: set[int] = set(r["doc_id"] for r in old.select("doc_id").collect())
+
+    def maintain(batch_df, epoch_id):
+        batch_ids = [r["doc_id"] for r in batch_df.select("doc_id").collect()]
+        if not batch_ids:
+            return
+        seen.update(batch_ids)
+        visible = spark.createDataFrame([(i,) for i in sorted(seen)], "doc_id long")
+        batch_rel = spark.createDataFrame([(i,) for i in batch_ids], "doc_id long")
+        # pairs touching this batch whose other endpoint has landed
+        eligible = (
+            all_pairs.join(
+                batch_rel.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi"
+            )
+            .unionByName(
+                all_pairs.join(
+                    batch_rel.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+                )
+            )
+            .distinct()
+            .join(visible.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
+            .join(visible.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+        )
+        maintained = dedup.connected_components_incremental(
+            sinks.read_snapshot(spark, t), batch_rel, eligible, id_col="doc_id"
+        )
+        sinks.write_snapshot(maintained, t)
+
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(new_src)
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in sinks.read_snapshot(spark, t).collect()}
+    want = {
+        tuple(r)
+        for r in dedup.connected_components(
+            docs.select("doc_id"), all_pairs, id_col="doc_id"
+        ).collect()
+    }
+    assert got == want and want
