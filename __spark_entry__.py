@@ -2379,6 +2379,75 @@ SELECT simhash, count(*) AS n FROM s GROUP BY simhash HAVING count(*) > 1
 """
 
 
+def _simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash member of the incremental-dedup family: the new batch
+    (doc_id % 5 == 0) probes the AT-REST corpus signature table
+    (plans/pair_graph.py simhash_corpus_sigs) through the banded
+    signature index — equi-join on (band, band_value), exact popcount
+    only on candidates; Hamming ≤ 3 over 4 bands has zero false
+    negatives by pigeonhole. The corpus is never re-hashed."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus_sigs = pair_graph.simhash_corpus_sigs(spark, sf_dir, exclude_mod=5, portable=True)
+    return dedup.simhash_near_dup_incremental(
+        new_docs, corpus_sigs, "text", "doc_id", n_bits=16, n_bands=4, max_hamming=3, portable=True
+    )
+
+
+def _simhash_incremental_sql(n_bits: int = 16, n_bands: int = 4, max_hamming: int = 3) -> str:
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (hh >> {b}) & 1 = 1 THEN 1 ELSE 0 END) AS b{b}" for b in range(n_bits)
+    )
+    sig = " + ".join(f"(CASE WHEN b{b} * 2 > n THEN {1 << b} ELSE 0 END)" for b in range(n_bits))
+    bw = n_bits // n_bands
+    mask = (1 << bw) - 1
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents
+), h AS (
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(tok, '')]),
+             (acc, c) -> (acc * 31 + c) % 2147483647) AS hh
+    FROM t
+), b AS (
+    SELECT doc_id, count(*) AS n, {bit_sums}
+    FROM h GROUP BY doc_id
+), s AS (
+    SELECT doc_id, {sig} AS simhash FROM b
+), nb AS (
+    SELECT s.doc_id, s.simhash, g.band, (s.simhash >> (g.band * {bw})) & {mask} AS val
+    FROM s, (SELECT unnest(generate_series(0, {n_bands - 1})) AS band) g
+    WHERE s.doc_id % 5 = 0
+), cb AS (
+    SELECT s.doc_id AS corpus_id, s.simhash AS c_sig, g.band,
+           (s.simhash >> (g.band * {bw})) & {mask} AS val
+    FROM s, (SELECT unnest(generate_series(0, {n_bands - 1})) AS band) g
+    WHERE s.doc_id % 5 <> 0
+), cand AS (
+    SELECT DISTINCT nb.doc_id, nb.simhash, cb.corpus_id, cb.c_sig
+    FROM nb JOIN cb ON nb.band = cb.band AND nb.val = cb.val
+), ham AS (
+    SELECT doc_id, corpus_id, bit_count(xor(simhash, c_sig)) AS hamming FROM cand
+), agg AS (
+    SELECT doc_id,
+           cast(count(*) AS BIGINT) AS n_candidates,
+           cast(sum(CASE WHEN hamming <= {max_hamming} THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+           cast(min(CASE WHEN hamming <= {max_hamming} THEN hamming END) AS INTEGER) AS min_hamming,
+           cast(min(CASE WHEN hamming <= {max_hamming} THEN corpus_id END) AS BIGINT) AS first_near
+    FROM ham GROUP BY doc_id
+)
+SELECT s.doc_id,
+       coalesce(a.n_candidates, 0) AS n_candidates,
+       coalesce(a.n_near, 0) AS n_near,
+       a.min_hamming, a.first_near
+FROM s LEFT JOIN agg a USING (doc_id)
+WHERE s.doc_id % 5 = 0
+"""
+
+
 _KNN_QUERY_VEC = [1.0 if i % 2 == 0 else -1.0 for i in range(64)]
 
 
@@ -5159,6 +5228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  fit the 50 slots; they lead the r5 rotation)
         "ann_recall_eval": _ann_recall_eval,
         "k_anonymity": _k_anonymity,
+        "simhash_incremental": _simhash_incremental,
         "minhash_portable": _minhash_portable,
         "doc_pagerank": _doc_pagerank,
         "session_ids": _session_ids,
@@ -5306,6 +5376,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _tokenizer_fertility_sql(),
         "ann_recall_eval": _ANN_RECALL_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
+        "simhash_incremental": _simhash_incremental_sql(),
         "e7_distinct_values": _E7_SQL,
         "w3_pick_first": _W3_SQL,
         "f2_contact_datetime": _F2_SQL,

@@ -444,3 +444,54 @@ def test_power_iteration_finds_dominant_axis(spark):
     assert set(v) == {0, 1, 2}
     assert abs(math.sqrt(sum(x * x for x in v.values())) - 1.0) < 1e-4
     assert abs(v[0]) > 0.99 and abs(v[1]) < 0.1 and abs(v[2]) < 0.1
+
+
+def test_simhash_banded_probe_equals_brute_force(spark, sf_dir):
+    """Pigeonhole exactness: the banded (band, value) candidate join +
+    popcount filter finds EXACTLY the pairs a brute-force Hamming ≤ 3
+    scan finds — the index only prunes, never loses (and max_hamming
+    >= n_bands is rejected)."""
+    import pytest as _pytest
+
+    from z316_sales_data_pipeline_spark.operators import dedup
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    corpus_sigs = dedup.simhash_signatures(corpus, "text", "doc_id", 16, portable=True)
+    got = {
+        (r["doc_id"], r["n_near"], r["min_hamming"], r["first_near"])
+        for r in dedup.simhash_near_dup_incremental(
+            new_docs, corpus_sigs, "text", "doc_id", 16, 4, 3, portable=True
+        ).collect()
+    }
+    new_sigs = dedup.simhash_signatures(new_docs, "text", "doc_id", 16, portable=True)
+    brute = (
+        new_sigs.select(F.col("doc_id"), F.col("simhash").alias("ns"))
+        .crossJoin(
+            corpus_sigs.select(F.col("doc_id").alias("cid"), F.col("simhash").alias("cs"))
+        )
+        .withColumn("h", F.bit_count(F.col("ns").bitwiseXOR(F.col("cs"))))
+        .filter(F.col("h") <= 3)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_near"),
+            F.min("h").cast("int").alias("min_hamming"),
+            F.min("cid").alias("first_near"),
+        )
+    )
+    want = {
+        (
+            r["doc_id"],
+            r["n_near"] or 0,
+            r["min_hamming"],
+            r["first_near"],
+        )
+        for r in new_sigs.select("doc_id").join(brute, "doc_id", "left").collect()
+    }
+    assert got == want and got
+    with _pytest.raises(ValueError):
+        dedup.simhash_near_dup_incremental(
+            new_docs, corpus_sigs, "text", "doc_id", 16, 4, 4, portable=True
+        )

@@ -961,3 +961,90 @@ def connected_components_incremental(
             f"connected_components_incremental did not converge within max_iters={max_iters}"
         )
     return labels.select(F.col("nid").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def simhash_near_dup_incremental(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """New-batch SimHash probe against the AT-REST corpus signature
+    table — the SimHash member of the incremental-dedup family
+    (exact: fingerprint+bloom; MinHash: band index; semantic: centroid
+    model; here: banded signature index).
+
+    The classic SimHash index trick: split the n_bits signature into
+    ``n_bands`` equal bands; by pigeonhole, two signatures within
+    Hamming distance ``n_bands - 1`` share at least one unchanged
+    band, so the candidate join is an equi-join on (band, band_value)
+    — keys only, no quadratic term — and the exact popcount
+    (bit_count of XOR) runs on candidates alone. ``max_hamming`` must
+    be < n_bands for zero false negatives (asserted). The corpus side
+    is the materialized (id, simhash) relation — new batches never
+    re-hash the corpus.
+
+    Output: one row per NEW doc — candidate count, near-dup count,
+    min Hamming distance and first (lowest-id) near-dup, nulls when
+    the probe finds nothing.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands > max_hamming for the "
+            f"banded index to be exact (got n_bands={n_bands})"
+        )
+    band_width = n_bits // n_bands
+    mask = (1 << band_width) - 1
+
+    def banded(sigs: DataFrame, idc: str) -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * band_width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return sigs.select(F.col(idc), F.col("simhash"), F.explode(bands).alias("bv")).select(
+            idc, "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+        )
+
+    new_sigs = simhash_signatures(new_df, text_col, id_col, n_bits, portable).localCheckpoint(
+        eager=True
+    )
+    nb = banded(new_sigs.select(F.col(id_col), "simhash"), id_col)
+    cb = banded(
+        corpus_sigs.select(F.col(id_col).alias("corpus_id"), F.col("simhash").alias("c_sig"))
+        .withColumnRenamed("c_sig", "simhash"),
+        "corpus_id",
+    ).withColumnRenamed("simhash", "c_sig")
+    cand = (
+        nb.join(cb, ["band", "val"])
+        .select(id_col, "simhash", "corpus_id", "c_sig")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("simhash").bitwiseXOR(F.col("c_sig"))))
+    )
+    per_new = cand.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("hamming") <= max_hamming, 1).otherwise(0)).alias("n_near"),
+        F.min(F.when(F.col("hamming") <= max_hamming, F.col("hamming"))).alias("min_hamming"),
+        F.min(F.when(F.col("hamming") <= max_hamming, F.col("corpus_id"))).alias("first_near"),
+    )
+    return (
+        new_sigs.select(id_col)
+        .join(per_new, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+            F.col("min_hamming").cast("int").alias("min_hamming"),
+            F.col("first_near").cast("long").alias("first_near"),
+        )
+    )

@@ -132,6 +132,27 @@ def cluster_labels(
         return direct()
 
 
+def simhash_corpus_sigs(
+    spark: SparkSession,
+    sf_dir: str,
+    exclude_mod: int = 5,
+    n_bits: int = 16,
+    portable: bool = True,
+) -> DataFrame:
+    """The at-rest (doc_id, simhash) signature table over the CORPUS
+    split (doc_id % exclude_mod != 0) — the SimHash sibling of
+    minhash_corpus_index: incremental probes band-join against these
+    signatures instead of re-hashing the corpus."""
+    sig = f"{exclude_mod}|{n_bits}|{portable}|v1"
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        corpus_docs = docs.filter(F.col("doc_id") % exclude_mod != 0)
+        return dedup.simhash_signatures(corpus_docs, "text", "doc_id", n_bits, portable)
+
+    return _materialized(spark, sf_dir, "sh_sigs", sig, build)
+
+
 def minhash_corpus_index(
     spark: SparkSession,
     sf_dir: str,
