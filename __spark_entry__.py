@@ -3670,14 +3670,7 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     image blob); every stub feature is a pure function of byte length,
     so the Arrow-batched Pandas path is oracle-checkable in plain SQL.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("payload"),
-        F.lit("image").alias("media_type"),
-        F.concat(F.lit("synth://"), F.col("source")).alias("source_uri"),
-    )
-    return multimodal.extract_features(media)
+    return multimodal.extract_features(_synth_media(spark, sf_dir))
 
 
 _MULTIMODAL_SQL = """
@@ -3687,6 +3680,68 @@ SELECT doc_id AS media_id,
        cast((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS fake_height,
        cast((octet_length(encode(text)) * 131) % 2147483647 AS BIGINT) AS byte_checksum
 FROM documents
+"""
+
+
+def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared synthetic media relation for the multimodal entries (text
+    bytes standing in for blobs; every downstream stub feature is a
+    pure function of octet length, hence SQL-checkable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.concat(F.lit("synth://"), F.col("source")).alias("source_uri"),
+    )
+
+
+def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators/multimodal.py
+    frame_sample_plan): one row per every-10th frame index of each
+    blob — the distribution grain a real decoder would fill with
+    pixels; explode keeps it a narrow Generate, no shuffle."""
+    return multimodal.frame_sample_plan(_synth_media(spark, sf_dir), every_nth=10)
+
+
+_MULTIMODAL_FRAMES_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, 'image' AS media_type,
+         greatest(cast(floor(octet_length(encode(text)) / 100) AS INTEGER), 1) AS n_frames
+  FROM documents
+)
+SELECT media_id, media_type, cast(g.f AS INTEGER) AS frame_idx
+FROM m, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 10)) AS f) g
+"""
+
+
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plan over the stub-decoded dims
+    (operators/multimodal.py resize_plan): output geometry + RGB byte
+    estimate per blob — the metadata the shard packer consumes; the
+    pixel kernel itself is the documented mapInPandas stub shape."""
+    return multimodal.resize_plan(_synth_media(spark, sf_dir), target=64)
+
+
+_MULTIMODAL_RESIZE_SQL = """
+WITH d AS (
+  SELECT doc_id AS media_id, 'image' AS media_type,
+         greatest(octet_length(encode(text)) % 640, 1) AS w0,
+         greatest((octet_length(encode(text)) * 7) % 480, 1) AS h0
+  FROM documents
+), s AS (
+  SELECT *, greatest(w0, h0) AS l,
+         CASE WHEN greatest(w0, h0) <= 64 THEN w0
+              ELSE greatest(floor(w0 * 64 / greatest(w0, h0)), 1) END AS ow,
+         CASE WHEN greatest(w0, h0) <= 64 THEN h0
+              ELSE greatest(floor(h0 * 64 / greatest(w0, h0)), 1) END AS oh
+  FROM d
+)
+SELECT media_id, media_type,
+       cast(w0 AS INTEGER) AS in_width, cast(h0 AS INTEGER) AS in_height,
+       cast(ow AS INTEGER) AS out_width, cast(oh AS INTEGER) AS out_height,
+       cast(ow * oh * 3 AS BIGINT) AS est_bytes
+FROM s
 """
 
 
@@ -5229,6 +5284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": _ann_recall_eval,
         "k_anonymity": _k_anonymity,
         "simhash_incremental": _simhash_incremental,
+        "multimodal_frames": _multimodal_frames,
+        "multimodal_resize": _multimodal_resize,
         "minhash_portable": _minhash_portable,
         "doc_pagerank": _doc_pagerank,
         "session_ids": _session_ids,
@@ -5377,6 +5434,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_eval": _ANN_RECALL_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "simhash_incremental": _simhash_incremental_sql(),
+        "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
+        "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
         "e7_distinct_values": _E7_SQL,
         "w3_pick_first": _W3_SQL,
         "f2_contact_datetime": _F2_SQL,

@@ -106,3 +106,37 @@ def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
         )
         .select("media_id", "media_type", "frame_idx")
     )
+
+
+def resize_plan(media: DataFrame, target: int = 64) -> DataFrame:
+    """Resize planning (aspect-preserving, never upscaling) over the
+    stub-decoded dimensions: the metadata half of an image-resize
+    stage. The real pixel resample would be a mapInPandas kernel like
+    :func:`extract_features` (Arrow batch in, resized bytes out); the
+    PLAN — output geometry and the size estimate the shard packer
+    needs — is a pure function of the stub dims, so it stays in column
+    algebra (codegen, no Python) and is oracle-checkable.
+
+    Geometry: scale the larger dimension down to ``target`` and the
+    other proportionally (floor, min 1); blobs already inside the box
+    pass through. ``est_bytes`` = out_w · out_h · 3 (RGB estimate).
+    """
+    n = F.length("payload")
+    w0 = F.greatest(n % 640, F.lit(1))
+    h0 = F.greatest((n * 7) % 480, F.lit(1))
+    long_side = F.greatest(w0, h0)
+
+    def scaled(dim):
+        return F.when(long_side <= target, dim).otherwise(
+            F.greatest(F.floor(dim * F.lit(target) / long_side), F.lit(1))
+        )
+
+    return media.select(
+        "media_id",
+        "media_type",
+        w0.cast("int").alias("in_width"),
+        h0.cast("int").alias("in_height"),
+        scaled(w0).cast("int").alias("out_width"),
+        scaled(h0).cast("int").alias("out_height"),
+        (scaled(w0) * scaled(h0) * 3).cast("long").alias("est_bytes"),
+    )
