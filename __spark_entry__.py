@@ -939,6 +939,43 @@ GROUP BY r.doc_id
 """
 
 
+def _span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level member of the incremental-dedup family: new-batch
+    docs (doc_id % 5 == 0) probe the AT-REST distinct window-hash
+    index (plans/pair_graph.py span_corpus_index) — a copied paragraph
+    from the existing corpus is caught without re-hashing the corpus;
+    only the batch's (id, hash) rows shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = pair_graph.span_corpus_index(spark, sf_dir, exclude_mod=5, k=8)
+    return dedup.span_dedup_incremental(new_docs, idx, "text", "doc_id", k=8)
+
+
+_SPAN_INCREMENTAL_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, [
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+          [CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(array_to_string(toks[i:i+7], ' '), '')]),
+        (acc, c) -> (acc * 31 + c) % 2147483647)
+      FOR i IN generate_series(1, len(toks) - 7)] AS hs
+  FROM base WHERE len(toks) >= 8
+),
+r AS (SELECT doc_id, unnest(hs) AS h FROM w),
+c AS (SELECT DISTINCT h FROM r WHERE doc_id % 5 <> 0),
+n AS (SELECT doc_id, r.h, CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END AS dup
+      FROM r LEFT JOIN c USING (h) WHERE doc_id % 5 = 0)
+SELECT doc_id,
+       cast(count(*) AS BIGINT) AS n_windows,
+       cast(sum(dup) AS BIGINT) AS n_dup_windows,
+       round(sum(dup) / cast(count(*) AS DOUBLE), 6) AS dup_span_frac
+FROM n GROUP BY doc_id
+"""
+
+
 def _embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding table by 3 fixed power
     iterations (similarity.power_iteration_top_pc) — dominant-direction
@@ -5286,6 +5323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_incremental": _simhash_incremental,
         "multimodal_frames": _multimodal_frames,
         "multimodal_resize": _multimodal_resize,
+        "span_dedup_incremental": _span_dedup_incremental,
         "minhash_portable": _minhash_portable,
         "doc_pagerank": _doc_pagerank,
         "session_ids": _session_ids,
@@ -5436,6 +5474,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_incremental": _simhash_incremental_sql(),
         "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
         "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
+        "span_dedup_incremental": _SPAN_INCREMENTAL_SQL,
         "e7_distinct_values": _E7_SQL,
         "w3_pick_first": _W3_SQL,
         "f2_contact_datetime": _F2_SQL,

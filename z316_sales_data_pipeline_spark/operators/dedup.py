@@ -1048,3 +1048,48 @@ def simhash_near_dup_incremental(
             F.col("first_near").cast("long").alias("first_near"),
         )
     )
+
+
+def span_hash_table(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
+    """The at-rest (id, window-hash) relation behind span-level dedup:
+    every k-token window (stride 1), hashed with the portable rolling
+    family — the substring-dedup sibling of :func:`shingle_table`.
+    Materialize once per corpus snapshot; incremental probes and the
+    batch span report both derive from it without re-reading text."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("__w"))
+        .select(F.col(id_col), _rolling_hash(F.col("__w")).alias("__h"))
+    )
+
+
+def span_dedup_incremental(
+    new_df: DataFrame,
+    corpus_spans: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Span-level member of the incremental-dedup family: for each NEW
+    doc, the fraction of its k-token windows already present in the
+    AT-REST corpus window-hash index — catches a copied paragraph from
+    the existing corpus without re-hashing the corpus. The probe
+    shuffles (id, hash) pairs of the BATCH only; the corpus side is a
+    distinct-hash scan of the materialized relation.
+
+    Output per new doc with ≥ k tokens: (id, n_windows,
+    n_dup_windows, dup_span_frac) — same shape as :func:`span_dedup`
+    so downstream curation thresholds apply unchanged.
+    """
+    new_rel = span_hash_table(new_df, text_col, id_col, k).localCheckpoint(eager=True)
+    corpus_h = corpus_spans.select("__h").distinct().withColumn("__dup", F.lit(1))
+    return (
+        new_rel.join(corpus_h, "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce("__dup", F.lit(0))).alias("n_dup_windows"),
+            F.round(
+                F.sum(F.coalesce("__dup", F.lit(0))) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_span_frac"),
+        )
+    )

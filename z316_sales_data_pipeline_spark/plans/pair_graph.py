@@ -153,6 +153,24 @@ def simhash_corpus_sigs(
     return _materialized(spark, sf_dir, "sh_sigs", sig, build)
 
 
+def span_corpus_index(
+    spark: SparkSession,
+    sf_dir: str,
+    exclude_mod: int = 5,
+    k: int = 8,
+) -> DataFrame:
+    """The at-rest DISTINCT window-hash index over the CORPUS split —
+    the span-dedup sibling of minhash_corpus_index; incremental span
+    probes join against it instead of re-hashing corpus text."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        corpus_docs = docs.filter(F.col("doc_id") % exclude_mod != 0)
+        return dedup.span_hash_table(corpus_docs, "text", "doc_id", k).select("__h").distinct()
+
+    return _materialized(spark, sf_dir, "span_idx", f"{exclude_mod}|{k}|v1", build)
+
+
 def minhash_corpus_index(
     spark: SparkSession,
     sf_dir: str,
