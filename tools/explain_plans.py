@@ -230,6 +230,44 @@ CHECKLIST = {
         "sketch and min-aggregates per key; the top-k exact side is "
         "TakeOrderedAndProject behind a checkpoint."
     ),
+    "dup_clusters": (
+        "Maintained cluster assignment (r4). Expect: a bare parquet "
+        "scan of the _LATEST cluster-labels snapshot — NO Jaccard "
+        "join, NO iterative CC in the plan; all of that ran once at "
+        "materialization time and is amortized across every consumer."
+    ),
+    "repair_run": (
+        "Checker repair loop as one plan. Expect: the fingerprint "
+        "relation as Scan ExistingRDD (checkpointed — text hashed "
+        "once) feeding the keep-rule Window, the left_anti delete and "
+        "BOTH count aggregates; the final report join is a tiny "
+        "per-source relation."
+    ),
+    "simhash_incremental": (
+        "Banded SimHash probe (r4). Expect: the corpus side is a "
+        "parquet scan of the at-rest signature table (corpus text "
+        "never re-hashed); candidate equi-join on (band, value) key "
+        "columns; popcount filter only after the join — no quadratic "
+        "term anywhere."
+    ),
+    "span_dedup_incremental": (
+        "Span-level probe (r4). Expect: corpus side = parquet scan of "
+        "the distinct window-hash index; only the new batch runs the "
+        "window Generate + rolling hash; hash join on __h then one "
+        "codegen aggregate to doc grain."
+    ),
+    "ann_recall_eval": (
+        "ANN approximation audit (r4). Expect: ONE Scan ExistingRDD of "
+        "the checkpointed (vid, v, cell) relation feeding both arms; "
+        "the brute arm is BroadcastNestedLoopJoin with the tiny query "
+        "batch broadcast; per-query top-k via Window over candidate "
+        "rows only."
+    ),
+    "quality_prune": (
+        "Quality pruning (r4). Expect: a single documents scan with "
+        "the quality expression fused in the scan stage, one Window "
+        "exchange on source for the ntile — no join, no second scan."
+    ),
 }
 
 
