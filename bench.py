@@ -69,6 +69,8 @@ HEADLINE = [
     "semantic_dedup_incremental",
     "dup_clusters",
     "repair_run",
+    "simhash_incremental",
+    "span_dedup_incremental",
 ]
 
 

@@ -120,28 +120,38 @@ def ivf_top_k(
     partition pruning — the scan reads n_probe/n_cells of the data.
     """
     cents = _centroids(df, vec_col, id_col, n_cells)
+    assigned = ivf_assign(df, vec_col, cents)
+    probe = probe_cells(cents, query_vec, n_probe)
+    return (
+        brute_force_top_k(assigned.filter(F.col("cell").isin(probe)), vec_col, id_col, query_vec, k)
+    )
 
-    # cell = argmax_i dot(v, c_i). Materialize the 16 dots into ONE
-    # array column and argmax with array_position(array_max) — a
-    # greatest()+when-chain would re-evaluate each interpreted dot
-    # aggregate up to 3× (no CSE across HOF expressions; measured ~3×
-    # slower). Ties resolve to the lowest cell id (array_position
-    # returns the first match).
-    def cell_expr(col: Column) -> Column:
-        dots = F.array(*[dot(col, literal_vector(c)) for _, c in cents])
-        return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
-    # Probe cells for the query, computed plan-build time (tiny).
+def ivf_assign(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Add the IVF ``cell`` column: cell = argmax_i dot(v, c_i).
+
+    Materialize the n_cells dots into ONE array column and argmax with
+    array_position(array_max) — a greatest()+when-chain would
+    re-evaluate each interpreted dot aggregate up to 3× (no CSE across
+    HOF expressions; measured ~3× slower). Ties resolve to the lowest
+    cell id (array_position returns the first match). This is the
+    write-time half of the at-rest IVF layout: persist the output
+    partitioned by ``cell`` and every probe becomes partition pruning.
+    """
+    dots = F.array(*[dot(F.col(vec_col), literal_vector(c)) for _, c in cents])
+    return df.withColumn("cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int"))
+
+
+def probe_cells(
+    cents: list[tuple[int, list[float]]], query_vec: list[float], n_probe: int
+) -> list[int]:
+    """The n_probe cells nearest the query — computed plan-build time
+    (the centroid model is O(1)); ties break to the lowest cell."""
     q_dots = sorted(
         ((i, sum(a * b for a, b in zip(query_vec, c))) for i, c in cents),
         key=lambda t: (-t[1], t[0]),
     )
-    probe = [i for i, _ in q_dots[:n_probe]]
-
-    assigned = df.withColumn("cell", cell_expr(F.col(vec_col)))
-    return (
-        brute_force_top_k(assigned.filter(F.col("cell").isin(probe)), vec_col, id_col, query_vec, k)
-    )
+    return [i for i, _ in q_dots[:n_probe]]
 
 
 # ---------------------------------------------------------------------------

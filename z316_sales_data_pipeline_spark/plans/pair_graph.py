@@ -34,19 +34,30 @@ _CACHE_ROOT = Path(__file__).resolve().parents[2] / "spark-warehouse" / "_pair_g
 
 
 def _materialized(
-    spark: SparkSession, sf_dir: str, name: str, params_sig: str, build: Callable[[], DataFrame]
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    params_sig: str,
+    build: Callable[[], DataFrame],
+    src_table: str = "documents",
+    partition_by: str | None = None,
 ) -> DataFrame:
     """Build-once-read-many: parquet-materialize ``build()`` keyed by
-    (documents file identity, ``params_sig``); fall back to the
-    in-memory frame if the warehouse is unwritable."""
-    src = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
+    (``src_table`` file identity, ``params_sig``); fall back to the
+    in-memory frame if the warehouse is unwritable. ``partition_by``
+    writes a partitioned layout so consumers' filters on that column
+    become partition pruning."""
+    src = os.path.join(os.path.realpath(sf_dir), f"{src_table}.parquet")
     try:
         st = os.stat(src)
         sig = f"{src}|{st.st_mtime_ns}|{st.st_size}|{params_sig}"
         digest = hashlib.md5(sig.encode()).hexdigest()[:16]
         out = str(_CACHE_ROOT / f"{name}_{digest}")
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            build().write.mode("overwrite").parquet(out)
+            w = build().write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(partition_by)
+            w.parquet(out)
         return spark.read.parquet(out)
     except OSError:
         return build()
@@ -169,6 +180,35 @@ def span_corpus_index(
         return dedup.span_hash_table(corpus_docs, "text", "doc_id", k).select("__h").distinct()
 
     return _materialized(spark, sf_dir, "span_idx", f"{exclude_mod}|{k}|v1", build)
+
+
+def ivf_embeddings(spark: SparkSession, sf_dir: str, n_cells: int = 16) -> DataFrame:
+    """The embeddings table at rest in IVF layout: cell-assigned
+    (similarity.ivf_assign) and PARTITIONED BY cell, so a probe's
+    ``cell IN (...)`` filter compiles to partition pruning — the scan
+    reads n_probe/n_cells of the files instead of filtering after a
+    full read. This is the 100 TB ANN serving layout the ivf_top_k
+    docstring promises; tests/test_plan_properties.py asserts the
+    PartitionFilters actually appear and results equal the inline
+    assignment path."""
+    from ..operators import similarity
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        cents = similarity._centroids(emb, "embedding", "vec_id", n_cells)
+        return similarity.ivf_assign(emb, "embedding", cents)
+
+    return _materialized(
+        spark,
+        sf_dir,
+        "ivf_emb",
+        f"{n_cells}|v1",
+        build,
+        src_table="embeddings",
+        partition_by="cell",
+    )
 
 
 def minhash_corpus_index(
