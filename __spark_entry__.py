@@ -2665,14 +2665,21 @@ FROM documents
 
 
 def _ivf_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell-probed approximate nearest neighbours. Value-checked:
-    the oracle replays the full IVF schedule (centroids = 16 lowest-id
-    vectors, cell = argmax dot with lowest-cell tie-break, probe = top
-    4 cells by query dot, exact round-6 cosine top-10 within)."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+    """IVF-cell-probed approximate nearest neighbours, served from the
+    AT-REST cell-partitioned layout (plans/pair_graph.ivf_embeddings):
+    the probe's cell filter compiles to partition pruning, so the scan
+    reads 4/16 of the files — the 100 TB ANN serving path. Value-
+    checked: the oracle replays the full IVF schedule (centroids = 16
+    lowest-id vectors, cell = argmax dot with lowest-cell tie-break,
+    probe = top 4 cells by query dot, exact round-6 cosine top-10
+    within); the layout is equality-tested against the inline
+    assignment in tests/test_plan_properties.py."""
+    at_rest = pair_graph.ivf_embeddings(spark, sf_dir, n_cells=16)
+    cents = similarity._centroids(at_rest, "embedding", "vec_id", 16)
+    probe = similarity.probe_cells(cents, _KNN_QUERY_VEC, 4)
+    return similarity.brute_force_top_k(
+        at_rest.filter(F.col("cell").isin(probe)), "embedding", "vec_id", _KNN_QUERY_VEC, k=10
     )
-    return similarity.ivf_top_k(emb, "embedding", "vec_id", _KNN_QUERY_VEC, k=10, n_cells=16, n_probe=4)
 
 
 def _ivf_sql() -> str:
