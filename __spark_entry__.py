@@ -657,10 +657,17 @@ def _tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     taxes a language — high fertility = more compute per byte of that
     language). Aggregates the bpe_token_count per-doc relation to lang
     grain; the tokenizer itself stays an O(1) broadcast model."""
-    docs = load_table(spark, sf_dir, "documents")
+    # one text scan: the reduced (id, lang, chars, text) relation is
+    # checkpointed and feeds BOTH the tokenizer apply and the
+    # lang/char metadata join (text would otherwise scan twice)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text", F.length("text").alias("__chars"))
+        .localCheckpoint(eager=True)
+    )
     per_doc = corpus.bpe_token_count(docs, "text", "doc_id", n_merges=3)
     return (
-        per_doc.join(docs.select("doc_id", "lang", F.length("text").alias("__chars")), "doc_id")
+        per_doc.join(docs.select("doc_id", "lang", "__chars"), "doc_id")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
