@@ -2423,6 +2423,53 @@ SELECT simhash, count(*) AS n FROM s GROUP BY simhash HAVING count(*) > 1
 """
 
 
+def _minhash_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding S-curve planner: P(candidate | jaccard) =
+    1 − (1 − j^r)^b for every (bands, rows) factorization of the
+    16-hash signature, over a 0.05-step jaccard grid — the tuning
+    table behind the engine's (8 bands × 2 rows) choice (threshold
+    j* ≈ (1/b)^(1/r) ≈ 0.35, steep enough at the 0.7 near-dup bar).
+    Pure plan-side math (a literal config relation × a range), no
+    table input — the planner a corpus owner consults before changing
+    the index, evaluated by the same engine that will run it."""
+    configs = [(16, 1), (8, 2), (4, 4), (2, 8)]
+    cfg = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("n_bands"), F.lit(r).alias("rows_per_band"))
+                for b, r in configs
+            ]
+        )
+    ).alias("cfg")
+    grid = spark.range(1, 20).select((F.col("id") / 20.0).alias("jaccard"))
+    return (
+        grid.select("jaccard", cfg)
+        .select("jaccard", "cfg.n_bands", "cfg.rows_per_band")
+        .withColumn(
+            "p_candidate",
+            F.round(
+                F.lit(1.0)
+                - F.pow(
+                    F.lit(1.0) - F.pow("jaccard", F.col("rows_per_band")), F.col("n_bands")
+                ),
+                6,
+            ),
+        )
+    )
+
+
+_MINHASH_SCURVE_SQL = """
+WITH cfg AS (
+    SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8)) AS t(n_bands, rows_per_band)
+), grid AS (
+    SELECT i / 20.0 AS jaccard FROM (SELECT unnest(generate_series(1, 19)) AS i)
+)
+SELECT jaccard, n_bands, rows_per_band,
+       round(1.0 - pow(1.0 - pow(jaccard, rows_per_band), n_bands), 6) AS p_candidate
+FROM grid CROSS JOIN cfg
+"""
+
+
 def _simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash member of the incremental-dedup family: the new batch
     (doc_id % 5 == 0) probes the AT-REST corpus signature table
@@ -5338,6 +5385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _multimodal_frames,
         "multimodal_resize": _multimodal_resize,
         "span_dedup_incremental": _span_dedup_incremental,
+        "minhash_scurve": _minhash_scurve,
         "minhash_portable": _minhash_portable,
         "doc_pagerank": _doc_pagerank,
         "session_ids": _session_ids,
@@ -5489,6 +5537,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
         "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
         "span_dedup_incremental": _SPAN_INCREMENTAL_SQL,
+        "minhash_scurve": _MINHASH_SCURVE_SQL,
         "e7_distinct_values": _E7_SQL,
         "w3_pick_first": _W3_SQL,
         "f2_contact_datetime": _F2_SQL,
