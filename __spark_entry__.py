@@ -2423,6 +2423,40 @@ SELECT simhash, count(*) AS n FROM s GROUP BY simhash HAVING count(*) > 1
 """
 
 
+def _quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile estimates from equal-width histogram partials
+    (operators/sketch.py histogram_table / histogram_quantiles) — the
+    quantile member of the sketch family (HLL distincts, CMS
+    frequencies, bloom membership): per-event-type partials over a
+    FIXED [0, 512) range merge by counter addition, the quantile walk
+    runs over ≤64 sketch rows, and the left-edge estimate is
+    bit-portable (error ≤ one bucket width = 8). The oracle replays
+    bucketing, merge and walk exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    partials = sketch.histogram_table(
+        ev.filter(F.col("value").isNotNull()), "value", F.col("event_type"), 0.0, 512.0, 64
+    )
+    return sketch.histogram_quantiles(partials, [0.5, 0.9, 0.99], 0.0, 512.0, 64)
+
+
+_QUANTILE_SKETCH_SQL = """
+WITH b AS (
+    SELECT event_type AS part,
+           cast(least(63, greatest(0, floor((value - 0.0) / 8.0))) AS INTEGER) AS bucket,
+           cast(count(*) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+), m AS (
+    SELECT bucket, cast(sum(c) AS BIGINT) AS c FROM b GROUP BY bucket
+), cum AS (
+    SELECT bucket, sum(c) OVER (ORDER BY bucket) AS cum, (SELECT sum(c) FROM m) AS n FROM m
+), q AS (SELECT cast(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+SELECT q.q, cast(round(0.0 + min(cum.bucket) * 8.0, 6) AS DOUBLE) AS estimate
+FROM q JOIN cum ON cum.cum >= cum.n * q.q
+GROUP BY q.q
+"""
+
+
 def _minhash_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding S-curve planner: P(candidate | jaccard) =
     1 − (1 − j^r)^b for every (bands, rows) factorization of the
@@ -5386,6 +5420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _multimodal_resize,
         "span_dedup_incremental": _span_dedup_incremental,
         "minhash_scurve": _minhash_scurve,
+        "quantile_sketch": _quantile_sketch,
         "minhash_portable": _minhash_portable,
         "doc_pagerank": _doc_pagerank,
         "session_ids": _session_ids,
@@ -5538,6 +5573,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
         "span_dedup_incremental": _SPAN_INCREMENTAL_SQL,
         "minhash_scurve": _MINHASH_SCURVE_SQL,
+        "quantile_sketch": _QUANTILE_SKETCH_SQL,
         "e7_distinct_values": _E7_SQL,
         "w3_pick_first": _W3_SQL,
         "f2_contact_datetime": _F2_SQL,

@@ -506,3 +506,30 @@ def test_event_transitions_rows_are_distributions(spark, sf_dir):
         assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-4, src
         for r in rs:
             assert r["p"] == round(r["n"] / tot, 6)
+
+
+def test_histogram_partials_merge_consistently(spark, sf_dir):
+    """Sketch-family contract: quantile estimates from per-partition
+    histogram partials merged by counter addition equal estimates from
+    one global histogram, and each estimate is within one bucket width
+    of the exact percentile."""
+    from z316_sales_data_pipeline_spark.operators import sketch
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    parts = sketch.histogram_table(ev, "value", F.col("event_type"), 0.0, 512.0, 64)
+    whole = sketch.histogram_table(ev, "value", F.lit("all"), 0.0, 512.0, 64)
+    est_parts = {
+        r["q"]: r["estimate"]
+        for r in sketch.histogram_quantiles(parts, [0.5, 0.9], 0.0, 512.0, 64).collect()
+    }
+    est_whole = {
+        r["q"]: r["estimate"]
+        for r in sketch.histogram_quantiles(whole, [0.5, 0.9], 0.0, 512.0, 64).collect()
+    }
+    assert est_parts == est_whole
+    exact = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("p50"), F.expr("percentile(value, 0.9)").alias("p90")
+    ).collect()[0]
+    assert abs(est_parts[0.5] - exact["p50"]) <= 8.0
+    assert abs(est_parts[0.9] - exact["p90"]) <= 8.0

@@ -87,3 +87,72 @@ def cms_probe(
         .groupBy(key_col)
         .agg(F.min("c").alias("cms_estimate"))
     )
+
+
+def histogram_table(
+    df: DataFrame,
+    value_col: str,
+    part_col: Column,
+    lo: float,
+    hi: float,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The at-rest equal-width histogram partial: (partition, bucket,
+    c) over a FIXED [lo, hi) range — the mergeable quantile sibling of
+    the CMS/HLL partials (merge = counter addition, exactly like CMS).
+    Values outside the range clamp to the edge buckets, so the sketch
+    never drops mass. One codegen hash aggregate; at most n_buckets
+    rows per partition value.
+
+    Fixed range instead of data-dependent min/max: partials built on
+    different days stay mergeable without a re-bucketing pass — the
+    property a 100 TB rolling-window quantile needs.
+    """
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
+    return (
+        df.select(part_col.alias("part"), bucket.alias("bucket"))
+        .groupBy("part", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Quantile estimates from merged histogram partials: merge by
+    bucket-sum, walk the cumulative distribution, report each
+    requested quantile as the LEFT EDGE of the first bucket whose
+    cumulative count reaches q·N (deterministic, no interpolation —
+    estimates are bit-portable and error-bounded by one bucket width).
+
+    The whole walk runs over ≤ n_buckets rows — a window over the
+    merged sketch, never over data.
+    """
+    width = (hi - lo) / n_buckets
+    from pyspark.sql import Window
+
+    merged = hist.groupBy("bucket").agg(F.sum("c").alias("c"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = merged.withColumn("cum", F.sum("c").over(w)).crossJoin(
+        F.broadcast(merged.agg(F.sum("c").alias("n")))
+    )
+    out = None
+    for q in qs:
+        hit = (
+            cum.filter(F.col("cum") >= F.col("n") * F.lit(q))
+            .agg(F.min("bucket").alias("bucket"))
+            .select(
+                F.lit(q).alias("q"),
+                F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias("estimate"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
