@@ -1954,9 +1954,13 @@ WHERE len(list_intersect(a.toks, b.toks)) /
 def _minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, fast xxhash64 variant (bench/library
     surface: the hash family is engine-specific, not SQL-portable — the
-    portable twin in queries() value-checks the shared pipeline)."""
+    portable twin in queries() value-checks the shared pipeline).
+    Since r4 the shingle relation comes from the at-rest
+    materialization (plans/pair_graph.full_shingle_table) — text is
+    hashed once per corpus snapshot, not per query."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_near_dup_pairs(docs, "text", "doc_id", threshold=0.5)
+    ex = pair_graph.full_shingle_table(spark, sf_dir, shingle_k=3, portable=False)
+    return dedup.minhash_near_dup_pairs(docs, "text", "doc_id", threshold=0.5, ex=ex)
 
 
 def _salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2311,9 +2315,12 @@ def _minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, portable-hash variant: the rolling
     polynomial shingle hash makes signatures, candidate generation and
     Jaccard all reproducible in ANSI SQL, so this one is value-checked
-    (validating the banding/verify pipeline the fast variant shares)."""
+    (validating the banding/verify pipeline the fast variant shares).
+    Reads the portable at-rest shingle relation (same layout, portable
+    hash family key)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_near_dup_pairs(docs, "text", "doc_id", threshold=0.5, portable=True)
+    ex = pair_graph.full_shingle_table(spark, sf_dir, shingle_k=3, portable=True)
+    return dedup.minhash_near_dup_pairs(docs, "text", "doc_id", threshold=0.5, portable=True, ex=ex)
 
 
 # Mirrors the Spark plan stage by stage: normalize+tokenize → k=3 word

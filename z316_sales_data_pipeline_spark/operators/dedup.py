@@ -270,8 +270,13 @@ def minhash_near_dup_pairs(
     n_bands: int = 8,
     shingle_k: int = 3,
     portable: bool = False,
+    ex: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH, verified with exact Jaccard.
+
+    ``ex`` accepts a prebuilt (at-rest) shingle relation from
+    :func:`shingle_table` — the dominant text-hashing stage then
+    becomes a parquet scan (plans/pair_graph.full_shingle_table).
 
     ``portable=True`` swaps xxhash64 shingle hashing for the rolling
     polynomial hash, making every intermediate value (signatures,
@@ -298,7 +303,7 @@ def minhash_near_dup_pairs(
     # is codegen'd hash aggregates / hash joins — no array columns, no
     # collect_set (ObjectHashAggregate falls out of whole-stage codegen
     # and measured ~2× slower end-to-end).
-    ex = shingle_table(df, text_col, id_col, shingle_k, portable).persist()
+    ex = (ex if ex is not None else shingle_table(df, text_col, id_col, shingle_k, portable)).persist()
     # ONE grouped pass yields the signature AND the per-doc distinct
     # shingle count (the Jaccard denominator) — no second aggregation.
     aggs = [F.min(_perm(F.col("__hp"), i)).alias(f"__m{i}") for i in range(n_hashes)]

@@ -143,6 +143,24 @@ def cluster_labels(
         return direct()
 
 
+def full_shingle_table(
+    spark: SparkSession,
+    sf_dir: str,
+    shingle_k: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """The at-rest (id, shingle-hash) relation over the WHOLE corpus —
+    what dedup.shingle_table's docstring promises a lake would
+    materialize. minhash_near_dup and its portable twin read this
+    instead of re-hashing every document per query."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return dedup.shingle_table(docs, "text", "doc_id", shingle_k, portable)
+
+    return _materialized(spark, sf_dir, "mh_ex_full", f"{shingle_k}|{portable}|v1", build)
+
+
 def simhash_corpus_sigs(
     spark: SparkSession,
     sf_dir: str,
