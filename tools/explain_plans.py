@@ -60,8 +60,10 @@ CHECKLIST = {
         "heap + driver merge), NOT a global Sort + Limit."
     ),
     "ivf_top_k": (
-        "IVF ANN. Expect: the cell filter applied before the top-k scan "
-        "(partition-prunable at rest), then TakeOrderedAndProject."
+        "IVF ANN, served from the cell-partitioned at-rest layout "
+        "(r4). Expect: PartitionFilters with the probe cells on the "
+        "scan — the files of 12/16 cells are never read — then "
+        "TakeOrderedAndProject. 1.49 s -> 0.50 s at sf0.1."
     ),
     "tumbling_counts": (
         "Windowed aggregate. Expect: window expansion projected before "
