@@ -385,3 +385,21 @@ def test_ivf_partitioned_at_rest_prunes_partitions(spark, sf_dir):
     # pruning is real: the probed scan touches fewer files than the table has partitions
     n_cells_present = at_rest.select("cell").distinct().count()
     assert n_cells_present > 4  # sanity: the layout actually spreads cells
+
+
+def test_no_query_plans_cartesian_or_row_python(spark, sf_dir):
+    """Fleet-wide plan hygiene: NO registry entry may compile to a
+    CartesianProduct (unbounded pair blowup) or BatchEvalPython
+    (row-at-a-time Python UDF). Arrow-batched Pandas operators
+    (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas) and
+    broadcast nested-loop joins of O(1) relations are allowed — those
+    are the sanctioned shapes. Catches the class of regression where a
+    refactor silently drops a join condition or swaps a column
+    expression for a Python lambda."""
+    offenders = {}
+    for name, fn in entrymod.bench_queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        marks = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
+        if marks:
+            offenders[name] = marks
+    assert not offenders, offenders
