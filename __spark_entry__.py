@@ -1263,6 +1263,71 @@ FROM lat
 """
 
 
+def _pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC product classification: parts ranked by revenue,
+    cumulative revenue share, class A ≤ 0.80 < B ≤ 0.95 < C — the
+    80/20 inventory analysis every sales star schema serves. One hash
+    aggregate reduces the fact to part grain; the running-share window
+    sorts only that reduced relation (the rfm/ntile pattern).
+    Revenue is INTEGER-SCALED before summing (price cents × discount
+    percent — both 2dp in the data, so the per-row scale is exact):
+    the sums are order-independent integers and the cumulative share
+    is bit-identical across engines — round-2 float sums flip the
+    last cent with accumulation order (measured)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    scaled = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum(scaled).alias("__rs"))
+    w = (
+        Window.orderBy(F.col("__rs").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = rev.agg(F.sum("__rs").alias("__t"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .withColumn("cum_share", F.round(F.sum("__rs").over(w) / F.col("__t"), 6))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_share") <= 0.80, "A")
+            .when(F.col("cum_share") <= 0.95, "B")
+            .otherwise("C"),
+        )
+        .select(
+            "l_partkey",
+            # no presentation round: rs/1e4 of identical integers is the
+            # identical double in both engines, while round-half-up vs
+            # half-even would flip x.xx5 cents (measured)
+            (F.col("__rs") / 10000.0).alias("revenue"),
+            "cum_share",
+            "abc_class",
+        )
+    )
+
+
+_PARETO_ABC_SQL = """
+WITH rev AS (
+    SELECT l_partkey,
+           cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - cast(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rs
+    FROM lineitem GROUP BY l_partkey
+), t AS (SELECT cast(sum(rs) AS BIGINT) AS t FROM rev),
+c AS (
+    SELECT l_partkey, rs,
+           round(cast(sum(rs) OVER (ORDER BY rs DESC, l_partkey) AS DOUBLE) / t.t, 6) AS cum_share
+    FROM rev, t
+)
+SELECT l_partkey,
+       rs / 10000.0 AS revenue,
+       cum_share,
+       CASE WHEN cum_share <= 0.80 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+"""
+
+
 def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (recency / frequency / monetary
     quartiles) — the canonical BI deliverable of a sales star schema
@@ -5428,6 +5493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_incremental": _span_dedup_incremental,
         "minhash_scurve": _minhash_scurve,
         "quantile_sketch": _quantile_sketch,
+        "pareto_abc": _pareto_abc,
         "minhash_portable": _minhash_portable,
         "doc_pagerank": _doc_pagerank,
         "session_ids": _session_ids,
@@ -5581,6 +5647,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_incremental": _SPAN_INCREMENTAL_SQL,
         "minhash_scurve": _MINHASH_SCURVE_SQL,
         "quantile_sketch": _QUANTILE_SKETCH_SQL,
+        "pareto_abc": _PARETO_ABC_SQL,
         "e7_distinct_values": _E7_SQL,
         "w3_pick_first": _W3_SQL,
         "f2_contact_datetime": _F2_SQL,
