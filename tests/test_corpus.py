@@ -102,6 +102,10 @@ def test_run_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     )
     assert counts["mixture_sources"] == survivors_src
     assert counts["bpe_merges"] == 3
+    # stats manifest: one row per physical shard file, rows accounted
+    manifest = spark.read.parquet(out + "_manifest")
+    assert counts["manifest_files"] == manifest.count() > 0
+    assert manifest.agg(F.sum("n_rows")).collect()[0][0] == counts["chunks"]
 
     shards = spark.read.parquet(out)
     assert set(r["split"] for r in shards.select("split").distinct().collect()) <= {

@@ -87,7 +87,11 @@ def run_corpus_pipeline(
       computed on what remains after curation/dedup, not the raw lake;
     - ``{out}_bpe``     — the BPE merge table induced from the
       survivor corpus (``corpus.bpe_merges``), i.e. the tokenizer is
-      trained on exactly the text the model will see.
+      trained on exactly the text the model will see;
+    - ``{out}_manifest`` — per-file stats manifest over the shard
+      table (``sinks.stats_manifest``): row counts + (doc_id,
+      chunk_idx) min/max per physical file, the planner-facing
+      metadata a lakehouse log would carry.
     """
     docs = load_table(spark, sf_dir, "documents")
     kept = curated_documents(spark, sf_dir)
@@ -108,6 +112,8 @@ def run_corpus_pipeline(
     mixture.write.mode("overwrite").parquet(f"{out_dir}_mixture")
     merges = corpus.bpe_merges(survivors, "text", n_merges=3)
     merges.write.mode("overwrite").parquet(f"{out_dir}_bpe")
+    manifest = sinks.stats_manifest(spark, out_dir, ["doc_id", "chunk_idx"])
+    manifest.write.mode("overwrite").parquet(f"{out_dir}_manifest")
     return {
         "docs": docs.count(),
         "kept": kept.count(),
@@ -116,4 +122,5 @@ def run_corpus_pipeline(
         "packs": spark.read.parquet(f"{out_dir}_packs").count(),
         "mixture_sources": spark.read.parquet(f"{out_dir}_mixture").count(),
         "bpe_merges": spark.read.parquet(f"{out_dir}_bpe").count(),
+        "manifest_files": spark.read.parquet(f"{out_dir}_manifest").count(),
     }
