@@ -54,10 +54,22 @@ def _materialized(
         digest = hashlib.md5(sig.encode()).hexdigest()[:16]
         out = str(_CACHE_ROOT / f"{name}_{digest}")
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            # build into a private tmp dir, then one atomic rename —
+            # a concurrent reader can never observe a half-written
+            # cache (same discipline as the snapshot sink's _LATEST
+            # pointer flip); if another builder won the race, keep
+            # theirs and discard ours
+            tmp = f"{out}.tmp-{os.getpid()}"
             w = build().write.mode("overwrite")
             if partition_by:
                 w = w.partitionBy(partition_by)
-            w.parquet(out)
+            w.parquet(tmp)
+            try:
+                os.rename(tmp, out)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
         return spark.read.parquet(out)
     except OSError:
         return build()
