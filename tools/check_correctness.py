@@ -92,13 +92,16 @@ def main() -> int:
             duck_cols = [d[0] for d in res.description]
             duck_rows = res.fetchall()
             # The driver's hash is type-sensitive: DuckDB types integer
-            # SUM as HUGEINT (int128) where Spark emits bigint, which
-            # string-normalizes identically here but hash-mismatches in
-            # CORRECTNESS_r{N}. Surface it as a local failure (r2: G4).
+            # SUM as HUGEINT (int128) and decimal literals/rounds as
+            # DECIMAL, where Spark emits bigint/double — these can
+            # string-normalize identically here but hash-mismatch in
+            # CORRECTNESS_r{N}. Surface ANY decimal-typed oracle column
+            # as a local failure (r2: G4 HUGEINT; r4: quantile_sketch
+            # DECIMAL literals).
             hugeint_cols = [
                 f.name
                 for f in con.execute(oracles[name]).fetch_arrow_table().schema
-                if str(f.type).startswith("decimal128(38")
+                if str(f.type).startswith("decimal")
             ]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
