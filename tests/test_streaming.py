@@ -574,3 +574,59 @@ def test_streaming_cluster_maintenance_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and want
+
+
+def test_watermark_drops_late_event_in_append_mode(spark, tmp_path):
+    """Late-data semantics pinned explicitly: in append mode a window
+    only emits once the watermark passes its end, and an event arriving
+    AFTER the watermark has moved beyond its window is dropped — the
+    bounded-state guarantee that lets the windowed agg run forever on
+    an unbounded stream."""
+    import datetime as dt
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    emitted = []
+
+    def sink(batch_df, epoch_id):
+        emitted.extend(
+            (r["window_start"], r["n"], r["total_value"]) for r in batch_df.collect()
+        )
+
+    def run_available():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        agg = pipeline.tumbling_counts(stream, window_len="1 hour", watermark="30 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def stage(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    # run 1: two on-time events in the 10:00 window — nothing emits
+    # (watermark 9:35 has not passed the window end)
+    stage([(1, t0, "a", 1.0), (2, t0 + dt.timedelta(minutes=5), "a", 1.0)])
+    run_available()
+    assert emitted == []
+    # run 2: an event far in the future advances the watermark past
+    # 11:00 — the 10:00 window finalizes and emits exactly once
+    stage([(3, t0 + dt.timedelta(hours=5), "a", 1.0)])
+    run_available()
+    assert (t0, 2, 2.0) in set(emitted), emitted
+    n_after_run2 = len(emitted)
+    # run 3: a LATE event for the closed 10:00 window — dropped by the
+    # checkpointed watermark, no re-emission, no merged count
+    stage([(4, t0 + dt.timedelta(minutes=10), "a", 100.0)])
+    run_available()
+    rows = set(emitted)
+    assert len(emitted) == n_after_run2, emitted
+    assert not any(v == 102.0 or n == 3 for (_, n, v) in rows), rows
