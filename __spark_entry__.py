@@ -910,6 +910,53 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+def _dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the maintained near-dup assignment
+    — the observability rollup a corpus owner tracks per snapshot
+    (a fattening tail means a crawler started mirroring something).
+    Reads the at-rest cluster_labels relation; two hash aggregates to
+    the O(distinct sizes) histogram."""
+    cc = pair_graph.cluster_labels(spark, sf_dir, threshold=0.5, shingle_k=1)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            (F.count(F.lit(1)) * F.first("cluster_size")).alias("n_docs"),
+        )
+    )
+
+
+_DUP_CLUSTER_STATS_SQL = r"""
+WITH RECURSIVE t AS (
+    SELECT source, doc_id,
+           list_distinct(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+    FROM documents
+), p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) /
+          cast(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5
+), e AS (
+    SELECT id_a AS src, id_b AS dst FROM p
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM p
+), reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+), cc AS (
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+), sizes AS (
+    SELECT cluster_id, cast(count(*) AS BIGINT) AS cluster_size FROM cc GROUP BY cluster_id
+)
+SELECT cluster_size,
+       cast(count(*) AS BIGINT) AS n_clusters,
+       cast(count(*) * cluster_size AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
 def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document span duplication (operators/dedup.py span_dedup):
     per doc, the fraction of its 8-token windows that occur in ≥1
@@ -5496,6 +5543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_scurve": _minhash_scurve,
         "quantile_sketch": _quantile_sketch,
         "pareto_abc": _pareto_abc,
+        "dup_cluster_stats": _dup_cluster_stats,
         "minhash_portable": _minhash_portable,
         "doc_pagerank": _doc_pagerank,
         "session_ids": _session_ids,
@@ -5650,6 +5698,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_scurve": _MINHASH_SCURVE_SQL,
         "quantile_sketch": _QUANTILE_SKETCH_SQL,
         "pareto_abc": _PARETO_ABC_SQL,
+        "dup_cluster_stats": _DUP_CLUSTER_STATS_SQL,
         "e7_distinct_values": _E7_SQL,
         "w3_pick_first": _W3_SQL,
         "f2_contact_datetime": _F2_SQL,

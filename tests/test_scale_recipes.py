@@ -495,3 +495,38 @@ def test_simhash_banded_probe_equals_brute_force(spark, sf_dir):
         dedup.simhash_near_dup_incremental(
             new_docs, corpus_sigs, "text", "doc_id", 16, 4, 4, portable=True
         )
+
+
+def test_materialized_cache_invalidates_on_corpus_change(spark, tmp_path, monkeypatch, sf_dir):
+    """The at-rest cache key includes the corpus file identity: a new
+    corpus snapshot (different mtime/size) builds a NEW cache dir
+    instead of serving stale results — the self-invalidation the
+    lakehouse contract claims."""
+    import os
+    import shutil
+
+    from z316_sales_data_pipeline_spark.plans import pair_graph
+
+    monkeypatch.setattr(pair_graph, "_CACHE_ROOT", tmp_path / "wh")
+    # a private sf dir whose documents file we control
+    sf2 = tmp_path / "sf"
+    sf2.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", sf2 / "documents.parquet")
+
+    first = pair_graph.full_shingle_table(spark, str(sf2), shingle_k=1, portable=True)
+    n1 = first.count()
+    dirs1 = {d for d in os.listdir(tmp_path / "wh") if d.startswith("mh_ex_full")}
+    assert len(dirs1) == 1
+
+    # "new snapshot": rewrite the documents file (fewer docs)
+    docs = spark.read.parquet(str(sf2 / "documents.parquet")).filter(F.col("doc_id") < 10)
+    tmp_out = str(tmp_path / "docs2")
+    docs.write.parquet(tmp_out)
+    os.remove(sf2 / "documents.parquet")
+    shutil.move(tmp_out, str(sf2 / "documents.parquet"))
+
+    second = pair_graph.full_shingle_table(spark, str(sf2), shingle_k=1, portable=True)
+    dirs2 = {d for d in os.listdir(tmp_path / "wh") if d.startswith("mh_ex_full")}
+    assert len(dirs2) == 2 and dirs1 < dirs2  # new key, old cache untouched
+    assert second.select("doc_id").distinct().count() == 10
+    assert n1 > second.count()
