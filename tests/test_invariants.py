@@ -533,3 +533,22 @@ def test_histogram_partials_merge_consistently(spark, sf_dir):
     ).collect()[0]
     assert abs(est_parts[0.5] - exact["p50"]) <= 8.0
     assert abs(est_parts[0.9] - exact["p90"]) <= 8.0
+
+
+def test_histogram_table_excludes_nulls(spark):
+    """ADVICE r4: NULL values must NOT be counted into bucket 0 —
+    floor((NULL-lo)/width) is NULL and greatest/least skip NULLs, so
+    without the internal isNotNull filter every NULL would silently
+    become misattributed mass at the low edge. Policy: NULLs are
+    excluded inside histogram_table (quantiles describe present
+    values), so callers need no defensive pre-filter."""
+    from z316_sales_data_pipeline_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [(1, 100.0), (2, None), (3, 4.0), (4, None), (5, 300.0)],
+        "id int, value double",
+    )
+    hist = sketch.histogram_table(df, "value", F.lit("all"), 0.0, 512.0, 64).collect()
+    assert sum(r["c"] for r in hist) == 3  # only the non-NULL rows carry mass
+    by_bucket = {r["bucket"]: r["c"] for r in hist}
+    assert by_bucket.get(0, 0) == 1  # just 4.0 — not 4.0 plus two NULLs

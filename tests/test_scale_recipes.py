@@ -530,3 +530,70 @@ def test_materialized_cache_invalidates_on_corpus_change(spark, tmp_path, monkey
     assert len(dirs2) == 2 and dirs1 < dirs2  # new key, old cache untouched
     assert second.select("doc_id").distinct().count() == 10
     assert n1 > second.count()
+
+
+def test_cluster_labels_torn_build_self_repairs(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r4 (medium): _LATEST alone is not a completion marker —
+    write_snapshot flips it right after v=1, so a crash between the
+    v=1 and v=2 writes used to leave a table that silently served
+    PRE-BATCH labels forever. The fix builds both versions into a tmp
+    dir installed by one atomic rename AND gates the cache hit on
+    _LATEST >= 2. This test forges the crash state (v=1 only,
+    _LATEST=1) and asserts the next call rebuilds to the full,
+    post-batch labels."""
+    import os
+    import shutil
+
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import dedup
+    from z316_sales_data_pipeline_spark.plans import pair_graph
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    monkeypatch.setattr(pair_graph, "_CACHE_ROOT", tmp_path / "wh")
+    pair_graph.cluster_labels(spark, sf_dir, threshold=0.5, shingle_k=1).count()
+    (cc_dir,) = [d for d in os.listdir(tmp_path / "wh") if d.startswith("cc_labels_")]
+    t = str(tmp_path / "wh" / cc_dir)
+
+    # forge the crashed-between-versions state the old code produced
+    shutil.rmtree(f"{t}/v=2")
+    with open(f"{t}/_LATEST", "w") as f:
+        f.write("1")
+
+    repaired = pair_graph.cluster_labels(spark, sf_dir, threshold=0.5, shingle_k=1)
+    docs = load_table(spark, sf_dir, "documents")
+    assert repaired.count() == docs.count()  # batch docs present again
+    with open(f"{t}/_LATEST") as f:
+        assert int(f.read().strip()) >= 2
+    pairs = pair_graph.jaccard_pair_graph(spark, sf_dir, threshold=0.5, shingle_k=1)
+    full = dedup.connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+    assert {tuple(r) for r in repaired.collect()} == {tuple(r) for r in full.collect()}
+    # and the repaired table still offers v=1 time travel
+    assert sinks.read_snapshot(spark, t, version=1).count() > 0
+
+
+def test_materialized_repairs_torn_cache_dir(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r4 (low): a stale cache dir WITHOUT _SUCCESS (left by a
+    crashed pre-rename-era writer) used to make the post-build rename
+    fail and be misread as a lost race — the torn dir was then read
+    as-is. The fix verifies _SUCCESS after a failed rename and repairs
+    by replacing the torn dir with the fresh complete build."""
+    import os
+    import shutil
+
+    from z316_sales_data_pipeline_spark.plans import pair_graph
+
+    monkeypatch.setattr(pair_graph, "_CACHE_ROOT", tmp_path / "wh")
+    sf2 = tmp_path / "sf"
+    sf2.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", sf2 / "documents.parquet")
+
+    want = pair_graph.full_shingle_table(spark, str(sf2), shingle_k=1, portable=True).count()
+    (d,) = [x for x in os.listdir(tmp_path / "wh") if x.startswith("mh_ex_full")]
+    out = str(tmp_path / "wh" / d)
+
+    # forge the torn state: parquet files present but no _SUCCESS
+    os.remove(os.path.join(out, "_SUCCESS"))
+
+    got = pair_graph.full_shingle_table(spark, str(sf2), shingle_k=1, portable=True)
+    assert got.count() == want
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))  # repaired in place

@@ -101,8 +101,12 @@ def histogram_table(
     c) over a FIXED [lo, hi) range — the mergeable quantile sibling of
     the CMS/HLL partials (merge = counter addition, exactly like CMS).
     Values outside the range clamp to the edge buckets, so the sketch
-    never drops mass. One codegen hash aggregate; at most n_buckets
-    rows per partition value.
+    never drops NUMERIC mass. NULL policy: NULLs are EXCLUDED before
+    bucketing (quantiles are statements about present values) — without
+    the explicit filter, floor((NULL-lo)/width) is NULL and
+    greatest/least skip NULLs, so every NULL would silently land in
+    bucket 0 and skew the low quantiles. One codegen hash aggregate; at
+    most n_buckets rows per partition value.
 
     Fixed range instead of data-dependent min/max: partials built on
     different days stay mergeable without a re-bucketing pass — the
@@ -114,7 +118,8 @@ def histogram_table(
         F.greatest(F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))),
     ).cast("int")
     return (
-        df.select(part_col.alias("part"), bucket.alias("bucket"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(part_col.alias("part"), bucket.alias("bucket"))
         .groupBy("part", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -69,7 +69,17 @@ def _materialized(
             except OSError:
                 import shutil
 
-                shutil.rmtree(tmp, ignore_errors=True)
+                if os.path.exists(os.path.join(out, "_SUCCESS")):
+                    # lost a healthy race: another builder's complete
+                    # cache is in place — keep theirs, discard ours
+                    shutil.rmtree(tmp, ignore_errors=True)
+                else:
+                    # the rename failed for another reason (a stale
+                    # torn `out` left by a pre-rename-era writer, or a
+                    # non-empty target): repair by removing the torn
+                    # dir and installing our complete build
+                    shutil.rmtree(out, ignore_errors=True)
+                    os.rename(tmp, out)
         return spark.read.parquet(out)
     except OSError:
         return build()
@@ -132,24 +142,56 @@ def cluster_labels(
         sig = f"{src}|{st.st_mtime_ns}|{st.st_size}|{threshold}|{shingle_k}|{batch_mod}|v1"
         digest = hashlib.md5(sig.encode()).hexdigest()[:16]
         table_dir = str(_CACHE_ROOT / f"cc_labels_{digest}")
-        if not os.path.exists(os.path.join(table_dir, "_LATEST")):
+
+        def _latest_version(d: str) -> int:
+            try:
+                with open(os.path.join(d, "_LATEST")) as f:
+                    return int(f.read().strip())
+            except (OSError, ValueError):
+                return 0
+
+        # The build is COMPLETE only once the v=2 (post-maintenance)
+        # snapshot exists: _LATEST alone is not a completion marker,
+        # because write_snapshot flips it right after v=1 too — a crash
+        # between the v=1 and v=2 writes must not be mistaken for a
+        # finished build (it would silently serve pre-batch labels to
+        # every consumer, with no self-repair until the source file
+        # changes). Both versions are therefore built into a private
+        # tmp dir and installed with ONE atomic rename, the same
+        # discipline as _materialized; _LATEST >= 2 is the belt to
+        # that suspenders on read.
+        if _latest_version(table_dir) < 2:
             docs = load_table(spark, sf_dir, "documents").select("doc_id")
             pairs = jaccard_pair_graph(spark, sf_dir, threshold=threshold, shingle_k=shingle_k)
             batch = F.col("doc_id") % batch_mod == 0
+            tmp_dir = f"{table_dir}.tmp-{os.getpid()}"
             at_rest = dedup.connected_components(
                 docs.filter(~batch),
                 pairs.filter((F.col("id_a") % batch_mod != 0) & (F.col("id_b") % batch_mod != 0)),
                 id_col="doc_id",
             )
-            sinks.write_snapshot(at_rest, table_dir)  # v=1: before the batch
+            sinks.write_snapshot(at_rest, tmp_dir)  # v=1: before the batch
             maintained = dedup.connected_components_incremental(
-                sinks.read_snapshot(spark, table_dir),
+                sinks.read_snapshot(spark, tmp_dir),
                 docs.filter(batch),
                 pairs.filter((F.col("id_a") % batch_mod == 0) | (F.col("id_b") % batch_mod == 0))
                 .select("id_a", "id_b"),
                 id_col="doc_id",
             )
-            sinks.write_snapshot(maintained, table_dir)  # v=2: after maintenance
+            sinks.write_snapshot(maintained, tmp_dir)  # v=2: after maintenance
+            import shutil
+
+            try:
+                os.rename(tmp_dir, table_dir)
+            except OSError:
+                if _latest_version(table_dir) >= 2:
+                    # lost a healthy race: keep the winner's table
+                    shutil.rmtree(tmp_dir, ignore_errors=True)
+                else:
+                    # a torn table from a crashed pre-rename-era build
+                    # blocks the rename: repair and install ours
+                    shutil.rmtree(table_dir, ignore_errors=True)
+                    os.rename(tmp_dir, table_dir)
         return sinks.read_snapshot(spark, table_dir)
     except OSError:
         return direct()
