@@ -403,3 +403,87 @@ def test_no_query_plans_cartesian_or_row_python(spark, sf_dir):
         if marks:
             offenders[name] = marks
     assert not offenders, offenders
+
+
+def _unpartitioned_ordered_windows(plan: str) -> list[str]:
+    """Physical-plan lines whose Window node has an ORDER BY but no
+    PARTITION BY — the 'WindowExec: No Partition Defined ... moving
+    all data to a single partition' shape. Formatting (verified on
+    this Spark): `Window [exprs], [part], [order]` when partitioned,
+    `Window [exprs], [order]` when not (the 2nd group then carries
+    ASC/DESC sort markers; a partition-only window's 2nd group does
+    not), `Window [exprs]` when both are empty."""
+    hits = []
+    for line in plan.splitlines():
+        if "Window " not in line:
+            continue
+        i = line.find("Window ")
+        depth, groups, cur = 0, [], []
+        for ch in line[i + 7 :]:
+            if ch == "[":
+                if depth == 0:
+                    cur = []
+                depth += 1
+                if depth == 1:
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(cur))
+                    continue
+            if depth >= 1:
+                cur.append(ch)
+        if len(groups) == 1 or (
+            len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1])
+        ):
+            hits.append(line.strip())
+    return hits
+
+
+# Unpartitioned ordered windows provably over BOUNDED relations — the
+# only sanctioned sites. Anything new must either partition, use the
+# two-phase shape (operators/windows.two_phase_row_number /
+# two_phase_running_sum), or argue its way onto this list.
+_BOUNDED_GLOBAL_WINDOW_SITES = {
+    # cumulative walk over the merged histogram sketch: <= n_buckets
+    # (64) rows regardless of data size (operators/sketch.py)
+    "quantile_sketch",
+    # cumulative coverage over the top-N (16) token rows only — the
+    # window sits above the rank<=N filter (operators/corpus.py)
+    "vocab_coverage",
+}
+
+
+def test_no_query_plans_unpartitioned_window_over_unbounded_relation(spark, sf_dir):
+    """Fleet-wide plan hygiene, r4 verdict item 5: NO registry entry
+    may compile to an ORDER BY window with an empty partition spec
+    over an unbounded relation — that window sorts the whole relation
+    in ONE task (the named 100 TB scale-killer; this caught pareto_abc,
+    rfm_segments and the contrastive_triples ring in r4, all since
+    re-planned onto the two-phase zipWithIndex shape). Bounded sites
+    (sketch-grain / post-LIMIT windows) are explicitly allowlisted."""
+    offenders = {}
+    for name, fn in entrymod.bench_queries().items():
+        if name in _BOUNDED_GLOBAL_WINDOW_SITES:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        hits = _unpartitioned_ordered_windows(plan)
+        if hits:
+            offenders[name] = hits[0][:160]
+    assert not offenders, offenders
+
+
+def test_unpartitioned_window_detector_sees_the_shape(spark):
+    """The detector itself must stay calibrated to this Spark's plan
+    formatting: red on a global ordered window, silent on partitioned
+    and partition-only windows (else the fleet guard guards nothing)."""
+    from pyspark.sql import Window as W
+
+    df = spark.range(10).withColumn("k", F.col("id") % 2)
+    glob = df.withColumn("r", F.row_number().over(W.orderBy("id")))
+    part = df.withColumn("r", F.row_number().over(W.partitionBy("k").orderBy("id")))
+    part_only = df.withColumn("s", F.sum("id").over(W.partitionBy("k")))
+    plan = lambda d: d._jdf.queryExecution().executedPlan().toString()  # noqa: E731
+    assert _unpartitioned_ordered_windows(plan(glob))
+    assert not _unpartitioned_ordered_windows(plan(part))
+    assert not _unpartitioned_ordered_windows(plan(part_only))

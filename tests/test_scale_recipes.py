@@ -4,6 +4,7 @@ keep the semantics of their naive counterparts)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from z316_sales_data_pipeline_spark.operators import skew
@@ -597,3 +598,52 @@ def test_materialized_repairs_torn_cache_dir(spark, sf_dir, tmp_path, monkeypatc
     got = pair_graph.full_shingle_table(spark, str(sf2), shingle_k=1, portable=True)
     assert got.count() == want
     assert os.path.exists(os.path.join(out, "_SUCCESS"))  # repaired in place
+
+
+def test_two_phase_global_ordering_equals_global_window(spark):
+    """VERDICT r4 items 2-4's primitive: the range-partition +
+    partition-local window + broadcast-offset composition must equal
+    the single-partition global window BIT-FOR-BIT — row_number,
+    running integer sum, and the ntile reconstruction (odd totals, so
+    bucket sizes differ and the padding arithmetic is exercised)."""
+    from z316_sales_data_pipeline_spark.operators import windows as W
+
+    rows = [(i, (i * 37) % 101, ((i * 13) % 7) * 10) for i in range(1007)]
+    df = spark.createDataFrame(rows, "id long, key int, val long")
+    order = [F.col("key").desc(), F.col("id").asc()]
+
+    ranked, total = W.two_phase_row_number(df, order, "r", num_partitions=8)
+    assert total == 1007
+    want_rank = df.withColumn(
+        "r", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+    assert {tuple(x) for x in ranked.collect()} == {tuple(x) for x in want_rank.collect()}
+
+    summed, tot = W.two_phase_running_sum(df, order, "val", "rs", num_partitions=8)
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want_sum = df.withColumn("rs", F.sum("val").over(w))
+    assert tot == sum(r[2] for r in rows)
+    assert {tuple(x) for x in summed.collect()} == {tuple(x) for x in want_sum.collect()}
+
+    for n in (4, 10, 3):
+        got_nt = {
+            (x["id"], x["q"])
+            for x in ranked.withColumn(
+                "q", W.ntile_from_rank(F.col("r"), n, total)
+            ).collect()
+        }
+        want_nt = {
+            (x["id"], x["q"])
+            for x in df.withColumn("q", F.ntile(n).over(Window.orderBy(*order))).collect()
+        }
+        assert got_nt == want_nt, n
+
+    # fewer rows than buckets: the base==0 edge
+    tiny = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    tr, tn = W.two_phase_row_number(tiny, [F.col("id").asc()], "r", num_partitions=4)
+    got = {(x["id"], x["q"]) for x in tr.withColumn("q", W.ntile_from_rank(F.col("r"), 5, tn)).collect()}
+    want = {
+        (x["id"], x["q"])
+        for x in tiny.withColumn("q", F.ntile(5).over(Window.orderBy("id"))).collect()
+    }
+    assert got == want

@@ -559,18 +559,24 @@ def contrastive_triples(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
     — the standard in-batch-negatives compromise; the exactness
     guarantee is only vs the pair members.
 
-    Scale shape: the ring is a global row_number over doc IDS ONLY
-    (payloads never enter the sort) and is materialized once; the
-    three candidate lookups are equi-joins on the ring position.
+    Scale shape: the ring is a global index over doc IDS ONLY
+    (payloads never enter the sort), built with the TWO-PHASE
+    zipWithIndex shape (windows.two_phase_row_number: range-partition
+    on the hash, partition-local row_number, broadcast per-partition
+    offsets) so no task ever sorts the whole id universe — the r4
+    verdict's unpartitioned-WindowExec fix — and materialized once;
+    the three candidate lookups are equi-joins on the ring position.
     """
-    ring = (
-        docs.select(F.col(id_col).alias("__rid"))
-        .withColumn("__h", _md5_long(F.col("__rid")))
-        .withColumn("__pos", F.row_number().over(Window.orderBy("__h", "__rid")).cast("long"))
-        .select("__rid", "__pos")
-        .localCheckpoint(eager=True)
+    from . import windows as _windows
+
+    ids = docs.select(F.col(id_col).alias("__rid")).withColumn(
+        "__h", _md5_long(F.col("__rid"))
     )
-    n_df = docs.agg(F.count(F.lit(1)).alias("__n"))
+    indexed, n_total = _windows.two_phase_row_number(
+        ids, [F.col("__h").asc(), F.col("__rid").asc()], "__pos"
+    )
+    ring = indexed.select("__rid", "__pos").localCheckpoint(eager=True)
+    n_df = docs.sparkSession.range(1).select(F.lit(n_total).cast("long").alias("__n"))
     t0 = _md5_long(F.concat(F.col("id_a").cast("string"), F.lit("#"), F.col("id_b").cast("string")))
     base = (
         pairs.select("id_a", "id_b")

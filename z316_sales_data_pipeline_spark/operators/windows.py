@@ -90,3 +90,127 @@ def min_by_group(df: DataFrame, key: str | list[str], pick: str, order_col: str)
     return df.groupBy(*keys).agg(
         F.min_by(pick, order_col).alias(pick), F.min(order_col).alias(order_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale-safe global ordering — the two-phase / zipWithIndex shape
+# ---------------------------------------------------------------------------
+#
+# An unpartitioned Window.orderBy(...) is correct but moves the WHOLE
+# relation through one task ("WindowExec: No Partition Defined" — the
+# named 100 TB scale-killer). These helpers produce bit-identical
+# global row_number / running-sum columns with no single-task sort:
+#
+#   1. repartitionByRange on the sort keys (a distributed sort —
+#      ascending partition id == ascending global order),
+#   2. a PARTITION-LOCAL window inside each range partition,
+#   3. per-partition totals (O(num_partitions) rows) collected to the
+#      driver and broadcast back as cumulative offsets — exactly how
+#      Spark's own RDD.zipWithIndex computes global indexes.
+#
+# The ranged relation is localCheckpoint'ed so the totals pass and the
+# final pass read ONE materialization (range sampling can't re-draw
+# boundaries between jobs, and the shuffle is paid once).
+
+
+def _two_phase_offsets(ranged: DataFrame, per_partition: DataFrame, zero):
+    """Collect per-partition totals (one row per range partition) and
+    broadcast back the exclusive prefix — offsets each partition adds
+    to its local window result. Returns (offsets_df, grand_total)."""
+    spark = ranged.sparkSession
+    rows = sorted((r["__pid"], r["__c"]) for r in per_partition.collect())
+    offs, acc = [], zero
+    for pid, c in rows:
+        offs.append((int(pid), acc))
+        acc += c
+    schema = "__pid int, __off long"
+    off_df = spark.createDataFrame(offs, schema)
+    return off_df, acc
+
+
+def _ranged(df: DataFrame, order_by: list[Column], num_partitions: int | None) -> DataFrame:
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return (
+        df.repartitionByRange(n, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+
+def two_phase_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    out_col: str,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Global 1-based row_number over ``order_by`` with NO
+    single-partition WindowExec — bit-identical to
+    ``row_number().over(Window.orderBy(*order_by))`` when the ordering
+    is total (include a unique tiebreaker column, as every caller in
+    this repo does). Returns ``(df_with_out_col, total_row_count)``;
+    the count is free (it is the last cumulative offset).
+    """
+    ranged = _ranged(df, order_by, num_partitions)
+    per = ranged.groupBy("__pid").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    off_df, total = _two_phase_offsets(ranged, per, 0)
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    out = (
+        ranged.withColumn("__loc", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(off_df), "__pid", "left")
+        .withColumn(out_col, F.col("__loc") + F.coalesce(F.col("__off"), F.lit(0)))
+        .drop("__pid", "__loc", "__off")
+    )
+    return out, int(total)
+
+
+def two_phase_running_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    value: Column | str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Global cumulative sum of an INTEGRAL ``value`` over ``order_by``
+    with no single-partition WindowExec — bit-identical to
+    ``sum(value).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    currentRow))`` because integer addition is associative (float
+    values would reassociate across partitions; callers integer-scale
+    first, the same portability rule the oracle twins follow). Returns
+    ``(df_with_out_col, grand_total)``.
+    """
+    value = F.col(value) if isinstance(value, str) else value
+    ranged = _ranged(df, order_by, num_partitions)
+    per = ranged.groupBy("__pid").agg(F.sum(value).cast("long").alias("__c"))
+    off_df, total = _two_phase_offsets(ranged, per, 0)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        ranged.withColumn("__loc", F.sum(value).over(w).cast("long"))
+        .join(F.broadcast(off_df), "__pid", "left")
+        .withColumn(out_col, F.col("__loc") + F.coalesce(F.col("__off"), F.lit(0)))
+        .drop("__pid", "__loc", "__off")
+    )
+    return out, int(total)
+
+
+def ntile_from_rank(rank: Column, n_buckets: int, total: int) -> Column:
+    """``ntile(n_buckets)`` reconstructed from a global 1-based rank
+    and the (driver-known) total row count — Spark's exact NTile
+    arithmetic (base bucket size total/n, first total%n buckets take
+    one extra row), so composing with :func:`two_phase_row_number`
+    equals ``ntile(n).over(Window.orderBy(...))`` bit-for-bit without
+    the global window. DuckDB implements the same distribution, so
+    oracle twins can keep plain ``ntile()``."""
+    base = total // n_buckets
+    rem = total % n_buckets
+    thr = rem * (base + 1)
+    first = (F.floor((rank - 1) / F.lit(base + 1)) + 1).cast("int")
+    if base == 0:
+        return first  # fewer rows than buckets: every bucket has <= 1 row
+    rest = (F.lit(rem) + F.floor((rank - F.lit(thr) - 1) / F.lit(base)) + 1).cast("int")
+    return F.when(rank <= thr, first).otherwise(rest)
