@@ -2502,9 +2502,11 @@ def _minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Portable hash family, so the oracle replays the FULL-corpus portable
     pipeline restricted to pairs touching a new id (equality holds
     because banding is deterministic). The corpus shingle/index pair is
-    the at-rest materialization (plans/pair_graph.py) — the query now
-    actually probes stored relations instead of rebuilding them, the
-    real continuous-ingestion shape."""
+    the MAINTAINED append-segment table (plans/pair_graph.py: v=1 base
+    + v=2 appended slice through the snapshot pointer, the B2
+    streaming-append loop pinned in test_streaming) — the query probes
+    a stored, continuously-maintained relation instead of rebuilding
+    it, the real continuous-ingestion shape."""
     docs = load_table(spark, sf_dir, "documents")
     new_docs = docs.filter(F.col("doc_id") % 5 == 0)
     ex, idx = pair_graph.minhash_corpus_index(spark, sf_dir, exclude_mod=5, portable=True)

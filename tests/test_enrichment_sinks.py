@@ -104,3 +104,28 @@ def test_repair_run_sink_side_round_trip(spark, tmp_path):
     assert live.count() == 2
     # time travel: pre-repair snapshot intact
     assert sinks.read_snapshot(spark, t, version=1).count() == 4
+
+
+def test_append_snapshot_segments_and_time_travel(spark, tmp_path):
+    """Append-segment sink contract: each append_snapshot lands ONLY
+    the new rows as an immutable v=N segment + one pointer flip;
+    read_appended(version) returns the union of segments 1..version —
+    O(batch) per append (never a table rewrite) with the same atomic
+    visibility and time travel as the full-image snapshot sink."""
+    import os
+
+    from z316_sales_data_pipeline_spark import sinks
+
+    t = str(tmp_path / "seg")
+    assert sinks.append_snapshot(spark.range(0, 3).withColumn("b", F.lit(1)), t) == 1
+    assert sinks.append_snapshot(spark.range(3, 5).withColumn("b", F.lit(2)), t) == 2
+    assert sinks.append_snapshot(spark.range(5, 9).withColumn("b", F.lit(3)), t) == 3
+
+    assert sinks.read_appended(spark, t).count() == 9  # _LATEST = all segments
+    assert sinks.read_appended(spark, t, version=2).count() == 5  # time travel
+    assert sinks.read_appended(spark, t, version=1).count() == 3
+    # each segment dir holds only its batch (append is O(batch), not a rewrite)
+    assert spark.read.parquet(f"{t}/v=3").count() == 4
+    with open(f"{t}/_LATEST") as f:
+        assert int(f.read().strip()) == 3
+    assert sorted(d for d in os.listdir(t) if d.startswith("v=")) == ["v=1", "v=2", "v=3"]

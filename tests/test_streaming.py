@@ -630,3 +630,75 @@ def test_watermark_drops_late_event_in_append_mode(spark, tmp_path):
     rows = set(emitted)
     assert len(emitted) == n_after_run2, emitted
     assert not any(v == 102.0 or n == 3 for (_, n, v) in rows), rows
+
+
+def test_streaming_minhash_index_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """VERDICT r4 item 7: the MinHash corpus index gets the same
+    stream-maintenance loop the CC labels got — new docs arrive as a
+    STREAM and every micro-batch appends ONLY its own shingle and
+    signature rows through the append-segment snapshot sink (O(batch)
+    per trigger, one pointer flip, old segments never rewritten: the
+    reference's S6 foreachBatch x B2 append semantics on the heaviest
+    derived relation). After the stream drains, read_appended equals a
+    one-shot batch rebuild of both relations — exact, because shingles
+    and signatures are per-doc. The batch build in
+    plans/pair_graph.minhash_corpus_index replays v=1 base + v=2
+    appended slice of exactly this loop."""
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import dedup
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+    ex_dir = str(tmp_path / "mh_ex")
+    idx_dir = str(tmp_path / "mh_idx")
+    # v=1: the already-ingested base (corpus minus the streaming slice)
+    arriving = F.col("doc_id") % 9 == 2
+    base_ex = dedup.shingle_table(corpus.filter(~arriving), "text", "doc_id", 3, portable=True)
+    sinks.append_snapshot(base_ex, ex_dir)
+    sinks.append_snapshot(dedup.minhash_index(base_ex, "doc_id", 16, 8), idx_dir)
+
+    new_src = str(tmp_path / "new_docs")
+    corpus.filter(arriving).repartition(3).write.parquet(new_src)
+
+    def maintain(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        seg_ex = dedup.shingle_table(batch_df, "text", "doc_id", 3, portable=True)
+        v = sinks.append_snapshot(seg_ex, ex_dir)
+        sinks.append_snapshot(
+            dedup.minhash_index(
+                spark.read.parquet(f"{ex_dir}/v={v}"), "doc_id", 16, 8
+            ),
+            idx_dir,
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(new_src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    want_ex = dedup.shingle_table(corpus, "text", "doc_id", 3, portable=True)
+    want_idx = dedup.minhash_index(want_ex, "doc_id", 16, 8)
+    got_ex = sinks.read_appended(spark, ex_dir)
+    got_idx = sinks.read_appended(spark, idx_dir)
+    assert {tuple(r) for r in got_ex.collect()} == {tuple(r) for r in want_ex.collect()}
+    assert {tuple(r) for r in got_idx.collect()} == {tuple(r) for r in want_idx.collect()}
+
+    # multi-batch really happened (base + >=2 micro-batches), and the
+    # append stayed O(batch): the last segment holds only its batch docs
+    import os
+
+    n_versions = len([d for d in os.listdir(ex_dir) if d.startswith("v=")])
+    assert n_versions >= 3
+    last = spark.read.parquet(f"{ex_dir}/v={n_versions}")
+    assert last.count() < got_ex.count()
+    # time travel: v=1 is exactly the pre-stream base
+    assert sinks.read_appended(spark, ex_dir, version=1).count() == base_ex.count()

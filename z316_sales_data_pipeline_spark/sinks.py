@@ -152,6 +152,42 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
     return new_v
 
 
+def append_snapshot(df: DataFrame, table_dir: str) -> int:
+    """B2 streaming append through the versioned pointer: land ``df``
+    as a NEW immutable ``v=N`` SEGMENT holding ONLY the appended rows
+    and flip ``_LATEST`` — the per-micro-batch cost is O(batch), old
+    segments are never rewritten (contrast :func:`write_snapshot`,
+    whose versions are full-table images). The logical table at
+    version N is the UNION of segments 1..N (:func:`read_appended`);
+    the pointer flip keeps the append atomic for readers, exactly the
+    add-files half of a Delta/Iceberg commit. Segment tables are
+    compacted by rebuilding (a new table dir), never by
+    :func:`vacuum_snapshots` — deleting an old segment would drop its
+    rows, not an old image. Returns the new version number."""
+    return write_snapshot(df, table_dir)
+
+
+def read_appended(spark, table_dir: str, version: int | None = None) -> DataFrame:
+    """Read an append-segment table (:func:`append_snapshot`) AT
+    ``version`` (default: _LATEST): the union of segment dirs
+    ``v=1..version`` — time travel for append tables. A pure
+    multi-path parquet scan; no shuffle."""
+    import os
+
+    if version is None:
+        with open(f"{table_dir}/_LATEST") as f:
+            version = int(f.read().strip())
+    paths = [
+        f"{table_dir}/{d}"
+        for d in sorted(
+            os.listdir(table_dir),
+            key=lambda d: int(d.split("=", 1)[1]) if "=" in d else 0,
+        )
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit() and int(d.split("=", 1)[1]) <= version
+    ]
+    return spark.read.parquet(*paths)
+
+
 def merge_into_snapshot(
     spark,
     table_dir: str,
