@@ -1450,6 +1450,186 @@ FROM per
 """
 
 
+def _decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — customers ranked by lifetime revenue into
+    10 equal buckets, with each decile's share of total revenue: the
+    'top 10% of customers drive X% of revenue' concentration readout
+    that pairs with pareto_abc's part-side view. Second consumer of
+    the two-phase global ordering (windows.two_phase_row_number +
+    ntile_from_rank): the customer dimension is never sorted in one
+    task. Revenue is integer cents (o_totalprice is 2dp, the per-row
+    scale is exact), so sums are order-independent bigints and the
+    share division of two exact integers is the identical double in
+    both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("__cents")
+    )
+    ranked, n = windows.two_phase_row_number(
+        per, [F.col("__cents").desc(), F.col("o_custkey").asc()], "__r"
+    )
+    tot = per.agg(F.sum("__cents").alias("__t"))
+    return (
+        ranked.withColumn("decile", windows.ntile_from_rank(F.col("__r"), 10, n))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("__cents").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue_cents",
+            F.round(F.col("revenue_cents") / F.col("__t"), 6).alias("revenue_share"),
+        )
+    )
+
+
+_DECILE_LIFT_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), d AS (
+  SELECT o_custkey, cents,
+         cast(ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS INTEGER) AS decile
+  FROM per
+), t AS (SELECT cast(sum(cents) AS BIGINT) AS tot FROM per)
+SELECT decile,
+       cast(count(*) AS BIGINT) AS n_customers,
+       cast(sum(cents) AS BIGINT) AS revenue_cents,
+       round(cast(sum(cents) AS DOUBLE) / t.tot, 6) AS revenue_share
+FROM d, t GROUP BY decile, t.tot
+"""
+
+
+def _minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration audit — the eval-family sibling
+    of ann_recall_eval, for the dedup index: for EVERY banded candidate
+    pair (no threshold filter), the number of agreeing signature
+    components (the LSH estimate of Jaccard, E[n_agree/16] = J) binned
+    against the exact shingle-set overlap. The output is the ≤17-row
+    table an operator reads to decide whether 16 hashes / 8 bands is
+    calibrated for the corpus before trusting the S-curve planner
+    (minhash_scurve gives theory; this measures it on the data).
+    All outputs are EXACT integers (pair counts, summed intersection /
+    union sizes) — consumers divide; no float accumulation crosses the
+    engine boundary. Signatures derive from the at-rest full-corpus
+    shingle table — text is never re-hashed. Scale shape: candidates
+    come from the band-bucket self-join (keys-only shuffle), exact
+    overlap is the same double-join used by every verified-Jaccard
+    path; grouping to 17 rows is a map-side-combinable hash agg."""
+    ex = pair_graph.full_shingle_table(spark, sf_dir, shingle_k=3, portable=True)
+    n_hashes, n_bands = 16, 8
+    aggs = [
+        F.min(dedup._perm(F.col("__hp"), i)).alias(f"__m{i}") for i in range(n_hashes)
+    ]
+    sig = (
+        ex.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__nsh"), *aggs)
+        .select(
+            "doc_id",
+            "__nsh",
+            F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("minhash"),
+        )
+        .localCheckpoint(eager=True)  # signatures feed two joins below
+    )
+    bands = dedup.lsh_bands(sig, n_bands, n_hashes // n_bands).select(
+        "doc_id", "band_id", "band_hash"
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("__nsh").alias("__na"),
+        F.col("minhash").alias("__ma"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("__nsh").alias("__nb"),
+        F.col("minhash").alias("__mb"),
+    )
+    agree = F.aggregate(
+        F.zip_with("__ma", "__mb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    ea = ex.select(F.col("doc_id").alias("id_a"), "__h")
+    eb = ex.select(F.col("doc_id").alias("id_b"), "__h")
+    inter = (
+        cand.join(ea, "id_a")
+        .join(eb, ["id_b", "__h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__ninter"))
+    )
+    return (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"__ninter": 0})
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_agree", agree.cast("int"))
+        .groupBy("n_agree")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("__ninter").alias("sum_inter"),
+            F.sum(F.col("__na") + F.col("__nb") - F.col("__ninter")).alias("sum_union"),
+        )
+    )
+
+
+_MINHASH_CALIBRATION_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct([
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+          [CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(array_to_string(toks[i:i+2], ' '), '')]),
+        (acc, c) -> (acc * 31 + c) % 2147483647)
+      FOR i IN generate_series(1, len(toks) - 2)]) AS hs
+  FROM base WHERE len(toks) >= 3
+),
+sig AS (
+  SELECT doc_id, hs, len(hs) AS nsh,
+    [list_min([(h * ((2654435761 * (i + 1)) % 2147483647) + (40503 * i + 1) % 2147483647) % 2147483647
+               FOR h IN hs])
+     FOR i IN generate_series(0, 15)] AS mh
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, u.b AS band_id, mh[2*u.b + 1] AS m1, mh[2*u.b + 2] AS m2
+  FROM sig, unnest(generate_series(0, 7)) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.m1 = b.m1 AND a.m2 = b.m2
+  WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         list_sum([CASE WHEN sa.mh[i+1] = sb.mh[i+1] THEN 1 ELSE 0 END
+                   FOR i IN generate_series(0, 15)]) AS n_agree,
+         len(list_intersect(sa.hs, sb.hs)) AS inter,
+         sa.nsh + sb.nsh - len(list_intersect(sa.hs, sb.hs)) AS un
+  FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+)
+SELECT cast(n_agree AS INTEGER) AS n_agree,
+       cast(count(*) AS BIGINT) AS n_pairs,
+       cast(sum(inter) AS BIGINT) AS sum_inter,
+       cast(sum(un) AS BIGINT) AS sum_union
+FROM pairs GROUP BY n_agree
+"""
+
+
 def _pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-grain pack manifest (operators/corpus.py
     pack_assignments): the dataloader-facing detail of sequence_pack —
@@ -5486,30 +5666,80 @@ FROM top, tot
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is CURATED: the driver samples the FIRST 50 entries
-    # in dict order. The r4 sample = the 42 entries that had never had a
-    # driver-green row across r1-r3 (led by embedding_centroids, the r3
-    # harness-err, now scalar-shaped), three round-4 additions
-    # (repair_run, quality_prune, tokenizer_fertility), and 5
-    # previously-green keepers for regression coverage of the graded
-    # surface - incl. dup_clusters, whose CC path was rewired onto the
-    # maintained at-rest cluster_labels relation this round. With this
-    # rotation every r1-r3 entry has had at least one driver row across
-    # r1-r4; the later r4 additions (ann_recall_eval .. pareto_abc, just
-    # below the cut) lead the r5 rotation and carry local differential
-    # coverage meanwhile (tools/check_correctness.py runs all entries).
+    # in dict order. The r5 sample = the 12 entries that have never had
+    # a driver row (the 10 late-r4 additions VERDICT r4 item 1 names +
+    # the 2 new r5 queries), the 7 entries whose plans or upstream
+    # at-rest relations changed this round (two-phase window re-plans;
+    # maintained MinHash index; cluster-labels completion gating), the 2
+    # flagship facts as keepers, and 29 refresh entries whose last
+    # driver-green row is r2 — the stalest third of the registry. The
+    # remaining r2-stale entries (c1/f-suite, token_count_bpe,
+    # salted_agg, lsh_top_k, embedding_near_dup_blocked, sliding_counts,
+    # q18_top_customers, rollup_agg, cube_agg) lead the r6 rotation;
+    # tools/check_correctness.py runs ALL entries locally meanwhile.
     return {
-        # -- never driver-sampled before r4 (41) + the r3 err fix proof --
-        "embedding_centroids": _embedding_centroids,
+        # -- never driver-sampled (12): late-r4 additions + r5 additions --
+        "ann_recall_eval": _ann_recall_eval,
+        "k_anonymity": _k_anonymity,
+        "simhash_incremental": _simhash_incremental,
+        "multimodal_frames": _multimodal_frames,
+        "multimodal_resize": _multimodal_resize,
+        "span_dedup_incremental": _span_dedup_incremental,
+        "minhash_scurve": _minhash_scurve,
+        "quantile_sketch": _quantile_sketch,
+        "pareto_abc": _pareto_abc,
+        "dup_cluster_stats": _dup_cluster_stats,
+        "decile_lift": _decile_lift,
+        "minhash_calibration": _minhash_calibration,
+        # -- changed this round: need a fresh driver-green row (7) --
+        "rfm_segments": _rfm_segments,
         "contrastive_triples": _contrastive_triples,
+        "minhash_incremental": _minhash_incremental,
+        "dup_clusters": _dup_clusters,
+        "cluster_representative": _cluster_representative,
         "leakage_safe_split": _leakage_safe_split,
+        "dup_rate_by_source": _dup_rate_by_source,
+        # -- flagship keepers (2) --
+        "pedidos_fact": sales_facts.pedidos_fact,
+        "itens_fact": sales_facts.itens_fact,
+        # -- refresh: last green r2 (29) --
+        "minhash_portable": _minhash_portable,
+        "simhash_portable": _simhash_portable,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "d1_item_product_lookup": _d1_item_product_lookup,
+        "d2_order_customer_left": _d2_order_customer_left,
+        "d3_chained_enrichment": _d3_chained_enrichment,
+        "d4_incremental_guard": _d4_incremental_guard,
+        "d5_regroup_pivot": _d5_regroup_pivot,
+        "d6_semi_join": _d6_semi_join,
+        "w1_group_total": _w1_group_total,
+        "w2_dedup_keeprule": _w2_dedup_keeprule,
+        "w3_pick_first": _w3_pick_first,
+        "w4_min_by": _w4_min_by,
+        "topk_per_group": _topk_per_group,
+        "g1_reconciliation_summary": _g1_reconciliation_summary,
+        "g2_union_distinct": _g2_union_distinct,
+        "g3_intersect": _g3_intersect,
+        "e7_distinct_values": _e7_distinct_values,
+        "e8_duplicate_groups": _e8_duplicate_groups,
+        "dedup_exact": _dedup_exact,
+        "text_quality": _text_quality,
+        "lang_id": _lang_id,
+        "ngram_jaccard": _ngram_jaccard,
+        "knn_brute_force": _knn_brute_force,
+        "embedding_near_dup": _embedding_near_dup,
+        "ivf_top_k": _ivf_top_k,
+        "tumbling_counts": _tumbling_counts,
+        "session_windows": _session_windows,
+        "doc_fingerprint": _doc_fingerprint,
+        # ---- entries below are outside the driver 50-entry sample ----
+        "embedding_centroids": _embedding_centroids,
         "event_transitions": _event_transitions,
         "lang_id_eval": _lang_id_eval,
         "basket_pairs": _basket_pairs,
         "pack_assignments": _pack_assignments,
-        "rfm_segments": _rfm_segments,
         "conversion_latency": _conversion_latency,
         "cohort_retention": _cohort_retention,
-        "dup_rate_by_source": _dup_rate_by_source,
         "embedding_top_pc": _embedding_top_pc,
         "embedding_whiten": _embedding_whiten,
         "a4_union_pages": _a4_union_pages,
@@ -5541,30 +5771,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q20_promo_suppliers": _q20_promo_suppliers,
         "q22_idle_customers": _q22_idle_customers,
-        # -- new this round --
         "repair_run": _repair_run,
         "quality_prune": _quality_prune,
         "tokenizer_fertility": _tokenizer_fertility,
-        # -- previously-green keepers --
         "g4_symmetric_difference": _g4_symmetric_difference,
-        "pedidos_fact": sales_facts.pedidos_fact,
-        "itens_fact": sales_facts.itens_fact,
         "semantic_dedup_incremental": _semantic_dedup_incremental,
-        "dup_clusters": _dup_clusters,
-        # ---- entries below are outside the driver 50-entry sample ----
-        # (ann_recall_eval / k_anonymity are r4 additions that did not
-        #  fit the 50 slots; they lead the r5 rotation)
-        "ann_recall_eval": _ann_recall_eval,
-        "k_anonymity": _k_anonymity,
-        "simhash_incremental": _simhash_incremental,
-        "multimodal_frames": _multimodal_frames,
-        "multimodal_resize": _multimodal_resize,
-        "span_dedup_incremental": _span_dedup_incremental,
-        "minhash_scurve": _minhash_scurve,
-        "quantile_sketch": _quantile_sketch,
-        "pareto_abc": _pareto_abc,
-        "dup_cluster_stats": _dup_cluster_stats,
-        "minhash_portable": _minhash_portable,
         "doc_pagerank": _doc_pagerank,
         "session_ids": _session_ids,
         "q12_priority_classes": _q12_priority_classes,
@@ -5575,7 +5786,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksum": _table_checksum,
         "json_ingest_rollup": _json_ingest_rollup,
         "multimodal_features": _multimodal_features,
-        "cluster_representative": _cluster_representative,
         "kmeans_refine": _kmeans_refine,
         "knn_graph": _knn_graph,
         "dataset_split": _dataset_split,
@@ -5611,24 +5821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _span_dedup,
         "heavy_hitters_cms": _heavy_hitters_cms,
         "source_drift": _source_drift,
-        "q1_pricing_summary": _q1_pricing_summary,
-        "d1_item_product_lookup": _d1_item_product_lookup,
-        "d2_order_customer_left": _d2_order_customer_left,
-        "d3_chained_enrichment": _d3_chained_enrichment,
-        "d4_incremental_guard": _d4_incremental_guard,
-        "d5_regroup_pivot": _d5_regroup_pivot,
-        "d6_semi_join": _d6_semi_join,
         "c1_required_fields_filter": _c1_required_fields_filter,
-        "e7_distinct_values": _e7_distinct_values,
-        "e8_duplicate_groups": _e8_duplicate_groups,
-        "w1_group_total": _w1_group_total,
-        "w2_dedup_keeprule": _w2_dedup_keeprule,
-        "w3_pick_first": _w3_pick_first,
-        "w4_min_by": _w4_min_by,
-        "topk_per_group": _topk_per_group,
-        "g1_reconciliation_summary": _g1_reconciliation_summary,
-        "g2_union_distinct": _g2_union_distinct,
-        "g3_intersect": _g3_intersect,
         "f1_f3_date_suite": _f1_f3_date_suite,
         "f2_contact_datetime": _f2_contact_datetime,
         "f5_discount_parse": _f5_discount_parse,
@@ -5637,24 +5830,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f11_split_name_parse": _f11_split_name_parse,
         "f12_checksum": _f12_checksum,
         "f15_json_extract": _f15_json_extract,
-        "dedup_exact": _dedup_exact,
-        "text_quality": _text_quality,
         "token_count_bpe": _token_count_bpe,
-        "lang_id": _lang_id,
-        "ngram_jaccard": _ngram_jaccard,
-        "minhash_incremental": _minhash_incremental,
         "salted_agg": _salted_agg,
         "q18_top_customers": _q18_top_customers,
-        "simhash_portable": _simhash_portable,
-        "knn_brute_force": _knn_brute_force,
-        "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_blocked": _embedding_near_dup_blocked,
         "lsh_top_k": _lsh_top_k,
-        "tumbling_counts": _tumbling_counts,
-        "session_windows": _session_windows,
         "sliding_counts": _sliding_counts,
-        "doc_fingerprint": _doc_fingerprint,
-        "ivf_top_k": _ivf_top_k,
         "rollup_agg": _rollup_agg,
         "cube_agg": _cube_agg,
     }
@@ -5810,6 +5991,8 @@ def oracle_sql() -> dict[str, str]:
         "basket_pairs": _BASKET_PAIRS_SQL,
         "pack_assignments": _PACK_ASSIGNMENTS_SQL,
         "rfm_segments": _RFM_SQL,
+        "decile_lift": _DECILE_LIFT_SQL,
+        "minhash_calibration": _MINHASH_CALIBRATION_SQL,
         "conversion_latency": _CONVERSION_LATENCY_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
         "dup_rate_by_source": _DUP_RATE_SQL,

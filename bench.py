@@ -71,6 +71,10 @@ HEADLINE = [
     "repair_run",
     "simhash_incremental",
     "span_dedup_incremental",
+    # r5 additions (VERDICT r4 item 6) — the two heaviest previously
+    # unbenched r4 queries, benched as first-class. Additions only.
+    "tokenizer_fertility",
+    "ann_recall_eval",
 ]
 
 

@@ -23,7 +23,12 @@ Replication preserves the semantics that make scaling MEANINGFUL:
   would grow each label block 10x and the within-block cosine 100x,
   an artifact of the replication, not the plan.
 
-Usage: python tools/scale_study.py [mult] [base_sf_dir]
+Usage: python tools/scale_study.py [mult] [base_sf_dir] [query ...]
+
+An explicit query list (argv[3:]) restricts both passes to those
+queries — used for the 30x confirmation runs on the ~linear-ratio
+queries (doc_pagerank, minhash_incremental), where timing all 15 at
+30x would cost an hour without adding information.
 """
 
 from __future__ import annotations
@@ -112,9 +117,9 @@ def wipe_derived_caches() -> None:
     shutil.rmtree(REPO / "spark-warehouse" / "_pair_graph", ignore_errors=True)
 
 
-def time_queries(spark, qs, sf_dir: str) -> dict[str, dict[str, float]]:
+def time_queries(spark, qs, sf_dir: str, names=None) -> dict[str, dict[str, float]]:
     out: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    for name in names or QUERIES:
         fn = qs[name]
         t0 = time.time()
         fn(spark, sf_dir).count()
@@ -130,6 +135,7 @@ def time_queries(spark, qs, sf_dir: str) -> dict[str, dict[str, float]]:
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    names = sys.argv[3:] or None
     scaled = str(REPO / "spark-warehouse" / "_scale" / f"x{mult}")
     spark = get_spark("scale_study")
     qs = entrymod.bench_queries()
@@ -141,10 +147,10 @@ def main() -> None:
 
     print(f"base pass ({base})", file=sys.stderr)
     wipe_derived_caches()
-    base_t = time_queries(spark, qs, base)
+    base_t = time_queries(spark, qs, base, names)
     print(f"scaled pass ({scaled})", file=sys.stderr)
     wipe_derived_caches()
-    scaled_t = time_queries(spark, qs, scaled)
+    scaled_t = time_queries(spark, qs, scaled, names)
     wipe_derived_caches()  # leave a clean cache for bench/driver runs
 
     report = {
@@ -159,7 +165,7 @@ def main() -> None:
                 "ratio_cold": round(scaled_t[n]["cold"] / max(base_t[n]["cold"], 1e-9), 2),
                 "ratio_warm": round(scaled_t[n]["warm"] / max(base_t[n]["warm"], 1e-9), 2),
             }
-            for n in QUERIES
+            for n in (names or QUERIES)
         },
     }
     print(json.dumps(report))
