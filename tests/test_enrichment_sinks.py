@@ -129,3 +129,29 @@ def test_append_snapshot_segments_and_time_travel(spark, tmp_path):
     with open(f"{t}/_LATEST") as f:
         assert int(f.read().strip()) == 3
     assert sorted(d for d in os.listdir(t) if d.startswith("v=")) == ["v=1", "v=2", "v=3"]
+
+
+def test_compact_appended_preserves_rows_and_removes_segments(spark, tmp_path):
+    """Compaction contract: the union of N segments is rewritten as
+    ONE new segment, the pointer flips to it, old segment dirs are
+    gone, and read_appended returns the identical rows — the
+    small-files rewrite of the append lifecycle (appends stay
+    O(batch); compaction bounds segment count)."""
+    import os
+
+    from z316_sales_data_pipeline_spark import sinks
+
+    t = str(tmp_path / "seg")
+    sinks.append_snapshot(spark.range(0, 3).withColumn("b", F.lit(1)), t)
+    sinks.append_snapshot(spark.range(3, 5).withColumn("b", F.lit(2)), t)
+    sinks.append_snapshot(spark.range(5, 9).withColumn("b", F.lit(3)), t)
+    before = {tuple(r) for r in sinks.read_appended(spark, t).collect()}
+
+    new_v = sinks.compact_appended(spark, t)
+    assert new_v == 4
+    assert sorted(d for d in os.listdir(t) if d.startswith("v=")) == ["v=4"]
+    after = {tuple(r) for r in sinks.read_appended(spark, t).collect()}
+    assert after == before and len(after) == 9
+    # appends keep working after compaction
+    sinks.append_snapshot(spark.range(9, 11).withColumn("b", F.lit(4)), t)
+    assert sinks.read_appended(spark, t).count() == 11

@@ -161,9 +161,9 @@ def append_snapshot(df: DataFrame, table_dir: str) -> int:
     version N is the UNION of segments 1..N (:func:`read_appended`);
     the pointer flip keeps the append atomic for readers, exactly the
     add-files half of a Delta/Iceberg commit. Segment tables are
-    compacted by rebuilding (a new table dir), never by
-    :func:`vacuum_snapshots` — deleting an old segment would drop its
-    rows, not an old image. Returns the new version number."""
+    compacted by :func:`compact_appended` (union → one new segment),
+    never by :func:`vacuum_snapshots` — deleting an old segment would
+    drop its rows, not an old image. Returns the new version number."""
     return write_snapshot(df, table_dir)
 
 
@@ -186,6 +186,42 @@ def read_appended(spark, table_dir: str, version: int | None = None) -> DataFram
         if d.startswith("v=") and d.split("=", 1)[1].isdigit() and int(d.split("=", 1)[1]) <= version
     ]
     return spark.read.parquet(*paths)
+
+
+def compact_appended(spark, table_dir: str) -> int:
+    """Compaction for an append-segment table: rewrite the union of
+    all segments as ONE new segment at version N+1 and delete the old
+    segment dirs — the rewrite-half of the append lifecycle
+    (:func:`append_snapshot` keeps appends O(batch); unbounded segment
+    count eventually costs listing/open overhead, exactly the
+    small-files problem OPTIMIZE solves on Delta). Readers are never
+    disturbed: the compacted segment lands and the pointer flips
+    BEFORE old segments are removed, and read_appended on the new
+    pointer sees only the compacted segment (the union of 1..N+1 where
+    1..N are gone degrades to exactly segment N+1's rows; a
+    mid-compaction reader of the OLD pointer still has its immutable
+    dirs until the post-flip cleanup). Time travel to pre-compaction
+    versions is traded away — the same trade Delta's VACUUM makes.
+    Returns the new version number."""
+    import os
+    import shutil
+
+    with open(f"{table_dir}/_LATEST") as f:
+        latest = int(f.read().strip())
+    old = [
+        d
+        for d in os.listdir(table_dir)
+        if d.startswith("v=")
+        and d.split("=", 1)[1].isdigit()
+        and int(d.split("=", 1)[1]) <= latest
+    ]
+    # localCheckpoint pins the union's rows before any segment dir is
+    # touched (the write below must not lazily re-read dirs mid-delete)
+    merged = read_appended(spark, table_dir, version=latest).localCheckpoint(eager=True)
+    new_v = write_snapshot(merged, table_dir)  # lands v=N+1, flips pointer
+    for d in old:
+        shutil.rmtree(f"{table_dir}/{d}", ignore_errors=True)
+    return new_v
 
 
 def merge_into_snapshot(
