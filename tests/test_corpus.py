@@ -200,9 +200,11 @@ def test_tfidf_null_text_group_counts_in_idf(spark):
 
 
 def test_pair_graph_materializes_once_and_matches_direct(spark, sf_dir):
-    """The shared at-rest pair graph equals a direct ngram_jaccard_pairs
-    run, and the second call is a pure parquet read of the SAME
-    materialization (no rebuild)."""
+    """The shared at-rest pair graph — since r5 an append-segment
+    table (v=1 corpus×corpus pairs, v=2 pairs touching the arriving
+    batch via the incremental probe) — equals a direct
+    ngram_jaccard_pairs run over everything, and the second call is a
+    pure parquet read of the SAME segments (no rebuild)."""
     import glob
     import os
 
@@ -212,11 +214,18 @@ def test_pair_graph_materializes_once_and_matches_direct(spark, sf_dir):
     g1 = pair_graph.jaccard_pair_graph(spark, sf_dir, threshold=0.5, shingle_k=1)
     cache_dirs = glob.glob(str(pair_graph._CACHE_ROOT / "pairs_*"))
     assert cache_dirs, "pair graph was not materialized"
-    # find this sf_dir's cache by re-deriving the digest via a second call
-    mtimes_before = {d: os.path.getmtime(os.path.join(d, "_SUCCESS")) for d in cache_dirs}
+
+    def seg_mtimes():
+        return {
+            p: os.path.getmtime(p)
+            for d in cache_dirs
+            for p in glob.glob(os.path.join(d, "v=*", "_SUCCESS"))
+        }
+
+    mtimes_before = seg_mtimes()
+    assert mtimes_before, "no segment dirs under the pair-graph table"
     g2 = pair_graph.jaccard_pair_graph(spark, sf_dir, threshold=0.5, shingle_k=1)
-    mtimes_after = {d: os.path.getmtime(os.path.join(d, "_SUCCESS")) for d in cache_dirs}
-    assert mtimes_before == mtimes_after, "second call rebuilt the materialization"
+    assert seg_mtimes() == mtimes_before, "second call rebuilt the segments"
 
     docs = load_table(spark, sf_dir, "documents")
     direct = dedup.ngram_jaccard_pairs(

@@ -647,3 +647,43 @@ def test_two_phase_global_ordering_equals_global_window(spark):
         for x in tiny.withColumn("q", F.ntile(5).over(Window.orderBy("id"))).collect()
     }
     assert got == want
+
+
+def test_ngram_jaccard_incremental_partitions_the_full_pair_set(spark, sf_dir):
+    """The maintained pair graph's correctness core: pairs(corpus ∪
+    batch) partitions EXACTLY into pairs(corpus×corpus) ⊎ pairs
+    touching the batch — so the append-segment table (v=1 corpus
+    pairs, v=2 incremental probe) equals the one-shot batch build,
+    while each ingest costs O(batch × block), never corpus²."""
+    from z316_sales_data_pipeline_spark.operators import dedup
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = F.col("doc_id") % 5 == 0
+    full = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", "source", threshold=0.5, shingle_k=1
+        ).collect()
+    }
+    corpus_only = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            docs.filter(~batch), "text", "doc_id", "source", threshold=0.5, shingle_k=1
+        ).collect()
+    }
+    touching = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs_incremental(
+            docs.filter(batch),
+            docs.filter(~batch),
+            "text",
+            "doc_id",
+            "source",
+            threshold=0.5,
+            shingle_k=1,
+        ).collect()
+    }
+    assert corpus_only | touching == full
+    assert not (corpus_only & touching)  # a true partition, no overlap
+    assert touching  # the batch really contributes pairs at this sf

@@ -403,6 +403,85 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_jaccard_pairs_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    threshold: float = 0.0,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact-Jaccard pairs TOUCHING a new batch: new×new plus
+    new×corpus within the blocking group — the probe that maintains an
+    at-rest pair graph without ever re-pairing corpus×corpus. Id
+    spaces must be disjoint. Union with the corpus-only pair segment
+    reproduces :func:`ngram_jaccard_pairs` over everything exactly
+    (the full pair set partitions into corpus×corpus and
+    touching-batch; pinned in tests), which is what lets the pair
+    graph live as an append-segment snapshot table
+    (plans/pair_graph.py): per ingest the cost is
+    O(|batch| × block size), not O(corpus²-per-block).
+
+    Same shaved costs as the batch builder: hashed shingles computed
+    once per side, persisted before the join, union size from
+    |A|+|B|−|A∩B|. Output is canonical (id_a < id_b) regardless of
+    which side a pair member arrived on.
+    """
+
+    def _base(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(group_col),
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
+            ).alias("__sh"),
+        ).withColumn("__n", F.size("__sh"))
+
+    # only the batch side is referenced twice (probe side + its slice
+    # of the b side); the corpus side streams through the join once
+    new_b = _base(new_docs).persist()
+    all_b = _base(corpus_docs).unionByName(new_b)
+    a = new_b.select(
+        F.col(group_col),
+        F.col(id_col).alias("__ia"),
+        F.col("__sh").alias("sh_a"),
+        F.col("__n").alias("na"),
+    )
+    b = all_b.select(
+        F.col(group_col),
+        F.col(id_col).alias("__ib"),
+        F.col("__sh").alias("sh_b"),
+        F.col("__n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    result = (
+        a.join(b, group_col)
+        .filter(F.col("__ia") != F.col("__ib"))
+        # canonical orientation; new×new pairs appear once from each
+        # side, so dedup on the canonical key
+        .withColumn("id_a", F.least("__ia", "__ib"))
+        .withColumn("id_b", F.greatest("__ia", "__ib"))
+        .dropDuplicates([group_col, "id_a", "id_b"])
+        .withColumn("__inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.try_divide(
+                    F.col("__inter").cast("double"),
+                    (F.col("na") + F.col("nb") - F.col("__inter")).cast("double"),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(group_col, "id_a", "id_b", "jaccard")
+    )
+    out = result.localCheckpoint(eager=True)
+    new_b.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

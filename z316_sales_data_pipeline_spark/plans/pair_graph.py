@@ -90,18 +90,81 @@ def jaccard_pair_graph(
     sf_dir: str,
     threshold: float = 0.5,
     shingle_k: int = 1,
+    batch_mod: int = 5,
 ) -> DataFrame:
     """The (id_a, id_b, jaccard) word-Jaccard pair relation over
-    ``documents``, source-blocked, read from the at-rest materialization
-    (built on first use per corpus snapshot + parameters)."""
+    ``documents``, source-blocked — since r5 MAINTAINED as an
+    append-segment snapshot table, completing the lineage: v=1 is the
+    corpus×corpus pair segment (``doc_id % batch_mod == 0`` plays the
+    arriving batch, exactly the split cluster_labels uses), v=2
+    APPENDS only the pairs touching that batch, computed by the
+    incremental probe (dedup.ngram_jaccard_pairs_incremental —
+    O(batch × block), never re-pairing the corpus). The full pair set
+    partitions into those two segments, so read_appended equals the
+    one-shot batch build exactly (pinned in tests). Downstream,
+    cluster_labels' v=1 CC consumes exactly segment v=1's pairs and
+    its incremental CC consumes exactly segment v=2 — every relation
+    in the pair-graph → labels → consumers chain now advances by
+    O(batch) per ingest. Columns stay (source, id_a, id_b, jaccard),
+    identical to the batch builder."""
+    from .. import sinks
 
-    def build() -> DataFrame:
+    src = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
+
+    def direct() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         return dedup.ngram_jaccard_pairs(
             docs, "text", "doc_id", "source", threshold=threshold, shingle_k=shingle_k
         )
 
-    return _materialized(spark, sf_dir, "pairs", f"{threshold}|{shingle_k}|v1", build)
+    def _latest(d: str) -> int:
+        try:
+            with open(os.path.join(d, "_LATEST")) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return 0
+
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_mtime_ns}|{st.st_size}|{threshold}|{shingle_k}|{batch_mod}|v2-seg"
+        digest = hashlib.md5(sig.encode()).hexdigest()[:16]
+        table_dir = str(_CACHE_ROOT / f"pairs_{digest}")
+        if _latest(table_dir) < 2:
+            import shutil
+
+            docs = load_table(spark, sf_dir, "documents")
+            batch = F.col("doc_id") % batch_mod == 0
+            tmp_dir = f"{table_dir}.tmp-{os.getpid()}"
+            corpus_pairs = dedup.ngram_jaccard_pairs(
+                docs.filter(~batch),
+                "text",
+                "doc_id",
+                "source",
+                threshold=threshold,
+                shingle_k=shingle_k,
+            )
+            sinks.append_snapshot(corpus_pairs, tmp_dir)
+            touching = dedup.ngram_jaccard_pairs_incremental(
+                docs.filter(batch),
+                docs.filter(~batch),
+                "text",
+                "doc_id",
+                "source",
+                threshold=threshold,
+                shingle_k=shingle_k,
+            )
+            sinks.append_snapshot(touching, tmp_dir)
+            try:
+                os.rename(tmp_dir, table_dir)
+            except OSError:
+                if _latest(table_dir) >= 2:
+                    shutil.rmtree(tmp_dir, ignore_errors=True)  # lost a healthy race
+                else:
+                    shutil.rmtree(table_dir, ignore_errors=True)  # torn table: repair
+                    os.rename(tmp_dir, table_dir)
+        return sinks.read_appended(spark, table_dir)
+    except OSError:
+        return direct()
 
 
 def cluster_labels(
