@@ -702,3 +702,98 @@ def test_streaming_minhash_index_maintenance_matches_batch(spark, sf_dir, tmp_pa
     assert last.count() < got_ex.count()
     # time travel: v=1 is exactly the pre-stream base
     assert sinks.read_appended(spark, ex_dir, version=1).count() == base_ex.count()
+
+
+def test_streaming_pair_graph_and_labels_end_to_end(spark, sf_dir, tmp_path):
+    """The WHOLE continuous-ingestion chain under one stream: per
+    micro-batch, (1) ngram_jaccard_pairs_incremental computes only the
+    pairs touching the batch against the docs seen so far (every pair
+    is emitted exactly when its later endpoint lands — no pair is
+    computed twice, none re-pairs the corpus), (2) the pair segment is
+    APPENDED through the snapshot pointer, (3) the labels advance via
+    connected_components_incremental. After the stream drains, the
+    appended pair table equals the one-shot batch pair build AND the
+    maintained labels equal one-shot batch CC — the end-to-end proof
+    that pair graph → labels both live as maintained at-rest state
+    with O(batch) work per trigger."""
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import dedup
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    arriving = F.col("doc_id") % 5 == 0
+    base = docs.filter(~arriving).localCheckpoint(eager=True)
+
+    pairs_dir = str(tmp_path / "pairs")
+    labels_dir = str(tmp_path / "labels")
+    base_pairs = dedup.ngram_jaccard_pairs(
+        base, "text", "doc_id", "source", threshold=0.5, shingle_k=1
+    )
+    sinks.append_snapshot(base_pairs, pairs_dir)
+    sinks.write_snapshot(
+        dedup.connected_components(
+            base.select("doc_id"), base_pairs, id_col="doc_id"
+        ),
+        labels_dir,
+    )
+
+    new_src = str(tmp_path / "new_docs")
+    docs.filter(arriving).repartition(3).write.parquet(new_src)
+    seen_dir = str(tmp_path / "seen")
+    base.select("doc_id", "source", "text").write.parquet(seen_dir)
+
+    def maintain(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select("doc_id", "source", "text").localCheckpoint(eager=True)
+        seen = spark.read.parquet(seen_dir)
+        new_pairs = dedup.ngram_jaccard_pairs_incremental(
+            batch, seen, "text", "doc_id", "source", threshold=0.5, shingle_k=1
+        )
+        sinks.append_snapshot(new_pairs, pairs_dir)
+        maintained = dedup.connected_components_incremental(
+            sinks.read_snapshot(spark, labels_dir),
+            batch.select("doc_id"),
+            new_pairs.select("id_a", "id_b"),
+            id_col="doc_id",
+        )
+        sinks.write_snapshot(maintained, labels_dir)
+        batch.write.mode("append").parquet(seen_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(new_src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    want_pairs = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", "source", threshold=0.5, shingle_k=1
+        ).collect()
+    }
+    got_pairs = {tuple(r) for r in sinks.read_appended(spark, pairs_dir).collect()}
+    assert got_pairs == want_pairs and got_pairs
+
+    want_labels = {
+        tuple(r)
+        for r in dedup.connected_components(
+            docs.select("doc_id"),
+            spark.createDataFrame(
+                [(a, b) for (_, a, b, _) in sorted(want_pairs)], "id_a long, id_b long"
+            ),
+            id_col="doc_id",
+        ).collect()
+    }
+    got_labels = {tuple(r) for r in sinks.read_snapshot(spark, labels_dir).collect()}
+    assert got_labels == want_labels
+
+    import os
+
+    n_pair_versions = len([d for d in os.listdir(pairs_dir) if d.startswith("v=")])
+    assert n_pair_versions >= 3  # base + >= 2 micro-batches really appended
