@@ -270,6 +270,32 @@ CHECKLIST = {
         "the quality expression fused in the scan stage, one Window "
         "exchange on source for the ntile — no join, no second scan."
     ),
+    "pareto_abc": (
+        "ABC classification via two-phase prefix sum (r5). Expect: "
+        "RangePartitioning exchange on (__rs desc, partkey), a Window "
+        "whose partition spec is __pid (NEVER an empty partition "
+        "spec), and a BroadcastHashJoin against the tiny offsets "
+        "relation — no single-task sort of the part dimension."
+    ),
+    "rfm_segments": (
+        "RFM quartiles via two-phase ranks (r5). Expect: three "
+        "RangePartitioning exchanges (one per metric), each Window "
+        "partitioned by __pid, ntile reconstructed as arithmetic on "
+        "the global rank — zero unpartitioned ordered windows."
+    ),
+    "decile_lift": (
+        "Customer decile lift (r5). Expect: one hash agg to customer "
+        "grain, the two-phase rank shape (range exchange + __pid "
+        "window + broadcast offsets), then one decile hash agg and a "
+        "broadcast of the one-row total."
+    ),
+    "minhash_calibration": (
+        "LSH estimator calibration (r5). Expect: signature build as "
+        "ONE hash agg over the at-rest shingle scan (Scan ExistingRDD "
+        "after the checkpoint), band self-join on (band_id, "
+        "band_hash) keys only, exact-intersect via the shingle "
+        "double-join, final 17-row hash agg — no CartesianProduct."
+    ),
 }
 
 
