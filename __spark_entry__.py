@@ -3168,6 +3168,81 @@ FROM q LEFT JOIN h USING (query_id)
 """
 
 
+def _ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n_probe tuning table (operators/similarity.py ivf_probe_sweep):
+    mean recall@10 at probe counts 1/2/4/8 over the deterministic
+    query batch — the knob-sweep an operator reads before serving an
+    IVF configuration (ann_recall_eval audits one point; this draws
+    the curve). Assignment, brute baseline and the max-probe candidate
+    join are computed once and shared; each probe point is a rank
+    filter + top-k window over the same candidates. Exact-integer hit
+    sums; the mean is a division of exact integers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_probe_sweep(
+        emb, "embedding", "vec_id", query_mod=100, k=10, n_cells=16, probes=(1, 2, 4, 8)
+    )
+
+
+_IVF_PROBE_SWEEP_SQL = """
+WITH e0 AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+    SELECT row_number() OVER (ORDER BY vid) - 1 AS cell, v AS cv
+    FROM e0 ORDER BY vid LIMIT 16
+), a AS (
+    SELECT e0.vid, e0.v, c.cell
+    FROM e0 CROSS JOIN c
+    QUALIFY row_number() OVER (PARTITION BY e0.vid
+        ORDER BY list_dot_product(e0.v, c.cv) DESC, c.cell) = 1
+), q AS (
+    SELECT vid AS query_id, v AS qv FROM e0 WHERE vid % 100 = 0
+), nq AS (SELECT cast(count(*) AS BIGINT) AS n FROM q),
+pr AS (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell) AS cell_rank
+    FROM q CROSS JOIN c
+    QUALIFY cell_rank <= 8
+), cand AS (
+    SELECT pr.query_id, a.vid, pr.cell_rank,
+           round(list_dot_product(pr.qv, a.v) /
+                 (sqrt(list_dot_product(pr.qv, pr.qv)) *
+                  sqrt(list_dot_product(a.v, a.v))), 6) AS cos
+    FROM pr JOIN a USING (cell)
+), brute AS (
+    SELECT q.query_id, e0.vid
+    FROM q CROSS JOIN e0
+    QUALIFY row_number() OVER (PARTITION BY q.query_id
+        ORDER BY round(list_dot_product(q.qv, e0.v) /
+                       (sqrt(list_dot_product(q.qv, q.qv)) *
+                        sqrt(list_dot_product(e0.v, e0.v))), 6) DESC, e0.vid) <= 10
+), ivf1 AS (
+    SELECT 1 AS n_probe, query_id, vid FROM cand WHERE cell_rank <= 1
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) <= 10
+), ivf2 AS (
+    SELECT 2 AS n_probe, query_id, vid FROM cand WHERE cell_rank <= 2
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) <= 10
+), ivf4 AS (
+    SELECT 4 AS n_probe, query_id, vid FROM cand WHERE cell_rank <= 4
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) <= 10
+), ivf8 AS (
+    SELECT 8 AS n_probe, query_id, vid FROM cand WHERE cell_rank <= 8
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) <= 10
+), allp AS (
+    SELECT * FROM ivf1 UNION ALL SELECT * FROM ivf2
+    UNION ALL SELECT * FROM ivf4 UNION ALL SELECT * FROM ivf8
+), h AS (
+    SELECT n_probe, cast(count(*) AS BIGINT) AS sum_hits
+    FROM allp JOIN brute USING (query_id, vid) GROUP BY n_probe
+)
+SELECT cast(p.n_probe AS INTEGER) AS n_probe,
+       nq.n AS n_queries,
+       cast(coalesce(h.sum_hits, 0) AS BIGINT) AS sum_hits,
+       round(cast(coalesce(h.sum_hits, 0) AS DOUBLE) / (nq.n * 10), 6) AS mean_recall_at_k
+FROM (VALUES (1), (2), (4), (8)) p(n_probe)
+LEFT JOIN h ON h.n_probe = p.n_probe, nq
+"""
+
+
 def _k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over the events stream: for each
     quasi-identifier cell (event_type × day), how many distinct users
@@ -5666,19 +5741,20 @@ FROM top, tot
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is CURATED: the driver samples the FIRST 50 entries
-    # in dict order. The r5 sample = the 12 entries that have never had
+    # in dict order. The r5 sample = the 13 entries that have never had
     # a driver row (the 10 late-r4 additions VERDICT r4 item 1 names +
-    # the 2 new r5 queries), the 7 entries whose plans or upstream
+    # the 3 new r5 queries), the 7 entries whose plans or upstream
     # at-rest relations changed this round (two-phase window re-plans;
     # maintained MinHash index; cluster-labels completion gating), the 2
-    # flagship facts as keepers, and 29 refresh entries whose last
+    # flagship facts as keepers, and 28 refresh entries whose last
     # driver-green row is r2 — the stalest third of the registry. The
-    # remaining r2-stale entries (c1/f-suite, token_count_bpe,
-    # salted_agg, lsh_top_k, embedding_near_dup_blocked, sliding_counts,
-    # q18_top_customers, rollup_agg, cube_agg) lead the r6 rotation;
+    # remaining r2-stale entries (doc_fingerprint, c1/f-suite,
+    # token_count_bpe, salted_agg, lsh_top_k,
+    # embedding_near_dup_blocked, sliding_counts, q18_top_customers,
+    # rollup_agg, cube_agg) lead the r6 rotation;
     # tools/check_correctness.py runs ALL entries locally meanwhile.
     return {
-        # -- never driver-sampled (12): late-r4 additions + r5 additions --
+        # -- never driver-sampled (13): late-r4 additions + r5 additions --
         "ann_recall_eval": _ann_recall_eval,
         "k_anonymity": _k_anonymity,
         "simhash_incremental": _simhash_incremental,
@@ -5691,6 +5767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_stats": _dup_cluster_stats,
         "decile_lift": _decile_lift,
         "minhash_calibration": _minhash_calibration,
+        "ivf_probe_sweep": _ivf_probe_sweep,
         # -- changed this round: need a fresh driver-green row (7) --
         "rfm_segments": _rfm_segments,
         "contrastive_triples": _contrastive_triples,
@@ -5993,6 +6070,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": _RFM_SQL,
         "decile_lift": _DECILE_LIFT_SQL,
         "minhash_calibration": _MINHASH_CALIBRATION_SQL,
+        "ivf_probe_sweep": _IVF_PROBE_SWEEP_SQL,
         "conversion_latency": _CONVERSION_LATENCY_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
         "dup_rate_by_source": _DUP_RATE_SQL,

@@ -494,3 +494,95 @@ def ann_recall_eval(
             F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6).alias("recall_at_k"),
         )
     )
+
+
+def ivf_probe_sweep(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_mod: int = 100,
+    k: int = 10,
+    n_cells: int = 16,
+    probes: tuple[int, ...] = (1, 2, 4, 8),
+) -> DataFrame:
+    """The n_probe TUNING TABLE for the IVF index: mean recall@k over
+    the deterministic query batch at each probe count — what an
+    operator reads to pick the recall/cost point before serving
+    (:func:`ann_recall_eval` audits ONE configuration; this sweeps the
+    knob). Outputs one row per probe count with exact-integer hit
+    sums; the mean recall is a division of two exact integers, so it
+    is the identical double in every engine.
+
+    Cost shape: the expensive pieces are computed ONCE and shared
+    across the whole sweep — the (vid, v, cell) assignment
+    (checkpointed, as in ann_recall_eval), the brute-force baseline
+    arm, and ONE candidate join at max(probes) cells per query with
+    the PROBE RANK retained; each probe count is then a rank filter +
+    per-query top-k window over that same candidate set, never a new
+    scan. Adding a probe point to the sweep costs one window over the
+    already-joined candidates.
+    """
+    from pyspark.sql import Window
+
+    max_probe = max(probes)
+    cents = _centroids(df, vec_col, id_col, n_cells)
+
+    def dots_arr(col: Column) -> Column:
+        return F.array(*[dot(col, literal_vector(c)) for _, c in cents])
+
+    e = (
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("__dots", dots_arr(F.col("v")))
+        .withColumn("cell", (F.array_position("__dots", F.array_max("__dots")) - 1).cast("int"))
+        .drop("__dots")
+        .localCheckpoint(eager=True)
+    )
+    q = e.filter(F.col("vid") % query_mod == 0).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("dp").desc(), F.col("cell").asc())
+    probe = (
+        q.select("query_id", "qv", F.posexplode(dots_arr(F.col("qv"))).alias("cell", "dp"))
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= max_probe)
+        .select("query_id", "qv", "cell", "cell_rank")
+    )
+    cand = (
+        probe.join(e, "cell")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .select("query_id", "vid", "cell_rank", "cos")
+        .localCheckpoint(eager=True)  # one candidate set serves every probe point
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vid").asc())
+    brute = (
+        e.crossJoin(F.broadcast(q))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vid")
+        .localCheckpoint(eager=True)
+    )
+    n_queries = q.select(F.count(F.lit(1)).alias("__nq"))
+    out = None
+    for p in probes:
+        ivf_p = (
+            cand.filter(F.col("cell_rank") <= p)
+            .withColumn("__rn", F.row_number().over(wk))
+            .filter(F.col("__rn") <= k)
+            .select("query_id", "vid")
+        )
+        row = (
+            ivf_p.join(brute, ["query_id", "vid"])
+            .agg(F.count(F.lit(1)).alias("sum_hits"))
+            .crossJoin(F.broadcast(n_queries))
+            .select(
+                F.lit(p).cast("int").alias("n_probe"),
+                F.col("__nq").cast("long").alias("n_queries"),
+                F.col("sum_hits").cast("long").alias("sum_hits"),
+                F.round(
+                    F.col("sum_hits") / (F.col("__nq") * F.lit(k)), 6
+                ).alias("mean_recall_at_k"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
