@@ -155,3 +155,43 @@ def test_compact_appended_preserves_rows_and_removes_segments(spark, tmp_path):
     # appends keep working after compaction
     sinks.append_snapshot(spark.range(9, 11).withColumn("b", F.lit(4)), t)
     assert sinks.read_appended(spark, t).count() == 11
+
+
+def test_vacuum_refuses_append_segment_tables(spark, tmp_path):
+    """Footgun guard: vacuum_snapshots deletes superseded full-table
+    images, but on an append-segment table every version IS data —
+    vacuuming one would silently drop its rows. The _KIND marker makes
+    vacuum refuse and point at compact_appended."""
+    import pytest as _pytest
+
+    from z316_sales_data_pipeline_spark import sinks
+
+    t = str(tmp_path / "seg")
+    sinks.append_snapshot(spark.range(0, 3), t)
+    sinks.append_snapshot(spark.range(3, 5), t)
+    sinks.append_snapshot(spark.range(5, 9), t)
+    with _pytest.raises(ValueError, match="compact_appended"):
+        sinks.vacuum_snapshots(t, keep_last=1)
+    assert sinks.read_appended(spark, t).count() == 9  # nothing was deleted
+
+    # full-image snapshot tables still vacuum normally
+    t2 = str(tmp_path / "img")
+    for hi in (3, 5, 9):
+        sinks.write_snapshot(spark.range(0, hi), t2)
+    assert sinks.vacuum_snapshots(t2, keep_last=1) == [1, 2]
+
+
+def test_two_phase_handles_empty_and_single_partition_input(spark):
+    """Edge pins for the global-ordering primitive: empty input yields
+    an empty frame and total 0; a 1-row relation ranks 1/total 1."""
+    from z316_sales_data_pipeline_spark.operators import windows as W
+
+    empty = spark.createDataFrame([], "id long, v long")
+    out, total = W.two_phase_row_number(empty, [F.col("id").asc()], "r")
+    assert total == 0 and out.count() == 0
+    out2, tot2 = W.two_phase_running_sum(empty, [F.col("id").asc()], "v", "rs")
+    assert tot2 == 0 and out2.count() == 0
+
+    one = spark.createDataFrame([(7, 3)], "id long, v long")
+    got, n = W.two_phase_row_number(one, [F.col("id").asc()], "r")
+    assert n == 1 and [tuple(r) for r in got.collect()] == [(7, 3, 1)]

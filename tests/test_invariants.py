@@ -552,3 +552,28 @@ def test_histogram_table_excludes_nulls(spark):
     assert sum(r["c"] for r in hist) == 3  # only the non-NULL rows carry mass
     by_bucket = {r["bucket"]: r["c"] for r in hist}
     assert by_bucket.get(0, 0) == 1  # just 4.0 — not 4.0 plus two NULLs
+
+
+def test_ivf_probe_sweep_recall_monotone_and_bounded(spark, sf_dir):
+    """Tuning-table sanity: recall@k is non-decreasing in n_probe
+    (probing more cells can only add candidates), every recall is in
+    [0, 1], and hit sums are consistent with the reported mean."""
+    from z316_sales_data_pipeline_spark.operators import similarity
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {
+        r["n_probe"]: r
+        for r in similarity.ivf_probe_sweep(
+            emb, "embedding", "vec_id", query_mod=100, k=10, n_cells=16, probes=(1, 2, 4, 8)
+        ).collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8]
+    last = -1.0
+    for p in (1, 2, 4, 8):
+        r = rows[p]
+        assert 0.0 <= r["mean_recall_at_k"] <= 1.0
+        assert r["mean_recall_at_k"] >= last
+        last = r["mean_recall_at_k"]
+        assert r["mean_recall_at_k"] == round(r["sum_hits"] / (r["n_queries"] * 10), 6)
+    assert rows[8]["sum_hits"] > 0

@@ -163,8 +163,16 @@ def append_snapshot(df: DataFrame, table_dir: str) -> int:
     add-files half of a Delta/Iceberg commit. Segment tables are
     compacted by :func:`compact_appended` (union → one new segment),
     never by :func:`vacuum_snapshots` — deleting an old segment would
-    drop its rows, not an old image. Returns the new version number."""
-    return write_snapshot(df, table_dir)
+    drop its rows, not an old image — a ``_KIND`` marker makes the
+    sink refuse that mistake. Returns the new version number."""
+    import os
+
+    v = write_snapshot(df, table_dir)
+    kind = os.path.join(table_dir, "_KIND")
+    if not os.path.exists(kind):
+        with open(kind, "w") as f:
+            f.write("append")
+    return v
 
 
 def read_appended(spark, table_dir: str, version: int | None = None) -> DataFrame:
@@ -276,6 +284,15 @@ def vacuum_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
 
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    kind = os.path.join(table_dir, "_KIND")
+    if os.path.exists(kind):
+        with open(kind) as f:
+            if f.read().strip() == "append":
+                raise ValueError(
+                    "vacuum_snapshots on an append-segment table would DELETE"
+                    " DATA (old versions are segments, not superseded images);"
+                    " use compact_appended to bound segment count instead"
+                )
     versions = sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(table_dir)
