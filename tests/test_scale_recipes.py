@@ -687,3 +687,38 @@ def test_ngram_jaccard_incremental_partitions_the_full_pair_set(spark, sf_dir):
     assert corpus_only | touching == full
     assert not (corpus_only & touching)  # a true partition, no overlap
     assert touching  # the batch really contributes pairs at this sf
+
+
+def test_ivf_layout_append_maintenance_equals_rebuild(spark, sf_dir, tmp_path, monkeypatch):
+    """The maintained IVF layout's correctness core: appending the
+    arriving vectors assigned with the FROZEN centroid model equals a
+    one-shot full rebuild — exact because the quantizer is the n_cells
+    lowest-id vectors, which all live in the base segment, so a fresh
+    rebuild derives the bit-identical model (retraining the quantizer
+    is a rebuild by definition). Both segments keep the cell
+    partitioning; the basePath read prunes on v and cell."""
+    import os
+
+    from z316_sales_data_pipeline_spark.operators import similarity
+    from z316_sales_data_pipeline_spark.plans import pair_graph
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    monkeypatch.setattr(pair_graph, "_CACHE_ROOT", tmp_path / "wh")
+    at_rest = pair_graph.ivf_embeddings(spark, sf_dir, n_cells=16)
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = similarity._centroids(emb, "embedding", "vec_id", 16)
+    want = similarity.ivf_assign(emb, "embedding", cents)
+    key = lambda r: (r["vec_id"], r["cell"])  # noqa: E731
+    assert {key(r) for r in at_rest.collect()} == {key(r) for r in want.collect()}
+
+    (d,) = [x for x in os.listdir(tmp_path / "wh") if x.startswith("ivf_seg_")]
+    t = str(tmp_path / "wh" / d)
+    segs = sorted(x for x in os.listdir(t) if x.startswith("v="))
+    assert segs == ["v=1", "v=2"]
+    # the appended segment holds only the arriving slice, cell-partitioned
+    v2 = spark.read.parquet(f"{t}/v=2")
+    assert 0 < v2.count() < at_rest.count()
+    assert any(x.startswith("cell=") for x in os.listdir(f"{t}/v=2"))

@@ -322,28 +322,71 @@ def ivf_embeddings(spark: SparkSession, sf_dir: str, n_cells: int = 16) -> DataF
     (similarity.ivf_assign) and PARTITIONED BY cell, so a probe's
     ``cell IN (...)`` filter compiles to partition pruning — the scan
     reads n_probe/n_cells of the files instead of filtering after a
-    full read. This is the 100 TB ANN serving layout the ivf_top_k
-    docstring promises; tests/test_plan_properties.py asserts the
-    PartitionFilters actually appear and results equal the inline
-    assignment path."""
+    full read. Since r5 also MAINTAINED as an append-segment table:
+    v=1 is the already-serving corpus, v=2 appends the arriving
+    vectors (``vec_id % 9 == 2``, floored above the seed ids) assigned
+    with the SAME frozen centroid model — the quantizer is the n_cells
+    lowest-id vectors, all in the base, so the model a fresh full-build
+    would derive is bit-identical and the appended assignment equals
+    the one-shot rebuild (new vectors never retrain the coarse
+    quantizer; that is a rebuild, exactly as in a served IVF index).
+    Each segment keeps the cell partitioning, and read_appended's
+    basePath scan prunes on BOTH v (time travel) and cell (probe).
+    tests/test_plan_properties.py asserts the PartitionFilters appear
+    and results equal the inline assignment path."""
+    from .. import sinks
     from ..operators import similarity
 
-    def build() -> DataFrame:
+    src = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
+
+    def full() -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings").withColumn(
             "embedding", F.col("embedding").cast("array<double>")
         )
         cents = similarity._centroids(emb, "embedding", "vec_id", n_cells)
         return similarity.ivf_assign(emb, "embedding", cents)
 
-    return _materialized(
-        spark,
-        sf_dir,
-        "ivf_emb",
-        f"{n_cells}|v1",
-        build,
-        src_table="embeddings",
-        partition_by="cell",
-    )
+    def _latest(d: str) -> int:
+        try:
+            with open(os.path.join(d, "_LATEST")) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return 0
+
+    try:
+        st = os.stat(src)
+        digest = hashlib.md5(
+            f"{src}|{st.st_mtime_ns}|{st.st_size}|{n_cells}|v2-seg".encode()
+        ).hexdigest()[:16]
+        table_dir = str(_CACHE_ROOT / f"ivf_seg_{digest}")
+        if _latest(table_dir) < 2:
+            import shutil
+
+            emb = load_table(spark, sf_dir, "embeddings").withColumn(
+                "embedding", F.col("embedding").cast("array<double>")
+            )
+            cents = similarity._centroids(emb, "embedding", "vec_id", n_cells)
+            # arriving slice floored above the seed ids: the frozen
+            # model == the model a full rebuild would pick
+            arriving = (F.col("vec_id") % 9 == 2) & (F.col("vec_id") > 8 * n_cells)
+            tmp_dir = f"{table_dir}.tmp-{os.getpid()}"
+            for split in (~arriving, arriving):  # v=1 base, v=2 appended slice
+                sinks.append_snapshot(
+                    similarity.ivf_assign(emb.filter(split), "embedding", cents),
+                    tmp_dir,
+                    partition_by="cell",
+                )
+            try:
+                os.rename(tmp_dir, table_dir)
+            except OSError:
+                if _latest(table_dir) >= 2:
+                    shutil.rmtree(tmp_dir, ignore_errors=True)  # lost a healthy race
+                else:
+                    shutil.rmtree(table_dir, ignore_errors=True)  # torn table: repair
+                    os.rename(tmp_dir, table_dir)
+        return sinks.read_appended(spark, table_dir)
+    except OSError:
+        return full()
 
 
 def minhash_corpus_index(

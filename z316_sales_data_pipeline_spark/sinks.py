@@ -125,7 +125,7 @@ def merge_upsert(
     )
 
 
-def write_snapshot(df: DataFrame, table_dir: str) -> int:
+def write_snapshot(df: DataFrame, table_dir: str, partition_by: str | None = None) -> int:
     """Versioned overwrite: write a NEW immutable snapshot directory
     (``v=N``) and flip the ``_LATEST`` pointer — readers of the old
     version are never disturbed mid-overwrite, and any version can be
@@ -133,7 +133,9 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
     log provides, emulated on plain parquet (reference's B4
     truncate-and-reload, contatos_to_bq/main.py:97-129, made safe):
     the vulnerable window shrinks from "whole rewrite" to "one pointer
-    file rename". Returns the new version number.
+    file rename". ``partition_by`` lays each version out hive-style on
+    that column, so consumers' filters compile to partition pruning
+    (the at-rest IVF layout). Returns the new version number.
     """
     import os
 
@@ -144,7 +146,10 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
         if d.startswith("v=") and d.split("=", 1)[1].isdigit()
     ]
     new_v = max(versions, default=0) + 1
-    df.write.mode("overwrite").parquet(f"{table_dir}/v={new_v}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(f"{table_dir}/v={new_v}")
     tmp = f"{table_dir}/_LATEST.tmp"
     with open(tmp, "w") as f:
         f.write(str(new_v))
@@ -152,7 +157,7 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
     return new_v
 
 
-def append_snapshot(df: DataFrame, table_dir: str) -> int:
+def append_snapshot(df: DataFrame, table_dir: str, partition_by: str | None = None) -> int:
     """B2 streaming append through the versioned pointer: land ``df``
     as a NEW immutable ``v=N`` SEGMENT holding ONLY the appended rows
     and flip ``_LATEST`` — the per-micro-batch cost is O(batch), old
@@ -167,7 +172,7 @@ def append_snapshot(df: DataFrame, table_dir: str) -> int:
     sink refuse that mistake. Returns the new version number."""
     import os
 
-    v = write_snapshot(df, table_dir)
+    v = write_snapshot(df, table_dir, partition_by)
     kind = os.path.join(table_dir, "_KIND")
     if not os.path.exists(kind):
         with open(kind, "w") as f:
@@ -178,22 +183,21 @@ def append_snapshot(df: DataFrame, table_dir: str) -> int:
 def read_appended(spark, table_dir: str, version: int | None = None) -> DataFrame:
     """Read an append-segment table (:func:`append_snapshot`) AT
     ``version`` (default: _LATEST): the union of segment dirs
-    ``v=1..version`` — time travel for append tables. A pure
-    multi-path parquet scan; no shuffle."""
-    import os
-
+    ``v=1..version`` — time travel for append tables. The ``v=N``
+    layout IS hive partitioning, so the whole table is ONE partitioned
+    scan with ``basePath``: the version cut compiles to a partition
+    filter on ``v`` (a time-travel read touches no newer segment's
+    files), and any inner ``partition_by`` layout (e.g. the IVF
+    ``cell``) keeps pruning through the same scan. No shuffle."""
     if version is None:
         with open(f"{table_dir}/_LATEST") as f:
             version = int(f.read().strip())
-    paths = [
-        f"{table_dir}/{d}"
-        for d in sorted(
-            os.listdir(table_dir),
-            key=lambda d: int(d.split("=", 1)[1]) if "=" in d else 0,
-        )
-        if d.startswith("v=") and d.split("=", 1)[1].isdigit() and int(d.split("=", 1)[1]) <= version
-    ]
-    return spark.read.parquet(*paths)
+    return (
+        spark.read.option("basePath", table_dir)
+        .parquet(table_dir)
+        .filter(F.col("v") <= version)
+        .drop("v")
+    )
 
 
 def compact_appended(spark, table_dir: str) -> int:
