@@ -722,3 +722,37 @@ def test_ivf_layout_append_maintenance_equals_rebuild(spark, sf_dir, tmp_path, m
     v2 = spark.read.parquet(f"{t}/v=2")
     assert 0 < v2.count() < at_rest.count()
     assert any(x.startswith("cell=") for x in os.listdir(f"{t}/v=2"))
+
+
+def test_span_index_antijoin_append_equals_distinct_rebuild(spark, sf_dir, tmp_path, monkeypatch):
+    """The maintained span index's correctness core: distinctness
+    spans documents, so the appended segment is the arriving slice's
+    hashes ANTI-JOINED against the base — the segment union must equal
+    the one-shot distinct over the whole corpus split, with the two
+    segments disjoint (a shared hash is kept once, from v=1)."""
+    import os
+
+    from z316_sales_data_pipeline_spark.operators import dedup
+    from z316_sales_data_pipeline_spark.plans import pair_graph
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    monkeypatch.setattr(pair_graph, "_CACHE_ROOT", tmp_path / "wh")
+    got = {r["__h"] for r in pair_graph.span_corpus_index(spark, sf_dir).collect()}
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    want = {
+        r["__h"]
+        for r in dedup.span_hash_table(corpus, "text", "doc_id", 8)
+        .select("__h")
+        .distinct()
+        .collect()
+    }
+    assert got == want and got
+
+    (d,) = [x for x in os.listdir(tmp_path / "wh") if x.startswith("span_idx_")]
+    t = str(tmp_path / "wh" / d)
+    v1 = {r["__h"] for r in spark.read.parquet(f"{t}/v=1").collect()}
+    v2 = {r["__h"] for r in spark.read.parquet(f"{t}/v=2").collect()}
+    assert not (v1 & v2)  # anti-join really removed the overlap
+    assert v1 | v2 == want

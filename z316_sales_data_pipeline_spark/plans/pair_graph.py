@@ -278,6 +278,54 @@ def full_shingle_table(
     return _materialized(spark, sf_dir, "mh_ex_full", f"{shingle_k}|{portable}|v1", build)
 
 
+def _maintained_two_segments(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    params_sig: str,
+    build_base: Callable[[], DataFrame],
+    build_append: Callable[[DataFrame], DataFrame],
+    src_table: str = "documents",
+) -> DataFrame:
+    """Shared build-or-read for the maintained append-segment tables:
+    v=1 = ``build_base()``, v=2 = ``build_append(v1_frame)`` (only the
+    arriving slice's rows), installed with the tmp-dir + atomic-rename
+    + ``_LATEST >= 2`` discipline, served via read_appended. Falls
+    back to no caller — callers keep their own direct() fallback."""
+    from .. import sinks
+
+    src = os.path.join(os.path.realpath(sf_dir), f"{src_table}.parquet")
+    st = os.stat(src)
+    digest = hashlib.md5(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}|{params_sig}".encode()
+    ).hexdigest()[:16]
+    table_dir = str(_CACHE_ROOT / f"{name}_{digest}")
+
+    def _latest(d: str) -> int:
+        try:
+            with open(os.path.join(d, "_LATEST")) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return 0
+
+    if _latest(table_dir) < 2:
+        import shutil
+
+        tmp_dir = f"{table_dir}.tmp-{os.getpid()}"
+        sinks.append_snapshot(build_base(), tmp_dir)
+        v1 = spark.read.parquet(f"{tmp_dir}/v=1")
+        sinks.append_snapshot(build_append(v1), tmp_dir)
+        try:
+            os.rename(tmp_dir, table_dir)
+        except OSError:
+            if _latest(table_dir) >= 2:
+                shutil.rmtree(tmp_dir, ignore_errors=True)  # lost a healthy race
+            else:
+                shutil.rmtree(table_dir, ignore_errors=True)  # torn table: repair
+                os.rename(tmp_dir, table_dir)
+    return sinks.read_appended(spark, table_dir)
+
+
 def simhash_corpus_sigs(
     spark: SparkSession,
     sf_dir: str,
@@ -287,16 +335,40 @@ def simhash_corpus_sigs(
 ) -> DataFrame:
     """The at-rest (doc_id, simhash) signature table over the CORPUS
     split (doc_id % exclude_mod != 0) — the SimHash sibling of
-    minhash_corpus_index: incremental probes band-join against these
-    signatures instead of re-hashing the corpus."""
-    sig = f"{exclude_mod}|{n_bits}|{portable}|v1"
+    minhash_corpus_index, MAINTAINED the same way: v=1 = signatures of
+    the corpus minus its most recent ingested slice (doc_id % 9 == 2),
+    v=2 APPENDS only that slice's rows. Exactly equals the one-shot
+    build because signatures are per-doc. Incremental probes band-join
+    against these signatures instead of re-hashing the corpus."""
+    sig = f"{exclude_mod}|{n_bits}|{portable}|v2-seg"
 
-    def build() -> DataFrame:
+    def docs_split(pred) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
-        corpus_docs = docs.filter(F.col("doc_id") % exclude_mod != 0)
-        return dedup.simhash_signatures(corpus_docs, "text", "doc_id", n_bits, portable)
+        return docs.filter((F.col("doc_id") % exclude_mod != 0) & pred)
 
-    return _materialized(spark, sf_dir, "sh_sigs", sig, build)
+    recent = F.col("doc_id") % 9 == 2
+
+    def direct() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return dedup.simhash_signatures(
+            docs.filter(F.col("doc_id") % exclude_mod != 0), "text", "doc_id", n_bits, portable
+        )
+
+    try:
+        return _maintained_two_segments(
+            spark,
+            sf_dir,
+            "sh_sigs",
+            sig,
+            lambda: dedup.simhash_signatures(
+                docs_split(~recent), "text", "doc_id", n_bits, portable
+            ),
+            lambda v1: dedup.simhash_signatures(
+                docs_split(recent), "text", "doc_id", n_bits, portable
+            ),
+        )
+    except OSError:
+        return direct()
 
 
 def span_corpus_index(
@@ -306,15 +378,37 @@ def span_corpus_index(
     k: int = 8,
 ) -> DataFrame:
     """The at-rest DISTINCT window-hash index over the CORPUS split —
-    the span-dedup sibling of minhash_corpus_index; incremental span
-    probes join against it instead of re-hashing corpus text."""
+    the span-dedup sibling of minhash_corpus_index, MAINTAINED as an
+    append-segment table. Distinctness spans documents, so the append
+    is an ANTI-JOIN: v=2 holds only the arriving slice's window hashes
+    NOT already in v=1 (keys-only join against the at-rest index —
+    O(batch tokens) probe work), and the segment union is exactly the
+    distinct-hash set of the whole corpus split (a hash seen by both
+    sides is kept once, from v=1). Incremental span probes join
+    against the union instead of re-hashing corpus text."""
+    recent = F.col("doc_id") % 9 == 2
 
-    def build() -> DataFrame:
+    def hashes(pred) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        part = docs.filter((F.col("doc_id") % exclude_mod != 0) & pred)
+        return dedup.span_hash_table(part, "text", "doc_id", k).select("__h").distinct()
+
+    def direct() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         corpus_docs = docs.filter(F.col("doc_id") % exclude_mod != 0)
         return dedup.span_hash_table(corpus_docs, "text", "doc_id", k).select("__h").distinct()
 
-    return _materialized(spark, sf_dir, "span_idx", f"{exclude_mod}|{k}|v1", build)
+    try:
+        return _maintained_two_segments(
+            spark,
+            sf_dir,
+            "span_idx",
+            f"{exclude_mod}|{k}|v2-seg",
+            lambda: hashes(~recent),
+            lambda v1: hashes(recent).join(v1, "__h", "left_anti"),
+        )
+    except OSError:
+        return direct()
 
 
 def ivf_embeddings(spark: SparkSession, sf_dir: str, n_cells: int = 16) -> DataFrame:
