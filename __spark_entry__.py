@@ -29,7 +29,7 @@ from z316_sales_data_pipeline_spark.operators import (
     skew,
     windows,
 )
-from z316_sales_data_pipeline_spark.plans import pair_graph, reconcile, sales_facts
+from z316_sales_data_pipeline_spark.plans import pair_graph, reconcile, rollup, sales_facts
 from z316_sales_data_pipeline_spark.plans.sales_facts import (
     ITENS_FACT_SQL,
     PEDIDOS_FACT_SQL,
@@ -3055,6 +3055,26 @@ FROM w GROUP BY 1, 2, 3
 """
 
 
+def _hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate / hypertable rollup (plans/rollup.py): the
+    day×event_type rollup served from a MAINTAINED table of mergeable
+    partials (append-segment snapshot sink), not from raw events. Each
+    ingest advances the table by O(batch); this serving query is an
+    O(buckets) merge of integer partials — bit-identical to the direct
+    aggregate the oracle runs, because counts and integer-cent sums
+    are commutative monoids. The 100 TB shape: dashboards hit the
+    rollup table; the event log is scanned once, at ingest."""
+    return rollup.serve(spark, sf_dir)
+
+
+_HYPERTABLE_SQL = """
+SELECT cast(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day, event_type,
+       cast(count(*) AS BIGINT) AS n_events,
+       cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
 def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (portable polynomial hash)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -5768,6 +5788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decile_lift": _decile_lift,
         "minhash_calibration": _minhash_calibration,
         "ivf_probe_sweep": _ivf_probe_sweep,
+        "hypertable_rollup": _hypertable_rollup,
         # -- changed this round: need a fresh driver-green row (7) --
         "rfm_segments": _rfm_segments,
         "contrastive_triples": _contrastive_triples,
@@ -6069,6 +6090,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_assignments": _PACK_ASSIGNMENTS_SQL,
         "rfm_segments": _RFM_SQL,
         "decile_lift": _DECILE_LIFT_SQL,
+        "hypertable_rollup": _HYPERTABLE_SQL,
         "minhash_calibration": _MINHASH_CALIBRATION_SQL,
         "ivf_probe_sweep": _IVF_PROBE_SWEEP_SQL,
         "conversion_latency": _CONVERSION_LATENCY_SQL,

@@ -797,3 +797,70 @@ def test_streaming_pair_graph_and_labels_end_to_end(spark, sf_dir, tmp_path):
 
     n_pair_versions = len([d for d in os.listdir(pairs_dir) if d.startswith("v=")])
     assert n_pair_versions >= 3  # base + >= 2 micro-batches really appended
+
+
+def test_streaming_hypertable_rollup_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """Continuous aggregate (plans/rollup.py): events arrive as a
+    STREAM and every micro-batch appends ONLY its own (bucket_day,
+    event_type) PARTIALS through the append-segment sink — O(batch)
+    per trigger, raw events never rescanned. After the stream drains,
+    merging the maintained partials equals the one-shot direct
+    aggregate over all events bit-for-bit (counts and integer-cent
+    sums are commutative monoids, so segment boundaries — including
+    late rows landing a bucket's delta in a later segment — cannot
+    perturb the merge)."""
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.plans import rollup
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    table_dir = str(tmp_path / "ht_rollup")
+
+    # v=1: partials of the already-ingested base
+    arriving = F.col("event_id") % 9 == 2
+    sinks.append_snapshot(rollup.event_partials(ev.filter(~arriving)), table_dir)
+
+    new_src = str(tmp_path / "new_events")
+    ev.filter(arriving).repartition(3).write.parquet(new_src)
+
+    def maintain(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        sinks.append_snapshot(rollup.event_partials(batch_df), table_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(new_src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = rollup.merge_partials(
+        sinks.read_appended(spark, table_dir).select(
+            "bucket_day", "event_type", "n_partial", "cents_partial"
+        )
+    )
+    want = rollup.merge_partials(rollup.event_partials(ev))
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    # the stream really appended >= 2 segments, and each segment is
+    # bucket-grain partials (tiny), not raw events
+    import os
+
+    n_versions = len([d for d in os.listdir(table_dir) if d.startswith("v=")])
+    assert n_versions >= 3
+    last = spark.read.parquet(f"{table_dir}/v={n_versions}")
+    assert last.count() <= 31 * 4  # days x event types upper bound
+
+    # compaction folds segments back to one; the merge is unchanged
+    sinks.compact_appended(spark, table_dir)
+    got2 = rollup.merge_partials(
+        sinks.read_appended(spark, table_dir).select(
+            "bucket_day", "event_type", "n_partial", "cents_partial"
+        )
+    )
+    assert {tuple(r) for r in got2.collect()} == {tuple(r) for r in want.collect()}

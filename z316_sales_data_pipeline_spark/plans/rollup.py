@@ -1,0 +1,109 @@
+"""Continuous aggregate ("hypertable rollup") over the events stream.
+
+The reference's event tables are queried at bucket grain far more often
+than at row grain (SURVEY §2 E-family rollups; the reference recomputes
+them per run — e.g. the per-folder recount in
+/root/reference/data_validation/api_to_gcs-checker.py). At 100 TB an
+events table cannot be rescanned per dashboard query; the lakehouse
+answer is TimescaleDB-style continuous aggregates: a MAINTAINED rollup
+table of MERGEABLE PARTIALS at (time bucket × dimension) grain that
+each ingest micro-batch advances by O(batch), and that serving queries
+merge with an O(buckets) aggregate — never touching raw events.
+
+This module expresses that Spark-first on the append-segment snapshot
+sink (sinks.append_snapshot / read_appended):
+
+- each segment ``v=N`` holds the PARTIAL aggregates (count, integer-
+  cent sum) of ONLY that batch's events — counts and integer sums are
+  commutative monoids, so partials merge to exactly the direct answer
+  regardless of how events were split across segments (late/out-of-
+  order rows simply land their bucket's delta in a later segment);
+- ``serve()`` is the merge: one partitioned scan of the segment union
+  (the ``v=N`` layout is hive partitioning — no shuffle to read),
+  then a hash aggregate over O(buckets × segments) rows, map-side
+  combinable. Raw events are never re-read.
+
+Scale shape: the rollup table is ~|buckets × event_types × segments|
+rows — bounded by compaction (sinks.compact_appended folds segments
+back to one) — versus the unbounded event log. AVG/VAR extend the same
+way (sum+count / sum+sum²+count partials); exact medians do not — at
+lake scale a mergeable sketch (operators/sketch.histogram_table)
+is the continuous-aggregate form for quantiles.
+
+Value sums are integer cents (``round(value*100)`` — the 2dp source
+scale is exact), so segment merge order cannot perturb a float sum and
+the served table is bit-identical to the direct aggregate — pinned by
+the oracle twin and by the streaming maintenance test
+(tests/test_streaming.py), which drives the same loop per micro-batch
+via foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import pair_graph
+
+
+def event_partials(events: DataFrame) -> DataFrame:
+    """Partial (mergeable) day×type aggregates of one event slice:
+    ``(bucket_day, event_type, n_partial, cents_partial)``. Counts and
+    integer-cent sums are the monoid state; merging = summing."""
+    return events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket_day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_partial"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents_partial"),
+    )
+
+
+def merge_partials(partials: DataFrame) -> DataFrame:
+    """Merge segment partials to the served rollup — the only work a
+    serving query does (O(buckets × segments) rows, map-side
+    combinable hash agg; raw events are never re-read)."""
+    return partials.groupBy("bucket_day", "event_type").agg(
+        F.sum("n_partial").alias("n_events"),
+        F.sum("cents_partial").alias("value_cents"),
+    )
+
+
+def continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained rollup table: v=1 = partials of the already-
+    ingested base, v=2 = partials of ONLY the arriving slice
+    (event_id % 9 == 2 — the same arriving-slice convention as the
+    maintained MinHash/SimHash/span/IVF relations), installed with the
+    tmp-dir + atomic-rename + ``_LATEST >= 2`` discipline and served
+    through read_appended. Falls back to a direct build if the cache
+    directory is unusable."""
+    recent = F.col("event_id") % 9 == 2
+
+    def partials_of(pred) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        return event_partials(ev.filter(pred))
+
+    try:
+        return pair_graph._maintained_two_segments(
+            spark,
+            sf_dir,
+            "ht_rollup",
+            "day|cents|v2-seg",
+            lambda: partials_of(~recent),
+            lambda v1: partials_of(recent),
+            src_table="events",
+        )
+    except OSError:
+        return event_partials(load_table(spark, sf_dir, "events"))
+
+
+def serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate serving query: merge the maintained
+    segment partials. Equals the direct aggregate over raw events
+    bit-for-bit (integer partials; oracle-checked)."""
+    return merge_partials(
+        continuous_rollup(spark, sf_dir).select(
+            "bucket_day", "event_type", "n_partial", "cents_partial"
+        )
+    )
