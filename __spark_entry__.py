@@ -3055,6 +3055,116 @@ FROM w GROUP BY 1, 2, 3
 """
 
 
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (operators/similarity.py
+    pq_encode): every vector compressed to m=4 subspace codes against
+    the deterministic 16-word codebook — the 64×-smaller at-rest
+    representation that lets a 100 TB corpus's first-pass ANN index
+    fit in memory (pq_recall_eval audits what the compression costs).
+    Plan: broadcast codebook join + PARTITIONED argmin window; no
+    vector payload shuffle. The oracle replays the same frozen
+    codebook, floor-scaled squared-L2 argmin and lowest-code
+    tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(emb, "embedding", "vec_id", m=4, n_codes=16)
+
+
+_PQ_CODES_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+    FROM e ORDER BY vec_id LIMIT 16
+), s AS (SELECT unnest(range(4)) AS sub),
+cb AS (
+    SELECT s.sub, cb0.code, cb0.v[s.sub*16+1 : s.sub*16+16] AS cv
+    FROM cb0 CROSS JOIN s
+), x AS (
+    SELECT e.vec_id, s.sub, e.v[s.sub*16+1 : s.sub*16+16] AS sv
+    FROM e CROSS JOIN s
+)
+SELECT vec_id, cast(sub AS INTEGER) AS sub, cast(code AS INTEGER) AS code
+FROM (
+    SELECT x.vec_id, x.sub, cb.code,
+           row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
+               CAST(floor((list_dot_product(x.sv, x.sv)
+                           - 2 * list_dot_product(x.sv, cb.cv)
+                           + list_dot_product(cb.cv, cb.cv)) * 1000000) AS BIGINT),
+               cb.code) AS rn
+    FROM x JOIN cb USING (sub)
+) t WHERE rn = 1
+"""
+
+
+def _pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ/ADC compressed scan vs exact L2 top-k per
+    deterministic query (operators/similarity.py pq_recall_eval) —
+    the PQ sibling of ann_recall_eval. Approximate distances are sums
+    of bigint micro-unit LUT entries (order-free, engine-portable);
+    the exact arm ranks the same floor-scaled squared L2. The audit an
+    operator reads before serving retrieval from the codes table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_recall_eval(
+        emb, "embedding", "vec_id", query_mod=100, k=10, m=4, n_codes=16
+    )
+
+
+_PQ_RECALL_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+    FROM e ORDER BY vec_id LIMIT 16
+), s AS (SELECT unnest(range(4)) AS sub),
+cb AS (
+    SELECT s.sub, cb0.code, cb0.v[s.sub*16+1 : s.sub*16+16] AS cv
+    FROM cb0 CROSS JOIN s
+), x AS (
+    SELECT e.vec_id, s.sub, e.v[s.sub*16+1 : s.sub*16+16] AS sv
+    FROM e CROSS JOIN s
+), codes AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT x.vec_id, x.sub, cb.code,
+               row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
+                   CAST(floor((list_dot_product(x.sv, x.sv)
+                               - 2 * list_dot_product(x.sv, cb.cv)
+                               + list_dot_product(cb.cv, cb.cv)) * 1000000) AS BIGINT),
+                   cb.code) AS rn
+        FROM x JOIN cb USING (sub)
+    ) t WHERE rn = 1
+), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+qs AS (
+    SELECT q.query_id, s.sub, q.qv[s.sub*16+1 : s.sub*16+16] AS qsv
+    FROM q CROSS JOIN s
+), lut AS (
+    SELECT qs.query_id, qs.sub, cb.code,
+           CAST(floor((list_dot_product(qs.qsv, qs.qsv)
+                       - 2 * list_dot_product(qs.qsv, cb.cv)
+                       + list_dot_product(cb.cv, cb.cv)) * 1000000) AS BIGINT) AS ld
+    FROM qs JOIN cb USING (sub)
+), adc AS (
+    SELECT lut.query_id, codes.vec_id, sum(lut.ld) AS adist
+    FROM codes JOIN lut USING (sub, code)
+    GROUP BY lut.query_id, codes.vec_id
+), adc_top AS (
+    SELECT query_id, vec_id FROM adc
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) <= 10
+), exact_top AS (
+    SELECT q.query_id, e.vec_id
+    FROM q CROSS JOIN e
+    QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY
+        CAST(floor((list_dot_product(q.qv, q.qv)
+                    - 2 * list_dot_product(q.qv, e.v)
+                    + list_dot_product(e.v, e.v)) * 1000000) AS BIGINT), e.vec_id) <= 10
+), h AS (
+    SELECT adc_top.query_id, count(*) AS n_hits
+    FROM adc_top JOIN exact_top USING (query_id, vec_id)
+    GROUP BY adc_top.query_id
+)
+SELECT q.query_id, cast(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall_at_k
+FROM q LEFT JOIN h USING (query_id)
+"""
+
+
 def _hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous aggregate / hypertable rollup (plans/rollup.py): the
     day×event_type rollup served from a MAINTAINED table of mergeable
@@ -5789,6 +5899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": _minhash_calibration,
         "ivf_probe_sweep": _ivf_probe_sweep,
         "hypertable_rollup": _hypertable_rollup,
+        "pq_codes": _pq_codes,
+        "pq_recall_eval": _pq_recall_eval,
         # -- changed this round: need a fresh driver-green row (7) --
         "rfm_segments": _rfm_segments,
         "contrastive_triples": _contrastive_triples,
@@ -6091,6 +6203,8 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": _RFM_SQL,
         "decile_lift": _DECILE_LIFT_SQL,
         "hypertable_rollup": _HYPERTABLE_SQL,
+        "pq_codes": _PQ_CODES_SQL,
+        "pq_recall_eval": _PQ_RECALL_SQL,
         "minhash_calibration": _MINHASH_CALIBRATION_SQL,
         "ivf_probe_sweep": _IVF_PROBE_SWEEP_SQL,
         "conversion_latency": _CONVERSION_LATENCY_SQL,

@@ -577,3 +577,38 @@ def test_ivf_probe_sweep_recall_monotone_and_bounded(spark, sf_dir):
         last = r["mean_recall_at_k"]
         assert r["mean_recall_at_k"] == round(r["sum_hits"] / (r["n_queries"] * 10), 6)
     assert rows[8]["sum_hits"] > 0
+
+
+def test_pq_seed_vectors_encode_to_their_own_code(spark, sf_dir):
+    """The PQ codebook is the 16 lowest-id vectors' subvectors, so each
+    seed vector's nearest code word in every subspace is itself
+    (distance 0) — pins the codebook/encode plumbing end-to-end."""
+    from z316_sales_data_pipeline_spark.operators import similarity
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_ids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(16).collect()]
+    codes = similarity.pq_encode(emb, "embedding", "vec_id", m=4, n_codes=16)
+    got = codes.filter(F.col("vec_id").isin(seed_ids)).collect()
+    rank = {vid: i for i, vid in enumerate(seed_ids)}
+    assert len(got) == 16 * 4
+    for r in got:
+        assert r["code"] == rank[r["vec_id"]], r
+
+
+def test_pq_recall_query_always_retrieves_itself(spark, sf_dir):
+    """Each ADC query's own vector has exact distance 0 (always in the
+    exact top-10) and approximate distance equal to its quantization
+    residual — small enough on the deterministic test corpus to stay
+    in the ADC top-10, so every query scores >= 1 hit here (a
+    data-pinned regression floor, not a theorem); recall must equal
+    n_hits/10."""
+    from z316_sales_data_pipeline_spark.operators import similarity
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.pq_recall_eval(emb, "embedding", "vec_id", query_mod=100, k=10).collect()
+    assert out
+    for r in out:
+        assert 1 <= r["n_hits"] <= 10
+        assert abs(r["recall_at_k"] - r["n_hits"] / 10.0) < 1e-9

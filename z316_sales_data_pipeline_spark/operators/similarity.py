@@ -586,3 +586,178 @@ def ivf_probe_sweep(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-vector ANN scale path
+# ---------------------------------------------------------------------------
+def pq_model(
+    df: DataFrame, vec_col: str, id_col: str, m: int = 4, n_codes: int = 16
+) -> tuple[list[tuple[int, int, list[float]]], int]:
+    """Deterministic PQ codebook: split the embedding into ``m``
+    subspaces and use the ``n_codes`` lowest-id vectors' subvectors as
+    each subspace's code words (the same frozen-quantizer convention as
+    :func:`_centroids` — a trained k-means codebook would drift
+    run-to-run and break the oracle/invariant tests; the serving
+    geometry is identical). Returns ``[(sub, code, subvector)]`` rows
+    plus the subspace width. O(n_codes × dim) — a model parameter,
+    collected driver-side and broadcast, never the data."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect()
+    dim = len(rows[0][1])
+    d_sub = dim // m
+    out = []
+    for code, r in enumerate(rows):
+        v = [float(x) for x in r[1]]
+        for s in range(m):
+            out.append((s, code, v[s * d_sub : (s + 1) * d_sub]))
+    return out, d_sub
+
+
+def _pq_codebook_df(df: DataFrame, vec_col: str, id_col: str, m: int, n_codes: int):
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    model, d_sub = pq_model(df, vec_col, id_col, m, n_codes)
+    schema = StructType(
+        [
+            StructField("sub", IntegerType()),
+            StructField("code", IntegerType()),
+            StructField("cv", ArrayType(DoubleType())),
+        ]
+    )
+    return df.sparkSession.createDataFrame(model, schema), d_sub
+
+
+def _sq_l2_scaled(a: Column, b: Column) -> Column:
+    """Squared L2 distance as an exact-comparison key: the three dot
+    products (||a||² - 2a·b + ||b||²) floor-scaled to micro-units and
+    cast to bigint — floor truncates identically in Spark and DuckDB
+    (round() would diverge half-up vs half-even at an exact .5), so
+    ranking on this bigint is engine-portable with an id tie-break."""
+    d = dot(a, a) - 2 * dot(a, b) + dot(b, b)
+    return F.floor(d * 1000000).cast("long")
+
+
+def _subspaces(df: DataFrame, vec_col: str, id_col: str, m: int, d_sub: int) -> DataFrame:
+    """Explode each vector into its ``m`` subvectors (id, sub, sv) —
+    a narrow Generate over the scan, no shuffle."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).select(
+        id_col,
+        "sub",
+        F.slice(F.col("__v"), F.col("sub") * d_sub + 1, F.lit(d_sub)).alias("sv"),
+    )
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, id_col: str, m: int = 4, n_codes: int = 16
+) -> DataFrame:
+    """Encode every vector to ``m`` small codes: (id, sub, code) with
+    code = argmin_c ||subvec - codeword_c||² (lowest code wins ties).
+
+    Plan shape: broadcast the O(m × n_codes) codebook against the
+    exploded subvector relation, rank within (id, sub) — a PARTITIONED
+    window, map-side after the broadcast join; no shuffle of vector
+    payloads. At rest this table replaces the raw vectors for
+    first-pass search: m bytes-ish per vector instead of dim floats
+    (64-dim float32 → 4 codes ≈ 64× smaller), which is what lets a
+    100 TB corpus's index live in memory. Combine with the IVF cell
+    layout (plans/pair_graph.ivf_embeddings) for IVF-PQ: partition
+    pruning picks the cells, the ADC scan ranks inside them."""
+    from pyspark.sql import Window
+
+    cb, d_sub = _pq_codebook_df(df, vec_col, id_col, m, n_codes)
+    sub_df = _subspaces(df, vec_col, id_col, m, d_sub)
+    j = sub_df.join(F.broadcast(cb), "sub")
+    w = (
+        Window.partitionBy(id_col, "sub")
+        .orderBy(_sq_l2_scaled(F.col("sv"), F.col("cv")), F.col("code"))
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("sub").cast("int").alias("sub"), "code")
+    )
+
+
+def pq_recall_eval(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_mod: int = 100,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Recall@k of the PQ/ADC approximate scan vs the exact L2 top-k —
+    the PQ twin of :func:`ann_recall_eval`. Per deterministic query
+    (id % query_mod == 0): (query_id, n_hits, recall_at_k).
+
+    ADC (asymmetric distance computation): the query stays exact; each
+    database vector is its codes, and the approximate distance is the
+    sum over subspaces of a per-query LOOKUP TABLE entry
+    LUT[sub, code] = ||q_sub - codeword||². The LUT is O(queries × m ×
+    n_codes) — broadcast — and the scan costs m integer adds per
+    database vector instead of dim multiplies; distances are exact
+    bigint micro-units, so the sum is order-free and the ranking
+    engine-portable. The exact arm ranks the same floor-scaled squared
+    L2. This is the audit an operator runs before trusting the
+    codes-only table for first-pass retrieval."""
+    from pyspark.sql import Window
+
+    cb, d_sub = _pq_codebook_df(df, vec_col, id_col, m, n_codes)
+    codes = pq_encode(df, vec_col, id_col, m, n_codes)
+
+    queries = df.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    q_subs = _subspaces(queries, "__qv", "query_id", m, d_sub)
+    lut = q_subs.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        _sq_l2_scaled(F.col("sv"), F.col("cv")).alias("__ld"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("__ld").alias("__adist"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("__adist").asc(), F.col(id_col))
+    adc_top = adc.withColumn("__rn", F.row_number().over(w_adc)).filter(F.col("__rn") <= k)
+
+    qv = F.col("__qv").cast("array<double>")
+    dv = F.col(vec_col).cast("array<double>")
+    exact = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(queries))
+        .select("query_id", F.col(id_col), _sq_l2_scaled(qv, dv).alias("__d"))
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col(id_col))
+    exact_top = exact.withColumn("__rn", F.row_number().over(w_ex)).filter(F.col("__rn") <= k)
+
+    hits = (
+        adc_top.select("query_id", id_col)
+        .join(exact_top.select("query_id", id_col), ["query_id", id_col])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
