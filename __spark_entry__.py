@@ -3185,12 +3185,15 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic 16-word codebook — the 64×-smaller at-rest
     representation that lets a 100 TB corpus's first-pass ANN index
     fit in memory (pq_recall_eval audits what the compression costs).
-    Plan: broadcast codebook join + PARTITIONED argmin window; no
-    vector payload shuffle. The oracle replays the same frozen
+    Served from the MAINTAINED at-rest codes table
+    (plans/pair_graph.pq_codes_table: v=1 base + v=2 arriving slice
+    encoded with the frozen codebook — equality with the inline
+    encode pinned in pytest); the oracle replays the same frozen
     codebook, floor-scaled squared-L2 argmin and lowest-code
     tie-break."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.pq_encode(emb, "embedding", "vec_id", m=4, n_codes=16)
+    return pair_graph.pq_codes_table(spark, sf_dir, m=4, n_codes=16).select(
+        "vec_id", "sub", "code"
+    )
 
 
 _PQ_CODES_SQL = """
@@ -3225,10 +3228,16 @@ def _pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PQ sibling of ann_recall_eval. Approximate distances are sums
     of bigint micro-unit LUT entries (order-free, engine-portable);
     the exact arm ranks the same floor-scaled squared L2. The audit an
-    operator reads before serving retrieval from the codes table."""
+    operator reads before serving retrieval from the codes table —
+    and it probes the MAINTAINED at-rest codes (pair_graph.
+    pq_codes_table), so the benched cost is the ADC scan + exact arm,
+    not a re-encode."""
     emb = load_table(spark, sf_dir, "embeddings")
+    codes = pair_graph.pq_codes_table(spark, sf_dir, m=4, n_codes=16).select(
+        "vec_id", "sub", "code"
+    )
     return similarity.pq_recall_eval(
-        emb, "embedding", "vec_id", query_mod=100, k=10, m=4, n_codes=16
+        emb, "embedding", "vec_id", query_mod=100, k=10, m=4, n_codes=16, codes=codes
     )
 
 

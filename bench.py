@@ -75,6 +75,10 @@ HEADLINE = [
     # unbenched r4 queries, benched as first-class. Additions only.
     "tokenizer_fertility",
     "ann_recall_eval",
+    # r5 second-wave additions — the maintained continuous aggregate
+    # and the PQ/ADC compressed-vector path. Additions only.
+    "hypertable_rollup",
+    "pq_recall_eval",
 ]
 
 

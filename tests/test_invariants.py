@@ -612,3 +612,31 @@ def test_pq_recall_query_always_retrieves_itself(spark, sf_dir):
     for r in out:
         assert 1 <= r["n_hits"] <= 10
         assert abs(r["recall_at_k"] - r["n_hits"] / 10.0) < 1e-9
+
+
+def test_pq_codes_table_equals_inline_encode(spark, sf_dir):
+    """The maintained at-rest PQ codes table (v=1 base + v=2 arriving
+    slice, frozen codebook) equals the one-shot inline encode — the
+    same equality contract as the IVF layout — and really carries two
+    segments."""
+    from z316_sales_data_pipeline_spark.operators import similarity
+    from z316_sales_data_pipeline_spark.plans import pair_graph
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    at_rest = pair_graph.pq_codes_table(spark, sf_dir, m=4, n_codes=16)
+    inline = similarity.pq_encode(emb, "embedding", "vec_id", m=4, n_codes=16)
+    got = {(r["vec_id"], r["sub"], r["code"]) for r in at_rest.collect()}
+    want = {(r["vec_id"], r["sub"], r["code"]) for r in inline.collect()}
+    assert got == want
+    # the maintained table really carries base + arriving segments
+    import os
+
+    dirs = [
+        d
+        for d in os.listdir(pair_graph._CACHE_ROOT)
+        if d.startswith("pq_codes_") and not d.endswith(".tmp")
+    ]
+    assert dirs
+    segs = {s for d in dirs for s in os.listdir(pair_graph._CACHE_ROOT / d) if s.startswith("v=")}
+    assert {"v=1", "v=2"} <= segs

@@ -658,7 +658,12 @@ def _subspaces(df: DataFrame, vec_col: str, id_col: str, m: int, d_sub: int) -> 
 
 
 def pq_encode(
-    df: DataFrame, vec_col: str, id_col: str, m: int = 4, n_codes: int = 16
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    n_codes: int = 16,
+    codebook: tuple[DataFrame, int] | None = None,
 ) -> DataFrame:
     """Encode every vector to ``m`` small codes: (id, sub, code) with
     code = argmin_c ||subvec - codeword_c||² (lowest code wins ties).
@@ -674,7 +679,9 @@ def pq_encode(
     pruning picks the cells, the ADC scan ranks inside them."""
     from pyspark.sql import Window
 
-    cb, d_sub = _pq_codebook_df(df, vec_col, id_col, m, n_codes)
+    cb, d_sub = (
+        codebook if codebook is not None else _pq_codebook_df(df, vec_col, id_col, m, n_codes)
+    )
     sub_df = _subspaces(df, vec_col, id_col, m, d_sub)
     j = sub_df.join(F.broadcast(cb), "sub")
     w = (
@@ -696,6 +703,7 @@ def pq_recall_eval(
     k: int = 10,
     m: int = 4,
     n_codes: int = 16,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the PQ/ADC approximate scan vs the exact L2 top-k —
     the PQ twin of :func:`ann_recall_eval`. Per deterministic query
@@ -714,7 +722,8 @@ def pq_recall_eval(
     from pyspark.sql import Window
 
     cb, d_sub = _pq_codebook_df(df, vec_col, id_col, m, n_codes)
-    codes = pq_encode(df, vec_col, id_col, m, n_codes)
+    if codes is None:
+        codes = pq_encode(df, vec_col, id_col, m, n_codes, codebook=(cb, d_sub))
 
     queries = df.filter(F.col(id_col) % query_mod == 0).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")

@@ -568,3 +568,48 @@ def minhash_corpus_index(
         return sinks.read_appended(spark, ex_dir), sinks.read_appended(spark, idx_dir)
     except OSError:
         return direct()
+
+
+def pq_codes_table(
+    spark: SparkSession, sf_dir: str, m: int = 4, n_codes: int = 16
+) -> DataFrame:
+    """The at-rest PQ codes table (operators/similarity.pq_encode) —
+    the compressed-vector index a 100 TB ANN serving tier actually
+    stores (m small ints per vector, ~64× smaller than the raw
+    float32 embeddings), MAINTAINED as an append-segment table like
+    its IVF sibling: v=1 encodes the already-serving corpus, v=2
+    appends ONLY the arriving vectors (``vec_id % 9 == 2``, floored
+    above the seed ids) encoded with the SAME frozen codebook — the
+    codebook is the n_codes lowest-id vectors' subvectors, all in the
+    base, so a fresh full rebuild derives the bit-identical model and
+    the appended encoding equals the one-shot build (new vectors never
+    retrain the codebook; that is a rebuild, exactly as in a served
+    IVF-PQ index). Equality with the inline encode is pinned in
+    tests/test_invariants.py. Falls back to the inline encode if the
+    cache directory is unusable."""
+    from ..operators import similarity
+
+    def emb() -> DataFrame:
+        return load_table(spark, sf_dir, "embeddings")
+
+    arriving = (F.col("vec_id") % 9 == 2) & (F.col("vec_id") > 8 * n_codes)
+
+    def build(pred) -> DataFrame:
+        e = emb()
+        cb = similarity._pq_codebook_df(e, "embedding", "vec_id", m, n_codes)
+        return similarity.pq_encode(
+            e.filter(pred), "embedding", "vec_id", m, n_codes, codebook=cb
+        )
+
+    try:
+        return _maintained_two_segments(
+            spark,
+            sf_dir,
+            "pq_codes",
+            f"{m}|{n_codes}|v2-seg",
+            lambda: build(~arriving),
+            lambda v1: build(arriving),
+            src_table="embeddings",
+        )
+    except OSError:
+        return similarity.pq_encode(emb(), "embedding", "vec_id", m, n_codes)
