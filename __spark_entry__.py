@@ -3298,6 +3298,88 @@ FROM q LEFT JOIN h USING (query_id)
 """
 
 
+def _ivf_pq_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving, end-to-end at-rest (operators/similarity.py
+    ivf_pq_top_k): the cell-partitioned IVF layout prunes the scan to
+    4/16 partitions, then the ADC lookup table ranks the surviving
+    candidates from the MAINTAINED PQ codes table — query-time work
+    touches no raw vector. The composition a 100 TB vector tier
+    actually serves: partition pruning × 64×-compressed codes ×
+    O(m·n_codes) broadcast LUT. Exact bigint micro-unit distances,
+    id tie-break; the oracle replays the full IVF schedule, the
+    frozen codebook encode and the same LUT sum."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    at_rest = pair_graph.ivf_embeddings(spark, sf_dir, n_cells=16)
+    codes = pair_graph.pq_codes_table(spark, sf_dir, m=4, n_codes=16).select(
+        "vec_id", "sub", "code"
+    )
+    return similarity.ivf_pq_top_k(
+        emb,
+        "embedding",
+        "vec_id",
+        _KNN_QUERY_VEC,
+        k=10,
+        n_cells=16,
+        n_probe=4,
+        m=4,
+        n_codes=16,
+        assigned=at_rest,
+        codes=codes,
+    )
+
+
+def _ivf_pq_sql() -> str:
+    vec = "[" + ", ".join(str(v) for v in _KNN_QUERY_VEC) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+    FROM e ORDER BY vec_id LIMIT 16
+), d AS (
+    SELECT e.vec_id, c.cell, list_dot_product(e.v, c.cv) AS dp FROM e CROSS JOIN c
+), a AS (
+    SELECT vec_id, cell FROM d
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cell) = 1
+), pc AS (
+    SELECT cell FROM c ORDER BY list_dot_product({vec}::DOUBLE[], cv) DESC, cell LIMIT 4
+), cand AS (
+    SELECT a.vec_id FROM a WHERE a.cell IN (SELECT cell FROM pc)
+), cb0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+    FROM e ORDER BY vec_id LIMIT 16
+), s AS (SELECT unnest(range(4)) AS sub),
+cb AS (
+    SELECT s.sub, cb0.code, cb0.v[s.sub*16+1 : s.sub*16+16] AS cv
+    FROM cb0 CROSS JOIN s
+), x AS (
+    SELECT e.vec_id, s.sub, e.v[s.sub*16+1 : s.sub*16+16] AS sv
+    FROM e CROSS JOIN s
+), codes AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT x.vec_id, x.sub, cb.code,
+               row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
+                   CAST(floor((list_dot_product(x.sv, x.sv)
+                               - 2 * list_dot_product(x.sv, cb.cv)
+                               + list_dot_product(cb.cv, cb.cv)) * 1000000) AS BIGINT),
+                   cb.code) AS rn
+        FROM x JOIN cb USING (sub)
+    ) t WHERE rn = 1
+), qs AS (
+    SELECT s.sub, ({vec}::DOUBLE[])[s.sub*16+1 : s.sub*16+16] AS qsv FROM s
+), lut AS (
+    SELECT qs.sub, cb.code,
+           CAST(floor((list_dot_product(qs.qsv, qs.qsv)
+                       - 2 * list_dot_product(qs.qsv, cb.cv)
+                       + list_dot_product(cb.cv, cb.cv)) * 1000000) AS BIGINT) AS ld
+    FROM qs JOIN cb USING (sub)
+)
+SELECT codes.vec_id, cast(sum(lut.ld) AS BIGINT) AS adist
+FROM codes JOIN cand USING (vec_id) JOIN lut USING (sub, code)
+GROUP BY codes.vec_id
+ORDER BY adist, vec_id LIMIT 10
+"""
+
+
 def _hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous aggregate / hypertable rollup (plans/rollup.py): the
     day×event_type rollup served from a MAINTAINED table of mergeable
@@ -6004,17 +6086,18 @@ FROM top, tot
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is CURATED: the driver samples the FIRST 50 entries
-    # in dict order. The r5 sample = the 19 entries that have never had
+    # in dict order. The r5 sample = the 20 entries that have never had
     # a driver row (the 10 late-r4 additions VERDICT r4 item 1 names +
-    # the 9 new r5 queries: decile_lift, minhash_calibration,
+    # the 10 new r5 queries: decile_lift, minhash_calibration,
     # ivf_probe_sweep, hypertable_rollup, pq_codes, pq_recall_eval,
-    # entity_resolution, mad_outliers, l_diversity), the 7 entries whose
-    # plans or upstream at-rest relations changed this round (two-phase
-    # window re-plans; maintained MinHash index; cluster-labels
-    # completion gating), the 2 flagship facts as keepers, and 22
-    # refresh entries whose last driver-green row is r2 — the stalest
-    # slice of the registry. The remaining r2-stale entries
-    # (ngram_jaccard, knn_brute_force, embedding_near_dup, ivf_top_k,
+    # entity_resolution, mad_outliers, l_diversity, ivf_pq_top_k), the
+    # 7 entries whose plans or upstream at-rest relations changed this
+    # round (two-phase window re-plans; maintained MinHash index;
+    # cluster-labels completion gating), the 2 flagship facts as
+    # keepers, and 21 refresh entries whose last driver-green row is r2
+    # — the stalest slice of the registry. The remaining r2-stale
+    # entries (lang_id,
+    # ngram_jaccard, knn_brute_force, embedding_near_dup, ivf_top_k,
     # tumbling_counts, session_windows, doc_fingerprint, c1/f-suite,
     # token_count_bpe, salted_agg, lsh_top_k,
     # embedding_near_dup_blocked, sliding_counts, q18_top_customers,
@@ -6041,6 +6124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution": _entity_resolution,
         "mad_outliers": _mad_outliers,
         "l_diversity": _l_diversity,
+        "ivf_pq_top_k": _ivf_pq_top_k,
         # -- changed this round: need a fresh driver-green row (7) --
         "rfm_segments": _rfm_segments,
         "contrastive_triples": _contrastive_triples,
@@ -6074,8 +6158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e8_duplicate_groups": _e8_duplicate_groups,
         "dedup_exact": _dedup_exact,
         "text_quality": _text_quality,
-        "lang_id": _lang_id,
         # ---- entries below are outside the driver 50-entry sample ----
+        "lang_id": _lang_id,
         "ngram_jaccard": _ngram_jaccard,
         "knn_brute_force": _knn_brute_force,
         "embedding_near_dup": _embedding_near_dup,
@@ -6348,6 +6432,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_resolution": _ENTITY_RESOLUTION_SQL,
         "mad_outliers": _MAD_OUTLIERS_SQL,
         "l_diversity": _L_DIVERSITY_SQL,
+        "ivf_pq_top_k": _ivf_pq_sql(),
         "minhash_calibration": _MINHASH_CALIBRATION_SQL,
         "ivf_probe_sweep": _IVF_PROBE_SWEEP_SQL,
         "conversion_latency": _CONVERSION_LATENCY_SQL,

@@ -79,6 +79,7 @@ HEADLINE = [
     # and the PQ/ADC compressed-vector path. Additions only.
     "hypertable_rollup",
     "pq_recall_eval",
+    "ivf_pq_top_k",
 ]
 
 

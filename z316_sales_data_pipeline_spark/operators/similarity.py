@@ -770,3 +770,66 @@ def pq_recall_eval(
             ),
         )
     )
+
+
+def ivf_pq_top_k(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    assigned: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ serving: coarse-quantizer partition pruning picks the
+    candidate cells, then the ADC LUT ranks candidates from their PQ
+    CODES — raw vectors are never touched at query time. This is the
+    100 TB composition: pass ``assigned`` = the cell-partitioned
+    at-rest layout (plans/pair_graph.ivf_embeddings — the cell filter
+    compiles to partition pruning) and ``codes`` = the maintained
+    codes table (plans/pair_graph.pq_codes_table); the query-time work
+    is a pruned id scan + an O(m × n_codes) broadcast LUT + m bigint
+    adds per candidate. Returns (id, adist) top-k, exact-integer
+    ranking with id tie-break (engine-portable)."""
+    import math as _math
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    cents = _centroids(df, vec_col, id_col, n_cells)
+    probe = probe_cells(cents, query_vec, n_probe)
+    if assigned is None:
+        assigned = ivf_assign(df, vec_col, cents)
+    cand = assigned.filter(F.col("cell").isin(probe)).select(id_col)
+
+    model, d_sub = pq_model(df, vec_col, id_col, m, n_codes)
+    lut_rows = []
+    for s, c, cv in model:
+        q = [float(x) for x in query_vec[s * d_sub : (s + 1) * d_sub]]
+        qq = sum(a * a for a in q)
+        qc = sum(a * b for a, b in zip(q, cv))
+        cc = sum(b * b for b in cv)
+        lut_rows.append((s, c, int(_math.floor((qq - 2 * qc + cc) * 1000000))))
+    lut = df.sparkSession.createDataFrame(
+        lut_rows,
+        StructType(
+            [
+                StructField("sub", IntegerType()),
+                StructField("code", IntegerType()),
+                StructField("ld", LongType()),
+            ]
+        ),
+    )
+    if codes is None:
+        codes = pq_encode(df, vec_col, id_col, m, n_codes)
+    return (
+        codes.join(cand, id_col)
+        .join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("ld").alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
