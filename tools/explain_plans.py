@@ -65,6 +65,21 @@ CHECKLIST = {
         "scan — the files of 12/16 cells are never read — then "
         "TakeOrderedAndProject. 1.49 s -> 0.50 s at sf0.1."
     ),
+    "ivf_pq_top_k": (
+        "IVF-PQ serving (r5 second wave). Expect: PartitionFilters "
+        "with the probe cells on the at-rest IVF scan; the codes-table "
+        "scan reads only (vec_id, sub, code); BroadcastHashJoin with "
+        "the 64-row ADC LUT; partial_sum before the exchange; "
+        "TakeOrderedAndProject for the top-k — no raw vector column "
+        "anywhere past the scans."
+    ),
+    "hypertable_rollup": (
+        "Continuous-aggregate serve (r5 second wave). Expect: ONE "
+        "partitioned parquet scan of the maintained partials (basePath "
+        "read over v=N segments), then a single hash aggregate with "
+        "partial_sum map-side — no scan of the raw events table in "
+        "the plan at all."
+    ),
     "tumbling_counts": (
         "Windowed aggregate. Expect: window expansion projected before "
         "partial aggregation; one exchange on (window, event_type)."
