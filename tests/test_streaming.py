@@ -864,3 +864,84 @@ def test_streaming_hypertable_rollup_maintenance_matches_batch(spark, sf_dir, tm
         )
     )
     assert {tuple(r) for r in got2.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_streaming_vector_index_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """The vector-serving indexes under one stream: arriving embedding
+    vectors land per micro-batch, and each trigger appends ONLY its own
+    rows to BOTH the cell-partitioned IVF layout and the PQ codes
+    table, assigned/encoded with the FROZEN models (coarse centroids
+    and codebook are the n lowest-id vectors — all in the base, never
+    retrained by an append, exactly as in a served IVF-PQ index).
+    After the stream drains, both maintained tables equal their
+    one-shot batch builds — with the pair-graph, MinHash-index and
+    hypertable-rollup streaming tests, every maintained at-rest
+    relation now has a per-micro-batch maintenance proof."""
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import similarity
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    n_cells = n_codes = 16
+    cents = similarity._centroids(emb, "embedding", "vec_id", n_cells)
+    cb = similarity._pq_codebook_df(emb, "embedding", "vec_id", 4, n_codes)
+
+    arriving = (F.col("vec_id") % 9 == 2) & (F.col("vec_id") > 8 * n_cells)
+    ivf_dir, pq_dir = str(tmp_path / "ivf"), str(tmp_path / "pq")
+    base = emb.filter(~arriving)
+    sinks.append_snapshot(
+        similarity.ivf_assign(base, "embedding", cents), ivf_dir, partition_by="cell"
+    )
+    sinks.append_snapshot(
+        similarity.pq_encode(base, "embedding", "vec_id", 4, n_codes, codebook=cb), pq_dir
+    )
+
+    new_src = str(tmp_path / "new_vecs")
+    emb.filter(arriving).repartition(3).write.parquet(new_src)
+
+    def maintain(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        sinks.append_snapshot(
+            similarity.ivf_assign(batch_df, "embedding", cents), ivf_dir, partition_by="cell"
+        )
+        sinks.append_snapshot(
+            similarity.pq_encode(batch_df, "embedding", "vec_id", 4, n_codes, codebook=cb),
+            pq_dir,
+        )
+
+    stream = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(new_src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got_ivf = {
+        (r["vec_id"], r["cell"])
+        for r in sinks.read_appended(spark, ivf_dir).select("vec_id", "cell").collect()
+    }
+    want_ivf = {
+        (r["vec_id"], r["cell"])
+        for r in similarity.ivf_assign(emb, "embedding", cents).select("vec_id", "cell").collect()
+    }
+    assert got_ivf == want_ivf
+    got_pq = {tuple(r) for r in sinks.read_appended(spark, pq_dir).collect()}
+    want_pq = {
+        tuple(r)
+        for r in similarity.pq_encode(emb, "embedding", "vec_id", 4, n_codes, codebook=cb).collect()
+    }
+    assert got_pq == want_pq
+
+    # multi-batch really happened and appends stayed O(batch)
+    import os
+
+    n_versions = len([d for d in os.listdir(pq_dir) if d.startswith("v=")])
+    assert n_versions >= 3
+    assert spark.read.parquet(f"{pq_dir}/v={n_versions}").count() < len(got_pq)
