@@ -2182,6 +2182,57 @@ WITH t AS (
     return head + f"\nSELECT nid AS doc_id, CAST(pr AS BIGINT) AS pr FROM r{n_iters}"
 
 
+def _label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-dup similarity graph via
+    3-iteration synchronous label propagation (operators/graph.py
+    label_propagation) — the local-structure companion to dup_clusters
+    (CC = reachability) and doc_pagerank (authority): template
+    families surface as communities even inside one large connected
+    component. Every step is exact integer counting with a smallest-
+    label tie-break, so the iterative algorithm is value-checked by
+    unrolled SQL CTEs, like pagerank. Reads the SAME at-rest pair
+    graph as pagerank/dup_clusters — no re-pairing."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = pair_graph.jaccard_pair_graph(spark, sf_dir, threshold=0.5, shingle_k=1)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return graph.label_propagation(edges, docs.select("doc_id"), "doc_id", n_iters=3)
+
+
+def _label_propagation_sql(n_iters: int = 3) -> str:
+    head = r"""
+WITH t AS (
+    SELECT source, doc_id,
+           list_distinct(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+    FROM documents
+), p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) /
+          cast(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5
+), e AS (
+    SELECT id_a AS src, id_b AS dst FROM p
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM p
+), l0 AS (
+    SELECT doc_id AS nid, doc_id AS lbl FROM documents
+)"""
+    for k in range(n_iters):
+        head += f""", c{k} AS (
+    SELECT e.dst AS nid, l.lbl, count(*) AS c
+    FROM e JOIN l{k} l ON e.src = l.nid
+    GROUP BY 1, 2
+), p{k} AS (
+    SELECT nid, lbl FROM c{k}
+    QUALIFY row_number() OVER (PARTITION BY nid ORDER BY c DESC, lbl) = 1
+), l{k + 1} AS (
+    SELECT l.nid, COALESCE(p.lbl, l.lbl) AS lbl
+    FROM l{k} l LEFT JOIN p{k} p USING (nid)
+)"""
+    return head + f"\nSELECT nid AS doc_id, CAST(lbl AS BIGINT) AS community FROM l{n_iters}"
+
+
 def _approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based profiling: HLL distinct + quantile sketch per
     event_type. At lake scale these replace exact distinct/percentile
@@ -6088,15 +6139,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is CURATED: the driver samples the FIRST 50 entries
     # in dict order. The r5 sample = the 20 entries that have never had
     # a driver row (the 10 late-r4 additions VERDICT r4 item 1 names +
-    # the 10 new r5 queries: decile_lift, minhash_calibration,
+    # the 11 new r5 queries: decile_lift, minhash_calibration,
     # ivf_probe_sweep, hypertable_rollup, pq_codes, pq_recall_eval,
-    # entity_resolution, mad_outliers, l_diversity, ivf_pq_top_k), the
+    # entity_resolution, mad_outliers, l_diversity, ivf_pq_top_k,
+    # label_propagation), the
     # 7 entries whose plans or upstream at-rest relations changed this
     # round (two-phase window re-plans; maintained MinHash index;
     # cluster-labels completion gating), the 2 flagship facts as
-    # keepers, and 21 refresh entries whose last driver-green row is r2
+    # keepers, and 20 refresh entries whose last driver-green row is r2
     # — the stalest slice of the registry. The remaining r2-stale
-    # entries (lang_id,
+    # entries (text_quality, lang_id,
     # ngram_jaccard, knn_brute_force, embedding_near_dup, ivf_top_k,
     # tumbling_counts, session_windows, doc_fingerprint, c1/f-suite,
     # token_count_bpe, salted_agg, lsh_top_k,
@@ -6125,6 +6177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": _mad_outliers,
         "l_diversity": _l_diversity,
         "ivf_pq_top_k": _ivf_pq_top_k,
+        "label_propagation": _label_propagation,
         # -- changed this round: need a fresh driver-green row (7) --
         "rfm_segments": _rfm_segments,
         "contrastive_triples": _contrastive_triples,
@@ -6157,8 +6210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e7_distinct_values": _e7_distinct_values,
         "e8_duplicate_groups": _e8_duplicate_groups,
         "dedup_exact": _dedup_exact,
-        "text_quality": _text_quality,
         # ---- entries below are outside the driver 50-entry sample ----
+        "text_quality": _text_quality,
         "lang_id": _lang_id,
         "ngram_jaccard": _ngram_jaccard,
         "knn_brute_force": _knn_brute_force,
@@ -6433,6 +6486,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": _MAD_OUTLIERS_SQL,
         "l_diversity": _L_DIVERSITY_SQL,
         "ivf_pq_top_k": _ivf_pq_sql(),
+        "label_propagation": _label_propagation_sql(),
         "minhash_calibration": _MINHASH_CALIBRATION_SQL,
         "ivf_probe_sweep": _IVF_PROBE_SWEEP_SQL,
         "conversion_latency": _CONVERSION_LATENCY_SQL,

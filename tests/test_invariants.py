@@ -640,3 +640,30 @@ def test_pq_codes_table_equals_inline_encode(spark, sf_dir):
     assert dirs
     segs = {s for d in dirs for s in os.listdir(pair_graph._CACHE_ROOT / d) if s.startswith("v=")}
     assert {"v=1", "v=2"} <= segs
+
+
+def test_label_propagation_toy_graph(spark):
+    """LPA semantics on a known graph: a triangle {1,2,3} plus a
+    pendant 4-5 edge and an isolate 9. After enough iterations the
+    triangle converges to its smallest label; ties resolve toward the
+    smallest label; isolated nodes keep their own id."""
+    from z316_sales_data_pipeline_spark.operators import graph
+
+    pairs = [(1, 2), (1, 3), (2, 3), (4, 5)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 9]], "doc_id long")
+    got = {
+        r["doc_id"]: r["community"]
+        for r in graph.label_propagation(edges, nodes, "doc_id", n_iters=4).collect()
+    }
+    # triangle: iter1 gives 1->2? no: nbrs of 1 are {2,3} -> min label 2;
+    # nbrs of 2 are {1,3} -> 1; nbrs of 3 are {1,2} -> 1; subsequent
+    # iterations propagate 1 everywhere in the triangle.
+    assert got[2] == 1 and got[3] == 1
+    # the 4-5 pair oscillates label-swap under synchronous updates with
+    # singleton neighbourhoods; after an EVEN iteration count each node
+    # holds its own id again — pin that deterministic behaviour.
+    assert got[4] == 4 and got[5] == 5
+    assert got[9] == 9

@@ -125,3 +125,44 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame, nodes: DataFrame, id_col: str, n_iters: int = 3
+) -> DataFrame:
+    """Synchronous label propagation (community detection), fully
+    deterministic and therefore SQL-oracle-checkable: labels start as
+    the node id, and each fixed iteration reassigns every node the
+    label MOST FREQUENT among its neighbours (ties → smallest label;
+    isolated nodes keep their own). Unlike connected components (which
+    converges to reachability), a fixed-iteration LPA exposes local
+    community structure — the near-dup graph's template families —
+    and every step is exact integer counting, so the unrolled oracle
+    matches bit-for-bit.
+
+    Plan per iteration: one shuffle to count (dst, neighbour-label)
+    pairs + a PARTITIONED argmax window + a node-grain left join —
+    O(E) work per step, node-grain state, nothing on the driver but
+    the loop counter; localCheckpoint pins plan depth like
+    pagerank_int. ``edges`` must already contain both directions."""
+    labels = nodes.select(F.col(id_col).alias("nid"), F.col(id_col).alias("lbl"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("nid").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(n_iters):
+        nbr = edges.join(
+            labels.withColumnRenamed("nid", "src"), "src"
+        ).select(F.col("dst").alias("nid"), "lbl")
+        pick = (
+            nbr.groupBy("nid", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("nid", F.col("lbl").alias("__new"))
+        )
+        labels = (
+            labels.join(pick, "nid", "left")
+            .select("nid", F.coalesce("__new", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("nid").alias(id_col), F.col("lbl").alias("community"))
