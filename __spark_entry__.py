@@ -3451,6 +3451,40 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _hypertable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day p50/p90 estimates served from the MAINTAINED histogram-
+    sketch rollup (plans/rollup.py quantiles_rollup / serve_quantiles)
+    — the quantile half of the continuous-aggregate story: exact
+    medians don't merge, fixed-range bucket counts do, so each ingest
+    appends O(buckets) counter partials and serving is a per-day
+    cumulative walk over <=64 merged rows (PARTITIONED window — never
+    a data-grain sort). Estimates are bucket left edges: deterministic
+    integers × an exactly-representable width, bit-portable; the
+    oracle replays the same bucketing and walk directly over events."""
+    return rollup.serve_quantiles(spark, sf_dir, qs=(0.5, 0.9))
+
+
+_HYPERTABLE_QUANTILES_SQL = """
+WITH b AS (
+    SELECT cast(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+           cast(least(63, greatest(0, floor(value / 7.8125))) AS INTEGER) AS bucket
+    FROM events WHERE value IS NOT NULL
+), m AS (
+    SELECT bucket_day, bucket, count(*) AS c FROM b GROUP BY 1, 2
+), cum AS (
+    SELECT bucket_day, bucket, c,
+           sum(c) OVER (PARTITION BY bucket_day ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY bucket_day) AS n
+    FROM m
+)
+SELECT bucket_day, cast(max(n) AS BIGINT) AS n,
+       min(CASE WHEN cum >= 0.5 * n THEN cast(bucket AS DOUBLE) * 7.8125 END) AS p50_est,
+       min(CASE WHEN cum >= 0.9 * n THEN cast(bucket AS DOUBLE) * 7.8125 END) AS p90_est
+FROM cum GROUP BY bucket_day
+"""
+
+
 def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (portable polynomial hash)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -6139,16 +6173,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is CURATED: the driver samples the FIRST 50 entries
     # in dict order. The r5 sample = the 20 entries that have never had
     # a driver row (the 10 late-r4 additions VERDICT r4 item 1 names +
-    # the 11 new r5 queries: decile_lift, minhash_calibration,
+    # the 12 new r5 queries: decile_lift, minhash_calibration,
     # ivf_probe_sweep, hypertable_rollup, pq_codes, pq_recall_eval,
     # entity_resolution, mad_outliers, l_diversity, ivf_pq_top_k,
-    # label_propagation), the
+    # label_propagation, hypertable_quantiles), the
     # 7 entries whose plans or upstream at-rest relations changed this
     # round (two-phase window re-plans; maintained MinHash index;
     # cluster-labels completion gating), the 2 flagship facts as
-    # keepers, and 20 refresh entries whose last driver-green row is r2
+    # keepers, and 19 refresh entries whose last driver-green row is r2
     # — the stalest slice of the registry. The remaining r2-stale
-    # entries (text_quality, lang_id,
+    # entries (dedup_exact, text_quality, lang_id,
     # ngram_jaccard, knn_brute_force, embedding_near_dup, ivf_top_k,
     # tumbling_counts, session_windows, doc_fingerprint, c1/f-suite,
     # token_count_bpe, salted_agg, lsh_top_k,
@@ -6178,6 +6212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": _l_diversity,
         "ivf_pq_top_k": _ivf_pq_top_k,
         "label_propagation": _label_propagation,
+        "hypertable_quantiles": _hypertable_quantiles,
         # -- changed this round: need a fresh driver-green row (7) --
         "rfm_segments": _rfm_segments,
         "contrastive_triples": _contrastive_triples,
@@ -6209,8 +6244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_intersect": _g3_intersect,
         "e7_distinct_values": _e7_distinct_values,
         "e8_duplicate_groups": _e8_duplicate_groups,
-        "dedup_exact": _dedup_exact,
         # ---- entries below are outside the driver 50-entry sample ----
+        "dedup_exact": _dedup_exact,
         "text_quality": _text_quality,
         "lang_id": _lang_id,
         "ngram_jaccard": _ngram_jaccard,
@@ -6487,6 +6522,7 @@ def oracle_sql() -> dict[str, str]:
         "l_diversity": _L_DIVERSITY_SQL,
         "ivf_pq_top_k": _ivf_pq_sql(),
         "label_propagation": _label_propagation_sql(),
+        "hypertable_quantiles": _HYPERTABLE_QUANTILES_SQL,
         "minhash_calibration": _MINHASH_CALIBRATION_SQL,
         "ivf_probe_sweep": _IVF_PROBE_SWEEP_SQL,
         "conversion_latency": _CONVERSION_LATENCY_SQL,

@@ -667,3 +667,34 @@ def test_label_propagation_toy_graph(spark):
     # holds its own id again — pin that deterministic behaviour.
     assert got[4] == 4 and got[5] == 5
     assert got[9] == 9
+
+
+def test_hypertable_quantile_estimates_are_bucket_bounded(spark, sf_dir):
+    """The sketch-served per-day p50/p90 report the LEFT EDGE of the
+    bucket holding the q-th order statistic (first value whose
+    cumulative frequency reaches q — percentile_disc semantics, the
+    same rank the cumulative-count walk finds), so each exact disc
+    percentile must lie inside [est, est + width). n must equal the
+    day's event count. (The INTERPOLATED percentile has no such bound:
+    it averages between order stats that can straddle buckets.)"""
+    from z316_sales_data_pipeline_spark.plans import rollup
+
+    width = 500.0 / 64
+    got = {r["bucket_day"]: r for r in rollup.serve_quantiles(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["bucket_day"]: r
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("bucket_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for day, g in got.items():
+        e = exact[day]
+        assert g["n"] == e["n"]
+        assert g["p50_est"] <= e["p50"] < g["p50_est"] + width
+        assert g["p90_est"] <= e["p90"] < g["p90_est"] + width

@@ -107,3 +107,78 @@ def serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket_day", "event_type", "n_partial", "cents_partial"
         )
     )
+
+
+def value_histogram_partials(
+    events: DataFrame, lo: float = 0.0, hi: float = 500.0, n_buckets: int = 64
+) -> DataFrame:
+    """Per-day histogram-sketch partials over ``value`` — the
+    QUANTILE extension of the continuous aggregate: exact medians
+    don't merge, but fixed-range bucket counts do (counter addition,
+    like the count/sum partials of :func:`event_partials`). One hash
+    aggregate; at most n_buckets rows per day per segment."""
+    from ..operators import sketch
+
+    return sketch.histogram_table(
+        events, "value", F.date_trunc("day", F.col("ts")), lo, hi, n_buckets
+    ).withColumnRenamed("part", "bucket_day")
+
+
+def quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained per-day histogram table (same v=1 base + v=2
+    arriving-slice convention and atomic install as
+    :func:`continuous_rollup`)."""
+    recent = F.col("event_id") % 9 == 2
+
+    def partials_of(pred) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        return value_histogram_partials(ev.filter(pred))
+
+    try:
+        return pair_graph._maintained_two_segments(
+            spark,
+            sf_dir,
+            "ht_quant",
+            "day|hist0-500-64|v2-seg",
+            lambda: partials_of(~recent),
+            lambda v1: partials_of(recent),
+            src_table="events",
+        )
+    except OSError:
+        return value_histogram_partials(load_table(spark, sf_dir, "events"))
+
+
+def serve_quantiles(
+    spark: SparkSession,
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.5, 0.9),
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-day quantile estimates from the maintained histogram
+    partials: merge bucket counts, walk each day's cumulative
+    distribution (a PARTITIONED window over <= n_buckets rows per
+    day), report each quantile as the left edge of the first bucket
+    whose cumulative count reaches q*N — deterministic, bit-portable,
+    error-bounded by one bucket width. Raw events are never re-read;
+    this is what 'continuous aggregate' means for a non-mergeable
+    statistic."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_buckets
+    t = quantiles_rollup(spark, sf_dir).select("bucket_day", "bucket", "c")
+    merged = t.groupBy("bucket_day", "bucket").agg(F.sum("c").alias("c"))
+    wc = (
+        Window.partitionBy("bucket_day")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("bucket_day")
+    cum = merged.withColumn("cum", F.sum("c").over(wc)).withColumn("n", F.sum("c").over(wn))
+    aggs = [F.max("n").cast("long").alias("n")]
+    for q in qs:
+        name = f"p{int(q * 100)}_est"
+        edge = F.col("bucket") * F.lit(width) + F.lit(lo)
+        aggs.append(F.min(F.when(F.col("cum") >= F.lit(q) * F.col("n"), edge)).alias(name))
+    return cum.groupBy("bucket_day").agg(*aggs)
