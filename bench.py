@@ -80,6 +80,8 @@ HEADLINE = [
     "hypertable_rollup",
     "pq_recall_eval",
     "ivf_pq_top_k",
+    "label_propagation",
+    "hypertable_quantiles",
 ]
 
 
