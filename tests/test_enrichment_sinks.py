@@ -195,3 +195,47 @@ def test_two_phase_handles_empty_and_single_partition_input(spark):
     one = spark.createDataFrame([(7, 3)], "id long, v long")
     got, n = W.two_phase_row_number(one, [F.col("id").asc()], "r")
     assert n == 1 and [tuple(r) for r in got.collect()] == [(7, 3, 1)]
+
+
+def test_append_snapshot_exactly_once_under_replay(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: the same epoch can be re-delivered
+    after a crash. With txn_key, a replayed append is a no-op against
+    the committed segment, and an uncommitted crash orphan (segment
+    written, pointer never flipped) is detected and replaced — the
+    Delta txnAppId/txnVersion contract on the append-segment sink."""
+    import os
+    import shutil
+
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    base = ev.filter(F.col("event_id") % 3 == 0)
+    b1 = ev.filter(F.col("event_id") % 3 == 1)
+    b2 = ev.filter(F.col("event_id") % 3 == 2)
+    d = str(tmp_path / "t")
+
+    sinks.append_snapshot(base, d)
+    v = sinks.append_snapshot(b1, d, txn_key="epoch-1")
+    assert v == 2
+    n_after_first = sinks.read_appended(spark, d).count()
+
+    # replay of the SAME epoch: no new segment, same rows
+    v_replay = sinks.append_snapshot(b1, d, txn_key="epoch-1")
+    assert v_replay == 2
+    assert sinks.read_appended(spark, d).count() == n_after_first
+    assert len([x for x in os.listdir(d) if x.startswith("v=")]) == 2
+
+    # forge a crash: segment written for epoch-2 but pointer never
+    # flipped (copy v=2's files as an orphan v=3)
+    shutil.copytree(f"{d}/v=2", f"{d}/v=3")
+    with open(f"{d}/v=3/_TXN", "w") as f:
+        f.write("epoch-2")
+    assert int(open(f"{d}/_LATEST").read()) == 2  # reader never sees v=3
+
+    # the replayed epoch-2 append must discard the orphan and commit
+    v2 = sinks.append_snapshot(b2, d, txn_key="epoch-2")
+    assert v2 == 3
+    got = {r["event_id"] for r in sinks.read_appended(spark, d).select("event_id").collect()}
+    want = {r["event_id"] for r in ev.select("event_id").collect()}
+    assert got == want

@@ -826,7 +826,10 @@ def test_streaming_hypertable_rollup_maintenance_matches_batch(spark, sf_dir, tm
     def maintain(batch_df, epoch_id):
         if batch_df.isEmpty():
             return
-        sinks.append_snapshot(rollup.event_partials(batch_df), table_dir)
+        # epoch-keyed: a re-delivered trigger cannot double the segment
+        sinks.append_snapshot(
+            rollup.event_partials(batch_df), table_dir, txn_key=f"ht-{epoch_id}"
+        )
 
     stream = (
         spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(new_src)
@@ -905,11 +908,15 @@ def test_streaming_vector_index_maintenance_matches_batch(spark, sf_dir, tmp_pat
         if batch_df.isEmpty():
             return
         sinks.append_snapshot(
-            similarity.ivf_assign(batch_df, "embedding", cents), ivf_dir, partition_by="cell"
+            similarity.ivf_assign(batch_df, "embedding", cents),
+            ivf_dir,
+            partition_by="cell",
+            txn_key=f"ivf-{epoch_id}",
         )
         sinks.append_snapshot(
             similarity.pq_encode(batch_df, "embedding", "vec_id", 4, n_codes, codebook=cb),
             pq_dir,
+            txn_key=f"pq-{epoch_id}",
         )
 
     stream = (

@@ -157,7 +157,12 @@ def write_snapshot(df: DataFrame, table_dir: str, partition_by: str | None = Non
     return new_v
 
 
-def append_snapshot(df: DataFrame, table_dir: str, partition_by: str | None = None) -> int:
+def append_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    partition_by: str | None = None,
+    txn_key: str | None = None,
+) -> int:
     """B2 streaming append through the versioned pointer: land ``df``
     as a NEW immutable ``v=N`` SEGMENT holding ONLY the appended rows
     and flip ``_LATEST`` — the per-micro-batch cost is O(batch), old
@@ -169,15 +174,71 @@ def append_snapshot(df: DataFrame, table_dir: str, partition_by: str | None = No
     compacted by :func:`compact_appended` (union → one new segment),
     never by :func:`vacuum_snapshots` — deleting an old segment would
     drop its rows, not an old image — a ``_KIND`` marker makes the
-    sink refuse that mistake. Returns the new version number."""
-    import os
+    sink refuse that mistake. Returns the version number holding the
+    rows (the new one, or the already-committed one on a replay).
 
-    v = write_snapshot(df, table_dir, partition_by)
+    ``txn_key`` makes the append EXACTLY-ONCE under replays —
+    foreachBatch is at-least-once, so a crashed trigger re-delivers
+    its epoch and a naive append would double the segment (Delta
+    solves this with the ``txnAppId``/``txnVersion`` log entry; the
+    marker file is that entry here). With a key (e.g. the epoch id):
+
+    - a segment at-or-below _LATEST carrying the same key is the
+      committed result of a previous attempt → no-op, return it;
+    - any segment ABOVE _LATEST is an uncommitted orphan from a crash
+      between the segment write and the pointer flip — readers have
+      never seen it (read_appended cuts at _LATEST) → removed, then
+      the append re-runs. The key lands inside the segment dir BEFORE
+      the pointer flip, so every committed segment's provenance is on
+      disk (underscore-prefixed — invisible to the parquet scan).
+
+    Single-writer-per-table, like every sink here; idempotency is
+    against REPLAY of the same logical batch, not concurrent writers."""
+    import os
+    import shutil
+
+    os.makedirs(table_dir, exist_ok=True)
+    latest = 0
+    try:
+        with open(os.path.join(table_dir, "_LATEST")) as f:
+            latest = int(f.read().strip())
+    except (OSError, ValueError):
+        pass
+    segs = {
+        int(d.split("=", 1)[1]): d
+        for d in os.listdir(table_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    }
+    if txn_key is not None:
+        for v, d in segs.items():
+            if v <= latest:
+                try:
+                    with open(os.path.join(table_dir, d, "_TXN")) as f:
+                        if f.read() == txn_key:
+                            return v  # replayed epoch: already committed
+                except OSError:
+                    pass
+    for v, d in segs.items():
+        if v > latest:  # crash orphan: written but never committed
+            shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+
+    new_v = latest + 1
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(f"{table_dir}/v={new_v}")
+    if txn_key is not None:
+        with open(f"{table_dir}/v={new_v}/_TXN", "w") as f:
+            f.write(txn_key)
+    tmp = f"{table_dir}/_LATEST.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(new_v))
+    os.replace(tmp, f"{table_dir}/_LATEST")  # atomic commit
     kind = os.path.join(table_dir, "_KIND")
     if not os.path.exists(kind):
         with open(kind, "w") as f:
             f.write("append")
-    return v
+    return new_v
 
 
 def read_appended(spark, table_dir: str, version: int | None = None) -> DataFrame:
