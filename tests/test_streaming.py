@@ -815,10 +815,12 @@ def test_streaming_hypertable_rollup_maintenance_matches_batch(spark, sf_dir, tm
 
     ev = load_table(spark, sf_dir, "events")
     table_dir = str(tmp_path / "ht_rollup")
+    quant_dir = str(tmp_path / "ht_quant")
 
-    # v=1: partials of the already-ingested base
+    # v=1: partials of the already-ingested base (sum AND sketch forms)
     arriving = F.col("event_id") % 9 == 2
     sinks.append_snapshot(rollup.event_partials(ev.filter(~arriving)), table_dir)
+    sinks.append_snapshot(rollup.value_histogram_partials(ev.filter(~arriving)), quant_dir)
 
     new_src = str(tmp_path / "new_events")
     ev.filter(arriving).repartition(3).write.parquet(new_src)
@@ -829,6 +831,9 @@ def test_streaming_hypertable_rollup_maintenance_matches_batch(spark, sf_dir, tm
         # epoch-keyed: a re-delivered trigger cannot double the segment
         sinks.append_snapshot(
             rollup.event_partials(batch_df), table_dir, txn_key=f"ht-{epoch_id}"
+        )
+        sinks.append_snapshot(
+            rollup.value_histogram_partials(batch_df), quant_dir, txn_key=f"hq-{epoch_id}"
         )
 
     stream = (
@@ -849,6 +854,20 @@ def test_streaming_hypertable_rollup_maintenance_matches_batch(spark, sf_dir, tm
     )
     want = rollup.merge_partials(rollup.event_partials(ev))
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    # the histogram-sketch partials merge to the direct bucket counts
+    # the same way (the quantile half of the continuous aggregate)
+    got_q = (
+        sinks.read_appended(spark, quant_dir)
+        .groupBy("bucket_day", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    want_q = (
+        rollup.value_histogram_partials(ev)
+        .groupBy("bucket_day", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert {tuple(r) for r in got_q.collect()} == {tuple(r) for r in want_q.collect()}
 
     # the stream really appended >= 2 segments, and each segment is
     # bucket-grain partials (tiny), not raw events
