@@ -3106,6 +3106,47 @@ FROM w GROUP BY 1, 2, 3
 """
 
 
+def _skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew profiler — the measurement BEHIND the salting
+    recipes (operators/skew.py) and AQE skew thresholds: for the
+    lineitem order key, the 20 heaviest keys with their row share and
+    skew factor (count / mean-rows-per-key). An operator reads this
+    before picking a salt fan-out or trusting a broadcast; at 100 TB
+    it is one map-side-combinable count aggregate + a 20-row TakeOrdered
+    — never a sort of the key space. Shares and factors are divisions
+    of exact integers (identical doubles in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per.agg(
+        F.sum("cnt").alias("__rows"), F.count(F.lit(1)).alias("__keys")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "l_orderkey",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__rows"), 6).alias("row_share"),
+            F.round(F.col("cnt") * F.col("__keys") / F.col("__rows"), 6).alias("skew_factor"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("l_orderkey").asc())
+        .limit(20)
+    )
+
+
+_SKEW_PROFILE_SQL = """
+WITH per AS (
+    SELECT l_orderkey, cast(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1
+), tot AS (
+    SELECT cast(sum(cnt) AS BIGINT) AS rows_, cast(count(*) AS BIGINT) AS keys_ FROM per
+)
+SELECT l_orderkey, cnt,
+       round(cast(cnt AS DOUBLE) / rows_, 6) AS row_share,
+       round(cast(cnt AS DOUBLE) * keys_ / rows_, 6) AS skew_factor
+FROM per CROSS JOIN tot
+ORDER BY cnt DESC, l_orderkey LIMIT 20
+"""
+
+
 def _entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy record linkage over the part dimension — the
     entity-resolution shape (Fellegi-Sunter blocking stage) the
@@ -6173,16 +6214,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is CURATED: the driver samples the FIRST 50 entries
     # in dict order. The r5 sample = the 20 entries that have never had
     # a driver row (the 10 late-r4 additions VERDICT r4 item 1 names +
-    # the 12 new r5 queries: decile_lift, minhash_calibration,
+    # the 13 new r5 queries: decile_lift, minhash_calibration,
     # ivf_probe_sweep, hypertable_rollup, pq_codes, pq_recall_eval,
     # entity_resolution, mad_outliers, l_diversity, ivf_pq_top_k,
-    # label_propagation, hypertable_quantiles), the
+    # label_propagation, hypertable_quantiles, skew_profile), the
     # 7 entries whose plans or upstream at-rest relations changed this
     # round (two-phase window re-plans; maintained MinHash index;
     # cluster-labels completion gating), the 2 flagship facts as
-    # keepers, and 19 refresh entries whose last driver-green row is r2
+    # keepers, and 18 refresh entries whose last driver-green row is r2
     # — the stalest slice of the registry. The remaining r2-stale
-    # entries (dedup_exact, text_quality, lang_id,
+    # entries (e8_duplicate_groups, dedup_exact, text_quality, lang_id,
     # ngram_jaccard, knn_brute_force, embedding_near_dup, ivf_top_k,
     # tumbling_counts, session_windows, doc_fingerprint, c1/f-suite,
     # token_count_bpe, salted_agg, lsh_top_k,
@@ -6213,6 +6254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_top_k": _ivf_pq_top_k,
         "label_propagation": _label_propagation,
         "hypertable_quantiles": _hypertable_quantiles,
+        "skew_profile": _skew_profile,
         # -- changed this round: need a fresh driver-green row (7) --
         "rfm_segments": _rfm_segments,
         "contrastive_triples": _contrastive_triples,
@@ -6243,8 +6285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_union_distinct": _g2_union_distinct,
         "g3_intersect": _g3_intersect,
         "e7_distinct_values": _e7_distinct_values,
-        "e8_duplicate_groups": _e8_duplicate_groups,
         # ---- entries below are outside the driver 50-entry sample ----
+        "e8_duplicate_groups": _e8_duplicate_groups,
         "dedup_exact": _dedup_exact,
         "text_quality": _text_quality,
         "lang_id": _lang_id,
@@ -6523,6 +6565,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_top_k": _ivf_pq_sql(),
         "label_propagation": _label_propagation_sql(),
         "hypertable_quantiles": _HYPERTABLE_QUANTILES_SQL,
+        "skew_profile": _SKEW_PROFILE_SQL,
         "minhash_calibration": _MINHASH_CALIBRATION_SQL,
         "ivf_probe_sweep": _IVF_PROBE_SWEEP_SQL,
         "conversion_latency": _CONVERSION_LATENCY_SQL,
