@@ -80,6 +80,25 @@ CHECKLIST = {
         "partial_sum map-side — no scan of the raw events table in "
         "the plan at all."
     ),
+    "hypertable_quantiles": (
+        "Quantile continuous aggregate (r5 second wave). Expect: one "
+        "partitioned scan of the maintained histogram partials, a "
+        "PARTITIONED-by-bucket_day window for the cumulative walk "
+        "(never an empty partition spec), final per-day hash agg."
+    ),
+    "label_propagation": (
+        "3-iteration LPA over the at-rest pair graph (r5 second "
+        "wave). Expect: Scan ExistingRDD roots (checkpointed label "
+        "state per iteration), count hash agg + window PARTITIONED by "
+        "nid, node-grain left join — no CartesianProduct, no "
+        "unpartitioned ordered window."
+    ),
+    "skew_profile": (
+        "Key-skew profiler (r5 second wave). Expect: ONE hash "
+        "aggregate on l_orderkey with partial_count map-side, a "
+        "broadcast of the one-row totals, TakeOrderedAndProject for "
+        "the top-20 — never a sort of the key space."
+    ),
     "tumbling_counts": (
         "Windowed aggregate. Expect: window expansion projected before "
         "partial aggregation; one exchange on (window, event_type)."
