@@ -669,8 +669,8 @@ def pq_encode(
     code = argmin_c ||subvec - codeword_c||² (lowest code wins ties).
 
     Plan shape: broadcast the O(m × n_codes) codebook against the
-    exploded subvector relation, rank within (id, sub) — a PARTITIONED
-    window, map-side after the broadcast join; no shuffle of vector
+    exploded subvector relation, then the argmin is a HASH AGGREGATE
+    on (id, sub) — no sort, no window exchange; no shuffle of vector
     payloads. At rest this table replaces the raw vectors for
     first-pass search: m bytes-ish per vector instead of dim floats
     (64-dim float32 → 4 codes ≈ 64× smaller), which is what lets a
@@ -684,14 +684,22 @@ def pq_encode(
     )
     sub_df = _subspaces(df, vec_col, id_col, m, d_sub)
     j = sub_df.join(F.broadcast(cb), "sub")
-    w = (
-        Window.partitionBy(id_col, "sub")
-        .orderBy(_sq_l2_scaled(F.col("sv"), F.col("cv")), F.col("code"))
-    )
+    # argmin as a hash aggregate, not a row_number window: min(struct)
+    # is lexicographic, so the smallest distance wins and distance-ties
+    # resolve to the lowest code — same semantics, but NO sort exchange
+    # over the N×m×n_codes candidate relation (the same window→struct
+    # swap measured at 30× on label_propagation: the sort was ~2/3 of
+    # that query's warm time).
     return (
-        j.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col("sub").cast("int").alias("sub"), "code")
+        j.groupBy(id_col, "sub")
+        .agg(
+            F.min(
+                F.struct(
+                    _sq_l2_scaled(F.col("sv"), F.col("cv")).alias("__d"), F.col("code")
+                )
+            ).alias("__m")
+        )
+        .select(F.col(id_col), F.col("sub").cast("int").alias("sub"), F.col("__m.code").alias("code"))
     )
 
 
