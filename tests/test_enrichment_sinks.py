@@ -239,3 +239,114 @@ def test_append_snapshot_exactly_once_under_replay(spark, sf_dir, tmp_path):
     got = {r["event_id"] for r in sinks.read_appended(spark, d).select("event_id").collect()}
     want = {r["event_id"] for r in ev.select("event_id").collect()}
     assert got == want
+
+
+def test_compact_appended_removes_crash_orphans_first(spark, tmp_path):
+    """r5 ADVICE: an orphan segment ABOVE _LATEST (crash between segment
+    write and pointer flip) must be deleted BEFORE compaction numbers
+    the new segment — otherwise the compacted segment lands at-or-below
+    the orphan and read_appended starts serving never-committed rows."""
+    import os
+    import shutil
+
+    from z316_sales_data_pipeline_spark import sinks
+
+    t = str(tmp_path / "seg")
+    sinks.append_snapshot(spark.range(0, 3).withColumn("b", F.lit(1)), t)
+    sinks.append_snapshot(spark.range(3, 5).withColumn("b", F.lit(2)), t)
+    # forge the crash: v=3 exists on disk but the pointer still says 2
+    shutil.copytree(f"{t}/v=2", f"{t}/v=3")
+    assert int(open(f"{t}/_LATEST").read()) == 2
+
+    new_v = sinks.compact_appended(spark, t)
+    got = {tuple(r) for r in sinks.read_appended(spark, t).collect()}
+    # the orphan's rows (a copy of segment 2) must NOT appear twice;
+    # the live table is exactly the 5 committed rows
+    assert len(got) == 5
+    assert sinks.read_appended(spark, t).count() == 5
+    assert sorted(d for d in os.listdir(t) if d.startswith("v=")) == [f"v={new_v}"]
+
+
+def test_exactly_once_survives_compaction(spark, tmp_path):
+    """r5 ADVICE: compaction deletes the folded segments' _TXN markers,
+    so committed epoch keys must live on in the table-level _TXNS log —
+    an at-least-once replay of a pre-compaction epoch stays a no-op."""
+    import os
+
+    from z316_sales_data_pipeline_spark import sinks
+
+    t = str(tmp_path / "seg")
+    sinks.append_snapshot(spark.range(0, 3).withColumn("b", F.lit(1)), t, txn_key="epoch-1")
+    sinks.append_snapshot(spark.range(3, 5).withColumn("b", F.lit(2)), t, txn_key="epoch-2")
+    sinks.compact_appended(spark, t)
+    n = sinks.read_appended(spark, t).count()
+
+    # replay of a pre-compaction epoch: no new segment, same rows
+    v = sinks.append_snapshot(spark.range(3, 5).withColumn("b", F.lit(2)), t, txn_key="epoch-2")
+    assert sinks.read_appended(spark, t).count() == n == 5
+    assert v == int(open(f"{t}/_LATEST").read())
+    assert len([d for d in os.listdir(t) if d.startswith("v=")]) == 1
+
+    # a genuinely NEW epoch still appends
+    sinks.append_snapshot(spark.range(5, 9).withColumn("b", F.lit(3)), t, txn_key="epoch-3")
+    assert sinks.read_appended(spark, t).count() == 9
+    # and the _TXNS log itself survives a second compaction
+    sinks.compact_appended(spark, t)
+    sinks.append_snapshot(spark.range(0, 3).withColumn("b", F.lit(1)), t, txn_key="epoch-1")
+    assert sinks.read_appended(spark, t).count() == 9
+
+
+def test_compact_appended_preserves_partition_layout(spark, tmp_path):
+    """r5 ADVICE: compacting a hive-partitioned append table (the IVF
+    cell layout) must keep the inner partition_by — auto-detected from
+    the existing segments — so partition pruning survives compaction
+    and later partitioned appends keep a consistent leaf depth."""
+    import os
+
+    from z316_sales_data_pipeline_spark import sinks
+
+    t = str(tmp_path / "seg")
+    df1 = spark.range(0, 6).withColumn("cell", (F.col("id") % 3).cast("int"))
+    df2 = spark.range(6, 10).withColumn("cell", (F.col("id") % 3).cast("int"))
+    sinks.append_snapshot(df1, t, partition_by="cell")
+    sinks.append_snapshot(df2, t, partition_by="cell")
+    before = {tuple(r) for r in sinks.read_appended(spark, t).select("id", "cell").collect()}
+
+    new_v = sinks.compact_appended(spark, t)  # partition_by auto-detected
+    seg = f"{t}/v={new_v}"
+    assert any(e.startswith("cell=") for e in os.listdir(seg)), "partition layout lost"
+    after_df = sinks.read_appended(spark, t)
+    assert {tuple(r) for r in after_df.select("id", "cell").collect()} == before
+    # pruning still compiles: a cell filter reads only that leaf
+    plan = after_df.filter(F.col("cell") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan
+    # a subsequent partitioned append keeps the read working (consistent depth)
+    sinks.append_snapshot(
+        spark.range(10, 12).withColumn("cell", (F.col("id") % 3).cast("int")), t,
+        partition_by="cell",
+    )
+    assert sinks.read_appended(spark, t).count() == 12
+
+
+def test_pair_graph_fresh_tmp_and_stale_sweep(tmp_path):
+    """r5 ADVICE: a crashed build's .tmp-{pid} dir must not pollute a
+    later build under a reused pid (_fresh_tmp starts EMPTY), and a
+    successful install sweeps dead siblings' leaked disk."""
+    import os
+
+    from z316_sales_data_pipeline_spark.plans.pair_graph import _fresh_tmp, _sweep_stale_tmp
+
+    out = str(tmp_path / "table")
+    stale = f"{out}.tmp-{os.getpid()}"
+    os.makedirs(f"{stale}/v=1")
+    with open(f"{stale}/v=1/junk", "w") as f:
+        f.write("stale half-built segment")
+
+    tmp = _fresh_tmp(out)
+    assert tmp == stale and not os.path.exists(tmp)  # reused pid starts clean
+
+    os.makedirs(f"{out}.tmp-99999")
+    os.makedirs(f"{out}.tmp-12345/v=1")
+    _sweep_stale_tmp(out)
+    assert not os.path.exists(f"{out}.tmp-99999")
+    assert not os.path.exists(f"{out}.tmp-12345")

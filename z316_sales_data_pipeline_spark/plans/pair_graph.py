@@ -33,6 +33,32 @@ from ..sources.tables import load_table
 _CACHE_ROOT = Path(__file__).resolve().parents[2] / "spark-warehouse" / "_pair_graph"
 
 
+def _fresh_tmp(out_dir: str) -> str:
+    """Name the private build dir for ``out_dir`` and guarantee it
+    starts EMPTY. A crashed build under a since-reused pid leaves its
+    half-built segments behind, and a later append_snapshot into the
+    reused dir would stack the new base ON TOP of the stale v=1 —
+    installing a table with duplicated base rows (r5 ADVICE). The
+    rmtree closes that; single-writer-per-pid, like the sinks."""
+    import shutil
+
+    tmp = f"{out_dir}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    return tmp
+
+
+def _sweep_stale_tmp(out_dir: str) -> None:
+    """After a successful install, opportunistically remove leftover
+    sibling ``*.tmp-*`` build dirs: the winner's tmp was renamed away
+    and a live loser deletes its own on the rename race, so anything
+    still matching is a dead build's leaked disk (r5 ADVICE)."""
+    import glob
+    import shutil
+
+    for d in glob.glob(f"{out_dir}.tmp-*"):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _materialized(
     spark: SparkSession,
     sf_dir: str,
@@ -59,7 +85,7 @@ def _materialized(
             # cache (same discipline as the snapshot sink's _LATEST
             # pointer flip); if another builder won the race, keep
             # theirs and discard ours
-            tmp = f"{out}.tmp-{os.getpid()}"
+            tmp = _fresh_tmp(out)
             w = build().write.mode("overwrite")
             if partition_by:
                 w = w.partitionBy(partition_by)
@@ -80,6 +106,7 @@ def _materialized(
                     # dir and installing our complete build
                     shutil.rmtree(out, ignore_errors=True)
                     os.rename(tmp, out)
+            _sweep_stale_tmp(out)
         return spark.read.parquet(out)
     except OSError:
         return build()
@@ -134,7 +161,7 @@ def jaccard_pair_graph(
 
             docs = load_table(spark, sf_dir, "documents")
             batch = F.col("doc_id") % batch_mod == 0
-            tmp_dir = f"{table_dir}.tmp-{os.getpid()}"
+            tmp_dir = _fresh_tmp(table_dir)
             corpus_pairs = dedup.ngram_jaccard_pairs(
                 docs.filter(~batch),
                 "text",
@@ -162,6 +189,7 @@ def jaccard_pair_graph(
                 else:
                     shutil.rmtree(table_dir, ignore_errors=True)  # torn table: repair
                     os.rename(tmp_dir, table_dir)
+            _sweep_stale_tmp(table_dir)
         return sinks.read_appended(spark, table_dir)
     except OSError:
         return direct()
@@ -227,7 +255,7 @@ def cluster_labels(
             docs = load_table(spark, sf_dir, "documents").select("doc_id")
             pairs = jaccard_pair_graph(spark, sf_dir, threshold=threshold, shingle_k=shingle_k)
             batch = F.col("doc_id") % batch_mod == 0
-            tmp_dir = f"{table_dir}.tmp-{os.getpid()}"
+            tmp_dir = _fresh_tmp(table_dir)
             at_rest = dedup.connected_components(
                 docs.filter(~batch),
                 pairs.filter((F.col("id_a") % batch_mod != 0) & (F.col("id_b") % batch_mod != 0)),
@@ -255,6 +283,7 @@ def cluster_labels(
                     # blocks the rename: repair and install ours
                     shutil.rmtree(table_dir, ignore_errors=True)
                     os.rename(tmp_dir, table_dir)
+            _sweep_stale_tmp(table_dir)
         return sinks.read_snapshot(spark, table_dir)
     except OSError:
         return direct()
@@ -311,7 +340,7 @@ def _maintained_two_segments(
     if _latest(table_dir) < 2:
         import shutil
 
-        tmp_dir = f"{table_dir}.tmp-{os.getpid()}"
+        tmp_dir = _fresh_tmp(table_dir)
         sinks.append_snapshot(build_base(), tmp_dir)
         v1 = spark.read.parquet(f"{tmp_dir}/v=1")
         sinks.append_snapshot(build_append(v1), tmp_dir)
@@ -323,6 +352,7 @@ def _maintained_two_segments(
             else:
                 shutil.rmtree(table_dir, ignore_errors=True)  # torn table: repair
                 os.rename(tmp_dir, table_dir)
+        _sweep_stale_tmp(table_dir)
     return sinks.read_appended(spark, table_dir)
 
 
@@ -463,7 +493,7 @@ def ivf_embeddings(spark: SparkSession, sf_dir: str, n_cells: int = 16) -> DataF
             # arriving slice floored above the seed ids: the frozen
             # model == the model a full rebuild would pick
             arriving = (F.col("vec_id") % 9 == 2) & (F.col("vec_id") > 8 * n_cells)
-            tmp_dir = f"{table_dir}.tmp-{os.getpid()}"
+            tmp_dir = _fresh_tmp(table_dir)
             for split in (~arriving, arriving):  # v=1 base, v=2 appended slice
                 sinks.append_snapshot(
                     similarity.ivf_assign(emb.filter(split), "embedding", cents),
@@ -478,6 +508,7 @@ def ivf_embeddings(spark: SparkSession, sf_dir: str, n_cells: int = 16) -> DataF
                 else:
                     shutil.rmtree(table_dir, ignore_errors=True)  # torn table: repair
                     os.rename(tmp_dir, table_dir)
+            _sweep_stale_tmp(table_dir)
         return sinks.read_appended(spark, table_dir)
     except OSError:
         return full()
@@ -540,8 +571,8 @@ def minhash_corpus_index(
             import shutil
 
             recent = F.col("doc_id") % 9 == 2  # the most recent ingested slice
-            tmp_ex = f"{ex_dir}.tmp-{os.getpid()}"
-            tmp_idx = f"{idx_dir}.tmp-{os.getpid()}"
+            tmp_ex = _fresh_tmp(ex_dir)
+            tmp_idx = _fresh_tmp(idx_dir)
             for split in (~recent, recent):  # v=1 base, v=2 appended slice
                 seg_ex = dedup.shingle_table(
                     corpus_docs().filter(split), "text", "doc_id", shingle_k, portable
@@ -565,6 +596,7 @@ def minhash_corpus_index(
                     else:
                         shutil.rmtree(out, ignore_errors=True)  # torn table: repair
                         os.rename(tmp, out)
+                _sweep_stale_tmp(out)
         return sinks.read_appended(spark, ex_dir), sinks.read_appended(spark, idx_dir)
     except OSError:
         return direct()

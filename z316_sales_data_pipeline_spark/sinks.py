@@ -218,6 +218,12 @@ def append_snapshot(
                             return v  # replayed epoch: already committed
                 except OSError:
                     pass
+        # compaction folds segments (and their _TXN markers) into one new
+        # segment; the folded keys live on in the table-level _TXNS log —
+        # without this check an at-least-once replay of a pre-compaction
+        # epoch would re-append rows the compacted segment already holds
+        if txn_key in _committed_txns(table_dir):
+            return latest
     for v, d in segs.items():
         if v > latest:  # crash orphan: written but never committed
             shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
@@ -261,7 +267,51 @@ def read_appended(spark, table_dir: str, version: int | None = None) -> DataFram
     )
 
 
-def compact_appended(spark, table_dir: str) -> int:
+def _committed_txns(table_dir: str) -> set[str]:
+    """The table-level log of txn keys whose segments were folded away
+    by compaction (one key per line in ``_TXNS``). Empty if absent."""
+    import os
+
+    try:
+        with open(os.path.join(table_dir, "_TXNS")) as f:
+            return {line for line in f.read().splitlines() if line}
+    except OSError:
+        return set()
+
+
+def _record_txns(table_dir: str, keys: set[str]) -> None:
+    """Merge ``keys`` into the ``_TXNS`` log atomically (read-merge-
+    replace — single-writer-per-table, like every sink here)."""
+    import os
+
+    merged = _committed_txns(table_dir) | keys
+    if not merged:
+        return
+    tmp = os.path.join(table_dir, "_TXNS.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(sorted(merged)) + "\n")
+    os.replace(tmp, os.path.join(table_dir, "_TXNS"))
+
+
+def _detect_segment_partitioning(table_dir: str, seg_dirs: list[str]) -> str | None:
+    """Infer the inner hive partition column of an append-segment
+    table from the first committed segment's layout: exactly one
+    ``col=value`` subdirectory level → that column (e.g. the IVF
+    ``cell`` layout). Flat segments → None."""
+    import os
+
+    for d in seg_dirs:
+        seg = os.path.join(table_dir, d)
+        cols = {
+            e.split("=", 1)[0]
+            for e in os.listdir(seg)
+            if "=" in e and not e.startswith("_") and os.path.isdir(os.path.join(seg, e))
+        }
+        return cols.pop() if len(cols) == 1 else None
+    return None
+
+
+def compact_appended(spark, table_dir: str, partition_by: str | None = None) -> int:
     """Compaction for an append-segment table: rewrite the union of
     all segments as ONE new segment at version N+1 and delete the old
     segment dirs — the rewrite-half of the append lifecycle
@@ -275,23 +325,57 @@ def compact_appended(spark, table_dir: str) -> int:
     mid-compaction reader of the OLD pointer still has its immutable
     dirs until the post-flip cleanup). Time travel to pre-compaction
     versions is traded away — the same trade Delta's VACUUM makes.
+
+    Crash-orphan discipline (r5 ADVICE): any segment ABOVE _LATEST was
+    written but never committed (crash between segment write and
+    pointer flip) — it is removed FIRST, so the compacted segment's
+    number can never land at-or-above an orphan and start serving its
+    uncommitted rows.
+
+    Exactly-once across compaction (r5 ADVICE): the _TXN markers of
+    the folded segments are merged into the table-level ``_TXNS`` log
+    BEFORE the old dirs are deleted, so :func:`append_snapshot` still
+    recognizes a replayed pre-compaction epoch as committed.
+
+    Partition layout (r5 ADVICE): ``partition_by`` (or, by default,
+    the column auto-detected from the existing segments' hive layout)
+    is passed through to the compacted write, so compacting e.g. the
+    cell-partitioned IVF table preserves partition pruning and keeps
+    future partitioned appends at a consistent leaf depth for the
+    basePath read.
+
     Returns the new version number."""
     import os
     import shutil
 
     with open(f"{table_dir}/_LATEST") as f:
         latest = int(f.read().strip())
-    old = [
-        d
+    segs = {
+        int(d.split("=", 1)[1]): d
         for d in os.listdir(table_dir)
-        if d.startswith("v=")
-        and d.split("=", 1)[1].isdigit()
-        and int(d.split("=", 1)[1]) <= latest
-    ]
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    }
+    for v, d in segs.items():
+        if v > latest:  # crash orphan: written but never committed
+            shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+    old = [d for v, d in sorted(segs.items()) if v <= latest]
+    if partition_by is None:
+        partition_by = _detect_segment_partitioning(table_dir, old)
+    folded_txns = set()
+    for d in old:
+        try:
+            with open(os.path.join(table_dir, d, "_TXN")) as f:
+                folded_txns.add(f.read())
+        except OSError:
+            pass
     # localCheckpoint pins the union's rows before any segment dir is
     # touched (the write below must not lazily re-read dirs mid-delete)
     merged = read_appended(spark, table_dir, version=latest).localCheckpoint(eager=True)
-    new_v = write_snapshot(merged, table_dir)  # lands v=N+1, flips pointer
+    new_v = write_snapshot(merged, table_dir, partition_by=partition_by)
+    # txn log lands BEFORE the folded segments' _TXN markers are deleted:
+    # a crash here leaves keys present in both places (idempotent), never
+    # in neither
+    _record_txns(table_dir, folded_txns)
     for d in old:
         shutil.rmtree(f"{table_dir}/{d}", ignore_errors=True)
     return new_v
