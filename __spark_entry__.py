@@ -2966,42 +2966,84 @@ ORDER BY cos DESC, vec_id LIMIT 10
 """
 
 
-def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs within label blocks (cos ≥ 0.3)."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+def _bucketed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with the shared (label × LSH-bucket) blocking key.
+
+    r5 VERDICT item 2: blocking on ``label`` alone is fixed-cardinality
+    — each block is O(n/L) rows and the within-block pair join does
+    O((n/L)²) work, still quadratic at 100 TB. The hyperplane bucket
+    (similarity.py) is the corpus-growth-bounded half of the key: at
+    scale, n_planes ≈ log2(n / target_block) keeps expected block size
+    ≈ target_block (~10⁴ vectors ⇒ ~10⁸ in-block pairs per block,
+    constant per block as n grows); here n_planes=4 (16 buckets) suits
+    the test SFs. A cos≥τ pair split across buckets is missed — the
+    standard LSH recall trade; the label-only exact baseline these
+    audits compare against lives on in the pytest invariant
+    (tests/test_invariants.py)."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .withColumn(
+            "bucket",
+            similarity.hyperplane_bucket("embedding", dim=64, n_planes=4).cast("long"),
+        )
     )
-    return dedup.embedding_near_dup_pairs(emb, "embedding", "vec_id", 0.3, block_col="label")
 
 
-_EMB_NEAR_DUP_SQL = """
-WITH e AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS emb FROM embeddings)
-SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.emb, b.emb) /
-             (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.emb, b.emb) /
-      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.3
+def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cos ≥ 0.3), blocked on label × LSH
+    bucket — the corpus-growth-bounded blocking (see
+    :func:`_bucketed_embeddings`)."""
+    return dedup.embedding_near_dup_pairs(
+        _bucketed_embeddings(spark, sf_dir), "embedding", "vec_id", 0.3,
+        block_col=["label", "bucket"],
+    )
+
+
+def _emb_bucket_bits_sql() -> str:
+    """DuckDB replay of hyperplane_bucket(dim=64, n_planes=4, seed=42):
+    the SAME deterministic LCG planes, inlined as literals (the
+    lsh_top_k oracle's pattern)."""
+    planes = similarity._hyperplanes(64, 4, seed=42)
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(emb, [{', '.join(repr(x) for x in p)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def _emb_near_dup_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS emb FROM embeddings),
+bk AS (SELECT vec_id, label, emb, CAST({_emb_bucket_bits_sql()} AS BIGINT) AS bucket FROM e)
+SELECT x.label, x.bucket, x.vec_id AS id_a, y.vec_id AS id_b,
+       round(list_dot_product(x.emb, y.emb) /
+             (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))), 6) AS cos
+FROM bk x JOIN bk y ON x.label = y.label AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE list_dot_product(x.emb, y.emb) /
+      (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))) >= 0.3
 """
 
 
 def _embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked-matmul (applyInPandas + numpy) twin of embedding_near_dup
-    — one vectorized matmul per block instead of n² interpreted dots."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+    — one vectorized matmul per (label × LSH-bucket) block instead of
+    n² interpreted dots; same corpus-growth-bounded blocking."""
+    return dedup.embedding_near_dup_blocked(
+        _bucketed_embeddings(spark, sf_dir), "embedding", "vec_id", 0.3, ["label", "bucket"]
     )
-    return dedup.embedding_near_dup_blocked(emb, "embedding", "vec_id", 0.3, "label")
 
 
-_EMB_BLOCKED_SQL = """
-WITH e AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS emb FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.emb, b.emb) /
-             (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.emb, b.emb) /
-      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.3
+def _emb_blocked_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS emb FROM embeddings),
+bk AS (SELECT vec_id, label, emb, CAST({_emb_bucket_bits_sql()} AS BIGINT) AS bucket FROM e)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       round(list_dot_product(x.emb, y.emb) /
+             (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))), 6) AS cos
+FROM bk x JOIN bk y ON x.label = y.label AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE list_dot_product(x.emb, y.emb) /
+      (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))) >= 0.3
 """
 
 
@@ -6439,8 +6481,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_top_k": _ivf_sql(),
         "lsh_top_k": _lsh_sql(),
         "simhash_portable": _simhash_portable_sql(),
-        "embedding_near_dup": _EMB_NEAR_DUP_SQL,
-        "embedding_near_dup_blocked": _EMB_BLOCKED_SQL,
+        "embedding_near_dup": _emb_near_dup_sql(),
+        "embedding_near_dup_blocked": _emb_blocked_sql(),
         "tumbling_counts": _TUMBLING_SQL,
         "session_windows": _SESSION_SQL,
         "sliding_counts": _SLIDING_SQL,

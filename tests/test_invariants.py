@@ -192,6 +192,45 @@ def test_blocked_matmul_matches_expression_cosine(spark, sf_dir):
     assert all(abs(expr[k] - blocked[k]) < 1e-9 for k in expr)
 
 
+def test_bucketed_blocking_is_subset_of_label_exact(spark, sf_dir):
+    """r5 VERDICT item 2: the registry's (label × LSH-bucket) blocking
+    is the corpus-growth-bounded approximate path — every pair it emits
+    must appear in the label-only exact baseline with the same cosine,
+    and both executors (expression join / numpy matmul) must agree on
+    the bucketed key."""
+    from z316_sales_data_pipeline_spark.operators import similarity
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .withColumn(
+            "bucket", similarity.hyperplane_bucket("embedding", dim=64, n_planes=4).cast("long")
+        )
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_near_dup_pairs(
+            emb, "embedding", "vec_id", 0.3, block_col="label"
+        ).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_near_dup_pairs(
+            emb, "embedding", "vec_id", 0.3, block_col=["label", "bucket"]
+        ).collect()
+    }
+    assert set(bucketed) <= set(exact)  # LSH blocking only ever drops pairs
+    assert all(exact[k] == bucketed[k] for k in bucketed)
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_near_dup_blocked(
+            emb, "embedding", "vec_id", 0.3, ["label", "bucket"]
+        ).collect()
+    }
+    assert blocked.keys() == bucketed.keys()
+    assert all(abs(bucketed[k] - blocked[k]) < 1e-9 for k in bucketed)
+
+
 def test_rolling_fingerprint_collision_and_match(spark):
     """Same normalized text -> same fingerprint; different text differs."""
     from z316_sales_data_pipeline_spark.functions.text import rolling_fingerprint

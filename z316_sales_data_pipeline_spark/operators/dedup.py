@@ -542,25 +542,42 @@ def simhash_dup_groups(
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 def embedding_near_dup_pairs(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float, block_col: str | None = None
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    block_col: str | list[str] | None = None,
 ) -> DataFrame:
-    """Pairs with cosine ≥ τ; optional blocking column bounds the join.
+    """Pairs with cosine ≥ τ; optional blocking column(s) bound the join.
 
     Without blocking this is the O(n²) exact baseline (fine for dim
-    tables / small corpora); with ``block_col`` (e.g. an LSH bucket or
-    label) the self-join shuffles on the block key — the scale path.
+    tables / small corpora). With ``block_col`` the self-join shuffles
+    on the block key — but the SHAPE of the block key decides whether
+    this survives 100 TB: a fixed-cardinality key (e.g. ``label``) makes
+    each block O(n/L) rows and the within-block pair join O((n/L)²) —
+    still quadratic, just divided by a constant. The scale path blocks
+    on an LSH ``hyperplane_bucket`` (similarity.py) whose plane count
+    grows with the corpus (n_planes ≈ log2(n / target_block)), keeping
+    within-block pair counts ~constant per block; pass
+    ``["label", "bucket"]`` to get labeled approximate near-dup at
+    corpus-growth-bounded cost (a cos≥τ pair split across buckets is
+    missed — the standard LSH recall trade, which the banded-MinHash
+    family quantifies via ``minhash_scurve``).
     """
     from ..functions.vector import dot, norm
 
-    cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
+    block_cols = (
+        [block_col] if isinstance(block_col, str) else list(block_col) if block_col else []
+    )
+    cols = [F.col(id_col), F.col(vec_col)] + [F.col(c) for c in block_cols]
     # Precompute each row's L2 norm ONCE (n rows) instead of inside the
     # pair expression (n² evals): higher-order aggregate() runs
     # interpreted, so the per-pair work must be a single dot product.
     # (For large blocks, prefer embedding_near_dup_blocked — one numpy
     # matmul per block instead of n² interpreted dot products.)
     base = df.select(*cols).withColumn("__nrm", norm(vec_col))
-    on = [block_col] if block_col else []
-    blk = [F.col(block_col)] if block_col else []
+    on = block_cols
+    blk = [F.col(c) for c in block_cols]
     a = base.select(*blk, F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("__nrm").alias("na"))
     b = base.select(*blk, F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("__nrm").alias("nb"))
     joined = a.join(b, on) if on else a.crossJoin(b)
@@ -573,16 +590,19 @@ def embedding_near_dup_pairs(
 
 
 def embedding_near_dup_blocked(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float, block_col: str
+    df: DataFrame, vec_col: str, id_col: str, threshold: float, block_col: str | list[str]
 ) -> DataFrame:
     """Blocked pairwise-cosine near-dup via applyInPandas + numpy.
 
-    The 100 TB path for embedding dedup: shuffle once on the block key
-    (an LSH bucket / IVF cell / label), then ONE vectorized matmul per
-    block computes every pairwise cosine — versus n² per-pair dot
-    products. Arrow moves each block as columnar batches; memory is
-    bounded by the largest block (keep blocks ≤ ~10⁴ vectors; split
-    hot blocks upstream with a salt).
+    The 100 TB path for embedding dedup: shuffle once on the block
+    key(s) (an LSH bucket / IVF cell / label, or a combination), then
+    ONE vectorized matmul per block computes every pairwise cosine —
+    versus n² per-pair dot products. Arrow moves each block as columnar
+    batches; memory is bounded by the largest block (keep blocks ≤
+    ~10⁴ vectors: block on a ``hyperplane_bucket`` whose plane count
+    grows with the corpus — n_planes ≈ log2(n / target_block) — not on
+    a fixed-cardinality key alone, whose blocks grow O(n); split hot
+    blocks upstream with a salt).
 
     Output matches embedding_near_dup_pairs up to float-summation
     order (numpy pairwise vs sequential), asserted in tests with 1e-9
@@ -611,10 +631,11 @@ def embedding_near_dup_blocked(
             }
         )
 
+    block_cols = [block_col] if isinstance(block_col, str) else list(block_col)
     out_schema = "id_a long, id_b long, cos double"
     return (
-        df.select(F.col(block_col), F.col(id_col), F.col(vec_col))
-        .groupBy(block_col)
+        df.select(*[F.col(c) for c in block_cols], F.col(id_col), F.col(vec_col))
+        .groupBy(*block_cols)
         .applyInPandas(per_block, out_schema)
     )
 
