@@ -2312,16 +2312,33 @@ WHERE len(list_intersect(a.toks, b.toks)) /
 """
 
 
-def _minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_near_dup_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, fast xxhash64 variant (bench/library
     surface: the hash family is engine-specific, not SQL-portable — the
-    portable twin in queries() value-checks the shared pipeline).
+    oracle-checked ``minhash_near_dup`` runs the identical pipeline on
+    the portable hash family at a 4×4-band operating point).
     Since r4 the shingle relation comes from the at-rest
     materialization (plans/pair_graph.full_shingle_table) — text is
     hashed once per corpus snapshot, not per query."""
     docs = load_table(spark, sf_dir, "documents")
     ex = pair_graph.full_shingle_table(spark, sf_dir, shingle_k=3, portable=False)
     return dedup.minhash_near_dup_pairs(docs, "text", "doc_id", threshold=0.5, ex=ex)
+
+
+def _minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs at the high-precision banding point
+    (r5 VERDICT item 3: this name is now oracle-checked). Portable hash
+    family; 16 hashes as 4 bands × 4 rows puts the S-curve's steep part
+    near J≈0.7 — fewer, higher-precision candidates than the 8×2
+    recall-oriented point ``minhash_portable`` pins — with exact-Jaccard
+    verification at τ=0.6. Same at-rest portable shingle relation; the
+    xxhash64 twin (bench_queries: minhash_near_dup_xxhash64) shares the
+    whole pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = pair_graph.full_shingle_table(spark, sf_dir, shingle_k=3, portable=True)
+    return dedup.minhash_near_dup_pairs(
+        docs, "text", "doc_id", threshold=0.6, n_bands=4, portable=True, ex=ex
+    )
 
 
 def _salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2726,6 +2743,50 @@ WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
 """
 
 
+# The high-precision 4-bands × 4-rows operating point of the SAME
+# portable pipeline (minhash_near_dup): band b carries minima
+# mh[4b+1..4b+4]; candidates need a full 4-row band match; exact
+# Jaccard ≥ 0.6.
+_MINHASH_NEAR_DUP_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct([
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+          [CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(array_to_string(toks[i:i+2], ' '), '')]),
+        (acc, c) -> (acc * 31 + c) % 2147483647)
+      FOR i IN generate_series(1, len(toks) - 2)]) AS hs
+  FROM base WHERE len(toks) >= 3
+),
+sig AS (
+  SELECT doc_id, hs, len(hs) AS nsh,
+    [list_min([(h * ((2654435761 * (i + 1)) % 2147483647) + (40503 * i + 1) % 2147483647) % 2147483647
+               FOR h IN hs])
+     FOR i IN generate_series(0, 15)] AS mh
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, u.b AS band_id,
+         mh[4*u.b + 1] AS m1, mh[4*u.b + 2] AS m2, mh[4*u.b + 3] AS m3, mh[4*u.b + 4] AS m4
+  FROM sig, unnest(generate_series(0, 3)) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.m4 = b.m4
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+             (sa.nsh + sb.nsh - len(list_intersect(sa.hs, sb.hs))), 6) AS jaccard
+FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+      (sa.nsh + sb.nsh - len(list_intersect(sa.hs, sb.hs))) >= 0.6
+"""
+
+
 def _minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: a new batch (doc_id % 5 == 0) checked
     against the at-rest corpus index (shingle_table + minhash_index of
@@ -2752,11 +2813,29 @@ _MINHASH_INCREMENTAL_SQL = (
 )
 
 
-def _simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash_groups_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup groups, fast xxhash64 variant (bench/library
-    surface; the portable twin in queries() carries the value check)."""
+    surface; the oracle-checked ``simhash_groups`` runs the identical
+    pipeline on the portable hash family at 24 bits with the full
+    member-list surface)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_dup_groups(docs, "text", "doc_id").select("simhash", "n")
+
+
+def _simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup GROUPS with their member lists (r5 VERDICT
+    item 3: this name is now oracle-checked). Portable hash family at
+    24 bits — a finer signature than the 16-bit ``simhash_portable``
+    point, so collisions demand closer texts — and the full group
+    surface: sorted member ids serialized as a CSV string (the driver's
+    hash cannot canonicalize array cells). The xxhash64 twin
+    (bench_queries: simhash_groups_xxhash64) shares the pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_dup_groups(docs, "text", "doc_id", n_bits=24, portable=True).select(
+        "simhash",
+        "n",
+        F.array_join(F.transform(F.col("ids"), lambda x: x.cast("string")), ",").alias("ids"),
+    )
 
 
 def _simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2767,11 +2846,12 @@ def _simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_dup_groups(docs, "text", "doc_id", portable=True).select("simhash", "n")
 
 
-def _simhash_portable_sql(n_bits: int = 16) -> str:
+def _simhash_portable_sql(n_bits: int = 16, with_ids: bool = False) -> str:
     bit_sums = ",\n           ".join(
         f"sum(CASE WHEN (hh >> {b}) & 1 = 1 THEN 1 ELSE 0 END) AS b{b}" for b in range(n_bits)
     )
     sig = " + ".join(f"(CASE WHEN b{b} * 2 > n THEN {1 << b} ELSE 0 END)" for b in range(n_bits))
+    ids = ", array_to_string(list_sort(list(doc_id)), ',') AS ids" if with_ids else ""
     return f"""
 WITH t AS (
     SELECT doc_id,
@@ -2789,7 +2869,7 @@ WITH t AS (
 ), s AS (
     SELECT doc_id, {sig} AS simhash FROM b
 )
-SELECT simhash, count(*) AS n FROM s GROUP BY simhash HAVING count(*) > 1
+SELECT simhash, count(*) AS n{ids} FROM s GROUP BY simhash HAVING count(*) > 1
 """
 
 
@@ -6254,80 +6334,19 @@ FROM top, tot
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is CURATED: the driver samples the FIRST 50 entries
-    # in dict order. The r5 sample = the 20 entries that have never had
-    # a driver row (the 10 late-r4 additions VERDICT r4 item 1 names +
-    # the 13 new r5 queries: decile_lift, minhash_calibration,
-    # ivf_probe_sweep, hypertable_rollup, pq_codes, pq_recall_eval,
-    # entity_resolution, mad_outliers, l_diversity, ivf_pq_top_k,
-    # label_propagation, hypertable_quantiles, skew_profile), the
-    # 7 entries whose plans or upstream at-rest relations changed this
-    # round (two-phase window re-plans; maintained MinHash index;
-    # cluster-labels completion gating), the 2 flagship facts as
-    # keepers, and 18 refresh entries whose last driver-green row is r2
-    # — the stalest slice of the registry. The remaining r2-stale
-    # entries (e8_duplicate_groups, dedup_exact, text_quality, lang_id,
-    # ngram_jaccard, knn_brute_force, embedding_near_dup, ivf_top_k,
-    # tumbling_counts, session_windows, doc_fingerprint, c1/f-suite,
-    # token_count_bpe, salted_agg, lsh_top_k,
-    # embedding_near_dup_blocked, sliding_counts, q18_top_customers,
-    # rollup_agg, cube_agg) lead the r6 rotation;
+    # in dict order. The r6 sample = the 28 entries whose last driver-
+    # green row is r2 (the engine underneath them -- session config,
+    # at-rest caches, append-segment readers, two-phase window
+    # primitives -- changed for three rounds; r5 VERDICT item 1), the
+    # 2 newly oracle-checked registrations (minhash_near_dup /
+    # simhash_groups portable operating points; r5 VERDICT item 3), the
+    # 2 flagship facts as keepers, and the 18 stalest r3 entries
+    # (including bpe_merges, whose per-step action count changes this
+    # round). Everything after the sample line is ordered stalest-first
+    # so future rotations read off the top of the tail;
     # tools/check_correctness.py runs ALL entries locally meanwhile.
     return {
-        # -- never driver-sampled (13): late-r4 additions + r5 additions --
-        "ann_recall_eval": _ann_recall_eval,
-        "k_anonymity": _k_anonymity,
-        "simhash_incremental": _simhash_incremental,
-        "multimodal_frames": _multimodal_frames,
-        "multimodal_resize": _multimodal_resize,
-        "span_dedup_incremental": _span_dedup_incremental,
-        "minhash_scurve": _minhash_scurve,
-        "quantile_sketch": _quantile_sketch,
-        "pareto_abc": _pareto_abc,
-        "dup_cluster_stats": _dup_cluster_stats,
-        "decile_lift": _decile_lift,
-        "minhash_calibration": _minhash_calibration,
-        "ivf_probe_sweep": _ivf_probe_sweep,
-        "hypertable_rollup": _hypertable_rollup,
-        "pq_codes": _pq_codes,
-        "pq_recall_eval": _pq_recall_eval,
-        "entity_resolution": _entity_resolution,
-        "mad_outliers": _mad_outliers,
-        "l_diversity": _l_diversity,
-        "ivf_pq_top_k": _ivf_pq_top_k,
-        "label_propagation": _label_propagation,
-        "hypertable_quantiles": _hypertable_quantiles,
-        "skew_profile": _skew_profile,
-        # -- changed this round: need a fresh driver-green row (7) --
-        "rfm_segments": _rfm_segments,
-        "contrastive_triples": _contrastive_triples,
-        "minhash_incremental": _minhash_incremental,
-        "dup_clusters": _dup_clusters,
-        "cluster_representative": _cluster_representative,
-        "leakage_safe_split": _leakage_safe_split,
-        "dup_rate_by_source": _dup_rate_by_source,
-        # -- flagship keepers (2) --
-        "pedidos_fact": sales_facts.pedidos_fact,
-        "itens_fact": sales_facts.itens_fact,
-        # -- refresh: last green r2 (29) --
-        "minhash_portable": _minhash_portable,
-        "simhash_portable": _simhash_portable,
-        "q1_pricing_summary": _q1_pricing_summary,
-        "d1_item_product_lookup": _d1_item_product_lookup,
-        "d2_order_customer_left": _d2_order_customer_left,
-        "d3_chained_enrichment": _d3_chained_enrichment,
-        "d4_incremental_guard": _d4_incremental_guard,
-        "d5_regroup_pivot": _d5_regroup_pivot,
-        "d6_semi_join": _d6_semi_join,
-        "w1_group_total": _w1_group_total,
-        "w2_dedup_keeprule": _w2_dedup_keeprule,
-        "w3_pick_first": _w3_pick_first,
-        "w4_min_by": _w4_min_by,
-        "topk_per_group": _topk_per_group,
-        "g1_reconciliation_summary": _g1_reconciliation_summary,
-        "g2_union_distinct": _g2_union_distinct,
-        "g3_intersect": _g3_intersect,
-        "e7_distinct_values": _e7_distinct_values,
-        # ---- entries below are outside the driver 50-entry sample ----
+        # -- r2-stale refresh (28) --
         "e8_duplicate_groups": _e8_duplicate_groups,
         "dedup_exact": _dedup_exact,
         "text_quality": _text_quality,
@@ -6339,94 +6358,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_counts": _tumbling_counts,
         "session_windows": _session_windows,
         "doc_fingerprint": _doc_fingerprint,
-        "embedding_centroids": _embedding_centroids,
-        "event_transitions": _event_transitions,
-        "lang_id_eval": _lang_id_eval,
-        "basket_pairs": _basket_pairs,
-        "pack_assignments": _pack_assignments,
-        "conversion_latency": _conversion_latency,
-        "cohort_retention": _cohort_retention,
-        "embedding_top_pc": _embedding_top_pc,
-        "embedding_whiten": _embedding_whiten,
-        "a4_union_pages": _a4_union_pages,
-        "a5_manifest_scan": _a5_manifest_scan,
-        "f14_pubsub_decode": _f14_pubsub_decode,
-        "c5_validate_or_delete": _c5_validate_or_delete,
-        "c2_status_dispatch": _c2_status_dispatch,
-        "f16_url_assembly": _f16_url_assembly,
-        "w2_keeprule_backfill": _w2_keeprule_backfill,
-        "funnel_conversion": _funnel_conversion,
-        "retention_daily": _retention_daily,
-        "rolling_7d_revenue": _rolling_7d_revenue,
-        "lead_lag_gaps": _lead_lag_gaps,
-        "percentile_prices": _percentile_prices,
-        "pivot_status_counts": _pivot_status_counts,
-        "q3_shipping_priority": _q3_shipping_priority,
-        "q5_nation_volume": _q5_nation_volume,
-        "q7_volume_shipping": _q7_volume_shipping,
-        "q4_priority_count": _q4_priority_count,
-        "q6_forecast_revenue": _q6_forecast_revenue,
-        "q8_market_share": _q8_market_share,
-        "q10_returned_revenue": _q10_returned_revenue,
-        "q11_important_parts": _q11_important_parts,
-        "q13_customer_distribution": _q13_customer_distribution,
-        "q14_promo_revenue": _q14_promo_revenue,
-        "q15_top_supplier": _q15_top_supplier,
-        "q16_supplier_cnt": _q16_supplier_cnt,
-        "q17_small_qty_revenue": _q17_small_qty_revenue,
-        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
-        "q20_promo_suppliers": _q20_promo_suppliers,
-        "q22_idle_customers": _q22_idle_customers,
-        "repair_run": _repair_run,
-        "quality_prune": _quality_prune,
-        "tokenizer_fertility": _tokenizer_fertility,
-        "g4_symmetric_difference": _g4_symmetric_difference,
-        "semantic_dedup_incremental": _semantic_dedup_incremental,
-        "doc_pagerank": _doc_pagerank,
-        "session_ids": _session_ids,
-        "q12_priority_classes": _q12_priority_classes,
-        "sequence_pack": _sequence_pack,
-        "dq_orders_summary": _dq_orders_summary,
-        "contamination_check": _contamination_check,
-        "repetition_ratio": _repetition_ratio,
-        "table_checksum": _table_checksum,
-        "json_ingest_rollup": _json_ingest_rollup,
-        "multimodal_features": _multimodal_features,
-        "kmeans_refine": _kmeans_refine,
-        "knn_graph": _knn_graph,
-        "dataset_split": _dataset_split,
-        "doc_chunks": _doc_chunks,
-        "weighted_sample": _weighted_sample,
-        "tfidf_top_terms": _tfidf_top_terms,
-        "bigram_counts": _bigram_counts,
-        "pii_scrub": _pii_scrub,
-        "curation_filter": _curation_filter,
-        "approx_profile": _approx_profile,
-        "embedding_contamination": _embedding_contamination,
-        "hll_partition_rollup": _hll_partition_rollup,
-        "sql_surface_portable": _sql_surface_portable,
-        "asof_join": _asof_join,
-        "range_join_clicks": _range_join_clicks,
-        "grouping_sets_agg": _grouping_sets_agg,
-        "stratified_sample": _stratified_sample,
-        "q2_min_cost_supplier": _q2_min_cost_supplier,
-        "q9_profit_by_nation_year": _q9_profit_by_nation_year,
-        "q21_waiting_suppliers": _q21_waiting_suppliers,
-        "dedup_incremental_exact": _dedup_incremental_exact,
-        "boilerplate_ngrams": _boilerplate_ngrams,
-        "source_overlap": _source_overlap,
-        "lm_bigram_score": _lm_bigram_score,
-        "dedup_agreement": _dedup_agreement,
-        "semantic_dedup": _semantic_dedup,
-        "minhash_eval": _minhash_eval,
-        "source_mixture": _source_mixture,
-        "vocab_coverage": _vocab_coverage,
-        "bpe_merges": _bpe_merges,
-        "bpe_token_count": _bpe_token_count,
-        "dup_triangles": _dup_triangles,
-        "span_dedup": _span_dedup,
-        "heavy_hitters_cms": _heavy_hitters_cms,
-        "source_drift": _source_drift,
         "c1_required_fields_filter": _c1_required_fields_filter,
         "f1_f3_date_suite": _f1_f3_date_suite,
         "f2_contact_datetime": _f2_contact_datetime,
@@ -6444,6 +6375,151 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_counts": _sliding_counts,
         "rollup_agg": _rollup_agg,
         "cube_agg": _cube_agg,
+        # -- newly oracle-checked (2) --
+        "minhash_near_dup": _minhash_near_dup,
+        "simhash_groups": _simhash_groups,
+        # -- flagship keepers (2) --
+        "pedidos_fact": sales_facts.pedidos_fact,
+        "itens_fact": sales_facts.itens_fact,
+        # -- r3-stale refresh (18) --
+        "bpe_merges": _bpe_merges,
+        "doc_pagerank": _doc_pagerank,
+        "semantic_dedup": _semantic_dedup,
+        "minhash_eval": _minhash_eval,
+        "span_dedup": _span_dedup,
+        "dup_triangles": _dup_triangles,
+        "asof_join": _asof_join,
+        "range_join_clicks": _range_join_clicks,
+        "grouping_sets_agg": _grouping_sets_agg,
+        "sql_surface_portable": _sql_surface_portable,
+        "heavy_hitters_cms": _heavy_hitters_cms,
+        "source_drift": _source_drift,
+        "vocab_coverage": _vocab_coverage,
+        "bpe_token_count": _bpe_token_count,
+        "kmeans_refine": _kmeans_refine,
+        "knn_graph": _knn_graph,
+        "hll_partition_rollup": _hll_partition_rollup,
+        "dedup_incremental_exact": _dedup_incremental_exact,
+        # ---- entries below are outside the driver 50-entry sample ----
+        # ---- (stalest first: remaining r3, then r4, then r5) ----
+        "approx_profile": _approx_profile,
+        "bigram_counts": _bigram_counts,
+        "boilerplate_ngrams": _boilerplate_ngrams,
+        "contamination_check": _contamination_check,
+        "curation_filter": _curation_filter,
+        "dataset_split": _dataset_split,
+        "dedup_agreement": _dedup_agreement,
+        "doc_chunks": _doc_chunks,
+        "dq_orders_summary": _dq_orders_summary,
+        "embedding_contamination": _embedding_contamination,
+        "json_ingest_rollup": _json_ingest_rollup,
+        "lm_bigram_score": _lm_bigram_score,
+        "multimodal_features": _multimodal_features,
+        "pii_scrub": _pii_scrub,
+        "q12_priority_classes": _q12_priority_classes,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q9_profit_by_nation_year": _q9_profit_by_nation_year,
+        "repetition_ratio": _repetition_ratio,
+        "sequence_pack": _sequence_pack,
+        "session_ids": _session_ids,
+        "source_mixture": _source_mixture,
+        "source_overlap": _source_overlap,
+        "stratified_sample": _stratified_sample,
+        "table_checksum": _table_checksum,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "weighted_sample": _weighted_sample,
+        "a4_union_pages": _a4_union_pages,
+        "a5_manifest_scan": _a5_manifest_scan,
+        "basket_pairs": _basket_pairs,
+        "c2_status_dispatch": _c2_status_dispatch,
+        "c5_validate_or_delete": _c5_validate_or_delete,
+        "cohort_retention": _cohort_retention,
+        "conversion_latency": _conversion_latency,
+        "embedding_centroids": _embedding_centroids,
+        "embedding_top_pc": _embedding_top_pc,
+        "embedding_whiten": _embedding_whiten,
+        "event_transitions": _event_transitions,
+        "f14_pubsub_decode": _f14_pubsub_decode,
+        "f16_url_assembly": _f16_url_assembly,
+        "funnel_conversion": _funnel_conversion,
+        "g4_symmetric_difference": _g4_symmetric_difference,
+        "lang_id_eval": _lang_id_eval,
+        "lead_lag_gaps": _lead_lag_gaps,
+        "pack_assignments": _pack_assignments,
+        "percentile_prices": _percentile_prices,
+        "pivot_status_counts": _pivot_status_counts,
+        "q10_returned_revenue": _q10_returned_revenue,
+        "q11_important_parts": _q11_important_parts,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_cnt": _q16_supplier_cnt,
+        "q17_small_qty_revenue": _q17_small_qty_revenue,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q20_promo_suppliers": _q20_promo_suppliers,
+        "q22_idle_customers": _q22_idle_customers,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q4_priority_count": _q4_priority_count,
+        "q5_nation_volume": _q5_nation_volume,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q8_market_share": _q8_market_share,
+        "quality_prune": _quality_prune,
+        "repair_run": _repair_run,
+        "retention_daily": _retention_daily,
+        "rolling_7d_revenue": _rolling_7d_revenue,
+        "semantic_dedup_incremental": _semantic_dedup_incremental,
+        "tokenizer_fertility": _tokenizer_fertility,
+        "w2_keeprule_backfill": _w2_keeprule_backfill,
+        "ann_recall_eval": _ann_recall_eval,
+        "cluster_representative": _cluster_representative,
+        "contrastive_triples": _contrastive_triples,
+        "d1_item_product_lookup": _d1_item_product_lookup,
+        "d2_order_customer_left": _d2_order_customer_left,
+        "d3_chained_enrichment": _d3_chained_enrichment,
+        "d4_incremental_guard": _d4_incremental_guard,
+        "d5_regroup_pivot": _d5_regroup_pivot,
+        "d6_semi_join": _d6_semi_join,
+        "decile_lift": _decile_lift,
+        "dup_cluster_stats": _dup_cluster_stats,
+        "dup_clusters": _dup_clusters,
+        "dup_rate_by_source": _dup_rate_by_source,
+        "e7_distinct_values": _e7_distinct_values,
+        "entity_resolution": _entity_resolution,
+        "g1_reconciliation_summary": _g1_reconciliation_summary,
+        "g2_union_distinct": _g2_union_distinct,
+        "g3_intersect": _g3_intersect,
+        "hypertable_quantiles": _hypertable_quantiles,
+        "hypertable_rollup": _hypertable_rollup,
+        "ivf_pq_top_k": _ivf_pq_top_k,
+        "ivf_probe_sweep": _ivf_probe_sweep,
+        "k_anonymity": _k_anonymity,
+        "l_diversity": _l_diversity,
+        "label_propagation": _label_propagation,
+        "leakage_safe_split": _leakage_safe_split,
+        "mad_outliers": _mad_outliers,
+        "minhash_calibration": _minhash_calibration,
+        "minhash_incremental": _minhash_incremental,
+        "minhash_portable": _minhash_portable,
+        "minhash_scurve": _minhash_scurve,
+        "multimodal_frames": _multimodal_frames,
+        "multimodal_resize": _multimodal_resize,
+        "pareto_abc": _pareto_abc,
+        "pq_codes": _pq_codes,
+        "pq_recall_eval": _pq_recall_eval,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "quantile_sketch": _quantile_sketch,
+        "rfm_segments": _rfm_segments,
+        "simhash_incremental": _simhash_incremental,
+        "simhash_portable": _simhash_portable,
+        "skew_profile": _skew_profile,
+        "span_dedup_incremental": _span_dedup_incremental,
+        "topk_per_group": _topk_per_group,
+        "w1_group_total": _w1_group_total,
+        "w2_dedup_keeprule": _w2_dedup_keeprule,
+        "w3_pick_first": _w3_pick_first,
+        "w4_min_by": _w4_min_by,
     }
 
 
@@ -6615,20 +6691,24 @@ def oracle_sql() -> dict[str, str]:
         "dup_rate_by_source": _DUP_RATE_SQL,
         "embedding_top_pc": _top_pc_sql(3),
         "embedding_whiten": _embedding_whiten_sql(),
-        # Every queries() entry has a value-check oracle. The xxhash64
-        # dedup variants (minhash_near_dup / simhash_groups) live on the
-        # library + bench surface (see bench_queries()): their hash
-        # family is not SQL-portable, and the *_portable twins above
-        # value-check the shared banding/verify pipeline.
+        "minhash_near_dup": _MINHASH_NEAR_DUP_SQL,
+        "simhash_groups": _simhash_portable_sql(n_bits=24, with_ids=True),
+        # Every queries() entry has a value-check oracle — 168/168. The
+        # xxhash64 dedup twins (minhash_near_dup_xxhash64 /
+        # simhash_groups_xxhash64) live on the library + bench surface
+        # (see bench_queries()): their hash family is not SQL-portable;
+        # the portable operating points above value-check the shared
+        # banding/verify pipelines value-for-value.
     }
 
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Library-surface operators benchmarked but not oracle-checked:
-    engine-specific hash families whose portable twins carry the value
-    check in queries()."""
+    engine-specific xxhash64 hash families whose portable operating
+    points carry the value check in queries() under the canonical
+    names (minhash_near_dup / simhash_groups)."""
     return {
         **queries(),
-        "minhash_near_dup": _minhash_near_dup,
-        "simhash_groups": _simhash_groups,
+        "minhash_near_dup_xxhash64": _minhash_near_dup_xxh,
+        "simhash_groups_xxhash64": _simhash_groups_xxh,
     }

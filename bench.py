@@ -82,6 +82,13 @@ HEADLINE = [
     "ivf_pq_top_k",
     "label_propagation",
     "hypertable_quantiles",
+    # r6: minhash_near_dup / simhash_groups above now name the
+    # PORTABLE oracle-checked operating points (r5 VERDICT item 3);
+    # the xxhash64 twins keep their timing lineage under explicit
+    # names so the round-over-round trend for the fast hash family
+    # stays comparable. Additions only.
+    "minhash_near_dup_xxhash64",
+    "simhash_groups_xxhash64",
 ]
 
 

@@ -15,10 +15,10 @@ def test_oracle_keys_cover_all_queries():
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
     # every oracle-checked entry has a value-check oracle — no rows-only
-    # exceptions; the xxhash64 dedup variants live on the bench surface
+    # exceptions; the xxhash64 dedup twins live on the bench surface
     assert o == q
     extra = set(entrymod.bench_queries()) - q
-    assert extra == {"minhash_near_dup", "simhash_groups"}
+    assert extra == {"minhash_near_dup_xxhash64", "simhash_groups_xxhash64"}
 
 
 def test_queries_run_and_have_stable_schema(spark, sf_dir):
