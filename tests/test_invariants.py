@@ -737,3 +737,47 @@ def test_hypertable_quantile_estimates_are_bucket_bounded(spark, sf_dir):
         assert g["n"] == e["n"]
         assert g["p50_est"] <= e["p50"] < g["p50_est"] + width
         assert g["p90_est"] <= e["p90"] < g["p90_est"] + width
+
+
+def test_lpa_skew_split_matches_plain_and_broadcasts_hot_half(spark):
+    """r5 VERDICT item 4: the profiler-driven hot/cold edge split must
+    leave LPA's labels bit-identical (the split partitions the edge
+    multiset), isolate exactly the hub in the hot set on a deliberately
+    skewed graph, and plan the hot half's neighbour join as a broadcast
+    (hub edges never shuffle onto one reducer)."""
+    from z316_sales_data_pipeline_spark.operators.graph import (
+        label_propagation,
+        skew_split_edges,
+    )
+
+    n = 500
+    nodes = spark.range(n).select(F.col("id").cast("long").alias("id"))
+    # hub 0 <-> every node (a template family's representative), plus a
+    # sparse ring so cold structure exists; both directions present
+    hub = spark.range(1, n).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").cast("long").alias("dst")
+    )
+    ring = spark.range(1, n - 1).select(
+        F.col("id").cast("long").alias("src"), (F.col("id") + 1).cast("long").alias("dst")
+    )
+    half = hub.unionByName(ring)
+    edges = half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    hot_e, cold_e, hot_k = skew_split_edges(edges, hot_degree=100)
+    assert {r["src"] for r in hot_k.collect()} == {0}  # exactly the hub
+    assert hot_e.count() == n - 1  # all hub-out edges, nothing else
+    plan = (
+        hot_e.join(F.broadcast(hot_k), "src")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+    plain = {
+        (r["id"], r["community"])
+        for r in label_propagation(edges, nodes, "id", n_iters=2).collect()
+    }
+    split = {
+        (r["id"], r["community"])
+        for r in label_propagation(edges, nodes, "id", n_iters=2, hot_degree=100).collect()
+    }
+    assert split == plain

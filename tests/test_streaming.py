@@ -971,3 +971,94 @@ def test_streaming_vector_index_maintenance_matches_batch(spark, sf_dir, tmp_pat
     n_versions = len([d for d in os.listdir(pq_dir) if d.startswith("v=")])
     assert n_versions >= 3
     assert spark.read.parquet(f"{pq_dir}/v={n_versions}").count() < len(got_pq)
+
+
+def test_compaction_policy_and_late_day_bucket_across_compaction(spark, sf_dir, tmp_path):
+    """r5 VERDICT items 5+6 on one lifecycle. (5) maybe_compact bounds
+    read amplification: the foreachBatch maintenance loop appends one
+    partials segment per trigger and applies the segment-count policy
+    after each append, so folds interleave with appends mid-stream and
+    the committed segment count never exceeds max_segments + 1. (6) a
+    LATE slice of the OLDEST day then arrives out of order as a new
+    segment — the served rollup must equal the direct aggregate before
+    compaction, after compaction (the reference's backfill-replay
+    semantics: api_to_gcs-backfill.py re-fires old-day payloads and the
+    pipeline converges to the same table), and after a post-compaction
+    replay of the late epoch (exactly-once via the _TXNS log)."""
+    import os
+
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.plans import rollup
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    table_dir = str(tmp_path / "ht")
+
+    min_day = ev.agg(F.min(F.date_trunc("day", F.col("ts"))).alias("d")).collect()[0]["d"]
+    is_late = (F.date_trunc("day", F.col("ts")) == F.lit(min_day)) & (F.col("event_id") % 2 == 0)
+    is_streamed = (~is_late) & (F.col("event_id") % 9 == 2)
+    base = ev.filter(~(is_late | is_streamed))
+    assert ev.filter(is_late).count() > 0  # the late slice really exists
+    # the oldest day's bucket already exists in the base (the late rows
+    # are a DELTA to an old bucket, not a brand-new bucket)
+    assert base.filter(F.date_trunc("day", F.col("ts")) == F.lit(min_day)).count() > 0
+
+    sinks.append_snapshot(rollup.event_partials(base), table_dir, txn_key="base")
+
+    src = str(tmp_path / "src")
+    ev.filter(is_streamed).repartition(4).write.parquet(src)
+
+    max_segments = 2
+    high_water = []
+
+    def maintain(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        sinks.append_snapshot(
+            rollup.event_partials(batch_df), table_dir, txn_key=f"e-{epoch_id}"
+        )
+        high_water.append(sinks.committed_segment_count(table_dir))
+        sinks.maybe_compact(batch_df.sparkSession, table_dir, max_segments=max_segments)
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # (5) the policy actually fired (appends exceeded the bound at some
+    # point) and held: segment count right after any append is at most
+    # max_segments + 1, and the final count is back under the bound
+    assert len(high_water) >= 3  # several triggers really appended
+    assert max(high_water) == max_segments + 1
+    assert sinks.committed_segment_count(table_dir) <= max_segments + 1
+
+    def served():
+        return {
+            tuple(r)
+            for r in rollup.merge_partials(
+                sinks.read_appended(spark, table_dir).select(
+                    "bucket_day", "event_type", "n_partial", "cents_partial"
+                )
+            ).collect()
+        }
+
+    want_no_late = {
+        tuple(r) for r in rollup.merge_partials(rollup.event_partials(ev.filter(~is_late))).collect()
+    }
+    assert served() == want_no_late  # folds interleaved with appends: still exact
+
+    # (6) the late slice lands its old-day delta as a NEW segment
+    sinks.append_snapshot(rollup.event_partials(ev.filter(is_late)), table_dir, txn_key="late")
+    want_all = {tuple(r) for r in rollup.merge_partials(rollup.event_partials(ev)).collect()}
+    assert served() == want_all  # pre-compaction
+    sinks.compact_appended(spark, table_dir)
+    assert served() == want_all  # post-compaction
+    assert sinks.committed_segment_count(table_dir) == 1
+    # a replayed late epoch after compaction is a no-op (_TXNS log)
+    sinks.append_snapshot(rollup.event_partials(ev.filter(is_late)), table_dir, txn_key="late")
+    assert served() == want_all
+    assert sinks.committed_segment_count(table_dir) == 1
