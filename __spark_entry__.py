@@ -3594,6 +3594,57 @@ ORDER BY adist, vec_id LIMIT 10
 """
 
 
+def _ivf_pq_rerank_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-to-fine serving (operators/similarity.ivf_pq_rerank_top_k):
+    the IVF-PQ/ADC pass shortlists 50 candidates from the maintained
+    cell-partitioned layout + codes table, then exactly re-ranks ONLY
+    those 50 from raw vectors — the FAISS/ScaNN refine step. The oracle
+    replays the full IVF schedule, the frozen-codebook encode, the ADC
+    shortlist and the exact rerank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    at_rest = pair_graph.ivf_embeddings(spark, sf_dir, n_cells=16)
+    codes = pair_graph.pq_codes_table(spark, sf_dir, m=4, n_codes=16).select(
+        "vec_id", "sub", "code"
+    )
+    return similarity.ivf_pq_rerank_top_k(
+        emb,
+        "embedding",
+        "vec_id",
+        _KNN_QUERY_VEC,
+        k=10,
+        n_short=50,
+        n_cells=16,
+        n_probe=4,
+        m=4,
+        n_codes=16,
+        assigned=at_rest,
+        codes=codes,
+    )
+
+
+def _ivf_pq_rerank_sql() -> str:
+    vec = "[" + ", ".join(str(v) for v in _KNN_QUERY_VEC) + "]"
+    base = _ivf_pq_sql()
+    # reuse the IVF-PQ oracle's CTE chain verbatim; swap its final
+    # top-10 ADC select for: ADC top-50 shortlist -> exact rerank
+    head, _, tail = base.rpartition("SELECT codes.vec_id")
+    assert head and "lut" in head
+    return head + f"""
+, short AS (
+    SELECT codes.vec_id
+    FROM codes JOIN cand USING (vec_id) JOIN lut USING (sub, code)
+    GROUP BY codes.vec_id
+    ORDER BY cast(sum(lut.ld) AS BIGINT), vec_id LIMIT 50
+)
+SELECT e.vec_id,
+       CAST(floor((list_dot_product(e.v, e.v)
+                   - 2 * list_dot_product(e.v, {vec}::DOUBLE[])
+                   + list_dot_product({vec}::DOUBLE[], {vec}::DOUBLE[])) * 1000000) AS BIGINT) AS d2
+FROM e JOIN short USING (vec_id)
+ORDER BY d2, vec_id LIMIT 10
+"""
+
+
 def _hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous aggregate / hypertable rollup (plans/rollup.py): the
     day×event_type rollup served from a MAINTAINED table of mergeable
@@ -3645,6 +3696,41 @@ SELECT bucket_day, cast(max(n) AS BIGINT) AS n,
        min(CASE WHEN cum >= 0.5 * n THEN cast(bucket AS DOUBLE) * 7.8125 END) AS p50_est,
        min(CASE WHEN cum >= 0.9 * n THEN cast(bucket AS DOUBLE) * 7.8125 END) AS p90_est
 FROM cum GROUP BY bucket_day
+"""
+
+
+def _hypertable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type served from the MAINTAINED
+    per-(day, type) HLL sketch partials (plans/rollup.py
+    distinct_rollup / serve_distinct) — the DISTINCT member of the
+    continuous-aggregate family beside the sum rollup and the
+    histogram quantiles: exact distincts don't merge across segments,
+    HLL registers do (register-max = set union), so each ingest
+    appends O(buckets) small binary sketches and serving is one
+    union-merge — raw user ids are scanned once, at ingest. Oracle
+    pattern as hll_partition_rollup/approx_profile: each engine
+    asserts its own estimate against its own exact answer and the
+    deterministic verdicts are compared."""
+    served = rollup.serve_distinct(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("__eu"))
+    return served.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_events",
+        (F.abs(F.col("users_est") - F.col("__eu")) <= F.col("__eu") * 0.05 + F.lit(1)).alias(
+            "merged_users_ok"
+        ),
+    )
+
+
+_HYPERTABLE_DISTINCT_SQL = """
+SELECT event_type,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       count(*) AS n_events,
+       (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+          <= count(DISTINCT user_id) * 0.05 + 1) AS merged_users_ok
+FROM events GROUP BY event_type
 """
 
 
@@ -6397,11 +6483,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _vocab_coverage,
         "bpe_token_count": _bpe_token_count,
         "kmeans_refine": _kmeans_refine,
-        "knn_graph": _knn_graph,
-        "hll_partition_rollup": _hll_partition_rollup,
         "dedup_incremental_exact": _dedup_incremental_exact,
+        # -- new this round: first attestation needed (2) --
+        "ivf_pq_rerank_top_k": _ivf_pq_rerank_top_k,
+        "hypertable_distinct": _hypertable_distinct,
         # ---- entries below are outside the driver 50-entry sample ----
         # ---- (stalest first: remaining r3, then r4, then r5) ----
+        "knn_graph": _knn_graph,
+        "hll_partition_rollup": _hll_partition_rollup,
         "approx_profile": _approx_profile,
         "bigram_counts": _bigram_counts,
         "boilerplate_ngrams": _boilerplate_ngrams,
@@ -6693,6 +6782,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_whiten": _embedding_whiten_sql(),
         "minhash_near_dup": _MINHASH_NEAR_DUP_SQL,
         "simhash_groups": _simhash_portable_sql(n_bits=24, with_ids=True),
+        "ivf_pq_rerank_top_k": _ivf_pq_rerank_sql(),
+        "hypertable_distinct": _HYPERTABLE_DISTINCT_SQL,
         # Every queries() entry has a value-check oracle — 168/168. The
         # xxhash64 dedup twins (minhash_near_dup_xxhash64 /
         # simhash_groups_xxhash64) live on the library + bench surface

@@ -89,6 +89,10 @@ HEADLINE = [
     # stays comparable. Additions only.
     "minhash_near_dup_xxhash64",
     "simhash_groups_xxhash64",
+    # r6 additions — the coarse-to-fine ANN refine step and the
+    # DISTINCT (HLL-partial) continuous aggregate. Additions only.
+    "ivf_pq_rerank_top_k",
+    "hypertable_distinct",
 ]
 
 

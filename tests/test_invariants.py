@@ -781,3 +781,78 @@ def test_lpa_skew_split_matches_plain_and_broadcasts_hot_half(spark):
         for r in label_propagation(edges, nodes, "id", n_iters=2, hot_degree=100).collect()
     }
     assert split == plain
+
+
+def test_rerank_with_full_shortlist_equals_exact_topk(spark, sf_dir):
+    """Coarse-to-fine contract: when the probe covers every cell and
+    the shortlist covers the whole corpus, ivf_pq_rerank_top_k must
+    degrade to EXACTLY the brute-force scaled-L2 top-k — the refine
+    step buys back all quantization error. With a narrow shortlist the
+    result must still be the exact ranking RESTRICTED to the ADC
+    shortlist (subset check)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    n = emb.count()
+    qv = [0.1] * 64
+    full = similarity.ivf_pq_rerank_top_k(
+        emb, "embedding", "vec_id", qv, k=10, n_short=n, n_cells=4, n_probe=4
+    )
+    got = [(r["vec_id"], r["d2"]) for r in full.collect()]
+
+    from z316_sales_data_pipeline_spark.functions.vector import literal_vector
+    from z316_sales_data_pipeline_spark.operators.similarity import _sq_l2_scaled
+
+    exact = (
+        emb.select("vec_id", _sq_l2_scaled(F.col("embedding"), literal_vector(qv)).alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    want = [(r["vec_id"], r["d2"]) for r in exact.collect()]
+    assert got == want
+
+    narrow = similarity.ivf_pq_rerank_top_k(
+        emb, "embedding", "vec_id", qv, k=10, n_short=20, n_cells=4, n_probe=4
+    )
+    narrow_ids = {r["vec_id"] for r in narrow.collect()}
+    exact_d2 = {r["vec_id"]: r["d2"] for r in emb.select(
+        "vec_id", _sq_l2_scaled(F.col("embedding"), literal_vector(qv)).alias("d2")
+    ).collect()}
+    got_narrow = {r["vec_id"]: r["d2"] for r in narrow.collect()}
+    assert all(exact_d2[i] == d for i, d in got_narrow.items())  # distances are EXACT
+    assert len(narrow_ids) == 10
+
+
+def test_hll_sketch_partials_merge_across_segments_and_compaction(spark, sf_dir, tmp_path):
+    """The DISTINCT continuous aggregate's contract: HLL register
+    union is deterministic, so the estimate served from per-segment
+    BINARY sketch partials equals the single-pass sketch over all
+    events — across any segment split, and unchanged by compaction
+    (binary cells must survive the append/compact lifecycle)."""
+    from z316_sales_data_pipeline_spark.plans import rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    t = str(tmp_path / "ht_distinct")
+    for i in range(3):
+        sinks.append_snapshot(
+            rollup.user_sketch_partials(ev.filter(F.col("event_id") % 3 == i)), t
+        )
+
+    def served():
+        return {
+            (r["event_type"], r["est"])
+            for r in sinks.read_appended(spark, t)
+            .groupBy("event_type")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk_partial")).alias("est"))
+            .collect()
+        }
+
+    want = {
+        (r["event_type"], r["est"])
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert served() == want
+    sinks.compact_appended(spark, t)
+    assert served() == want

@@ -62,17 +62,31 @@ def main() -> None:
     # hot = anything an order of magnitude above the mean
     hot_degree = int(prof["mean_cnt"] * 10)
 
-    def run(hd):
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            label_propagation(edges, nodes, "id", n_iters=3, hot_degree=hd).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        return best
+    def run(hd, auto_broadcast):
+        # autoBroadcastJoinThreshold=-1 emulates the 100 TB regime:
+        # node-grain labels exceed any broadcast limit, so the
+        # neighbour join MUST shuffle (the regime the hot/cold split
+        # exists for). Explicit F.broadcast hints — the split's tiny
+        # hot-key/hot-label relations — still broadcast.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(auto_broadcast))
+        try:
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                label_propagation(edges, nodes, "id", n_iters=3, hot_degree=hd).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            return best
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
-    t_plain = run(None)
-    t_split = run(hot_degree)
+    # arm A — local/test regime: labels fit the broadcast threshold, the
+    # neighbour join never shuffles; the split can only add overhead
+    t_plain_bcast = run(None, 64 * 1024 * 1024)
+    # arm B — 100 TB regime, AQE skew-join only (it stays ON everywhere)
+    t_plain_shuffle = run(None, -1)
+    # arm C — 100 TB regime + the explicit profiler-driven split
+    t_split_shuffle = run(hot_degree, -1)
     print(
         json.dumps(
             {
@@ -81,9 +95,12 @@ def main() -> None:
                 "max_degree": prof["max_cnt"],
                 "skew_factor": round(skew_factor, 1),
                 "hot_degree_threshold": hot_degree,
-                "lpa_plain_sec": round(t_plain, 2),
-                "lpa_skew_split_sec": round(t_split, 2),
-                "speedup": round(t_plain / t_split, 2) if t_split else None,
+                "lpa_broadcastable_labels_sec": round(t_plain_bcast, 2),
+                "lpa_shuffle_aqe_only_sec": round(t_plain_shuffle, 2),
+                "lpa_shuffle_skew_split_sec": round(t_split_shuffle, 2),
+                "split_speedup_in_shuffle_regime": (
+                    round(t_plain_shuffle / t_split_shuffle, 2) if t_split_shuffle else None
+                ),
             }
         )
     )

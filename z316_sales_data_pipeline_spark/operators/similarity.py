@@ -841,3 +841,53 @@ def ivf_pq_top_k(
         .orderBy(F.col("adist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_pq_rerank_top_k(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_short: int = 50,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    assigned: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Coarse-to-fine ANN serving: the IVF-PQ/ADC pass shortlists
+    ``n_short`` candidates from the compressed codes (partition-pruned
+    cells, no raw vectors), then ONLY those ``n_short`` rows are
+    re-ranked with the EXACT distance from the raw vector table — the
+    standard two-stage pattern (FAISS/ScaNN refine step) that buys
+    back the quantization error for k « n_short while still never
+    scanning raw vectors: at 100 TB the rerank is an id semi-join
+    probing n_short rows of the at-rest embedding table (sorted or
+    bucketed by id → a selective, prunable read), not a scan. Exact
+    bigint micro-unit squared-L2, id tie-break — engine-portable.
+    Returns (id, d2)."""
+    shortlist = ivf_pq_top_k(
+        df,
+        vec_col,
+        id_col,
+        query_vec,
+        k=n_short,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        m=m,
+        n_codes=n_codes,
+        assigned=assigned,
+        codes=codes,
+    )
+    q = literal_vector([float(x) for x in query_vec])
+    return (
+        df.join(F.broadcast(shortlist.select(id_col)), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            _sq_l2_scaled(F.col(vec_col).cast("array<double>"), q).alias("d2"),
+        )
+        .orderBy(F.col("d2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

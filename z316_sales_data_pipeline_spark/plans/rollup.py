@@ -148,6 +148,62 @@ def quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return value_histogram_partials(load_table(spark, sf_dir, "events"))
 
 
+def user_sketch_partials(events: DataFrame) -> DataFrame:
+    """Per-(day, event_type) HLL sketch partials of distinct users —
+    the DISTINCT extension of the continuous aggregate. Exact distinct
+    counts don't merge across segments (|A ∪ B| ≠ |A| + |B|), but HLL
+    REGISTERS do (register-wise max = set union), so the maintained
+    table stores one small binary sketch per bucket per segment and
+    serving unions them — the third mergeable-partial family beside
+    count/sum (:func:`event_partials`) and histogram counters
+    (:func:`value_histogram_partials`). Raw user ids are never
+    re-scanned after ingest."""
+    return events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket_day"), "event_type"
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sk_partial"),
+        F.count(F.lit(1)).alias("n_partial"),
+    )
+
+
+def distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained per-day distinct-user sketch table (same v=1
+    base + v=2 arriving-slice convention and atomic install as
+    :func:`continuous_rollup`); sketches are BINARY cells riding the
+    same append-segment parquet lifecycle."""
+    recent = F.col("event_id") % 9 == 2
+
+    def partials_of(pred) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        return user_sketch_partials(ev.filter(pred))
+
+    try:
+        return pair_graph._maintained_two_segments(
+            spark,
+            sf_dir,
+            "ht_distinct",
+            "day|hll-user|v2-seg",
+            lambda: partials_of(~recent),
+            lambda v1: partials_of(recent),
+            src_table="events",
+        )
+    except OSError:
+        return user_sketch_partials(load_table(spark, sf_dir, "events"))
+
+
+def serve_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type served from the MAINTAINED sketch
+    partials: one HLL union-merge over O(days × types × segments)
+    binary cells — never the raw events. Returns (event_type, n_days,
+    n_events, users_est)."""
+    t = distinct_rollup(spark, sf_dir)
+    return t.groupBy("event_type").agg(
+        F.count_distinct("bucket_day").alias("n_days"),
+        F.sum("n_partial").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk_partial")).alias("users_est"),
+    )
+
+
 def serve_quantiles(
     spark: SparkSession,
     sf_dir: str,
