@@ -345,8 +345,88 @@ def test_pair_graph_fresh_tmp_and_stale_sweep(tmp_path):
     tmp = _fresh_tmp(out)
     assert tmp == stale and not os.path.exists(tmp)  # reused pid starts clean
 
+    import time
+
     os.makedirs(f"{out}.tmp-99999")
     os.makedirs(f"{out}.tmp-12345/v=1")
+    os.makedirs(f"{out}.tmp-55555")  # a LIVE concurrent builder's dir
+    old = time.time() - 7200
+    os.utime(f"{out}.tmp-99999", (old, old))
+    os.utime(f"{out}.tmp-12345", (old, old))
     _sweep_stale_tmp(out)
     assert not os.path.exists(f"{out}.tmp-99999")
     assert not os.path.exists(f"{out}.tmp-12345")
+    # r6 ADVICE: a fresh (recently-touched) sibling is a live builder
+    # mid-write — the sweep must leave it alone, not fail its write
+    assert os.path.exists(f"{out}.tmp-55555")
+
+
+def test_compaction_marker_closes_double_serve_window(spark, tmp_path, monkeypatch):
+    """r6 ADVICE: between compact_appended's pointer flip and its
+    old-segment cleanup, a reader of the NEW pointer used to union the
+    folded segments PLUS the compacted one — every row twice. The
+    _COMPACTED_THROUGH marker (written inside the compacted segment
+    BEFORE the flip) makes read_appended skip the folded dirs, so the
+    window — and a crash inside it — serves each row exactly once."""
+    import os
+    import shutil
+
+    from z316_sales_data_pipeline_spark import sinks
+
+    t = str(tmp_path / "seg")
+    sinks.append_snapshot(spark.range(0, 3).withColumn("b", F.lit(1)), t)
+    sinks.append_snapshot(spark.range(3, 5).withColumn("b", F.lit(2)), t)
+    before = {tuple(r) for r in sinks.read_appended(spark, t).collect()}
+
+    # forge the crash-inside-the-window: compaction flips the pointer
+    # but dies before any old segment dir is removed
+    monkeypatch.setattr(shutil, "rmtree", lambda *a, **k: None)
+    new_v = sinks.compact_appended(spark, t)
+    monkeypatch.undo()
+    assert sorted(d for d in os.listdir(t) if d.startswith("v=")) == ["v=1", "v=2", f"v={new_v}"]
+    assert int(open(f"{t}/_LATEST").read()) == new_v
+    assert open(f"{t}/v={new_v}/_COMPACTED_THROUGH").read().strip() == "2"
+
+    got = [tuple(r) for r in sinks.read_appended(spark, t).collect()]
+    assert len(got) == 5, "folded segments double-served alongside the compacted one"
+    assert set(got) == before
+    # a later append over the crashed-cleanup state still serves once
+    sinks.append_snapshot(spark.range(5, 7).withColumn("b", F.lit(3)), t)
+    assert sinks.read_appended(spark, t).count() == 7
+    # and the NEXT compaction folds everything (leaked dirs included) cleanly
+    v2 = sinks.compact_appended(spark, t)
+    assert sorted(d for d in os.listdir(t) if d.startswith("v=")) == [f"v={v2}"]
+    assert sinks.read_appended(spark, t).count() == 7
+
+
+def test_zero_row_first_segment_keeps_partition_detection(spark, tmp_path):
+    """r6 ADVICE: append_snapshot of an EMPTY partitioned batch writes
+    a marker-only segment (no col=value subdirs). Partition
+    auto-detection must scan past it to the first segment with data —
+    otherwise compaction flattens a genuinely partitioned table and
+    later partitioned appends leave inconsistent leaf depths."""
+    import os
+
+    from z316_sales_data_pipeline_spark import sinks
+
+    t = str(tmp_path / "seg")
+    empty = spark.range(0).withColumn("cell", (F.col("id") % 3).cast("int"))
+    sinks.append_snapshot(empty, t, partition_by="cell")  # zero-row v=1
+    df = spark.range(0, 6).withColumn("cell", (F.col("id") % 3).cast("int"))
+    sinks.append_snapshot(df, t, partition_by="cell")
+    assert sinks._detect_segment_partitioning(t, ["v=1", "v=2"]) == "cell"
+
+    new_v = sinks.compact_appended(spark, t)  # auto-detect must say "cell"
+    assert any(e.startswith("cell=") for e in os.listdir(f"{t}/v={new_v}")), (
+        "zero-row first segment flattened a partitioned table"
+    )
+    # later partitioned appends keep a consistent leaf depth under basePath
+    sinks.append_snapshot(
+        spark.range(6, 9).withColumn("cell", (F.col("id") % 3).cast("int")), t,
+        partition_by="cell",
+    )
+    assert sinks.read_appended(spark, t).count() == 9
+    # a truly flat table (data files, no hive dirs) still detects as flat
+    t2 = str(tmp_path / "flat")
+    sinks.append_snapshot(spark.range(0, 4), t2)
+    assert sinks._detect_segment_partitioning(t2, ["v=1"]) is None

@@ -202,9 +202,13 @@ def label_propagation(
     if hot_degree is not None:
         hot_edges, cold_edges, hot_keys = skew_split_edges(edges, hot_degree)
         # the split is iteration-invariant: pay the degree profile and
-        # the partition once, reuse across all n_iters
+        # the partition once, reuse across all n_iters — hot_keys
+        # included (r6 ADVICE: without its own checkpoint, the
+        # per-iteration hot_src_labels semi-join would re-run the full
+        # edge degree aggregate every iteration)
         hot_edges = hot_edges.localCheckpoint(eager=True)
         cold_edges = cold_edges.localCheckpoint(eager=True)
+        hot_keys = hot_keys.localCheckpoint(eager=True)
     for _ in range(n_iters):
         src_labels = labels.withColumnRenamed("nid", "src")
         if hot_degree is not None:

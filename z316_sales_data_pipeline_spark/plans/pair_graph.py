@@ -47,15 +47,28 @@ def _fresh_tmp(out_dir: str) -> str:
     return tmp
 
 
-def _sweep_stale_tmp(out_dir: str) -> None:
+def _sweep_stale_tmp(out_dir: str, min_age_sec: float = 3600.0) -> None:
     """After a successful install, opportunistically remove leftover
     sibling ``*.tmp-*`` build dirs: the winner's tmp was renamed away
     and a live loser deletes its own on the rename race, so anything
-    still matching is a dead build's leaked disk (r5 ADVICE)."""
+    still matching is a dead build's leaked disk (r5 ADVICE). Only
+    dirs whose mtime is older than ``min_age_sec`` are swept (r6
+    ADVICE): a LIVE concurrent builder still in its write phase also
+    matches the glob, and rmtree'ing under its Spark write would fail
+    it with an error that escapes ``_materialized``'s OSError
+    fallback — age is the cheap liveness proxy (a writing build
+    touches its dir continuously; an hour-old tmp is a dead one)."""
     import glob
     import shutil
+    import time
 
+    now = time.time()
     for d in glob.glob(f"{out_dir}.tmp-*"):
+        try:
+            if now - os.path.getmtime(d) < min_age_sec:
+                continue
+        except OSError:
+            continue  # vanished: the live owner finished or cleaned up
         shutil.rmtree(d, ignore_errors=True)
 
 

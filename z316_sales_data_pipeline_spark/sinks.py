@@ -255,16 +255,46 @@ def read_appended(spark, table_dir: str, version: int | None = None) -> DataFram
     scan with ``basePath``: the version cut compiles to a partition
     filter on ``v`` (a time-travel read touches no newer segment's
     files), and any inner ``partition_by`` layout (e.g. the IVF
-    ``cell``) keeps pruning through the same scan. No shuffle."""
+    ``cell``) keeps pruning through the same scan. No shuffle.
+
+    Compaction awareness (r6 ADVICE): a compacted segment carries a
+    ``_COMPACTED_THROUGH`` marker naming the highest version it
+    folded. Segments at-or-below the highest applicable marker are
+    EXCLUDED from the union — they are the folded originals, already
+    represented inside the compacted segment. This closes the
+    double-serve window between :func:`compact_appended`'s pointer
+    flip and its old-segment cleanup (and makes a crash inside that
+    window serve correctly forever, not just until cleanup): a reader
+    of the new pointer sees marker+compacted segment and skips the
+    not-yet-deleted originals, instead of unioning every row twice.
+    The marker scan is O(committed segments) tiny-file reads on the
+    driver — the same order as the ``_LATEST`` read itself."""
+    import os
+
     if version is None:
         with open(f"{table_dir}/_LATEST") as f:
             version = int(f.read().strip())
-    return (
-        spark.read.option("basePath", table_dir)
-        .parquet(table_dir)
-        .filter(F.col("v") <= version)
-        .drop("v")
-    )
+    folded_through = 0
+    try:
+        seg_vs = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(table_dir)
+            if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+        ]
+    except OSError:
+        seg_vs = []
+    for v in seg_vs:
+        if v > version:
+            continue  # a newer compaction does not rewrite history below the cut
+        try:
+            with open(os.path.join(table_dir, f"v={v}", "_COMPACTED_THROUGH")) as f:
+                folded_through = max(folded_through, int(f.read().strip()))
+        except (OSError, ValueError):
+            pass
+    cond = F.col("v") <= version
+    if folded_through:
+        cond = cond & (F.col("v") > folded_through)
+    return spark.read.option("basePath", table_dir).parquet(table_dir).filter(cond).drop("v")
 
 
 def _committed_txns(table_dir: str) -> set[str]:
@@ -295,19 +325,38 @@ def _record_txns(table_dir: str, keys: set[str]) -> None:
 
 def _detect_segment_partitioning(table_dir: str, seg_dirs: list[str]) -> str | None:
     """Infer the inner hive partition column of an append-segment
-    table from the first committed segment's layout: exactly one
+    table from the committed segments' layout: exactly one
     ``col=value`` subdirectory level → that column (e.g. the IVF
-    ``cell`` layout). Flat segments → None."""
+    ``cell`` layout). Flat segments → None.
+
+    Scans ALL segments and answers from the first that holds data
+    (r6 ADVICE): a zero-row segment (``partitionBy`` of an empty
+    batch writes only ``_SUCCESS``, no ``col=value`` subdirs) must
+    not make a genuinely partitioned table auto-detect as flat —
+    compaction would then flatten it and later partitioned appends
+    would leave inconsistent leaf depths under the basePath read."""
     import os
 
     for d in seg_dirs:
         seg = os.path.join(table_dir, d)
+        try:
+            entries = os.listdir(seg)
+        except OSError:
+            continue
         cols = {
             e.split("=", 1)[0]
-            for e in os.listdir(seg)
+            for e in entries
             if "=" in e and not e.startswith("_") and os.path.isdir(os.path.join(seg, e))
         }
-        return cols.pop() if len(cols) == 1 else None
+        if len(cols) == 1:
+            return cols.pop()
+        if len(cols) > 1:
+            return None  # multi-level layout: let the caller pass it explicitly
+        # no hive subdirs: flat only if the segment actually has data
+        # files; a marker-only (zero-row) segment says nothing — keep
+        # scanning
+        if any(not e.startswith("_") and not e.startswith(".") for e in entries):
+            return None
     return None
 
 
@@ -344,6 +393,18 @@ def compact_appended(spark, table_dir: str, partition_by: str | None = None) -> 
     future partitioned appends at a consistent leaf depth for the
     basePath read.
 
+    Double-serve closure (r6 ADVICE): the compacted segment carries a
+    ``_COMPACTED_THROUGH`` marker (the highest folded version),
+    written INSIDE the segment dir before the pointer flip, and
+    :func:`read_appended` excludes marker-covered segments from the
+    union. So a reader of the NEW pointer in the window between the
+    flip and the old-segment cleanup — or after a crash inside that
+    window — serves each row exactly once; a reader of the OLD
+    pointer keeps its immutable dirs as before. The ``_TXNS`` merge
+    also moves BEFORE the flip now: a crash after it leaves folded
+    keys present in both the log and the still-live ``_TXN`` markers
+    (idempotent), never in neither.
+
     Returns the new version number."""
     import os
     import shutil
@@ -371,11 +432,20 @@ def compact_appended(spark, table_dir: str, partition_by: str | None = None) -> 
     # localCheckpoint pins the union's rows before any segment dir is
     # touched (the write below must not lazily re-read dirs mid-delete)
     merged = read_appended(spark, table_dir, version=latest).localCheckpoint(eager=True)
-    new_v = write_snapshot(merged, table_dir, partition_by=partition_by)
-    # txn log lands BEFORE the folded segments' _TXN markers are deleted:
-    # a crash here leaves keys present in both places (idempotent), never
-    # in neither
+    new_v = latest + 1
+    w = merged.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(f"{table_dir}/v={new_v}")
+    # marker + txn log land before the flip: from the instant the new
+    # pointer is visible, readers already know to skip the folded dirs
+    with open(f"{table_dir}/v={new_v}/_COMPACTED_THROUGH", "w") as f:
+        f.write(str(latest))
     _record_txns(table_dir, folded_txns)
+    tmp = f"{table_dir}/_LATEST.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(new_v))
+    os.replace(tmp, f"{table_dir}/_LATEST")  # atomic commit
     for d in old:
         shutil.rmtree(f"{table_dir}/{d}", ignore_errors=True)
     return new_v
