@@ -6413,84 +6413,152 @@ FROM top, tot
 """
 
 
+def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed query-term set: one token
+    explode feeds doc-length and term-tf hash aggregates; df + corpus
+    stats broadcast back; deterministic (score desc, doc_id) top-k via
+    TakeOrderedAndProject. The retrieval scorer for mining
+    topic-relevant training docs (corpus family, beyond tfidf)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.bm25_rank(docs, "text", "doc_id", ["spark", "merge", "window"], k=20)
+
+
+_BM25_SQL = r"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' ')) AS term
+    FROM documents
+), dl AS (
+    SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+), stats AS (
+    SELECT cast(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+    SELECT doc_id, term, cast(count(*) AS BIGINT) AS tf
+    FROM tok WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2
+), dfreq AS (
+    SELECT term, cast(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+)
+SELECT doc_id,
+       round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25,
+       cast(count(*) AS BIGINT) AS n_terms
+FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (hashed word-bigram features, 128
+    buckets, Laplace-smoothed target-vs-raw log-ratio; target =
+    English docs): deterministic top-20 most target-like docs.
+    Micro-unit integer weights keep float accumulation order out of
+    the cross-engine comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.dsir_weights(docs, "text", "doc_id", F.col("lang") == "en", n_buckets=128, k=20)
+
+
+_DSIR_SQL = r"""
+WITH t AS (
+    SELECT doc_id, (lang = 'en') AS tgt,
+           string_split_regex(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), bg AS (
+    SELECT doc_id, tgt,
+           unnest([toks[i] || ' ' || toks[i + 1] FOR i IN generate_series(1, len(toks) - 1)]) AS bigram
+    FROM t
+), f AS (
+    SELECT doc_id, tgt,
+           (('0x' || substr(md5(bigram), 1, 8))::BIGINT) % 128 AS bucket
+    FROM bg
+), doc_feats AS (
+    SELECT doc_id, tgt, bucket, cast(count(*) AS BIGINT) AS n FROM f GROUP BY 1, 2, 3
+), models AS (
+    SELECT bucket,
+           cast(sum(CASE WHEN tgt THEN n ELSE 0 END) AS BIGINT) AS ct,
+           cast(sum(n) AS BIGINT) AS cr
+    FROM doc_feats GROUP BY 1
+), totals AS (
+    SELECT cast(sum(ct) AS BIGINT) AS tt, cast(sum(cr) AS BIGINT) AS tr FROM models
+), bucket_lr AS (
+    SELECT bucket,
+           cast(floor(ln(((ct + 1) * (tr + 128)) / (1.0 * (cr + 1) * (tt + 128))) * 1000000.0) AS BIGINT) AS lr_micro
+    FROM models CROSS JOIN totals
+)
+SELECT doc_id,
+       cast(sum(n * lr_micro) AS BIGINT) AS weight_micro,
+       cast(sum(n) AS BIGINT) AS n_feats
+FROM doc_feats JOIN bucket_lr USING (bucket)
+GROUP BY doc_id
+ORDER BY weight_micro DESC, doc_id
+LIMIT 20
+"""
+
+
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD build from the event stream: per-user event_type
+    change compression + validity intervals (valid_from/valid_to,
+    is_current). One key-partitioned shuffle; lag and lead share the
+    exchange — the CDC history behind a truncate-reload dimension."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    return windows.scd2_history(ev, key="user_id", attr="event_type", ts="ts", tiebreak="event_id")
+
+
+_SCD2_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+), changed AS (
+    SELECT user_id, event_type, ts, event_id FROM ordered
+    WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       cast(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS INT) AS is_current
+FROM changed
+"""
+
+
+def _scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: history built from events before
+    2024-01-25, then the remaining days folded in as an in-order CDC
+    batch via scd2_apply_batch — untouched keys pass through without
+    recompute (O(batch keys), the incremental-twin discipline). The
+    oracle is the FULL recompute over all events: the driver row is
+    green iff fold(base) + batch == recompute(everything)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    cutoff = F.lit("2024-01-25").cast("timestamp")
+    base = windows.scd2_history(
+        ev.filter(F.col("ts") < cutoff),
+        key="user_id", attr="event_type", ts="ts", tiebreak="event_id",
+    )
+    return windows.scd2_apply_batch(
+        base,
+        ev.filter(F.col("ts") >= cutoff),
+        key="user_id", attr="event_type", ts="ts", tiebreak="event_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order is CURATED: the driver samples the FIRST 50 entries
-    # in dict order. The r6 sample = the 28 entries whose last driver-
-    # green row is r2 (the engine underneath them -- session config,
-    # at-rest caches, append-segment readers, two-phase window
-    # primitives -- changed for three rounds; r5 VERDICT item 1), the
-    # 2 newly oracle-checked registrations (minhash_near_dup /
-    # simhash_groups portable operating points; r5 VERDICT item 3), the
-    # 2 flagship facts as keepers, and the 18 stalest r3 entries
-    # (including bpe_merges, whose per-step action count changes this
-    # round). Everything after the sample line is ordered stalest-first
-    # so future rotations read off the top of the tail;
-    # tools/check_correctness.py runs ALL entries locally meanwhile.
     return {
-        # -- r2-stale refresh (28) --
-        "e8_duplicate_groups": _e8_duplicate_groups,
-        "dedup_exact": _dedup_exact,
-        "text_quality": _text_quality,
-        "lang_id": _lang_id,
-        "ngram_jaccard": _ngram_jaccard,
-        "knn_brute_force": _knn_brute_force,
-        "embedding_near_dup": _embedding_near_dup,
-        "ivf_top_k": _ivf_top_k,
-        "tumbling_counts": _tumbling_counts,
-        "session_windows": _session_windows,
-        "doc_fingerprint": _doc_fingerprint,
-        "c1_required_fields_filter": _c1_required_fields_filter,
-        "f1_f3_date_suite": _f1_f3_date_suite,
-        "f2_contact_datetime": _f2_contact_datetime,
-        "f5_discount_parse": _f5_discount_parse,
-        "f8_category_split": _f8_category_split,
-        "f9_f10_blob_names": _f9_f10_blob_names,
-        "f11_split_name_parse": _f11_split_name_parse,
-        "f12_checksum": _f12_checksum,
-        "f15_json_extract": _f15_json_extract,
-        "token_count_bpe": _token_count_bpe,
-        "salted_agg": _salted_agg,
-        "q18_top_customers": _q18_top_customers,
-        "embedding_near_dup_blocked": _embedding_near_dup_blocked,
-        "lsh_top_k": _lsh_top_k,
-        "sliding_counts": _sliding_counts,
-        "rollup_agg": _rollup_agg,
-        "cube_agg": _cube_agg,
-        # -- newly oracle-checked (2) --
-        "minhash_near_dup": _minhash_near_dup,
-        "simhash_groups": _simhash_groups,
-        # -- flagship keepers (2) --
-        "pedidos_fact": sales_facts.pedidos_fact,
-        "itens_fact": sales_facts.itens_fact,
-        # -- r3-stale refresh (18) --
-        "bpe_merges": _bpe_merges,
-        "doc_pagerank": _doc_pagerank,
-        "semantic_dedup": _semantic_dedup,
-        "minhash_eval": _minhash_eval,
-        "span_dedup": _span_dedup,
-        "dup_triangles": _dup_triangles,
-        "asof_join": _asof_join,
-        "range_join_clicks": _range_join_clicks,
-        "grouping_sets_agg": _grouping_sets_agg,
-        "sql_surface_portable": _sql_surface_portable,
-        "heavy_hitters_cms": _heavy_hitters_cms,
-        "source_drift": _source_drift,
-        "vocab_coverage": _vocab_coverage,
-        "bpe_token_count": _bpe_token_count,
-        "kmeans_refine": _kmeans_refine,
-        "dedup_incremental_exact": _dedup_incremental_exact,
-        # -- new this round: first attestation needed (2) --
-        "ivf_pq_rerank_top_k": _ivf_pq_rerank_top_k,
-        "hypertable_distinct": _hypertable_distinct,
-        # ---- entries below are outside the driver 50-entry sample ----
-        # ---- (stalest first: remaining r3, then r4, then r5) ----
-        "knn_graph": _knn_graph,
-        "hll_partition_rollup": _hll_partition_rollup,
+        # -- r7 driver sample (first 50): 4 NEW oracle-checked entries
+        # (bm25_search / dsir_weights / scd2_history / scd2_incremental,
+        # never driver-attested),
+        # all 29 entries whose last green row is r3, and the 17
+        # alphabetically-first r4 entries. Tail is ordered stalest-first so
+        # future rotations read off the top; tools/check_correctness.py runs
+        # ALL entries locally every round regardless of the sample. --
+        "bm25_search": _bm25_search,
+        "dsir_weights": _dsir_weights,
+        "scd2_history": _scd2_history,
+        "scd2_incremental": _scd2_incremental,
         "approx_profile": _approx_profile,
         "bigram_counts": _bigram_counts,
         "boilerplate_ngrams": _boilerplate_ngrams,
@@ -6501,7 +6569,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,
         "dq_orders_summary": _dq_orders_summary,
         "embedding_contamination": _embedding_contamination,
+        "hll_partition_rollup": _hll_partition_rollup,
         "json_ingest_rollup": _json_ingest_rollup,
+        "knn_graph": _knn_graph,
         "lm_bigram_score": _lm_bigram_score,
         "multimodal_features": _multimodal_features,
         "pii_scrub": _pii_scrub,
@@ -6535,6 +6605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_symmetric_difference": _g4_symmetric_difference,
         "lang_id_eval": _lang_id_eval,
         "lead_lag_gaps": _lead_lag_gaps,
+        # -- tail: r4-stale, then r5, then r6 (stalest-first) --
         "pack_assignments": _pack_assignments,
         "percentile_prices": _percentile_prices,
         "pivot_status_counts": _pivot_status_counts,
@@ -6609,11 +6680,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_dedup_keeprule": _w2_dedup_keeprule,
         "w3_pick_first": _w3_pick_first,
         "w4_min_by": _w4_min_by,
+        "asof_join": _asof_join,
+        "bpe_merges": _bpe_merges,
+        "bpe_token_count": _bpe_token_count,
+        "c1_required_fields_filter": _c1_required_fields_filter,
+        "cube_agg": _cube_agg,
+        "dedup_exact": _dedup_exact,
+        "dedup_incremental_exact": _dedup_incremental_exact,
+        "doc_fingerprint": _doc_fingerprint,
+        "doc_pagerank": _doc_pagerank,
+        "dup_triangles": _dup_triangles,
+        "e8_duplicate_groups": _e8_duplicate_groups,
+        "embedding_near_dup": _embedding_near_dup,
+        "embedding_near_dup_blocked": _embedding_near_dup_blocked,
+        "f11_split_name_parse": _f11_split_name_parse,
+        "f12_checksum": _f12_checksum,
+        "f15_json_extract": _f15_json_extract,
+        "f1_f3_date_suite": _f1_f3_date_suite,
+        "f2_contact_datetime": _f2_contact_datetime,
+        "f5_discount_parse": _f5_discount_parse,
+        "f8_category_split": _f8_category_split,
+        "f9_f10_blob_names": _f9_f10_blob_names,
+        "grouping_sets_agg": _grouping_sets_agg,
+        "heavy_hitters_cms": _heavy_hitters_cms,
+        "hypertable_distinct": _hypertable_distinct,
+        "itens_fact": sales_facts.itens_fact,
+        "ivf_pq_rerank_top_k": _ivf_pq_rerank_top_k,
+        "ivf_top_k": _ivf_top_k,
+        "kmeans_refine": _kmeans_refine,
+        "knn_brute_force": _knn_brute_force,
+        "lang_id": _lang_id,
+        "lsh_top_k": _lsh_top_k,
+        "minhash_eval": _minhash_eval,
+        "minhash_near_dup": _minhash_near_dup,
+        "ngram_jaccard": _ngram_jaccard,
+        "pedidos_fact": sales_facts.pedidos_fact,
+        "q18_top_customers": _q18_top_customers,
+        "range_join_clicks": _range_join_clicks,
+        "rollup_agg": _rollup_agg,
+        "salted_agg": _salted_agg,
+        "semantic_dedup": _semantic_dedup,
+        "session_windows": _session_windows,
+        "simhash_groups": _simhash_groups,
+        "sliding_counts": _sliding_counts,
+        "source_drift": _source_drift,
+        "span_dedup": _span_dedup,
+        "sql_surface_portable": _sql_surface_portable,
+        "text_quality": _text_quality,
+        "token_count_bpe": _token_count_bpe,
+        "tumbling_counts": _tumbling_counts,
+        "vocab_coverage": _vocab_coverage,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25_search": _BM25_SQL,
+        "dsir_weights": _DSIR_SQL,
+        "scd2_history": _SCD2_SQL,
+        "scd2_incremental": _SCD2_SQL,
         "pedidos_fact": PEDIDOS_FACT_SQL,
         "itens_fact": ITENS_FACT_SQL,
         "q1_pricing_summary": _Q1_SQL,

@@ -93,6 +93,12 @@ HEADLINE = [
     # DISTINCT (HLL-partial) continuous aggregate. Additions only.
     "ivf_pq_rerank_top_k",
     "hypertable_distinct",
+    # r7 additions — retrieval scoring (BM25), DSIR importance
+    # weighting, and the SCD2/CDC history build. Additions only.
+    "bm25_search",
+    "dsir_weights",
+    "scd2_history",
+    "scd2_incremental",
 ]
 
 

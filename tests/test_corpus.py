@@ -391,3 +391,57 @@ def test_pack_assignments_aggregate_to_sequence_pack(spark, sf_dir):
     assert agg == want and want
     for r in manifest.collect():
         assert 0 <= r["offset_in_pack"] < 256
+
+
+def test_bm25_rank_matches_hand_computation(spark):
+    """BM25 on a 3-doc corpus against a hand-computed score: the doc
+    that contains the query term more often but is longer scores per
+    the k1/b length normalization, not raw tf."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark fast"),          # tf=2, dl=3
+            (2, "spark slow slow slow slow"),  # tf=1, dl=5
+            (3, "other words only here"),      # tf=0, dl=4
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["bm25"], r["n_terms"])
+        for r in corpus.bm25_rank(docs, "text", "doc_id", ["spark"], k=10).collect()
+    }
+    assert set(got) == {1, 2}  # doc 3 matches no term -> absent
+    n_docs, avgdl, df_, k1, b = 3, 4.0, 2, 1.2, 0.75
+    idf = math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+
+    def score(tf, dl):
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    assert got[1] == (score(2, 3), 1)
+    assert got[2] == (score(1, 5), 1)
+    assert got[1][0] > got[2][0]
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    """DSIR importance weighting: a raw doc sharing its bigrams with
+    the target distribution must outweigh one whose bigrams only ever
+    appear outside the target; weights are integer micro-units (no
+    float accumulation in the comparison)."""
+    rows = [
+        # target docs establish p_target over 'a b'/'b c' bigrams
+        (1, "a b c a b c", True),
+        (2, "a b c a b", True),
+        # raw-only docs: 3 mimics the target, 4 is disjoint
+        (3, "a b c a b c", False),
+        (4, "x y z x y z", False),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    got = {
+        r["doc_id"]: r["weight_micro"]
+        for r in corpus.dsir_weights(
+            docs, "text", "doc_id", F.col("is_tgt"), n_buckets=16, k=10
+        ).collect()
+    }
+    assert got[3] > got[4], "target-like doc must outweigh disjoint doc"
+    assert all(isinstance(v, int) for v in got.values())

@@ -856,3 +856,67 @@ def test_hll_sketch_partials_merge_across_segments_and_compaction(spark, sf_dir,
     assert served() == want
     sinks.compact_appended(spark, t)
     assert served() == want
+
+
+def test_scd2_history_semantics(spark):
+    """SCD2 contract: consecutive repeats compress away, intervals
+    tile per key ([from, to) chains with no gap/overlap), exactly one
+    current row per key, and duplicate-ts events resolve by the
+    tiebreak deterministically."""
+    from datetime import datetime as DT
+
+    from z316_sales_data_pipeline_spark.operators import windows as W
+
+    rows = [
+        (1, "new", DT(2024, 1, 1), 10),
+        (1, "new", DT(2024, 1, 2), 11),   # repeat: compressed away
+        (1, "paid", DT(2024, 1, 3), 12),
+        (1, "paid", DT(2024, 1, 3), 13),  # duplicate ts, same attr: compressed
+        (1, "done", DT(2024, 1, 5), 14),
+        (2, "new", DT(2024, 2, 1), 20),
+    ]
+    ev = spark.createDataFrame(rows, "uid long, status string, ts timestamp, eid long")
+    hist = W.scd2_history(ev, key="uid", attr="status", ts="ts", tiebreak="eid").collect()
+
+    by_key: dict[int, list] = {}
+    for r in sorted(hist, key=lambda r: (r["uid"], r["valid_from"])):
+        by_key.setdefault(r["uid"], []).append(r)
+    assert [r["status"] for r in by_key[1]] == ["new", "paid", "done"]
+    assert [r["status"] for r in by_key[2]] == ["new"]
+    for key_rows in by_key.values():
+        for a, b in zip(key_rows, key_rows[1:]):
+            assert a["valid_to"] == b["valid_from"], "intervals must tile"
+        assert key_rows[-1]["valid_to"] is None
+        assert [r["is_current"] for r in key_rows] == [0] * (len(key_rows) - 1) + [1]
+
+
+def test_scd2_apply_batch_equals_full_recompute(spark):
+    """Incremental SCD2 contract: folding an in-order batch into an
+    existing history equals the full recompute — including a new key
+    first seen in the batch, a repeat-only key (open row unchanged),
+    a changing key, and an untouched key."""
+    from datetime import datetime as DT
+
+    from z316_sales_data_pipeline_spark.operators import windows as W
+
+    base_rows = [
+        (1, "new", DT(2024, 1, 1), 10),
+        (1, "paid", DT(2024, 1, 3), 11),
+        (2, "new", DT(2024, 1, 2), 12),
+        (3, "new", DT(2024, 1, 4), 13),   # untouched by the batch
+    ]
+    batch_rows = [
+        (1, "paid", DT(2024, 1, 6), 20),  # repeat of open attr: no-op
+        (1, "done", DT(2024, 1, 7), 21),  # change: closes open row
+        (2, "new", DT(2024, 1, 8), 22),   # repeat-only key
+        (4, "new", DT(2024, 1, 9), 23),   # key first seen in batch
+    ]
+    schema = "uid long, status string, ts timestamp, eid long"
+    base = spark.createDataFrame(base_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    args = dict(key="uid", attr="status", ts="ts", tiebreak="eid")
+
+    hist = W.scd2_history(base, **args)
+    folded = W.scd2_apply_batch(hist, batch, **args)
+    full = W.scd2_history(base.unionByName(batch), **args)
+    assert {tuple(r) for r in folded.collect()} == {tuple(r) for r in full.collect()}

@@ -214,3 +214,94 @@ def ntile_from_rank(rank: Column, n_buckets: int, total: int) -> Column:
         return first  # fewer rows than buckets: every bucket has <= 1 row
     rest = (F.lit(rem) + F.floor((rank - F.lit(thr) - 1) / F.lit(base)) + 1).cast("int")
     return F.when(rank <= thr, first).otherwise(rest)
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event stream:
+    compress consecutive repeats of ``attr`` per ``key``, then emit one
+    validity interval per surviving change — ``valid_from`` = the
+    change's timestamp, ``valid_to`` = the next change's (NULL while
+    current). The history table behind the reference's
+    truncate-and-reload dimensions (B4, contatos_to_bq/main.py:97-129)
+    when the consumer needs point-in-time correctness instead of
+    latest-only.
+
+    Two windows, both partitioned on the business key (ONE shuffle,
+    sort reused between them — same exchange feeds lag and lead).
+    Ties on ``ts`` order by ``tiebreak`` so replayed/duplicate events
+    produce the same history on every run. At lake scale this is the
+    standard CDC pattern: key-partitioned, no self-join, no global
+    sort; pair with :func:`~..sinks.merge_upsert` for the latest-only
+    image.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(tiebreak).asc())
+    changed = (
+        df.withColumn("__prev", F.lag(attr).over(w))
+        .filter(F.col("__prev").isNull() | (F.col(attr) != F.col("__prev")))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(tiebreak).asc())
+    return changed.select(
+        F.col(key),
+        F.col(attr),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w2).alias("valid_to"),
+        F.lead(ts).over(w2).isNull().cast("int").alias("is_current"),
+    )
+
+
+def scd2_apply_batch(
+    history: DataFrame,
+    batch: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Incremental :func:`scd2_history` maintenance: fold an IN-ORDER
+    CDC batch into an existing history — O(batch keys), the untouched
+    keys' rows pass through without recompute (the incremental-twin
+    discipline of the dedup family, applied to the CDC path).
+
+    In-order contract (the standard streaming-CDC watermark
+    assumption): every batch event's ``ts`` is >= every already-folded
+    event's ``ts`` for the same key. Under it the only mutable row per
+    key is the OPEN interval — any event dropped by past compression
+    after the last change was a repeat of the open ``attr``, so
+    re-seeding compression with just the open row is exact. A LATE
+    event (older than folded data) would need the raw per-key event
+    log; route those through a key-scoped recompute instead (the same
+    trade the backfill path makes, reference
+    backfill/api_to_gcs-backfill.py:138-140).
+
+    Plan shape: one distinct on the batch keys (broadcast to split
+    history into touched/untouched via semi/anti), then
+    :func:`scd2_history` over open-rows ∪ batch — work is
+    O(touched keys × batch), never O(history).
+    """
+    touched = batch.select(key).distinct()
+    untouched = history.join(F.broadcast(touched), key, "left_anti")
+    cur = history.join(F.broadcast(touched), key, "left_semi")
+    closed = cur.filter(F.col("valid_to").isNotNull()).select(
+        key, attr, "valid_from", "valid_to", "is_current"
+    )
+    tb_type = batch.schema[tiebreak].dataType.simpleString()
+    # the open interval re-enters compression as a seed event; its
+    # tiebreak sorts FIRST at equal ts so a same-ts batch event lands
+    # after the seed (matching full-recompute order, where the seed's
+    # original event carried the smaller tiebreak)
+    seed = cur.filter(F.col("valid_to").isNull()).select(
+        F.col(key),
+        F.col(attr),
+        F.col("valid_from").alias(ts),
+        F.lit(None).cast(tb_type).alias(tiebreak),
+    )
+    replay = seed.unionByName(batch.select(key, attr, ts, tiebreak))
+    rebuilt = scd2_history(replay, key=key, attr=attr, ts=ts, tiebreak=tiebreak)
+    return untouched.select(*closed.columns).unionByName(closed).unionByName(rebuilt)
