@@ -6541,6 +6541,53 @@ def _scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against the SCD2 history — THE consumer
+    of a type-2 dimension: each purchase event is joined to the status
+    interval (history over the non-purchase event stream) valid at its
+    timestamp. Because validity intervals tile per key, the interval
+    containing t is exactly the latest valid_from <= t, so the lookup
+    compiles to the as-of carry-forward (one shuffle, no range join,
+    no per-row search); the oracle states the same thing as an interval
+    predicate, which DuckDB resolves independently."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    hist = windows.scd2_history(
+        ev.filter(F.col("event_type") != "purchase"),
+        key="user_id", attr="event_type", ts="ts", tiebreak="event_id",
+    ).select("user_id", F.col("event_type").alias("status"), F.col("valid_from").alias("ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    out = joins.asof_join(
+        purchases, hist, key="user_id", ts="ts", tiebreak="status", carry=["status"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("status_r").alias("status"),
+        F.col("ts_r").alias("status_since"),
+    )
+
+
+_SCD2_PIT_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events WHERE event_type <> 'purchase'
+), hist AS (
+    SELECT user_id, event_type AS status, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM ordered
+    WHERE prev IS NULL OR event_type <> prev
+)
+SELECT p.event_id, p.user_id, p.ts, h.status, h.valid_from AS status_since
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN hist h
+  ON p.user_id = h.user_id
+ AND p.ts >= h.valid_from
+ AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6548,10 +6595,10 @@ def _scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # -- r7 driver sample (first 50): 4 NEW oracle-checked entries
-        # (bm25_search / dsir_weights / scd2_history / scd2_incremental,
-        # never driver-attested),
-        # all 29 entries whose last green row is r3, and the 17
+        # -- r7 driver sample (first 50): 5 NEW oracle-checked entries
+        # (bm25_search / dsir_weights / scd2_history / scd2_incremental /
+        # scd2_point_in_time, never driver-attested),
+        # all 29 entries whose last green row is r3, and the 16
         # alphabetically-first r4 entries. Tail is ordered stalest-first so
         # future rotations read off the top; tools/check_correctness.py runs
         # ALL entries locally every round regardless of the sample. --
@@ -6559,6 +6606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _dsir_weights,
         "scd2_history": _scd2_history,
         "scd2_incremental": _scd2_incremental,
+        "scd2_point_in_time": _scd2_point_in_time,
         "approx_profile": _approx_profile,
         "bigram_counts": _bigram_counts,
         "boilerplate_ngrams": _boilerplate_ngrams,
@@ -6604,8 +6652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _funnel_conversion,
         "g4_symmetric_difference": _g4_symmetric_difference,
         "lang_id_eval": _lang_id_eval,
-        "lead_lag_gaps": _lead_lag_gaps,
         # -- tail: r4-stale, then r5, then r6 (stalest-first) --
+        "lead_lag_gaps": _lead_lag_gaps,
         "pack_assignments": _pack_assignments,
         "percentile_prices": _percentile_prices,
         "pivot_status_counts": _pivot_status_counts,
@@ -6739,6 +6787,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _DSIR_SQL,
         "scd2_history": _SCD2_SQL,
         "scd2_incremental": _SCD2_SQL,
+        "scd2_point_in_time": _SCD2_PIT_SQL,
         "pedidos_fact": PEDIDOS_FACT_SQL,
         "itens_fact": ITENS_FACT_SQL,
         "q1_pricing_summary": _Q1_SQL,

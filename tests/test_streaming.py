@@ -1062,3 +1062,81 @@ def test_compaction_policy_and_late_day_bucket_across_compaction(spark, sf_dir, 
     sinks.append_snapshot(rollup.event_partials(ev.filter(is_late)), table_dir, txn_key="late")
     assert served() == want_all
     assert sinks.committed_segment_count(table_dir) == 1
+
+
+def test_scd2_history_sink_exactly_once_and_stream(spark, sf_dir, tmp_path):
+    """At-rest SCD2 maintenance (r7): each micro-batch folds into the
+    versioned snapshot history via scd2_apply_batch; the folded epoch
+    id commits INSIDE the snapshot dir before the pointer flip
+    (write_snapshot meta hook), so a replayed epoch — which would
+    double-fold and corrupt the history under the fold's in-order
+    contract — is a no-op, and a crash between segment write and
+    pointer flip leaves an orphan whose marker readers never see.
+    Batches arrive in event-time order (the streaming-CDC watermark
+    assumption); the final history must equal the full batch
+    recompute, through a real AvailableNow stream too."""
+    import os
+    import shutil
+
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import windows as W
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming.pipeline import scd2_history_sink
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    args = dict(key="user_id", attr="event_type", ts="ts", tiebreak="event_id")
+    cuts = ["2024-01-10", "2024-01-20"]
+    slices = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    want = {tuple(r) for r in W.scd2_history(ev, **args).collect()}
+
+    # --- manual epoch folds: seed, then fold epoch 1 ---
+    t = str(tmp_path / "hist")
+    fold = scd2_history_sink(t, **args)
+    fold(slices[0], 0)
+    fold(slices[1], 1)
+    v1 = int(open(f"{t}/_LATEST").read())
+
+    # crash during epoch 2: snapshot dir written, marker inside it,
+    # but the pointer never flipped — the orphan's marker is invisible
+    # (snapshot_meta reads at _LATEST), so the re-delivered epoch 2
+    # (same id — foreachBatch replays keep their epoch) folds onto the
+    # real latest exactly once
+    shutil.copytree(f"{t}/v={v1}", f"{t}/v={v1 + 1}")
+    with open(f"{t}/v={v1 + 1}/_SCD2_EPOCH", "w") as f:
+        f.write("2")
+    fold(slices[2], 2)
+    assert {tuple(r) for r in sinks.read_snapshot(spark, t).collect()} == want
+
+    # replayed epoch AFTER a successful commit (at-least-once
+    # foreachBatch): must be a no-op — a double-fold would emit
+    # overlapping intervals because the fold treats its batch as
+    # strictly-newer data
+    v_before = int(open(f"{t}/_LATEST").read())
+    fold(slices[2], 2)
+    assert int(open(f"{t}/_LATEST").read()) == v_before
+    assert {tuple(r) for r in sinks.read_snapshot(spark, t).collect()} == want
+
+    # --- the same maintainer under a real AvailableNow stream ---
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, sl in enumerate(slices):
+        part_dir = str(tmp_path / f"part{i}")
+        sl.coalesce(1).write.parquet(part_dir)
+        part = next(p for p in os.listdir(part_dir) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        shutil.move(os.path.join(part_dir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))  # mtime order = slice order
+    t2 = str(tmp_path / "hist2")
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(scd2_history_sink(t2, **args))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert {tuple(r) for r in sinks.read_snapshot(spark, t2).collect()} == want

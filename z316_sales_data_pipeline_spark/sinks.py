@@ -125,7 +125,12 @@ def merge_upsert(
     )
 
 
-def write_snapshot(df: DataFrame, table_dir: str, partition_by: str | None = None) -> int:
+def write_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    partition_by: str | None = None,
+    meta: dict[str, str] | None = None,
+) -> int:
     """Versioned overwrite: write a NEW immutable snapshot directory
     (``v=N``) and flip the ``_LATEST`` pointer — readers of the old
     version are never disturbed mid-overwrite, and any version can be
@@ -135,7 +140,13 @@ def write_snapshot(df: DataFrame, table_dir: str, partition_by: str | None = Non
     the vulnerable window shrinks from "whole rewrite" to "one pointer
     file rename". ``partition_by`` lays each version out hive-style on
     that column, so consumers' filters compile to partition pruning
-    (the at-rest IVF layout). Returns the new version number.
+    (the at-rest IVF layout). ``meta`` files (name → content,
+    underscore-prefixed names recommended so the parquet scan ignores
+    them) land INSIDE the version dir BEFORE the pointer flip — the
+    hook exactly-once maintainers need: provenance (e.g. a folded
+    epoch id) commits atomically with the snapshot it describes, so a
+    crash can never publish a snapshot whose marker says otherwise.
+    Returns the new version number.
     """
     import os
 
@@ -150,6 +161,9 @@ def write_snapshot(df: DataFrame, table_dir: str, partition_by: str | None = Non
     if partition_by:
         w = w.partitionBy(partition_by)
     w.parquet(f"{table_dir}/v={new_v}")
+    for name, content in (meta or {}).items():
+        with open(f"{table_dir}/v={new_v}/{name}", "w") as f:
+            f.write(content)
     tmp = f"{table_dir}/_LATEST.tmp"
     with open(tmp, "w") as f:
         f.write(str(new_v))
@@ -705,3 +719,18 @@ def compact_partitions(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def snapshot_meta(table_dir: str, name: str, version: int | None = None) -> str | None:
+    """Read a ``meta`` file written by :func:`write_snapshot` from the
+    ``version`` (default: _LATEST) snapshot dir; None if absent."""
+    import os
+
+    try:
+        if version is None:
+            with open(os.path.join(table_dir, "_LATEST")) as f:
+                version = int(f.read().strip())
+        with open(os.path.join(table_dir, f"v={version}", name)) as f:
+            return f.read()
+    except (OSError, ValueError):
+        return None

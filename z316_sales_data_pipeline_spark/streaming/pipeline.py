@@ -280,3 +280,59 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             F.col("session_value"),
         )
     )
+
+
+def scd2_history_sink(
+    table_dir: str,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch maintainer for an AT-REST SCD2 history: each
+    micro-batch folds into the versioned snapshot table via
+    :func:`~..operators.windows.scd2_apply_batch` — O(batch keys) per
+    trigger, untouched keys pass through; the first batch (or a
+    missing table) seeds the history from scratch.
+
+    Exactly-once under at-least-once foreachBatch: epochs are
+    monotonic, and the folded epoch id is committed as a ``meta`` file
+    INSIDE the snapshot version dir before the pointer flip
+    (:func:`~..sinks.write_snapshot`), so the marker can never
+    disagree with the published snapshot. A replayed epoch (<= the
+    latest snapshot's marker) is a no-op — double-folding a batch
+    would corrupt the history because the fold's in-order contract
+    treats the batch as strictly-newer data (the Delta
+    txnAppId/txnVersion pattern on the full-image sink, sibling of
+    append_snapshot's ``txn_key``).
+
+    Single writer per table, like every sink here. The source must
+    deliver each key's events in epoch-monotonic event-time order (the
+    standard streaming-CDC watermark assumption documented on
+    scd2_apply_batch); route genuinely late events through a key-scoped
+    batch recompute instead.
+    """
+    from .. import sinks
+    from ..operators import windows as W
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        last = sinks.snapshot_meta(table_dir, "_SCD2_EPOCH")
+        if last is not None and int(epoch_id) <= int(last):
+            return  # replayed epoch: already folded into _LATEST
+        batch = batch_df.select(key, attr, ts, tiebreak)
+        try:
+            hist = sinks.read_snapshot(spark, table_dir)
+            new_hist = W.scd2_apply_batch(hist, batch, key=key, attr=attr, ts=ts, tiebreak=tiebreak)
+        except OSError:
+            new_hist = W.scd2_history(batch, key=key, attr=attr, ts=ts, tiebreak=tiebreak)
+        # pin rows before writing: the fold reads the CURRENT snapshot
+        # dir lazily, and although versions are immutable, a retention
+        # sweep (vacuum_snapshots) between plan and execution must not
+        # be able to pull the input out from under the write
+        new_hist = new_hist.localCheckpoint(eager=True)
+        sinks.write_snapshot(new_hist, table_dir, meta={"_SCD2_EPOCH": str(int(epoch_id))})
+
+    return fold
