@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from z316_sales_data_pipeline_spark import sinks as sinks_mod
 from z316_sales_data_pipeline_spark.functions import scalar, text, vector
 from z316_sales_data_pipeline_spark.operators import (
     bloom,
@@ -6588,6 +6589,58 @@ JOIN hist h
 """
 
 
+def _cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CRUD MERGE: a CDC batch (upserts AND deletes) applied to a
+    snapshot via sinks.cdc_apply — winner-per-key picked by a
+    struct-max hash aggregate (no row_number sort), snapshot rows with
+    changed keys dropped by anti-join, winning upserts unioned in.
+    Fixture: line 1 of each order is the snapshot; later lines are the
+    change feed (R-flag lines are deletes), l_linenumber the version.
+    The synthetic lineitem REPEATS line numbers within an order, so
+    exact-version ties are real here and resolve by the lexicographic
+    payload comparison — stated identically in the oracle's window
+    ORDER BY."""
+    li = load_table(spark, sf_dir, "lineitem")
+    snap = li.filter(F.col("l_linenumber") == 1).select(
+        F.col("l_orderkey").alias("k"), "l_quantity", "l_extendedprice"
+    )
+    changes = li.filter(F.col("l_linenumber") > 1).select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("v"),
+        F.when(F.col("l_returnflag") == "R", F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return sinks_mod.cdc_apply(snap, changes, key="k", op_col="op", version_col="v")
+
+
+_CDC_MERGE_SQL = """
+WITH snap AS (
+    SELECT l_orderkey AS k, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_linenumber = 1
+), ch AS (
+    SELECT l_orderkey AS k, l_linenumber AS v,
+           CASE WHEN l_returnflag = 'R' THEN 'delete' ELSE 'upsert' END AS op,
+           l_quantity, l_extendedprice
+    FROM lineitem WHERE l_linenumber > 1
+), win AS (
+    SELECT k, op, l_quantity, l_extendedprice,
+           row_number() OVER (
+               PARTITION BY k
+               ORDER BY v DESC, CASE WHEN op = 'delete' THEN 1 ELSE 0 END DESC,
+                        l_quantity DESC, l_extendedprice DESC
+           ) AS rn
+    FROM ch
+)
+SELECT s.k, s.l_quantity, s.l_extendedprice
+FROM snap s
+WHERE NOT EXISTS (SELECT 1 FROM win w WHERE w.k = s.k AND w.rn = 1)
+UNION ALL
+SELECT k, l_quantity, l_extendedprice
+FROM win WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6595,10 +6648,10 @@ JOIN hist h
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # -- r7 driver sample (first 50): 5 NEW oracle-checked entries
+        # -- r7 driver sample (first 50): 6 NEW oracle-checked entries
         # (bm25_search / dsir_weights / scd2_history / scd2_incremental /
-        # scd2_point_in_time, never driver-attested),
-        # all 29 entries whose last green row is r3, and the 16
+        # scd2_point_in_time / cdc_merge, never driver-attested),
+        # all 29 entries whose last green row is r3, and the 15
         # alphabetically-first r4 entries. Tail is ordered stalest-first so
         # future rotations read off the top; tools/check_correctness.py runs
         # ALL entries locally every round regardless of the sample. --
@@ -6607,6 +6660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _scd2_history,
         "scd2_incremental": _scd2_incremental,
         "scd2_point_in_time": _scd2_point_in_time,
+        "cdc_merge": _cdc_merge,
         "approx_profile": _approx_profile,
         "bigram_counts": _bigram_counts,
         "boilerplate_ngrams": _boilerplate_ngrams,
@@ -6651,8 +6705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f16_url_assembly": _f16_url_assembly,
         "funnel_conversion": _funnel_conversion,
         "g4_symmetric_difference": _g4_symmetric_difference,
-        "lang_id_eval": _lang_id_eval,
         # -- tail: r4-stale, then r5, then r6 (stalest-first) --
+        "lang_id_eval": _lang_id_eval,
         "lead_lag_gaps": _lead_lag_gaps,
         "pack_assignments": _pack_assignments,
         "percentile_prices": _percentile_prices,
@@ -6788,6 +6842,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SCD2_SQL,
         "scd2_incremental": _SCD2_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
+        "cdc_merge": _CDC_MERGE_SQL,
         "pedidos_fact": PEDIDOS_FACT_SQL,
         "itens_fact": ITENS_FACT_SQL,
         "q1_pricing_summary": _Q1_SQL,

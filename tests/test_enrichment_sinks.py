@@ -430,3 +430,36 @@ def test_zero_row_first_segment_keeps_partition_detection(spark, tmp_path):
     t2 = str(tmp_path / "flat")
     sinks.append_snapshot(spark.range(0, 4), t2)
     assert sinks._detect_segment_partitioning(t2, ["v=1"]) is None
+
+
+def test_cdc_apply_full_crud(spark):
+    """CDC MERGE contract: insert (new key), update (newest version
+    wins), delete (key removed), delete-beats-upsert at equal version,
+    and a no-op delete of an absent key; exact-version upsert ties
+    resolve by the lexicographic payload comparison on every run."""
+    snap = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, p string, q long"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "upsert", 1, "b1", 21),   # update, loses to v=2 below
+            (2, "upsert", 2, "b2", 22),   # update winner
+            (3, "delete", 1, None, None),  # delete existing
+            (4, "upsert", 1, "d", 40),    # insert new key
+            (5, "delete", 1, None, None),  # delete absent key: no-op
+            (6, "upsert", 3, "t-lo", 60),  # equal-version tie ...
+            (6, "delete", 3, None, None),  # ... delete wins it
+            (7, "upsert", 1, "x", 70),    # equal-version payload tie ...
+            (7, "upsert", 1, "y", 71),    # ... lexicographic max wins
+        ],
+        "id long, op string, v long, p string, q long",
+    )
+    out = {r["id"]: (r["p"], r["q"]) for r in
+           sinks.cdc_apply(snap, changes, key="id", op_col="op", version_col="v").collect()}
+    assert out == {1: ("a", 10), 2: ("b2", 22), 4: ("d", 40), 7: ("y", 71)}
+
+    # task-order independence of the tie outcome
+    for n_parts in (1, 7):
+        out2 = {r["id"]: (r["p"], r["q"]) for r in
+                sinks.cdc_apply(snap, changes.repartition(n_parts), "id", "op", "v").collect()}
+        assert out2 == out

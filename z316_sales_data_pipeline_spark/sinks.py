@@ -734,3 +734,51 @@ def snapshot_meta(table_dir: str, name: str, version: int | None = None) -> str 
             return f.read()
     except (OSError, ValueError):
         return None
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str | list[str],
+    op_col: str,
+    version_col: str,
+) -> DataFrame:
+    """Apply a CDC change batch (upserts AND deletes) to a snapshot —
+    the full MERGE WHEN MATCHED THEN UPDATE/DELETE WHEN NOT MATCHED
+    THEN INSERT semantics :func:`merge_upsert` lacks (it has no delete
+    arm). ``changes`` rows carry ``op_col`` in ('upsert', 'delete')
+    plus the full payload; per key the max-``version_col`` change wins
+    (ties: delete beats upsert — the conservative reading of an
+    ambiguous feed — then a stable payload-hash tiebreak, same
+    discipline as merge_upsert).
+
+    Shape at scale: ONE key-partitioned reduction of the change batch
+    (a struct-max hash aggregate — the LPA lesson: no row_number sort
+    for a single extreme row), then an anti-join to drop every
+    snapshot row whose key changed and a union of the winning upserts.
+    O(snapshot + changes), no window sort, no per-key loop. Caller
+    overwrites the table with the result (Delta's MERGE INTO in
+    place); reference B6/B7 do the delete/re-trigger halves
+    imperatively (api_to_gcs-checker.py:106-128).
+    """
+    keys = [key] if isinstance(key, str) else key
+    payload_cols = [c for c in snapshot.columns if c not in keys]
+    # losing changes die inside the aggregate: max of (version,
+    # is_delete, payload-struct) picks the winner and carries its row —
+    # deletes outrank upserts at equal version, and exact-version ties
+    # fall to the lexicographic payload comparison (engine-portable,
+    # unlike a hash tiebreak: an oracle can state the same ordering as
+    # ORDER BY the payload columns)
+    pick = F.max(
+        F.struct(
+            F.col(version_col).alias("v"),
+            (F.col(op_col) == "delete").cast("int").alias("d"),
+            F.struct(*[F.col(c) for c in payload_cols]).alias("p"),
+        )
+    ).alias("__w")
+    winners = changes.groupBy(*keys).agg(pick)
+    upserts = winners.filter(F.col("__w.d") == 0).select(
+        *keys, *[F.col(f"__w.p.{c}").alias(c) for c in payload_cols]
+    )
+    untouched = snapshot.join(winners.select(*keys), keys, "left_anti")
+    return untouched.unionByName(upserts.select(*snapshot.columns))
