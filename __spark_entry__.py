@@ -6641,6 +6641,107 @@ FROM win WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def _winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the feature-prep clip that MAD flagging stops
+    short of: per group, prices clipped into [p05, p95] (exact
+    interpolated percentiles; swap in approx_percentile at lake scale)
+    and the robust mean compared to the raw one. Raw means sum exact
+    integer cents (2dp data), clipped sums floor-scale to micro-units
+    first — float accumulation order never reaches the comparison.
+    Two passes over the fact: a percentile aggregate broadcast back,
+    then one clip-and-aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    pct = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
+    return (
+        li.join(F.broadcast(pct), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                ((F.col("l_extendedprice") < F.col("p05")) | (F.col("l_extendedprice") > F.col("p95"))).cast("long")
+            ).alias("n_clipped"),
+            F.round(F.min("p05"), 4).alias("p05"),
+            F.round(F.min("p95"), 4).alias("p95"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("raw_cents"),
+            F.sum(F.floor(clipped * 1000000.0).cast("long")).alias("wins_micro"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "n_clipped",
+            "p05",
+            "p95",
+            F.round(F.col("raw_cents") / 100.0 / F.col("n"), 6).alias("mean_raw"),
+            F.round(F.col("wins_micro") / 1000000.0 / F.col("n"), 6).alias("mean_winsorized"),
+        )
+    )
+
+
+_WINSOR_SQL = """
+WITH pct AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.05) AS p05,
+           quantile_cont(l_extendedprice, 0.95) AS p95
+    FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(CASE WHEN l.l_extendedprice < p.p05 OR l.l_extendedprice > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       round(min(p.p05), 4) AS p05,
+       round(min(p.p95), 4) AS p95,
+       round(cast(sum(cast(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 6) AS mean_raw,
+       round(cast(sum(cast(floor(least(greatest(l.l_extendedprice, p.p05), p.p95) * 1000000.0) AS BIGINT)) AS BIGINT) / 1000000.0 / count(*), 6) AS mean_winsorized
+FROM lineitem l JOIN pct p USING (l_returnflag)
+GROUP BY l.l_returnflag
+"""
+
+
+def _status_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time analytics over the SCD2 history: how long users sit
+    in each status before changing — per-status interval count and
+    mean duration over CLOSED intervals (open ones have no duration
+    yet). Durations are exact whole+fractional seconds summed as
+    integer microseconds; the history build is the same single
+    key-partitioned exchange as scd2_history."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    hist = windows.scd2_history(ev, key="user_id", attr="event_type", ts="ts", tiebreak="event_id")
+    dur_micro = (
+        F.unix_micros(F.col("valid_to")) - F.unix_micros(F.col("valid_from"))
+    )
+    return (
+        hist.filter(F.col("valid_to").isNotNull())
+        .groupBy(F.col("event_type").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round((F.sum(dur_micro) / F.count(F.lit(1))) / 1000000.0, 4).alias("mean_dwell_s"),
+        )
+    )
+
+
+_DWELL_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+), hist AS (
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM ordered
+    WHERE prev IS NULL OR event_type <> prev
+)
+SELECT event_type AS status,
+       cast(count(*) AS BIGINT) AS n_intervals,
+       round((sum(epoch_us(valid_to) - epoch_us(valid_from)) / count(*)) / 1000000.0, 4) AS mean_dwell_s
+FROM hist
+WHERE valid_to IS NOT NULL
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6648,10 +6749,11 @@ FROM win WHERE rn = 1 AND op <> 'delete'
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # -- r7 driver sample (first 50): 6 NEW oracle-checked entries
+        # -- r7 driver sample (first 50): 8 NEW oracle-checked entries
         # (bm25_search / dsir_weights / scd2_history / scd2_incremental /
-        # scd2_point_in_time / cdc_merge, never driver-attested),
-        # all 29 entries whose last green row is r3, and the 15
+        # scd2_point_in_time / cdc_merge / winsorized_stats /
+        # status_dwell_time, never driver-attested),
+        # all 29 entries whose last green row is r3, and the 13
         # alphabetically-first r4 entries. Tail is ordered stalest-first so
         # future rotations read off the top; tools/check_correctness.py runs
         # ALL entries locally every round regardless of the sample. --
@@ -6661,6 +6763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_incremental": _scd2_incremental,
         "scd2_point_in_time": _scd2_point_in_time,
         "cdc_merge": _cdc_merge,
+        "winsorized_stats": _winsorized_stats,
+        "status_dwell_time": _status_dwell_time,
         "approx_profile": _approx_profile,
         "bigram_counts": _bigram_counts,
         "boilerplate_ngrams": _boilerplate_ngrams,
@@ -6703,9 +6807,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _event_transitions,
         "f14_pubsub_decode": _f14_pubsub_decode,
         "f16_url_assembly": _f16_url_assembly,
-        "funnel_conversion": _funnel_conversion,
-        "g4_symmetric_difference": _g4_symmetric_difference,
         # -- tail: r4-stale, then r5, then r6 (stalest-first) --
+        "g4_symmetric_difference": _g4_symmetric_difference,
+        "funnel_conversion": _funnel_conversion,
         "lang_id_eval": _lang_id_eval,
         "lead_lag_gaps": _lead_lag_gaps,
         "pack_assignments": _pack_assignments,
@@ -6843,6 +6947,8 @@ def oracle_sql() -> dict[str, str]:
         "scd2_incremental": _SCD2_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
+        "winsorized_stats": _WINSOR_SQL,
+        "status_dwell_time": _DWELL_SQL,
         "pedidos_fact": PEDIDOS_FACT_SQL,
         "itens_fact": ITENS_FACT_SQL,
         "q1_pricing_summary": _Q1_SQL,
