@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from z316_sales_data_pipeline_spark import sinks as sinks_mod
 from z316_sales_data_pipeline_spark.functions import scalar, text, vector
 from z316_sales_data_pipeline_spark.operators import (
+    aggregates,
     bloom,
     corpus,
     dedup,
@@ -6742,6 +6743,285 @@ GROUP BY event_type
 """
 
 
+def _gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill + LOCF (windows.gapfill_locf): the sparse
+    per-(priority, day) order series densified onto each priority's own
+    contiguous daily spine — order counts zero-filled (absent day = no
+    orders), the day's max ticket carried forward as exact cents
+    (absent day = price level unchanged). The spine explode is a
+    narrow Generate; the left join and the LOCF window share one
+    key-partitioned exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias("mx_cents"),
+    )
+    return windows.gapfill_locf(
+        daily,
+        key="priority",
+        date_col="day",
+        zero_fill={"n_orders": "n_orders"},
+        locf={"locf_price_cents": "mx_cents"},
+    )
+
+
+_GAPFILL_SQL = """
+WITH daily AS (
+    SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+           cast(count(*) AS BIGINT) AS n_orders,
+           max(cast(round(o_totalprice * 100) AS BIGINT)) AS mx_cents
+    FROM orders GROUP BY 1, 2
+), bounds AS (
+    SELECT priority, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1
+), spine AS (
+    SELECT priority,
+           CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+)
+SELECT s.priority, s.day,
+       cast(coalesce(d.n_orders, 0) AS BIGINT) AS n_orders,
+       last_value(d.mx_cents IGNORE NULLS) OVER (
+           PARTITION BY s.priority ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_price_cents
+FROM spine s LEFT JOIN daily d ON s.priority = d.priority AND s.day = d.day
+"""
+
+
+def _assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules over co-purchase baskets
+    (aggregates.association_rules): support / confidence / lift for the
+    top-20 rules by lift — basket_pairs' co-occurrence counts turned
+    into the recommendation-strength signal. Pair counting stays
+    ORDER-LOCAL (shuffle on l_orderkey, Σ|basket|² work); item supports
+    are an items-sized aggregate broadcast onto the pair relation; all
+    ratios divide exact integer counts once, so the doubles are
+    bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return aggregates.association_rules(
+        li, basket_col="l_orderkey", item_col="l_partkey", k=20, min_pair_count=2
+    )
+
+
+_ASSOC_RULES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS nb FROM li),
+cnt AS (SELECT l_partkey, cast(count(*) AS BIGINT) AS c FROM li GROUP BY 1),
+pairs AS (
+    SELECT a.l_partkey AS ante, b.l_partkey AS cons, cast(count(*) AS BIGINT) AS pair_n
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p.ante, p.cons, p.pair_n,
+       round(p.pair_n / n.nb, 6) AS support,
+       round(p.pair_n / ca.c, 6) AS confidence,
+       round((p.pair_n * n.nb) / (ca.c * cc.c), 6) AS lift
+FROM pairs p
+JOIN cnt ca ON ca.l_partkey = p.ante
+JOIN cnt cc ON cc.l_partkey = p.cons
+CROSS JOIN n
+ORDER BY lift DESC, ante, cons
+LIMIT 20
+"""
+
+
+def _dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile per event type
+    (aggregates.seasonal_index): ISO-weekday share vs a flat 1/7
+    baseline with anomaly flags — the pre-forecast seasonality audit.
+    One hash aggregate to the 7-rows-per-type grain; the ISO weekday is
+    derived portably from Sunday-first dayofweek so the oracle can use
+    isodow directly."""
+    ev = load_table(spark, sf_dir, "events")
+    return aggregates.seasonal_index(
+        ev, ts_col="ts", group_col="event_type", anomaly_threshold=0.25
+    )
+
+
+_DOW_SEASONALITY_SQL = """
+WITH by_dow AS (
+    SELECT event_type, CAST(isodow(ts) AS INTEGER) AS iso_dow,
+           cast(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, iso_dow, n,
+       round((n * 7.0) / sum(n) OVER (PARTITION BY event_type), 6) AS seasonal_index,
+       abs((n * 7.0) / sum(n) OVER (PARTITION BY event_type) - 1.0) > 0.25 AS is_anomalous
+FROM by_dow
+"""
+
+
+def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint estimate per event type
+    (windows.cusum_changepoint): the day where the running sum of
+    deviations from the type's mean daily volume peaks in absolute
+    value — the classic level-shift detector over a metrics
+    hypertable. The running sum is an ORDER BY window, so its float
+    accumulation order is deterministic; the argmax ranks the ROUNDED
+    |CUSUM| so a last-ulp engine difference can never flip the winner.
+    One (type, day) aggregate, then one type-partitioned exchange
+    shared by the mean, running-sum and argmax windows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return windows.cusum_changepoint(daily, key="event_type", date_col="day", value_col="n")
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+), m AS (
+    SELECT event_type, day, n,
+           sum(n) OVER (PARTITION BY event_type) / count(*) OVER (PARTITION BY event_type) AS mean
+    FROM daily
+), c AS (
+    SELECT event_type, day,
+           sum(n - mean) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cusum
+    FROM m
+), ranked AS (
+    SELECT event_type, day, cusum,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY round(abs(cusum), 6) DESC, day
+           ) AS rn
+    FROM c
+)
+SELECT event_type, day AS changepoint, round(abs(cusum), 6) AS max_abs_cusum
+FROM ranked WHERE rn = 1
+"""
+
+
+def _k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core decomposition (graph.k_core) of the co-purchase
+    graph (parts bought together in ≥2 orders): three peel-and-recount
+    rounds at k=3 isolate the dense center — the graph-density filter
+    that pagerank/label-propagation rankings read downstream. Fixed
+    iterations keep the oracle an exact unrolled CTE (the engine's
+    iterative-algorithm discipline); each round is one degree aggregate
+    plus two survivor semi-joins on localCheckpointed edges."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return graph.k_core(edges, k=3, n_iters=3)
+
+
+_K_CORE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+    SELECT a.l_partkey AS x, b.l_partkey AS y
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+s0 AS (SELECT x AS a, y AS b FROM e0 UNION SELECT y, x FROM e0),
+k1 AS (SELECT a FROM s0 GROUP BY a HAVING count(*) >= 3),
+s1 AS (SELECT s.a, s.b FROM s0 s JOIN k1 ka ON s.a = ka.a JOIN k1 kb ON s.b = kb.a),
+k2 AS (SELECT a FROM s1 GROUP BY a HAVING count(*) >= 3),
+s2 AS (SELECT s.a, s.b FROM s1 s JOIN k2 ka ON s.a = ka.a JOIN k2 kb ON s.b = kb.a),
+k3 AS (SELECT a FROM s2 GROUP BY a HAVING count(*) >= 3),
+s3 AS (SELECT s.a, s.b FROM s2 s JOIN k3 ka ON s.a = ka.a JOIN k3 kb ON s.b = kb.a)
+SELECT a AS node, cast(count(*) AS BIGINT) AS core_degree FROM s3 GROUP BY 1
+"""
+
+
+def _sq8_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit
+    (similarity.sq8_reconstruction_stats): per-dimension [min, max]
+    256-level grids, midpoint reconstruction, and the per-label error
+    budget of 4× embedding compression — the SQ sibling of the PQ
+    audit (pq_recall_eval). Codes are bit-identical across engines
+    (order-insensitive min/max + deterministic IEEE expressions); only
+    the error sum is rounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.sq8_reconstruction_stats(
+        emb, vec_col="embedding", group_col="label"
+    )
+
+
+_SQ8_SQL = """
+WITH x AS (
+    SELECT label, generate_subscripts(embedding, 1) AS dim,
+           unnest(embedding)::DOUBLE AS x
+    FROM embeddings
+), st AS (
+    SELECT dim, min(x) AS lo, max(x) AS hi, (max(x) - min(x)) / 255.0 AS step
+    FROM x GROUP BY 1
+), e AS (
+    SELECT x.label,
+           CASE WHEN st.step = 0.0 THEN 0.0
+                ELSE x.x - (st.lo + (least(floor((x.x - st.lo) / st.step), 255.0) + 0.5) * st.step)
+           END AS err
+    FROM x JOIN st ON x.dim = st.dim
+)
+SELECT label, cast(count(*) AS BIGINT) AS n_values,
+       round(sum(err * err), 6) AS sq_err_sum,
+       round(max(abs(err)), 9) AS max_abs_err
+FROM e GROUP BY label
+"""
+
+
+def _zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping audit (sketch.zone_map_prune_stats): the
+    per-block min/max maps a [1994-04-01, 1994-09-30] order-date scan
+    would consult, under two physical layouts of the SAME table — a
+    64-block md5-hash layout (ingest-order stand-in: every block spans
+    the full date range, nothing skips) vs a quarter-clustered layout
+    (time-partitioned: all but ~2 blocks skip). The measured
+    skip_fraction is the justification for the engine's sort-on-write
+    and partitioned sinks — at 100 TB it is the difference between
+    scanning everything and scanning one quarter."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate")
+    df = orders.select(
+        F.col("o_orderkey"), day.alias("day"),
+        (((F.year(day) - F.lit(1992)) * 4) + F.quarter(day) - 1).cast("long").alias("qblock"),
+    )
+    layouts = {
+        "hash_64": corpus.hash_bucket(F.col("o_orderkey"), 64),
+        "quarter_clustered": F.col("qblock"),
+    }
+    import datetime as _dt
+
+    return sketch.zone_map_prune_stats(
+        df, value_col="day", layouts=layouts,
+        lo=_dt.date(1994, 4, 1), hi=_dt.date(1994, 9, 30),
+    )
+
+
+_ZONE_MAP_SQL = """
+WITH base AS (
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day,
+           ((year(o_orderdate) - 1992) * 4 + quarter(o_orderdate) - 1) AS qblock,
+           CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS hblock
+    FROM orders
+), z AS (
+    SELECT 'hash_64' AS layout, hblock AS block, min(day) AS zmin, max(day) AS zmax
+    FROM base GROUP BY 1, 2
+    UNION ALL
+    SELECT 'quarter_clustered', qblock, min(day), max(day) FROM base GROUP BY 1, 2
+)
+SELECT layout, cast(count(*) AS BIGINT) AS n_blocks,
+       cast(sum(CASE WHEN zmax >= DATE '1994-04-01' AND zmin <= DATE '1994-09-30' THEN 1 ELSE 0 END) AS BIGINT) AS n_read,
+       cast(sum(CASE WHEN zmax < DATE '1994-04-01' OR zmin > DATE '1994-09-30' THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+       round(sum(CASE WHEN zmax < DATE '1994-04-01' OR zmin > DATE '1994-09-30' THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS skip_fraction
+FROM z GROUP BY layout
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6749,14 +7029,21 @@ GROUP BY event_type
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # -- r7 driver sample (first 50): 8 NEW oracle-checked entries
-        # (bm25_search / dsir_weights / scd2_history / scd2_incremental /
-        # scd2_point_in_time / cdc_merge / winsorized_stats /
-        # status_dwell_time, never driver-attested),
-        # all 29 entries whose last green row is r3, and the 13
-        # alphabetically-first r4 entries. Tail is ordered stalest-first so
-        # future rotations read off the top; tools/check_correctness.py runs
-        # ALL entries locally every round regardless of the sample. --
+        # -- r7 driver sample (first 50): 7 entries NEW this round
+        # (gapfill_daily / assoc_rules / dow_seasonality / cusum_drift /
+        # k_core_peel / sq8_quantize_audit / zone_map_prune), the 8 entries
+        # added last round (never driver-attested), all 29 entries whose
+        # last green row is r3, and the 6 alphabetically-first r4 entries.
+        # Tail is ordered stalest-first so future rotations read off the
+        # top; tools/check_correctness.py runs ALL entries locally every
+        # round regardless of the sample. --
+        "gapfill_daily": _gapfill_daily,
+        "assoc_rules": _assoc_rules,
+        "dow_seasonality": _dow_seasonality,
+        "cusum_drift": _cusum_drift,
+        "k_core_peel": _k_core_peel,
+        "sq8_quantize_audit": _sq8_quantize_audit,
+        "zone_map_prune": _zone_map_prune,
         "bm25_search": _bm25_search,
         "dsir_weights": _dsir_weights,
         "scd2_history": _scd2_history,
@@ -6941,6 +7228,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gapfill_daily": _GAPFILL_SQL,
+        "assoc_rules": _ASSOC_RULES_SQL,
+        "dow_seasonality": _DOW_SEASONALITY_SQL,
+        "cusum_drift": _CUSUM_SQL,
+        "k_core_peel": _K_CORE_SQL,
+        "sq8_quantize_audit": _SQ8_SQL,
+        "zone_map_prune": _ZONE_MAP_SQL,
         "bm25_search": _BM25_SQL,
         "dsir_weights": _DSIR_SQL,
         "scd2_history": _SCD2_SQL,

@@ -7,7 +7,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from z316_sales_data_pipeline_spark import sinks
-from z316_sales_data_pipeline_spark.operators import dedup, similarity, windows
+from z316_sales_data_pipeline_spark.operators import (
+    aggregates,
+    dedup,
+    graph,
+    similarity,
+    sketch,
+    windows,
+)
 from z316_sales_data_pipeline_spark.plans import sales_facts
 from z316_sales_data_pipeline_spark.sources.tables import load_table
 
@@ -920,3 +927,124 @@ def test_scd2_apply_batch_equals_full_recompute(spark):
     folded = W.scd2_apply_batch(hist, batch, **args)
     full = W.scd2_history(base.unionByName(batch), **args)
     assert {tuple(r) for r in folded.collect()} == {tuple(r) for r in full.collect()}
+
+
+def test_gapfill_locf_semantics(spark):
+    """Gap days appear on the spine, additive measures zero-fill, and
+    LOCF carries the last observation (NULL before the first one)."""
+    import datetime as dt
+
+    daily = spark.createDataFrame(
+        [
+            ("a", dt.date(2024, 1, 1), 2, None),
+            ("a", dt.date(2024, 1, 4), 1, 500),
+            ("b", dt.date(2024, 1, 2), 3, 100),
+        ],
+        "k string, day date, n int, px int",
+    )
+    out = windows.gapfill_locf(
+        daily, key="k", date_col="day", zero_fill={"n": "n"}, locf={"px": "px"}
+    )
+    rows = {(r["k"], r["day"].isoformat()): (r["n"], r["px"]) for r in out.collect()}
+    assert len(rows) == 5  # a: 4 spine days, b: 1
+    assert rows[("a", "2024-01-02")] == (0, None)  # gap before first px obs
+    assert rows[("a", "2024-01-03")] == (0, None)
+    assert rows[("a", "2024-01-04")] == (1, 500)
+    assert rows[("b", "2024-01-02")] == (3, 100)
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    """A mean shift halfway through the series peaks |CUSUM| at the
+    last pre-shift day."""
+    import datetime as dt
+
+    rows = [("m", dt.date(2024, 1, 1 + i), 10 if i < 5 else 20) for i in range(10)]
+    daily = spark.createDataFrame(rows, "k string, day date, n int")
+    out = windows.cusum_changepoint(daily, key="k", date_col="day", value_col="n").collect()
+    assert len(out) == 1
+    # mean=15; cusum after day i<5 is -5*(i+1), peaking at day 5 (|25|)
+    assert out[0]["changepoint"] == dt.date(2024, 1, 5)
+    assert out[0]["max_abs_cusum"] == 25.0
+
+
+def test_association_rules_values(spark):
+    """Support/confidence/lift computed from exact counts; directional."""
+    baskets = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (4, "z"), (4, "x")],
+        "b int, item string",
+    )
+    out = {
+        (r["ante"], r["cons"]): r
+        for r in aggregates.association_rules(
+            baskets, "b", "item", k=10, min_pair_count=2
+        ).collect()
+    }
+    # x,y co-occur twice; x in 4 baskets, y in 2, N=4
+    r = out[("y", "x")]
+    assert r["pair_n"] == 2
+    assert r["support"] == 0.5
+    assert r["confidence"] == 1.0  # y always implies x
+    assert r["lift"] == 1.0  # x is in every basket
+    r2 = out[("x", "y")]
+    assert r2["confidence"] == 0.5
+    assert r2["lift"] == 1.0
+
+
+def test_seasonal_index_flags_concentrated_weekday(spark):
+    """All-Monday events index at 7.0 and flag anomalous."""
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [("t", dt.datetime(2024, 1, 1 + 7 * i, 12, 0)) for i in range(4)],  # Mondays
+        "event_type string, ts timestamp",
+    )
+    out = aggregates.seasonal_index(ev, ts_col="ts", group_col="event_type").collect()
+    assert len(out) == 1
+    assert out[0]["iso_dow"] == 1
+    assert out[0]["seasonal_index"] == 7.0
+    assert out[0]["is_anomalous"] is True
+
+
+def test_k_core_keeps_clique_drops_chain(spark):
+    """A 4-clique survives k=3 peeling; a pendant chain hanging off it
+    is peeled away (degree < 3 after each recount)."""
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "src int, dst int")
+    out = {r["node"]: r["core_degree"] for r in graph.k_core(edges, k=3, n_iters=3).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(v == 3 for v in out.values())
+
+
+def test_sq8_error_bounded_by_half_step(spark):
+    """Midpoint reconstruction error never exceeds step/2, and a
+    degenerate (constant) dimension contributes exactly zero."""
+    vecs = [
+        (1, [0.0, 5.0], 0),
+        (2, [25.5, 5.0], 0),
+        (3, [51.0, 5.0], 1),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>, label int")
+    out = {r["label"]: r for r in similarity.sq8_reconstruction_stats(
+        df, vec_col="embedding", group_col="label"
+    ).collect()}
+    # dim0: range 51 -> step 0.2; max error <= 0.1. dim1 constant -> 0.
+    assert out[0]["n_values"] == 4 and out[1]["n_values"] == 2
+    assert out[0]["max_abs_err"] <= 0.1 + 1e-9
+    assert out[1]["max_abs_err"] <= 0.1 + 1e-9
+    assert out[1]["sq_err_sum"] <= 0.01
+
+
+def test_zone_map_prune_clustered_beats_hash(spark):
+    """A value-clustered layout skips the out-of-range blocks; a
+    layout whose every block spans the full range skips none."""
+    rows = [(i, i % 4, i // 25) for i in range(100)]  # value 0..99
+    df = spark.createDataFrame(rows, "v int, hash_b int, clust_b int")
+    out = {r["layout"]: r for r in sketch.zone_map_prune_stats(
+        df, value_col="v",
+        layouts={"hash": F.col("hash_b"), "clustered": F.col("clust_b")},
+        lo=25, hi=49,
+    ).collect()}
+    assert out["clustered"]["n_read"] == 1 and out["clustered"]["n_skipped"] == 3
+    assert out["hash"]["n_skipped"] == 0
+    assert out["clustered"]["skip_fraction"] == 0.75

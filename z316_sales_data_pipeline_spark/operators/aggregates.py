@@ -50,3 +50,91 @@ def distinct_values(df: DataFrame, cols: str | list[str]) -> DataFrame:
     """E7 — distinct-set extraction."""
     cols = [cols] if isinstance(cols, str) else cols
     return df.select(*cols).distinct()
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 20,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Directional association rules A -> B over co-purchase baskets
+    with support / confidence / lift — the step past basket-pair
+    counting that turns co-occurrence into a recommendation signal.
+
+    Plan shape: the pair count is the ORDER-LOCAL self-join (shuffle on
+    the basket key, cost Σ|basket|², never |items|²); item supports are
+    an items-sized aggregate BROADCAST onto the pair relation twice
+    (antecedent and consequent sides), and the basket total is a 1-row
+    cross join. Ratios divide exact integer counts once, so the doubles
+    are bit-identical across engines; top-k by lift compiles to
+    TakeOrderedAndProject with a full deterministic tie-break.
+    """
+    items = baskets.select(basket_col, item_col).distinct()
+    n_baskets = items.select(basket_col).distinct().count()
+    item_cnt = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    a = items.select(basket_col, F.col(item_col).alias("ante"))
+    b = items.select(basket_col, F.col(item_col).alias("cons"))
+    pairs = (
+        a.join(b, basket_col)
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_count)
+    )
+    ante_cnt = item_cnt.select(F.col(item_col).alias("ante"), F.col("__cnt").alias("ante_n"))
+    cons_cnt = item_cnt.select(F.col(item_col).alias("cons"), F.col("__cnt").alias("cons_n"))
+    return (
+        pairs.join(F.broadcast(ante_cnt), "ante")
+        .join(F.broadcast(cons_cnt), "cons")
+        .select(
+            "ante",
+            "cons",
+            "pair_n",
+            F.round(F.col("pair_n") / F.lit(float(n_baskets)), 6).alias("support"),
+            F.round(F.col("pair_n") / F.col("ante_n"), 6).alias("confidence"),
+            F.round(
+                (F.col("pair_n") * F.lit(float(n_baskets))) / (F.col("ante_n") * F.col("cons_n")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("ante").asc(), F.col("cons").asc())
+        .limit(k)
+    )
+
+
+def seasonal_index(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    anomaly_threshold: float = 0.25,
+) -> DataFrame:
+    """Day-of-week seasonal profile per group: ISO weekday event share
+    against a flat 1/7 baseline (index 1.0 = no weekly seasonality),
+    flagging weekdays whose index deviates beyond the threshold — the
+    pre-forecast seasonality audit.
+
+    ISO weekday (Mon=1..Sun=7) is derived portably from the engine's
+    Sunday-first ``dayofweek`` so the oracle can use ``isodow``
+    directly. One hash aggregate to the (group, dow) grain — 7 rows
+    per group — then a group-partitioned total on the reduced relation;
+    the index divides exact integer counts once.
+    """
+    isodow = ((F.dayofweek(F.col(ts_col)) + F.lit(5)) % F.lit(7) + F.lit(1)).cast("int")
+    by_dow = (
+        df.select(F.col(group_col), isodow.alias("iso_dow"))
+        .groupBy(group_col, "iso_dow")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n").over(Window.partitionBy(group_col))
+    idx = (F.col("n") * F.lit(7.0)) / total
+    return by_dow.select(
+        group_col,
+        "iso_dow",
+        "n",
+        F.round(idx, 6).alias("seasonal_index"),
+        (F.abs(idx - F.lit(1.0)) > F.lit(anomaly_threshold)).alias("is_anomalous"),
+    )

@@ -240,3 +240,43 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select(F.col("nid").alias(id_col), F.col("lbl").alias("community"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    n_iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling: ``n_iters`` rounds of "drop every node
+    with degree < k, then recount" over an undirected edge list — the
+    density filter that isolates the stable center of a co-purchase or
+    near-dup graph (nodes that survive have ≥ k surviving neighbours
+    after each round). A fixed iteration count keeps the oracle an
+    exact unrolled CTE (the ``pagerank_int`` discipline for iterative
+    algorithms); at the fixpoint this IS the k-core, and three rounds
+    converge on all but adversarial chains.
+
+    Plan shape per round: degree = one hash aggregate on the symmetric
+    edge list; the peel is two broadcast-able semi-joins of edges
+    against the (shrinking, node-sized) survivor set. Edges are
+    localCheckpointed each round so plan depth stays constant (the
+    driver never sees data, only the loop counter). Degrees count
+    DISTINCT neighbours, so a multi-edge pair contributes 1.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+    for _ in range(n_iters):
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        sym = (
+            sym.join(F.broadcast(keep), "a", "left_semi")
+            .join(F.broadcast(keep.select(F.col("a").alias("b"))), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )

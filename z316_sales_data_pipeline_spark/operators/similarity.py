@@ -891,3 +891,51 @@ def ivf_pq_rerank_top_k(
         .orderBy(F.col("d2").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def sq8_reconstruction_stats(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Scalar (int8) quantization audit: per-dimension [min, max] over
+    the corpus defines a 256-level uniform grid; every value is encoded
+    as ``floor((x - min) / step)`` (clamped) and reconstructed at the
+    cell midpoint, and the per-group reconstruction error says what 4×
+    compression would cost a 100 TB embedding store (the SQ sibling of
+    pq_recall_eval's PQ audit).
+
+    Portability: min/max are order-insensitive, and every per-value op
+    (subtract / divide / floor / clamp) is a deterministic IEEE double
+    expression, so codes are bit-identical across engines; only the
+    error SUM is order-dependent, and it is rounded at the audit grain.
+    Plan shape: posexplode is a narrow Generate; the 64-row dim-stats
+    aggregate is eagerly materialized and broadcast back onto the
+    second pass; one final hash aggregate to the group grain.
+    Degenerate dimensions (max == min) encode as code 0 with zero
+    error.
+    """
+    exploded = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    stats = (
+        exploded.groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .withColumn("step", (F.col("hi") - F.col("lo")) / F.lit(255.0))
+        .localCheckpoint(eager=True)
+    )
+    code = F.when(F.col("step") == 0.0, F.lit(0.0)).otherwise(
+        F.least(F.floor((F.col("x") - F.col("lo")) / F.col("step")), F.lit(255.0))
+    )
+    recon = F.col("lo") + (code + F.lit(0.5)) * F.col("step")
+    err = F.when(F.col("step") == 0.0, F.lit(0.0)).otherwise(F.col("x") - recon)
+    return (
+        exploded.join(F.broadcast(stats), "dim")
+        .select(F.col(group_col), err.alias("err"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(F.sum(F.col("err") * F.col("err")), 6).alias("sq_err_sum"),
+            F.round(F.max(F.abs(F.col("err"))), 9).alias("max_abs_err"),
+        )
+    )

@@ -163,3 +163,57 @@ def histogram_quantiles(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+def zone_map_prune_stats(
+    df: DataFrame,
+    value_col: str,
+    layouts: dict[str, Column],
+    lo,
+    hi,
+) -> DataFrame:
+    """Zone-map (per-file min/max) data-skipping audit: for each
+    candidate physical LAYOUT (a deterministic expression assigning
+    every row to a file/block id), build the block-level min/max zone
+    maps for ``value_col`` and measure what fraction of blocks a
+    ``[lo, hi]`` range predicate could skip — the number that justifies
+    clustering / z-ordering a 100 TB table (a block overlaps the range
+    iff ``max >= lo AND min <= hi``; everything else is never read).
+
+    This is the measurement behind the engine's sort-on-write sinks
+    (sinks.write_clustered): the same scan with a date-clustered layout
+    skips ~all non-overlapping blocks while a hash/ingest-order layout
+    skips ~none. One narrow pass per layout (the block id is a pure
+    row expression), one hash aggregate to the block grain, then a
+    3-row summary — the audit never shuffles the fact more than the
+    zone-map build itself.
+    """
+    outs = []
+    for name, block in layouts.items():
+        zones = (
+            df.select(block.alias("block"), F.col(value_col).alias("v"))
+            .groupBy("block")
+            .agg(F.min("v").alias("zmin"), F.max("v").alias("zmax"))
+        )
+        outs.append(
+            zones.agg(
+                F.lit(name).alias("layout"),
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum(
+                    ((F.col("zmax") >= F.lit(lo)) & (F.col("zmin") <= F.lit(hi))).cast("long")
+                ).alias("n_read"),
+                F.sum(
+                    ((F.col("zmax") < F.lit(lo)) | (F.col("zmin") > F.lit(hi))).cast("long")
+                ).alias("n_skipped"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "layout",
+        "n_blocks",
+        "n_read",
+        "n_skipped",
+        F.round(F.col("n_skipped") / F.col("n_blocks"), 6).alias("skip_fraction"),
+    )

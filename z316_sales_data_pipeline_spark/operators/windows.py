@@ -305,3 +305,104 @@ def scd2_apply_batch(
     replay = seed.unionByName(batch.select(key, attr, ts, tiebreak))
     rebuilt = scd2_history(replay, key=key, attr=attr, ts=ts, tiebreak=tiebreak)
     return untouched.select(*closed.columns).unionByName(closed).unionByName(rebuilt)
+
+
+def gapfill_locf(
+    daily: DataFrame,
+    key: str,
+    date_col: str,
+    zero_fill: dict[str, str] | None = None,
+    locf: dict[str, str] | None = None,
+) -> DataFrame:
+    """Hypertable-style gap-fill: densify a sparse per-(key, day)
+    relation onto a per-key contiguous daily spine, zero-filling
+    additive measures and carrying the last observation forward for
+    state-like ones (TimescaleDB's ``time_bucket_gapfill`` + ``locf``
+    pair, re-expressed as pure DataFrame algebra).
+
+    The spine is generated per key from its own [min, max] date range
+    — ``sequence`` + ``explode`` is a narrow Generate, so densification
+    adds NO shuffle beyond the two the semantics require: one for the
+    min/max bounds aggregate (tiny, broadcast back) and one
+    key-partitioned exchange that the left join and the LOCF window
+    SHARE (the window partitions on the key alone, so the join's
+    (key, day) partitioning is reused by AQE-compatible planning; at
+    lake scale the spine side is trivially small next to the fact).
+
+    ``zero_fill`` maps output alias -> input column for measures where
+    an absent day means 0 (counts, sums); ``locf`` maps alias -> input
+    column for measures where an absent day means "unchanged" (prices,
+    balances) — filled with the last non-null value at or before the
+    spine day, NULL until the first observation.
+    """
+    zero_fill = zero_fill or {}
+    locf = locf or {}
+    bounds = daily.groupBy(key).agg(
+        F.min(date_col).alias("__min_d"), F.max(date_col).alias("__max_d")
+    )
+    spine = bounds.select(
+        key,
+        F.explode(
+            F.sequence(F.col("__min_d"), F.col("__max_d"), F.expr("interval 1 day"))
+        ).alias(date_col),
+    )
+    joined = spine.join(daily, [key, date_col], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = [F.col(key), F.col(date_col)]
+    out += [F.coalesce(F.col(c), F.lit(0)).alias(a) for a, c in zero_fill.items()]
+    out += [F.last(F.col(c), ignorenulls=True).over(w).alias(a) for a, c in locf.items()]
+    return joined.select(*out)
+
+
+def cusum_changepoint(
+    daily: DataFrame,
+    key: str,
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUSUM drift / changepoint estimate per key: the running sum of
+    deviations from the key's own mean, and the day where its absolute
+    value peaks — the classic level-shift detector (a series with no
+    drift hovers near 0; a mean shift makes |CUSUM| peak at the shift
+    point).
+
+    Portability note (the float-sum discipline): the running sum is
+    computed over an ORDER BY window, so its accumulation order is
+    deterministic and engine-portable (unlike a plain float aggregate);
+    the mean is an exact integer total over an exact integer count,
+    divided once. One key-partitioned exchange shared by the mean
+    window and the running-sum window; the argmax is a same-window
+    row_number — no second shuffle.
+    """
+    w_all = Window.partitionBy(key)
+    w_run = (
+        Window.partitionBy(key)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # two steps: Spark cannot nest the mean window inside the running
+    # sum's aggregate; both windows share the one key exchange anyway
+    with_mean = daily.withColumn(
+        "__mean", F.sum(value_col).over(w_all) / F.count(F.lit(1)).over(w_all)
+    )
+    scored = with_mean.withColumn(
+        "__cusum", F.sum(F.col(value_col) - F.col("__mean")).over(w_run)
+    )
+    # argmax orders by the ROUNDED |CUSUM| so a cross-engine last-ulp
+    # difference can never flip the winner; exact ties break by day
+    pick = Window.partitionBy(key).orderBy(
+        F.round(F.abs(F.col("__cusum")), 6).desc(), F.col(date_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            key,
+            F.col(date_col).alias("changepoint"),
+            F.round(F.abs(F.col("__cusum")), 6).alias("max_abs_cusum"),
+        )
+    )
