@@ -7022,6 +7022,200 @@ FROM z GROUP BY layout
 """
 
 
+def _price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part price-elasticity screen (aggregates.ols_slope_exact):
+    OLS slope of quantity on unit price (whole dollars) from EXACT
+    integer moment sums — 100 TB of line items reduce to four bigint
+    moments per part, one hash aggregate, no window, and the single
+    float division happens after aggregation (bit-identical across
+    engines and run orders). Unit price floors to dollars, not cents,
+    to keep nΣx² inside bigint at sf ≥ 1 (bound stated in the operator
+    docstring)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return aggregates.ols_slope_exact(
+        li.select(
+            "l_partkey",
+            F.floor(F.col("l_extendedprice") / F.col("l_quantity")).alias("px"),
+            F.floor(F.col("l_quantity")).alias("qty"),
+        ),
+        key="l_partkey",
+        x_int=F.col("px"),
+        y_int=F.col("qty"),
+        min_n=5,
+    )
+
+
+_ELASTICITY_SQL = """
+WITH pts AS (
+    SELECT l_partkey,
+           CAST(floor(l_extendedprice / l_quantity) AS BIGINT) AS x,
+           CAST(floor(l_quantity) AS BIGINT) AS y
+    FROM lineitem
+), m AS (
+    SELECT l_partkey, cast(count(*) AS BIGINT) AS n,
+           cast(sum(x) AS BIGINT) AS sx, cast(sum(y) AS BIGINT) AS sy,
+           cast(sum(x * y) AS BIGINT) AS sxy, cast(sum(x * x) AS BIGINT) AS sxx
+    FROM pts GROUP BY 1
+)
+SELECT l_partkey, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+FROM m
+WHERE n >= 5 AND (n * sxx - sx * sx) <> 0
+"""
+
+
+def _touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-/last-touch marketing attribution
+    (windows.touch_attribution): every purchase credited to the first
+    and the most recent non-purchase event strictly before it in the
+    user's timeline. Both carries are IGNORE-NULLS first/last over ONE
+    user-partitioned window with a [unbounded, 1 preceding] frame —
+    one exchange, one sort, no join, nothing quadratic in session
+    length."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    return windows.touch_attribution(
+        ev, user_col="user_id", ts_col="ts", type_col="event_type",
+        conversion="purchase", tiebreak="event_id",
+    )
+
+
+_TOUCH_SQL = """
+SELECT event_id, user_id, ts, first_touch, last_touch
+FROM (
+    SELECT event_id, user_id, ts, event_type,
+           first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+           last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+    FROM events
+) t WHERE event_type = 'purchase'
+"""
+
+
+def _inventory_runout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory-cover audit (windows.running_balance_runout): each
+    part's ledger replays signed movements in ship-date order against
+    a fixed opening stock (returns restock, sales draw down) and
+    reports min balance, first stockout date, closing balance. All
+    balances are exact integers over an ORDER BY window — bit-exact on
+    any engine with a TOTAL ordering, which the (date, order, line,
+    delta) tiebreak chain provides even though the synthetic lineitem
+    repeats line numbers (identical rows commute through a running
+    sum; differing rows are pinned by the delta term)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    delta = F.when(
+        F.col("l_returnflag") == "R", F.floor(F.col("l_quantity"))
+    ).otherwise(-F.floor(F.col("l_quantity")))
+    flows = li.select(
+        "l_partkey", F.to_date("l_shipdate").alias("d"),
+        "l_orderkey", "l_linenumber", delta.alias("delta"),
+    )
+    return windows.running_balance_runout(
+        flows, key="l_partkey", ts_col="d", delta_col=F.col("delta"),
+        opening=F.lit(50),
+        tiebreaks=[F.col("l_orderkey"), F.col("l_linenumber"), F.col("delta")],
+    )
+
+
+_RUNOUT_SQL = """
+WITH flows AS (
+    SELECT l_partkey, CAST(l_shipdate AS DATE) AS d, l_orderkey, l_linenumber,
+           CASE WHEN l_returnflag = 'R' THEN CAST(floor(l_quantity) AS BIGINT)
+                ELSE -CAST(floor(l_quantity) AS BIGINT) END AS delta
+    FROM lineitem
+), bal AS (
+    SELECT l_partkey, d, delta,
+           50 + sum(delta) OVER (
+               PARTITION BY l_partkey ORDER BY d, l_orderkey, l_linenumber, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS b
+    FROM flows
+)
+SELECT l_partkey,
+       cast(min(b) AS BIGINT) AS min_balance,
+       min(CASE WHEN b < 0 THEN d END) AS first_stockout,
+       cast(50 + sum(delta) AS BIGINT) AS closing_balance
+FROM bal GROUP BY 1
+"""
+
+
+def _revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini per market segment
+    (aggregates.gini_concentration): how unevenly each segment's
+    revenue spreads across its customers. Rank × exact cents keeps
+    every sum a bigint, so the one float division is the statistic
+    itself; the ranking window partitions by segment (never a global
+    sort). The customer dim joins broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_custkey", "o_totalprice")
+    return aggregates.gini_concentration(
+        rev, group_col="c_mktsegment", unit_col="o_custkey",
+        value_cents=F.round(F.col("o_totalprice") * 100).cast("long"),
+    )
+
+
+_GINI_SQL = """
+WITH per_unit AS (
+    SELECT c_mktsegment, o_custkey,
+           cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT c_mktsegment, cents,
+           row_number() OVER (PARTITION BY c_mktsegment ORDER BY cents, o_custkey) AS i
+    FROM per_unit
+)
+SELECT c_mktsegment, cast(count(*) AS BIGINT) AS n_units,
+       cast(sum(cents) AS BIGINT) AS total_cents,
+       round((2 * sum(i * cents) - (count(*) + 1) * sum(cents))
+             / (count(*) * sum(cents)), 6) AS gini
+FROM ranked GROUP BY 1
+"""
+
+
+def _benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (quality.benford_profile) over order
+    totals — the fabricated-numbers / upstream-corruption audit in the
+    engine's DQ family. Leading digit comes from the decimal rendering
+    of exact integer cents (never float log10, whose libm rounding at
+    power-of-ten boundaries is not engine-portable); expectations are
+    shared rounded literals. One hash aggregate to 9 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return quality.benford_profile(
+        orders, amount_cents=F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+
+
+def _benford_sql() -> str:
+    from z316_sales_data_pipeline_spark.operators.quality import BENFORD_EXPECTED
+
+    case = " ".join(
+        f"WHEN {d} THEN {round(p, 6)}" for d, p in sorted(BENFORD_EXPECTED.items())
+    )
+    return f"""
+WITH digits AS (
+    SELECT CAST(substring(CAST(cast(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+    FROM orders
+), counts AS (
+    SELECT digit, cast(count(*) AS BIGINT) AS n FROM digits WHERE digit >= 1 GROUP BY 1
+), total AS (SELECT cast(sum(n) AS BIGINT) AS total FROM counts)
+SELECT digit, n,
+       round(n / CAST(total AS DOUBLE), 6) AS share,
+       CAST(CASE digit {case} END AS DOUBLE) AS expected,
+       round(abs(n / CAST(total AS DOUBLE) - CAST(CASE digit {case} END AS DOUBLE)), 6) AS abs_dev
+FROM counts CROSS JOIN total
+"""
+
+
+_BENFORD_SQL = _benford_sql()
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7029,11 +7223,13 @@ FROM z GROUP BY layout
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # -- r7 driver sample (first 50): 7 entries NEW this round
+        # -- r7 driver sample (first 50): 12 entries NEW this round
         # (gapfill_daily / assoc_rules / dow_seasonality / cusum_drift /
-        # k_core_peel / sq8_quantize_audit / zone_map_prune), the 8 entries
-        # added last round (never driver-attested), all 29 entries whose
-        # last green row is r3, and the 6 alphabetically-first r4 entries.
+        # k_core_peel / sq8_quantize_audit / zone_map_prune /
+        # price_elasticity / touch_attribution / inventory_runout /
+        # revenue_gini / benford_audit), the 8 entries added last round
+        # (never driver-attested), all 29 entries whose last green row is
+        # r3, and the alphabetically-first r4 entry.
         # Tail is ordered stalest-first so future rotations read off the
         # top; tools/check_correctness.py runs ALL entries locally every
         # round regardless of the sample. --
@@ -7044,6 +7240,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_peel": _k_core_peel,
         "sq8_quantize_audit": _sq8_quantize_audit,
         "zone_map_prune": _zone_map_prune,
+        "price_elasticity": _price_elasticity,
+        "touch_attribution": _touch_attribution,
+        "inventory_runout": _inventory_runout,
+        "revenue_gini": _revenue_gini,
+        "benford_audit": _benford_audit,
         "bm25_search": _bm25_search,
         "dsir_weights": _dsir_weights,
         "scd2_history": _scd2_history,
@@ -7235,6 +7436,11 @@ def oracle_sql() -> dict[str, str]:
         "k_core_peel": _K_CORE_SQL,
         "sq8_quantize_audit": _SQ8_SQL,
         "zone_map_prune": _ZONE_MAP_SQL,
+        "price_elasticity": _ELASTICITY_SQL,
+        "touch_attribution": _TOUCH_SQL,
+        "inventory_runout": _RUNOUT_SQL,
+        "revenue_gini": _GINI_SQL,
+        "benford_audit": _BENFORD_SQL,
         "bm25_search": _BM25_SQL,
         "dsir_weights": _DSIR_SQL,
         "scd2_history": _SCD2_SQL,

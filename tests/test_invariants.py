@@ -11,6 +11,7 @@ from z316_sales_data_pipeline_spark.operators import (
     aggregates,
     dedup,
     graph,
+    quality,
     similarity,
     sketch,
     windows,
@@ -1048,3 +1049,87 @@ def test_zone_map_prune_clustered_beats_hash(spark):
     assert out["clustered"]["n_read"] == 1 and out["clustered"]["n_skipped"] == 3
     assert out["hash"]["n_skipped"] == 0
     assert out["clustered"]["skip_fraction"] == 0.75
+
+
+def test_ols_slope_exact_recovers_line(spark):
+    """A perfect y = 2x + 1 relation yields slope 2, intercept 1."""
+    rows = [("g", x, 2 * x + 1) for x in range(1, 8)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = aggregates.ols_slope_exact(
+        df, key="g", x_int=F.col("x"), y_int=F.col("y"), min_n=5
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["slope"] == 2.0 and out[0]["intercept"] == 1.0
+
+
+def test_touch_attribution_first_and_last(spark):
+    """First/last non-conversion touches strictly before each purchase;
+    a purchase with no prior touch gets NULLs."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = [
+        (1, 1, t0, "purchase"),          # no prior touch
+        (2, 1, t0 + dt.timedelta(1), "view"),
+        (3, 1, t0 + dt.timedelta(2), "click"),
+        (4, 1, t0 + dt.timedelta(3), "purchase"),
+        (5, 1, t0 + dt.timedelta(4), "email"),
+        (6, 1, t0 + dt.timedelta(5), "purchase"),
+    ]
+    df = spark.createDataFrame(ev, "event_id long, user_id long, ts timestamp, event_type string")
+    out = {r["event_id"]: (r["first_touch"], r["last_touch"]) for r in windows.touch_attribution(
+        df, user_col="user_id", ts_col="ts", type_col="event_type",
+        conversion="purchase", tiebreak="event_id",
+    ).collect()}
+    assert out[1] == (None, None)
+    assert out[4] == ("view", "click")
+    assert out[6] == ("view", "email")
+
+
+def test_running_balance_runout_detects_stockout(spark):
+    """Opening 5, flows -3, -4, +10 → min -2, stockout at day 2,
+    closing 8."""
+    import datetime as dt
+
+    rows = [
+        ("p", dt.date(2024, 1, 1), 1, -3),
+        ("p", dt.date(2024, 1, 2), 2, -4),
+        ("p", dt.date(2024, 1, 3), 3, 10),
+    ]
+    df = spark.createDataFrame(rows, "k string, d date, seq int, delta long")
+    out = windows.running_balance_runout(
+        df, key="k", ts_col="d", delta_col=F.col("delta"),
+        opening=F.lit(5), tiebreaks=[F.col("seq"), F.col("delta")],
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["min_balance"] == -2
+    assert r["first_stockout"] == dt.date(2024, 1, 2)
+    assert r["closing_balance"] == 8
+
+
+def test_gini_concentration_extremes(spark):
+    """Equal shares → 0; a single holder of everything → (n-1)/n."""
+    equal = [("e", f"u{i}", 100) for i in range(4)]
+    skewed = [("s", "u0", 400)] + [("s", f"u{i}", 0) for i in range(1, 5)]
+    df = spark.createDataFrame(equal + skewed, "g string, u string, cents long")
+    out = {r["g"]: r["gini"] for r in aggregates.gini_concentration(
+        df, group_col="g", unit_col="u", value_cents=F.col("cents")
+    ).collect()}
+    assert out["e"] == 0.0
+    assert out["s"] == 0.8  # (n-1)/n with n=5
+
+
+def test_benford_profile_digit_extraction_and_shares(spark):
+    """Leading digit comes from integer cents; shares sum to 1 and
+    expectations match log10(1 + 1/d)."""
+    import math
+
+    rows = [(9.87,), (98.7,), (987.0,), (1.23,), (0.45,)]  # digits 9,9,9,1,4
+    df = spark.createDataFrame(rows, "amt double")
+    out = {r["digit"]: r for r in quality.benford_profile(
+        df, amount_cents=F.round(F.col("amt") * 100).cast("long")
+    ).collect()}
+    assert set(out) == {9, 1, 4}
+    assert out[9]["n"] == 3 and out[9]["share"] == 0.6
+    assert out[1]["expected"] == round(math.log10(2), 6)

@@ -63,17 +63,25 @@ def association_rules(
     with support / confidence / lift — the step past basket-pair
     counting that turns co-occurrence into a recommendation signal.
 
-    Plan shape: the pair count is the ORDER-LOCAL self-join (shuffle on
-    the basket key, cost Σ|basket|², never |items|²); item supports are
-    an items-sized aggregate BROADCAST onto the pair relation twice
-    (antecedent and consequent sides), and the basket total is a 1-row
-    cross join. Ratios divide exact integer counts once, so the doubles
-    are bit-identical across engines; top-k by lift compiles to
-    TakeOrderedAndProject with a full deterministic tie-break.
+    Plan shape: the deduped (basket, item) relation is eagerly
+    materialized ONCE and reused by all four consumers (both self-join
+    sides, the item supports, the basket total) — without it Catalyst
+    re-scans the fact per consumer. The pair count is the ORDER-LOCAL
+    self-join (shuffle on the basket key, cost Σ|basket|², never
+    |items|²); item supports are an items-sized aggregate, itself
+    materialized and BROADCAST onto the pair relation twice (antecedent
+    and consequent sides). Ratios divide exact integer counts once, so
+    the doubles are bit-identical across engines; top-k by lift
+    compiles to TakeOrderedAndProject with a full deterministic
+    tie-break.
     """
-    items = baskets.select(basket_col, item_col).distinct()
+    items = baskets.select(basket_col, item_col).distinct().localCheckpoint(eager=True)
     n_baskets = items.select(basket_col).distinct().count()
-    item_cnt = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    item_cnt = (
+        items.groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=True)
+    )
     a = items.select(basket_col, F.col(item_col).alias("ante"))
     b = items.select(basket_col, F.col(item_col).alias("cons"))
     pairs = (
@@ -137,4 +145,86 @@ def seasonal_index(
         "n",
         F.round(idx, 6).alias("seasonal_index"),
         (F.abs(idx - F.lit(1.0)) > F.lit(anomaly_threshold)).alias("is_anomalous"),
+    )
+
+
+def ols_slope_exact(
+    df: DataFrame,
+    key: str,
+    x_int: Column,
+    y_int: Column,
+    min_n: int = 5,
+) -> DataFrame:
+    """Per-group simple-OLS slope/intercept from EXACT integer moment
+    sums: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) where x and y arrive
+    pre-scaled to integer units, so every accumulated moment is a
+    bigint — order-free, overflow-bounded (cents ~1e7, group n ~1e3 →
+    nΣx² ~1e20 is the ceiling; rescale x to coarser units before the
+    sum when groups are larger) — and the one float division happens
+    after aggregation, making the statistic bit-identical across
+    engines and run orders. One hash aggregate; no window, no sort.
+
+    The econometrics this feeds (price-elasticity screening) is why a
+    sales engine wants regression as an AGGREGATE, not a driver-side
+    fit: 100 TB of line items reduce to four moments per key.
+    """
+    xx = x_int.cast("long")
+    yy = y_int.cast("long")
+    m = df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xx).alias("sx"),
+        F.sum(yy).alias("sy"),
+        F.sum(xx * yy).alias("sxy"),
+        F.sum(xx * xx).alias("sxx"),
+    ).filter(F.col("n") >= min_n)
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / det
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return m.filter(det != 0).select(
+        key,
+        "n",
+        F.round(slope, 8).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    value_cents: Column,
+) -> DataFrame:
+    """Per-group Gini coefficient of value concentration across units
+    (which customers carry each segment's revenue): with per-unit
+    totals x sorted ascending and ranked i=1..n,
+    G = (2Σi·x_i − (n+1)Σx_i) / (nΣx_i). Every sum is an exact bigint
+    (rank × cents), so the only float op is the final division —
+    engine- and order-portable by construction. Ranking partitions by
+    the group (a partition-spec'd window, never a global sort) with a
+    deterministic (value, unit) tie-break.
+    """
+    from pyspark.sql import Window
+
+    per_unit = df.groupBy(group_col, unit_col).agg(
+        F.sum(value_cents.cast("long")).alias("cents")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("cents").asc(), F.col(unit_col).asc())
+    ranked = per_unit.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum("cents").alias("total_cents"),
+            F.sum(F.col("i") * F.col("cents")).alias("swx"),
+        )
+        .select(
+            group_col,
+            "n_units",
+            "total_cents",
+            F.round(
+                (2 * F.col("swx") - (F.col("n_units") + 1) * F.col("total_cents"))
+                / (F.col("n_units") * F.col("total_cents")),
+                6,
+            ).alias("gini"),
+        )
     )

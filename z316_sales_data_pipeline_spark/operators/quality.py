@@ -11,7 +11,9 @@ cell instead of diffing row sets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -59,3 +61,41 @@ def orphan_count(
         parent.select(F.col(parent_key).alias(child_key)).distinct(), child_key, "left_anti"
     )
     return orphans.agg(F.count(F.lit(1)).alias(alias))
+
+
+BENFORD_EXPECTED = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def benford_profile(df: DataFrame, amount_cents: Column) -> DataFrame:
+    """Benford first-digit audit over a money column — the classic
+    fabricated-numbers / data-quality screen: observed share of each
+    leading significant digit vs the Benford expectation
+    log10(1 + 1/d), with the absolute deviation.
+
+    The leading digit is taken from the DECIMAL RENDERING of the exact
+    integer cents (first character of the digit string), never from
+    float log10 — a power-of-ten boundary value can round log10 to
+    either side of an integer per libm, while the string route is
+    bit-exact on every engine. Expected shares are baked in as rounded
+    literals on both sides. One hash aggregate to a 9-row profile.
+    """
+    digit = F.substring(amount_cents.cast("long").cast("string"), 1, 1).cast("int")
+    counts = df.select(digit.alias("digit")).filter(F.col("digit") >= 1).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    expected = F.create_map(
+        *[x for d, p in sorted(BENFORD_EXPECTED.items()) for x in (F.lit(d), F.lit(round(p, 6)))]
+    )
+    share = F.col("n") / F.col("total")
+    exp = expected[F.col("digit")]
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(share, 6).alias("share"),
+            exp.alias("expected"),
+            F.round(F.abs(share - exp), 6).alias("abs_dev"),
+        )
+    )

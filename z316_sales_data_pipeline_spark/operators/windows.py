@@ -406,3 +406,77 @@ def cusum_changepoint(
             F.round(F.abs(F.col("__cusum")), 6).alias("max_abs_cusum"),
         )
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion: str,
+    tiebreak: str,
+) -> DataFrame:
+    """First-touch / last-touch attribution: every conversion event is
+    credited to (a) the FIRST and (b) the MOST RECENT non-conversion
+    event strictly before it in the user's timeline — the marketing
+    attribution the funnel family stops short of. Returns the
+    conversion rows with ``first_touch`` / ``last_touch`` columns
+    (NULL when the conversion has no prior touch).
+
+    Both carries are IGNORE-NULLS first/last over the SAME
+    user-partitioned, time-ordered window with a
+    [unbounded, 1 preceding] frame — one exchange, one sort, two frame
+    scans; nothing joins and nothing is quadratic in session length.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col(type_col) != conversion, F.col(type_col))
+    return (
+        events.withColumn("first_touch", F.first(touch, ignorenulls=True).over(w))
+        .withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col(type_col) == conversion)
+        .drop(type_col)
+    )
+
+
+def running_balance_runout(
+    flows: DataFrame,
+    key: str,
+    ts_col: str,
+    delta_col: Column,
+    opening: Column,
+    tiebreaks: list[Column],
+) -> DataFrame:
+    """Stockout detection over an integer flow ledger: per key, apply
+    signed movements in time order to an opening balance and report the
+    minimum balance reached, the first time it goes negative (NULL if
+    never), and the closing balance — the inventory-cover audit.
+
+    All balances are exact integers accumulated over an ORDER BY
+    window, so every value is bit-exact across engines and run orders
+    (no float discipline at all) — PROVIDED the ordering is total.
+    ``tiebreaks`` must pin every non-identical row pair (include the
+    delta itself when business keys can repeat: two literally identical
+    rows commute through the running sum, so only differing rows need
+    an order). The closing balance is opening + Σdelta — a pure
+    aggregate, never an argmax over possibly-tied sort keys. One
+    key-partitioned exchange shared by the running sum and the per-key
+    reduction.
+    """
+    w_run = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), *[t.asc() for t in tiebreaks])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bal = opening.cast("long") + F.sum(delta_col.cast("long")).over(w_run)
+    scored = flows.withColumn("__bal", bal).withColumn("__open", opening.cast("long")).withColumn(
+        "__delta", delta_col.cast("long")
+    )
+    return scored.groupBy(key).agg(
+        F.min("__bal").alias("min_balance"),
+        F.min(F.when(F.col("__bal") < 0, F.col(ts_col))).alias("first_stockout"),
+        (F.min("__open") + F.sum("__delta")).alias("closing_balance"),
+    )
