@@ -7216,6 +7216,107 @@ FROM counts CROSS JOIN total
 _BENFORD_SQL = _benford_sql()
 
 
+def _abc_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classes per part
+    (aggregates.variability_classes) — the forecastability companion
+    to pareto_abc's revenue classes: coefficient of variation of
+    monthly demand from exact integer moments, classified on the
+    ROUNDED cv so the X/Y/Z boundary is engine-exact. Two hash
+    aggregates; observed months only (densify via gapfill_locf when
+    calendar-complete variability is wanted)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return aggregates.variability_classes(
+        li,
+        key="l_partkey",
+        period_col=(F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("int"),
+        qty_int=F.floor(F.col("l_quantity")),
+        min_periods=3,
+    )
+
+
+_ABC_XYZ_SQL = """
+WITH demand AS (
+    SELECT l_partkey, year(l_shipdate) * 100 + month(l_shipdate) AS p,
+           cast(sum(cast(floor(l_quantity) AS BIGINT)) AS BIGINT) AS x
+    FROM lineitem GROUP BY 1, 2
+), m AS (
+    SELECT l_partkey, cast(count(*) AS BIGINT) AS n,
+           cast(sum(x) AS BIGINT) AS sx, cast(sum(x * x) AS BIGINT) AS sxx
+    FROM demand GROUP BY 1
+)
+SELECT l_partkey, n AS n_periods, sx AS total_qty,
+       round(sqrt((n * sxx - sx * sx) / (n * (n - 1))) / (sx / n), 6) AS cv,
+       CASE WHEN round(sqrt((n * sxx - sx * sx) / (n * (n - 1))) / (sx / n), 6) < 0.5 THEN 'X'
+            WHEN round(sqrt((n * sxx - sx * sx) / (n * (n - 1))) / (sx / n), 6) < 1.0 THEN 'Y'
+            ELSE 'Z' END AS xyz_class
+FROM m WHERE n >= 3 AND sx > 0
+"""
+
+
+def _new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning customer split: each order is NEW iff it
+    is its customer's first (rank 1 by order date with a key
+    tie-break), then one aggregate to the day grain — the
+    acquisition/retention series every sales dashboard leads with.
+    One customer-partitioned window exchange, then a hash aggregate;
+    exact integer counts end to end."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum((F.col("__rn") == 1).cast("long")).alias("n_new"),
+            F.sum((F.col("__rn") > 1).cast("long")).alias("n_returning"),
+        )
+    )
+
+
+_NEW_RETURNING_SQL = """
+WITH r AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+)
+SELECT day,
+       cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       cast(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+FROM r GROUP BY day
+"""
+
+
+def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-distribution entropy
+    (corpus.char_entropy_by_group) — the compression-ratio quality
+    proxy. The char grain reduces immediately to (lang, char) counts
+    (partial aggregation before the shuffle), so the wide relation
+    never crosses the wire; entropy folds ≤ |alphabet| float terms per
+    language, rounded at the audit grain."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return corpus.char_entropy_by_group(docs, text_col="text", group_col="lang")
+
+
+_CHAR_ENTROPY_SQL = """
+WITH chars AS (
+    SELECT lang, substring(text, CAST(i AS INTEGER), 1) AS ch
+    FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+    WHERE length(text) > 0
+), counts AS (
+    SELECT lang, ch, cast(count(*) AS BIGINT) AS c FROM chars GROUP BY 1, 2
+), terms AS (
+    SELECT lang, c,
+           -((c / CAST(sum(c) OVER (PARTITION BY lang) AS DOUBLE))
+             * log2(c / CAST(sum(c) OVER (PARTITION BY lang) AS DOUBLE))) AS term
+    FROM counts
+)
+SELECT lang, cast(sum(c) AS BIGINT) AS n_chars,
+       round(sum(term), 6) AS entropy_bits
+FROM terms GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7223,13 +7324,13 @@ _BENFORD_SQL = _benford_sql()
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # -- r7 driver sample (first 50): 12 entries NEW this round
+        # -- r7 driver sample (first 50): 15 entries NEW this round
         # (gapfill_daily / assoc_rules / dow_seasonality / cusum_drift /
         # k_core_peel / sq8_quantize_audit / zone_map_prune /
         # price_elasticity / touch_attribution / inventory_runout /
-        # revenue_gini / benford_audit), the 8 entries added last round
-        # (never driver-attested), all 29 entries whose last green row is
-        # r3, and the alphabetically-first r4 entry.
+        # revenue_gini / benford_audit / abc_xyz_class / new_vs_returning /
+        # char_entropy), the 8 entries added last round (never
+        # driver-attested), and the 27 stalest r3 entries.
         # Tail is ordered stalest-first so future rotations read off the
         # top; tools/check_correctness.py runs ALL entries locally every
         # round regardless of the sample. --
@@ -7245,6 +7346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inventory_runout": _inventory_runout,
         "revenue_gini": _revenue_gini,
         "benford_audit": _benford_audit,
+        "abc_xyz_class": _abc_xyz_class,
+        "new_vs_returning": _new_vs_returning,
+        "char_entropy": _char_entropy,
         "bm25_search": _bm25_search,
         "dsir_weights": _dsir_weights,
         "scd2_history": _scd2_history,
@@ -7441,6 +7545,9 @@ def oracle_sql() -> dict[str, str]:
         "inventory_runout": _RUNOUT_SQL,
         "revenue_gini": _GINI_SQL,
         "benford_audit": _BENFORD_SQL,
+        "abc_xyz_class": _ABC_XYZ_SQL,
+        "new_vs_returning": _NEW_RETURNING_SQL,
+        "char_entropy": _CHAR_ENTROPY_SQL,
         "bm25_search": _BM25_SQL,
         "dsir_weights": _DSIR_SQL,
         "scd2_history": _SCD2_SQL,

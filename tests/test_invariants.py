@@ -1133,3 +1133,35 @@ def test_benford_profile_digit_extraction_and_shares(spark):
     assert set(out) == {9, 1, 4}
     assert out[9]["n"] == 3 and out[9]["share"] == 0.6
     assert out[1]["expected"] == round(math.log10(2), 6)
+
+
+def test_variability_classes_cv_and_cuts(spark):
+    """A constant series classifies X (cv 0); an alternating extreme
+    series classifies Z; min_periods filters short histories."""
+    from z316_sales_data_pipeline_spark.operators.aggregates import variability_classes
+
+    rows = (
+        [("flat", p, 10) for p in range(1, 5)]
+        + [("spiky", p, q) for p, q in [(1, 1), (2, 100), (3, 1), (4, 100)]]
+        + [("short", 1, 5), ("short", 2, 5)]
+    )
+    df = spark.createDataFrame(rows, "k string, p int, q long")
+    out = {r["k"]: r for r in variability_classes(
+        df, key="k", period_col=F.col("p"), qty_int=F.col("q"), min_periods=3
+    ).collect()}
+    assert set(out) == {"flat", "spiky"}
+    assert out["flat"]["cv"] == 0.0 and out["flat"]["xyz_class"] == "X"
+    assert out["spiky"]["xyz_class"] == "Z" and out["spiky"]["cv"] > 1.0
+
+
+def test_char_entropy_uniform_alphabet(spark):
+    """A group whose text is a uniform 4-char alphabet has exactly
+    2 bits of character entropy; a 1-char group has 0."""
+    from z316_sales_data_pipeline_spark.operators.corpus import char_entropy_by_group
+
+    df = spark.createDataFrame(
+        [("u", "abcdabcdabcd"), ("z", "aaaaaa")], "g string, text string"
+    )
+    out = {r["g"]: r for r in char_entropy_by_group(df, "text", "g").collect()}
+    assert out["u"]["entropy_bits"] == 2.0 and out["u"]["n_chars"] == 12
+    assert out["z"]["entropy_bits"] == 0.0

@@ -838,3 +838,43 @@ def dsir_weights(
         .orderBy(F.col("weight_micro").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def char_entropy_by_group(
+    docs: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Character-distribution Shannon entropy per group — the
+    compression-ratio proxy in the quality-signal family (gibberish
+    and boilerplate sit at the entropy extremes; natural prose
+    clusters mid-range per language).
+
+    The character grain is generated portably as (position explode ×
+    substring) — the same idiom as the rolling-fingerprint oracle —
+    then reduced IMMEDIATELY to the (group, char) count grain, so the
+    only wide relation is per-document-length rows flowing into a
+    partial-aggregated shuffle of at most |groups| × |alphabet| rows.
+    Entropy folds ≤ alphabet-size float terms per group; the sum is
+    rounded at the audit grain (term order is the only
+    nondeterminism, bounded at 1e-15).
+    """
+    chars = docs.select(
+        F.col(group_col),
+        F.explode(F.sequence(F.lit(1), F.length(F.col(text_col)))).alias("i"),
+        F.col(text_col).alias("__t"),
+    ).select(group_col, F.expr("substr(__t, i, 1)").alias("ch"))
+    counts = chars.groupBy(group_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    total = F.sum("c").over(Window.partitionBy(group_col))
+    p = F.col("c") / total
+    term = -(p * F.log2(p))
+    return (
+        counts.select(F.col(group_col), term.alias("term"), F.col("c"))
+        .groupBy(group_col)
+        .agg(
+            F.sum("c").alias("n_chars"),
+            F.round(F.sum("term"), 6).alias("entropy_bits"),
+        )
+    )
