@@ -7317,6 +7317,160 @@ FROM terms GROUP BY lang
 """
 
 
+def _promo_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand promotion uplift as a difference-in-differences: PROMO
+    vs non-PROMO parts of the same brand, mean line revenue before vs
+    after the 1998-01-01 period split (mid-range of the synthetic
+    1995-2001 ship dates); uplift = (Δtreat − Δcontrol).
+    ONE conditional hash aggregate computes all four cells (no pivot,
+    no self-join) from exact integer cents; brands missing any cell are
+    excluded rather than served NULL arithmetic. The part dim joins
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    cut = F.lit("1998-01-01").cast("date")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        "is_promo",
+        (F.to_date("l_shipdate") >= cut).alias("is_after"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+
+    def cell(promo: bool, after: bool, what: str):
+        cond = (F.col("is_promo") == promo) & (F.col("is_after") == after)
+        if what == "sum":
+            return F.sum(F.when(cond, F.col("cents")).otherwise(F.lit(0)))
+        return F.sum(cond.cast("long"))
+
+    agg = joined.groupBy("p_brand").agg(
+        cell(True, False, "sum").alias("s_tb"), cell(True, False, "n").alias("n_tb"),
+        cell(True, True, "sum").alias("s_ta"), cell(True, True, "n").alias("n_ta"),
+        cell(False, False, "sum").alias("s_cb"), cell(False, False, "n").alias("n_cb"),
+        cell(False, True, "sum").alias("s_ca"), cell(False, True, "n").alias("n_ca"),
+    ).filter(
+        (F.col("n_tb") > 0) & (F.col("n_ta") > 0) & (F.col("n_cb") > 0) & (F.col("n_ca") > 0)
+    )
+    m = {c: F.col(f"s_{c}") / F.col(f"n_{c}") / F.lit(100.0) for c in ("tb", "ta", "cb", "ca")}
+    return agg.select(
+        "p_brand",
+        F.round(m["tb"], 4).alias("mean_treat_before"),
+        F.round(m["ta"], 4).alias("mean_treat_after"),
+        F.round(m["cb"], 4).alias("mean_ctrl_before"),
+        F.round(m["ca"], 4).alias("mean_ctrl_after"),
+        F.round((m["ta"] - m["tb"]) - (m["ca"] - m["cb"]), 4).alias("uplift"),
+    )
+
+
+_PROMO_UPLIFT_SQL = """
+WITH j AS (
+    SELECT p_brand, p_type = 'PROMO' AS is_promo,
+           CAST(l_shipdate AS DATE) >= DATE '1998-01-01' AS is_after,
+           cast(round(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+), agg AS (
+    SELECT p_brand,
+           cast(sum(CASE WHEN is_promo AND NOT is_after THEN cents ELSE 0 END) AS BIGINT) AS s_tb,
+           cast(sum(CASE WHEN is_promo AND NOT is_after THEN 1 ELSE 0 END) AS BIGINT) AS n_tb,
+           cast(sum(CASE WHEN is_promo AND is_after THEN cents ELSE 0 END) AS BIGINT) AS s_ta,
+           cast(sum(CASE WHEN is_promo AND is_after THEN 1 ELSE 0 END) AS BIGINT) AS n_ta,
+           cast(sum(CASE WHEN NOT is_promo AND NOT is_after THEN cents ELSE 0 END) AS BIGINT) AS s_cb,
+           cast(sum(CASE WHEN NOT is_promo AND NOT is_after THEN 1 ELSE 0 END) AS BIGINT) AS n_cb,
+           cast(sum(CASE WHEN NOT is_promo AND is_after THEN cents ELSE 0 END) AS BIGINT) AS s_ca,
+           cast(sum(CASE WHEN NOT is_promo AND is_after THEN 1 ELSE 0 END) AS BIGINT) AS n_ca
+    FROM j GROUP BY 1
+)
+SELECT p_brand,
+       round(s_tb / n_tb / 100.0, 4) AS mean_treat_before,
+       round(s_ta / n_ta / 100.0, 4) AS mean_treat_after,
+       round(s_cb / n_cb / 100.0, 4) AS mean_ctrl_before,
+       round(s_ca / n_ca / 100.0, 4) AS mean_ctrl_after,
+       round((s_ta / n_ta / 100.0 - s_tb / n_tb / 100.0)
+             - (s_ca / n_ca / 100.0 - s_cb / n_cb / 100.0), 4) AS uplift
+FROM agg
+WHERE n_tb > 0 AND n_ta > 0 AND n_cb > 0 AND n_ca > 0
+"""
+
+
+def _duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment fraud/DQ screen
+    (quality.near_duplicate_payments): repeat orders on one customer in
+    the same amount tier within 180 days. Equi hash join on (customer,
+    tier) — per-key groups are account×amount sized, so the screen is
+    never a range join or a cross product. Operating point: the
+    synthetic totals are continuous-uniform (an exact-cents duplicate
+    NEVER occurs, measured 0 pairs at every SF), so the entry
+    exercises the screen at a $10k tier where the data has real
+    collisions; the exact-cents point — the production default — is
+    pinned by the unit test instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    return quality.near_duplicate_payments(
+        orders.withColumn("d", F.to_date("o_orderdate")),
+        account_col="o_custkey",
+        id_col="o_orderkey",
+        date_col="d",
+        amount_cents=F.floor(F.col("o_totalprice") / 10000).cast("long"),
+        max_days_apart=180,
+    )
+
+
+_DUP_PAYMENTS_SQL = """
+WITH base AS (
+    SELECT o_custkey AS acct, o_orderkey AS oid, CAST(o_orderdate AS DATE) AS d,
+           cast(floor(o_totalprice / 10000) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT a.acct, a.oid AS id_a, b.oid AS id_b, a.cents,
+       cast(abs(datediff('day', a.d, b.d)) AS INTEGER) AS days_apart
+FROM base a JOIN base b ON a.acct = b.acct AND a.cents = b.cents AND a.oid < b.oid
+WHERE abs(datediff('day', a.d, b.d)) <= 180
+"""
+
+
+def _churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-rate audit per market segment: a customer is churned iff
+    their LAST order predates the corpus horizon (global max order
+    date) by more than 90 days. The horizon is a 1-row aggregate
+    broadcast back; per-customer last-order is a hash aggregate; the
+    segment dim joins broadcast — three reductions, no window."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    last = orders.groupBy("o_custkey").agg(F.max(F.to_date("o_orderdate")).alias("last_d"))
+    horizon = orders.agg(F.max(F.to_date("o_orderdate")).alias("h"))
+    flagged = last.crossJoin(F.broadcast(horizon)).select(
+        "o_custkey", (F.datediff(F.col("h"), F.col("last_d")) > 90).alias("churned")
+    )
+    return (
+        flagged.join(F.broadcast(cust), flagged.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("churned").cast("long")).alias("n_churned"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "n_churned",
+            F.round(F.col("n_churned") / F.col("n_customers"), 6).alias("churn_rate"),
+        )
+    )
+
+
+_CHURN_SQL = """
+WITH last AS (
+    SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d FROM orders GROUP BY 1
+), h AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders)
+SELECT c_mktsegment,
+       cast(count(*) AS BIGINT) AS n_customers,
+       cast(sum(CASE WHEN datediff('day', last_d, h.h) > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       round(sum(CASE WHEN datediff('day', last_d, h.h) > 90 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS churn_rate
+FROM last JOIN customer ON o_custkey = c_custkey CROSS JOIN h
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7324,13 +7478,14 @@ FROM terms GROUP BY lang
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # -- r7 driver sample (first 50): 15 entries NEW this round
+        # -- r7 driver sample (first 50): 18 entries NEW this round
         # (gapfill_daily / assoc_rules / dow_seasonality / cusum_drift /
         # k_core_peel / sq8_quantize_audit / zone_map_prune /
         # price_elasticity / touch_attribution / inventory_runout /
         # revenue_gini / benford_audit / abc_xyz_class / new_vs_returning /
-        # char_entropy), the 8 entries added last round (never
-        # driver-attested), and the 27 stalest r3 entries.
+        # char_entropy / promo_uplift / duplicate_payments / churn_flags),
+        # the 8 entries added last round (never driver-attested), and the
+        # 24 stalest r3 entries.
         # Tail is ordered stalest-first so future rotations read off the
         # top; tools/check_correctness.py runs ALL entries locally every
         # round regardless of the sample. --
@@ -7349,6 +7504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abc_xyz_class": _abc_xyz_class,
         "new_vs_returning": _new_vs_returning,
         "char_entropy": _char_entropy,
+        "promo_uplift": _promo_uplift,
+        "duplicate_payments": _duplicate_payments,
+        "churn_flags": _churn_flags,
         "bm25_search": _bm25_search,
         "dsir_weights": _dsir_weights,
         "scd2_history": _scd2_history,
@@ -7548,6 +7706,9 @@ def oracle_sql() -> dict[str, str]:
         "abc_xyz_class": _ABC_XYZ_SQL,
         "new_vs_returning": _NEW_RETURNING_SQL,
         "char_entropy": _CHAR_ENTROPY_SQL,
+        "promo_uplift": _PROMO_UPLIFT_SQL,
+        "duplicate_payments": _DUP_PAYMENTS_SQL,
+        "churn_flags": _CHURN_SQL,
         "bm25_search": _BM25_SQL,
         "dsir_weights": _DSIR_SQL,
         "scd2_history": _SCD2_SQL,

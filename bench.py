@@ -99,6 +99,14 @@ HEADLINE = [
     "dsir_weights",
     "scd2_history",
     "scd2_incremental",
+    # r8 additions — time-series densify, basket rules (the mirrored
+    # half-pair aggregate), bounded k-core peeling, exact-moment OLS,
+    # and the char-grain entropy reduce. Additions only.
+    "gapfill_daily",
+    "assoc_rules",
+    "k_core_peel",
+    "price_elasticity",
+    "char_entropy",
 ]
 
 

@@ -1165,3 +1165,28 @@ def test_char_entropy_uniform_alphabet(spark):
     out = {r["g"]: r for r in char_entropy_by_group(df, "text", "g").collect()}
     assert out["u"]["entropy_bits"] == 2.0 and out["u"]["n_chars"] == 12
     assert out["z"]["entropy_bits"] == 0.0
+
+
+def test_near_duplicate_payments_exact_cents(spark):
+    """The production operating point: identical exact-cents amounts on
+    one account within the window pair up; different amounts, other
+    accounts, and out-of-window repeats do not; (a < b) emits each
+    pair once with no self-pairs."""
+    import datetime as dt
+
+    d = dt.date
+    rows = [
+        (1, 101, d(2024, 1, 1), 99.99),   # pairs with 102 (same cents, +2d)
+        (1, 102, d(2024, 1, 3), 99.99),
+        (1, 103, d(2024, 3, 1), 99.99),   # same cents but 58d later -> out
+        (1, 104, d(2024, 1, 2), 50.00),   # different amount -> out
+        (2, 201, d(2024, 1, 1), 99.99),   # other account -> out
+    ]
+    df = spark.createDataFrame(rows, "acct long, oid long, d date, amt double")
+    got = quality.near_duplicate_payments(
+        df, account_col="acct", id_col="oid", date_col="d",
+        amount_cents=F.round(F.col("amt") * 100).cast("long"), max_days_apart=3,
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["acct"], r["id_a"], r["id_b"], r["days_apart"]) == (1, 101, 102, 2)

@@ -99,3 +99,47 @@ def benford_profile(df: DataFrame, amount_cents: Column) -> DataFrame:
             F.round(F.abs(share - exp), 6).alias("abs_dev"),
         )
     )
+
+
+def near_duplicate_payments(
+    orders: DataFrame,
+    account_col: str,
+    id_col: str,
+    date_col: str,
+    amount_cents: Column,
+    max_days_apart: int = 3,
+) -> DataFrame:
+    """Duplicate-payment screen (the classic AP fraud/DQ audit): pairs
+    of DISTINCT orders on the same account with the IDENTICAL amount
+    within ``max_days_apart`` days — double-submits, double-captures
+    and replayed webhooks all land here.
+
+    The self-join is EQUI on (account, exact integer cents), so Spark
+    plans a hash join whose per-key group is "orders on one account at
+    one amount" — tiny everywhere real; the date-window predicate is a
+    residual filter on the matched pairs, never a range join. The
+    (a < b) id guard halves the output and removes self-pairs. At lake
+    scale both sides shuffle once on the same compound key.
+    """
+    base = orders.select(
+        F.col(account_col).alias("acct"),
+        F.col(id_col).alias("oid"),
+        F.col(date_col).alias("d"),
+        amount_cents.cast("long").alias("cents"),
+    )
+    a = base.select("acct", "cents", F.col("oid").alias("id_a"), F.col("d").alias("d_a"))
+    b = base.select("acct", "cents", F.col("oid").alias("id_b"), F.col("d").alias("d_b"))
+    return (
+        a.join(b, ["acct", "cents"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.datediff(F.col("d_b"), F.col("d_a"))) <= max_days_apart)
+        )
+        .select(
+            "acct",
+            "id_a",
+            "id_b",
+            "cents",
+            F.abs(F.datediff(F.col("d_b"), F.col("d_a"))).alias("days_apart"),
+        )
+    )
