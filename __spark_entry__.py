@@ -29,6 +29,7 @@ from z316_sales_data_pipeline_spark.operators import (
     similarity,
     sketch,
     skew,
+    timeseries,
     windows,
 )
 from z316_sales_data_pipeline_spark.plans import pair_graph, reconcile, rollup, sales_facts
@@ -7471,6 +7472,271 @@ GROUP BY 1
 """
 
 
+def _ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic-exact EWMA of daily revenue plus a one-step-ahead
+    backtest (timeseries.ewma_forecast): alpha=1/2 weights scaled by
+    2^30 keep every accumulated term a bigint, so the smoothed level,
+    the forecast and the absolute backtest error are all exact
+    integers — zero float summation anywhere. The corpus reduces to a
+    day-grain relation first; the k-lag calendar self-join is
+    O(days x 31) regardless of corpus size."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    out = timeseries.ewma_forecast(daily, "day", "cents", k=30)
+    return out.select(
+        "day",
+        F.col("value").alias("revenue_cents"),
+        F.col("ewma_floor").alias("ewma_cents"),
+        F.col("forecast_floor").alias("forecast_cents"),
+        F.col("abs_err_floor").alias("abs_err_cents"),
+    )
+
+
+_EWMA_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+    FROM orders GROUP BY 1
+), j AS (
+    SELECT a.d, a.x,
+           CAST(sum(CASE WHEN datediff('day', b.d, a.d) <= 29
+                         THEN b.x * CAST(pow(2, 29 - datediff('day', b.d, a.d)) AS BIGINT) END) AS BIGINT) AS s_now,
+           CAST(sum(CASE WHEN datediff('day', b.d, a.d) >= 1
+                         THEN b.x * CAST(pow(2, 30 - datediff('day', b.d, a.d)) AS BIGINT) END) AS BIGINT) AS s_prev
+    FROM daily a JOIN daily b ON b.d BETWEEN a.d - 30 AND a.d
+    GROUP BY 1, 2
+)
+SELECT d AS day, x AS revenue_cents,
+       (s_now // 1073741824) AS ewma_cents,
+       (s_prev // 1073741824) AS forecast_cents,
+       (abs(x * 1073741824 - s_prev) // 1073741824) AS abs_err_cents
+FROM j
+"""
+
+
+def _peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly peak of simultaneously-open orders
+    (windows.peak_concurrency): order open = orderdate, close = max
+    lineitem shipdate; the sweep-line running sum is exact-integer
+    over the total order (date, delta, orderkey) — closes before
+    opens on ties — and runs through the range-partitioned two-phase
+    primitive, so there is no single-partition WindowExec."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    closes = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("close_d")
+    )
+    iv = orders.select(
+        "o_orderkey", F.to_date("o_orderdate").alias("open_d")
+    ).join(closes, F.col("o_orderkey") == F.col("l_orderkey"))
+    return windows.peak_concurrency(
+        iv,
+        start_col="open_d",
+        end_col="close_d",
+        id_col="o_orderkey",
+        bucket_of=lambda d: F.date_format(d, "yyyy-MM"),
+        bucket_name="month",
+    )
+
+
+_PEAK_CONCURRENCY_SQL = """
+WITH iv AS (
+    SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS open_d,
+           max(CAST(l.l_shipdate AS DATE)) AS close_d
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+), ev AS (
+    SELECT open_d AS d, CAST(1 AS BIGINT) AS delta, o_orderkey AS id FROM iv
+    UNION ALL
+    SELECT close_d + 1, CAST(-1 AS BIGINT), o_orderkey FROM iv
+), sw AS (
+    SELECT d, CAST(sum(delta) OVER (ORDER BY d, delta, id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS live
+    FROM ev
+)
+SELECT strftime(d, '%Y-%m') AS month, CAST(max(live) AS BIGINT) AS peak_concurrent
+FROM sw GROUP BY 1
+"""
+
+
+def _safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part reorder point at a 95% service level over a 7-day
+    lead time (aggregates.safety_stock): integer daily-demand moments
+    per part, one hash aggregate, float math only after aggregation —
+    100 TB of line items reduce to three bigints per part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    demand = li.groupBy(
+        "l_partkey", F.to_date("l_shipdate").alias("d")
+    ).agg(F.sum(F.floor("l_quantity")).alias("q"))
+    return aggregates.safety_stock(
+        demand, "l_partkey", F.col("q"), lead_days=7, z_service=1.65, min_days=20
+    )
+
+
+_SAFETY_STOCK_SQL = """
+WITH dm AS (
+    SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+           CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem GROUP BY 1, 2
+), m AS (
+    SELECT l_partkey, cast(count(*) AS BIGINT) AS n_days,
+           cast(sum(q) AS BIGINT) AS sx, cast(sum(q * q) AS BIGINT) AS sxx
+    FROM dm GROUP BY 1
+)
+SELECT l_partkey, n_days,
+       round(sx / CAST(n_days AS DOUBLE), 6) AS mean_daily,
+       round(sqrt((n_days * sxx - sx * sx) / (CAST(n_days AS DOUBLE) * (n_days - 1.0))), 6) AS std_daily,
+       round(sx / CAST(n_days AS DOUBLE) * 7
+             + 1.65 * sqrt((n_days * sxx - sx * sx) / (CAST(n_days AS DOUBLE) * (n_days - 1.0))) * sqrt(7.0),
+             6) AS reorder_point
+FROM m WHERE n_days >= 20
+"""
+
+
+def _kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of customer repurchase intervals
+    (timeseries.kaplan_meier): per-user gaps between consecutive
+    purchases, right-censored at the corpus horizon. The subject
+    relation collapses to duration grain before any pairwise work, so
+    the risk-set and cumulative-product joins are O(distinct
+    durations²) — calendar-bounded, corpus-independent."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d"), "ts", "event_id")
+    )
+    nxt = F.lead("d").over(
+        Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    )
+    horizon = ev.agg(F.max("d").alias("obs_end"))
+    durations = (
+        ev.withColumn("__nd", nxt)
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.coalesce(F.col("__nd"), F.col("obs_end")), F.col("d")).alias(
+                "dur"
+            ),
+            F.when(F.col("__nd").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    return timeseries.kaplan_meier(durations, "dur", "ev")
+
+
+_KAPLAN_MEIER_SQL = """
+WITH p AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           lead(CAST(ts AS DATE)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nd
+    FROM events WHERE event_type = 'purchase'
+), mx AS (SELECT max(CAST(ts AS DATE)) AS obs_end FROM events WHERE event_type = 'purchase'),
+dur AS (
+    SELECT CAST(datediff('day', d, coalesce(nd, obs_end)) AS BIGINT) AS t,
+           CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS e
+    FROM p CROSS JOIN mx
+), per_t AS (
+    SELECT t, cast(count(*) AS BIGINT) AS c, cast(sum(e) AS BIGINT) AS d_events
+    FROM dur GROUP BY 1
+), risk AS (
+    SELECT a.t, CAST(sum(b.c) AS BIGINT) AS n_risk
+    FROM per_t a JOIN per_t b ON b.t >= a.t GROUP BY 1
+), steps AS (
+    SELECT a.t, a.d_events, r.n_risk,
+           CASE WHEN a.d_events < r.n_risk
+                THEN ln(1 - a.d_events / CAST(r.n_risk AS DOUBLE)) END AS lnterm,
+           CASE WHEN a.d_events = r.n_risk THEN 1 ELSE 0 END AS zflag
+    FROM per_t a JOIN risk r ON r.t = a.t WHERE a.d_events > 0
+)
+SELECT a.t, a.n_risk, a.d_events,
+       round(CASE WHEN max(b.zflag) = 1 THEN 0.0 ELSE exp(sum(b.lnterm)) END, 6) AS survival
+FROM steps a JOIN steps b ON b.t <= a.t
+GROUP BY 1, 2, 3
+"""
+
+
+def _mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope of monthly revenue
+    per nation (timeseries.mann_kendall_sen): facts reduce to a
+    month-grain relation first, so the pairwise sign/slope join is
+    O(months² per nation) — a calendar constant. S and n are exact
+    integers; tau / z / interpolated median slope are single
+    post-aggregation float expressions."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+            ).alias("t"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v"))
+    )
+    return timeseries.mann_kendall_sen(monthly, ["n_name"], "t", "v", min_n=8)
+
+
+_MANN_KENDALL_SQL = """
+WITH m AS (
+    SELECT n_name,
+           CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS BIGINT) AS t,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY 1, 2
+), pr AS (
+    SELECT a.n_name,
+           CAST(sum(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+           median((b.v - a.v) / CAST(b.t - a.t AS DOUBLE)) AS sen
+    FROM m a JOIN m b ON b.n_name = a.n_name AND b.t > a.t
+    GROUP BY 1
+), c AS (SELECT n_name, cast(count(*) AS BIGINT) AS n_periods FROM m GROUP BY 1)
+SELECT c.n_name, c.n_periods, pr.s_stat,
+       round(pr.s_stat / (CAST(c.n_periods AS DOUBLE) * (c.n_periods - 1) / 2.0), 6) AS tau,
+       round(CASE WHEN pr.s_stat > 0
+                  THEN (pr.s_stat - 1) / sqrt(CAST(c.n_periods AS DOUBLE) * (c.n_periods - 1) * (2 * c.n_periods + 5) / 18.0)
+                  WHEN pr.s_stat < 0
+                  THEN (pr.s_stat + 1) / sqrt(CAST(c.n_periods AS DOUBLE) * (c.n_periods - 1) * (2 * c.n_periods + 5) / 18.0)
+                  ELSE 0.0 END, 6) AS z_score,
+       round(pr.sen, 6) AS sen_slope
+FROM c JOIN pr ON pr.n_name = c.n_name
+WHERE c.n_periods >= 8
+"""
+
+
+def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram novelty in corpus order
+    (corpus.ngram_novelty): the fraction of a doc's distinct word
+    5-grams first seen in THIS doc. Grams hash to the seedless
+    md5-long family in the generate stage, so only (doc_id, hash)
+    longs shuffle — O(total tokens), the curation-side complement of
+    span_dedup's symmetric overlap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.ngram_novelty(docs, "text", "doc_id", n=5)
+
+
+_NGRAM_NOVELTY_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), g AS (
+    SELECT DISTINCT doc_id,
+           CAST(('0x' || substring(md5(array_to_string(toks[i:i+4], ' ')), 1, 8)) AS BIGINT) AS gh
+    FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i) s
+    WHERE len(toks) >= 5
+), f AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY 1)
+SELECT g.doc_id, cast(count(*) AS BIGINT) AS n_grams,
+       cast(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM g JOIN f ON f.gh = g.gh
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7489,6 +7755,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Tail is ordered stalest-first so future rotations read off the
         # top; tools/check_correctness.py runs ALL entries locally every
         # round regardless of the sample. --
+        "ewma_forecast": _ewma_forecast,
+        "peak_concurrency": _peak_concurrency,
+        "safety_stock": _safety_stock,
+        "kaplan_meier": _kaplan_meier,
+        "mann_kendall_trend": _mann_kendall_trend,
+        "ngram_novelty": _ngram_novelty,
         "gapfill_daily": _gapfill_daily,
         "assoc_rules": _assoc_rules,
         "dow_seasonality": _dow_seasonality,
@@ -7691,6 +7963,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ewma_forecast": _EWMA_SQL,
+        "peak_concurrency": _PEAK_CONCURRENCY_SQL,
+        "safety_stock": _SAFETY_STOCK_SQL,
+        "kaplan_meier": _KAPLAN_MEIER_SQL,
+        "mann_kendall_trend": _MANN_KENDALL_SQL,
+        "ngram_novelty": _NGRAM_NOVELTY_SQL,
         "gapfill_daily": _GAPFILL_SQL,
         "assoc_rules": _ASSOC_RULES_SQL,
         "dow_seasonality": _DOW_SEASONALITY_SQL,

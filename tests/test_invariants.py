@@ -16,6 +16,7 @@ from z316_sales_data_pipeline_spark.operators import (
     sketch,
     windows,
 )
+from z316_sales_data_pipeline_spark.operators import corpus as corpus_mod
 from z316_sales_data_pipeline_spark.plans import sales_facts
 from z316_sales_data_pipeline_spark.sources.tables import load_table
 
@@ -1190,3 +1191,103 @@ def test_near_duplicate_payments_exact_cents(spark):
     assert len(got) == 1
     r = got[0]
     assert (r["acct"], r["id_a"], r["id_b"], r["days_apart"]) == (1, 101, 102, 2)
+
+
+def test_ewma_forecast_dyadic_exact(spark):
+    """alpha=1/2, k=3 on [100, 200, 400]: floors of the exact dyadic
+    EWMA and the one-step backtest, computed by hand."""
+    import datetime as dt
+
+    from z316_sales_data_pipeline_spark.operators import timeseries
+
+    daily = spark.createDataFrame(
+        [
+            (dt.date(2020, 1, 1), 100),
+            (dt.date(2020, 1, 2), 200),
+            (dt.date(2020, 1, 3), 400),
+        ],
+        "day date, cents long",
+    )
+    rows = {
+        r["day"].day: r
+        for r in timeseries.ewma_forecast(daily, "day", "cents", k=3).collect()
+    }
+    assert rows[1]["ewma_floor"] == 50 and rows[1]["forecast_floor"] is None
+    assert rows[2]["ewma_floor"] == 125 and rows[2]["forecast_floor"] == 50
+    assert rows[2]["abs_err_floor"] == 150
+    assert rows[3]["ewma_floor"] == 262  # floor(400/2 + 200/4 + 100/8)
+    assert rows[3]["forecast_floor"] == 125 and rows[3]["abs_err_floor"] == 275
+
+
+def test_peak_concurrency_sweep(spark):
+    """Three overlapping intervals peak at 3 on the double-open day."""
+    import datetime as dt
+
+    iv = spark.createDataFrame(
+        [
+            ("A", dt.date(2020, 1, 1), dt.date(2020, 1, 3)),
+            ("B", dt.date(2020, 1, 2), dt.date(2020, 1, 2)),
+            ("C", dt.date(2020, 1, 2), dt.date(2020, 1, 5)),
+        ],
+        "id string, s date, e date",
+    )
+    out = windows.peak_concurrency(
+        iv, "s", "e", "id", bucket_of=lambda d: F.date_format(d, "yyyy-MM")
+    ).collect()
+    assert {r["bucket"]: r["peak_concurrent"] for r in out} == {"2020-01": 3}
+
+
+def test_safety_stock_constant_demand(spark):
+    """Constant demand: std 0, reorder point = mean x lead."""
+    d = spark.createDataFrame(
+        [("p1", i, 10) for i in range(5)], "k string, d long, q long"
+    )
+    out = aggregates.safety_stock(
+        d, "k", F.col("q"), lead_days=7, z_service=1.65, min_days=3
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["mean_daily"] == 10.0 and r["std_daily"] == 0.0
+    assert r["reorder_point"] == 70.0
+
+
+def test_kaplan_meier_textbook_and_zero_tail(spark):
+    from z316_sales_data_pipeline_spark.operators import timeseries
+
+    dur = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 0)], "dur long, ev long"
+    )
+    rows = {r["t"]: r for r in timeseries.kaplan_meier(dur, "dur", "ev").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_risk"] == 3 and rows[1]["survival"] == 0.666667
+    assert rows[2]["n_risk"] == 2 and rows[2]["survival"] == 0.333333
+    # d == n at the last event time: exact zero, no ln(0) NULL leak
+    dur2 = spark.createDataFrame([(1, 1), (2, 1)], "dur long, ev long")
+    rows2 = {r["t"]: r for r in timeseries.kaplan_meier(dur2, "dur", "ev").collect()}
+    assert rows2[2]["survival"] == 0.0
+
+
+def test_mann_kendall_monotone_series(spark):
+    from z316_sales_data_pipeline_spark.operators import timeseries
+
+    pts = spark.createDataFrame(
+        [("k", t, t) for t in range(10)], "g string, t long, v long"
+    )
+    r = timeseries.mann_kendall_sen(pts, ["g"], "t", "v", min_n=8).collect()[0]
+    assert r["s_stat"] == 45 and r["tau"] == 1.0 and r["sen_slope"] == 1.0
+    assert r["z_score"] > 3.0
+
+
+def test_ngram_novelty_duplicate_doc_scores_zero(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus_mod.ngram_novelty(docs, "text", "doc_id").collect()}
+    assert set(out) == {1, 2}  # <5-token doc has no grams
+    assert out[1]["n_grams"] == 2 and out[1]["novelty"] == 1.0
+    assert out[2]["n_novel"] == 0 and out[2]["novelty"] == 0.0

@@ -287,3 +287,54 @@ def variability_classes(
         cv.alias("cv"),
         F.when(cv < x_cut, F.lit("X")).when(cv < y_cut, F.lit("Y")).otherwise(F.lit("Z")).alias("xyz_class"),
     )
+
+
+def safety_stock(
+    demand: DataFrame,
+    key: str,
+    qty_int: Column,
+    lead_days: int = 7,
+    z_service: float = 1.65,
+    min_days: int = 20,
+) -> DataFrame:
+    """Per-key reorder point from daily-demand variability:
+    ROP = mean_daily * L + z * std_daily * sqrt(L) — the classic
+    safety-stock formula at a z-quantile service level over a fixed
+    replenishment lead time.
+
+    Same moment discipline as :func:`ols_slope_exact`: the caller
+    passes integer daily demand, the aggregate accumulates exact
+    bigint moments (n, Σx, Σx²), and mean / sample-std / ROP are
+    post-aggregation float expressions rounded to 6 dp — one hash
+    aggregate over the demand-day relation, order-portable, and at
+    100 TB the whole corpus reduces to three moments per key.
+
+    Demand-day basis: days with no sales simply have no row, so the
+    statistics describe variability across ACTIVE days (stated, not
+    hidden — zero-filling the calendar is gapfill_locf's job if a
+    caller wants the other basis).
+    """
+    x = qty_int.cast("long")
+    m = (
+        demand.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(x).alias("__sx"),
+            F.sum(x * x).alias("__sxx"),
+        )
+        .filter(F.col("n_days") >= min_days)
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("__sx") / n
+    var = (F.col("n_days") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    ) / (n * (n - 1.0))
+    std = F.sqrt(var)
+    rop = mean * lead_days + z_service * std * F.sqrt(F.lit(float(lead_days)))
+    return m.select(
+        key,
+        "n_days",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(std, 6).alias("std_daily"),
+        F.round(rop, 6).alias("reorder_point"),
+    )

@@ -878,3 +878,70 @@ def char_entropy_by_group(
             F.round(F.sum("term"), 6).alias("entropy_bits"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Per-document n-gram novelty in corpus (id) order: the fraction
+    of a document's DISTINCT word n-grams whose first occurrence in
+    the corpus is this document. Boilerplate-heavy or templated
+    documents score low; genuinely new text scores high — the
+    time-ordered complement of span_dedup's symmetric "shared with any
+    other doc" measure, and the screen a curation pipeline uses to
+    cap how much recycled text enters a training mix.
+
+    Scale shape: grams are hashed to the seedless md5-long family
+    in the same stage that generates them, so only (doc_id,
+    gram_hash) longs ever shuffle — never gram text. Two hash
+    aggregates (distinct per doc; min(doc_id) per gram) and one hash
+    join on the gram hash: O(total tokens), the same class as
+    shingling. Standard fingerprint caveat: a 2^-32 collision
+    undercounts novelty by one gram.
+
+    Documents with fewer than ``n`` tokens have no grams and are
+    absent from the output (stated grain).
+    """
+    toks = _norm_tokens(text_col)
+    grams = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .select(
+            "doc_id",
+            # sequence(1, stop) DESCENDS when stop < 1, so short docs
+            # must short-circuit to an empty gram list explicitly.
+            F.explode(
+                F.when(
+                    F.size("__toks") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+                        lambda i: _md5_long(
+                            F.array_join(F.slice(F.col("__toks"), i, n), " ")
+                        ),
+                    ),
+                ).otherwise(F.expr("array()").cast("array<bigint>"))
+            ).alias("__g"),
+        )
+        .distinct()
+    )
+    first_seen = grams.groupBy("__g").agg(F.min("doc_id").alias("__first"))
+    return (
+        grams.join(first_seen, "__g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__first") == F.col("doc_id"), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )

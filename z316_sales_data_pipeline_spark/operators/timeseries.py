@@ -1,0 +1,242 @@
+"""Time-series statistics as distributed relational plans.
+
+The reference pipeline's reporting layer reduces sales history to
+calendar rollups before anything is charted (bq_to_sheets/main.py's
+summary queries); these operators extend that rollup family with
+forecasting, trend and survival statistics computed the scale-safe
+way:
+
+- every statistic reduces the corpus to a CALENDAR-GRAIN relation
+  first (days/months — bounded by the date range, never the fact
+  row count), so the quadratic/pairwise parts that some of these
+  statistics genuinely need (Mann-Kendall's sign pairs, Theil-Sen's
+  pairwise slopes, Kaplan-Meier's risk sets) are O(calendar²), a
+  constant w.r.t. corpus size;
+- wherever a running statistic would otherwise depend on float
+  summation order, the arithmetic is exact-integer (dyadic EWMA
+  weights, sign counts, risk-set counts) with at most one float
+  operation after aggregation — the same portability discipline as
+  aggregates.ols_slope_exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ewma_forecast(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    k: int = 30,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average (alpha = 1/2)
+    of an integer daily series, plus the one-step-ahead backtest.
+
+    Weights are dyadic (w_j = 2^-(j+1) for lag j), truncated at lag
+    ``k`` and scaled by 2^k, so EVERY accumulated term is a bigint and
+    the smoothed level is exact — no float sum, no summation-order
+    dependence. Outputs floor-cent integers (``shiftright`` by k),
+    keeping the whole statistic engine- and order-portable.
+
+    One-step-ahead forecast for day t is the EWMA through day t-1
+    (lags 1..k with weights 2^-j), read off the SAME calendar join
+    with a second conditional sum — the backtest costs no extra scan.
+
+    Plan shape: the input is already day-grain (the caller aggregates
+    facts to days first), so the range self-join fans each of the
+    ~|calendar| rows out at most k+1 times — broadcast the contributor
+    side; cost is O(days x k) regardless of corpus size. Missing days
+    contribute zero weight implicitly (they have no row), which is the
+    correct semantics for a revenue series.
+
+    Overflow bound: daily_value x 2^k must stay inside int64 — at
+    k=30 that is daily totals up to ~8.6e9 units (86 M dollars/day in
+    cents). Beyond that, coarsen the unit (dollars) or lower k; the
+    bound scales as 2^-k.
+    """
+    a = daily.select(
+        F.col(day_col).alias("__d"), F.col(value_col).cast("long").alias("__x")
+    )
+    b = daily.select(
+        F.col(day_col).alias("__d2"), F.col(value_col).cast("long").alias("__x2")
+    )
+    j = F.datediff(F.col("__d"), F.col("__d2"))
+    # Integer weights: 2^(k-1-j) for the current-level sum (lags
+    # 0..k-1), 2^(k-j) for the forecast sum (lags 1..k). pow() is
+    # exact in double up to 2^52, and k <= 52 by contract.
+    w_now = F.pow(F.lit(2.0), (F.lit(k - 1) - j).cast("double")).cast("long")
+    w_prev = F.pow(F.lit(2.0), (F.lit(k) - j).cast("double")).cast("long")
+    joined = a.join(
+        F.broadcast(b),
+        (F.col("__d2") >= F.date_sub(F.col("__d"), k)) & (F.col("__d2") <= F.col("__d")),
+    )
+    agg = joined.groupBy("__d").agg(
+        F.sum(F.when(j == 0, F.col("__x2"))).alias("__x"),
+        F.sum(
+            F.when((j >= 0) & (j <= k - 1), F.col("__x2") * w_now)
+        ).alias("__s_now"),
+        F.sum(F.when((j >= 1) & (j <= k), F.col("__x2") * w_prev)).alias("__s_prev"),
+    )
+    scale = F.lit(1).cast("long") * (2**k)
+    return agg.select(
+        F.col("__d").alias("day"),
+        F.col("__x").alias("value"),
+        F.shiftright(F.col("__s_now"), k).alias("ewma_floor"),
+        F.shiftright(F.col("__s_prev"), k).alias("forecast_floor"),
+        F.shiftright(F.abs(F.col("__x") * scale - F.col("__s_prev")), k).alias(
+            "abs_err_floor"
+        ),
+    )
+
+
+def mann_kendall_sen(
+    df: DataFrame,
+    keys: list[str],
+    t_col: str,
+    value_col: str,
+    min_n: int = 8,
+) -> DataFrame:
+    """Per-key Mann-Kendall trend test + Theil-Sen slope over an
+    ordered series of (integer time index, integer value) points.
+
+    S = sum over i<j of sign(x_j - x_i) and the Theil-Sen slope
+    (median of pairwise slopes) both need every pair — but the input
+    is a PERIOD-grain relation (the caller aggregates facts to months
+    first), so the pair join is O(periods² per key): a constant
+    bounded by the calendar, not the corpus. S and n are exact
+    integers; tau = S / (n(n-1)/2), the normal-approximation z, and
+    the interpolated median slope are the only float steps, each a
+    single post-aggregation expression rounded to 6 dp.
+
+    Sen slope uses exact interpolated percentile (both engines average
+    the two middle pairwise slopes for even counts).
+    """
+    l = df.select(
+        *keys,
+        F.col(t_col).cast("long").alias("__t"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    r = l.select(
+        *[F.col(c).alias(f"__r_{c}") for c in keys],
+        F.col("__t").alias("__t2"),
+        F.col("__v").alias("__v2"),
+    )
+    cond = [F.col(c) == F.col(f"__r_{c}") for c in keys]
+    pairs = l.join(r, cond + [F.col("__t2") > F.col("__t")])
+    sgn = F.signum((F.col("__v2") - F.col("__v")).cast("double")).cast("long")
+    slope = (F.col("__v2") - F.col("__v")).cast("double") / (
+        F.col("__t2") - F.col("__t")
+    ).cast("double")
+    per_key = pairs.groupBy(*keys).agg(
+        F.sum(sgn).alias("s_stat"),
+        F.percentile(slope, F.lit(0.5)).alias("__sen"),
+        F.count(F.lit(1)).alias("__npairs"),
+    )
+    counts = l.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_periods"))
+    out = counts.join(per_key, keys).filter(F.col("n_periods") >= min_n)
+    n = F.col("n_periods").cast("double")
+    denom = n * (n - 1) / 2.0
+    var = n * (n - 1) * (2 * n + 5) / 18.0
+    z = F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var)).when(
+        F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        *keys,
+        "n_periods",
+        "s_stat",
+        F.round(F.col("s_stat") / denom, 6).alias("tau"),
+        F.round(z, 6).alias("z_score"),
+        F.round(F.col("__sen"), 6).alias("sen_slope"),
+    )
+
+
+def kaplan_meier(
+    durations: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over integer durations with
+    right-censoring: S(t) = prod over event times t_i <= t of
+    (1 - d_i / n_i), where d_i = events at t_i and n_i = subjects
+    still at risk (duration >= t_i).
+
+    Scale shape: the subject-grain input collapses to a DURATION-grain
+    aggregate first (one hash aggregate over the corpus); both the
+    risk-set counts and the cumulative product then run on that tiny
+    relation via triangular self-joins — O(distinct_durations²), a
+    calendar-bounded constant, with no unpartitioned window. The
+    cumulative product is exp(sum(ln(1 - d/n))) computed identically
+    in any engine and rounded to 6 dp (survival is in [0,1], so the
+    rounding is far above float noise).
+
+    Rows with d_i = 0 (pure-censoring times) are kept in the risk-set
+    arithmetic but emit no curve step, matching the textbook
+    estimator.
+    """
+    per_t = (
+        durations.select(
+            F.col(duration_col).cast("long").alias("__t"),
+            F.col(event_col).cast("long").alias("__e"),
+        )
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__c"), F.sum("__e").alias("d_events"))
+    )
+    # The triangular (>=) joins run on the duration-grain aggregate —
+    # broadcast the contributor side so they compile to
+    # BroadcastNestedLoopJoin over the tiny relation, never a
+    # CartesianProduct shuffle.
+    risk = (
+        per_t.alias("a")
+        .join(F.broadcast(per_t.alias("b")), F.col("b.__t") >= F.col("a.__t"))
+        .groupBy(F.col("a.__t").alias("__t"))
+        .agg(F.sum(F.col("b.__c")).alias("n_risk"))
+    )
+    # d == n at a step drives the whole tail to exactly 0; the log-sum
+    # must never see ln(0) (engines disagree: Spark log(0) -> NULL),
+    # so that step carries a zero FLAG instead of a log term.
+    steps = (
+        per_t.join(risk, "__t")
+        .filter(F.col("d_events") > 0)
+        .select(
+            "__t",
+            "n_risk",
+            "d_events",
+            F.when(
+                F.col("d_events") < F.col("n_risk"),
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d_events").cast("double")
+                    / F.col("n_risk").cast("double")
+                ),
+            ).alias("__lnterm"),
+            F.when(F.col("d_events") == F.col("n_risk"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("__zflag"),
+        )
+    )
+    surv = (
+        steps.alias("a")
+        .join(F.broadcast(steps.alias("b")), F.col("b.__t") <= F.col("a.__t"))
+        .groupBy(
+            F.col("a.__t").alias("t"),
+            F.col("a.n_risk").alias("n_risk"),
+            F.col("a.d_events").alias("d_events"),
+        )
+        .agg(
+            F.sum(F.col("b.__lnterm")).alias("__lnsum"),
+            F.max(F.col("b.__zflag")).alias("__zero"),
+        )
+    )
+    return surv.select(
+        "t",
+        "n_risk",
+        "d_events",
+        F.round(
+            F.when(F.col("__zero") == 1, F.lit(0.0)).otherwise(
+                F.exp(F.col("__lnsum"))
+            ),
+            6,
+        ).alias("survival"),
+    )

@@ -480,3 +480,60 @@ def running_balance_runout(
         F.min(F.when(F.col("__bal") < 0, F.col(ts_col))).alias("first_stockout"),
         (F.min("__open") + F.sum("__delta")).alias("closing_balance"),
     )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+    bucket_of,
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """Maximum number of simultaneously-open intervals, reported per
+    calendar bucket — the sweep-line rendering of "how many orders were
+    in flight at once this month".
+
+    Each interval becomes two signed boundary events (+1 at start, -1
+    the day AFTER end — closed-interval semantics), the global running
+    sum over the boundary timeline is the live concurrency, and the
+    per-bucket max of that running sum is the peak. The running sum is
+    exact-integer over a TOTAL order (date, delta, id): processing a
+    same-day close (delta -1) before a same-day open is the
+    conservative tie rule, and the id pins identical (date, delta)
+    pairs — bit-exact on any engine with the same ORDER BY.
+
+    The global ordered sum uses the range-partitioned two-phase
+    primitive (no single-partition WindowExec), so the plan scales:
+    boundary events are 2x the interval count, range-partitioned by
+    date — at 1000 executors each partition sweeps its own date range
+    and only the per-partition offsets (one row each) hit the driver.
+
+    ``bucket_of`` maps the sweep date column to its reporting bucket
+    (e.g. month start). The reported figure is the peak at boundary
+    instants falling in the bucket — a bucket with zero boundary
+    events (impossible for daily sales data) would not inherit the
+    carried-over level.
+    """
+    opens = intervals.select(
+        F.col(start_col).alias("__d"),
+        F.lit(1).cast("long").alias("__delta"),
+        F.col(id_col).alias("__id"),
+    )
+    closes = intervals.select(
+        F.date_add(F.col(end_col), 1).alias("__d"),
+        F.lit(-1).cast("long").alias("__delta"),
+        F.col(id_col).alias("__id"),
+    )
+    events = opens.unionByName(closes)
+    swept, _total = two_phase_running_sum(
+        events,
+        order_by=[F.col("__d").asc(), F.col("__delta").asc(), F.col("__id").asc()],
+        value=F.col("__delta"),
+        out_col="__live",
+    )
+    return (
+        swept.withColumn(bucket_name, bucket_of(F.col("__d")))
+        .groupBy(bucket_name)
+        .agg(F.max("__live").alias("peak_concurrent"))
+    )
