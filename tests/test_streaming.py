@@ -1140,3 +1140,73 @@ def test_scd2_history_sink_exactly_once_and_stream(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(180)
     assert {tuple(r) for r in sinks.read_snapshot(spark, t2).collect()} == want
+
+
+def _run_cusum_stream(spark, src, files_per_trigger, qname):
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(str(src))
+    )
+    q = (
+        pipeline.cusum_monitor(stream, mu0=10.0, slack=0.5, threshold=5.0)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sorted(
+        spark.sql(f"SELECT * FROM {qname}").collect(),
+        key=lambda r: (r["k"], r["n_seen"]),
+    )
+
+
+def test_cusum_monitor_alarms_and_batch_alignment_invariance(spark, tmp_path):
+    """A level shift from mu0=10 to 13 must raise an 'up' alarm, and
+    the alarm stream must be identical whether the source arrives as
+    one micro-batch or one file per batch (state carries the fold
+    across batches; per-batch rows fold in (ts, event_id) order)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        # first 10 at the reference level, then a +3 shift
+        val = 10.0 if i < 10 else 13.0
+        rows.append((i, t0 + dt.timedelta(minutes=i), "checkout", val))
+    # three time-ordered files (the in-order delivery contract);
+    # mtimes pin the file-source pickup order
+    import os
+
+    for fi, chunk in enumerate([rows[:7], rows[7:14], rows[14:]]):
+        pdf = pd.DataFrame(chunk, columns=["event_id", "ts", "event_type", "value"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(src / f"b{fi}.parquet")
+    now = os.path.getmtime(src / "b2.parquet")
+    for fi in range(3):
+        os.utime(src / f"b{fi}.parquet", (now - 60 * (3 - fi), now - 60 * (3 - fi)))
+
+    one_batch = _run_cusum_stream(spark, src, 3, "cusum_one")
+    per_file = _run_cusum_stream(spark, src, 1, "cusum_many")
+
+    assert one_batch, "expected at least one alarm"
+    assert [tuple(r) for r in one_batch] == [tuple(r) for r in per_file]
+    first = one_batch[0]
+    # s+ grows by 2.5 per post-shift event: crosses 5.0 on the 3rd
+    # shifted event (event index 12, n_seen 13)
+    assert first["direction"] == "up" and first["n_seen"] == 13
+    assert first["stat"] == 7.5

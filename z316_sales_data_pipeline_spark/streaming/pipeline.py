@@ -336,3 +336,70 @@ def scd2_history_sink(
         sinks.write_snapshot(new_hist, table_dir, meta={"_SCD2_EPOCH": str(int(epoch_id))})
 
     return fold
+
+
+def cusum_monitor(
+    stream_df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    mu0: float = 0.0,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Streaming per-key CUSUM drift alarm — the online twin of the
+    batch ``windows.cusum_changepoint`` audit, as a custom stateful
+    operator (``applyInPandasWithState``).
+
+    Tabular CUSUM against a FIXED reference level ``mu0`` (fixed, not
+    learned, so replays and re-batchings are deterministic): per key,
+    s+ = max(0, s+ + (x - mu0 - slack)) and s- = max(0, s- +
+    (mu0 - x - slack)); when either statistic crosses ``threshold`` an
+    alarm row (key, alarm_ts, direction, stat, n_seen) is emitted and
+    that side resets — append-mode output, one row per alarm, never
+    per event.
+
+    State is three floats + a counter per key — O(keys). Rows are
+    folded in (ts, event_id) order WITHIN each batch, so output is
+    invariant to micro-batch alignment whenever file/offset boundaries
+    respect event-time order (the same in-order delivery contract the
+    SCD2 fold documents; genuinely late data belongs to a batch
+    recompute via the backfill path).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "k string, alarm_ts timestamp, direction string, stat double, n_seen bigint"
+    )
+    state_schema = "sp double, sn double, n bigint"
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        sp, sn, n = state.get if state.exists else (0.0, 0.0, 0)
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        alarms: list[tuple] = []
+        for ts, x in zip(rows["ts"], rows[value_col]):
+            n += 1
+            sp = max(0.0, sp + (float(x) - mu0 - slack))
+            sn = max(0.0, sn + (mu0 - float(x) - slack))
+            if sp > threshold:
+                alarms.append((ts, "up", round(sp, 6), n))
+                sp = 0.0
+            if sn > threshold:
+                alarms.append((ts, "down", round(sn, 6), n))
+                sn = 0.0
+        state.update((sp, sn, n))
+        if alarms:
+            yield pd.DataFrame(
+                {
+                    "k": [key[0]] * len(alarms),
+                    "alarm_ts": [a[0] for a in alarms],
+                    "direction": [a[1] for a in alarms],
+                    "stat": [a[2] for a in alarms],
+                    "n_seen": [a[3] for a in alarms],
+                }
+            )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
