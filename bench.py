@@ -107,6 +107,12 @@ HEADLINE = [
     "k_core_peel",
     "price_elasticity",
     "char_entropy",
+    # r8 second wave — the calendar-bounded time-series family (exact
+    # EWMA + backtest, sweep-line concurrency) and the token-grain
+    # novelty screen. Additions only.
+    "ewma_forecast",
+    "peak_concurrency",
+    "ngram_novelty",
 ]
 
 
