@@ -56,6 +56,10 @@ def ewma_forecast(
     cents). Beyond that, coarsen the unit (dollars) or lower k; the
     bound scales as 2^-k.
     """
+    # Day-grain (calendar-bounded) but consumed by BOTH sides of the
+    # lag self-join — checkpoint once so the caller's corpus-to-day
+    # aggregate (a full fact scan) isn't paid twice.
+    daily = daily.localCheckpoint(eager=True)
     a = daily.select(
         F.col(day_col).alias("__d"), F.col(value_col).cast("long").alias("__x")
     )
@@ -113,18 +117,23 @@ def mann_kendall_sen(
     Sen slope uses exact interpolated percentile (both engines average
     the two middle pairwise slopes for even counts).
     """
+    # Period-grain (keys x calendar, KB-sized) but consumed by three
+    # arms (both pair sides + the counts aggregate) — checkpoint once
+    # so the caller's fact-to-period reduction isn't paid three times,
+    # and broadcast the pair contributor side so the equality-keyed
+    # inequality join compiles to BroadcastHashJoin, never SortMerge.
     l = df.select(
         *keys,
         F.col(t_col).cast("long").alias("__t"),
         F.col(value_col).cast("long").alias("__v"),
-    )
+    ).localCheckpoint(eager=True)
     r = l.select(
         *[F.col(c).alias(f"__r_{c}") for c in keys],
         F.col("__t").alias("__t2"),
         F.col("__v").alias("__v2"),
     )
     cond = [F.col(c) == F.col(f"__r_{c}") for c in keys]
-    pairs = l.join(r, cond + [F.col("__t2") > F.col("__t")])
+    pairs = l.join(F.broadcast(r), cond + [F.col("__t2") > F.col("__t")])
     sgn = F.signum((F.col("__v2") - F.col("__v")).cast("double")).cast("long")
     slope = (F.col("__v2") - F.col("__v")).cast("double") / (
         F.col("__t2") - F.col("__t")
@@ -135,7 +144,7 @@ def mann_kendall_sen(
         F.count(F.lit(1)).alias("__npairs"),
     )
     counts = l.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_periods"))
-    out = counts.join(per_key, keys).filter(F.col("n_periods") >= min_n)
+    out = counts.join(F.broadcast(per_key), keys).filter(F.col("n_periods") >= min_n)
     n = F.col("n_periods").cast("double")
     denom = n * (n - 1) / 2.0
     var = n * (n - 1) * (2 * n + 5) / 18.0
@@ -182,6 +191,11 @@ def kaplan_meier(
         )
         .groupBy("__t")
         .agg(F.count(F.lit(1)).alias("__c"), F.sum("__e").alias("d_events"))
+        # Duration-grain (calendar-bounded, KB-sized) but consumed by
+        # SIX downstream arms (risk a/b, steps a/b via per_t+risk) —
+        # without this checkpoint Catalyst re-runs the subject-grain
+        # aggregate, and whatever windowed plan feeds it, once per arm.
+        .localCheckpoint(eager=True)
     )
     # The triangular (>=) joins run on the duration-grain aggregate —
     # broadcast the contributor side so they compile to
