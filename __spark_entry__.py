@@ -7737,6 +7737,124 @@ GROUP BY 1
 """
 
 
+def _bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS over the co-purchase part graph
+    (graph.bfs_hops): shortest hop count from the lowest partkey
+    through "bought in the same order" edges, depth ≤ 3 — the
+    recommendation-walk / blast-radius primitive, and the engine's
+    recursive-query parity surface: the oracle is an exact bounded
+    RECURSIVE CTE, value-checked node by node (hop counts are exact
+    integers, so an iterative distributed algorithm gets a full
+    cross-engine hash check, not a rows-only one). Edge build is the
+    order-local self-join (Σ|basket|², never |parts|²); each BFS level
+    is one semi-join of the checkpointed edge list against the
+    broadcast node-grain frontier."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    seeds = li.agg(F.min("l_partkey").alias("node"))
+    return graph.bfs_hops(edges, seeds, max_hops=3)
+
+
+_BFS_REACHABILITY_SQL = """
+WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+),
+seed AS (SELECT min(l_partkey) AS s FROM lineitem),
+bfs AS (
+    SELECT s AS node, 0 AS hops FROM seed
+    UNION
+    SELECT e.dst, bfs.hops + 1 FROM bfs JOIN e ON e.src = bfs.node WHERE bfs.hops < 3
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(hops) AS BIGINT) AS hops
+FROM bfs GROUP BY 1
+"""
+
+
+def _item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity: top-20 part pairs
+    by co-purchase COSINE (n_ab / sqrt(n_a·n_b)) — the normalized
+    complement of basket_pairs' raw support and assoc_rules'
+    confidence/lift: cosine discounts globally popular items, which is
+    what a "customers also bought" ranker actually wants. Pair counts
+    come from the order-local self-join (Σ|basket|² bound); the
+    item-frequency relation is item-grain, checkpointed once and
+    broadcast into both sides of the pair join; top-k compiles to
+    TakeOrderedAndProject. Ordering is on the ROUNDED cosine with a
+    (part_a, part_b) total tiebreak — fully deterministic across
+    engines (single IEEE sqrt + divide on exact integers)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    item_n = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = item_n.select(F.col("pk").alias("part_a"), F.col("n").alias("n_a"))
+    nb = item_n.select(F.col("pk").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab")
+                / F.sqrt(F.col("n_a") * F.col("n_b").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(20)
+    )
+
+
+_ITEM_ITEM_COSINE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1),
+p AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_ab
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_ab, na.n AS n_a, nb.n AS n_b,
+       round(n_ab / sqrt(na.n * CAST(nb.n AS DOUBLE)), 6) AS cosine
+FROM p
+JOIN n na ON na.l_partkey = part_a
+JOIN n nb ON nb.l_partkey = part_b
+ORDER BY cosine DESC, part_a, part_b
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7744,17 +7862,20 @@ GROUP BY 1
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # -- r7 driver sample (first 50): 18 entries NEW this round
-        # (gapfill_daily / assoc_rules / dow_seasonality / cusum_drift /
+        # -- r7 driver sample (first 50): the 34 entries NEW this round
+        # (bfs_reachability / item_item_cosine / the time-series wave /
+        # gapfill_daily / assoc_rules / dow_seasonality / cusum_drift /
         # k_core_peel / sq8_quantize_audit / zone_map_prune /
         # price_elasticity / touch_attribution / inventory_runout /
         # revenue_gini / benford_audit / abc_xyz_class / new_vs_returning /
-        # char_entropy / promo_uplift / duplicate_payments / churn_flags),
-        # the 8 entries added last round (never driver-attested), and the
-        # 24 stalest r3 entries.
+        # char_entropy / promo_uplift / duplicate_payments / churn_flags /
+        # bm25 / dsir / scd2 / cdc / winsorized / dwell), then the
+        # stalest r3 entries.
         # Tail is ordered stalest-first so future rotations read off the
         # top; tools/check_correctness.py runs ALL entries locally every
         # round regardless of the sample. --
+        "bfs_reachability": _bfs_reachability,
+        "item_item_cosine": _item_item_cosine,
         "ewma_forecast": _ewma_forecast,
         "peak_concurrency": _peak_concurrency,
         "safety_stock": _safety_stock,
@@ -7963,6 +8084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bfs_reachability": _BFS_REACHABILITY_SQL,
+        "item_item_cosine": _ITEM_ITEM_COSINE_SQL,
         "ewma_forecast": _EWMA_SQL,
         "peak_concurrency": _PEAK_CONCURRENCY_SQL,
         "safety_stock": _SAFETY_STOCK_SQL,

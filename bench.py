@@ -113,6 +113,10 @@ HEADLINE = [
     "ewma_forecast",
     "peak_concurrency",
     "ngram_novelty",
+    # r7 fourth wave — the recursive-query surface (iterative BFS) and
+    # the normalized co-purchase ranker.
+    "bfs_reachability",
+    "item_item_cosine",
 ]
 
 

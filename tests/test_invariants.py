@@ -1291,3 +1291,30 @@ def test_ngram_novelty_duplicate_doc_scores_zero(spark):
     assert set(out) == {1, 2}  # <5-token doc has no grams
     assert out[1]["n_grams"] == 2 and out[1]["novelty"] == 1.0
     assert out[2]["n_novel"] == 0 and out[2]["novelty"] == 0.0
+
+
+def test_bfs_hops_shortest_path_and_bound(spark):
+    """BFS returns MINIMUM hops (a longer alternative path to node 2
+    does not override its direct edge), respects the hop bound, and
+    never revisits the seed."""
+    # 0 -> 1 -> 2, plus a direct 0 -> 2 shortcut, plus a long chain
+    # 2 -> 3 -> 4 -> 5 (node 5 is beyond max_hops=3), plus a back-edge
+    # to the seed.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (2, 0)],
+        "src int, dst int",
+    )
+    seeds = spark.createDataFrame([(0,)], "node int")
+    out = {r["node"]: r["hops"] for r in graph.bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert out == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_disconnected_component_absent(spark):
+    """Nodes unreachable from the seed set are absent, and a
+    multi-seed set floods from every seed at hops 0."""
+    edges = spark.createDataFrame(
+        [(0, 1), (7, 8)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(0,), (7,)], "node int")
+    out = {r["node"]: r["hops"] for r in graph.bfs_hops(edges, seeds, max_hops=2).collect()}
+    assert out == {0: 0, 7: 0, 1: 1, 8: 1}

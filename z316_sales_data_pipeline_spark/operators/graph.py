@@ -280,3 +280,53 @@ def k_core(
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Breadth-first shortest hop count from a seed set over a
+    directed edge list, bounded at ``max_hops`` — the reachability /
+    blast-radius primitive (recommendation walks, recall expansion
+    over a near-dup graph, contamination spread from a flagged seed).
+    Returns (node, hops) with the MINIMUM hop count ≤ max_hops; pass
+    both directions for an undirected graph.
+
+    The hop bound keeps the oracle an exact bounded recursive CTE
+    (the ``pagerank_int`` discipline: fixed iterations, integer
+    outputs, value-checked cross-engine — a WHILE-loop BFS would be a
+    weak rows-only check).
+
+    Plan shape per level: one hash join of the (node-grain, shrinking)
+    frontier against the checkpointed edge list, a distinct, and an
+    anti-join against the visited set — frontier and visited relations
+    are broadcast (node-grain ≪ edge-grain); edges are checkpointed
+    once. The driver sees only the loop counter, never data. Per-level
+    cost O(|frontier| × avg_degree); an empty frontier makes the
+    remaining levels no-op joins rather than driver round-trips.
+    """
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).localCheckpoint(eager=True)
+    dist = seeds.select(
+        F.col(node).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("hops"),
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(F.broadcast(frontier), F.col("__s") == F.col("node"), "left_semi")
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(F.broadcast(dist.select("node")), "node", "left_anti")
+            .select("node", F.lit(h).cast("long").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist
