@@ -7745,25 +7745,17 @@ def _bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-query parity surface: the oracle is an exact bounded
     RECURSIVE CTE, value-checked node by node (hop counts are exact
     integers, so an iterative distributed algorithm gets a full
-    cross-engine hash check, not a rows-only one). Edge build is the
-    order-local self-join (Σ|basket|², never |parts|²); each BFS level
-    is one semi-join of the checkpointed edge list against the
-    broadcast node-grain frontier."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    cross-engine hash check, not a rows-only one). The traversal
+    expands through the BIPARTITE (order, part) fact per level
+    (graph.bfs_hops_bipartite) — the pairwise co-purchase edge list
+    (Σ|basket|² rows) is never materialized; a first draft that built
+    and checkpointed it measured 14.7× at the 30× replica with
+    repeat-run degradation, the bipartite form stays fact-width."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     seeds = li.agg(F.min("l_partkey").alias("node"))
-    return graph.bfs_hops(edges, seeds, max_hops=3)
+    return graph.bfs_hops_bipartite(
+        li, seeds, max_hops=3, item="l_partkey", group="l_orderkey"
+    )
 
 
 _BFS_REACHABILITY_SQL = """

@@ -1318,3 +1318,23 @@ def test_bfs_hops_disconnected_component_absent(spark):
     seeds = spark.createDataFrame([(0,), (7,)], "node int")
     out = {r["node"]: r["hops"] for r in graph.bfs_hops(edges, seeds, max_hops=2).collect()}
     assert out == {0: 0, 7: 0, 1: 1, 8: 1}
+
+
+def test_bfs_bipartite_matches_edge_list_form(spark):
+    """The bipartite expansion computes exactly the hops the explicit
+    co-occurrence edge list would: items sharing a group are adjacent,
+    self-loops don't resurrect visited nodes, hop bound respected."""
+    # groups: {1,2 in g1}, {2,3 in g2}, {3,4 in g3}, {9 alone in g4}
+    assoc = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (2, "g2"), (3, "g2"), (3, "g3"), (4, "g3"), (9, "g4")],
+        "item int, grp string",
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    out = {
+        r["node"]: r["hops"]
+        for r in graph.bfs_hops_bipartite(
+            assoc, seeds, max_hops=2, item="item", group="grp"
+        ).collect()
+    }
+    # 1 -> 2 (share g1) -> 3 (share g2); 4 is 3 hops away, 9 unreachable
+    assert out == {1: 0, 2: 1, 3: 2}

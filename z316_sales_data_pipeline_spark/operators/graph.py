@@ -330,3 +330,56 @@ def bfs_hops(
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return dist
+
+
+def bfs_hops_bipartite(
+    assoc: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    item: str = "item",
+    group: str = "group",
+    node: str = "node",
+) -> DataFrame:
+    """BFS hop counts over the IMPLICIT co-occurrence graph of a
+    bipartite (item, group) relation — two items are adjacent when
+    they share a group — WITHOUT ever materializing the pairwise edge
+    list. Each level expands frontier items → their groups → those
+    groups' items via two semi-joins against the bipartite fact
+    (node-grain frontier/visited relations are broadcast; the fact is
+    re-scanned per level, column-pruned, never checkpointed).
+
+    This is the scale shape ``bfs_hops`` is not: a co-purchase /
+    co-occurrence edge list is Σ|group|² rows — materializing (and
+    worse, checkpointing) it at 100 TB manufactures a fact-grain
+    relation bigger than the input (measured at the 30× replica: the
+    edge-list BFS spent 32 s building+checkpointing ~50 M edges and
+    repeat runs DEGRADED from the lingering blocks; this form never
+    creates a row wider than the fact). Use ``bfs_hops`` only over an
+    at-rest edge relation that already exists (e.g. the maintained
+    near-dup pair graph).
+    """
+    fact = assoc.select(
+        F.col(item).cast("long").alias("__i"), F.col(group).alias("__g")
+    )
+    dist = seeds.select(
+        F.col(node).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("hops"),
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        groups = (
+            fact.join(F.broadcast(frontier), F.col("__i") == F.col("node"), "left_semi")
+            .select("__g")
+            .distinct()
+        )
+        nxt = (
+            fact.join(groups, "__g", "left_semi")
+            .select(F.col("__i").alias("node"))
+            .distinct()
+            .join(F.broadcast(dist.select("node")), "node", "left_anti")
+            .select("node", F.lit(h).cast("long").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist
