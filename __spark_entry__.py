@@ -7847,6 +7847,141 @@ LIMIT 20
 """
 
 
+def _decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed demand score per part ("trending
+    now"), top-20: each shipped quantity is weighted by
+    2^-(age half-lives), a 180-day half-life, computed as EXACT dyadic
+    integers (qty × 2^(14-h) — 14 half-lives span the whole calendar,
+    so every term and the per-part sum is a bigint; no float decay, no
+    summation-order dependence — the ewma_forecast weight trick
+    applied to the heavy-hitter problem). One scan, a broadcast 1-row
+    horizon, one hash aggregate, TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    horizon = li.agg(F.max(F.to_date("l_shipdate")).alias("__mx"))
+    h = F.floor(
+        F.datediff(F.col("__mx"), F.to_date("l_shipdate")) / F.lit(180)
+    ).cast("long")
+    w = F.pow(F.lit(2.0), (F.lit(14) - h).cast("double")).cast("long")
+    return (
+        li.crossJoin(F.broadcast(horizon))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.floor("l_quantity").cast("long") * w).alias("score_scaled"),
+            F.sum(F.floor("l_quantity").cast("long")).alias("total_qty"),
+        )
+        .select(
+            "l_partkey",
+            "total_qty",
+            F.shiftright(F.col("score_scaled"), 14).alias("decayed_qty_floor"),
+        )
+        .orderBy(F.col("decayed_qty_floor").desc(), F.col("l_partkey").asc())
+        .limit(20)
+    )
+
+
+_DECAYED_TRENDING_SQL = """
+WITH mx AS (SELECT max(CAST(l_shipdate AS DATE)) AS m FROM lineitem),
+s AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+                    * CAST(pow(2, 14 - floor(datediff('day', CAST(l_shipdate AS DATE), m) / 180)) AS BIGINT)) AS BIGINT) AS score_scaled,
+           CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem CROSS JOIN mx
+    GROUP BY 1
+)
+SELECT l_partkey, total_qty,
+       (score_scaled // 16384) AS decayed_qty_floor
+FROM s
+ORDER BY decayed_qty_floor DESC, l_partkey
+LIMIT 20
+"""
+
+
+def _forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-comparison backtest: one-step-ahead EWMA (alpha=1/2,
+    dyadic-exact) vs the seasonal-naive baseline (same weekday last
+    week) on daily revenue, scored by exact integer absolute error
+    over the days where BOTH models produce a forecast — the honest
+    bake-off a reporting layer runs before trusting a forecast column.
+    The day-grain relation is checkpointed once and feeds both arms;
+    errors are bigint cents (EWMA's via the floor-scaled backtest
+    column, naive's directly), so the comparison is engine-exact;
+    the only float is the final MAE division, rounded to 2 dp."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    ew = timeseries.ewma_forecast(daily, "day", "cents", k=30).select(
+        "day", "value", "forecast_floor", "abs_err_floor"
+    )
+    lag7 = daily.select(
+        F.date_add(F.col("day"), 7).alias("day"), F.col("cents").alias("cents_lag7")
+    )
+    both = (
+        ew.join(F.broadcast(lag7), "day")
+        .filter(F.col("forecast_floor").isNotNull())
+        .select(
+            "day",
+            "abs_err_floor",
+            F.abs(F.col("value") - F.col("cents_lag7")).alias("abs_err_naive"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ewma_row = both.agg(
+        F.lit("ewma").alias("method"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("abs_err_floor").alias("total_abs_err_cents"),
+    )
+    naive_row = both.agg(
+        F.lit("seasonal_naive").alias("method"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("abs_err_naive").alias("total_abs_err_cents"),
+    )
+    return ewma_row.unionAll(naive_row).select(
+        "method",
+        "n_days",
+        "total_abs_err_cents",
+        F.round(
+            F.col("total_abs_err_cents").cast("double") / F.col("n_days").cast("double"),
+            2,
+        ).alias("mae_cents"),
+    )
+
+
+_FORECAST_BACKTEST_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+    FROM orders GROUP BY 1
+), j AS (
+    SELECT a.d, a.x,
+           CAST(sum(CASE WHEN datediff('day', b.d, a.d) >= 1
+                         THEN b.x * CAST(pow(2, 30 - datediff('day', b.d, a.d)) AS BIGINT) END) AS BIGINT) AS s_prev
+    FROM daily a JOIN daily b ON b.d BETWEEN a.d - 30 AND a.d
+    GROUP BY 1, 2
+), both_arms AS (
+    SELECT j.d,
+           (abs(j.x * 1073741824 - j.s_prev) // 1073741824) AS abs_err_ewma,
+           abs(j.x - l.x) AS abs_err_naive
+    FROM j JOIN daily l ON l.d = j.d - 7
+    WHERE j.s_prev IS NOT NULL
+)
+SELECT method, n_days, total_abs_err_cents,
+       round(total_abs_err_cents / CAST(n_days AS DOUBLE), 2) AS mae_cents
+FROM (
+    SELECT 'ewma' AS method, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs_err_ewma) AS BIGINT) AS total_abs_err_cents
+    FROM both_arms
+    UNION ALL
+    SELECT 'seasonal_naive', CAST(count(*) AS BIGINT),
+           CAST(sum(abs_err_naive) AS BIGINT)
+    FROM both_arms
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7868,6 +8003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round regardless of the sample. --
         "bfs_reachability": _bfs_reachability,
         "item_item_cosine": _item_item_cosine,
+        "decayed_trending": _decayed_trending,
+        "forecast_backtest": _forecast_backtest,
         "ewma_forecast": _ewma_forecast,
         "peak_concurrency": _peak_concurrency,
         "safety_stock": _safety_stock,
@@ -8078,6 +8215,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bfs_reachability": _BFS_REACHABILITY_SQL,
         "item_item_cosine": _ITEM_ITEM_COSINE_SQL,
+        "decayed_trending": _DECAYED_TRENDING_SQL,
+        "forecast_backtest": _FORECAST_BACKTEST_SQL,
         "ewma_forecast": _EWMA_SQL,
         "peak_concurrency": _PEAK_CONCURRENCY_SQL,
         "safety_stock": _SAFETY_STOCK_SQL,

@@ -117,6 +117,10 @@ HEADLINE = [
     # the normalized co-purchase ranker.
     "bfs_reachability",
     "item_item_cosine",
+    # r7 fifth wave — dyadic time-decayed trending and the
+    # EWMA-vs-naive forecast bake-off.
+    "decayed_trending",
+    "forecast_backtest",
 ]
 
 
