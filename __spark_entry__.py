@@ -7982,6 +7982,58 @@ FROM (
 """
 
 
+def _span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect → REMOVE for cross-document duplicated spans
+    (dedup.span_scrub): tokens covered by any 8-token window shared
+    with another document are dropped and the survivors re-joined in
+    order — the transform that actually produces the deduplicated
+    training text span_dedup only scores. Value-checked to the
+    reconstructed string against the oracle's independent
+    window/flag/anti-join pipeline (string_agg ORDER BY pos)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_scrub(docs, "text", "doc_id", k=8)
+
+
+_SPAN_SCRUB_SQL = r"""
+WITH base AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, i AS wpos,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             [CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(array_to_string(toks[i:i+7], ' '), '')]),
+           (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) s
+  WHERE len(toks) >= 8
+),
+f AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT d.doc_id, d.wpos + o AS pos
+  FROM (SELECT DISTINCT w.doc_id, w.wpos FROM w JOIN f ON f.h = w.h) d,
+       LATERAL (SELECT unnest(range(0, 8)) AS o) t
+),
+tok AS (
+  SELECT doc_id, i AS pos, toks[i] AS tk
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s2
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tk
+  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+  WHERE c.pos IS NULL
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tk, ' ' ORDER BY pos) AS txt
+  FROM kept GROUP BY 1
+)
+SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.txt, '') AS scrubbed_text
+FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8005,6 +8057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_item_cosine": _item_item_cosine,
         "decayed_trending": _decayed_trending,
         "forecast_backtest": _forecast_backtest,
+        "span_scrub": _span_scrub,
         "ewma_forecast": _ewma_forecast,
         "peak_concurrency": _peak_concurrency,
         "safety_stock": _safety_stock,
@@ -8217,6 +8270,7 @@ def oracle_sql() -> dict[str, str]:
         "item_item_cosine": _ITEM_ITEM_COSINE_SQL,
         "decayed_trending": _DECAYED_TRENDING_SQL,
         "forecast_backtest": _FORECAST_BACKTEST_SQL,
+        "span_scrub": _SPAN_SCRUB_SQL,
         "ewma_forecast": _EWMA_SQL,
         "peak_concurrency": _PEAK_CONCURRENCY_SQL,
         "safety_stock": _SAFETY_STOCK_SQL,

@@ -445,3 +445,27 @@ def test_dsir_weights_prefers_target_like_docs(spark):
     }
     assert got[3] > got[4], "target-like doc must outweigh disjoint doc"
     assert all(isinstance(v, int) for v in got.values())
+
+
+def test_span_scrub_removes_shared_span_keeps_unique(spark):
+    """Tokens covered by a cross-doc 8-token window are dropped from
+    BOTH docs; unique text survives; short docs pass through intact."""
+    from z316_sales_data_pipeline_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique one two {shared} tail1"),
+            (2, f"{shared} other words here"),
+            (3, "totally original content nothing shared at all ok"),
+            (4, "short doc"),  # < 8 tokens, no windows
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.span_scrub(docs, "text", "doc_id", k=8).collect()}
+    assert out[1]["scrubbed_text"] == "unique one two tail1"
+    assert out[2]["scrubbed_text"] == "other words here"
+    assert out[3]["scrubbed_text"] == "totally original content nothing shared at all ok"
+    assert out[4]["scrubbed_text"] == "short doc"
+    assert out[1]["n_tokens"] == 12 and out[1]["n_kept"] == 4
+    assert out[4]["n_tokens"] == 2 and out[4]["n_kept"] == 2

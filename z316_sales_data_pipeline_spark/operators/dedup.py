@@ -1203,3 +1203,90 @@ def span_dedup_incremental(
             ).alias("dup_span_frac"),
         )
     )
+
+
+def span_scrub(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
+    """Cross-document span REMOVAL — the transform half of span_dedup
+    (detect → remove, Lee et al. 2021): every token covered by at
+    least one k-token window that occurs in ≥ 2 documents is dropped,
+    and the survivors are re-joined in order. Returns one row per
+    input document: (id, n_tokens, n_kept, scrubbed_text) — documents
+    shorter than k tokens, or with nothing duplicated, pass through
+    intact; a fully-boilerplate document comes back empty (its row
+    survives, the curation filter downstream decides its fate).
+
+    Plan: windows are generated WITH their 1-based position and hashed
+    to the portable rolling family in the projection stage (only
+    (id, wpos, hash) rows shuffle, never window text); the window
+    relation is materialized once (it feeds the cross-doc flag AND the
+    duplicated-window probe — span_dedup's discipline); coverage
+    explodes each duplicated window into its k token positions
+    (O(dup_windows × k), bounded by total tokens); the kept-token
+    reconstruction is one anti-join plus a per-doc ordered fold
+    (array_sort over (pos, token) structs — collect_list order never
+    matters). Everything is column algebra; O(total tokens) end to
+    end, the same class as shingling.
+    """
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    wstruct = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("wpos"), F.array_join(F.slice("__toks", i, k), " ").alias("w")
+        ),
+    )
+    win = (
+        base.select(F.col(id_col), F.explode(wstruct).alias("__ws"))
+        .select(
+            F.col(id_col),
+            F.col("__ws.wpos").alias("wpos"),
+            _rolling_hash(F.col("__ws.w")).alias("__h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    flagged = (
+        win.groupBy("__h")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    covered = (
+        win.join(flagged, "__h", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("wpos"), F.col("wpos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok = base.select(
+        F.col(id_col), F.posexplode("__toks").alias("__p0", "__tk")
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), F.col("__tk"))
+    kept = tok.join(covered, [id_col, "pos"], "left_anti")
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__tk"))),
+                lambda s: s["__tk"],
+            ),
+            " ",
+        ).alias("__scrubbed"),
+    )
+    return (
+        base.select(F.col(id_col), n.alias("n_tokens"))
+        .join(kept_agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("__n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("__scrubbed"), F.lit("")).alias("scrubbed_text"),
+        )
+    )
