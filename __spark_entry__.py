@@ -6536,12 +6536,40 @@ def _scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = windows.scd2_history(
         ev.filter(F.col("ts") < cutoff),
         key="user_id", attr="event_type", ts="ts", tiebreak="event_id",
+        carry_last=True,
     )
     return windows.scd2_apply_batch(
         base,
         ev.filter(F.col("ts") >= cutoff),
         key="user_id", attr="event_type", ts="ts", tiebreak="event_id",
+    ).select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+
+
+def _scd2_fold_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order SCD2 maintenance: the MIDDLE ten days of the event
+    stream arrive LAST (a backfill window), so the pre-built history
+    already folded newer events for many keys. scd2_fold_or_repair
+    splits the late batch by the per-key folded (last_ts, last_tb)
+    watermark the carry history stores: keys whose late events are
+    still strictly newer than their watermark fold in O(batch keys);
+    keys with genuinely late events are rebuilt key-scoped from the
+    raw log (the reference's backfill semantics,
+    backfill/api_to_gcs-backfill.py:138-140). The oracle is the FULL
+    recompute over all events — green iff fold+repair == recompute
+    across the new/in-order/late/untouched key matrix."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    lo = F.lit("2024-01-10").cast("timestamp")
+    hi = F.lit("2024-01-20").cast("timestamp")
+    late = (F.col("ts") >= lo) & (F.col("ts") < hi)
+    prior = ev.filter(~late)
+    base = windows.scd2_history(
+        prior, key="user_id", attr="event_type", ts="ts", tiebreak="event_id",
+        carry_last=True,
     )
+    return windows.scd2_fold_or_repair(
+        base, ev.filter(late), prior,
+        key="user_id", attr="event_type", ts="ts", tiebreak="event_id",
+    ).select("user_id", "event_type", "valid_from", "valid_to", "is_current")
 
 
 def _scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6552,15 +6580,26 @@ def _scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     containing t is exactly the latest valid_from <= t, so the lookup
     compiles to the as-of carry-forward (one shuffle, no range join,
     no per-row search); the oracle states the same thing as an interval
-    predicate, which DuckDB resolves independently."""
+    predicate, which DuckDB resolves independently. The as-of tiebreak
+    is the change row's ORIGINAL event_id (scd2_history
+    keep_tiebreak=True), so two status changes at the same (user_id,
+    ts) resolve to the LATER event — exactly the interval that
+    survives the oracle's zero-length-interval exclusion (r7 ADVICE:
+    a max-status-string tiebreak would diverge on such ties)."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     hist = windows.scd2_history(
         ev.filter(F.col("event_type") != "purchase"),
         key="user_id", attr="event_type", ts="ts", tiebreak="event_id",
-    ).select("user_id", F.col("event_type").alias("status"), F.col("valid_from").alias("ts"))
+        keep_tiebreak=True,
+    ).select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("valid_from").alias("ts"),
+        F.col("event_id").alias("change_eid"),
+    )
     purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     out = joins.asof_join(
-        purchases, hist, key="user_id", ts="ts", tiebreak="status", carry=["status"]
+        purchases, hist, key="user_id", ts="ts", tiebreak="change_eid", carry=["status"]
     )
     return out.select(
         "event_id",
@@ -8041,68 +8080,9 @@ FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # -- r7 driver sample (first 50): the 34 entries NEW this round
-        # (bfs_reachability / item_item_cosine / the time-series wave /
-        # gapfill_daily / assoc_rules / dow_seasonality / cusum_drift /
-        # k_core_peel / sq8_quantize_audit / zone_map_prune /
-        # price_elasticity / touch_attribution / inventory_runout /
-        # revenue_gini / benford_audit / abc_xyz_class / new_vs_returning /
-        # char_entropy / promo_uplift / duplicate_payments / churn_flags /
-        # bm25 / dsir / scd2 / cdc / winsorized / dwell), then the
-        # stalest r3 entries.
-        # Tail is ordered stalest-first so future rotations read off the
-        # top; tools/check_correctness.py runs ALL entries locally every
-        # round regardless of the sample. --
-        "bfs_reachability": _bfs_reachability,
-        "item_item_cosine": _item_item_cosine,
-        "decayed_trending": _decayed_trending,
-        "forecast_backtest": _forecast_backtest,
-        "span_scrub": _span_scrub,
-        "ewma_forecast": _ewma_forecast,
-        "peak_concurrency": _peak_concurrency,
-        "safety_stock": _safety_stock,
-        "kaplan_meier": _kaplan_meier,
-        "mann_kendall_trend": _mann_kendall_trend,
-        "ngram_novelty": _ngram_novelty,
-        "gapfill_daily": _gapfill_daily,
-        "assoc_rules": _assoc_rules,
-        "dow_seasonality": _dow_seasonality,
-        "cusum_drift": _cusum_drift,
-        "k_core_peel": _k_core_peel,
-        "sq8_quantize_audit": _sq8_quantize_audit,
-        "zone_map_prune": _zone_map_prune,
-        "price_elasticity": _price_elasticity,
-        "touch_attribution": _touch_attribution,
-        "inventory_runout": _inventory_runout,
-        "revenue_gini": _revenue_gini,
-        "benford_audit": _benford_audit,
-        "abc_xyz_class": _abc_xyz_class,
-        "new_vs_returning": _new_vs_returning,
-        "char_entropy": _char_entropy,
-        "promo_uplift": _promo_uplift,
-        "duplicate_payments": _duplicate_payments,
-        "churn_flags": _churn_flags,
-        "bm25_search": _bm25_search,
-        "dsir_weights": _dsir_weights,
-        "scd2_history": _scd2_history,
-        "scd2_incremental": _scd2_incremental,
-        "scd2_point_in_time": _scd2_point_in_time,
-        "cdc_merge": _cdc_merge,
-        "winsorized_stats": _winsorized_stats,
-        "status_dwell_time": _status_dwell_time,
-        "approx_profile": _approx_profile,
-        "bigram_counts": _bigram_counts,
-        "boilerplate_ngrams": _boilerplate_ngrams,
-        "contamination_check": _contamination_check,
-        "curation_filter": _curation_filter,
-        "dataset_split": _dataset_split,
-        "dedup_agreement": _dedup_agreement,
-        "doc_chunks": _doc_chunks,
-        "dq_orders_summary": _dq_orders_summary,
-        "embedding_contamination": _embedding_contamination,
-        "hll_partition_rollup": _hll_partition_rollup,
-        "json_ingest_rollup": _json_ingest_rollup,
-        "knn_graph": _knn_graph,
+        # -- r8 driver sample (first 50): the r3/r4-stale entries
+        # promoted off the tail head (VERDICT r7 item 1) — 16 r3-stale
+        # then 34 r4-stale; the remaining 9 stale clear in r9. --
         "lm_bigram_score": _lm_bigram_score,
         "multimodal_features": _multimodal_features,
         "pii_scrub": _pii_scrub,
@@ -8132,7 +8112,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _event_transitions,
         "f14_pubsub_decode": _f14_pubsub_decode,
         "f16_url_assembly": _f16_url_assembly,
-        # -- tail: r4-stale, then r5, then r6 (stalest-first) --
         "g4_symmetric_difference": _g4_symmetric_difference,
         "funnel_conversion": _funnel_conversion,
         "lang_id_eval": _lang_id_eval,
@@ -8154,6 +8133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_priority_count": _q4_priority_count,
         "q5_nation_volume": _q5_nation_volume,
         "q6_forecast_revenue": _q6_forecast_revenue,
+        # -- tail, stalest-first: the 9 remaining r4-stale --
         "q7_volume_shipping": _q7_volume_shipping,
         "q8_market_share": _q8_market_share,
         "quality_prune": _quality_prune,
@@ -8163,6 +8143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_incremental": _semantic_dedup_incremental,
         "tokenizer_fertility": _tokenizer_fertility,
         "w2_keeprule_backfill": _w2_keeprule_backfill,
+        # -- never-attested r8 additions (next in line after the stale) --
+        "scd2_fold_late": _scd2_fold_late,
+        # -- r5/r6-attested --
         "ann_recall_eval": _ann_recall_eval,
         "cluster_representative": _cluster_representative,
         "contrastive_triples": _contrastive_triples,
@@ -8261,6 +8244,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _token_count_bpe,
         "tumbling_counts": _tumbling_counts,
         "vocab_coverage": _vocab_coverage,
+        # -- r7-attested (freshest) --
+        "bfs_reachability": _bfs_reachability,
+        "item_item_cosine": _item_item_cosine,
+        "decayed_trending": _decayed_trending,
+        "forecast_backtest": _forecast_backtest,
+        "span_scrub": _span_scrub,
+        "ewma_forecast": _ewma_forecast,
+        "peak_concurrency": _peak_concurrency,
+        "safety_stock": _safety_stock,
+        "kaplan_meier": _kaplan_meier,
+        "mann_kendall_trend": _mann_kendall_trend,
+        "ngram_novelty": _ngram_novelty,
+        "gapfill_daily": _gapfill_daily,
+        "assoc_rules": _assoc_rules,
+        "dow_seasonality": _dow_seasonality,
+        "cusum_drift": _cusum_drift,
+        "k_core_peel": _k_core_peel,
+        "sq8_quantize_audit": _sq8_quantize_audit,
+        "zone_map_prune": _zone_map_prune,
+        "price_elasticity": _price_elasticity,
+        "touch_attribution": _touch_attribution,
+        "inventory_runout": _inventory_runout,
+        "revenue_gini": _revenue_gini,
+        "benford_audit": _benford_audit,
+        "abc_xyz_class": _abc_xyz_class,
+        "new_vs_returning": _new_vs_returning,
+        "char_entropy": _char_entropy,
+        "promo_uplift": _promo_uplift,
+        "duplicate_payments": _duplicate_payments,
+        "churn_flags": _churn_flags,
+        "bm25_search": _bm25_search,
+        "dsir_weights": _dsir_weights,
+        "scd2_history": _scd2_history,
+        "scd2_incremental": _scd2_incremental,
+        "scd2_point_in_time": _scd2_point_in_time,
+        "cdc_merge": _cdc_merge,
+        "winsorized_stats": _winsorized_stats,
+        "status_dwell_time": _status_dwell_time,
+        "approx_profile": _approx_profile,
+        "bigram_counts": _bigram_counts,
+        "boilerplate_ngrams": _boilerplate_ngrams,
+        "contamination_check": _contamination_check,
+        "curation_filter": _curation_filter,
+        "dataset_split": _dataset_split,
+        "dedup_agreement": _dedup_agreement,
+        "doc_chunks": _doc_chunks,
+        "dq_orders_summary": _dq_orders_summary,
+        "embedding_contamination": _embedding_contamination,
+        "hll_partition_rollup": _hll_partition_rollup,
+        "json_ingest_rollup": _json_ingest_rollup,
+        "knn_graph": _knn_graph,
     }
 
 
@@ -8299,6 +8333,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _DSIR_SQL,
         "scd2_history": _SCD2_SQL,
         "scd2_incremental": _SCD2_SQL,
+        "scd2_fold_late": _SCD2_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,

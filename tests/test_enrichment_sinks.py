@@ -349,16 +349,30 @@ def test_pair_graph_fresh_tmp_and_stale_sweep(tmp_path):
 
     os.makedirs(f"{out}.tmp-99999")
     os.makedirs(f"{out}.tmp-12345/v=1")
+    with open(f"{out}.tmp-12345/v=1/part", "w") as f:
+        f.write("dead segment")
     os.makedirs(f"{out}.tmp-55555")  # a LIVE concurrent builder's dir
+    # a long single write phase: the TOP dir's mtime went stale while
+    # the live writer kept creating task files under an existing subdir
+    os.makedirs(f"{out}.tmp-77777/v=1")
+    with open(f"{out}.tmp-77777/v=1/task-file", "w") as f:
+        f.write("live write in progress")
     old = time.time() - 7200
-    os.utime(f"{out}.tmp-99999", (old, old))
-    os.utime(f"{out}.tmp-12345", (old, old))
+    for d in ("99999", "12345"):
+        for root, dirs, files in os.walk(f"{out}.tmp-{d}"):
+            for name in dirs + files:
+                os.utime(os.path.join(root, name), (old, old))
+        os.utime(f"{out}.tmp-{d}", (old, old))
+    os.utime(f"{out}.tmp-77777", (old, old))  # top stale, nested file fresh
     _sweep_stale_tmp(out)
     assert not os.path.exists(f"{out}.tmp-99999")
     assert not os.path.exists(f"{out}.tmp-12345")
     # r6 ADVICE: a fresh (recently-touched) sibling is a live builder
     # mid-write — the sweep must leave it alone, not fail its write
     assert os.path.exists(f"{out}.tmp-55555")
+    # r7 ADVICE: liveness = newest mtime across the TREE, not the top
+    # dir — a stale top with a fresh nested task file is a live writer
+    assert os.path.exists(f"{out}.tmp-77777")
 
 
 def test_compaction_marker_closes_double_serve_window(spark, tmp_path, monkeypatch):

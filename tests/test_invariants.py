@@ -930,6 +930,118 @@ def test_scd2_apply_batch_equals_full_recompute(spark):
     full = W.scd2_history(base.unionByName(batch), **args)
     assert {tuple(r) for r in folded.collect()} == {tuple(r) for r in full.collect()}
 
+    # carry history: same fold, plus the watermark columns advance
+    hist_c = W.scd2_history(base, carry_last=True, **args)
+    folded_c = W.scd2_apply_batch(hist_c, batch, **args)
+    cols = ["uid", "status", "valid_from", "valid_to", "is_current"]
+    assert {tuple(r) for r in folded_c.select(*cols).collect()} == {
+        tuple(r) for r in full.collect()
+    }
+    full_c = W.scd2_history(base.unionByName(batch), carry_last=True, **args)
+    assert {tuple(r) for r in folded_c.collect()} == {tuple(r) for r in full_c.collect()}
+
+
+def test_scd2_fold_same_timestamp_epoch_straddle(spark):
+    """r7 ADVICE regression pin: a batch event at the SAME timestamp
+    as the open row but a SMALLER tiebreak must fold in full-recompute
+    order (paid->new, not new->paid) — the carry history's persisted
+    (last_ts, last_tb) watermark orders the re-seeded open row where
+    its original event actually sat. Also the larger-tiebreak twin,
+    which is in-order under the strict contract."""
+    from datetime import datetime as DT
+
+    from z316_sales_data_pipeline_spark.operators import windows as W
+
+    schema = "uid long, status string, ts timestamp, eid long"
+    args = dict(key="uid", attr="status", ts="ts", tiebreak="eid")
+    t = DT(2024, 1, 5)
+    for base_eid, batch_eid in [(50, 10), (10, 50)]:
+        base = spark.createDataFrame([(1, "new", t, base_eid)], schema)
+        batch = spark.createDataFrame([(1, "paid", t, batch_eid)], schema)
+        hist = W.scd2_history(base, carry_last=True, **args)
+        folded = W.scd2_apply_batch(hist, batch, **args)
+        full = W.scd2_history(base.unionByName(batch), carry_last=True, **args)
+        assert {tuple(r) for r in folded.collect()} == {
+            tuple(r) for r in full.collect()
+        }, f"diverged for base_eid={base_eid}, batch_eid={batch_eid}"
+
+
+def test_scd2_fold_or_repair_late_events(spark):
+    """Late-event matrix (VERDICT r7 item 4): keys whose batch events
+    sort BELOW their folded watermark — including behind a COMPRESSED
+    repeat, where the O(batch) fold is provably insufficient — are
+    rebuilt key-scoped from the raw log; in-order, new, and untouched
+    keys fold without recompute. Result equals the full recompute for
+    every key."""
+    from datetime import datetime as DT
+
+    from z316_sales_data_pipeline_spark.operators import windows as W
+
+    schema = "uid long, status string, ts timestamp, eid long"
+    args = dict(key="uid", attr="status", ts="ts", tiebreak="eid")
+    prior_rows = [
+        # key 1: change at t1, compressed repeat at t2 — the late batch
+        # event lands BETWEEN them (the case a seed-only fold cannot fix)
+        (1, "A", DT(2024, 1, 1), 1),
+        (1, "A", DT(2024, 1, 3), 5),
+        # key 2: in-order key (batch arrives after its last event)
+        (2, "new", DT(2024, 1, 2), 12),
+        # key 3: untouched
+        (3, "new", DT(2024, 1, 4), 13),
+        # key 5: late event strictly older than the open row
+        (5, "x", DT(2024, 1, 2), 30),
+        (5, "y", DT(2024, 1, 6), 31),
+    ]
+    batch_rows = [
+        (1, "B", DT(2024, 1, 3), 3),    # late: ties folded ts, smaller eid
+        (2, "paid", DT(2024, 1, 8), 22),  # in-order change
+        (4, "new", DT(2024, 1, 9), 23),   # new key
+        (5, "z", DT(2024, 1, 4), 32),     # late: older than open row's from
+        (5, "w", DT(2024, 1, 7), 33),     # same key also has an in-order event
+    ]
+    prior = spark.createDataFrame(prior_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    hist = W.scd2_history(prior, carry_last=True, **args)
+    merged = W.scd2_fold_or_repair(hist, batch, prior, **args)
+    full = W.scd2_history(prior.unionByName(batch), carry_last=True, **args)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in full.collect()}
+    # sanity: the hard key really has the A,B,A shape the fold can't produce
+    k1 = sorted(
+        (r["status"], r["valid_from"]) for r in full.collect() if r["uid"] == 1
+    )
+    assert [s for s, _ in k1] == ["A", "A", "B"]
+
+
+def test_scd2_repair_keys_scoped(spark):
+    """scd2_repair_keys rebuilds ONLY the listed keys from the raw log
+    and passes every other key's rows through bit-identical."""
+    from datetime import datetime as DT
+
+    from z316_sales_data_pipeline_spark.operators import windows as W
+
+    schema = "uid long, status string, ts timestamp, eid long"
+    args = dict(key="uid", attr="status", ts="ts", tiebreak="eid")
+    events = spark.createDataFrame(
+        [
+            (1, "A", DT(2024, 1, 1), 1),
+            (1, "B", DT(2024, 1, 2), 2),
+            (2, "new", DT(2024, 1, 3), 3),
+        ],
+        schema,
+    )
+    # a deliberately WRONG history for key 1 (as if late data corrupted it)
+    bad = spark.createDataFrame(
+        [(1, "A", DT(2024, 1, 1), None, 1), (2, "new", DT(2024, 1, 3), None, 1)],
+        "uid long, status string, valid_from timestamp, valid_to timestamp, is_current int",
+    )
+    keys = spark.createDataFrame([(1,)], "uid long")
+    fixed = W.scd2_repair_keys(bad, events, keys, **args)
+    got = {tuple(r) for r in fixed.collect()}
+    want_k1 = W.scd2_history(events.filter("uid = 1"), **args)
+    assert {tuple(r) for r in want_k1.collect()} <= got
+    assert (1, "A", DT(2024, 1, 1), None, 1) not in got
+    assert (2, "new", DT(2024, 1, 3), None, 1) in got
+
 
 def test_gapfill_locf_semantics(spark):
     """Gap days appear on the spine, additive measures zero-fill, and
@@ -1168,6 +1280,21 @@ def test_char_entropy_uniform_alphabet(spark):
     assert out["z"]["entropy_bits"] == 0.0
 
 
+def test_char_entropy_ignores_empty_strings(spark):
+    """r7 ADVICE regression pin: sequence(1, 0) DESCENDS, so an empty
+    document must not emit phantom ''-character rows — 'ab' plus ''
+    in one group is n_chars=2 / 1 bit, and a group of only empty docs
+    is absent (no character distribution)."""
+    from z316_sales_data_pipeline_spark.operators.corpus import char_entropy_by_group
+
+    df = spark.createDataFrame(
+        [("g1", "ab"), ("g1", ""), ("g2", "")], "g string, text string"
+    )
+    out = {r["g"]: r for r in char_entropy_by_group(df, "text", "g").collect()}
+    assert out["g1"]["n_chars"] == 2 and out["g1"]["entropy_bits"] == 1.0
+    assert "g2" not in out
+
+
 def test_near_duplicate_payments_exact_cents(spark):
     """The production operating point: identical exact-cents amounts on
     one account within the window pair up; different amounts, other
@@ -1217,6 +1344,29 @@ def test_ewma_forecast_dyadic_exact(spark):
     assert rows[2]["abs_err_floor"] == 150
     assert rows[3]["ewma_floor"] == 262  # floor(400/2 + 200/4 + 100/8)
     assert rows[3]["forecast_floor"] == 125 and rows[3]["abs_err_floor"] == 275
+
+
+def test_ewma_forecast_overflow_guard(spark):
+    """r7 ADVICE regression pin: a daily value whose 2^k scaling would
+    leave int64 raises with the coarsening advice instead of silently
+    wrapping (Spark non-ANSI) and diverging from the HUGEINT oracle;
+    a value just inside the bound still computes."""
+    import datetime as dt
+
+    import pytest
+
+    from z316_sales_data_pipeline_spark.operators import timeseries
+
+    bound = (2**63 - 1) >> 30
+    over = spark.createDataFrame(
+        [(dt.date(2020, 1, 1), bound + 1)], "day date, cents long"
+    )
+    with pytest.raises(ValueError, match="overflows"):
+        timeseries.ewma_forecast(over, "day", "cents", k=30)
+    ok = spark.createDataFrame(
+        [(dt.date(2020, 1, 1), bound)], "day date, cents long"
+    )
+    assert timeseries.ewma_forecast(ok, "day", "cents", k=30).count() == 1
 
 
 def test_peak_concurrency_sweep(spark):

@@ -858,8 +858,15 @@ def char_entropy_by_group(
     Entropy folds ≤ alphabet-size float terms per group; the sum is
     rounded at the audit grain (term order is the only
     nondeterminism, bounded at 1e-15).
+
+    Empty documents are filtered BEFORE the position generate:
+    ``sequence(1, 0)`` DESCENDS, so an unguarded explode would emit
+    two phantom ''-character rows per empty doc and inflate
+    ``n_chars`` (the same sequence trap ngram_novelty guards). A group
+    whose every document is empty has no character distribution and is
+    absent from the output (stated grain).
     """
-    chars = docs.select(
+    chars = docs.filter(F.length(F.col(text_col)) > 0).select(
         F.col(group_col),
         F.explode(F.sequence(F.lit(1), F.length(F.col(text_col)))).alias("i"),
         F.col(text_col).alias("__t"),

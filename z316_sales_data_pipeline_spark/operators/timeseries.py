@@ -53,13 +53,27 @@ def ewma_forecast(
 
     Overflow bound: daily_value x 2^k must stay inside int64 — at
     k=30 that is daily totals up to ~8.6e9 units (86 M dollars/day in
-    cents). Beyond that, coarsen the unit (dollars) or lower k; the
-    bound scales as 2^-k.
+    cents). The bound is ENFORCED at runtime (r7 ADVICE: past it Spark
+    wraps silently in non-ANSI mode while the DuckDB oracle widens to
+    HUGEINT, so the cross-engine check breaks exactly when the answer
+    does): a max-|value| aggregate over the already-checkpointed
+    day-grain frame (O(calendar) rows, no extra fact scan) raises
+    ValueError with the coarsening advice instead of returning a
+    wrapped sum. Beyond the bound, coarsen the unit (dollars) or lower
+    k; the bound scales as 2^-k.
     """
     # Day-grain (calendar-bounded) but consumed by BOTH sides of the
     # lag self-join — checkpoint once so the caller's corpus-to-day
     # aggregate (a full fact scan) isn't paid twice.
     daily = daily.localCheckpoint(eager=True)
+    max_abs = daily.agg(
+        F.max(F.abs(F.col(value_col).cast("long"))).alias("m")
+    ).collect()[0]["m"]
+    if max_abs is not None and int(max_abs) > (2**63 - 1) >> k:
+        raise ValueError(
+            f"ewma_forecast: max |{value_col}| = {max_abs} * 2^{k} overflows "
+            f"int64; coarsen the unit or lower k (bound: {(2**63 - 1) >> k})"
+        )
     a = daily.select(
         F.col(day_col).alias("__d"), F.col(value_col).cast("long").alias("__x")
     )

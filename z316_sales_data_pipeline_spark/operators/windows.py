@@ -222,6 +222,9 @@ def scd2_history(
     attr: str,
     ts: str,
     tiebreak: str,
+    carry_last: bool = False,
+    keep_tiebreak: bool = False,
+    _from_col: str | None = None,
 ) -> DataFrame:
     """Type-2 slowly-changing-dimension build from an event stream:
     compress consecutive repeats of ``attr`` per ``key``, then emit one
@@ -239,21 +242,49 @@ def scd2_history(
     standard CDC pattern: key-partitioned, no self-join, no global
     sort; pair with :func:`~..sinks.merge_upsert` for the latest-only
     image.
+
+    ``carry_last=True`` adds ``last_ts`` / ``last_tb`` columns on the
+    OPEN row (NULL on closed rows): the key's max folded
+    ``(ts, tiebreak)`` over ALL events, including compressed repeats.
+    This is the fold watermark :func:`scd2_apply_batch` needs to order
+    a same-timestamp batch event exactly where the full recompute
+    would — any incrementally maintained history should carry it. The
+    max folds in a window over the SAME key partition, so it costs no
+    extra shuffle. ``keep_tiebreak=True`` keeps the surviving change
+    event's own ``tiebreak`` column — the deterministic per-row tie
+    key an as-of consumer needs when two changes share a timestamp.
+    ``_from_col`` (internal, used by the fold) sources ``valid_from``
+    from a different column than the one that orders compression, so
+    a re-seeded open row keeps its original interval start.
     """
-    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(tiebreak).asc())
+    order = [F.col(ts).asc(), F.col(tiebreak).asc()]
+    if carry_last:
+        w_all = Window.partitionBy(key)
+        df = df.withColumn(
+            "__last", F.max(F.struct(F.col(ts), F.col(tiebreak))).over(w_all)
+        )
+    w = Window.partitionBy(key).orderBy(*order)
     changed = (
         df.withColumn("__prev", F.lag(attr).over(w))
         .filter(F.col("__prev").isNull() | (F.col(attr) != F.col("__prev")))
         .drop("__prev")
     )
-    w2 = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(tiebreak).asc())
-    return changed.select(
+    w2 = Window.partitionBy(key).orderBy(*order)
+    from_c = F.col(_from_col) if _from_col is not None else F.col(ts)
+    nxt = F.lead(from_c).over(w2)
+    cols = [
         F.col(key),
         F.col(attr),
-        F.col(ts).alias("valid_from"),
-        F.lead(ts).over(w2).alias("valid_to"),
-        F.lead(ts).over(w2).isNull().cast("int").alias("is_current"),
-    )
+        from_c.alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    ]
+    if keep_tiebreak:
+        cols.append(F.col(tiebreak))
+    if carry_last:
+        cols.append(F.when(nxt.isNull(), F.col("__last")[ts]).alias("last_ts"))
+        cols.append(F.when(nxt.isNull(), F.col("__last")[tiebreak]).alias("last_tb"))
+    return changed.select(*cols)
 
 
 def scd2_apply_batch(
@@ -269,42 +300,163 @@ def scd2_apply_batch(
     keys' rows pass through without recompute (the incremental-twin
     discipline of the dedup family, applied to the CDC path).
 
-    In-order contract (the standard streaming-CDC watermark
-    assumption): every batch event's ``ts`` is >= every already-folded
-    event's ``ts`` for the same key. Under it the only mutable row per
-    key is the OPEN interval — any event dropped by past compression
-    after the last change was a repeat of the open ``attr``, so
-    re-seeding compression with just the open row is exact. A LATE
-    event (older than folded data) would need the raw per-key event
-    log; route those through a key-scoped recompute instead (the same
-    trade the backfill path makes, reference
+    In-order contract: every batch event is STRICTLY GREATER than the
+    key's folded watermark in ``(ts, tiebreak)`` lexicographic order.
+    When the history carries ``last_ts``/``last_tb`` (built with
+    ``carry_last=True``), the open row re-enters compression ordered
+    AT that watermark, so a batch event at the SAME timestamp as
+    already-folded data folds exactly where the full recompute would
+    put it (same-ts events straddling an epoch boundary were the r7
+    divergence). Without the carry columns the fold falls back to the
+    legacy NULL-tiebreak seed, which is exact only when batch ``ts``
+    is strictly greater than every folded ``ts``. A LATE event (at or
+    below the watermark) needs the raw per-key event log — route those
+    through :func:`scd2_repair_keys` / :func:`scd2_fold_or_repair`
+    (the same trade the backfill path makes, reference
     backfill/api_to_gcs-backfill.py:138-140).
 
-    Plan shape: one distinct on the batch keys (broadcast to split
-    history into touched/untouched via semi/anti), then
-    :func:`scd2_history` over open-rows ∪ batch — work is
-    O(touched keys × batch), never O(history).
+    Why the carried seed is exact: compression only compares
+    consecutive attrs, so after all folded events the only state that
+    matters is the open ``attr``; seeding one row with that attr at
+    the watermark position makes every strictly-newer batch event sort
+    after it exactly as in the full ordering, while ``_from_col``
+    keeps the open interval's original ``valid_from``.
+
+    Plan shape: one distinct on the batch keys (broadcast — O(batch),
+    bounded by the micro-batch — to split history into
+    touched/untouched via semi/anti), then :func:`scd2_history` over
+    open-rows ∪ batch — work is O(touched keys × batch), never
+    O(history).
     """
+    carry = "last_ts" in history.columns and "last_tb" in history.columns
+    out_cols = [key, attr, "valid_from", "valid_to", "is_current"]
+    if carry:
+        out_cols += ["last_ts", "last_tb"]
     touched = batch.select(key).distinct()
     untouched = history.join(F.broadcast(touched), key, "left_anti")
     cur = history.join(F.broadcast(touched), key, "left_semi")
-    closed = cur.filter(F.col("valid_to").isNotNull()).select(
-        key, attr, "valid_from", "valid_to", "is_current"
+    closed = cur.filter(F.col("valid_to").isNotNull()).select(*out_cols)
+    open_rows = cur.filter(F.col("valid_to").isNull())
+    if carry:
+        seed = open_rows.select(
+            F.col(key),
+            F.col(attr),
+            F.col("last_ts").alias(ts),
+            F.col("last_tb").alias(tiebreak),
+            F.col("valid_from").alias("__from"),
+        )
+        replay = seed.unionByName(
+            batch.select(key, attr, ts, tiebreak).withColumn("__from", F.col(ts))
+        )
+        rebuilt = scd2_history(
+            replay, key=key, attr=attr, ts=ts, tiebreak=tiebreak,
+            carry_last=True, _from_col="__from",
+        )
+    else:
+        tb_type = batch.schema[tiebreak].dataType.simpleString()
+        # legacy seed: NULL tiebreak sorts first at equal ts — exact
+        # only under the strictly-greater-ts contract
+        seed = open_rows.select(
+            F.col(key),
+            F.col(attr),
+            F.col("valid_from").alias(ts),
+            F.lit(None).cast(tb_type).alias(tiebreak),
+        )
+        replay = seed.unionByName(batch.select(key, attr, ts, tiebreak))
+        rebuilt = scd2_history(replay, key=key, attr=attr, ts=ts, tiebreak=tiebreak)
+    return (
+        untouched.select(*out_cols)
+        .unionByName(closed)
+        .unionByName(rebuilt.select(*out_cols))
     )
-    tb_type = batch.schema[tiebreak].dataType.simpleString()
-    # the open interval re-enters compression as a seed event; its
-    # tiebreak sorts FIRST at equal ts so a same-ts batch event lands
-    # after the seed (matching full-recompute order, where the seed's
-    # original event carried the smaller tiebreak)
-    seed = cur.filter(F.col("valid_to").isNull()).select(
-        F.col(key),
-        F.col(attr),
-        F.col("valid_from").alias(ts),
-        F.lit(None).cast(tb_type).alias(tiebreak),
+
+
+def scd2_repair_keys(
+    history: DataFrame,
+    events: DataFrame,
+    keys_df: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Key-scoped SCD2 recompute — the late-event escape hatch
+    :func:`scd2_apply_batch` routes to: rebuild the listed keys' slices
+    from the raw event log, pass every other key's history through
+    untouched. O(affected keys' events), never O(history) — the same
+    key-scoped-backfill trade as the reference's replay path
+    (backfill/api_to_gcs-backfill.py:138-140).
+
+    ``events`` must contain the affected keys' FULL event logs
+    (including the late arrivals). ``keys_df`` is a one-column frame of
+    business keys — O(late keys), broadcast to split both sides.
+    """
+    carry = "last_ts" in history.columns and "last_tb" in history.columns
+    keys_only = keys_df.select(key).distinct()
+    untouched = history.join(F.broadcast(keys_only), key, "left_anti")
+    scoped = events.select(key, attr, ts, tiebreak).join(
+        F.broadcast(keys_only), key, "left_semi"
     )
-    replay = seed.unionByName(batch.select(key, attr, ts, tiebreak))
-    rebuilt = scd2_history(replay, key=key, attr=attr, ts=ts, tiebreak=tiebreak)
-    return untouched.select(*closed.columns).unionByName(closed).unionByName(rebuilt)
+    rebuilt = scd2_history(
+        scoped, key=key, attr=attr, ts=ts, tiebreak=tiebreak, carry_last=carry
+    )
+    return untouched.unionByName(rebuilt.select(*untouched.columns))
+
+
+def scd2_fold_or_repair(
+    history: DataFrame,
+    batch: DataFrame,
+    events: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Exact SCD2 maintenance under OUT-OF-ORDER delivery: batch keys
+    whose every event is strictly newer than the key's folded
+    ``(last_ts, last_tb)`` watermark fold in O(batch keys) via
+    :func:`scd2_apply_batch`; keys with any LATE event are rebuilt
+    key-scoped from the raw log via :func:`scd2_repair_keys`. The
+    result equals a full recompute over ``events ∪ batch`` for every
+    key, with work proportional to the batch plus the late keys'
+    event logs — the fold/repair split the reference's backfill path
+    implies but never automates.
+
+    ``history`` must carry the watermark columns (built with
+    ``carry_last=True``). ``events`` is the raw log of
+    previously-folded events (NOT including this batch); the late
+    keys' batch rows are unioned into their recompute internally.
+    Entirely lazy — late-key detection is a join against the open
+    rows, no driver action.
+    """
+    if "last_ts" not in history.columns:
+        raise ValueError("scd2_fold_or_repair needs a carry_last=True history")
+    open_last = history.filter(F.col("is_current") == 1).select(
+        key, "last_ts", "last_tb"
+    )
+    late_keys = (
+        batch.join(open_last, key, "inner")
+        .filter(
+            F.struct(F.col(ts), F.col(tiebreak))
+            <= F.struct(F.col("last_ts"), F.col("last_tb"))
+        )
+        .select(key)
+        .distinct()
+    )
+    ok_batch = batch.join(F.broadcast(late_keys), key, "left_anti")
+    folded = scd2_apply_batch(
+        history.join(F.broadcast(late_keys), key, "left_anti"),
+        ok_batch,
+        key=key, attr=attr, ts=ts, tiebreak=tiebreak,
+    )
+    late_events = events.select(key, attr, ts, tiebreak).unionByName(
+        batch.select(key, attr, ts, tiebreak)
+    )
+    repaired = scd2_history(
+        late_events.join(F.broadcast(late_keys), key, "left_semi"),
+        key=key, attr=attr, ts=ts, tiebreak=tiebreak, carry_last=True,
+    )
+    return folded.unionByName(repaired.select(*folded.columns))
 
 
 def gapfill_locf(

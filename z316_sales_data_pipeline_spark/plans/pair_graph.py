@@ -56,8 +56,12 @@ def _sweep_stale_tmp(out_dir: str, min_age_sec: float = 3600.0) -> None:
     ADVICE): a LIVE concurrent builder still in its write phase also
     matches the glob, and rmtree'ing under its Spark write would fail
     it with an error that escapes ``_materialized``'s OSError
-    fallback — age is the cheap liveness proxy (a writing build
-    touches its dir continuously; an hour-old tmp is a dead one)."""
+    fallback. Age is measured as the NEWEST mtime across the whole
+    tmp tree (r7 ADVICE): a directory's own mtime only changes when
+    its direct children churn, so a long single write phase that only
+    creates task files under an already-created subdir would leave the
+    top-level mtime stale — any file the live writer touched inside
+    the tree resets the clock."""
     import glob
     import shutil
     import time
@@ -65,7 +69,11 @@ def _sweep_stale_tmp(out_dir: str, min_age_sec: float = 3600.0) -> None:
     now = time.time()
     for d in glob.glob(f"{out_dir}.tmp-*"):
         try:
-            if now - os.path.getmtime(d) < min_age_sec:
+            newest = os.path.getmtime(d)
+            for root, dirs, files in os.walk(d):
+                for name in dirs + files:
+                    newest = max(newest, os.path.getmtime(os.path.join(root, name)))
+            if now - newest < min_age_sec:
                 continue
         except OSError:
             continue  # vanished: the live owner finished or cleaned up

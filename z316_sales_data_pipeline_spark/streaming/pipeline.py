@@ -288,6 +288,7 @@ def scd2_history_sink(
     attr: str,
     ts: str,
     tiebreak: str,
+    events_dir: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch maintainer for an AT-REST SCD2 history: each
     micro-batch folds into the versioned snapshot table via
@@ -306,11 +307,24 @@ def scd2_history_sink(
     txnAppId/txnVersion pattern on the full-image sink, sibling of
     append_snapshot's ``txn_key``).
 
-    Single writer per table, like every sink here. The source must
-    deliver each key's events in epoch-monotonic event-time order (the
-    standard streaming-CDC watermark assumption documented on
-    scd2_apply_batch); route genuinely late events through a key-scoped
-    batch recompute instead.
+    The stored history carries the per-key fold watermark
+    (``last_ts``/``last_tb``, scd2_history ``carry_last=True``), so a
+    same-timestamp event straddling an epoch boundary folds exactly
+    where the full recompute would put it (the r8 fix — the NULL-seed
+    fold silently reordered equal-ts events across epochs). Consumers
+    wanting the plain 5-column history drop the two watermark columns.
+
+    Without ``events_dir`` the source must deliver each key's events
+    strictly above its folded ``(ts, tiebreak)`` watermark (the
+    streaming-CDC in-order contract on scd2_apply_batch); a genuinely
+    late event would corrupt the fold. WITH ``events_dir`` the sink
+    also maintains a raw event log (one ``epoch=N`` partition per
+    micro-batch, overwritten on replay so it is exactly-once too) and
+    routes late keys through scd2_fold_or_repair — a key-scoped
+    recompute from the log, matching the reference's backfill
+    semantics (backfill/api_to_gcs-backfill.py:138-140). The log is
+    written BEFORE the fold's epoch marker commits, so a crash between
+    the two replays the epoch into the same partition (idempotent).
     """
     from .. import sinks
     from ..operators import windows as W
@@ -323,11 +337,35 @@ def scd2_history_sink(
         if last is not None and int(epoch_id) <= int(last):
             return  # replayed epoch: already folded into _LATEST
         batch = batch_df.select(key, attr, ts, tiebreak)
+        if events_dir is not None:
+            # raw-log append first: epoch-partition overwrite is
+            # idempotent under replay, and the fold below reads only
+            # STRICTLY OLDER epochs, so the current write never feeds
+            # its own fold
+            batch.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+                "overwrite"
+            ).partitionBy("epoch").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(events_dir)
         try:
             hist = sinks.read_snapshot(spark, table_dir)
-            new_hist = W.scd2_apply_batch(hist, batch, key=key, attr=attr, ts=ts, tiebreak=tiebreak)
+            if events_dir is not None:
+                prior = (
+                    spark.read.parquet(events_dir)
+                    .filter(F.col("epoch") < int(epoch_id))
+                    .drop("epoch")
+                )
+                new_hist = W.scd2_fold_or_repair(
+                    hist, batch, prior, key=key, attr=attr, ts=ts, tiebreak=tiebreak
+                )
+            else:
+                new_hist = W.scd2_apply_batch(
+                    hist, batch, key=key, attr=attr, ts=ts, tiebreak=tiebreak
+                )
         except OSError:
-            new_hist = W.scd2_history(batch, key=key, attr=attr, ts=ts, tiebreak=tiebreak)
+            new_hist = W.scd2_history(
+                batch, key=key, attr=attr, ts=ts, tiebreak=tiebreak, carry_last=True
+            )
         # pin rows before writing: the fold reads the CURRENT snapshot
         # dir lazily, and although versions are immutable, a retention
         # sweep (vacuum_snapshots) between plan and execution must not
@@ -345,6 +383,7 @@ def cusum_monitor(
     mu0: float = 0.0,
     slack: float = 0.5,
     threshold: float = 5.0,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming per-key CUSUM drift alarm — the online twin of the
     batch ``windows.cusum_changepoint`` audit, as a custom stateful
@@ -358,12 +397,21 @@ def cusum_monitor(
     that side resets — append-mode output, one row per alarm, never
     per event.
 
-    State is three floats + a counter per key — O(keys). Rows are
-    folded in (ts, event_id) order WITHIN each batch, so output is
-    invariant to micro-batch alignment whenever file/offset boundaries
-    respect event-time order (the same in-order delivery contract the
-    SCD2 fold documents; genuinely late data belongs to a batch
-    recompute via the backfill path).
+    State is three floats + a counter per key — O(keys). For an
+    UNBOUNDED key domain (customer/doc ids rather than the handful of
+    event types the batch twin uses), pass ``idle_timeout_ms``: keys
+    idle past that event-time horizon (measured against the stream's
+    watermark, so the input must set ``withWatermark``) have their
+    state evicted — a key that never crossed the threshold while live
+    cannot alarm after death, so eviction never changes alarms for
+    live keys, it only re-zeroes the statistic if the key reappears
+    much later (the correct semantics for a drift monitor). Without
+    the knob, state is retained forever — only safe for a small fixed
+    key domain. Rows are folded in (ts, event_id) order WITHIN each
+    batch, so output is invariant to micro-batch alignment whenever
+    file/offset boundaries respect event-time order (the same in-order
+    delivery contract the SCD2 fold documents; genuinely late data
+    belongs to a batch recompute via the backfill path).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -372,8 +420,16 @@ def cusum_monitor(
         "k string, alarm_ts timestamp, direction string, stat double, n_seen bigint"
     )
     state_schema = "sp double, sn double, n bigint"
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
 
     def fn(key: tuple, pdfs, state: GroupState):
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         sp, sn, n = state.get if state.exists else (0.0, 0.0, 0)
         rows = pd.concat(list(pdfs))
         rows = rows.sort_values(["ts", "event_id"])
@@ -389,6 +445,11 @@ def cusum_monitor(
                 alarms.append((ts, "down", round(sn, 6), n))
                 sn = 0.0
         state.update((sp, sn, n))
+        if idle_timeout_ms is not None:
+            # event-time horizon: latest ts seen for this key + the
+            # idle budget; the watermark passing it evicts the state
+            horizon_ms = int(rows["ts"].max().timestamp() * 1000) + int(idle_timeout_ms)
+            state.setTimeoutTimestamp(horizon_ms)
         if alarms:
             yield pd.DataFrame(
                 {
@@ -401,5 +462,5 @@ def cusum_monitor(
             )
 
     return stream_df.groupBy(key_col).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "append", timeout
     )
