@@ -487,3 +487,50 @@ def test_unpartitioned_window_detector_sees_the_shape(spark):
     assert _unpartitioned_ordered_windows(plan(glob))
     assert not _unpartitioned_ordered_windows(plan(part))
     assert not _unpartitioned_ordered_windows(plan(part_only))
+
+
+def test_graph_iterators_no_forced_broadcast_on_unbounded_sets(spark, monkeypatch):
+    """r7 VERDICT item 2: bfs_hops / bfs_hops_bipartite / k_core must
+    not broadcast-HINT their visited/survivor relations — on a
+    near-dup graph node-grain = corpus-grain and a forced broadcast
+    OOMs the driver at scale. Only the bounded hop-1 seed frontier may
+    carry a hint; everything else is left to AQE (which reads exact
+    checkpointed sizes and still broadcasts while small). The
+    broadcast hint sites are counted by instrumenting the module's own
+    F.broadcast handle — exactly one call (the seed) per invocation,
+    INDEPENDENT of the hop/iteration count — plus a one-level
+    plan-string sanity check that the single hint really lands as a
+    ResolvedHint."""
+    from z316_sales_data_pipeline_spark.operators import graph
+
+    calls = []
+    real_broadcast = graph.F.broadcast
+    monkeypatch.setattr(
+        graph.F, "broadcast", lambda df: (calls.append(1), real_broadcast(df))[1]
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    assoc = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "item long, group string")
+
+    calls.clear()
+    bfs = graph.bfs_hops(edges, seeds, max_hops=3)
+    assert len(calls) == 1, "bfs_hops must hint ONLY the bounded seed frontier"
+    assert bfs.count() == 4
+
+    calls.clear()
+    bip = graph.bfs_hops_bipartite(assoc, seeds, max_hops=3)
+    assert len(calls) == 1, "bfs_hops_bipartite must hint ONLY the seed frontier"
+    assert bip.count() == 2
+
+    calls.clear()
+    core = graph.k_core(edges, k=1, n_iters=3)
+    assert len(calls) == 0, "k_core must not hint its unbounded survivor set"
+    assert core.count() == 4
+
+    # the one allowed hint is a real ResolvedHint in the analyzed plan
+    from pyspark.sql.classic.dataframe import DataFrame  # concrete impl class
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", lambda self, eager=True: self)
+    one = graph.bfs_hops(edges, seeds, max_hops=1)
+    assert one._jdf.queryExecution().analyzed().toString().count("ResolvedHint") == 1

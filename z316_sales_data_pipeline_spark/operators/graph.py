@@ -259,11 +259,18 @@ def k_core(
     converge on all but adversarial chains.
 
     Plan shape per round: degree = one hash aggregate on the symmetric
-    edge list; the peel is two broadcast-able semi-joins of edges
-    against the (shrinking, node-sized) survivor set. Edges are
-    localCheckpointed each round so plan depth stays constant (the
-    driver never sees data, only the loop counter). Degrees count
-    DISTINCT neighbours, so a multi-edge pair contributes 1.
+    edge list; the peel is two semi-joins of edges against the
+    (shrinking) survivor set. The survivor set is NOT broadcast-hinted
+    (r7 VERDICT): it is every node with degree ≥ k, which on a
+    near-dup/co-purchase graph is corpus-grain — a forced broadcast
+    would OOM the driver at 100 TB node counts. The edges are
+    localCheckpointed each round, so AQE sees exact sizes and still
+    picks a broadcast join whenever the survivor set is genuinely
+    small; when it isn't, the semi-joins run as shuffle joins on the
+    node key — the correct degradation. Plan depth stays constant via
+    the checkpoint (the driver never sees data, only the loop
+    counter). Degrees count DISTINCT neighbours, so a multi-edge pair
+    contributes 1.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -272,8 +279,8 @@ def k_core(
         deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("a")
         sym = (
-            sym.join(F.broadcast(keep), "a", "left_semi")
-            .join(F.broadcast(keep.select(F.col("a").alias("b"))), "b", "left_semi")
+            sym.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
     return (
@@ -302,13 +309,20 @@ def bfs_hops(
     outputs, value-checked cross-engine — a WHILE-loop BFS would be a
     weak rows-only check).
 
-    Plan shape per level: one hash join of the (node-grain, shrinking)
-    frontier against the checkpointed edge list, a distinct, and an
-    anti-join against the visited set — frontier and visited relations
-    are broadcast (node-grain ≪ edge-grain); edges are checkpointed
-    once. The driver sees only the loop counter, never data. Per-level
-    cost O(|frontier| × avg_degree); an empty frontier makes the
-    remaining levels no-op joins rather than driver round-trips.
+    Plan shape per level: one hash join of the frontier against the
+    checkpointed edge list, a distinct, and an anti-join against the
+    visited set. Only the SEED frontier (hop 1) carries a broadcast
+    hint — it is bounded by contract. The per-level frontier and the
+    visited set are NOT hinted (r7 VERDICT): on a near-dup graph
+    node-grain = corpus-grain, so after a few hops the visited set is
+    billions of rows and a forced broadcast would OOM the driver.
+    Every level's relations are localCheckpointed, so AQE has their
+    exact sizes and still broadcasts while they are genuinely small;
+    past that, the joins degrade to shuffle joins on the node key —
+    the shape that survives 100 TB. The driver sees only the loop
+    counter, never data. Per-level cost O(|frontier| × avg_degree);
+    an empty frontier makes the remaining levels no-op joins rather
+    than driver round-trips.
     """
     e = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d")
@@ -319,11 +333,12 @@ def bfs_hops(
     ).localCheckpoint(eager=True)
     frontier = dist.select("node")
     for h in range(1, max_hops + 1):
+        f_rel = F.broadcast(frontier) if h == 1 else frontier
         nxt = (
-            e.join(F.broadcast(frontier), F.col("__s") == F.col("node"), "left_semi")
+            e.join(f_rel, F.col("__s") == F.col("node"), "left_semi")
             .select(F.col("__d").alias("node"))
             .distinct()
-            .join(F.broadcast(dist.select("node")), "node", "left_anti")
+            .join(dist.select("node"), "node", "left_anti")
             .select("node", F.lit(h).cast("long").alias("hops"))
             .localCheckpoint(eager=True)
         )
@@ -344,9 +359,13 @@ def bfs_hops_bipartite(
     bipartite (item, group) relation — two items are adjacent when
     they share a group — WITHOUT ever materializing the pairwise edge
     list. Each level expands frontier items → their groups → those
-    groups' items via two semi-joins against the bipartite fact
-    (node-grain frontier/visited relations are broadcast; the fact is
-    re-scanned per level, column-pruned, never checkpointed).
+    groups' items via two semi-joins against the bipartite fact (the
+    fact is re-scanned per level, column-pruned, never checkpointed).
+    Only the bounded SEED frontier is broadcast-hinted; later
+    frontiers and the visited set are left to AQE, which reads their
+    exact checkpointed sizes — broadcast while small, shuffle join
+    once corpus-grain (r7 VERDICT: a forced hint on the visited set
+    would OOM the driver when the item domain is the corpus).
 
     This is the scale shape ``bfs_hops`` is not: a co-purchase /
     co-occurrence edge list is Σ|group|² rows — materializing (and
@@ -367,8 +386,9 @@ def bfs_hops_bipartite(
     ).localCheckpoint(eager=True)
     frontier = dist.select("node")
     for h in range(1, max_hops + 1):
+        f_rel = F.broadcast(frontier) if h == 1 else frontier
         groups = (
-            fact.join(F.broadcast(frontier), F.col("__i") == F.col("node"), "left_semi")
+            fact.join(f_rel, F.col("__i") == F.col("node"), "left_semi")
             .select("__g")
             .distinct()
         )
@@ -376,7 +396,7 @@ def bfs_hops_bipartite(
             fact.join(groups, "__g", "left_semi")
             .select(F.col("__i").alias("node"))
             .distinct()
-            .join(F.broadcast(dist.select("node")), "node", "left_anti")
+            .join(dist.select("node"), "node", "left_anti")
             .select("node", F.lit(h).cast("long").alias("hops"))
             .localCheckpoint(eager=True)
         )
