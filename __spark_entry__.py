@@ -22,6 +22,7 @@ from z316_sales_data_pipeline_spark.operators import (
     corpus,
     dedup,
     graph,
+    ivm,
     joins,
     multimodal,
     quality,
@@ -8078,6 +8079,377 @@ FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
 # ---------------------------------------------------------------------------
 
 
+def _prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering
+    (dedup.prefix_jaccard_join): every document pair with 2-gram-set
+    Jaccard >= 0.7, unblocked and lossless — the guarantee MinHash
+    can't give (probabilistic) and source-blocking can't give (misses
+    cross-source pairs). Candidates come from a self-join on each
+    doc's RAREST s-⌈ts⌉+1 grams only (prefix-filter theorem);
+    verification is array_intersect on doc-grain gram arrays with an
+    integer cross-multiplied threshold. The oracle brute-forces all
+    pairs — green iff the pruned join loses nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_jaccard_join(docs, "text", "doc_id", threshold=0.7, shingle_k=2)
+
+
+_PREFIX_JACCARD_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ws
+    FROM documents WHERE length(text) > 0
+), grams AS (
+    SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+    FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    WHERE len(ws) >= 2
+), sz AS (
+    SELECT doc_id, count(*) AS s FROM grams GROUP BY 1
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, cast(count(*) AS BIGINT) AS n_inter
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       cast(sa.s + sb.s - n_inter AS BIGINT) AS n_union,
+       round(n_inter / cast(sa.s + sb.s - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE n_inter * 10 >= (sa.s + sb.s - n_inter) * 7
+"""
+
+
+def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version table diff (ivm.snapshot_diff): the
+    latest-status-per-user image as of 2024-01-20 vs the current one —
+    one full outer join on the key, change-grain output (added /
+    removed / changed only). The verification query behind every
+    snapshot maintenance path; at rest both versions bucket on the key
+    and even the join shuffle disappears. Latest = max(struct(ts,
+    event_id, status)) — the unique (ts, event_id) orders the payload,
+    so the winner is engine-portable."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+
+    def latest(d: DataFrame) -> DataFrame:
+        return (
+            d.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("__m"))
+            .select("user_id", F.col("__m.event_type").alias("status"))
+        )
+
+    old = latest(ev.filter(F.col("ts") < F.lit("2024-01-20").cast("timestamp")))
+    new = latest(ev)
+    return ivm.snapshot_diff(old, new, key="user_id", compare_cols=["status"])
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old_v AS (
+    SELECT user_id, event_type AS status FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-20'
+    ) WHERE rn = 1
+), new_v AS (
+    SELECT user_id, event_type AS status FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+)
+SELECT coalesce(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'added'
+            WHEN n.user_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       o.status AS status_old, n.status AS status_new
+FROM old_v o FULL OUTER JOIN new_v n ON o.user_id = n.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL OR o.status <> n.status
+"""
+
+
+def _ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a join materialization
+    (ivm.delta_join_maintain): the enriched fact MV (lineitem ⋈
+    orders) absorbs the post-1999 insert batch by joining ONLY the
+    delta against the dimension — O(batch), the base MV passes
+    through unscanned. The oracle is the full join over ALL lineitem:
+    green iff the delta rule loses nothing. This is the O(Δ)
+    replacement for the reference's truncate-and-reload (B4) on a
+    join-shaped serving table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice", "l_shipdate"
+    )
+    dim = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey", "o_orderdate"
+    )
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    base_mv = li.filter(F.col("l_shipdate") < cutoff).join(dim, "l_orderkey")
+    return ivm.delta_join_maintain(
+        base_mv, li.filter(F.col("l_shipdate") >= cutoff), dim, "l_orderkey"
+    ).select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        "o_custkey", "o_orderdate",
+    )
+
+
+_IVM_JOIN_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+       o_custkey, o_orderdate
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def _repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer purchase cadence: day gaps between consecutive
+    orders (lag over ONE key-partitioned exchange), reduced to
+    n_orders / mean / max gap for customers with >= 3 orders — the
+    lifecycle statistic behind replenishment and churn-risk models.
+    Gaps are exact integer days; the mean is one division of exact
+    integers."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.withColumn(
+        "__gap",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("long"),
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("__gap").alias("__sum_gap"),
+            F.max("__gap").alias("max_gap_days"),
+        )
+        .filter(F.col("n_orders") >= 3)
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round(F.col("__sum_gap") / (F.col("n_orders") - 1), 6).alias("mean_gap_days"),
+            "max_gap_days",
+        )
+    )
+
+
+_REPURCHASE_SQL = """
+WITH g AS (
+    SELECT o_custkey,
+           date_diff('day',
+                     lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS gap
+    FROM orders
+)
+SELECT o_custkey, cast(count(*) AS BIGINT) AS n_orders,
+       round(cast(sum(gap) AS BIGINT) / cast(count(*) - 1 AS DOUBLE), 6) AS mean_gap_days,
+       cast(max(gap) AS BIGINT) AS max_gap_days
+FROM g GROUP BY 1 HAVING count(*) >= 3
+"""
+
+
+def _price_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-point distribution audit: how line prices distribute over
+    their cents-within-dollar ending (psychological-pricing check —
+    .99/.00 spikes). One hash aggregate to a <= 100-row relation; the
+    share divides exact integer counts by the broadcast one-row total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.round(F.col("l_extendedprice") * 100).cast("long") % 100).alias("cents_ending")
+    counts = li.select(cents).groupBy("cents_ending").agg(F.count(F.lit(1)).alias("n"))
+    total = li.agg(F.count(F.lit(1)).alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "cents_ending", "n", F.round(F.col("n") / F.col("__t"), 6).alias("share")
+        )
+    )
+
+
+_PRICE_POINTS_SQL = """
+WITH c AS (
+    SELECT CAST(round(l_extendedprice * 100) AS BIGINT) % 100 AS cents_ending
+    FROM lineitem
+)
+SELECT cents_ending, cast(count(*) AS BIGINT) AS n,
+       round(count(*) / cast((SELECT count(*) FROM lineitem) AS DOUBLE), 6) AS share
+FROM c GROUP BY 1
+"""
+
+
+def _measure_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Pearson matrix over the lineitem measures
+    (aggregates.pearson_exact): every moment accumulates as
+    decimal(38,0) — no float-summation order anywhere, unlike builtin
+    corr — and r is ONE double expression over exact integers, so both
+    engines compute the identical IEEE value. One full-scan hash
+    aggregate; the 6-pair matrix unfolds from the single moment row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return aggregates.pearson_exact(
+        li,
+        {
+            "qty": F.round(F.col("l_quantity")),
+            "price_cents": F.round(F.col("l_extendedprice") * 100),
+            "discount_pct": F.round(F.col("l_discount") * 100),
+            "tax_pct": F.round(F.col("l_tax") * 100),
+        },
+    )
+
+
+_MEASURE_CORR_SQL = """
+WITH v AS (
+    SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+           CAST(round(l_discount * 100) AS BIGINT) AS d,
+           CAST(round(l_tax * 100) AS BIGINT) AS t
+    FROM lineitem
+), m AS (
+    SELECT cast(count(*) AS DOUBLE) AS n,
+           cast(sum(q) AS DOUBLE) AS sq, cast(sum(p) AS DOUBLE) AS sp,
+           cast(sum(d) AS DOUBLE) AS sd, cast(sum(t) AS DOUBLE) AS st,
+           cast(sum(q*q) AS DOUBLE) AS qq, cast(sum(p*p) AS DOUBLE) AS pp,
+           cast(sum(d*d) AS DOUBLE) AS dd, cast(sum(t*t) AS DOUBLE) AS tt,
+           cast(sum(q*p) AS DOUBLE) AS qp, cast(sum(q*d) AS DOUBLE) AS qd,
+           cast(sum(q*t) AS DOUBLE) AS qt, cast(sum(p*d) AS DOUBLE) AS pd,
+           cast(sum(p*t) AS DOUBLE) AS pt, cast(sum(d*t) AS DOUBLE) AS dt
+    FROM v
+)
+SELECT u.measure_x, u.measure_y, CAST(m.n AS BIGINT) AS n,
+       round((m.n * u.sxy - u.sx * u.sy)
+             / sqrt((m.n * u.sxx - u.sx * u.sx) * (m.n * u.syy - u.sy * u.sy)), 6) AS r
+FROM m, LATERAL (
+    SELECT * FROM (VALUES
+        ('qty', 'price_cents', m.qp, m.sq, m.sp, m.qq, m.pp),
+        ('qty', 'discount_pct', m.qd, m.sq, m.sd, m.qq, m.dd),
+        ('qty', 'tax_pct', m.qt, m.sq, m.st, m.qq, m.tt),
+        ('price_cents', 'discount_pct', m.pd, m.sp, m.sd, m.pp, m.dd),
+        ('price_cents', 'tax_pct', m.pt, m.sp, m.st, m.pp, m.tt),
+        ('discount_pct', 'tax_pct', m.dt, m.sd, m.st, m.dd, m.tt)
+    ) AS t(measure_x, measure_y, sxy, sx, sy, sxx, syy)
+) AS u
+"""
+
+
+def _rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval voices over the same
+    query (similarity.rrf_fuse): BM25 top-20 and plain TF-IDF top-20
+    fused by Σ 1/(60+rank) into one top-10 — the zero-tuning hybrid
+    retrieval standard (incommensurable scores never meet, only
+    ranks). Ranks assign by (rounded score desc, doc_id), so a
+    last-ulp score difference can't flip them cross-engine; the fold
+    runs left-to-right over the name-sorted ranker list, matching the
+    oracle's explicit bm25-then-tfidf addition. Everything after the
+    two corpus scans is k-scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "merge", "window"]
+    bm = corpus.bm25_rank(docs, "text", "doc_id", terms, k=20)
+    ti = corpus.tfidf_query_rank(docs, "text", "doc_id", terms, k=20)
+    return similarity.rrf_fuse(
+        {"bm25": (bm, "bm25"), "tfidf": (ti, "tfidf")}, id_col="doc_id", k0=60, k=10
+    )
+
+
+_RRF_FUSION_SQL = r"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' ')) AS term
+    FROM documents
+), dl AS (
+    SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+), stats AS (
+    SELECT cast(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+    SELECT doc_id, term, cast(count(*) AS BIGINT) AS tf
+    FROM tok WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2
+), dfreq AS (
+    SELECT term, cast(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), bm AS (
+    SELECT doc_id,
+           round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                     * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS s
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 20
+), rb AS (
+    SELECT doc_id, cast(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS r FROM bm
+), ti AS (
+    SELECT doc_id, round(sum(tf * ln(n_docs / cast(df AS DOUBLE))), 6) AS s
+    FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 20
+), rt AS (
+    SELECT doc_id, cast(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS r FROM ti
+)
+SELECT coalesce(rb.doc_id, rt.doc_id) AS doc_id,
+       round(coalesce(1.0 / (60 + rb.r), 0.0) + coalesce(1.0 / (60 + rt.r), 0.0), 6) AS rrf,
+       rb.r AS rank_bm25, rt.r AS rank_tfidf
+FROM rb FULL OUTER JOIN rt ON rb.doc_id = rt.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
+def _ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the IVF probe vs the exact cosine ranking per query
+    (similarity.ndcg_eval) — the graded companion to ann_recall_eval:
+    a hit at the wrong rank now costs. Float-free: the 10^6/log2(r+1)
+    discount weights are integer literals shared verbatim with this
+    oracle, DCG is an exact integer sum, and the one division is
+    dcg/idcg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ndcg_eval(
+        emb, "embedding", "vec_id", query_mod=100, k=10, n_cells=16, n_probe=4
+    )
+
+
+def _ndcg_sql(k: int = 10) -> str:
+    import math
+
+    w = [round(1_000_000 / math.log2(r + 1)) for r in range(1, k + 1)]
+    idcg = sum((k + 1 - r) * w[r - 1] for r in range(1, k + 1))
+    wcase = " ".join(f"WHEN {r} THEN {w[r - 1]}" for r in range(1, k + 1))
+    return f"""
+WITH e0 AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+    SELECT row_number() OVER (ORDER BY vid) - 1 AS cell, v AS cv
+    FROM e0 ORDER BY vid LIMIT 16
+), a AS (
+    SELECT e0.vid, e0.v, c.cell
+    FROM e0 CROSS JOIN c
+    QUALIFY row_number() OVER (PARTITION BY e0.vid
+        ORDER BY list_dot_product(e0.v, c.cv) DESC, c.cell) = 1
+), q AS (
+    SELECT vid AS query_id, v AS qv FROM e0 WHERE vid % 100 = 0
+), probe AS (
+    SELECT q.query_id, q.qv, c.cell
+    FROM q CROSS JOIN c
+    QUALIFY row_number() OVER (PARTITION BY q.query_id
+        ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell) <= 4
+), ivf AS (
+    SELECT probe.query_id, a.vid,
+           row_number() OVER (PARTITION BY probe.query_id
+        ORDER BY round(list_dot_product(probe.qv, a.v) /
+                       (sqrt(list_dot_product(probe.qv, probe.qv)) *
+                        sqrt(list_dot_product(a.v, a.v))), 6) DESC, a.vid) AS rank_ret
+    FROM probe JOIN a USING (cell)
+    QUALIFY rank_ret <= {k}
+), brute AS (
+    SELECT q.query_id, e0.vid,
+           row_number() OVER (PARTITION BY q.query_id
+        ORDER BY round(list_dot_product(q.qv, e0.v) /
+                       (sqrt(list_dot_product(q.qv, q.qv)) *
+                        sqrt(list_dot_product(e0.v, e0.v))), 6) DESC, e0.vid) AS rank_exact
+    FROM q CROSS JOIN e0
+    QUALIFY rank_exact <= {k}
+), d AS (
+    SELECT ivf.query_id,
+           sum(coalesce({k + 1} - b.rank_exact, 0)
+               * (CASE ivf.rank_ret {wcase} END)) AS dcg
+    FROM ivf LEFT JOIN brute b
+      ON ivf.query_id = b.query_id AND ivf.vid = b.vid
+    GROUP BY 1
+)
+SELECT q.query_id, cast(coalesce(d.dcg, 0) AS BIGINT) AS dcg_micro,
+       round(cast(coalesce(d.dcg, 0) AS DOUBLE) / {float(idcg)}, 6) AS ndcg
+FROM q LEFT JOIN d USING (query_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r8 driver sample (first 50): the r3/r4-stale entries
@@ -8145,6 +8517,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_keeprule_backfill": _w2_keeprule_backfill,
         # -- never-attested r8 additions (next in line after the stale) --
         "scd2_fold_late": _scd2_fold_late,
+        "prefix_jaccard_join": _prefix_jaccard_join,
+        "snapshot_diff": _snapshot_diff,
+        "ivm_join_delta": _ivm_join_delta,
+        "repurchase_intervals": _repurchase_intervals,
+        "price_points": _price_points,
+        "measure_correlations": _measure_correlations,
+        "rrf_fusion": _rrf_fusion,
+        "ndcg_eval": _ndcg_eval,
         # -- r5/r6-attested --
         "ann_recall_eval": _ann_recall_eval,
         "cluster_representative": _cluster_representative,
@@ -8334,6 +8714,14 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SCD2_SQL,
         "scd2_incremental": _SCD2_SQL,
         "scd2_fold_late": _SCD2_SQL,
+        "prefix_jaccard_join": _PREFIX_JACCARD_SQL,
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "ivm_join_delta": _IVM_JOIN_SQL,
+        "repurchase_intervals": _REPURCHASE_SQL,
+        "price_points": _PRICE_POINTS_SQL,
+        "measure_correlations": _MEASURE_CORR_SQL,
+        "rrf_fusion": _RRF_FUSION_SQL,
+        "ndcg_eval": _ndcg_sql(),
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,

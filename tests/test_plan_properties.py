@@ -451,6 +451,10 @@ _BOUNDED_GLOBAL_WINDOW_SITES = {
     # cumulative coverage over the top-N (16) token rows only — the
     # window sits above the rank<=N filter (operators/corpus.py)
     "vocab_coverage",
+    # rank assignment over two ALREADY-TRUNCATED top-20 retrieval
+    # lists — the windows sit above LIMIT 20 (operators/similarity.py
+    # rrf_fuse); the corpus never reaches them
+    "rrf_fusion",
 }
 
 

@@ -338,3 +338,50 @@ def safety_stock(
         F.round(std, 6).alias("std_daily"),
         F.round(rop, 6).alias("reorder_point"),
     )
+
+
+def pearson_exact(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+    """Pairwise Pearson correlation matrix over INTEGER-VALUED measure
+    expressions, engine-portable by construction: every moment (n, Σx,
+    Σx², Σxy) accumulates as DECIMAL(38,0) — exact integer arithmetic,
+    no float-summation order anywhere — and the correlation is formed
+    by ONE float expression over those exact moments (each decimal →
+    double cast is correctly rounded, so both engines compute the same
+    IEEE value). The builtin ``corr`` is a float aggregate whose last
+    ulp depends on partition order; this is the profiling-grade
+    replacement (data-quality audits before feature selection).
+
+    Plan: ONE full-scan hash aggregate producing all moments in a
+    single row (map-side partials, nothing wide shuffles), then the
+    pair matrix unfolds from literals — upper triangle only, one row
+    per (x, y) pair with n and rounded r.
+    """
+    names = list(cols)
+    # inputs as decimal(18,0): a product of two stays inside
+    # decimal(37,0), so the decimal(38,0) sum never truncates precision
+    dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")]
+    for name, expr in cols.items():
+        aggs.append(F.sum(dec(expr)).alias(f"__s_{name}"))
+        aggs.append(F.sum(dec(expr) * dec(expr)).alias(f"__q_{name}"))
+    for i, x in enumerate(names):
+        for y in names[i + 1 :]:
+            aggs.append(F.sum(dec(cols[x]) * dec(cols[y])).alias(f"__p_{x}_{y}"))
+    one = df.agg(*aggs)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    rows = []
+    for i, x in enumerate(names):
+        for y in names[i + 1 :]:
+            cov = d("__n") * d(f"__p_{x}_{y}") - d(f"__s_{x}") * d(f"__s_{y}")
+            vx = d("__n") * d(f"__q_{x}") - d(f"__s_{x}") * d(f"__s_{x}")
+            vy = d("__n") * d(f"__q_{y}") - d(f"__s_{y}") * d(f"__s_{y}")
+            rows.append(
+                F.struct(
+                    F.lit(x).alias("measure_x"),
+                    F.lit(y).alias("measure_y"),
+                    F.round(cov / F.sqrt(vx * vy), 6).alias("r"),
+                )
+            )
+    return one.select(
+        F.col("__n").cast("long").alias("n"), F.explode(F.array(*rows)).alias("__e")
+    ).select("__e.measure_x", "__e.measure_y", "n", "__e.r")

@@ -952,3 +952,57 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def tfidf_query_rank(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """Top-k documents by plain TF-IDF (tf · ln(N/df)) against a fixed
+    query-term set — the second retrieval voice for rank fusion
+    (:func:`~.similarity.rrf_fuse`): same single-corpus-scan shape as
+    :func:`bm25_rank` (tf pivoted into the doc-length aggregate, 1-row
+    stats broadcast back, TakeOrderedAndProject top-k), different
+    scoring family, so the two rankers disagree exactly where fusion
+    earns its keep (BM25's length normalization vs raw tf)."""
+    terms = list(query_terms)
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(_norm_tokens_of(F.coalesce(F.col(text_col), F.lit("")))).alias("term"),
+    )
+    per_doc = (
+        tokens.groupBy(id_col)
+        .agg(
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    contribs = []
+    for i in range(len(terms)):
+        tf, dfreq = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        contribs.append(
+            F.when(tf > 0, tf * F.log(F.col("n_docs") / dfreq)).otherwise(F.lit(0.0))
+        )
+    matched = sum((F.col(f"tf_{i}") > 0).cast("long") for i in range(len(terms)))
+    return (
+        per_doc.crossJoin(F.broadcast(stats))  # 1-row stats
+        .withColumn("tfidf", F.round(sum(contribs, F.lit(0.0)), 6))
+        .withColumn("n_terms", matched)
+        .filter(F.col("n_terms") > 0)
+        .select(id_col, "tfidf", "n_terms")
+        .orderBy(F.col("tfidf").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1290,3 +1290,111 @@ def span_scrub(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFra
             F.coalesce(F.col("__scrubbed"), F.lit("")).alias("scrubbed_text"),
         )
     )
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    SSJoin/PPJoin candidate scheme): every unordered pair of documents
+    whose distinct ``shingle_k``-gram sets have Jaccard ≥ ``threshold``
+    — no bands, no probability of a miss, no blocking key. The exact
+    complement to MinHash-LSH (probabilistic) and the source-blocked
+    ``ngram_jaccard_pairs`` (heuristic blocking): this is what a
+    curation pipeline runs when a miss is not acceptable (license
+    scrubbing, eval-set contamination).
+
+    Prefix-filtering theorem: order every document's gram set by ONE
+    global total order and keep only its first s - ⌈t·s⌉ + 1 grams
+    (s = set size); any pair with J ≥ t MUST share a prefix gram, so
+    joining on prefix grams alone is lossless. The global order here
+    is (document frequency asc, gram asc) — rarest first — which also
+    makes it maximally selective: candidate volume is bounded by the
+    df of RARE grams, not the corpus.
+
+    Plan shape: one corpus scan → gram explode → fingerprint to the
+    seedless md5-long family IN the generate stage, so only (doc,
+    gram_hash) LONGS ever shuffle, never gram text (the shingling
+    discipline; standard caveat: a 2^-64 collision could merge two
+    grams); df is a vocabulary-grain aggregate joined back; per-doc
+    sorted gram-hash arrays reduce on the doc key; candidates come
+    from a self-join on the EXPLODED PREFIX only, length-filtered
+    (t·sa ≤ sb, the PPJoin size bound — a pair whose set sizes are
+    incompatible with t cannot qualify) BEFORE the pair distinct; and
+    verification is array_intersect on the two docs' (≤ set-size)
+    long arrays — pair-grain, no second fact shuffle. The threshold
+    test cross-multiplies integers (10·|∩| ≥ 10t·(sa+sb−|∩|)), so
+    floats appear only in the reported jaccard (one exact division).
+    """
+    t_num, t_den = int(round(threshold * 10)), 10
+    grams = (
+        df.filter(F.length(F.col(text_col)) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(shingles(text_col, k=shingle_k)).alias("__gt"),
+        )
+        .select(F.col(id_col), fingerprint64(F.col("__gt")).alias("g"))
+        .distinct()
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        grams.join(dfreq, "g")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__df", "g"))).alias("__arr"))
+        .select(
+            F.col(id_col),
+            F.transform("__arr", lambda s: s["g"]).alias("__grams"),
+            F.size("__arr").alias("__s"),
+        )
+        .localCheckpoint(eager=True)  # doc-grain; consumed 3x below
+    )
+    prefix_len = (
+        F.col("__s") - F.ceil(F.col("__s") * F.lit(t_num) / F.lit(t_den)) + F.lit(1)
+    ).cast("int")
+    prefix = per_doc.select(
+        F.col(id_col),
+        F.col("__s"),
+        F.explode(F.slice("__grams", 1, prefix_len)).alias("g"),
+    )
+    a = prefix.select(F.col(id_col).alias("doc_a"), F.col("__s").alias("__la"), "g")
+    b = prefix.select(F.col(id_col).alias("doc_b"), F.col("__s").alias("__lb"), "g")
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # PPJoin length bound: t·max(sa,sb) ≤ min(sa,sb) is necessary
+        # for J ≥ t — applied before the pair distinct to shrink it
+        .filter(
+            (F.col("__la") * t_num <= F.col("__lb") * t_den)
+            & (F.col("__lb") * t_num <= F.col("__la") * t_den)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pa = per_doc.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("__grams").alias("__ga"),
+        F.col("__s").alias("__sa"),
+    )
+    pb = per_doc.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("__grams").alias("__gb"),
+        F.col("__s").alias("__sb"),
+    )
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    union = F.col("__sa") + F.col("__sb") - inter
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .filter(inter * F.lit(t_den) >= union * F.lit(t_num))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("n_inter"),
+            union.cast("long").alias("n_union"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )

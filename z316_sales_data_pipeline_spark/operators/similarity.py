@@ -939,3 +939,152 @@ def sq8_reconstruction_stats(
             F.round(F.max(F.abs(F.col("err"))), 9).alias("max_abs_err"),
         )
     )
+
+
+def rrf_fuse(
+    ranked: dict[str, tuple[DataFrame, str]],
+    id_col: str,
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of multiple ALREADY-TRUNCATED retrieval
+    lists: score(d) = Σ_r 1/(k0 + rank_r(d)) over the rankers that
+    returned d — the standard zero-tuning way to combine
+    incommensurable scorers (BM25 + dense cosine + ...) into one list.
+
+    ``ranked`` maps ranker name → (top-N DataFrame, score column);
+    ranks are assigned here by (rounded score desc, id asc), so a
+    last-ulp score difference can never flip a rank cross-engine. The
+    fusion sum folds over the (name, rank) list SORTED by name — a
+    fixed left-to-right float fold, deterministic for ANY number of
+    rankers (a bare SUM's accumulation order is not). Every input is
+    top-N bounded, so the windows, the union, and the fold all run on
+    k-scale relations — the corpus never re-enters.
+    """
+    from pyspark.sql import Window
+
+    tagged = []
+    for name in sorted(ranked):
+        rdf, score_col = ranked[name]
+        w = Window.orderBy(F.round(F.col(score_col), 6).desc(), F.col(id_col).asc())
+        tagged.append(
+            rdf.select(
+                F.col(id_col),
+                F.lit(name).alias("__ranker"),
+                F.row_number().over(w).alias("__rank"),
+            )
+        )
+    allr = tagged[0]
+    for t in tagged[1:]:
+        allr = allr.unionByName(t)
+    folded = allr.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("__ranker", "__rank"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.lit(1.0) / (F.lit(k0) + x["__rank"]),
+        ).alias("__rrf"),
+        *[
+            F.min(F.when(F.col("__ranker") == n, F.col("__rank"))).alias(f"rank_{n}")
+            for n in sorted(ranked)
+        ],
+    )
+    return (
+        folded.select(
+            id_col, F.round("__rrf", 6).alias("rrf"),
+            *[f"rank_{n}" for n in sorted(ranked)],
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ndcg_eval(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_mod: int = 100,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """nDCG@k of the IVF-probed ANN against the exact ranking, per
+    query — the GRADED companion to :func:`ann_recall_eval`: recall
+    counts hits, nDCG also penalizes returning them in the wrong
+    order (relevance of a hit = k+1 − its exact rank; misses score 0).
+
+    Float-free by construction: the discount weights 10^6/log2(r+1)
+    are precomputed ONCE as integer literals shared verbatim with the
+    SQL oracle, so DCG is an exact integer sum (rel · w_r) and the
+    only division is the final dcg/idcg — no cross-engine libm or
+    accumulation-order exposure anywhere. Same shared (vid, v, cell)
+    checkpoint and per-query top-k windows as the recall audit; the
+    exact arm broadcasts the fixed-size query batch, linear in data.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine
+
+    weights = [round(1_000_000 / math.log2(r + 1)) for r in range(1, k + 1)]
+    idcg = sum((k + 1 - r) * weights[r - 1] for r in range(1, k + 1))
+
+    cents = _centroids(df, vec_col, id_col, n_cells)
+
+    def dots_arr(col: Column) -> Column:
+        return F.array(*[dot(col, literal_vector(c)) for _, c in cents])
+
+    e = (
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("__dots", dots_arr(F.col("v")))
+        .withColumn("cell", (F.array_position("__dots", F.array_max("__dots")) - 1).cast("int"))
+        .drop("__dots")
+        .localCheckpoint(eager=True)
+    )
+    q = e.filter(F.col("vid") % query_mod == 0).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("dp").desc(), F.col("cell").asc())
+    probe = (
+        q.select("query_id", "qv", F.posexplode(dots_arr(F.col("qv"))).alias("cell", "dp"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vid").asc())
+    ivf = (
+        probe.join(e, "cell")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn("rank_ret", F.row_number().over(wk))
+        .filter(F.col("rank_ret") <= k)
+        .select("query_id", "vid", "rank_ret")
+    )
+    brute = (
+        e.crossJoin(F.broadcast(q))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn("rank_exact", F.row_number().over(wk))
+        .filter(F.col("rank_exact") <= k)
+        .select("query_id", "vid", "rank_exact")
+    )
+    warr = F.array(*[F.lit(w) for w in weights])
+    scored = (
+        ivf.join(brute, ["query_id", "vid"], "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.lit(k + 1) - F.col("rank_exact"), F.lit(0)).cast("long")
+                * F.element_at(warr, F.col("rank_ret"))
+            ).alias("__term"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("__term").alias("dcg_micro"))
+    )
+    return (
+        q.select("query_id")
+        .join(scored, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("dcg_micro", F.lit(0)).cast("long").alias("dcg_micro"),
+            F.round(F.coalesce("dcg_micro", F.lit(0)) / F.lit(float(idcg)), 6).alias("ndcg"),
+        )
+    )
