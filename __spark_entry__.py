@@ -8450,6 +8450,247 @@ FROM q LEFT JOIN d USING (query_id)
 """
 
 
+def _collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word collocations by document-level PMI
+    (corpus.collocation_pmi): unordered token pairs co-occurring in
+    >= 5 docs, pmi = ln(n_ab*N/(n_a*n_b)). Pair generation is
+    DOC-LOCAL (self-join on doc_id — Σ|doc-vocab|², the basket_pairs
+    class, never vocabulary²); counts exact, one ln per surviving
+    pair, TakeOrderedAndProject top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.collocation_pmi(docs, "text", "doc_id", min_docs=5, k=20)
+
+
+_COLLOCATION_SQL = r"""
+WITH toks AS (
+    SELECT DISTINCT doc_id,
+           unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS t
+    FROM documents WHERE length(text) > 0
+), n AS (
+    SELECT count(*) AS nd FROM (SELECT DISTINCT doc_id FROM toks)
+), uni AS (
+    SELECT t, count(*) AS n_t FROM toks GROUP BY 1
+), pairs AS (
+    SELECT a.t AS token_a, b.t AS token_b, cast(count(*) AS BIGINT) AS n_ab
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.t < b.t
+    GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT token_a, token_b, n_ab,
+       round(ln(cast(n_ab AS DOUBLE) * n.nd / (cast(na.n_t AS DOUBLE) * nb.n_t)), 6) AS pmi
+FROM pairs
+JOIN uni na ON na.t = token_a
+JOIN uni nb ON nb.t = token_b
+CROSS JOIN n
+ORDER BY pmi DESC, token_a, token_b
+LIMIT 20
+"""
+
+
+def _user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy over the event-type distribution
+    (corpus.behavior_entropy, the char_entropy shape at user grain):
+    behavioral-diversity profiling for segmentation / bot screening.
+    Two hash aggregates; the only float is the <= |event-types|-term
+    entropy fold, rounded at the audit grain."""
+    ev = load_table(spark, sf_dir, "events")
+    return corpus.behavior_entropy(ev, key_col="user_id", cat_col="event_type", min_n=10)
+
+
+_USER_ENTROPY_SQL = """
+WITH c AS (
+    SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+), tot AS (
+    SELECT user_id, cast(sum(c) AS BIGINT) AS n FROM c GROUP BY 1
+)
+SELECT c.user_id, tot.n AS n_events,
+       round(sum(-(c.c / cast(tot.n AS DOUBLE)) * log2(c.c / cast(tot.n AS DOUBLE))), 6)
+           AS entropy_bits
+FROM c JOIN tot USING (user_id)
+GROUP BY c.user_id, tot.n
+HAVING tot.n >= 10
+"""
+
+
+def _top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user-day event paths: each (user, day)'s first five
+    event types in (ts, event_id) order joined with '>' — the
+    clickstream path-mining staple (which flows dominate). The path
+    assembles from array_sort(collect_list(struct)) — grouping only,
+    no window, ONE shuffle on (user, day); tie-safe because event_id
+    is unique; top-k by (count desc, path) via TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy("user_id", F.to_date("ts").alias("__d"))
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                        lambda s: s["event_type"],
+                    ),
+                    1,
+                    5,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy(F.col("n_user_days").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+_TOP_PATHS_SQL = """
+WITH r AS (
+    SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), p AS (
+    SELECT user_id, d, string_agg(event_type, '>' ORDER BY rn) AS path
+    FROM r WHERE rn <= 5 GROUP BY 1, 2
+)
+SELECT path, cast(count(*) AS BIGINT) AS n_user_days
+FROM p GROUP BY 1
+ORDER BY n_user_days DESC, path
+LIMIT 20
+"""
+
+
+def _arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Goh–Barabási burstiness B = (σ−μ)/(σ+μ) over
+    inter-arrival seconds (timeseries.arrival_burstiness): load-model
+    statistic for capacity planning. Gaps off one key-partitioned lag
+    window; μ/σ from exact decimal moments (the pearson_exact
+    discipline); B is one float expression, round-6."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.arrival_burstiness(ev, key_col="event_type", ts_col="ts", tiebreak="event_id")
+
+
+_BURSTINESS_SQL = """
+WITH g AS (
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type
+                                                 ORDER BY ts, event_id)) AS g
+    FROM events
+), m AS (
+    SELECT event_type, cast(count(*) AS DOUBLE) AS n,
+           cast(sum(g) AS DOUBLE) AS s,
+           cast(sum(CAST(g AS HUGEINT) * g) AS DOUBLE) AS q
+    FROM g WHERE g IS NOT NULL GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+       round((s / n) / 1000000.0, 6) AS mean_gap_s,
+       round((sqrt(n * q - s * s) / n) / 1000000.0, 6) AS std_gap_s,
+       round((sqrt(n * q - s * s) / n - s / n)
+             / (sqrt(n * q - s * s) / n + s / n), 6) AS burstiness
+FROM m
+"""
+
+
+def _revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period revenue bridge per brand (FP&A's
+    price/volume decomposition): 1997 vs 1998 gross revenue split into
+    a volume effect ((q1−q0)·avg_price0) and the residual price/mix
+    effect. Revenue and quantity totals are exact integers off ONE
+    fact scan (conditional sums, no self-join); the dimension join is
+    a broadcast; the two effects are single float expressions over
+    exact totals, round-6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yr = F.year("l_shipdate")
+    per_brand = (
+        li.filter(yr.isin(1997, 1998))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(yr == 1997, F.round(F.col("l_extendedprice") * 100).cast("long")).otherwise(F.lit(0))).alias("rev0_cents"),
+            F.sum(F.when(yr == 1998, F.round(F.col("l_extendedprice") * 100).cast("long")).otherwise(F.lit(0))).alias("rev1_cents"),
+            F.sum(F.when(yr == 1997, F.round(F.col("l_quantity")).cast("long")).otherwise(F.lit(0))).alias("qty0"),
+            F.sum(F.when(yr == 1998, F.round(F.col("l_quantity")).cast("long")).otherwise(F.lit(0))).alias("qty1"),
+        )
+    )
+    delta = F.col("rev1_cents") - F.col("rev0_cents")
+    vol_effect = F.when(
+        F.col("qty0") > 0,
+        F.round(
+            (F.col("qty1") - F.col("qty0")) * (F.col("rev0_cents") / F.col("qty0")), 6
+        ),
+    )
+    return per_brand.select(
+        "p_brand", "rev0_cents", "rev1_cents", "qty0", "qty1",
+        delta.alias("delta_cents"),
+        vol_effect.alias("volume_effect_cents"),
+        F.when(F.col("qty0") > 0, F.round(delta - vol_effect, 6)).alias("price_mix_effect_cents"),
+    )
+
+
+_REVENUE_BRIDGE_SQL = """
+WITH b AS (
+    SELECT p_brand,
+           cast(sum(CASE WHEN year(l_shipdate) = 1997 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev0_cents,
+           cast(sum(CASE WHEN year(l_shipdate) = 1998 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev1_cents,
+           cast(sum(CASE WHEN year(l_shipdate) = 1997 THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS qty0,
+           cast(sum(CASE WHEN year(l_shipdate) = 1998 THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS qty1
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE year(l_shipdate) IN (1997, 1998)
+    GROUP BY 1
+)
+SELECT p_brand, rev0_cents, rev1_cents, qty0, qty1,
+       rev1_cents - rev0_cents AS delta_cents,
+       CASE WHEN qty0 > 0
+            THEN round((qty1 - qty0) * (rev0_cents / cast(qty0 AS DOUBLE)), 6) END
+           AS volume_effect_cents,
+       CASE WHEN qty0 > 0
+            THEN round((rev1_cents - rev0_cents)
+                       - round((qty1 - qty0) * (rev0_cents / cast(qty0 AS DOUBLE)), 6), 6) END
+           AS price_mix_effect_cents
+FROM b
+"""
+
+
+def _revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly gross→discount→tax→net waterfall in EXACT micro-dollars
+    (1e-6 $): gross is 2 dp, discount amount 4 dp, tax amount 6 dp —
+    all exactly representable at the micro grain, so every column is
+    an exact integer sum and net ≡ gross − discount + tax holds
+    bit-for-bit (the identity price·(1−d)·(1+t) expanded). One hash
+    aggregate to month grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gross = F.round(F.col("l_extendedprice") * 1_000_000).cast("long")
+    disc = F.round(F.col("l_extendedprice") * F.col("l_discount") * 1_000_000).cast("long")
+    tax = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax") * 1_000_000
+    ).cast("long")
+    return (
+        li.groupBy(F.to_date(F.date_trunc("month", "l_shipdate")).alias("month"))
+        .agg(
+            F.sum(gross).alias("gross_micro"),
+            F.sum(disc).alias("discount_micro"),
+            F.sum(tax).alias("tax_micro"),
+            F.sum(gross - disc + tax).alias("net_micro"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_REVENUE_WATERFALL_SQL = """
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+       cast(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS gross_micro,
+       cast(sum(CAST(round(l_extendedprice * l_discount * 1000000) AS BIGINT)) AS BIGINT) AS discount_micro,
+       cast(sum(CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 1000000) AS BIGINT)) AS BIGINT) AS tax_micro,
+       cast(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)
+                - CAST(round(l_extendedprice * l_discount * 1000000) AS BIGINT)
+                + CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 1000000) AS BIGINT)) AS BIGINT) AS net_micro,
+       cast(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r8 driver sample (first 50): the r3/r4-stale entries
@@ -8525,6 +8766,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "measure_correlations": _measure_correlations,
         "rrf_fusion": _rrf_fusion,
         "ndcg_eval": _ndcg_eval,
+        "collocation_pmi": _collocation_pmi,
+        "user_behavior_entropy": _user_behavior_entropy,
+        "top_event_paths": _top_event_paths,
+        "arrival_burstiness": _arrival_burstiness,
+        "revenue_bridge": _revenue_bridge,
+        "revenue_waterfall": _revenue_waterfall,
         # -- r5/r6-attested --
         "ann_recall_eval": _ann_recall_eval,
         "cluster_representative": _cluster_representative,
@@ -8722,6 +8969,12 @@ def oracle_sql() -> dict[str, str]:
         "measure_correlations": _MEASURE_CORR_SQL,
         "rrf_fusion": _RRF_FUSION_SQL,
         "ndcg_eval": _ndcg_sql(),
+        "collocation_pmi": _COLLOCATION_SQL,
+        "user_behavior_entropy": _USER_ENTROPY_SQL,
+        "top_event_paths": _TOP_PATHS_SQL,
+        "arrival_burstiness": _BURSTINESS_SQL,
+        "revenue_bridge": _REVENUE_BRIDGE_SQL,
+        "revenue_waterfall": _REVENUE_WATERFALL_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,

@@ -1608,3 +1608,57 @@ def test_pearson_exact_known_values(spark):
                df, {"x": F.col("x"), "y": F.col("y"), "z": F.col("z")}).collect()}
     assert out[("x", "y")] == 1.0
     assert abs(out[("x", "z")]) < 0.45  # alternating sign ~ uncorrelated
+
+
+def test_arrival_burstiness_metronome_and_bursty(spark):
+    """A metronome key (constant gaps) scores B = -1 exactly (sigma=0);
+    a bursty key scores > a regular one; sub-second timestamps count
+    (the r8 micros fix — whole-second epochs truncated them)."""
+    import datetime as dt
+
+    from z316_sales_data_pipeline_spark.operators import timeseries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(10):  # metronome: exactly 60 s apart
+        rows.append((i, base + dt.timedelta(seconds=60 * i), "tick", 0.0))
+    # bursty: 9 gaps of 1 s then one of 1000 s
+    t = base
+    for i in range(10):
+        t = t + dt.timedelta(seconds=(1000 if i == 9 else 1))
+        rows.append((100 + i, t, "burst", 0.0))
+    # sub-second: gaps of 0.5 s must not truncate to 0
+    for i in range(4):
+        rows.append((200 + i, base + dt.timedelta(milliseconds=500 * i), "micro", 0.0))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    out = {r["event_type"]: r for r in timeseries.arrival_burstiness(
+        ev, "event_type", "ts", "event_id").collect()}
+    assert out["tick"]["burstiness"] == -1.0
+    assert out["burst"]["burstiness"] > 0.4 > out["tick"]["burstiness"]
+    assert out["micro"]["mean_gap_s"] == 0.5
+
+
+def test_collocation_pmi_doc_local_counts(spark):
+    """PMI favors the pair that ALWAYS co-occurs over the one diluted
+    by solo appearances; pairs below min_docs are absent."""
+    from z316_sales_data_pipeline_spark.operators import corpus as C
+
+    rows = [(i, "alpha beta common") for i in range(5)]      # alpha+beta always together
+    rows += [(10 + i, "gamma common") for i in range(5)]      # gamma solo with common
+    rows += [(20 + i, "gamma delta common") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["token_a"], r["token_b"]): r for r in C.collocation_pmi(
+        df, "text", "doc_id", min_docs=5, k=20).collect()}
+    assert ("alpha", "beta") in out and out[("alpha", "beta")]["n_ab"] == 5
+    # exclusive pair beats the diluted gamma-common pair
+    assert out[("alpha", "beta")]["pmi"] > out[("common", "gamma")]["pmi"]
+    assert ("beta", "gamma") not in out  # never co-occur
+
+
+def test_revenue_waterfall_identity(spark, sf_dir):
+    """net == gross - discount + tax holds bit-for-bit per month (the
+    expanded price*(1-d)*(1+t) identity in exact micro-dollars)."""
+    import __spark_entry__ as entrymod
+
+    for r in entrymod.queries()["revenue_waterfall"](spark, sf_dir).collect():
+        assert r["net_micro"] == r["gross_micro"] - r["discount_micro"] + r["tax_micro"]

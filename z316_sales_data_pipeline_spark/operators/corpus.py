@@ -1006,3 +1006,89 @@ def tfidf_query_rank(
         .orderBy(F.col("tfidf").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def collocation_pmi(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k word collocations by document-level PMI: for unordered
+    token pairs co-occurring in ≥ ``min_docs`` documents, pmi =
+    ln(n_ab·N / (n_a·n_b)) — the classic collocation extractor
+    (phrases worth treating as single vocabulary units before BPE).
+
+    DOC-LOCAL pair generation: the self-join keys on the doc id, so
+    the quadratic term is Σ|doc-distinct-tokens|² — bounded by
+    document length, never vocabulary² or corpus² (the basket_pairs
+    class). Counts are exact integers; the single ln() per surviving
+    pair is the only float. Deterministic top-k (pmi round-6 desc,
+    token_a, token_b) compiles to TakeOrderedAndProject.
+    """
+    toks = (
+        df.filter(F.length(F.col(text_col)) > 0)
+        .select(F.col(id_col).alias("__id"), F.explode(_norm_tokens(text_col)).alias("t"))
+        .distinct()
+    )
+    n_docs = df.filter(F.length(F.col(text_col)) > 0).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    a = toks.select("__id", F.col("t").alias("token_a"))
+    b = toks.select("__id", F.col("t").alias("token_b"))
+    pairs = (
+        a.join(b, "__id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_docs)
+    )
+    na = uni.select(F.col("t").alias("token_a"), F.col("n_t").alias("n_a"))
+    nb = uni.select(F.col("t").alias("token_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "token_a")
+        .join(F.broadcast(nb), "token_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token_a", "token_b", "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double") * F.col("__n")
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("token_a").asc(), F.col("token_b").asc())
+        .limit(k)
+    )
+
+
+def behavior_entropy(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+    min_n: int = 10,
+) -> DataFrame:
+    """Per-key Shannon entropy (bits) over a categorical column's
+    distribution — behavioral-diversity profiling (a user who only
+    ever views scores 0; one spread over all event types scores
+    log2(|types|)). Same two-hash-aggregate shape as
+    :func:`char_entropy_by_group` at a different grain: the only wide
+    relation reduces immediately to (key, category) counts; entropy
+    folds ≤ |categories| float terms per key, rounded at the audit
+    grain."""
+    counts = df.groupBy(key_col, cat_col).agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c").over(Window.partitionBy(key_col))
+    p = F.col("c") / total
+    return (
+        counts.select(F.col(key_col), (-(p * F.log2(p))).alias("__term"), F.col("c"))
+        .groupBy(key_col)
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.round(F.sum("__term"), 6).alias("entropy_bits"),
+        )
+        .filter(F.col("n_events") >= min_n)
+    )

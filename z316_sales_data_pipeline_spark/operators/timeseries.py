@@ -21,7 +21,7 @@ way:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -267,4 +267,54 @@ def kaplan_meier(
             ),
             6,
         ).alias("survival"),
+    )
+
+
+def arrival_burstiness(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Per-key burstiness of the arrival process: B = (σ−μ)/(σ+μ)
+    over inter-arrival gaps (Goh–Barabási) — −1 for a metronome, →0
+    for Poisson, →1 for heavy bursts; the load-model statistic behind
+    capacity planning and bot detection.
+
+    Gaps are exact integer MICROSECONDS (unix_micros — whole-second
+    epoch functions truncate sub-second timestamps and silently shift
+    every moment) off one key-partitioned lag window; μ and σ come
+    from exact decimal moments (n, Σg, Σg²) — the pearson_exact
+    discipline, so no float accumulation order anywhere — and B is
+    one float expression over them, rounded at the audit grain
+    (reported in seconds: one division by 10^6 at the end). Keys need
+    ≥ 3 events (2 gaps) for a variance.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
+    gaps = events.select(
+        F.col(key_col),
+        (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(F.lag(F.col(ts_col).cast("timestamp")).over(w))
+        ).alias("__g"),
+    ).filter(F.col("__g").isNotNull())
+    dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    m = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(dec(F.col("__g"))).alias("__s"),
+        F.sum(dec(F.col("__g")) * dec(F.col("__g"))).alias("__q"),
+    )
+    n = F.col("n_gaps").cast("double")
+    s, q = F.col("__s").cast("double"), F.col("__q").cast("double")
+    mu = s / n
+    sigma = F.sqrt((n * q - s * s)) / n
+    return (
+        m.filter(F.col("n_gaps") >= 2)
+        .select(
+            F.col(key_col),
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            F.round(mu / F.lit(1000000.0), 6).alias("mean_gap_s"),
+            F.round(sigma / F.lit(1000000.0), 6).alias("std_gap_s"),
+            F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+        )
     )
