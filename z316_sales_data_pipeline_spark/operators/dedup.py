@@ -1316,19 +1316,33 @@ def prefix_jaccard_join(
     makes it maximally selective: candidate volume is bounded by the
     df of RARE grams, not the corpus.
 
-    Plan shape: one corpus scan → gram explode → fingerprint to the
-    seedless md5-long family IN the generate stage, so only (doc,
-    gram_hash) LONGS ever shuffle, never gram text (the shingling
-    discipline; standard caveat: a 2^-64 collision could merge two
-    grams); df is a vocabulary-grain aggregate joined back; per-doc
-    sorted gram-hash arrays reduce on the doc key; candidates come
-    from a self-join on the EXPLODED PREFIX only, length-filtered
-    (t·sa ≤ sb, the PPJoin size bound — a pair whose set sizes are
-    incompatible with t cannot qualify) BEFORE the pair distinct; and
-    verification is array_intersect on the two docs' (≤ set-size)
-    long arrays — pair-grain, no second fact shuffle. The threshold
-    test cross-multiplies integers (10·|∩| ≥ 10t·(sa+sb−|∩|)), so
-    floats appear only in the reported jaccard (one exact division).
+    Plan shape — DEDUPE-FIRST, then prefix-join the distinct sets:
+
+    1. one corpus scan → gram explode → fingerprint to the seedless
+       md5-long family IN the generate stage, so only (doc, gram_hash)
+       LONGS ever shuffle, never gram text (the shingling discipline;
+       standard caveat: a 2^-64 collision could merge two grams);
+    2. docs collapse to DISTINCT GRAM SETS (set fingerprint = hash of
+       the sorted gram-hash array): on a duplicate-heavy corpus — the
+       exact regime an exact join is run in — the quadratic candidate
+       work shrinks from corpus² to distinct-sets², while identical
+       docs pair up directly (J = 1 by definition, no verification).
+       Measured at the 30× replica (every text a 30-way verbatim
+       duplicate): the doc-grain join DID NOT FINISH in 9 minutes;
+       this form is bounded by the 1× join plus the output expansion;
+    3. candidates: self-join on each distinct set's RAREST
+       s−⌈t·s⌉+1 grams only (df asc, gram asc order — the prefix
+       filter is lossless for any consistent total order),
+       length-filtered (t·sa ≤ sb, the PPJoin size bound) BEFORE the
+       pair distinct;
+    4. verification: array_intersect on the two sets' (≤ set-size)
+       long arrays — set-pair grain, no second fact shuffle; the
+       threshold test cross-multiplies integers (10·|∩| ≥
+       10t·(sa+sb−|∩|)), so floats appear only in the reported
+       jaccard (one exact division);
+    5. expansion back to doc pairs is two joins on the set
+       fingerprint — linear in the OUTPUT, which is the size of the
+       answer itself (no algorithm beats it).
     """
     t_num, t_den = int(round(threshold * 10)), 10
     grams = (
@@ -1350,51 +1364,94 @@ def prefix_jaccard_join(
             F.transform("__arr", lambda s: s["g"]).alias("__grams"),
             F.size("__arr").alias("__s"),
         )
-        .localCheckpoint(eager=True)  # doc-grain; consumed 3x below
+    )
+    # collapse to distinct gram sets; members carry (fp, doc_id) only
+    members = per_doc.select(
+        F.col(id_col),
+        fingerprint64(F.concat_ws(",", F.transform("__grams", lambda g: g.cast("string")))).alias("__fp"),
+        F.col("__s"),
+        F.col("__grams"),
+    ).localCheckpoint(eager=True)  # doc-grain; feeds sets + both expansions
+    sets = (
+        members.groupBy("__fp")
+        .agg(
+            F.min_by("__grams", F.col(id_col)).alias("__grams"),
+            F.min("__s").alias("__s"),
+            F.count(F.lit(1)).alias("__m"),
+        )
+        .localCheckpoint(eager=True)  # set-grain; consumed 3x below
+    )
+    # identical-set pairs: J = 1 by definition, emitted directly
+    ma = members.select(F.col("__fp"), F.col(id_col).alias("doc_a"), F.col("__s"))
+    mb = members.select(F.col("__fp"), F.col(id_col).alias("doc_b"))
+    identical = (
+        ma.join(mb, "__fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("__s").cast("long").alias("n_inter"),
+            F.col("__s").cast("long").alias("n_union"),
+            F.lit(1.0).alias("jaccard"),
+        )
     )
     prefix_len = (
         F.col("__s") - F.ceil(F.col("__s") * F.lit(t_num) / F.lit(t_den)) + F.lit(1)
     ).cast("int")
-    prefix = per_doc.select(
-        F.col(id_col),
+    prefix = sets.select(
+        F.col("__fp"),
         F.col("__s"),
         F.explode(F.slice("__grams", 1, prefix_len)).alias("g"),
     )
-    a = prefix.select(F.col(id_col).alias("doc_a"), F.col("__s").alias("__la"), "g")
-    b = prefix.select(F.col(id_col).alias("doc_b"), F.col("__s").alias("__lb"), "g")
+    a = prefix.select(F.col("__fp").alias("__fa"), F.col("__s").alias("__la"), "g")
+    b = prefix.select(F.col("__fp").alias("__fb"), F.col("__s").alias("__lb"), "g")
     cand = (
         a.join(b, "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("__fa") < F.col("__fb"))
         # PPJoin length bound: t·max(sa,sb) ≤ min(sa,sb) is necessary
         # for J ≥ t — applied before the pair distinct to shrink it
         .filter(
             (F.col("__la") * t_num <= F.col("__lb") * t_den)
             & (F.col("__lb") * t_num <= F.col("__la") * t_den)
         )
-        .select("doc_a", "doc_b")
+        .select("__fa", "__fb")
         .distinct()
     )
-    pa = per_doc.select(
-        F.col(id_col).alias("doc_a"),
+    pa = sets.select(
+        F.col("__fp").alias("__fa"),
         F.col("__grams").alias("__ga"),
         F.col("__s").alias("__sa"),
     )
-    pb = per_doc.select(
-        F.col(id_col).alias("doc_b"),
+    pb = sets.select(
+        F.col("__fp").alias("__fb"),
         F.col("__grams").alias("__gb"),
         F.col("__s").alias("__sb"),
     )
     inter = F.size(F.array_intersect("__ga", "__gb"))
     union = F.col("__sa") + F.col("__sb") - inter
-    return (
-        cand.join(pa, "doc_a")
-        .join(pb, "doc_b")
+    set_pairs = (
+        cand.join(pa, "__fa")
+        .join(pb, "__fb")
         .filter(inter * F.lit(t_den) >= union * F.lit(t_num))
         .select(
-            "doc_a",
-            "doc_b",
+            "__fa",
+            "__fb",
             inter.cast("long").alias("n_inter"),
             union.cast("long").alias("n_union"),
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
     )
+    ea = members.select(F.col("__fp").alias("__fa"), F.col(id_col).alias("__ida"))
+    eb = members.select(F.col("__fp").alias("__fb"), F.col(id_col).alias("__idb"))
+    cross = (
+        set_pairs.join(ea, "__fa")
+        .join(eb, "__fb")
+        .select(
+            F.least("__ida", "__idb").alias("doc_a"),
+            F.greatest("__ida", "__idb").alias("doc_b"),
+            "n_inter",
+            "n_union",
+            "jaccard",
+        )
+    )
+    return identical.unionByName(cross)
