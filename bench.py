@@ -121,6 +121,22 @@ HEADLINE = [
     # EWMA-vs-naive forecast bake-off.
     "decayed_trending",
     "forecast_backtest",
+    # r8 additions — the exact set-similarity join (dedupe-first
+    # prefix filtering; worst-case-vocab cost analyzed in
+    # docs/PERF.md), hybrid retrieval (RRF fusion, graded nDCG
+    # audit), O(delta) view maintenance + version diff, the SCD2
+    # late-event fold/repair split, exact-moment correlation, and the
+    # collocation/burstiness analytics. Additions only.
+    "prefix_jaccard_join",
+    "rrf_fusion",
+    "ndcg_eval",
+    "ivm_join_delta",
+    "snapshot_diff",
+    "scd2_fold_late",
+    "measure_correlations",
+    "collocation_pmi",
+    "arrival_burstiness",
+    "revenue_bridge",
 ]
 
 

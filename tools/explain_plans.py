@@ -332,6 +332,95 @@ CHECKLIST = {
         "band_hash) keys only, exact-intersect via the shingle "
         "double-join, final 17-row hash agg — no CartesianProduct."
     ),
+    "prefix_jaccard_join": (
+        "Exact set-similarity join, dedupe-first prefix filtering "
+        "(r8). Expect: ONE documents scan feeding the gram explode "
+        "with fingerprint64 fused in the Generate stage (longs "
+        "shuffle, never gram text); Scan ExistingRDD roots for the "
+        "checkpointed member/set relations; the candidate self-join "
+        "keys on the exploded PREFIX grams only with the length "
+        "filter BEFORE the pair distinct; verification as "
+        "array_intersect projections — no second fact shuffle, no "
+        "CartesianProduct."
+    ),
+    "rrf_fusion": (
+        "Reciprocal-rank fusion (r8). Expect: two corpus token "
+        "explodes (one per ranker family), each reduced by ONE "
+        "doc-grain hash agg with the tf pivot fused; 1-row stats "
+        "BroadcastNestedLoopJoin; TakeOrderedAndProject top-20 per "
+        "ranker; the global rank windows sit ABOVE the LIMIT (20-row "
+        "inputs — allowlisted bounded site); fusion is a k-scale hash "
+        "agg over the sorted struct fold."
+    ),
+    "ndcg_eval": (
+        "Graded ANN ranking audit (r8). Expect: shared (vid, v, cell) "
+        "Scan ExistingRDD (checkpointed assignment feeds both arms); "
+        "probed arm joins cells then per-query top-k Window over "
+        "candidates only; exact arm is BroadcastNestedLoopJoin with "
+        "the fixed query batch broadcast; DCG folds as an exact "
+        "integer hash agg (element_at on the literal weight array — "
+        "no float sum)."
+    ),
+    "ivm_join_delta": (
+        "O(delta) join-MV maintenance (r8). Expect: the base-MV arm "
+        "and the delta arm UNION; BOTH lineitem scans carry the "
+        "l_shipdate PushedFilter (base < cutoff, delta >= cutoff); "
+        "the orders dimension joins BroadcastHashJoin on both arms; "
+        "no re-join of the base against the dimension beyond its own "
+        "arm, no shuffle of the union output."
+    ),
+    "snapshot_diff": (
+        "Version-to-version diff (r8). Expect: two events scans each "
+        "reduced by a (user_id) hash agg with the max(struct) winner "
+        "pick (no row_number sort), ONE SortMergeJoin FullOuter on "
+        "the null-safe key, and the change filter ABOVE the join — "
+        "output is change-grain, never table-grain."
+    ),
+    "scd2_fold_late": (
+        "SCD2 fold/repair split (r8). Expect: the three-way union "
+        "(untouched pass-through / folded / key-scoped rebuilt); "
+        "late-key detection as a join against the open rows' "
+        "(last_ts, last_tb) watermark columns; every window "
+        "partitioned by user_id; the batch-key semi/anti joins "
+        "broadcast (O(batch) relations) — history is never "
+        "re-sorted whole."
+    ),
+    "measure_correlations": (
+        "Exact-moment Pearson matrix (r8). Expect: ONE lineitem scan "
+        "into a single HashAggregate producing ALL 15 decimal(38,0) "
+        "moments (partial_sum map-side), then the 6-pair matrix "
+        "unfolds from literals via explode — no second scan, no "
+        "per-pair job, no float aggregate anywhere."
+    ),
+    "collocation_pmi": (
+        "Document-level PMI collocations (r8). Expect: one documents "
+        "scan, (doc, token) distinct, the pair self-join keyed on "
+        "doc_id (doc-local — Σ|doc-vocab|², never vocab²), unigram "
+        "counts broadcast back, TakeOrderedAndProject top-20."
+    ),
+    "arrival_burstiness": (
+        "Inter-arrival burstiness (r8). Expect: ONE key-partitioned "
+        "window exchange for the lag, then a hash agg to key grain "
+        "producing exact decimal moments; B computed in the final "
+        "projection — no float accumulation, no second exchange."
+    ),
+    "revenue_bridge": (
+        "Price/volume bridge (r8). Expect: one lineitem scan with the "
+        "year PushedFilter, BroadcastHashJoin against part, ONE hash "
+        "agg producing all four conditional sums (no per-year scan), "
+        "effects as final projections."
+    ),
+    "revenue_waterfall": (
+        "Monthly waterfall (r8). Expect: one lineitem scan, one hash "
+        "agg to month grain with all four exact micro-dollar sums "
+        "partial-aggregated map-side — nothing else."
+    ),
+    "top_event_paths": (
+        "User-day path mining (r8). Expect: one events scan, ONE "
+        "shuffle to (user, day) grain with the path assembled from "
+        "array_sort(collect_list(struct)) — no window — then the "
+        "path-count hash agg and TakeOrderedAndProject top-20."
+    ),
 }
 
 
