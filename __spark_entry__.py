@@ -8691,6 +8691,99 @@ GROUP BY 1
 """
 
 
+def _chi_square_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-grain chi-square independence audit: event_type ×
+    ISO-weekday contingency with observed, expected and per-cell
+    (o−e)²/e (quality.chi_square_cells) — does behavior depend on the
+    day? Emitting cells keeps every float a single expression over
+    exact integer marginals (no accumulation order); the ISO weekday
+    derives portably from Sunday-first dayofweek, as dow_seasonality
+    does."""
+    ev = load_table(spark, sf_dir, "events")
+    iso = ((F.dayofweek("ts") + 5) % 7 + 1).cast("int").alias("iso_dow")
+    return quality.chi_square_cells(
+        ev.select("event_type", iso), row_col="event_type", col_col="iso_dow"
+    )
+
+
+_CHI_SQUARE_SQL = """
+WITH cells AS (
+    SELECT event_type, CAST(isodow(ts) AS INTEGER) AS iso_dow,
+           cast(count(*) AS BIGINT) AS observed
+    FROM events GROUP BY 1, 2
+), rt AS (
+    SELECT event_type, cast(sum(observed) AS BIGINT) AS rt FROM cells GROUP BY 1
+), ct AS (
+    SELECT iso_dow, cast(sum(observed) AS BIGINT) AS ct FROM cells GROUP BY 1
+), n AS (
+    SELECT cast(sum(observed) AS BIGINT) AS n FROM cells
+)
+SELECT event_type, iso_dow, observed,
+       round((rt * ct) / n, 6) AS expected,
+       round((observed - (rt * ct) / n) * (observed - (rt * ct) / n)
+             / ((rt * ct) / n), 6) AS chi2_contrib
+FROM cells JOIN rt USING (event_type) JOIN ct USING (iso_dow) CROSS JOIN n
+"""
+
+
+def _value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift audit (quality.psi_drift):
+    event value distribution before vs after 2024-01-20, in ten
+    equal-width buckets derived from the OLD period's exact integer
+    cents range — pure integer binning (quantile edges interpolate
+    differently across engines), add-1 smoothing, and a bucket-grain
+    PSI contribution so no float sum crosses the engine boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return quality.psi_drift(
+        ev.filter(F.col("ts") < cutoff),
+        ev.filter(F.col("ts") >= cutoff),
+        value_cents=cents,
+        n_buckets=10,
+    )
+
+
+_PSI_SQL = """
+WITH o AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+    WHERE ts < TIMESTAMP '2024-01-20'
+), nw AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+    WHERE ts >= TIMESTAMP '2024-01-20'
+), b AS (
+    SELECT min(v) AS lo,
+           greatest(CAST(1 AS BIGINT),
+                    CAST(ceil((max(v) - min(v) + 1) / 10) AS BIGINT)) AS wd
+    FROM o
+), ob AS (
+    SELECT least(9, greatest(0, CAST(floor((v - lo) / wd) AS BIGINT))) AS bucket,
+           cast(count(*) AS BIGINT) AS n_old
+    FROM o CROSS JOIN b GROUP BY 1
+), nb AS (
+    SELECT least(9, greatest(0, CAST(floor((v - lo) / wd) AS BIGINT))) AS bucket,
+           cast(count(*) AS BIGINT) AS n_new
+    FROM nw CROSS JOIN b GROUP BY 1
+), spine AS (
+    SELECT unnest(generate_series(0, 9)) AS bucket
+), j AS (
+    SELECT spine.bucket, coalesce(ob.n_old, 0) AS n_old, coalesce(nb.n_new, 0) AS n_new
+    FROM spine LEFT JOIN ob USING (bucket) LEFT JOIN nb USING (bucket)
+), tot AS (
+    SELECT cast(sum(n_old) + 10 AS BIGINT) AS t_o,
+           cast(sum(n_new) + 10 AS BIGINT) AS t_n
+    FROM j
+)
+SELECT bucket, n_old, n_new,
+       round((n_old + 1) / CAST(t_o AS DOUBLE), 6) AS p_old,
+       round((n_new + 1) / CAST(t_n AS DOUBLE), 6) AS p_new,
+       round(((n_new + 1) / CAST(t_n AS DOUBLE) - (n_old + 1) / CAST(t_o AS DOUBLE))
+             * ln(((n_new + 1) / CAST(t_n AS DOUBLE))
+                  / ((n_old + 1) / CAST(t_o AS DOUBLE))), 6) AS psi_contrib
+FROM j CROSS JOIN tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r8 driver sample (first 50): the r3/r4-stale entries
@@ -8772,6 +8865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrival_burstiness": _arrival_burstiness,
         "revenue_bridge": _revenue_bridge,
         "revenue_waterfall": _revenue_waterfall,
+        "chi_square_dow": _chi_square_dow,
+        "value_drift_psi": _value_drift_psi,
         # -- r5/r6-attested --
         "ann_recall_eval": _ann_recall_eval,
         "cluster_representative": _cluster_representative,
@@ -8975,6 +9070,8 @@ def oracle_sql() -> dict[str, str]:
         "arrival_burstiness": _BURSTINESS_SQL,
         "revenue_bridge": _REVENUE_BRIDGE_SQL,
         "revenue_waterfall": _REVENUE_WATERFALL_SQL,
+        "chi_square_dow": _CHI_SQUARE_SQL,
+        "value_drift_psi": _PSI_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,

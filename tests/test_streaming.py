@@ -1308,3 +1308,38 @@ def test_cusum_monitor_alarms_and_batch_alignment_invariance(spark, tmp_path):
     # shifted event (event index 12, n_seen 13)
     assert first["direction"] == "up" and first["n_seen"] == 13
     assert first["stat"] == 7.5
+
+
+def test_ivm_join_mv_sink_equals_full_join(spark, sf_dir, tmp_path):
+    """Streaming join-MV maintenance (r8): three insert epochs of
+    lineitem delta-joined against the stable orders dimension equal
+    the full batch join; a replayed epoch is a no-op via the append
+    txn log."""
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming.pipeline import ivm_join_mv_sink
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_shipdate"
+    )
+    dim = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey", "o_orderdate"
+    )
+    cuts = ["1997-01-01", "1999-01-01"]
+    slices = [
+        li.filter(F.col("l_shipdate") < cuts[0]),
+        li.filter((F.col("l_shipdate") >= cuts[0]) & (F.col("l_shipdate") < cuts[1])),
+        li.filter(F.col("l_shipdate") >= cuts[1]),
+    ]
+    t = str(tmp_path / "mv")
+    fold = ivm_join_mv_sink(t, dim, "l_orderkey")
+    for i, sl in enumerate(slices):
+        fold(sl, i)
+    fold(slices[2], 2)  # replayed epoch: must be a no-op
+    got = sorted(map(tuple, sinks.read_appended(spark, t).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "o_custkey", "o_orderdate"
+    ).collect()))
+    want = sorted(map(tuple, li.join(dim, "l_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "o_custkey", "o_orderdate"
+    ).collect()))
+    assert got == want

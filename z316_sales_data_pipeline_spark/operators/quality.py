@@ -143,3 +143,119 @@ def near_duplicate_payments(
             F.abs(F.datediff(F.col("d_b"), F.col("d_a"))).alias("days_apart"),
         )
     )
+
+
+def chi_square_cells(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Cell-grain chi-square independence audit for two categoricals:
+    observed count, expected count (row_total · col_total / N) and the
+    (o−e)²/e contribution per cell — the drill-down a data-quality
+    dashboard actually shows (the global χ² is the sum the reader can
+    take; emitting cells keeps every float a SINGLE expression over
+    exact integers, so there is no cross-engine accumulation order to
+    defend).
+
+    One contingency hash aggregate (|rows|×|cols| cells), the two
+    marginals reduced FROM the cells (never a second fact scan) and
+    broadcast back.
+    """
+    cells = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("observed"))
+    row_tot = cells.groupBy(row_col).agg(F.sum("observed").alias("__rt"))
+    col_tot = cells.groupBy(col_col).agg(F.sum("observed").alias("__ct"))
+    n_tot = cells.agg(F.sum("observed").alias("__n"))
+    e = F.col("__rt") * F.col("__ct") / F.col("__n")
+    return (
+        cells.join(F.broadcast(row_tot), row_col)
+        .join(F.broadcast(col_tot), col_col)
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            row_col,
+            col_col,
+            "observed",
+            F.round(e, 6).alias("expected"),
+            F.round(
+                (F.col("observed") - e) * (F.col("observed") - e) / e, 6
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_cents: Column,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population-stability-index drift audit between two periods of
+    an integer-valued measure, at BUCKET grain: equal-width buckets
+    derived from the OLD period's exact integer [min, max] (width =
+    max(1, ⌈range/n⌉), bucket = min(n−1, (v−min) div width), out-of-
+    range new values clamp into the edge buckets) — every bucket
+    assignment is pure integer arithmetic, so the binning is
+    engine-exact, unlike quantile edges (interpolation families
+    differ across engines). Counts are add-1 smoothed so empty
+    buckets stay finite; the per-bucket PSI contribution
+    (p_new−p_old)·ln(p_new/p_old) is a single float expression over
+    exact integers (emitting cells, not the sum, keeps accumulation
+    order out of the comparison — the chi_square_cells discipline).
+
+    Two fact scans (one per period) each reducing straight to the
+    n_buckets-row grain; the old-period bounds are a broadcast
+    one-row aggregate.
+    """
+    bounds = old.select(value_cents.alias("__v")).agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    width = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((F.col("__hi") - F.col("__lo") + 1) / F.lit(n_buckets)).cast("long"),
+    )
+    bucket = F.least(
+        F.lit(n_buckets - 1).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((F.col("__v") - F.col("__lo")) / width).cast("long"),
+        ),
+    )
+
+    def per_bucket(d: DataFrame, alias: str) -> DataFrame:
+        return (
+            d.select(value_cents.alias("__v"))
+            .crossJoin(F.broadcast(bounds))
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    spine = old.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
+    o = per_bucket(old, "n_old")
+    n = per_bucket(new, "n_new")
+    joined = (
+        spine.join(o, "bucket", "left")
+        .join(n, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    tot = joined.agg(
+        (F.sum("n_old") + n_buckets).alias("__to"),
+        (F.sum("n_new") + n_buckets).alias("__tn"),
+    )
+    p_old = (F.col("n_old") + 1) / F.col("__to")
+    p_new = (F.col("n_new") + 1) / F.col("__tn")
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_old",
+            "n_new",
+            F.round(p_old, 6).alias("p_old"),
+            F.round(p_new, 6).alias("p_new"),
+            F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_contrib"),
+        )
+    )

@@ -376,6 +376,35 @@ def scd2_history_sink(
     return fold
 
 
+def ivm_join_mv_sink(
+    table_dir: str,
+    dim: DataFrame,
+    key: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch maintainer for an at-rest JOIN materialization
+    (fact ⋈ dim) under an insert-only fact stream: each micro-batch
+    joins ONLY the delta against the stable dimension
+    (:func:`~..operators.ivm.delta_join_maintain`'s delta rule) and
+    lands it as a new append segment — O(batch) per trigger, the base
+    MV is never rescanned or rewritten. Exactly-once rides the
+    append-segment txn log (``txn_key`` = the epoch id, the Delta
+    txnAppId/txnVersion pattern): a replayed epoch is a no-op.
+
+    The dimension must be stable across the stream's lifetime (the
+    same contract delta_join_maintain documents); dimension updates
+    or fact deletes route through a key-scoped rebuild instead.
+    """
+    from .. import sinks
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        joined = batch_df.join(dim, key)
+        sinks.append_snapshot(joined, table_dir, txn_key=f"ivm-epoch-{int(epoch_id)}")
+
+    return fold
+
+
 def cusum_monitor(
     stream_df: DataFrame,
     key_col: str = "event_type",
