@@ -8784,6 +8784,214 @@ FROM j CROSS JOIN tot
 """
 
 
+def _recs_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender backtest: co-purchase top-5 recs trained on
+    pre-1999 orders, evaluated on the held-out period — for every
+    DIRECTED test co-occurrence (i -> j), a hit means j is in the
+    top-5 most co-purchased items of i from TRAIN. One metrics row
+    (k, n test co-occurrences, hits, hit rate) — the eval arm every
+    "also bought" ranker needs before shipping. Pair counting stays
+    order-local on both periods; recs are a key-partitioned top-k
+    window on the item-pair relation; the hit join is pair-grain."""
+    k = 5
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_shipdate")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def directed_pairs(d: DataFrame) -> DataFrame:
+        dd = d.select("l_orderkey", "l_partkey").distinct()
+        a = dd.select("l_orderkey", F.col("l_partkey").alias("i"))
+        b = dd.select("l_orderkey", F.col("l_partkey").alias("j"))
+        return a.join(b, "l_orderkey").filter(F.col("i") != F.col("j"))
+
+    train = (
+        directed_pairs(li.filter(F.col("l_shipdate") < cutoff))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    w = Window.partitionBy("i").orderBy(F.col("n_ab").desc(), F.col("j").asc())
+    recs = train.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    test = directed_pairs(li.filter(F.col("l_shipdate") >= cutoff)).select("i", "j").distinct()
+    hits = test.join(recs.select("i", "j"), ["i", "j"], "left_semi")
+    n_test = test.agg(F.count(F.lit(1)).alias("n_test"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_test.crossJoin(F.broadcast(n_hits))
+        .select(
+            F.lit(k).alias("k"),
+            "n_test",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_test"), 6).alias("hit_rate"),
+        )
+    )
+
+
+_RECS_HIT_RATE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey, l_shipdate >= TIMESTAMP '1999-01-01' AS is_test
+            FROM lineitem),
+tr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'),
+te AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'),
+train AS (
+    SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS n_ab
+    FROM tr a JOIN tr b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+), recs AS (
+    SELECT i, j FROM (
+        SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY n_ab DESC, j) AS rn
+        FROM train
+    ) WHERE rn <= 5
+), test AS (
+    SELECT DISTINCT a.l_partkey AS i, b.l_partkey AS j
+    FROM te a JOIN te b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), h AS (
+    SELECT count(*) AS n_hits FROM test SEMI JOIN recs USING (i, j)
+)
+SELECT 5 AS k, cast((SELECT count(*) FROM test) AS BIGINT) AS n_test,
+       cast(h.n_hits AS BIGINT) AS n_hits,
+       round(h.n_hits / cast((SELECT count(*) FROM test) AS DOUBLE), 6) AS hit_rate
+FROM h
+"""
+
+
+def _bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL) —
+    the multiplicity-aware SQL surface the distinct set-op family
+    (G1–G5) doesn't cover: reconciliation where HOW MANY copies
+    differ matters (double-loads, partial replays). Spark's
+    exceptAll/intersectAll compile to aggregate-and-generate plans
+    (no sort); the result reduces to (key, op, n) so the comparison
+    is multiplicity-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 3).select("l_partkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    exc = a.exceptAll(b).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n")).withColumn("op", F.lit("except_all"))
+    inter = a.intersectAll(b).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n")).withColumn("op", F.lit("intersect_all"))
+    return exc.unionByName(inter).select("op", "l_partkey", "n")
+
+
+_BAG_SETOPS_SQL = """
+WITH a AS (SELECT l_partkey FROM lineitem WHERE l_linenumber <= 3),
+b AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+exc AS (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b),
+inter AS (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b)
+SELECT 'except_all' AS op, l_partkey, cast(count(*) AS BIGINT) AS n
+FROM exc GROUP BY 2
+UNION ALL
+SELECT 'intersect_all' AS op, l_partkey, cast(count(*) AS BIGINT) AS n
+FROM inter GROUP BY 2
+"""
+
+
+def _unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT surface parity: the monthly measure matrix
+    (qty / gross / discount / tax as exact integer units) melted to
+    (month, measure, total) — the shape BI tools and metric stores
+    consume. One month-grain aggregate, then Spark's native unpivot
+    (an Expand, no shuffle); the oracle states the same melt as
+    UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.to_date(F.date_trunc("month", "l_shipdate")).alias("month")
+    ).agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("gross_cents"),
+        F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount") * 1_000_000).cast("long")).alias("discount_micro"),
+        F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax") * 1_000_000).cast("long")).alias("tax_micro"),
+    )
+    return monthly.unpivot(
+        ids=["month"],
+        values=["qty", "gross_cents", "discount_micro", "tax_micro"],
+        variableColumnName="measure",
+        valueColumnName="total",
+    )
+
+
+_UNPIVOT_SQL = """
+WITH m AS (
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           cast(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+           cast(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS gross_cents,
+           cast(sum(CAST(round(l_extendedprice * l_discount * 1000000) AS BIGINT)) AS BIGINT) AS discount_micro,
+           cast(sum(CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 1000000) AS BIGINT)) AS BIGINT) AS tax_micro
+    FROM lineitem GROUP BY 1
+)
+SELECT month, 'qty' AS measure, qty AS total FROM m
+UNION ALL SELECT month, 'gross_cents', gross_cents FROM m
+UNION ALL SELECT month, 'discount_micro', discount_micro FROM m
+UNION ALL SELECT month, 'tax_micro', tax_micro FROM m
+"""
+
+
+def _window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface parity in one pass: dense_rank,
+    percent_rank and cume_dist of each part's retail price within its
+    type, plus a fully tie-broken row_number — all four share ONE
+    (p_type)-partitioned sort, so the suite costs a single exchange.
+    percent_rank/cume_dist are exact rational formulas over integer
+    ranks (deterministic cross-engine); ties on price share rank
+    values by definition."""
+    p = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    w = Window.partitionBy("p_type").orderBy(cents.asc())
+    w_full = Window.partitionBy("p_type").orderBy(cents.asc(), F.col("p_partkey").asc())
+    return p.select(
+        "p_partkey",
+        "p_type",
+        cents.alias("price_cents"),
+        F.dense_rank().over(w).alias("dense_rk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.row_number().over(w_full).alias("rn"),
+    )
+
+
+_WINDOW_RANK_SQL = """
+SELECT p_partkey, p_type,
+       CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+       cast(dense_rank() OVER w AS BIGINT) AS dense_rk,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       cast(row_number() OVER (PARTITION BY p_type
+            ORDER BY CAST(round(p_retailprice * 100) AS BIGINT), p_partkey) AS BIGINT) AS rn
+FROM part
+WINDOW w AS (PARTITION BY p_type ORDER BY CAST(round(p_retailprice * 100) AS BIGINT))
+"""
+
+
+def _embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index hygiene: per-label vector-norm profile (n, min/max
+    ‖v‖², and counts outside the [0.5, 2.0] band) — degenerate or
+    extreme-norm vectors poison cosine neighborhoods and quantizer
+    training. ‖v‖² folds sequentially over the array on BOTH engines
+    (deterministic), min/max/threshold-counts are order-free, so no
+    float sum ever crosses the engine boundary."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n2 = vector.dot(F.col("embedding").cast("array<double>"), F.col("embedding").cast("array<double>"))
+    return (
+        emb.select("label", n2.alias("__n2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("__n2"), 6).alias("min_norm2"),
+            F.round(F.max("__n2"), 6).alias("max_norm2"),
+            F.sum((F.col("__n2") < 0.5).cast("long")).alias("n_low"),
+            F.sum((F.col("__n2") > 2.0).cast("long")).alias("n_high"),
+        )
+    )
+
+
+_EMB_NORM_SQL = """
+WITH v AS (
+    SELECT label, list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+    FROM embeddings
+)
+SELECT label, cast(count(*) AS BIGINT) AS n_vecs,
+       round(min(n2), 6) AS min_norm2, round(max(n2), 6) AS max_norm2,
+       cast(sum(CASE WHEN n2 < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       cast(sum(CASE WHEN n2 > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM v GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r8 driver sample (first 50): the r3/r4-stale entries
@@ -8867,6 +9075,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_waterfall": _revenue_waterfall,
         "chi_square_dow": _chi_square_dow,
         "value_drift_psi": _value_drift_psi,
+        "recs_hit_rate": _recs_hit_rate,
+        "bag_setops": _bag_setops,
+        "unpivot_measures": _unpivot_measures,
+        "window_rank_suite": _window_rank_suite,
+        "embedding_norm_audit": _embedding_norm_audit,
         # -- r5/r6-attested --
         "ann_recall_eval": _ann_recall_eval,
         "cluster_representative": _cluster_representative,
@@ -9072,6 +9285,11 @@ def oracle_sql() -> dict[str, str]:
         "revenue_waterfall": _REVENUE_WATERFALL_SQL,
         "chi_square_dow": _CHI_SQUARE_SQL,
         "value_drift_psi": _PSI_SQL,
+        "recs_hit_rate": _RECS_HIT_RATE_SQL,
+        "bag_setops": _BAG_SETOPS_SQL,
+        "unpivot_measures": _UNPIVOT_SQL,
+        "window_rank_suite": _WINDOW_RANK_SQL,
+        "embedding_norm_audit": _EMB_NORM_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,
