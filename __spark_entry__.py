@@ -8992,6 +8992,167 @@ FROM v GROUP BY 1
 """
 
 
+def _skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) per part type: parts not
+    dominated on (cheaper-or-equal price, larger-or-equal size,
+    strict in one) — the multi-criteria shortlist operator SQL lacks
+    a native verb for. Compiles to TWO windows sharing one
+    (p_type)-keyed exchange: a RANGE frame max(size) over strictly
+    cheaper rows, and an equal-price group max — a row survives iff
+    it beats the first and ties the second (same-price same-size
+    rows co-survive; strict dominance removes the rest). The oracle
+    states dominance directly as NOT EXISTS, so the window algebra is
+    value-checked against the definition."""
+    p = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    base = p.select("p_partkey", "p_type", cents.alias("price_cents"), F.col("p_size").cast("long").alias("size"))
+    w_cheaper = (
+        Window.partitionBy("p_type")
+        .orderBy(F.col("price_cents").asc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_equal = Window.partitionBy("p_type", "price_cents")
+    return (
+        base.withColumn("__mx_cheaper", F.max("size").over(w_cheaper))
+        .withColumn("__mx_equal", F.max("size").over(w_equal))
+        .filter(
+            (F.col("__mx_cheaper").isNull() | (F.col("size") > F.col("__mx_cheaper")))
+            & (F.col("size") == F.col("__mx_equal"))
+        )
+        .select("p_type", "p_partkey", "price_cents", "size")
+    )
+
+
+_SKYLINE_SQL = """
+WITH b AS (
+    SELECT p_partkey, p_type, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+           CAST(p_size AS BIGINT) AS size
+    FROM part
+)
+SELECT p_type, p_partkey, price_cents, size
+FROM b p
+WHERE NOT EXISTS (
+    SELECT 1 FROM b q
+    WHERE q.p_type = p.p_type
+      AND q.price_cents <= p.price_cents AND q.size >= p.size
+      AND (q.price_cents < p.price_cents OR q.size > p.size)
+)
+"""
+
+
+def _basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 item TRIPLES bought in the same order — the 3-way
+    extension of basket_pairs: the self-join chain stays ORDER-LOCAL
+    (a < b < c within one order), so the blowup is Σ C(|basket|, 3) —
+    bounded by basket size (~7 → 35 per order), never |parts|³;
+    TakeOrderedAndProject top-k."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    c = li.select("l_orderkey", F.col("l_partkey").alias("pc"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .join(c, "l_orderkey")
+        .filter(F.col("pb") < F.col("pc"))
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "pa", "pb", "pc")
+        .limit(10)
+    )
+
+
+_BASKET_TRIPLES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc,
+       cast(count(*) AS BIGINT) AS n_orders
+FROM li a
+JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+JOIN li c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+GROUP BY 1, 2, 3
+ORDER BY n_orders DESC, pa, pb, pc
+LIMIT 10
+"""
+
+
+def _seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality STRENGTH per event type: eta² = SS_between /
+    SS_total of daily event counts grouped by ISO weekday — how much
+    of the daily variance the weekly cycle explains (the summary
+    dow_seasonality's per-cell indices don't give). Every sum of
+    squares comes from exact integer moments (daily counts are
+    integers; the decimal-moment discipline), so eta² is one float
+    expression over exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("__d"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    iso = ((F.dayofweek("__d") + 5) % 7 + 1).cast("int")
+    # pivot the 7 weekdays into ONE exact-integer row per type, so the
+    # Σ s_d²/k_d term is a FIXED-ORDER 7-term float expression (a
+    # float SUM over the dow rows would expose accumulation order)
+    aggs = [F.count(F.lit(1)).alias("n_days"), F.sum("n").alias("S"),
+            F.sum(F.col("n") * F.col("n")).alias("Q")]
+    for d in range(1, 8):
+        aggs.append(F.sum(F.when(iso == d, F.col("n")).otherwise(0)).alias(f"s{d}"))
+        aggs.append(F.sum(F.when(iso == d, 1).otherwise(0)).alias(f"k{d}"))
+    tot = daily.groupBy("event_type").agg(*aggs)
+    n = F.col("n_days").cast("double")
+    S, Q = F.col("S").cast("double"), F.col("Q").cast("double")
+    term = lambda d: F.when(  # noqa: E731
+        F.col(f"k{d}") > 0,
+        (F.col(f"s{d}").cast("double") * F.col(f"s{d}")) / F.col(f"k{d}"),
+    ).otherwise(F.lit(0.0))
+    ssb_part = term(1) + term(2) + term(3) + term(4) + term(5) + term(6) + term(7)
+    ss_total = Q - (S * S) / n
+    ss_between = ssb_part - (S * S) / n
+    return tot.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(ss_between / ss_total, 6).alias("eta2"),
+    )
+
+
+_SEASONAL_STRENGTH_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, cast(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+), tot AS (
+    SELECT event_type,
+           cast(count(*) AS BIGINT) AS n_days,
+           cast(sum(n) AS BIGINT) AS S,
+           cast(sum(n * n) AS BIGINT) AS Q,
+           cast(sum(CASE WHEN isodow(d) = 1 THEN n ELSE 0 END) AS BIGINT) AS s1,
+           cast(sum(CASE WHEN isodow(d) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+           cast(sum(CASE WHEN isodow(d) = 2 THEN n ELSE 0 END) AS BIGINT) AS s2,
+           cast(sum(CASE WHEN isodow(d) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+           cast(sum(CASE WHEN isodow(d) = 3 THEN n ELSE 0 END) AS BIGINT) AS s3,
+           cast(sum(CASE WHEN isodow(d) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+           cast(sum(CASE WHEN isodow(d) = 4 THEN n ELSE 0 END) AS BIGINT) AS s4,
+           cast(sum(CASE WHEN isodow(d) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS k4,
+           cast(sum(CASE WHEN isodow(d) = 5 THEN n ELSE 0 END) AS BIGINT) AS s5,
+           cast(sum(CASE WHEN isodow(d) = 5 THEN 1 ELSE 0 END) AS BIGINT) AS k5,
+           cast(sum(CASE WHEN isodow(d) = 6 THEN n ELSE 0 END) AS BIGINT) AS s6,
+           cast(sum(CASE WHEN isodow(d) = 6 THEN 1 ELSE 0 END) AS BIGINT) AS k6,
+           cast(sum(CASE WHEN isodow(d) = 7 THEN n ELSE 0 END) AS BIGINT) AS s7,
+           cast(sum(CASE WHEN isodow(d) = 7 THEN 1 ELSE 0 END) AS BIGINT) AS k7
+    FROM daily GROUP BY 1
+)
+SELECT event_type, n_days,
+       round((((((((CASE WHEN k1 > 0 THEN (CAST(s1 AS DOUBLE) * s1) / k1 ELSE 0.0 END
+              + CASE WHEN k2 > 0 THEN (CAST(s2 AS DOUBLE) * s2) / k2 ELSE 0.0 END)
+              + CASE WHEN k3 > 0 THEN (CAST(s3 AS DOUBLE) * s3) / k3 ELSE 0.0 END)
+              + CASE WHEN k4 > 0 THEN (CAST(s4 AS DOUBLE) * s4) / k4 ELSE 0.0 END)
+              + CASE WHEN k5 > 0 THEN (CAST(s5 AS DOUBLE) * s5) / k5 ELSE 0.0 END)
+              + CASE WHEN k6 > 0 THEN (CAST(s6 AS DOUBLE) * s6) / k6 ELSE 0.0 END)
+              + CASE WHEN k7 > 0 THEN (CAST(s7 AS DOUBLE) * s7) / k7 ELSE 0.0 END)
+              - (CAST(S AS DOUBLE) * S) / n_days)
+             / (CAST(Q AS DOUBLE) - (CAST(S AS DOUBLE) * S) / n_days), 6) AS eta2
+FROM tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r8 driver sample (first 50): the r3/r4-stale entries
@@ -9080,6 +9241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_measures": _unpivot_measures,
         "window_rank_suite": _window_rank_suite,
         "embedding_norm_audit": _embedding_norm_audit,
+        "skyline_parts": _skyline_parts,
+        "basket_triples": _basket_triples,
+        "seasonal_strength": _seasonal_strength,
         # -- r5/r6-attested --
         "ann_recall_eval": _ann_recall_eval,
         "cluster_representative": _cluster_representative,
@@ -9290,6 +9454,9 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_measures": _UNPIVOT_SQL,
         "window_rank_suite": _WINDOW_RANK_SQL,
         "embedding_norm_audit": _EMB_NORM_SQL,
+        "skyline_parts": _SKYLINE_SQL,
+        "basket_triples": _BASKET_TRIPLES_SQL,
+        "seasonal_strength": _SEASONAL_STRENGTH_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,
