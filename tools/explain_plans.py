@@ -421,6 +421,66 @@ CHECKLIST = {
         "array_sort(collect_list(struct)) — no window — then the "
         "path-count hash agg and TakeOrderedAndProject top-20."
     ),
+    "chi_square_dow": (
+        "Cell-grain chi-square audit (r8). Expect: one events scan to "
+        "the contingency hash agg; the row/col marginals reduce FROM "
+        "the cells (no second fact scan) and broadcast back; expected "
+        "and (o−e)²/e as final projections."
+    ),
+    "value_drift_psi": (
+        "PSI drift audit (r8). Expect: two period scans each reducing "
+        "straight to the 10-bucket grain (integer binning fused in "
+        "the scan stage), the old-period bounds as a broadcast 1-row "
+        "aggregate, spine left-joins, and the PSI contribution as a "
+        "final projection."
+    ),
+    "recs_hit_rate": (
+        "Recommender backtest (r8). Expect: order-local pair "
+        "self-joins on BOTH periods (shuffle on l_orderkey, never "
+        "item×item), the train top-5 via an i-partitioned row_number "
+        "window, a pair-grain LeftSemi hit join, and two 1-row "
+        "aggregates broadcast for the metric row."
+    ),
+    "bag_setops": (
+        "Bag-semantics set ops (r8). Expect: exceptAll/intersectAll "
+        "compile to aggregate+generate (count-difference replicate) — "
+        "no sort, no join of the raw multisets — then one (key, op) "
+        "hash agg per arm and a union."
+    ),
+    "unpivot_measures": (
+        "UNPIVOT surface (r8). Expect: one lineitem scan, one "
+        "month-grain hash agg with all four exact sums, then Expand "
+        "(the unpivot) — zero additional shuffles."
+    ),
+    "window_rank_suite": (
+        "Ranking-function suite (r8). Expect: ONE exchange on p_type "
+        "shared by all four rank functions (two Window operators over "
+        "the same sort — dense_rank/percent_rank/cume_dist share the "
+        "price order, row_number adds the partkey tiebreak)."
+    ),
+    "skyline_parts": (
+        "2-D skyline / Pareto frontier (r8). Expect: ONE exchange on "
+        "p_type feeding both the RANGE-frame cheaper-rows max and the "
+        "(p_type, price) equal-price max; the dominance filter is a "
+        "projection — no self-join, no NOT EXISTS nested loop."
+    ),
+    "basket_triples": (
+        "3-way co-purchase (r8). Expect: the self-join CHAIN keyed on "
+        "l_orderkey throughout (order-local — Σ C(|basket|,3), never "
+        "|parts|³), pair/triple filters pushed into the joins, "
+        "TakeOrderedAndProject top-10."
+    ),
+    "seasonal_strength": (
+        "Weekly-cycle strength (r8). Expect: one events scan to the "
+        "(type, day) grain, then ONE hash agg producing the 7 pivoted "
+        "(s_d, k_d) integer pairs + totals; eta² is a fixed-order "
+        "7-term projection — no float aggregate, no per-dow join."
+    ),
+    "embedding_norm_audit": (
+        "Vector-norm hygiene (r8). Expect: one embeddings scan with "
+        "the sequential array fold fused (no explode), one label-grain "
+        "hash agg — min/max/threshold counts only, no float sums."
+    ),
 }
 
 
