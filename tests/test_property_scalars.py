@@ -134,3 +134,95 @@ def test_bpe_merge_fold_matches_reference(spark, words, pair):
     }
     for w in words:
         assert outs[w] == ref(w), (w, lhs, rhs, outs[w], ref(w))
+
+
+_HEAVY_SETTINGS = dict(
+    # each example runs several Spark jobs (joins + windows), so the
+    # example budget is smaller than the scalar laws'
+    max_examples=6,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    deadline=None,
+)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=2, max_size=8),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([0.5, 0.7, 0.8]),
+)
+@settings(**_HEAVY_SETTINGS)
+def test_prefix_jaccard_join_lossless_property(spark, token_lists, threshold):
+    """Prefix-filter losslessness LAW over random corpora: for any
+    document set (including verbatim duplicates, subset relations and
+    single-gram docs) and any threshold, the pruned dedupe-first join
+    emits EXACTLY the brute-force pair set with exact intersection /
+    union counts."""
+    from itertools import combinations
+
+    from z316_sales_data_pipeline_spark.operators import dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"])
+        for r in dedup.prefix_jaccard_join(df, "text", "doc_id", threshold, 2).collect()
+    }
+
+    def grams(toks):
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    t_num = int(round(threshold * 10))
+    want = {}
+    for (ia, ta), (ib, tb) in combinations(enumerate(token_lists), 2):
+        ga, gb = grams(ta), grams(tb)
+        if not ga or not gb:
+            continue
+        inter, union = len(ga & gb), len(ga | gb)
+        if inter * 10 >= union * t_num:
+            want[(ia, ib)] = (inter, union)
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),    # key
+            st.sampled_from(["a", "b", "c"]),          # attr
+            st.integers(min_value=0, max_value=6),     # ts (day offset)
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    st.integers(min_value=0, max_value=6),             # late-window split
+)
+@settings(**_HEAVY_SETTINGS)
+def test_scd2_fold_or_repair_equals_recompute_property(spark, events, split):
+    """SCD2 maintenance LAW over random event streams: for ANY
+    partition of the stream into (prior, batch) — including batches
+    that are entirely late, interleaved, or tie folded timestamps —
+    fold_or_repair(history(prior), batch, prior) equals the full
+    recompute bit-for-bit."""
+    from datetime import datetime as DT
+
+    from z316_sales_data_pipeline_spark.operators import windows as W
+
+    rows = [
+        (k, a, DT(2024, 1, 1 + t), i)  # unique eid = list position
+        for i, (k, a, t) in enumerate(events)
+    ]
+    schema = "uid long, status string, ts timestamp, eid long"
+    df = spark.createDataFrame(rows, schema)
+    args = dict(key="uid", attr="status", ts="ts", tiebreak="eid")
+    # the "batch" is the late window [split, split+2) arriving last
+    lo, hi = DT(2024, 1, 1 + split), DT(2024, 1, 1 + min(split + 2, 7))
+    batch = df.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+    prior = df.filter((F.col("ts") < lo) | (F.col("ts") >= hi))
+    if prior.isEmpty() or batch.isEmpty():
+        return  # degenerate partitions: nothing to fold
+    hist = W.scd2_history(prior, carry_last=True, **args)
+    merged = W.scd2_fold_or_repair(hist, batch, prior, **args)
+    full = W.scd2_history(df, carry_last=True, **args)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in full.collect()}
