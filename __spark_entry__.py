@@ -9153,6 +9153,75 @@ FROM tot
 """
 
 
+def _ivm_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retractable aggregate-MV maintenance (ivm.retractable_agg_
+    maintain): the per-part (count, qty, revenue) rollup absorbs a
+    CDC feed WITH DELETES — each winning change retracts its key's
+    old row from the group before (for upserts) adding the new one;
+    work is O(feed + touched keys), the base MV is never
+    re-aggregated. Same winner semantics as cdc_merge
+    (sinks.cdc_winners). The oracle re-aggregates the fully applied
+    snapshot — green iff the signed-delta algebra is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long").alias("qty")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    snap = li.filter(F.col("l_linenumber") == 1).select(
+        F.col("l_orderkey").alias("k"), "l_partkey", qty, cents
+    )
+    changes = li.filter(F.col("l_linenumber") > 1).select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("v"),
+        F.when(F.col("l_returnflag") == "R", F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+        "l_partkey",
+        qty,
+        cents,
+    )
+    measures = {"qty_total": F.col("qty"), "cents_total": F.col("cents")}
+    base = snap.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qty").alias("qty_total"),
+        F.sum("cents").alias("cents_total"),
+    )
+    return ivm.retractable_agg_maintain(
+        base, snap, changes, key="k", op_col="op", version_col="v",
+        group_col="l_partkey", measures=measures,
+    )
+
+
+_IVM_AGG_RETRACT_SQL = """
+WITH snap AS (
+    SELECT l_orderkey AS k, l_partkey,
+           CAST(round(l_quantity) AS BIGINT) AS qty,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem WHERE l_linenumber = 1
+), ch AS (
+    SELECT l_orderkey AS k, l_linenumber AS v,
+           CASE WHEN l_returnflag = 'R' THEN 'delete' ELSE 'upsert' END AS op,
+           l_partkey,
+           CAST(round(l_quantity) AS BIGINT) AS qty,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem WHERE l_linenumber > 1
+), win AS (
+    SELECT k, op, l_partkey, qty, cents,
+           row_number() OVER (
+               PARTITION BY k
+               ORDER BY v DESC, CASE WHEN op = 'delete' THEN 1 ELSE 0 END DESC,
+                        l_partkey DESC, qty DESC, cents DESC
+           ) AS rn
+    FROM ch
+), applied AS (
+    SELECT s.l_partkey, s.qty, s.cents FROM snap s
+    WHERE NOT EXISTS (SELECT 1 FROM win w WHERE w.k = s.k AND w.rn = 1)
+    UNION ALL
+    SELECT l_partkey, qty, cents FROM win WHERE rn = 1 AND op <> 'delete'
+)
+SELECT l_partkey, cast(count(*) AS BIGINT) AS n,
+       cast(sum(qty) AS BIGINT) AS qty_total,
+       cast(sum(cents) AS BIGINT) AS cents_total
+FROM applied GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r8 driver sample (first 50): the r3/r4-stale entries
@@ -9244,6 +9313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_parts": _skyline_parts,
         "basket_triples": _basket_triples,
         "seasonal_strength": _seasonal_strength,
+        "ivm_agg_retract": _ivm_agg_retract,
         # -- r5/r6-attested --
         "ann_recall_eval": _ann_recall_eval,
         "cluster_representative": _cluster_representative,
@@ -9457,6 +9527,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline_parts": _SKYLINE_SQL,
         "basket_triples": _BASKET_TRIPLES_SQL,
         "seasonal_strength": _SEASONAL_STRENGTH_SQL,
+        "ivm_agg_retract": _IVM_AGG_RETRACT_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,

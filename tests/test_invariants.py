@@ -1662,3 +1662,42 @@ def test_revenue_waterfall_identity(spark, sf_dir):
 
     for r in entrymod.queries()["revenue_waterfall"](spark, sf_dir).collect():
         assert r["net_micro"] == r["gross_micro"] - r["discount_micro"] + r["tax_micro"]
+
+
+def test_retractable_agg_maintain_matrix(spark):
+    """IVM-with-deletes law on a hand matrix: upsert moving a row to
+    ANOTHER group retracts from the old group; a delete retracts only;
+    a group emptied by deletes disappears; untouched groups pass
+    through. Result equals re-aggregating the applied snapshot."""
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import ivm
+
+    snap = spark.createDataFrame(
+        [(1, "g1", 10), (2, "g1", 20), (3, "g2", 5), (4, "g3", 7)],
+        "k long, g string, m long",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 2, "upsert", "g2", 11),   # moves k=1 from g1 to g2
+            (3, 2, "delete", "g2", 0),    # retracts k=3 from g2
+            (4, 2, "delete", "g3", 0),    # empties g3 entirely
+            (5, 2, "upsert", "g4", 9),    # new key, new group
+        ],
+        "k long, v long, op string, g string, m long",
+    )
+    base = snap.groupBy("g").agg(F.count(F.lit(1)).alias("n"), F.sum("m").alias("m_total"))
+    got = {
+        r["g"]: (r["n"], r["m_total"])
+        for r in ivm.retractable_agg_maintain(
+            base, snap, changes, key="k", op_col="op", version_col="v",
+            group_col="g", measures={"m_total": F.col("m")},
+        ).collect()
+    }
+    applied = sinks.cdc_apply(snap, changes, key="k", op_col="op", version_col="v")
+    want = {
+        r["g"]: (r["n"], r["m_total"])
+        for r in applied.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("m").alias("m_total")
+        ).collect()
+    }
+    assert got == want == {"g1": (1, 20), "g2": (1, 11), "g4": (1, 9)}

@@ -78,3 +78,73 @@ def snapshot_diff(
         out_cols.append(F.col(f"o.{c}").alias(f"{c}_old"))
         out_cols.append(F.col(f"n.{c}").alias(f"{c}_new"))
     return joined.filter(o_key.isNull() | n_key.isNull() | ~same).select(*out_cols)
+
+
+def retractable_agg_maintain(
+    base_agg: DataFrame,
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str,
+    version_col: str,
+    group_col: str,
+    measures: dict[str, "F.Column"],
+) -> DataFrame:
+    """Maintain a groupBy aggregate MV under a CDC feed with UPSERTS
+    AND DELETES — the retractable half of incremental view
+    maintenance that :func:`delta_join_maintain`'s insert-only delta
+    rule cannot express: an upsert retracts the key's OLD row from
+    its group before adding the new one, a delete only retracts.
+
+    new_agg = base_agg ⊕ agg(+winning upserts) ⊖ agg(snapshot rows of
+    every touched key). All three terms are O(changes) except the
+    snapshot semi-join, which moves only the touched keys' rows; the
+    base MV is never re-aggregated. Counts and sums are signed exact
+    integers, so the merge is ONE full-outer join on the group key
+    and the result equals re-aggregating the applied snapshot
+    bit-for-bit (the oracle states exactly that). Groups whose count
+    reaches zero disappear, matching the recompute grain.
+
+    ``base_agg`` must have columns (group_col, n, *measures-aliases)
+    as produced by grouping the snapshot with the same ``measures``.
+    Winner-per-key semantics are shared with ``sinks.cdc_apply`` via
+    ``sinks.cdc_winners`` (version desc, delete-beats-upsert,
+    lexicographic payload tiebreak).
+    """
+    from ..sinks import cdc_winners
+
+    keys = [key]
+    payload_cols = [c for c in snapshot.columns if c != key]
+    winners = cdc_winners(changes, keys, payload_cols, op_col, version_col)
+    inserted = winners.filter(F.col("__w.d") == 0).select(
+        F.col(key), *[F.col(f"__w.p.{c}").alias(c) for c in payload_cols]
+    )
+    removed = snapshot.join(F.broadcast(winners.select(key)), key, "left_semi")
+
+    def signed(d: DataFrame, sign: int) -> DataFrame:
+        return d.select(
+            F.col(group_col),
+            F.lit(sign).cast("long").alias("__dn"),
+            *[(F.lit(sign) * expr).cast("long").alias(f"__d_{a}") for a, expr in measures.items()],
+        )
+
+    delta = (
+        signed(inserted, 1)
+        .unionByName(signed(removed, -1))
+        .groupBy(group_col)
+        .agg(
+            F.sum("__dn").alias("__dn"),
+            *[F.sum(f"__d_{a}").alias(f"__d_{a}") for a in measures],
+        )
+    )
+    merged = base_agg.join(delta, group_col, "full_outer").select(
+        F.col(group_col),
+        (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))).alias("n"),
+        *[
+            (
+                F.coalesce(F.col(a), F.lit(0)) + F.coalesce(F.col(f"__d_{a}"), F.lit(0))
+            ).alias(a)
+            for a in measures
+        ],
+    )
+    return merged.filter(F.col("n") > 0)

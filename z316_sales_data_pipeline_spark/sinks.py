@@ -763,12 +763,29 @@ def cdc_apply(
     """
     keys = [key] if isinstance(key, str) else key
     payload_cols = [c for c in snapshot.columns if c not in keys]
-    # losing changes die inside the aggregate: max of (version,
-    # is_delete, payload-struct) picks the winner and carries its row —
-    # deletes outrank upserts at equal version, and exact-version ties
-    # fall to the lexicographic payload comparison (engine-portable,
-    # unlike a hash tiebreak: an oracle can state the same ordering as
-    # ORDER BY the payload columns)
+    winners = cdc_winners(changes, keys, payload_cols, op_col, version_col)
+    upserts = winners.filter(F.col("__w.d") == 0).select(
+        *keys, *[F.col(f"__w.p.{c}").alias(c) for c in payload_cols]
+    )
+    untouched = snapshot.join(winners.select(*keys), keys, "left_anti")
+    return untouched.unionByName(upserts.select(*snapshot.columns))
+
+
+def cdc_winners(
+    changes: DataFrame,
+    keys: list[str],
+    payload_cols: list[str],
+    op_col: str,
+    version_col: str,
+) -> DataFrame:
+    """One winning change row per key, as (keys..., __w struct): max of
+    (version, is_delete, payload-struct) — losing changes die inside
+    the aggregate (no row_number sort); deletes outrank upserts at
+    equal version, and exact-version ties fall to the lexicographic
+    payload comparison (engine-portable, unlike a hash tiebreak: an
+    oracle can state the same ordering as ORDER BY the payload
+    columns). Shared by :func:`cdc_apply` and the retractable-MV
+    maintenance in ``operators/ivm.py``."""
     pick = F.max(
         F.struct(
             F.col(version_col).alias("v"),
@@ -776,9 +793,4 @@ def cdc_apply(
             F.struct(*[F.col(c) for c in payload_cols]).alias("p"),
         )
     ).alias("__w")
-    winners = changes.groupBy(*keys).agg(pick)
-    upserts = winners.filter(F.col("__w.d") == 0).select(
-        *keys, *[F.col(f"__w.p.{c}").alias(c) for c in payload_cols]
-    )
-    untouched = snapshot.join(winners.select(*keys), keys, "left_anti")
-    return untouched.unionByName(upserts.select(*snapshot.columns))
+    return changes.groupBy(*keys).agg(pick)
