@@ -9222,62 +9222,71 @@ FROM applied GROUP BY 1
 """
 
 
+def _scd2_agg_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-grain SCD2→IVM composition (VERDICT r8 item 5): the
+    shape a real serving stack runs — a CDC feed folds into an SCD2
+    history, and a retractable aggregate MV over the OPEN rows is
+    maintained from the history's own current-row diff, never
+    re-aggregated. Epoch 1 builds the history and the base MV; epoch
+    2 folds via scd2_apply_batch; the MV absorbs
+    snapshot_diff(cur_before, cur_after) as a CDC feed through
+    ivm.retractable_agg_maintain. Each stage is oracle-checked alone
+    elsewhere (scd2_incremental, snapshot_diff, ivm_agg_retract);
+    this entry pins the composition against ONE full-recompute
+    oracle: group the final open rows directly from all events."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    scd2_args = dict(key="user_id", attr="event_type", ts="ts", tiebreak="event_id")
+    h1 = windows.scd2_history(ev.filter(F.col("ts") < cut), carry_last=True, **scd2_args)
+    cur1 = h1.filter(F.col("is_current") == 1).select("user_id", "event_type")
+    mv1 = cur1.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").cast("long").alias("sum_uid"),
+    )
+    h2 = windows.scd2_apply_batch(h1, ev.filter(F.col("ts") >= cut), **scd2_args)
+    cur2 = h2.filter(F.col("is_current") == 1).select("user_id", "event_type")
+    diff = ivm.snapshot_diff(cur1, cur2, "user_id", ["event_type"])
+    changes = diff.select(
+        "user_id",
+        F.col("event_type_new").alias("event_type"),
+        F.when(F.col("change") == "removed", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.lit(1).cast("long").alias("ver"),
+    )
+    mv2 = ivm.retractable_agg_maintain(
+        mv1, cur1, changes, key="user_id", op_col="op", version_col="ver",
+        group_col="event_type", measures={"sum_uid": F.col("user_id")},
+    )
+    return mv2.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_users"),
+        F.col("sum_uid").cast("long").alias("sum_uid"),
+    )
+
+
+_SCD2_AGG_MV_SQL = """
+WITH last AS (
+    SELECT user_id, event_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(user_id) AS BIGINT) AS sum_uid
+FROM last GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # -- r8 driver sample (first 50): the r3/r4-stale entries
-        # promoted off the tail head (VERDICT r7 item 1) — 16 r3-stale
-        # then 34 r4-stale; the remaining 9 stale clear in r9. --
-        "lm_bigram_score": _lm_bigram_score,
-        "multimodal_features": _multimodal_features,
-        "pii_scrub": _pii_scrub,
-        "q12_priority_classes": _q12_priority_classes,
-        "q21_waiting_suppliers": _q21_waiting_suppliers,
-        "q2_min_cost_supplier": _q2_min_cost_supplier,
-        "q9_profit_by_nation_year": _q9_profit_by_nation_year,
-        "repetition_ratio": _repetition_ratio,
-        "sequence_pack": _sequence_pack,
-        "session_ids": _session_ids,
-        "source_mixture": _source_mixture,
-        "source_overlap": _source_overlap,
-        "stratified_sample": _stratified_sample,
-        "table_checksum": _table_checksum,
-        "tfidf_top_terms": _tfidf_top_terms,
-        "weighted_sample": _weighted_sample,
-        "a4_union_pages": _a4_union_pages,
-        "a5_manifest_scan": _a5_manifest_scan,
-        "basket_pairs": _basket_pairs,
-        "c2_status_dispatch": _c2_status_dispatch,
-        "c5_validate_or_delete": _c5_validate_or_delete,
-        "cohort_retention": _cohort_retention,
-        "conversion_latency": _conversion_latency,
-        "embedding_centroids": _embedding_centroids,
-        "embedding_top_pc": _embedding_top_pc,
-        "embedding_whiten": _embedding_whiten,
-        "event_transitions": _event_transitions,
-        "f14_pubsub_decode": _f14_pubsub_decode,
-        "f16_url_assembly": _f16_url_assembly,
-        "g4_symmetric_difference": _g4_symmetric_difference,
-        "funnel_conversion": _funnel_conversion,
-        "lang_id_eval": _lang_id_eval,
-        "lead_lag_gaps": _lead_lag_gaps,
-        "pack_assignments": _pack_assignments,
-        "percentile_prices": _percentile_prices,
-        "pivot_status_counts": _pivot_status_counts,
-        "q10_returned_revenue": _q10_returned_revenue,
-        "q11_important_parts": _q11_important_parts,
-        "q13_customer_distribution": _q13_customer_distribution,
-        "q14_promo_revenue": _q14_promo_revenue,
-        "q15_top_supplier": _q15_top_supplier,
-        "q16_supplier_cnt": _q16_supplier_cnt,
-        "q17_small_qty_revenue": _q17_small_qty_revenue,
-        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
-        "q20_promo_suppliers": _q20_promo_suppliers,
-        "q22_idle_customers": _q22_idle_customers,
-        "q3_shipping_priority": _q3_shipping_priority,
-        "q4_priority_count": _q4_priority_count,
-        "q5_nation_volume": _q5_nation_volume,
-        "q6_forecast_revenue": _q6_forecast_revenue,
-        # -- tail, stalest-first: the 9 remaining r4-stale --
+        # -- r9 driver sample (first 50): the 9 r4-stale entries, the 26
+        # never-driver-attested r8 additions, then the 15 stalest of the
+        # r5/r6 block (VERDICT r8 item 1 order preserved). --
         "q7_volume_shipping": _q7_volume_shipping,
         "q8_market_share": _q8_market_share,
         "quality_prune": _quality_prune,
@@ -9287,7 +9296,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_incremental": _semantic_dedup_incremental,
         "tokenizer_fertility": _tokenizer_fertility,
         "w2_keeprule_backfill": _w2_keeprule_backfill,
-        # -- never-attested r8 additions (next in line after the stale) --
         "scd2_fold_late": _scd2_fold_late,
         "prefix_jaccard_join": _prefix_jaccard_join,
         "snapshot_diff": _snapshot_diff,
@@ -9314,7 +9322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_triples": _basket_triples,
         "seasonal_strength": _seasonal_strength,
         "ivm_agg_retract": _ivm_agg_retract,
-        # -- r5/r6-attested --
         "ann_recall_eval": _ann_recall_eval,
         "cluster_representative": _cluster_representative,
         "contrastive_triples": _contrastive_triples,
@@ -9330,6 +9337,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": _dup_rate_by_source,
         "e7_distinct_values": _e7_distinct_values,
         "entity_resolution": _entity_resolution,
+        # -- never-attested r9 additions (positions 51+: next in line
+        # for the r10 rotation) --
+        "scd2_agg_mv": _scd2_agg_mv,
+        # -- tail, stalest-first: remaining r5/r6-attested --
         "g1_reconciliation_summary": _g1_reconciliation_summary,
         "g2_union_distinct": _g2_union_distinct,
         "g3_intersect": _g3_intersect,
@@ -9413,7 +9424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _token_count_bpe,
         "tumbling_counts": _tumbling_counts,
         "vocab_coverage": _vocab_coverage,
-        # -- r7-attested (freshest) --
+        # -- r7-attested --
         "bfs_reachability": _bfs_reachability,
         "item_item_cosine": _item_item_cosine,
         "decayed_trending": _decayed_trending,
@@ -9464,6 +9475,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_partition_rollup": _hll_partition_rollup,
         "json_ingest_rollup": _json_ingest_rollup,
         "knn_graph": _knn_graph,
+        # -- r8-attested (freshest) --
+        "lm_bigram_score": _lm_bigram_score,
+        "multimodal_features": _multimodal_features,
+        "pii_scrub": _pii_scrub,
+        "q12_priority_classes": _q12_priority_classes,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q9_profit_by_nation_year": _q9_profit_by_nation_year,
+        "repetition_ratio": _repetition_ratio,
+        "sequence_pack": _sequence_pack,
+        "session_ids": _session_ids,
+        "source_mixture": _source_mixture,
+        "source_overlap": _source_overlap,
+        "stratified_sample": _stratified_sample,
+        "table_checksum": _table_checksum,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "weighted_sample": _weighted_sample,
+        "a4_union_pages": _a4_union_pages,
+        "a5_manifest_scan": _a5_manifest_scan,
+        "basket_pairs": _basket_pairs,
+        "c2_status_dispatch": _c2_status_dispatch,
+        "c5_validate_or_delete": _c5_validate_or_delete,
+        "cohort_retention": _cohort_retention,
+        "conversion_latency": _conversion_latency,
+        "embedding_centroids": _embedding_centroids,
+        "embedding_top_pc": _embedding_top_pc,
+        "embedding_whiten": _embedding_whiten,
+        "event_transitions": _event_transitions,
+        "f14_pubsub_decode": _f14_pubsub_decode,
+        "f16_url_assembly": _f16_url_assembly,
+        "g4_symmetric_difference": _g4_symmetric_difference,
+        "funnel_conversion": _funnel_conversion,
+        "lang_id_eval": _lang_id_eval,
+        "lead_lag_gaps": _lead_lag_gaps,
+        "pack_assignments": _pack_assignments,
+        "percentile_prices": _percentile_prices,
+        "pivot_status_counts": _pivot_status_counts,
+        "q10_returned_revenue": _q10_returned_revenue,
+        "q11_important_parts": _q11_important_parts,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_cnt": _q16_supplier_cnt,
+        "q17_small_qty_revenue": _q17_small_qty_revenue,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q20_promo_suppliers": _q20_promo_suppliers,
+        "q22_idle_customers": _q22_idle_customers,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q4_priority_count": _q4_priority_count,
+        "q5_nation_volume": _q5_nation_volume,
+        "q6_forecast_revenue": _q6_forecast_revenue,
     }
 
 
@@ -9528,6 +9590,7 @@ def oracle_sql() -> dict[str, str]:
         "basket_triples": _BASKET_TRIPLES_SQL,
         "seasonal_strength": _SEASONAL_STRENGTH_SQL,
         "ivm_agg_retract": _IVM_AGG_RETRACT_SQL,
+        "scd2_agg_mv": _SCD2_AGG_MV_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,

@@ -1701,3 +1701,43 @@ def test_retractable_agg_maintain_matrix(spark):
         ).collect()
     }
     assert got == want == {"g1": (1, 20), "g2": (1, 11), "g4": (1, 9)}
+
+
+def test_pearson_exact_drops_incomplete_rows(spark):
+    """ADVICE r8: a NULL in any measure must not skew the moments —
+    complete-case semantics: rows with any NULL measure are excluded
+    from n AND every sum, so the result equals pearson over the
+    complete rows only."""
+    from z316_sales_data_pipeline_spark.operators import aggregates
+
+    full = spark.createDataFrame(
+        [(1, 2), (2, 4), (3, 6), (4, 8)], "x long, y long"
+    )
+    with_nulls = spark.createDataFrame(
+        [(1, 2), (2, 4), (3, 6), (4, 8), (None, 99), (7, None)],
+        "x long, y long",
+    )
+    cols = {"x": F.col("x"), "y": F.col("y")}
+    want = aggregates.pearson_exact(full, cols).collect()[0]
+    got = aggregates.pearson_exact(with_nulls, cols).collect()[0]
+    assert (got["n"], got["r"]) == (want["n"], want["r"]) == (4, 1.0)
+
+
+def test_psi_drift_bucket_assignment_is_integral_div(spark):
+    """ADVICE r8: bucket = (v-lo) div width must be TRUE integer
+    division, exact for all longs — not floor(double/double), which
+    misassigns once (v-lo) exceeds 2^53. 2^53+1 is the first long a
+    double cannot represent: under double division it collapses onto
+    2^53 and lands in the wrong bucket for width 1... verified here at
+    the boundary via a 2-bucket split whose edge sits at 2^53+1."""
+    from z316_sales_data_pipeline_spark.operators import quality
+
+    lo, edge = 0, (1 << 53) + 1
+    hi = 2 * edge - 1  # width = ceil((hi-lo+1)/2) = 2^53+1
+    old = spark.createDataFrame([(lo,), (hi,)], "v long")
+    # edge value belongs in bucket 1: (edge - 0) div (2^53+1) == 1;
+    # double division gives 2^53/(2^53+1) -> floor 0 (wrong bucket)
+    new = spark.createDataFrame([(edge,)], "v long")
+    out = {r["bucket"]: (r["n_old"], r["n_new"])
+           for r in quality.psi_drift(old, new, F.col("v"), n_buckets=2).collect()}
+    assert out[1][1] == 1 and out[0][1] == 0

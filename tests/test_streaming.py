@@ -1343,3 +1343,162 @@ def test_ivm_join_mv_sink_equals_full_join(spark, sf_dir, tmp_path):
         "l_orderkey", "l_linenumber", "l_partkey", "o_custkey", "o_orderdate"
     ).collect()))
     assert got == want
+
+
+def test_cusum_monitor_clamps_timeout_for_very_late_keys(spark, tmp_path):
+    """ADVICE r8: (flat)MapGroupsWithState does NOT auto-drop late
+    rows, so a key whose newest event is already more than
+    idle_timeout behind the watermark computes an eviction horizon <=
+    the current watermark — setTimeoutTimestamp would throw
+    IllegalArgumentException and kill the whole query. The fix clamps
+    the horizon to watermark+1ms: the query completes, the late key's
+    state evicts at the next trigger, and live keys alarm exactly as
+    before."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    fresh = [(i, base + dt.timedelta(hours=10, minutes=30 * i), "live", 12.0) for i in range(20)]
+    # newest event for 'stale' is ~10h behind the watermark batch 1 sets,
+    # while idle_timeout is 1 minute -> pre-fix horizon <= watermark
+    stale = [(100, base, "stale", 10.0)]
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    src = tmp_path / "cusum_clamp_src"
+    spark.createDataFrame(fresh, schema).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(stale, schema).coalesce(1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .withWatermark("ts", "1 minute")
+    )
+    q = (
+        pipeline.cusum_monitor(
+            stream, mu0=10.0, slack=0.5, threshold=5.0, idle_timeout_ms=60 * 1000
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum_clamp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None  # pre-fix: IllegalArgumentException
+    alarms = spark.sql("SELECT * FROM cusum_clamp").collect()
+    assert any(r["k"] == "live" for r in alarms)
+    assert not any(r["k"] == "stale" for r in alarms)
+
+
+def test_scd2_sink_refuses_incomplete_event_log(spark, sf_dir, tmp_path):
+    """ADVICE r8: enabling events_dir on a table whose history predates
+    the raw log must refuse to repair (the log is missing the early
+    epochs, so a key-scoped rebuild would silently produce a wrong
+    history) — and warn when the table predates the provenance marker
+    entirely."""
+    import pytest as _pytest
+
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import windows as W
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming.pipeline import scd2_history_sink
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    args = dict(key="user_id", attr="event_type", ts="ts", tiebreak="event_id")
+    early = ev.filter(F.col("ts") < "2024-01-10")
+    late = ev.filter(F.col("ts") >= "2024-01-10")
+
+    # epoch 0 folded WITHOUT a log, epoch 1 arrives with events_dir on:
+    # the log's earliest partition (1) postdates the table's first
+    # epoch (0) -> hard refuse
+    t = str(tmp_path / "hist_incomplete")
+    log = str(tmp_path / "rawlog_incomplete")
+    scd2_history_sink(t, **args)(early, 0)
+    with _pytest.raises(Exception, match="incomplete"):
+        scd2_history_sink(t, events_dir=log, **args)(late, 1)
+
+    # legacy table with no _SCD2_FIRST_EPOCH marker at all -> warn, not die
+    t2 = str(tmp_path / "hist_legacy")
+    log2 = str(tmp_path / "rawlog_legacy")
+    hist0 = W.scd2_history(early, carry_last=True, **args)
+    sinks.write_snapshot(hist0, t2, meta={"_SCD2_EPOCH": "0"})
+    with _pytest.warns(UserWarning, match="_SCD2_FIRST_EPOCH"):
+        scd2_history_sink(t2, events_dir=log2, **args)(late, 1)
+
+
+def test_scd2_agg_mv_sink_composition_matches_recompute(spark, sf_dir, tmp_path):
+    """VERDICT r8 item 5, streaming twin of the scd2_agg_mv registry
+    entry: a CDC stream folds into an SCD2 history AND a retractable
+    aggregate MV over the open rows, both maintained O(batch) per
+    epoch; after all epochs the MV equals grouping the full
+    recompute's open rows, and a replayed epoch is a no-op on both
+    tables."""
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import windows as W
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming.pipeline import scd2_agg_mv_sink
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    args = dict(key="user_id", attr="event_type", ts="ts", tiebreak="event_id")
+    cuts = ["2024-01-10", "2024-01-20"]
+    slices = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    hist_t = str(tmp_path / "hist")
+    mv_t = str(tmp_path / "mv")
+    fold = scd2_agg_mv_sink(hist_t, mv_t, **args)
+    for i, sl in enumerate(slices):
+        fold(sl, i)
+
+    full = W.scd2_history(ev, **args)
+    want = {
+        (r["event_type"], r["n"], r["sum_uid"])
+        for r in full.filter(F.col("is_current") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").cast("long").alias("sum_uid"),
+        )
+        .collect()
+    }
+    got = {
+        (r["event_type"], r["n"], r["sum_uid"])
+        for r in sinks.read_snapshot(spark, mv_t).collect()
+    }
+    assert got == want
+
+    # replayed epoch: no-op on BOTH tables
+    hv = int(open(f"{hist_t}/_LATEST").read())
+    mvv = int(open(f"{mv_t}/_LATEST").read())
+    fold(slices[2], 2)
+    assert int(open(f"{hist_t}/_LATEST").read()) == hv
+    assert int(open(f"{mv_t}/_LATEST").read()) == mvv
+
+    # crash-between recovery: history folded epoch 3 but the MV write
+    # was lost -> replaying the epoch folds ONLY the MV, from the
+    # correct before/after history versions
+    extra = ev.filter(F.col("ts") >= cuts[1]).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 40 DAYS")
+    ).withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+    from z316_sales_data_pipeline_spark.streaming.pipeline import scd2_history_sink
+
+    scd2_history_sink(hist_t, **args)(extra, 3)  # history-only fold
+    fold(extra, 3)  # MV catches up
+    assert int(open(f"{hist_t}/_LATEST").read()) == hv + 1
+    full2 = W.scd2_history(ev.unionByName(extra), **args)
+    want2 = {
+        (r["event_type"], r["n"], r["sum_uid"])
+        for r in full2.filter(F.col("is_current") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").cast("long").alias("sum_uid"),
+        )
+        .collect()
+    }
+    got2 = {
+        (r["event_type"], r["n"], r["sum_uid"])
+        for r in sinks.read_snapshot(spark, mv_t).collect()
+    }
+    assert got2 == want2

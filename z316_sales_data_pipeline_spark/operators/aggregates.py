@@ -357,6 +357,14 @@ def pearson_exact(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     per (x, y) pair with n and rounded r.
     """
     names = list(cols)
+    # Complete-case analysis (ADVICE r8): __n counts rows while F.sum
+    # skips NULLs, so a NULL in any measure would silently skew every
+    # moment — drop rows where ANY measure is NULL up front, making n
+    # and all sums range over exactly the same row set.
+    complete = F.lit(True)
+    for expr in cols.values():
+        complete = complete & expr.isNotNull()
+    df = df.filter(complete)
     # inputs as decimal(18,0): a product of two stays inside
     # decimal(37,0), so the decimal(38,0) sum never truncates precision
     dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..persistence import persist_fact
+
 
 def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
     """Engine-portable deterministic bucket: first 8 md5 hex chars mod n.
@@ -210,11 +212,9 @@ def tfidf_top_terms(
     # feeds dfreq, the group count AND the scored join; without the
     # checkpoint each consumer re-inlines the explode+aggregate, i.e.
     # three full corpus scans for one query
-    tf = (
-        tokens.groupBy(group_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
-    )
+    tf = persist_fact(
+        tokens.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )  # group-x-term grain (fact when group=doc): keep lineage
     # df(term) aggregated from the reduced tf relation (one row per
     # (group, term)) — a hash agg over the small relation. (A window
     # count over partition-by-term was measured 5× SLOWER: WindowExec
@@ -603,7 +603,7 @@ def contrastive_triples(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
     indexed, n_total = _windows.two_phase_row_number(
         ids, [F.col("__h").asc(), F.col("__rid").asc()], "__pos"
     )
-    ring = indexed.select("__rid", "__pos").localCheckpoint(eager=True)
+    ring = persist_fact(indexed.select("__rid", "__pos"))  # doc-grain: keep lineage
     n_df = docs.sparkSession.range(1).select(F.lit(n_total).cast("long").alias("__n"))
     t0 = _md5_long(F.concat(F.col("id_a").cast("string"), F.lit("#"), F.col("id_b").cast("string")))
     base = (
@@ -719,8 +719,8 @@ def bm25_rank(
                 for i, t in enumerate(terms)
             ],
         )
-        .localCheckpoint(eager=True)
     )
+    per_doc = persist_fact(per_doc)  # doc-grain: keep lineage
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -798,11 +798,9 @@ def dsir_weights(
     ).withColumn("bucket", F.pmod(_md5_long(F.col("__bg")), F.lit(n_buckets)))
     # (doc, bucket) counts: the only corpus-grain aggregate; feeds the
     # bucket models AND the final score join
-    doc_feats = (
-        feats.groupBy(id_col, "__target", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
+    doc_feats = persist_fact(
+        feats.groupBy(id_col, "__target", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    )  # doc-x-bucket grain (fact): keep lineage
     # n_buckets rows; checkpointed because BOTH totals and bucket_lr
     # consume it — without this each consumer re-aggregates the full
     # doc-grain relation (seen as a second ExistingRDD scan + hash agg
@@ -981,8 +979,8 @@ def tfidf_query_rank(
                 for i, t in enumerate(terms)
             ]
         )
-        .localCheckpoint(eager=True)
     )
+    per_doc = persist_fact(per_doc)  # doc-grain: keep lineage
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         *[

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint64, shingles
 from ..functions.vector import cosine
+from ..persistence import persist_fact
 
 
 # ---------------------------------------------------------------------------
@@ -213,7 +214,7 @@ def minhash_near_dup_incremental(
     )
     ex_all = corpus_ex.unionByName(ex_new)
     result = _verified_jaccard(pairs, ex_all, sizes, id_col, threshold)
-    out = result.localCheckpoint(eager=True)
+    out = persist_fact(result)  # pair-output grain: keep lineage
     ex_new.unpersist()
     idx_new.unpersist()
     return out
@@ -337,7 +338,7 @@ def minhash_near_dup_pairs(
     # session (bench runs fast + portable back to back) accumulate
     # cached shingle/signature blocks in executor memory. At lake scale
     # the pair set would be written to a table here anyway.
-    out = result.localCheckpoint(eager=True)
+    out = persist_fact(result)  # pair-output grain: keep lineage
     ex.unpersist()
     sig.unpersist()
     return out
@@ -398,7 +399,7 @@ def ngram_jaccard_pairs(
     )
     # same cache discipline as minhash_near_dup_pairs: materialize the
     # (pairs-only) result, then free the shingle cache
-    out = result.localCheckpoint(eager=True)
+    out = persist_fact(result)  # pair-output grain: keep lineage
     base.unpersist()
     return out
 
@@ -477,7 +478,7 @@ def ngram_jaccard_pairs_incremental(
         .filter(F.col("jaccard") >= threshold)
         .select(group_col, "id_a", "id_b", "jaccard")
     )
-    out = result.localCheckpoint(eager=True)
+    out = persist_fact(result)  # pair-output grain: keep lineage
     new_b.unpersist()
     return out
 
@@ -761,8 +762,8 @@ def semantic_dedup(
     base = (
         emb.select(F.col(id_col), F.col(cluster_col), F.col(vec_col))
         .withColumn("__nrm", norm(vec_col))
-        .localCheckpoint(eager=True)
     )
+    base = persist_fact(base)  # corpus-grain: keep lineage
     a = base.select(
         F.col(cluster_col),
         F.col(id_col).alias("__ida"),
@@ -896,8 +897,8 @@ def semantic_dedup_incremental(
     nb = (
         new_assigned.select(F.col(id_col), F.col(cluster_col), F.col(vec_col))
         .withColumn("__nrm", norm(vec_col))
-        .localCheckpoint(eager=True)
     )
+    nb = persist_fact(nb)  # batch-doc grain (history-sized on backfill): keep lineage
     a = nb.select(
         F.col(cluster_col),
         F.col(id_col).alias("__ida"),
@@ -957,8 +958,8 @@ def span_dedup(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFra
     rel = (
         df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("__w"))
         .select(F.col(id_col), _rolling_hash(F.col("__w")).alias("__h"))
-        .localCheckpoint(eager=True)
     )
+    rel = persist_fact(rel)  # window-grain (larger than corpus): keep lineage
     flagged = (
         rel.groupBy("__h")
         .agg(F.count_distinct(id_col).alias("__nd"))
@@ -1126,9 +1127,9 @@ def simhash_near_dup_incremental(
             idc, "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
         )
 
-    new_sigs = simhash_signatures(new_df, text_col, id_col, n_bits, portable).localCheckpoint(
-        eager=True
-    )
+    new_sigs = persist_fact(
+        simhash_signatures(new_df, text_col, id_col, n_bits, portable)
+    )  # batch-doc grain: keep lineage
     nb = banded(new_sigs.select(F.col(id_col), "simhash"), id_col)
     cb = banded(
         corpus_sigs.select(F.col(id_col).alias("corpus_id"), F.col("simhash").alias("c_sig"))
@@ -1190,7 +1191,7 @@ def span_dedup_incremental(
     n_dup_windows, dup_span_frac) — same shape as :func:`span_dedup`
     so downstream curation thresholds apply unchanged.
     """
-    new_rel = span_hash_table(new_df, text_col, id_col, k).localCheckpoint(eager=True)
+    new_rel = persist_fact(span_hash_table(new_df, text_col, id_col, k))  # batch-doc grain
     corpus_h = corpus_spans.select("__h").distinct().withColumn("__dup", F.lit(1))
     return (
         new_rel.join(corpus_h, "__h", "left")
@@ -1248,8 +1249,8 @@ def span_scrub(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFra
             F.col("__ws.wpos").alias("wpos"),
             _rolling_hash(F.col("__ws.w")).alias("__h"),
         )
-        .localCheckpoint(eager=True)
     )
+    win = persist_fact(win)  # window-grain: keep lineage
     flagged = (
         win.groupBy("__h")
         .agg(F.count_distinct(id_col).alias("__nd"))
@@ -1371,7 +1372,11 @@ def prefix_jaccard_join(
         fingerprint64(F.concat_ws(",", F.transform("__grams", lambda g: g.cast("string")))).alias("__fp"),
         F.col("__s"),
         F.col("__grams"),
-    ).localCheckpoint(eager=True)  # doc-grain; feeds sets + both expansions
+    )
+    # doc-grain (fact) frame consumed by sets + both expansions:
+    # persist_fact, NOT localCheckpoint — lineage must survive executor
+    # loss at 100 TB (see persistence.py grain rule).
+    members = persist_fact(members)
     sets = (
         members.groupBy("__fp")
         .agg(

@@ -119,7 +119,14 @@ def retractable_agg_maintain(
     inserted = winners.filter(F.col("__w.d") == 0).select(
         F.col(key), *[F.col(f"__w.p.{c}").alias(c) for c in payload_cols]
     )
-    removed = snapshot.join(F.broadcast(winners.select(key)), key, "left_semi")
+    # Touched-key semi-join with NO broadcast hint: a steady-state CDC
+    # batch's key set is tiny and AQE converts the semi-join to a
+    # broadcast on its own from real sizes, but a backfill replay
+    # (reference backfill/api_to_gcs-backfill.py:242-259) ships a
+    # history-sized batch where "touched keys" == the whole table and a
+    # forced hint would OOM the driver — the same anti-pattern removed
+    # from bfs_hops/k_core in graph.py.
+    removed = snapshot.join(winners.select(key), key, "left_semi")
 
     def signed(d: DataFrame, sign: int) -> DataFrame:
         return d.select(

@@ -213,18 +213,24 @@ def psi_drift(
         F.lit(1).cast("long"),
         F.ceil((F.col("__hi") - F.col("__lo") + 1) / F.lit(n_buckets)).cast("long"),
     )
+    # TRUE integral division (`div`), not floor(double/double): double
+    # division is exact only while (v−lo) stays within 2^53, so the
+    # "pure integer arithmetic" guarantee would silently break past
+    # that boundary (ADVICE r8). `div` truncates toward zero vs
+    # floor's round-down, which differs only for negative numerators —
+    # and those clamp to bucket 0 under either rule, so the assignment
+    # is unchanged where both are defined and now engine-exact for ALL
+    # long inputs.
     bucket = F.least(
         F.lit(n_buckets - 1).cast("long"),
-        F.greatest(
-            F.lit(0).cast("long"),
-            F.floor((F.col("__v") - F.col("__lo")) / width).cast("long"),
-        ),
+        F.greatest(F.lit(0).cast("long"), F.expr("(__v - __lo) div __w")),
     )
 
     def per_bucket(d: DataFrame, alias: str) -> DataFrame:
         return (
             d.select(value_cents.alias("__v"))
             .crossJoin(F.broadcast(bounds))
+            .withColumn("__w", width)
             .select(bucket.alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias(alias))

@@ -16,6 +16,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..persistence import persist_fact
+
 from ..functions.vector import cosine, dot, literal_vector
 
 
@@ -188,10 +190,12 @@ def kmeans_assign(
     # this (vid, pos, x) grain twice; recomputing the explode per use
     # would rescan the vectors 2·n_iters times. Checkpoint also keeps
     # the plan constant-depth across iterations.
-    ex = df.select(
-        F.col(id_col).alias("__vid"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__x"),
-    ).localCheckpoint(eager=True)
+    ex = persist_fact(
+        df.select(
+            F.col(id_col).alias("__vid"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__x"),
+        )
+    )  # vector-x-dim grain (fact): keep lineage; one-explode lineage stays constant-depth
     seeds = df.select(F.col(id_col).alias("__vid"), F.col(seed_label_col).alias("cluster"))
     assign = seeds
     for _ in range(n_iters):
@@ -383,10 +387,12 @@ def power_iteration_top_pc(
 
     Output: (pos, loading) at dimension grain.
     """
-    ex = df.select(
-        F.col(id_col).alias("__vid"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__x"),
-    ).localCheckpoint(eager=True)
+    ex = persist_fact(
+        df.select(
+            F.col(id_col).alias("__vid"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__x"),
+        )
+    )  # vector-x-dim grain (fact): keep lineage; one-explode lineage stays constant-depth
     means = ex.groupBy("__pos").agg(F.round(F.avg("__x"), 6).alias("__mu"))
     cent = (
         ex.join(F.broadcast(means), "__pos")
@@ -453,8 +459,8 @@ def ann_recall_eval(
         .withColumn("__dots", dots_arr(F.col("v")))
         .withColumn("cell", (F.array_position("__dots", F.array_max("__dots")) - 1).cast("int"))
         .drop("__dots")
-        .localCheckpoint(eager=True)
     )
+    e = persist_fact(e)  # corpus-grain embeddings: keep lineage
     q = e.filter(F.col("vid") % query_mod == 0).select(
         F.col("vid").alias("query_id"), F.col("v").alias("qv")
     )
@@ -535,8 +541,8 @@ def ivf_probe_sweep(
         .withColumn("__dots", dots_arr(F.col("v")))
         .withColumn("cell", (F.array_position("__dots", F.array_max("__dots")) - 1).cast("int"))
         .drop("__dots")
-        .localCheckpoint(eager=True)
     )
+    e = persist_fact(e)  # corpus-grain embeddings: keep lineage
     q = e.filter(F.col("vid") % query_mod == 0).select(
         F.col("vid").alias("query_id"), F.col("v").alias("qv")
     )
@@ -560,8 +566,8 @@ def ivf_probe_sweep(
         .withColumn("__rn", F.row_number().over(wk))
         .filter(F.col("__rn") <= k)
         .select("query_id", "vid")
-        .localCheckpoint(eager=True)
     )
+    brute = persist_fact(brute)  # query-x-k grain (fact): keep lineage
     n_queries = q.select(F.count(F.lit(1)).alias("__nq"))
     out = None
     for p in probes:
@@ -1039,8 +1045,8 @@ def ndcg_eval(
         .withColumn("__dots", dots_arr(F.col("v")))
         .withColumn("cell", (F.array_position("__dots", F.array_max("__dots")) - 1).cast("int"))
         .drop("__dots")
-        .localCheckpoint(eager=True)
     )
+    e = persist_fact(e)  # corpus-grain embeddings: keep lineage
     q = e.filter(F.col("vid") % query_mod == 0).select(
         F.col("vid").alias("query_id"), F.col("v").alias("qv")
     )

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..persistence import persist_fact
+
 
 def ewma_forecast(
     daily: DataFrame,
@@ -136,11 +138,13 @@ def mann_kendall_sen(
     # so the caller's fact-to-period reduction isn't paid three times,
     # and broadcast the pair contributor side so the equality-keyed
     # inequality join compiles to BroadcastHashJoin, never SortMerge.
-    l = df.select(
-        *keys,
-        F.col(t_col).cast("long").alias("__t"),
-        F.col(value_col).cast("long").alias("__v"),
-    ).localCheckpoint(eager=True)
+    l = persist_fact(
+        df.select(
+            *keys,
+            F.col(t_col).cast("long").alias("__t"),
+            F.col(value_col).cast("long").alias("__v"),
+        )
+    )  # event-grain (fact): keep lineage
     r = l.select(
         *[F.col(c).alias(f"__r_{c}") for c in keys],
         F.col("__t").alias("__t2"),

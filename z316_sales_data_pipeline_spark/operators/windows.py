@@ -111,6 +111,13 @@ def min_by_group(df: DataFrame, key: str | list[str], pick: str, order_col: str)
 # The ranged relation is localCheckpoint'ed so the totals pass and the
 # final pass read ONE materialization (range sampling can't re-draw
 # boundaries between jobs, and the shuffle is paid once).
+#
+# DELIBERATE exception to the persistence.py grain rule (fact-grain
+# frames persist, never localCheckpoint): the collected offsets are
+# keyed by spark_partition_id, so a keep-lineage recompute that
+# re-drew range boundaries would SILENTLY misalign every offset.
+# Severing lineage makes block loss fail the job instead of corrupting
+# it — fail-stop beats wrong-answer. Contract at scale: retry the job.
 
 
 def _two_phase_offsets(ranged: DataFrame, per_partition: DataFrame, zero):

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from .. import sinks
 from ..functions import text
 from ..operators import corpus, dedup
+from ..persistence import persist_fact
 from ..sources.tables import load_table
 
 
@@ -95,7 +96,10 @@ def run_corpus_pipeline(
     """
     docs = load_table(spark, sf_dir, "documents")
     kept = curated_documents(spark, sf_dir)
-    survivors = collapse_near_dups(kept).localCheckpoint(eager=True)
+    # corpus-grain (fact) frame consumed 4x below: persist_fact, not
+    # localCheckpoint — lineage must survive executor loss (grain rule
+    # in persistence.py).
+    survivors = persist_fact(collapse_near_dups(kept))
     split_docs = corpus.dataset_split(survivors, "doc_id")
     chunks = corpus.chunk_documents(
         split_docs, "text", "doc_id", chunk_tokens, stride, carry_cols=("split",)

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..persistence import persist_fact
+
 from ..operators import setops
 from ..sources.tables import load_table
 
@@ -97,8 +99,11 @@ def repair_plan(
             "rn",
             F.row_number().over(Window.partitionBy("fp").orderBy(F.col(id_col).asc())),
         )
-        .localCheckpoint(eager=True)  # feeds the report AND the delete list
     )
+    # doc-grain (fact), feeds the report AND the delete list; the
+    # row_number recompute is deterministic (orderBy id asc), so
+    # persist_fact's keep-lineage recompute is safe
+    tagged = persist_fact(tagged)
     losers = tagged.filter(F.col("rn") > 1).select(id_col, source_col, "fp")
     return tagged, losers
 

@@ -347,9 +347,44 @@ def scd2_history_sink(
             ).partitionBy("epoch").option(
                 "partitionOverwriteMode", "dynamic"
             ).parquet(events_dir)
+        first_epoch = sinks.snapshot_meta(table_dir, "_SCD2_FIRST_EPOCH")
         try:
             hist = sinks.read_snapshot(spark, table_dir)
             if events_dir is not None:
+                # Completeness guard (ADVICE r8): the repair path
+                # rebuilds late keys from the raw log, which is only
+                # sound if the log covers the table's WHOLE history.
+                # If the snapshot's first folded epoch predates the
+                # log's earliest partition (events_dir enabled on a
+                # pre-existing table), a rebuild would silently drop
+                # the missing epochs — refuse instead; warn when the
+                # first-epoch provenance marker is absent (table
+                # created before this guard existed).
+                import os as _os
+                import warnings as _warnings
+
+                log_epochs = [
+                    int(d.split("=", 1)[1])
+                    for d in _os.listdir(events_dir)
+                    if d.startswith("epoch=") and d.split("=", 1)[1].isdigit()
+                ]
+                log_min = min(log_epochs) if log_epochs else int(epoch_id)
+                if first_epoch is None:
+                    _warnings.warn(
+                        "scd2 sink: snapshot has no _SCD2_FIRST_EPOCH marker; "
+                        "cannot prove the raw event log covers the table's "
+                        "full history — repair results for late keys may be "
+                        "incomplete. Set events_dir from epoch 0.",
+                        stacklevel=2,
+                    )
+                elif int(first_epoch) < log_min:
+                    raise ValueError(
+                        f"scd2 sink: raw event log at {events_dir} starts at "
+                        f"epoch {log_min} but the snapshot's history began at "
+                        f"epoch {first_epoch} — the log is incomplete and a "
+                        "key-scoped repair would silently drop the missing "
+                        "epochs. events_dir must be enabled from epoch 0."
+                    )
                 prior = (
                     spark.read.parquet(events_dir)
                     .filter(F.col("epoch") < int(epoch_id))
@@ -366,12 +401,129 @@ def scd2_history_sink(
             new_hist = W.scd2_history(
                 batch, key=key, attr=attr, ts=ts, tiebreak=tiebreak, carry_last=True
             )
+            if first_epoch is None:
+                first_epoch = str(int(epoch_id))
         # pin rows before writing: the fold reads the CURRENT snapshot
         # dir lazily, and although versions are immutable, a retention
         # sweep (vacuum_snapshots) between plan and execution must not
         # be able to pull the input out from under the write
         new_hist = new_hist.localCheckpoint(eager=True)
-        sinks.write_snapshot(new_hist, table_dir, meta={"_SCD2_EPOCH": str(int(epoch_id))})
+        meta = {"_SCD2_EPOCH": str(int(epoch_id))}
+        if first_epoch is not None:
+            # carried forward every fold so the completeness guard
+            # above can compare table provenance vs log coverage
+            meta["_SCD2_FIRST_EPOCH"] = str(int(first_epoch))
+        sinks.write_snapshot(new_hist, table_dir, meta=meta)
+
+    return fold
+
+
+def scd2_agg_mv_sink(
+    hist_dir: str,
+    mv_dir: str,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+    measures: dict[str, "F.Column"] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch maintainer for the FULL serving-stack composition
+    (VERDICT r8 item 5): CDC stream → SCD2 history snapshot → a
+    retractable aggregate MV over the history's OPEN rows — both
+    tables maintained O(batch) per trigger, neither ever recomputed
+    from scratch after epoch 0.
+
+    Per epoch: (1) the history folds through the same path as
+    :func:`scd2_history_sink` (in-order apply, epoch-marker
+    exactly-once); (2) the MV absorbs ``snapshot_diff(open_before,
+    open_after)`` as a CDC feed via
+    :func:`~..operators.ivm.retractable_agg_maintain` — an attr
+    change retracts the key's old open row from its group and adds
+    the new one. Measures default to ``sum(key)`` (a checksum-grade
+    exactness witness); ``n`` (open-row count per group) is always
+    maintained.
+
+    Exactly-once is per-table: the history keeps its ``_SCD2_EPOCH``
+    marker, the MV its own ``_MV_EPOCH``, and the MV fold reads the
+    before/after open-row sets from EXPLICIT history versions located
+    by their epoch markers — so a crash between the two writes
+    replays into the correct delta, and a fully-replayed epoch is a
+    no-op on both. Batch-grain twin: ``scd2_agg_mv`` in the registry,
+    oracle-checked against one full recompute.
+    """
+    import os
+
+    from .. import sinks
+    from ..operators import ivm
+
+    if measures is None:
+        measures = {"sum_uid": F.col(key)}
+    hist_fold = scd2_history_sink(hist_dir, key=key, attr=attr, ts=ts, tiebreak=tiebreak)
+
+    def versions_desc() -> list[int]:
+        try:
+            return sorted(
+                (
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(hist_dir)
+                    if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+                ),
+                reverse=True,
+            )
+        except OSError:
+            return []
+
+    def open_rows(spark, version: int) -> DataFrame:
+        return (
+            sinks.read_snapshot(spark, hist_dir, version=version)
+            .filter(F.col("is_current") == 1)
+            .select(key, attr)
+        )
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        mv_last = sinks.snapshot_meta(mv_dir, "_MV_EPOCH")
+        if mv_last is not None and int(epoch_id) <= int(mv_last):
+            return  # fully replayed epoch: both tables already folded
+        hist_fold(batch_df, epoch_id)  # its own marker no-ops replays
+        v_after = v_before = None
+        for v in versions_desc():
+            marker = sinks.snapshot_meta(hist_dir, "_SCD2_EPOCH", version=v)
+            if marker is None:
+                continue
+            if int(marker) == int(epoch_id) and v_after is None:
+                v_after = v
+            elif int(marker) < int(epoch_id):
+                v_before = v
+                break
+        if v_after is None:
+            return  # history rejected the batch (e.g. older epoch)
+        cur_after = open_rows(spark, v_after)
+        if v_before is None:
+            mv = cur_after.groupBy(attr).agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(e).cast("long").alias(a) for a, e in measures.items()],
+            )
+        else:
+            cur_before = open_rows(spark, v_before)
+            mv_before = sinks.read_snapshot(spark, mv_dir)
+            diff = ivm.snapshot_diff(cur_before, cur_after, key, [attr])
+            changes = diff.select(
+                key,
+                F.col(f"{attr}_new").alias(attr),
+                F.when(F.col("change") == "removed", F.lit("delete"))
+                .otherwise(F.lit("upsert"))
+                .alias("__op"),
+                F.lit(1).cast("long").alias("__ver"),
+            )
+            mv = ivm.retractable_agg_maintain(
+                mv_before, cur_before, changes, key=key, op_col="__op",
+                version_col="__ver", group_col=attr, measures=measures,
+            )
+        mv = mv.localCheckpoint(eager=True)  # group-grain reduction
+        sinks.write_snapshot(mv, mv_dir, meta={"_MV_EPOCH": str(int(epoch_id))})
 
     return fold
 
@@ -476,9 +628,17 @@ def cusum_monitor(
         state.update((sp, sn, n))
         if idle_timeout_ms is not None:
             # event-time horizon: latest ts seen for this key + the
-            # idle budget; the watermark passing it evicts the state
+            # idle budget; the watermark passing it evicts the state.
+            # Clamp to strictly above the CURRENT watermark — a key
+            # whose newest event is already more than idle_timeout
+            # late would otherwise compute a horizon <= watermark and
+            # setTimeoutTimestamp throws IllegalArgumentException,
+            # failing the whole query instead of evicting one key
+            # (ADVICE r8). Such a key times out at the next trigger —
+            # the earliest the engine can deliver it anyway.
             horizon_ms = int(rows["ts"].max().timestamp() * 1000) + int(idle_timeout_ms)
-            state.setTimeoutTimestamp(horizon_ms)
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(horizon_ms, wm_ms + 1))
         if alarms:
             yield pd.DataFrame(
                 {
