@@ -9282,6 +9282,298 @@ FROM last GROUP BY 1
 """
 
 
+def _sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (dedup.sorted_neighborhood_pairs):
+    ONE global range ordering on the blocking key (two-phase row
+    number — no single-partition window), each record compared only
+    with its next window-1 neighbors via an offset explode + ONE
+    equi-join on position, exact levenshtein verify. O(n·w)
+    comparisons — the ordering-based complement to hash/LSH blocking
+    for near-dups that cluster under a sort (names, codes)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return dedup.sorted_neighborhood_pairs(
+        cust, F.col("c_name"), "c_custkey", window=4, max_dist=2
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "dist",
+    )
+
+
+_SORTED_NEIGHBORHOOD_SQL = """
+WITH ranked AS (
+    SELECT c_custkey, c_name,
+           row_number() OVER (ORDER BY c_name, c_custkey) AS pos
+    FROM customer
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM ranked a JOIN ranked b
+  ON b.pos - a.pos BETWEEN 1 AND 3
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+def _edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance<=1 self-join via FastSS deletion
+    neighborhoods (dedup.edit_distance_join): each string explodes
+    into O(len) single-deletion fingerprints, candidates meet on a
+    shared fingerprint (lossless for distance<=k), exact levenshtein
+    verifies — never an all-pairs product, identical strings
+    collapsed first. The oracle IS the brute-force quadratic join, so
+    the driver row proves the pruning lossless on real data."""
+    cust = load_table(spark, sf_dir, "customer")
+    return dedup.edit_distance_join(cust, "c_name", "c_custkey", k=1).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "dist",
+    )
+
+
+_EDIT_DISTANCE_JOIN_SQL = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+def _growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting (timeseries.growth_accounting): DAU
+    decomposed into new / retained / resurrected (+ churned counted
+    on the day after the lapse) with dau = new+retained+resurrected
+    by construction. One (user, day) distinct, one user-partitioned
+    window serving lag, lead and running-first, one day-grain
+    rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.growth_accounting(ev, "user_id", "ts")
+
+
+_GROWTH_ACCOUNTING_SQL = """
+WITH ud AS (
+    SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+), w AS (
+    SELECT u, d,
+           lag(d)  OVER (PARTITION BY u ORDER BY d) AS prev_d,
+           lead(d) OVER (PARTITION BY u ORDER BY d) AS next_d,
+           min(d)  OVER (PARTITION BY u) AS first_d
+    FROM ud
+), act AS (
+    SELECT d,
+           CAST(count(*) AS BIGINT) AS dau,
+           CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN d <> first_d AND date_diff('day', prev_d, d) = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           CAST(sum(CASE WHEN d <> first_d AND date_diff('day', prev_d, d) > 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+    FROM w GROUP BY 1
+), ch AS (
+    SELECT d + 1 AS d, CAST(count(*) AS BIGINT) AS n_churned
+    FROM w WHERE next_d IS NULL OR date_diff('day', d, next_d) > 1
+    GROUP BY 1
+)
+SELECT COALESCE(act.d, ch.d) AS day,
+       COALESCE(dau, 0) AS dau,
+       COALESCE(n_new, 0) AS n_new,
+       COALESCE(n_retained, 0) AS n_retained,
+       COALESCE(n_resurrected, 0) AS n_resurrected,
+       COALESCE(n_churned, 0) AS n_churned
+FROM act FULL OUTER JOIN ch ON act.d = ch.d
+"""
+
+
+def _fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (quality.fd_profile): three
+    candidate FDs over lineitem profiled in ONE pass — the (fd, lhs,
+    rhs) triples stack via an inline struct array (no per-FD scan),
+    one hash aggregate to (fd, lhs) grain, one tiny fd-grain rollup.
+    Includes a TRUE dependency ((orderkey, linenumber) -> partkey, 0
+    violations expected) and two fan-out violations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return quality.fd_profile(
+        li,
+        {
+            "part_to_supp": (F.col("l_partkey"), F.col("l_suppkey")),
+            "order_to_status": (F.col("l_orderkey"), F.col("l_linestatus")),
+            "line_to_part": (
+                F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber")),
+                F.col("l_partkey"),
+            ),
+        },
+    )
+
+
+_FD_PROFILE_SQL = """
+WITH t AS (
+    SELECT 'part_to_supp' AS fd, CAST(l_partkey AS VARCHAR) AS lhs,
+           CAST(l_suppkey AS VARCHAR) AS rhs FROM lineitem
+    UNION ALL
+    SELECT 'order_to_status', CAST(l_orderkey AS VARCHAR), l_linestatus FROM lineitem
+    UNION ALL
+    SELECT 'line_to_part',
+           CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR),
+           CAST(l_partkey AS VARCHAR) FROM lineitem
+), per AS (
+    SELECT fd, lhs, count(*) AS n_rows, count(DISTINCT rhs) AS n_rhs
+    FROM t GROUP BY 1, 2
+)
+SELECT fd,
+       CAST(count(*) AS BIGINT) AS n_lhs_values,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(max(n_rhs) AS BIGINT) AS max_fanout,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows
+FROM per GROUP BY 1
+"""
+
+
+def _phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index phrase search (corpus.phrase_search):
+    the (doc, term, pos) posting relation filtered to the phrase's
+    terms, n-1 equi-joins on (doc, pos+i) — at rest the index is
+    term-partitioned so a query touches only its own posting lists.
+    The repeated-token phrase pins OVERLAPPING-occurrence
+    semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.phrase_search(docs, "text", "doc_id", "batch batch")
+
+
+_PHRASE_SEARCH_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           len([i FOR i IN generate_series(1, len(toks) - 1)
+                IF toks[i] = 'batch' AND toks[i + 1] = 'batch']) AS n_matches
+    FROM t
+)
+SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches FROM m WHERE n_matches > 0
+"""
+
+
+def _lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram coverage (corpus.lm_trigram_backoff):
+    held-out docs (doc_id % 10 == 0) scored against the reference
+    corpus's trigram/bigram/unigram sets — per-doc counts of the
+    deepest covering n-gram level (l3/l2/l1/OOV), the novelty signal
+    an LM pipeline prices new data with. Reference sets reduce to
+    vocab grain once and join as int64 fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.lm_trigram_backoff(docs, "text", "doc_id", holdout_mod=10)
+
+
+_LM_TRIGRAM_BACKOFF_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           unnest([{t3: toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2],
+                    t2: toks[i+1] || ' ' || toks[i+2],
+                    t1: toks[i+2]}
+                   FOR i IN generate_series(1, len(toks) - 2)], recursive := true)
+    FROM t
+), ref3 AS (SELECT DISTINCT t3 FROM g WHERE doc_id % 10 <> 0),
+   ref2 AS (SELECT DISTINCT t2 FROM g WHERE doc_id % 10 <> 0),
+   ref1 AS (SELECT DISTINCT t1 FROM g WHERE doc_id % 10 <> 0),
+   lv AS (
+    SELECT g.doc_id,
+           CASE WHEN ref3.t3 IS NOT NULL THEN 3
+                WHEN ref2.t2 IS NOT NULL THEN 2
+                WHEN ref1.t1 IS NOT NULL THEN 1
+                ELSE 0 END AS lvl
+    FROM g
+    LEFT JOIN ref3 ON g.t3 = ref3.t3
+    LEFT JOIN ref2 ON g.t2 = ref2.t2
+    LEFT JOIN ref1 ON g.t1 = ref1.t1
+    WHERE g.doc_id % 10 = 0
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tri,
+       CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
+       CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+       CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+       CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+           AS hit3_rate
+FROM lv GROUP BY 1
+"""
+
+
+def _interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage (timeseries.interval_union_length):
+    per user, 30-minute activity intervals merged islands-and-gaps
+    style in ONE key-partitioned window pass; exact integer micros
+    (unix_micros — whole-second epoch functions shift sub-second
+    gaps)."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.interval_union_length(ev, "user_id", "ts", duration_s=1800)
+
+
+_INTERVAL_UNION_SQL = """
+WITH base AS (
+    SELECT user_id AS k, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+    FROM events
+), flagged AS (
+    SELECT k, s, e,
+           CASE WHEN s > COALESCE(max(e) OVER (
+                    PARTITION BY k ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), -4611686018427387904) THEN 1 ELSE 0 END AS new_island
+    FROM base
+), numbered AS (
+    SELECT k, s, e,
+           sum(new_island) OVER (
+               PARTITION BY k ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS island
+    FROM flagged
+), islands AS (
+    SELECT k, island, min(s) AS i_s, max(e) AS i_e FROM numbered GROUP BY 1, 2
+)
+SELECT k AS user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(i_e - i_s) AS BIGINT) AS active_micros
+FROM islands GROUP BY 1
+"""
+
+
+def _monetary_unit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monetary-unit systematic sample (aggregates.monetary_unit_
+    sample): deterministic PPS audit sampling by exact integer cents
+    laid end to end; the global cumulative sum is the two-phase
+    running sum (range shuffle + local window + broadcast offsets, no
+    single-partition WindowExec)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return aggregates.monetary_unit_sample(
+        li,
+        [F.col("l_orderkey"), F.col("l_linenumber")],
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        n_picks=200,
+    )
+
+
+_MONETARY_UNIT_SQL = """
+WITH t AS (
+    SELECT l_orderkey AS k0, l_linenumber AS k1,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem WHERE round(l_extendedprice * 100) > 0
+), c AS (
+    SELECT k0, k1, cents,
+           sum(cents) OVER (ORDER BY k0, k1
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM t
+), iv AS (
+    SELECT greatest(sum(cents) // 200, 1) AS interval FROM t
+)
+SELECT k0, k1, cents, CAST(cum AS BIGINT) AS cum
+FROM c, iv
+WHERE (cum - cents) // interval < cum // interval
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r9 driver sample (first 50): the 9 r4-stale entries, the 26
@@ -9340,6 +9632,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never-attested r9 additions (positions 51+: next in line
         # for the r10 rotation) --
         "scd2_agg_mv": _scd2_agg_mv,
+        "sorted_neighborhood_dedup": _sorted_neighborhood_dedup,
+        "edit_distance_join": _edit_distance_join,
+        "growth_accounting": _growth_accounting,
+        "fd_profile": _fd_profile,
+        "phrase_search": _phrase_search,
+        "lm_trigram_backoff": _lm_trigram_backoff,
+        "interval_union_length": _interval_union_length,
+        "monetary_unit_sample": _monetary_unit_sample,
         # -- tail, stalest-first: remaining r5/r6-attested --
         "g1_reconciliation_summary": _g1_reconciliation_summary,
         "g2_union_distinct": _g2_union_distinct,
@@ -9591,6 +9891,14 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_strength": _SEASONAL_STRENGTH_SQL,
         "ivm_agg_retract": _IVM_AGG_RETRACT_SQL,
         "scd2_agg_mv": _SCD2_AGG_MV_SQL,
+        "sorted_neighborhood_dedup": _SORTED_NEIGHBORHOOD_SQL,
+        "edit_distance_join": _EDIT_DISTANCE_JOIN_SQL,
+        "growth_accounting": _GROWTH_ACCOUNTING_SQL,
+        "fd_profile": _FD_PROFILE_SQL,
+        "phrase_search": _PHRASE_SEARCH_SQL,
+        "lm_trigram_backoff": _LM_TRIGRAM_BACKOFF_SQL,
+        "interval_union_length": _INTERVAL_UNION_SQL,
+        "monetary_unit_sample": _MONETARY_UNIT_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,

@@ -393,3 +393,43 @@ def pearson_exact(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     return one.select(
         F.col("__n").cast("long").alias("n"), F.explode(F.array(*rows)).alias("__e")
     ).select("__e.measure_x", "__e.measure_y", "n", "__e.r")
+
+
+def monetary_unit_sample(
+    df: DataFrame,
+    order_by: list["F.Column"],
+    amount_cents: "F.Column",
+    n_picks: int = 200,
+) -> DataFrame:
+    """Monetary-unit (PPS systematic) audit sampling: order the
+    population deterministically, lay the exact integer amounts end
+    to end, and select every row whose cumulative range crosses a
+    sampling-interval boundary (interval = total // n_picks) — each
+    row's selection probability is proportional to its monetary
+    value, the auditor's standard high-value-coverage sample, fully
+    deterministic and engine-exact (pure integer arithmetic, no RNG).
+
+    The global cumulative sum uses the two-phase running-sum (range
+    shuffle + partition-local window + broadcast offsets — no
+    single-partition WindowExec), so the plan scales like a sort, not
+    a funnel. Rows with non-positive amounts can never cross a
+    boundary and are excluded up front.
+    """
+    from . import windows as _windows
+
+    base = df.select(
+        *[c.alias(f"__o{i}") for i, c in enumerate(order_by)],
+        amount_cents.cast("long").alias("cents"),
+    ).filter(F.col("cents") > 0)
+    cum, total = _windows.two_phase_running_sum(
+        base, [F.col(f"__o{i}").asc() for i in range(len(order_by))], "cents", "cum"
+    )
+    interval = max(int(total) // int(n_picks), 1)
+    picked = cum.filter(
+        F.expr(f"(cum - cents) div {interval}") < F.expr(f"cum div {interval}")
+    )
+    return picked.select(
+        *[F.col(f"__o{i}").alias(f"k{i}") for i in range(len(order_by))],
+        "cents",
+        F.col("cum").cast("long").alias("cum"),
+    )

@@ -1090,3 +1090,114 @@ def behavior_entropy(
         )
         .filter(F.col("n_events") >= min_n)
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    phrase: str,
+) -> DataFrame:
+    """Exact phrase search over a positional inverted index: number of
+    OVERLAPPING occurrences of the n-token phrase per document (docs
+    with >= 1 match).
+
+    The index is the (doc, term, pos) posting relation — the shape a
+    search system stores at rest, partitioned by term so a phrase
+    query touches only its own terms' posting lists (partition
+    pruning, never a corpus scan). The phrase becomes n-1 equi-joins
+    on (doc, pos+i): each join input is one term's posting list,
+    already tiny after the term filter; Spark broadcasts the smaller
+    lists under AQE. Positions from ONE posexplode of the normalized
+    token array (same normalization as every corpus operator, so the
+    index is shared).
+    """
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("empty phrase")
+    index = df.select(
+        F.col(id_col),
+        F.posexplode(_norm_tokens(text_col)).alias("__pos", "__term"),
+    )
+    matched = index.filter(F.col("__term") == terms[0]).select(
+        F.col(id_col), F.col("__pos").alias("__start")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = index.filter(F.col("__term") == t).select(
+            F.col(id_col), (F.col("__pos") - i).alias("__start")
+        )
+        matched = matched.join(nxt, [id_col, "__start"])
+    return matched.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
+    )
+
+
+def lm_trigram_backoff(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    holdout_mod: int = 10,
+) -> DataFrame:
+    """Stupid-backoff trigram coverage audit for held-out documents:
+    the corpus splits deterministically (doc_id % holdout_mod == 0 is
+    the target split, the rest is the reference LM), every target
+    trigram is classified by the deepest reference n-gram that covers
+    it — trigram hit (l3), bigram-backoff hit on (w2,w3) (l2),
+    unigram-backoff hit on w3 (l1), or OOV — and each target doc
+    reports its counts plus the trigram hit rate. The novelty /
+    contamination-adjacent signal an LM data pipeline uses to price a
+    new document against the training corpus, kept engine-exact by
+    emitting COUNTS (the one float is a single division).
+
+    Plan: trigram/bigram/unigram reference SETS reduce once each
+    (vocab-grain, far below corpus grain) and join the target's
+    trigram relation as int64 fingerprints — three hash joins, no
+    strings on the wire, no corpus-grain shuffle beyond the target's
+    own trigram explode.
+    """
+    from ..functions.text import fingerprint64
+
+    toks = _norm_tokens(text_col)
+    tri = F.expr(
+        "transform(sequence(1, greatest(size(__toks) - 2, 0)), "
+        "i -> struct(concat_ws(' ', __toks[i-1], __toks[i], __toks[i+1]) AS t3, "
+        "concat_ws(' ', __toks[i], __toks[i+1]) AS t2, __toks[i+1] AS t1))"
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks")).select(
+        F.col(id_col), F.explode(tri).alias("__g")
+    ).select(
+        F.col(id_col),
+        fingerprint64(F.col("__g.t3")).alias("__h3"),
+        fingerprint64(F.col("__g.t2")).alias("__h2"),
+        fingerprint64(F.col("__g.t1")).alias("__h1"),
+    )
+    is_target = F.col(id_col) % holdout_mod == 0
+    target = base.filter(is_target)
+    ref = base.filter(~is_target)
+    r3 = ref.select(F.col("__h3").alias("__r3")).distinct()
+    r2 = ref.select(F.col("__h2").alias("__r2")).distinct()
+    r1 = ref.select(F.col("__h1").alias("__r1")).distinct()
+    lv = (
+        target.join(r3, target["__h3"] == r3["__r3"], "left")
+        .join(r2, target["__h2"] == r2["__r2"], "left")
+        .join(r1, target["__h1"] == r1["__r1"], "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__r3").isNotNull(), F.lit(3))
+            .when(F.col("__r2").isNotNull(), F.lit(2))
+            .when(F.col("__r1").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("__lv"),
+        )
+    )
+    cnt = lambda v: F.sum(F.when(F.col("__lv") == v, 1).otherwise(0)).cast("long")  # noqa: E731
+    return lv.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tri"),
+        cnt(3).alias("n_l3"),
+        cnt(2).alias("n_l2"),
+        cnt(1).alias("n_l1"),
+        cnt(0).alias("n_oov"),
+    ).withColumn(
+        "hit3_rate",
+        F.round(F.col("n_l3").cast("double") / F.col("n_tri"), 6),
+    )

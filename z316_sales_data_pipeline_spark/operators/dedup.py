@@ -1460,3 +1460,146 @@ def prefix_jaccard_join(
         )
     )
     return identical.unionByName(cross)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_key: Column,
+    id_col: str,
+    window: int = 4,
+    max_dist: int = 2,
+    compare_col: str | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernández–Stolfo): sort the
+    corpus once on a blocking key, then compare each record only with
+    the next ``window-1`` records — O(n·w) comparisons instead of
+    O(n²), the classic complement to hash blocking when near-dups
+    CLUSTER under an ordering (names, codes, addresses) rather than
+    under an equality key.
+
+    Spark-first shape: ONE global ordering via two_phase_row_number
+    (range shuffle, no single-partition WindowExec), then the w−1
+    neighbor offsets EXPLODE on the left side and the pairing is ONE
+    equi-join on position (never a range/theta join). The verify step
+    is exact levenshtein on ``compare_col`` (defaults to the sort
+    key), kept pairs have distance <= max_dist — candidates are a
+    superset, the filter makes the result exact for the neighborhood
+    semantics.
+
+    At 100 TB: the range shuffle is the only corpus-grain movement;
+    the offset explode multiplies rows by w−1 BEFORE the join but
+    carries only (pos, id, key) — bytes stay small; AQE handles the
+    join. Output grain: qualifying pairs (pos-adjacent, dist-verified).
+    """
+    from . import windows as _windows
+
+    cmp_col = compare_col or "__snk"
+    base = df.select(
+        F.col(id_col),
+        sort_key.alias("__snk"),
+        *([] if compare_col is None else [F.col(compare_col)]),
+    )
+    ranked, _ = _windows.two_phase_row_number(
+        base, [F.col("__snk").asc(), F.col(id_col).asc()], "__pos"
+    )
+    left = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col(cmp_col).alias("__va"),
+        F.explode(
+            F.sequence(F.col("__pos") + 1, F.col("__pos") + (window - 1))
+        ).alias("__pos"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("id_b"), F.col(cmp_col).alias("__vb"), "__pos"
+    )
+    return (
+        left.join(right, "__pos")
+        .withColumn("dist", F.levenshtein("__va", "__vb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )
+
+
+def edit_distance_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 1,
+) -> DataFrame:
+    """Exact small-edit-distance self-join (FastSS deletion
+    neighborhoods): emit every unordered pair with levenshtein
+    distance <= k (k in {1, 2}) WITHOUT an all-pairs product.
+
+    Candidate generation: each string's deletion neighborhood to
+    depth k (the string itself, every single-char deletion, and for
+    k=2 every two-char deletion) — two strings within edit distance k
+    always share a neighborhood member (each edit op leaves a common
+    subsequence reachable by <= k deletions from both sides), so the
+    bucket join on the neighborhood fingerprint is a LOSSLESS
+    candidate filter; sharing a member only bounds the distance by
+    2k, so candidates are verified with exact ``levenshtein`` before
+    emission. Neighborhood size is O(len^k) per string — for the
+    short keys this targets (names, codes, SKUs) that is ~tens of
+    int64 fingerprints, shuffled instead of the strings themselves.
+
+    At 100 TB: identical strings are collapsed FIRST (the
+    prefix_jaccard dedupe-first lesson) so duplicate-heavy corpora
+    cost x1 + output; the neighborhood join never goes all-pairs —
+    only strings sharing a deletion bucket meet.
+    """
+    if k not in (1, 2):
+        raise ValueError("edit_distance_join supports k=1 or k=2")
+    uniq = df.select(F.col(text_col).alias("__s")).distinct()
+    ids = df.select(F.col(id_col), F.col(text_col).alias("__s"))
+
+    # deletions via expr (substring arithmetic reads cleaner in SQL)
+    neigh1 = F.expr(
+        "transform(sequence(1, length(__s)), "
+        "i -> concat(substring(__s, 1, i-1), substring(__s, i+1)))"
+    )
+    if k == 1:
+        neighborhood = F.array_union(F.array(F.col("__s")), neigh1)
+    else:
+        neigh2 = F.expr(
+            "flatten(transform(sequence(1, length(__s)), i -> "
+            "transform(sequence(1, length(__s) - 1), j -> "
+            "concat(substring(concat(substring(__s, 1, i-1), substring(__s, i+1)), 1, j-1), "
+            "substring(concat(substring(__s, 1, i-1), substring(__s, i+1)), j+1)))))"
+        )
+        neighborhood = F.array_union(
+            F.array_union(F.array(F.col("__s")), neigh1), F.array_distinct(neigh2)
+        )
+    rel = uniq.select(
+        "__s", F.explode(neighborhood).alias("__n")
+    ).select("__s", fingerprint64(F.col("__n")).alias("__nh")).distinct()
+    cand = (
+        rel.alias("l")
+        .join(rel.alias("r"), "__nh")
+        .filter(F.col("l.__s") < F.col("r.__s"))
+        .select(F.col("l.__s").alias("__sa"), F.col("r.__s").alias("__sb"))
+        .distinct()
+        .withColumn("dist", F.levenshtein("__sa", "__sb"))
+        .filter(F.col("dist") <= k)
+    )
+    a = ids.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"))
+    b = ids.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"))
+    same = (
+        ids.alias("x")
+        .join(ids.alias("y"), "__s")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+    )
+    diff = (
+        cand.join(a, "__sa")
+        .join(b, "__sb")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+    )
+    return same.unionByName(diff)

@@ -322,3 +322,121 @@ def arrival_burstiness(
             F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
         )
     )
+
+
+def growth_accounting(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Daily growth accounting — the product-analytics decomposition of
+    active users into NEW (first day ever), RETAINED (also active the
+    previous day), RESURRECTED (active before, absent the previous
+    day), plus CHURNED (active the previous day, absent today), with
+    the identity dau = new + retained + resurrected.
+
+    One distinct to (user, day) grain, then ONE user-partitioned
+    window computes both lag(day) and the running first-day — all
+    classification is per-(user, day) row arithmetic after that, and
+    the final day-grain rollup is a second small shuffle. Churn is
+    counted by REINDEXING each active day's rows to day+1 (a user
+    churns ON the day after their last consecutive active day) so no
+    anti-join is needed; days outside the observed range are not
+    emitted.
+
+    At 100 TB: (user, day) distinct is the only fact-grain shuffle;
+    the window shares its exchange with the lag; the day-grain output
+    is KB-sized.
+    """
+    from pyspark.sql import Window
+
+    ud = df.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
+    ).distinct()
+    w = Window.partitionBy("u").orderBy("d")
+    flagged = ud.select(
+        "u",
+        "d",
+        F.lag("d").over(w).alias("prev_d"),
+        F.min("d").over(w).alias("first_d"),
+    )
+    status = flagged.select(
+        "d",
+        F.when(F.col("d") == F.col("first_d"), F.lit("new"))
+        .when(F.datediff("d", "prev_d") == 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("st"),
+    )
+    active = status.groupBy("d").agg(
+        F.count(F.lit(1)).alias("dau"),
+        F.sum(F.when(F.col("st") == "new", 1).otherwise(0)).alias("n_new"),
+        F.sum(F.when(F.col("st") == "retained", 1).otherwise(0)).alias("n_retained"),
+        F.sum(F.when(F.col("st") == "resurrected", 1).otherwise(0)).alias("n_resurrected"),
+    )
+    # churned on day X = users active on X-1 whose next active day is not X
+    churn = (
+        flagged.select("u", "d", F.lead("d").over(w).alias("next_d"))
+        .filter(F.col("next_d").isNull() | (F.datediff("next_d", "d") > 1))
+        .select(F.date_add("d", 1).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        active.join(churn, "d", "full_outer")
+        .select(
+            F.col("d").alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).cast("long").alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+    )
+
+
+def interval_union_length(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    duration_s: int = 1800,
+) -> DataFrame:
+    """Merged-interval coverage per key (the islands-and-gaps
+    classic): each event opens an interval [ts, ts + duration);
+    overlapping/touching intervals merge, and the key reports how
+    many merged islands it has and the total covered micros — the
+    exact "active time" rollup naive sum-of-durations double-counts.
+
+    ONE key-partitioned window pass: the running max of interval ends
+    over preceding rows marks island starts (ts > max_end_so_far),
+    the running sum of start flags numbers the islands, and the
+    (key, island) aggregate takes min(start)/max(end). Integer
+    microseconds end-to-end (unix_micros — whole-second epoch
+    functions truncate sub-second parts and silently shift gaps).
+    """
+    from pyspark.sql import Window
+
+    dur_us = int(duration_s) * 1_000_000
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(F.col(ts_col)).alias("__s"),
+    ).withColumn("__e", F.col("__s") + F.lit(dur_us))
+    w = Window.partitionBy("k").orderBy("__s")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = base.select(
+        "k",
+        "__s",
+        "__e",
+        F.when(
+            F.col("__s") > F.coalesce(F.max("__e").over(wprev), F.lit(-(1 << 62))),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__new"),
+    ).withColumn("__island", F.sum("__new").over(w))
+    islands = flagged.groupBy("k", "__island").agg(
+        F.min("__s").alias("__is"), F.max("__e").alias("__ie")
+    )
+    return islands.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("__ie") - F.col("__is")).cast("long").alias("active_micros"),
+    ).select(F.col("k").alias(key_col), "n_islands", "active_micros")
