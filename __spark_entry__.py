@@ -9574,6 +9574,255 @@ WHERE (cum - cents) // interval < cum // interval
 """
 
 
+def _ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS per group (aggregates.ols_two_feature_exact):
+    cents ~ qty + discount_pct per (returnflag, linestatus) via exact
+    decimal(38,0) moments and closed-form centered normal equations —
+    ONE float expression per coefficient, no iterative fit, 100 TB
+    reduces to nine moments per key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return aggregates.ols_two_feature_exact(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        F.round(F.col("l_quantity")).cast("long"),
+        F.round(F.col("l_discount") * 100).cast("long"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+    )
+
+
+_OLS_TWO_FEATURE_SQL = """
+WITH m AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+           CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+           CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+           CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+           CAST(sum(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+           CAST(sum(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y,
+           CAST(count(*) AS BIGINT) AS n_out
+    FROM (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_quantity) AS BIGINT) AS x1,
+               CAST(round(l_discount * 100) AS BIGINT) AS x2,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ) GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, n_out AS n,
+       round(((n * s22 - s2 * s2) * (n * s1y - s1 * sy)
+            - (n * s12 - s1 * s2) * (n * s2y - s2 * sy))
+           / ((n * s11 - s1 * s1) * (n * s22 - s2 * s2)
+            - (n * s12 - s1 * s2) * (n * s12 - s1 * s2)), 6) AS beta1,
+       round(((n * s11 - s1 * s1) * (n * s2y - s2 * sy)
+            - (n * s12 - s1 * s2) * (n * s1y - s1 * sy))
+           / ((n * s11 - s1 * s1) * (n * s22 - s2 * s2)
+            - (n * s12 - s1 * s2) * (n * s12 - s1 * s2)), 6) AS beta2
+FROM m
+WHERE n_out >= 5
+  AND (n * s11 - s1 * s1) * (n * s22 - s2 * s2)
+    - (n * s12 - s1 * s2) * (n * s12 - s1 * s2) <> 0.0
+"""
+
+
+def _seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted outlier days (timeseries.seasonal_outlier_
+    days): a day flags when 2·cents·n_dow > 3·Σ(same-weekday cents) —
+    the dow-aware anomaly screen, exact by integer
+    cross-multiplication (no float mean, no rounding boundary)."""
+    o = load_table(spark, sf_dir, "orders")
+    return timeseries.seasonal_outlier_days(
+        o, "o_orderdate", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+
+
+_SEASONAL_OUTLIERS_SQL = """
+WITH daily AS (
+    SELECT o_orderdate AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+), d2 AS (
+    SELECT day, CAST(isodow(day) AS INT) AS iso_dow, cents FROM daily
+), prof AS (
+    SELECT iso_dow, CAST(count(*) AS BIGINT) AS nd, CAST(sum(cents) AS BIGINT) AS s
+    FROM d2 GROUP BY 1
+)
+SELECT day, d2.iso_dow, cents,
+       (2 * cents * nd > 3 * s) AS is_outlier
+FROM d2 JOIN prof USING (iso_dow)
+"""
+
+
+def _asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH a staleness tolerance: latest click at-or-
+    before each purchase only counts when it is at most 2 hours old —
+    the sensor/trading variant where an arbitrarily stale match is
+    worse than none. Same one-shuffle carry-forward plan as asof_join
+    (the tolerance is a residual filter on the carried row, never a
+    range join); matches report their exact gap in integer micros."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 4).alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.round("value", 4).alias("click_value")
+    )
+    out = joins.asof_join(
+        purchases, clicks, key="user_id", ts="ts", tiebreak="event_id", carry=["click_value"]
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))
+    return out.filter(gap <= 2 * 3600 * 1_000_000).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.col("ts_r").alias("click_ts"),
+        F.col("event_id_r").alias("click_event_id"),
+        F.col("click_value_r").alias("click_value"),
+        gap.cast("long").alias("gap_micros"),
+    )
+
+
+_ASOF_TOLERANCE_SQL = """
+SELECT a.event_id, a.user_id, a.ts, round(a.value, 4) AS purchase_value,
+       b.ts AS click_ts, b.event_id AS click_event_id,
+       round(b.value, 4) AS click_value,
+       CAST(epoch_us(a.ts) - epoch_us(b.ts) AS BIGINT) AS gap_micros
+FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+JOIN (SELECT * FROM events WHERE event_type = 'click') b
+  ON a.user_id = b.user_id AND b.ts <= a.ts
+     AND epoch_us(a.ts) - epoch_us(b.ts) <= 7200000000
+QUALIFY row_number() OVER (PARTITION BY a.event_id ORDER BY b.ts DESC, b.event_id DESC) = 1
+"""
+
+
+def _containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set containment join (dedup.containment_join):
+    pairs with |∩|/min(|A|,|B|) >= 0.8 within a language block — the
+    quote/subset detector Jaccard misses. Dedupe-first (identical
+    gram sets collapse before pairing), the shared-gram equi-join's
+    pair aggregate IS the exact intersection, integer
+    cross-multiplied threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_join(
+        docs, "text", "doc_id", "lang", threshold=0.8, shingle_k=3
+    )
+
+
+_CONTAINMENT_JOIN_SQL = r"""
+WITH tk AS (
+    SELECT lang, doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM documents WHERE len(text) > 0
+), t AS (
+    SELECT lang, doc_id,
+           list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+    FROM tk
+)
+SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+       round(len(list_intersect(a.sh, b.sh)) /
+             CAST(least(len(a.sh), len(b.sh)) AS DOUBLE), 6) AS containment
+FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  AND 10 * len(list_intersect(a.sh, b.sh)) >= 8 * least(len(a.sh), len(b.sh))
+"""
+
+
+def _ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance (quality.ks_two_sample) between two
+    sources' document-length distributions — exact: D's numerator is
+    the integer max of |cum_a·n_b − cum_b·n_a| over pooled values,
+    one float division on the argmax row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality.ks_two_sample(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") == "src1"),
+        F.col("n_chars"),
+    )
+
+
+_KS_TWO_SAMPLE_SQL = """
+WITH ca AS (
+    SELECT n_chars AS v, count(*) AS ca FROM documents WHERE source = 'src0' GROUP BY 1
+), cb AS (
+    SELECT n_chars AS v, count(*) AS cb FROM documents WHERE source = 'src1' GROUP BY 1
+), merged AS (
+    SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+    FROM ca FULL OUTER JOIN cb ON ca.v = cb.v
+), cum AS (
+    SELECT v,
+           sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+           sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+    FROM merged
+), tot AS (
+    SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM merged
+)
+SELECT v AS argmax_v, n_a, n_b,
+       CAST(abs(cum_a * n_b - cum_b * n_a) AS BIGINT) AS ks_numerator,
+       round(CAST(abs(cum_a * n_b - cum_b * n_a) AS DOUBLE) / (n_a * n_b), 6) AS ks_distance
+FROM cum, tot
+ORDER BY abs(cum_a * n_b - cum_b * n_a) DESC, v ASC
+LIMIT 1
+"""
+
+
+def _rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct actives per day (timeseries.
+    rolling_distinct): distinct counts don't merge across days, so
+    the exact shape is (user, day) grain exploded to the <=7 target
+    days it supports, then count_distinct per target day — constant
+    fan-out, one shuffle, never a per-day rescan or self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.rolling_distinct(ev, "ts", "user_id", window_days=7)
+
+
+_ROLLING_DISTINCT_SQL = """
+WITH ed AS (
+    SELECT DISTINCT user_id AS e, CAST(ts AS DATE) AS d FROM events
+), mx AS (SELECT max(d) AS m FROM ed),
+ex AS (
+    SELECT e,
+           CAST(unnest(generate_series(d, least(d + 6, (SELECT m FROM mx)),
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+    FROM ed
+)
+SELECT day, CAST(count(DISTINCT e) AS BIGINT) AS active_7d FROM ex GROUP BY 1
+"""
+
+
+def _cohort_revenue_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle (timeseries.cohort_revenue_matrix): revenue
+    by first-order week x week age, exact integer cents and epoch-day
+    arithmetic; cohort-x-age output is KB-sized at any input scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return timeseries.cohort_revenue_matrix(
+        o, "o_custkey", "o_orderdate", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+
+
+_COHORT_REVENUE_SQL = """
+WITH base AS (
+    SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS d,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), f AS (
+    SELECT c, min(d) AS fd FROM base GROUP BY 1
+), j AS (
+    SELECT f.fd - CAST(isodow(f.fd) - 1 AS INT) AS cohort_week,
+           (base.d - (f.fd - CAST(isodow(f.fd) - 1 AS INT))) // 7 AS week_age,
+           cents
+    FROM base JOIN f USING (c)
+)
+SELECT cohort_week, CAST(week_age AS BIGINT) AS week_age,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM j GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r9 driver sample (first 50): the 9 r4-stale entries, the 26
@@ -9640,6 +9889,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_trigram_backoff": _lm_trigram_backoff,
         "interval_union_length": _interval_union_length,
         "monetary_unit_sample": _monetary_unit_sample,
+        "ols_two_feature": _ols_two_feature,
+        "seasonal_outliers": _seasonal_outliers,
+        "asof_tolerance_join": _asof_tolerance_join,
+        "containment_join": _containment_join,
+        "ks_two_sample": _ks_two_sample,
+        "rolling_distinct_users": _rolling_distinct_users,
+        "cohort_revenue_matrix": _cohort_revenue_matrix,
         # -- tail, stalest-first: remaining r5/r6-attested --
         "g1_reconciliation_summary": _g1_reconciliation_summary,
         "g2_union_distinct": _g2_union_distinct,
@@ -9899,6 +10155,13 @@ def oracle_sql() -> dict[str, str]:
         "lm_trigram_backoff": _LM_TRIGRAM_BACKOFF_SQL,
         "interval_union_length": _INTERVAL_UNION_SQL,
         "monetary_unit_sample": _MONETARY_UNIT_SQL,
+        "ols_two_feature": _OLS_TWO_FEATURE_SQL,
+        "seasonal_outliers": _SEASONAL_OUTLIERS_SQL,
+        "asof_tolerance_join": _ASOF_TOLERANCE_SQL,
+        "containment_join": _CONTAINMENT_JOIN_SQL,
+        "ks_two_sample": _KS_TWO_SAMPLE_SQL,
+        "rolling_distinct_users": _ROLLING_DISTINCT_SQL,
+        "cohort_revenue_matrix": _COHORT_REVENUE_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,

@@ -137,6 +137,19 @@ HEADLINE = [
     "collocation_pmi",
     "arrival_burstiness",
     "revenue_bridge",
+    # r9 additions — the SCD2→IVM serving composition, the two new
+    # exact similarity joins (deletion-neighborhood edit distance,
+    # set containment), ordering-based dedup blocking, the trigram
+    # backoff coverage screen, and the two-phase PPS audit sample.
+    # Additions only.
+    "scd2_agg_mv",
+    "edit_distance_join",
+    "containment_join",
+    "sorted_neighborhood_dedup",
+    "lm_trigram_backoff",
+    "growth_accounting",
+    "interval_union_length",
+    "monetary_unit_sample",
 ]
 
 

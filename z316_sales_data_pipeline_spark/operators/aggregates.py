@@ -433,3 +433,61 @@ def monetary_unit_sample(
         "cents",
         F.col("cum").cast("long").alias("cum"),
     )
+
+
+def ols_two_feature_exact(
+    df: DataFrame,
+    key: str | list[str],
+    x1_int: Column,
+    x2_int: Column,
+    y_int: Column,
+    min_n: int = 5,
+) -> DataFrame:
+    """Per-group TWO-regressor OLS (with intercept) from exact integer
+    moments — the multivariate extension of ols_slope_exact: all nine
+    moments (n, Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y)
+    accumulate as decimal(38,0) over decimal(18,0) inputs (products
+    stay in decimal(37,0) — no precision loss, no float order), and
+    the centered 2x2 normal equations solve in ONE float expression
+    per coefficient:
+
+        A11 = nΣx1² − (Σx1)²   A12 = nΣx1x2 − Σx1Σx2
+        A22 = nΣx2² − (Σx2)²   b1 = nΣx1y − Σx1Σy   b2 = nΣx2y − Σx2Σy
+        β1 = (A22·b1 − A12·b2) / det,  β2 = (A11·b2 − A12·b1) / det,
+        det = A11·A22 − A12²
+
+    Groups with det == 0 (collinear or constant regressors) or n <
+    min_n are dropped rather than emitting NaN/Inf. One hash
+    aggregate; 100 TB reduces to nine moments per key — regression as
+    an AGGREGATE, never a driver-side fit.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    x1, x2, y = dec(x1_int), dec(x2_int), dec(y_int)
+    m = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(x1).alias("__s1"),
+        F.sum(x2).alias("__s2"),
+        F.sum(y).alias("__sy"),
+        F.sum(x1 * x1).alias("__s11"),
+        F.sum(x2 * x2).alias("__s22"),
+        F.sum(x1 * x2).alias("__s12"),
+        F.sum(x1 * y).alias("__s1y"),
+        F.sum(x2 * y).alias("__s2y"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    a11 = d("__n") * d("__s11") - d("__s1") * d("__s1")
+    a22 = d("__n") * d("__s22") - d("__s2") * d("__s2")
+    a12 = d("__n") * d("__s12") - d("__s1") * d("__s2")
+    b1 = d("__n") * d("__s1y") - d("__s1") * d("__sy")
+    b2 = d("__n") * d("__s2y") - d("__s2") * d("__sy")
+    det = a11 * a22 - a12 * a12
+    return (
+        m.filter((F.col("__n") >= min_n) & (det != 0.0))
+        .select(
+            *keys,
+            F.col("__n").cast("long").alias("n"),
+            F.round((a22 * b1 - a12 * b2) / det, 6).alias("beta1"),
+            F.round((a11 * b2 - a12 * b1) / det, 6).alias("beta2"),
+        )
+    )

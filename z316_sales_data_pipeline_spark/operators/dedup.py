@@ -1603,3 +1603,102 @@ def edit_distance_join(
         )
     )
     return same.unionByName(diff)
+
+
+def containment_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact set-CONTAINMENT join within blocking groups: unordered
+    pairs whose shingle sets satisfy |A∩B|/min(|A|,|B|) >= t — the
+    quote/subset detector Jaccard misses (a paragraph fully contained
+    in a long document has tiny Jaccard but containment 1.0).
+
+    Same dedupe-first relational algebra as ngram_jaccard_pairs:
+    identical gram SETS collapse to one fingerprint before pairing
+    (duplicate-heavy corpora cost x1 + output), the shared-gram
+    equi-join within the group emits one row per common gram and the
+    pair aggregate IS the exact intersection count; both containments
+    derive from exact integers, the threshold tests by integer
+    cross-multiplication (10·|∩| >= 10t·min(sa,sb)), and the one
+    float division happens at emission.
+    """
+    t_num = int(round(threshold * 10))
+    grams = (
+        df.filter(F.length(F.col(text_col)) > 0)
+        .select(
+            F.col(group_col).alias("__grp"),
+            F.col(id_col),
+            F.explode(shingles(text_col, k=shingle_k)).alias("__gt"),
+        )
+        .select("__grp", F.col(id_col), fingerprint64(F.col("__gt")).alias("g"))
+        .distinct()
+    )
+    per_doc = grams.groupBy("__grp", id_col).agg(
+        F.array_sort(F.collect_list("g")).alias("__grams"), F.count(F.lit(1)).alias("__s")
+    )
+    members = per_doc.select(
+        "__grp",
+        F.col(id_col),
+        F.col("__s"),
+        fingerprint64(
+            F.concat_ws(",", F.transform("__grams", lambda g: g.cast("string")))
+        ).alias("__fp"),
+        F.col("__grams"),
+    )
+    members = persist_fact(members)  # doc-grain: keep lineage
+    sets = members.groupBy("__grp", "__fp").agg(
+        F.min_by("__grams", F.col(id_col)).alias("__grams"),
+        F.min("__s").alias("__s"),
+        F.count(F.lit(1)).alias("__m"),
+    ).localCheckpoint(eager=True)  # set-grain reduction, consumed twice
+    rel = sets.select("__grp", "__fp", "__s", F.explode("__grams").alias("g"))
+    pairs = (
+        rel.alias("a")
+        .join(rel.alias("b"), ["__grp", "g"])
+        .filter(F.col("a.__fp") < F.col("b.__fp"))
+        .groupBy("__grp", F.col("a.__fp").alias("__fa"), F.col("b.__fp").alias("__fb"))
+        .agg(
+            F.count(F.lit(1)).alias("__inter"),
+            F.min("a.__s").alias("__sa"),
+            F.min("b.__s").alias("__sb"),
+        )
+        .filter(
+            F.lit(10) * F.col("__inter")
+            >= F.lit(t_num) * F.least("__sa", "__sb")
+        )
+    )
+    # identical-set pairs: containment 1.0 by definition
+    ma = members.select("__grp", F.col("__fp"), F.col(id_col).alias("id_a"), F.col("__s"))
+    mb = members.select("__grp", F.col("__fp"), F.col(id_col).alias("id_b"))
+    identical = (
+        ma.join(mb, ["__grp", "__fp"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("__grp"),
+            "id_a",
+            "id_b",
+            F.col("__s").cast("long").alias("n_inter"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    ea = members.select("__grp", F.col("__fp").alias("__fa"), F.col(id_col).alias("id_a"))
+    eb = members.select("__grp", F.col("__fp").alias("__fb"), F.col(id_col).alias("id_b"))
+    expanded = (
+        pairs.join(ea, ["__grp", "__fa"])
+        .join(eb, ["__grp", "__fb"])
+        .select(
+            F.col("__grp"),
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.col("__inter").cast("long").alias("n_inter"),
+            F.round(
+                F.col("__inter").cast("double") / F.least("__sa", "__sb"), 6
+            ).alias("containment"),
+        )
+    )
+    return identical.unionByName(expanded).withColumnRenamed("__grp", group_col)

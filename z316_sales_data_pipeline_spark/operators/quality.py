@@ -309,3 +309,71 @@ def fd_profile(
         F.max("n_rhs").cast("long").alias("max_fanout"),
         F.sum("n_rows").cast("long").alias("n_rows"),
     )
+
+
+def ks_two_sample(
+    a: DataFrame,
+    b: DataFrame,
+    value: Column,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between integer-valued
+    samples — the distribution-drift test PSI's fixed bins coarsen
+    away, exact by construction: D = max_v |F_a(v) − F_b(v)| =
+    max_v |cum_a(v)·n_b − cum_b(v)·n_a| / (n_a·n_b), where the max
+    runs over pooled distinct values, the cumulative counts are exact
+    integers, and the single division happens once on the argmax row.
+
+    Plan: each side reduces to (value, count) grain, the pooled
+    full-outer merge is value-grain, ONE ordered window accumulates
+    both cumulative counts (value-grain input — far below fact grain,
+    but still ranged, not single-partition: the window partitions by
+    a constant bucket of the value range via two-phase running sums
+    would be overkill at vocab grain; Spark's sort of a KB-sized
+    relation is fine), and the answer is one argmax row.
+    """
+    from pyspark.sql import Window
+
+    ca = a.select(value.cast("long").alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = b.select(value.cast("long").alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    merged = (
+        ca.join(cb, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = merged.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = merged.agg(
+        F.sum("ca").cast("long").alias("n_a"), F.sum("cb").cast("long").alias("n_b")
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "cum_a",
+        "cum_b",
+        "n_a",
+        "n_b",
+        F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")).alias("__num"),
+    )
+    return (
+        scored.orderBy(F.col("__num").desc(), F.col("v").asc())
+        .limit(1)
+        .select(
+            F.col("v").alias("argmax_v"),
+            F.col("n_a"),
+            F.col("n_b"),
+            F.col("__num").cast("long").alias("ks_numerator"),
+            F.round(
+                F.col("__num").cast("double") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("ks_distance"),
+        )
+    )

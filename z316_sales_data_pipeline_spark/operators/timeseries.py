@@ -440,3 +440,122 @@ def interval_union_length(
         F.count(F.lit(1)).cast("long").alias("n_islands"),
         F.sum(F.col("__ie") - F.col("__is")).cast("long").alias("active_micros"),
     ).select(F.col("k").alias(key_col), "n_islands", "active_micros")
+
+
+def seasonal_outlier_days(
+    df: DataFrame,
+    date_col: str,
+    amount_cents: "F.Column",
+) -> DataFrame:
+    """Seasonally-adjusted daily outlier flags: a day is flagged when
+    its revenue exceeds 1.5x the MEAN of its own ISO weekday — the
+    dow-aware screen that plain thresholds get wrong (every Sunday
+    looks anomalous against a weekday mean). The composition a
+    monitoring stack runs: daily rollup → weekday profile → per-day
+    comparison.
+
+    Engine-exact by integer cross-multiplication: the flag is
+    2·cents·n_dow > 3·Σ(dow cents) — no float mean, no division, no
+    rounding boundary. Two aggregates (day grain, then the 7-row dow
+    profile reduced FROM the day grain — never a second fact scan)
+    and one broadcast join back.
+    """
+    daily = df.groupBy(F.col(date_col).alias("day")).agg(
+        F.sum(amount_cents).cast("long").alias("cents")
+    )
+    isodow = ((F.dayofweek(F.col("day")) + F.lit(5)) % F.lit(7) + F.lit(1)).cast("int")
+    daily = daily.withColumn("iso_dow", isodow)
+    prof = daily.groupBy("iso_dow").agg(
+        F.count(F.lit(1)).cast("long").alias("__nd"),
+        F.sum("cents").cast("long").alias("__sum"),
+    )
+    return (
+        daily.join(F.broadcast(prof), "iso_dow")
+        .select(
+            "day",
+            "iso_dow",
+            "cents",
+            (F.lit(2) * F.col("cents") * F.col("__nd") > F.lit(3) * F.col("__sum")).alias(
+                "is_outlier"
+            ),
+        )
+    )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct entities per day (the 7-day-active
+    metric): for each observed day, how many distinct entities
+    appeared in [day − w + 1, day]. Distinct counts do NOT merge
+    across days, so a windowed sum of daily distincts is wrong — the
+    exact shape is: reduce to (entity, day) grain, EXPLODE each
+    active day to the w target days it supports, and count distinct
+    per target day (an entity active twice in the window still counts
+    once because the explode is over the deduped day grain and
+    count_distinct closes the rest).
+
+    Cost: (entity, day) grain × w rows through one shuffle — w is a
+    small constant, so this scales like the fact scan; no per-day
+    re-scan, no quadratic self-join. Target days beyond the observed
+    max are not emitted.
+    """
+    ed = df.select(
+        F.col(entity_col).alias("e"), F.to_date(ts_col).alias("d")
+    ).distinct()
+    max_day = ed.agg(F.max("d").alias("__mx"))
+    exploded = (
+        ed.crossJoin(F.broadcast(max_day))
+        .select(
+            "e",
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.least(F.date_add("d", window_days - 1), F.col("__mx")),
+                )
+            ).alias("day"),
+        )
+    )
+    return exploded.groupBy("day").agg(
+        F.count_distinct("e").cast("long").alias(f"active_{window_days}d")
+    )
+
+
+def cohort_revenue_matrix(
+    orders: DataFrame,
+    cust_col: str,
+    date_col: str,
+    amount_cents: "F.Column",
+) -> DataFrame:
+    """Cohort LTV matrix: customers grouped by first-order WEEK, each
+    cohort's revenue laid out by week AGE (weeks since the cohort
+    week) — the triangle a growth team reads cumulative LTV from.
+    Exact integer cents; ages derive from epoch-day arithmetic
+    (datediff div 7), never float date math.
+
+    Plan: first-order week per customer is ONE key-grain aggregate
+    joined back (shuffle on the customer key shared with the revenue
+    rollup); the output is cohort×age grain — KB-sized at any input
+    scale.
+    """
+    base = orders.select(
+        F.col(cust_col).alias("c"),
+        F.col(date_col).cast("date").alias("d"),
+        amount_cents.cast("long").alias("cents"),
+    )
+    first = base.groupBy("c").agg(F.min("d").alias("__fd"))
+    week0 = F.date_sub(F.col("__fd"), (F.dayofweek("__fd") + 5) % 7)  # Monday of first week
+    joined = base.join(first, "c").select(
+        week0.alias("cohort_week"),
+        F.expr("datediff(d, date_sub(__fd, (dayofweek(__fd) + 5) % 7)) div 7").alias(
+            "week_age"
+        ),
+        "cents",
+    )
+    return joined.groupBy("cohort_week", "week_age").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
