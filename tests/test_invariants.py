@@ -1741,3 +1741,195 @@ def test_psi_drift_bucket_assignment_is_integral_div(spark):
     out = {r["bucket"]: (r["n_old"], r["n_new"])
            for r in quality.psi_drift(old, new, F.col("v"), n_buckets=2).collect()}
     assert out[1][1] == 1 and out[0][1] == 0
+
+
+def test_sorted_neighborhood_window_semantics(spark):
+    """Pairs come ONLY from the next window-1 positions of the global
+    sort; distance filter is exact levenshtein."""
+    from z316_sales_data_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alphb"), (3, "alphc"), (4, "zzzzz"), (5, "alqha")],
+        "id long, name string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dedup.sorted_neighborhood_pairs(
+            df, F.col("name"), "id", window=3, max_dist=2
+        ).collect()
+    }
+    # sorted: alpha(1) alphb(2) alphc(3) alqha(5) zzzzz(4); window 3 pairs
+    # each with next two. (1,2)=1 (1,3)=1 (2,3)=1 (2,5)=2 (3,5)=2; (5,4)
+    # and (3,4) fail the distance cut; (1,5)=1 is OUTSIDE the window.
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1, (2, 5): 2, (3, 5): 2}
+
+
+def test_edit_distance_join_known_pairs(spark):
+    """k=1 join finds substitutions, insertions/deletions and exact
+    duplicates (dist 0), and never pairs beyond distance 1."""
+    from z316_sales_data_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "spark"), (2, "sparc"), (3, "spar"), (4, "sparkk"), (5, "duck"),
+         (6, "spark")],
+        "id long, s string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dedup.edit_distance_join(df, "s", "id", k=1).collect()
+    }
+    assert got[(1, 6)] == 0          # identical strings
+    assert got[(1, 2)] == 1          # substitution
+    assert got[(1, 3)] == 1          # deletion
+    assert got[(1, 4)] == 1          # insertion
+    assert (1, 5) not in got and (2, 5) not in got
+    # sparc<->spar is also distance 1; sparc<->sparkk is 2 (absent)
+    assert got[(2, 3)] == 1 and (2, 4) not in got
+
+
+def test_growth_accounting_identity_and_classes(spark):
+    """dau == new + retained + resurrected every day; churn lands on
+    the day AFTER the lapse."""
+    import datetime as dt
+
+    from z316_sales_data_pipeline_spark.operators import timeseries
+
+    D = lambda d: dt.datetime(2024, 1, d, 12)  # noqa: E731
+    rows = [
+        ("a", D(1)), ("a", D(2)), ("a", D(4)),   # new d1, retained d2, churn d3, resurrected d4
+        ("b", D(2)),                               # new d2, churn d3
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {str(r["day"]): r for r in timeseries.growth_accounting(df, "user_id", "ts").collect()}
+    for r in out.values():
+        assert r["dau"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+    assert out["2024-01-01"]["n_new"] == 1
+    assert out["2024-01-02"]["n_new"] == 1 and out["2024-01-02"]["n_retained"] == 1
+    assert out["2024-01-03"]["n_churned"] == 2 and out["2024-01-03"]["dau"] == 0
+    assert out["2024-01-04"]["n_resurrected"] == 1
+    assert out["2024-01-05"]["n_churned"] == 1  # a's final lapse
+
+
+def test_interval_union_length_merges_overlaps(spark):
+    """Overlapping and touching intervals merge; disjoint ones open new
+    islands; coverage is the union length, not the duration sum."""
+    import datetime as dt
+
+    from z316_sales_data_pipeline_spark.operators import timeseries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u", base),                                  # [0, 1800)
+        ("u", base + dt.timedelta(seconds=900)),      # overlaps -> [0, 2700)
+        ("u", base + dt.timedelta(seconds=2700)),     # touches   -> [0, 4500)
+        ("u", base + dt.timedelta(seconds=10_000)),   # new island
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    r = timeseries.interval_union_length(df, "user_id", "ts", duration_s=1800).collect()[0]
+    assert r["n_islands"] == 2
+    assert r["active_micros"] == (4500 + 1800) * 1_000_000
+
+
+def test_monetary_unit_sample_guarantees_high_value_rows(spark):
+    """Any row whose amount >= the sampling interval MUST be picked
+    (it spans at least one boundary) — the property MUS exists for."""
+    from z316_sales_data_pipeline_spark.operators import aggregates
+
+    rows = [(i, 100) for i in range(100)] + [(100, 60_000)]
+    df = spark.createDataFrame(rows, "k long, cents long")
+    out = aggregates.monetary_unit_sample(
+        df, [F.col("k")], F.col("cents"), n_picks=10
+    ).collect()
+    # total = 70_000, interval = 7_000 < 60_000 -> the big row is in
+    assert any(r["k0"] == 100 for r in out)
+    picked_cents = sum(r["cents"] for r in out)
+    assert picked_cents >= 60_000
+
+
+def test_ks_two_sample_identical_and_disjoint(spark):
+    """D == 0 for identical samples, == 1 for fully separated ones."""
+    from z316_sales_data_pipeline_spark.operators import quality
+
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3, 4]], "v long")
+    b = spark.createDataFrame([(v,) for v in [1, 2, 3, 4]], "v long")
+    assert quality.ks_two_sample(a, b, F.col("v")).collect()[0]["ks_distance"] == 0.0
+    c = spark.createDataFrame([(v,) for v in [10, 11]], "v long")
+    assert quality.ks_two_sample(a, c, F.col("v")).collect()[0]["ks_distance"] == 1.0
+
+
+def test_ols_two_feature_recovers_plane(spark):
+    """Exact recovery of y = 3*x1 - 2*x2 + 7 from noise-free integer
+    data (the intercept is absorbed by centering)."""
+    from z316_sales_data_pipeline_spark.operators import aggregates
+
+    rows = [
+        ("g", x1, x2, 3 * x1 - 2 * x2 + 7)
+        for x1 in range(0, 10)
+        for x2 in range(0, 5)
+    ]
+    df = spark.createDataFrame(rows, "g string, x1 long, x2 long, y long")
+    r = aggregates.ols_two_feature_exact(
+        df, "g", F.col("x1"), F.col("x2"), F.col("y")
+    ).collect()[0]
+    assert (r["beta1"], r["beta2"]) == (3.0, -2.0)
+
+
+def test_containment_join_subset_detection(spark):
+    """A text fully contained in a longer one scores containment 1.0
+    even when its Jaccard is small; unrelated texts never pair."""
+    from z316_sales_data_pipeline_spark.operators import dedup
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = quote + " while winter rain falls on the quiet harbor town tonight"
+    df = spark.createDataFrame(
+        [(1, quote, "en"), (2, long_doc, "en"), (3, "completely different words here now", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_join(df, "text", "doc_id", "lang", threshold=0.9).collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+
+def test_rolling_distinct_vs_bruteforce(spark):
+    """Explode-based trailing distinct equals the quadratic self-join
+    answer on a small stream."""
+    import datetime as dt
+
+    from z316_sales_data_pipeline_spark.operators import timeseries
+
+    rows = []
+    for day in range(1, 15):
+        for u in range(day % 4 + 1):
+            rows.append((f"u{u}", dt.datetime(2024, 1, day)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {str(r["day"]): r["active_7d"]
+           for r in timeseries.rolling_distinct(df, "ts", "user_id", 7).collect()}
+    days = sorted({r[1].date() for r in rows})
+    for d in days:
+        users = {u for u, t in rows if 0 <= (d - t.date()).days <= 6}
+        assert got[str(d)] == len(users)
+
+
+def test_lm_trigram_backoff_short_docs_no_phantom_rows(spark):
+    """Docs under 3 tokens produce NO trigrams (sequence(1,0) would
+    descend and emit phantom out-of-range grams — the shingles()
+    guard class); levels classify against the reference sets."""
+    from z316_sales_data_pipeline_spark.operators import corpus as C
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),          # target (id % 10 == 0)
+            (10, "xy"),               # target, < 3 tokens: no rows
+            (1, "a b c z"),           # reference
+            (2, "q b c d"),           # reference
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in C.lm_trigram_backoff(df, "text", "doc_id").collect()}
+    assert 10 not in rows
+    r = rows[0]
+    # target trigrams: 'a b c' (in ref via doc 1 -> l3), 'b c d' (in ref
+    # via doc 2 -> l3)
+    assert (r["n_tri"], r["n_l3"]) == (2, 2) and r["hit3_rate"] == 1.0

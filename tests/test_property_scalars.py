@@ -340,3 +340,40 @@ def test_snapshot_diff_round_trip_property(spark, old_rows, new_rows):
         else:  # added / changed
             rebuilt[r["k"]] = (r["k"], r["a_new"], r["b_new"])
     assert rebuilt == new_map
+
+
+@given(
+    st.lists(st.text(alphabet="ab", min_size=0, max_size=6), min_size=1, max_size=18),
+    st.sampled_from([1, 2]),
+)
+@settings(**_HEAVY_SETTINGS)
+def test_edit_distance_join_lossless_property(spark, strings, k):
+    """FastSS losslessness LAW: over random strings (duplicates, empty
+    strings, 1-char strings, a tiny alphabet maximizing collisions)
+    and both supported k, the deletion-neighborhood candidate join +
+    levenshtein verify emits EXACTLY the brute-force pair set with
+    exact distances."""
+    from itertools import combinations
+
+    from z316_sales_data_pipeline_spark.operators import dedup
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(list(enumerate(strings)), "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dedup.edit_distance_join(df, "s", "id", k=k).collect()
+    }
+    want = {
+        (ia, ib): lev(sa, sb)
+        for (ia, sa), (ib, sb) in combinations(enumerate(strings), 2)
+        if lev(sa, sb) <= k
+    }
+    assert got == want

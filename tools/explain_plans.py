@@ -481,6 +481,56 @@ CHECKLIST = {
         "the sequential array fold fused (no explode), one label-grain "
         "hash agg — min/max/threshold counts only, no float sums."
     ),
+    "scd2_agg_mv": (
+        "SCD2→IVM serving composition (r9). Expect: the epoch-2 fold "
+        "and the MV delta both keyed on user_id (shared partitioning); "
+        "snapshot_diff is ONE full-outer join; the retract merge is ONE "
+        "full-outer join on the group key; NO broadcast hint anywhere "
+        "(AQE decides), no Cartesian."
+    ),
+    "edit_distance_join": (
+        "FastSS deletion-neighborhood join (r9). Expect: distinct "
+        "string relation, the neighborhood explode feeding a "
+        "fingerprint equi-join (self-join on __nh, never a Cartesian), "
+        "levenshtein as a post-join filter, and the id expansion as "
+        "two more equi-joins."
+    ),
+    "containment_join": (
+        "Exact set-containment join (r9). Expect: dedupe-first (set "
+        "fingerprint aggregate BEFORE pairing), shared-gram equi-join "
+        "within (group, gram), pair HashAggregate producing the exact "
+        "intersection count, integer threshold filter — no Cartesian, "
+        "no float accumulate."
+    ),
+    "sorted_neighborhood_dedup": (
+        "Sorted-neighborhood blocking (r9). Expect: ONE "
+        "repartitionByRange (the two-phase global ordering), "
+        "partition-local Window (never unpartitioned), offset explode "
+        "on the left, ONE position equi-join, levenshtein filter."
+    ),
+    "monetary_unit_sample": (
+        "PPS systematic sample (r9). Expect: the two-phase running sum "
+        "(range exchange + partition-local window + broadcast offset "
+        "join), then a pure filter — no single-partition WindowExec, "
+        "no second scan."
+    ),
+    "growth_accounting": (
+        "Growth accounting (r9). Expect: one (user, day) "
+        "distinct-aggregate, ONE user-partitioned window exchange "
+        "shared by lag/lead/min, then two small day-grain aggregates "
+        "merged by a full-outer join on the KB-sized day relation."
+    ),
+    "lm_trigram_backoff": (
+        "Trigram backoff coverage (r9). Expect: one documents scan "
+        "exploding target trigrams, reference sets reduced to "
+        "vocab-grain distinct relations joined as int64 fingerprints "
+        "(three hash joins), no string shuffles, count-grain output."
+    ),
+    "interval_union_length": (
+        "Islands-and-gaps coverage (r9). Expect: one key-partitioned "
+        "Window exchange shared by the running-max flag and the island "
+        "cumsum, then two hash aggregates — integer micros throughout."
+    ),
 }
 
 

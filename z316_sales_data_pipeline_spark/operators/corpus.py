@@ -1158,8 +1158,12 @@ def lm_trigram_backoff(
     from ..functions.text import fingerprint64
 
     toks = _norm_tokens(text_col)
+    # sequence(1, 0) would DESCEND ([1, 0]) for docs under 3 tokens and
+    # emit phantom out-of-range trigrams — guard like functions.text.shingles
     tri = F.expr(
-        "transform(sequence(1, greatest(size(__toks) - 2, 0)), "
+        "transform("
+        "  CASE WHEN size(__toks) >= 3 THEN sequence(1, size(__toks) - 2) "
+        "       ELSE CAST(array() AS array<int>) END, "
         "i -> struct(concat_ws(' ', __toks[i-1], __toks[i], __toks[i+1]) AS t3, "
         "concat_ws(' ', __toks[i], __toks[i+1]) AS t2, __toks[i+1] AS t1))"
     )
