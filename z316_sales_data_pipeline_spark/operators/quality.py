@@ -324,14 +324,14 @@ def ks_two_sample(
     integers, and the single division happens once on the argmax row.
 
     Plan: each side reduces to (value, count) grain, the pooled
-    full-outer merge is value-grain, ONE ordered window accumulates
-    both cumulative counts (value-grain input — far below fact grain,
-    but still ranged, not single-partition: the window partitions by
-    a constant bucket of the value range via two-phase running sums
-    would be overkill at vocab grain; Spark's sort of a KB-sized
-    relation is fine), and the answer is one argmax row.
+    full-outer merge is value-grain, and BOTH cumulative counts come
+    from the two-phase global running sum (range shuffle +
+    partition-local window + broadcast offsets) — a KS over a
+    high-cardinality value column stays value-grain-distributed, never
+    a single-task global sort (the fleet window guard's class). The
+    answer is one argmax row.
     """
-    from pyspark.sql import Window
+    from . import windows as _windows
 
     ca = a.select(value.cast("long").alias("v")).groupBy("v").agg(
         F.count(F.lit(1)).alias("ca")
@@ -347,12 +347,8 @@ def ks_two_sample(
             F.coalesce("cb", F.lit(0)).alias("cb"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = merged.select(
-        "v",
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
-    )
+    cum, _ = _windows.two_phase_running_sum(merged, [F.col("v").asc()], "ca", "cum_a")
+    cum, _ = _windows.two_phase_running_sum(cum, [F.col("v").asc()], "cb", "cum_b")
     tot = merged.agg(
         F.sum("ca").cast("long").alias("n_a"), F.sum("cb").cast("long").alias("n_b")
     )
