@@ -9823,6 +9823,105 @@ FROM j GROUP BY 1, 2
 """
 
 
+def _bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 (corpus.bm25_rank_incremental): the base
+    corpus's doc-grain partial (dl + pivoted tf — the at-rest index)
+    absorbs a new document batch by UNION; only the delta is
+    re-tokenized, global stats re-reduce from doc-grain partials.
+    Oracle = the full-corpus recompute (identical terms/k to
+    bm25_search), so the driver row proves the merge exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "merge", "window"]
+    base = corpus.bm25_per_doc(
+        docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id", terms
+    )
+    return corpus.bm25_rank_incremental(
+        base, docs.filter(F.col("doc_id") % 5 == 0), "text", "doc_id", terms, k=20
+    )
+
+
+def _token_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-repetition audit (corpus.token_run_lengths): longest
+    consecutive identical-token run per doc + run counts — the looped-
+    generation screen n-gram ratios dilute away. One doc-partitioned
+    window pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.token_run_lengths(docs, "text", "doc_id")
+
+
+_TOKEN_RUN_SQL = r"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest([{term: toks[i], pos: i}
+                   FOR i IN generate_series(1, len(toks))], recursive := true)
+    FROM (
+        SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    )
+), flagged AS (
+    SELECT doc_id, pos, term,
+           CASE WHEN lag(term) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT DISTINCT FROM term
+                THEN 0 ELSE 1 END AS new_run
+    FROM tok
+), numbered AS (
+    SELECT doc_id, term,
+           sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+    FROM flagged
+), runs AS (
+    SELECT doc_id, run_id, count(*) AS run_len, max(term) AS term
+    FROM numbered GROUP BY 1, 2
+), best AS (
+    SELECT doc_id, run_len, term,
+           row_number() OVER (PARTITION BY doc_id
+               ORDER BY run_len DESC, term DESC) AS rn
+    FROM runs
+), agg AS (
+    SELECT doc_id,
+           CAST(sum(run_len) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY 1
+)
+SELECT agg.doc_id, n_tokens, n_runs,
+       CAST(best.run_len AS BIGINT) AS max_run,
+       best.term AS run_token
+FROM agg JOIN best ON agg.doc_id = best.doc_id AND best.rn = 1
+"""
+
+
+def _quantile_disc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (type-1) per-group quantiles (aggregates.quantile_disc_
+    groups): smallest observed value with cum >= ceil(q*n) — pure
+    integer arithmetic, engine-exact where interpolated percentile
+    families diverge. p50/p90/p99 of line-item cents by returnflag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return aggregates.quantile_disc_groups(
+        li, "l_returnflag", F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+
+
+_QUANTILE_DISC_SQL = """
+WITH counts AS (
+    SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+           count(*) AS n
+    FROM lineitem GROUP BY 1, 2
+), cum AS (
+    SELECT l_returnflag, v,
+           sum(n) OVER (PARTITION BY l_returnflag ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(n) OVER (PARTITION BY l_returnflag) AS n_tot
+    FROM counts
+), hits AS (
+    SELECT l_returnflag, v, q_pct
+    FROM cum, (SELECT unnest([50, 90, 99]) AS q_pct)
+    WHERE cum >= (q_pct * n_tot + 99) // 100
+)
+SELECT l_returnflag, CAST(q_pct AS INT) AS q_pct, CAST(min(v) AS BIGINT) AS v
+FROM hits GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r9 driver sample (first 50): the 9 r4-stale entries, the 26
@@ -9896,6 +9995,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_two_sample": _ks_two_sample,
         "rolling_distinct_users": _rolling_distinct_users,
         "cohort_revenue_matrix": _cohort_revenue_matrix,
+        "bm25_incremental": _bm25_incremental,
+        "token_run_lengths": _token_run_lengths,
+        "quantile_disc_groups": _quantile_disc_groups,
         # -- tail, stalest-first: remaining r5/r6-attested --
         "g1_reconciliation_summary": _g1_reconciliation_summary,
         "g2_union_distinct": _g2_union_distinct,
@@ -10162,6 +10264,9 @@ def oracle_sql() -> dict[str, str]:
         "ks_two_sample": _KS_TWO_SAMPLE_SQL,
         "rolling_distinct_users": _ROLLING_DISTINCT_SQL,
         "cohort_revenue_matrix": _COHORT_REVENUE_SQL,
+        "bm25_incremental": _BM25_SQL,
+        "token_run_lengths": _TOKEN_RUN_SQL,
+        "quantile_disc_groups": _QUANTILE_DISC_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,

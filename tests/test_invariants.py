@@ -1933,3 +1933,47 @@ def test_lm_trigram_backoff_short_docs_no_phantom_rows(spark):
     # target trigrams: 'a b c' (in ref via doc 1 -> l3), 'b c d' (in ref
     # via doc 2 -> l3)
     assert (r["n_tri"], r["n_l3"]) == (2, 2) and r["hit3_rate"] == 1.0
+
+
+def test_token_run_lengths_known_runs(spark):
+    """Longest identical-token run + run count, deterministic argmax
+    under ties (lexicographically larger token wins)."""
+    from z316_sales_data_pipeline_spark.operators import corpus as C
+
+    df = spark.createDataFrame(
+        [(1, "go go go stop stop ok"), (2, "a a b b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in C.token_run_lengths(df, "text", "doc_id").collect()}
+    assert (out[1]["n_tokens"], out[1]["n_runs"], out[1]["max_run"], out[1]["run_token"]) == (6, 3, 3, "go")
+    # doc 2: runs (a,2) (b,2) tie on length -> 'b' wins
+    assert (out[2]["max_run"], out[2]["run_token"]) == (2, "b")
+
+
+def test_bm25_incremental_equals_full_recompute(spark, sf_dir):
+    """Partial-merge BM25 == full-corpus BM25 bit-for-bit (stats are
+    plain sums over disjoint doc-grain rows)."""
+    from z316_sales_data_pipeline_spark.operators import corpus as C
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "merge", "window"]
+    base = C.bm25_per_doc(docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id", terms)
+    inc = C.bm25_rank_incremental(
+        base, docs.filter(F.col("doc_id") % 5 == 0), "text", "doc_id", terms, k=20
+    )
+    full = C.bm25_rank(docs, "text", "doc_id", terms, k=20)
+    assert [tuple(r) for r in inc.collect()] == [tuple(r) for r in full.collect()]
+
+
+def test_quantile_disc_groups_type1_definition(spark):
+    """v(q) = smallest observed value with cum >= ceil(q*n) — checked
+    against the hand-computed answer on a known multiset."""
+    from z316_sales_data_pipeline_spark.operators import aggregates
+
+    vals = [1, 2, 2, 3, 10, 10, 10, 50, 99, 100]  # n = 10
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    out = {r["q_pct"]: r["v"]
+           for r in aggregates.quantile_disc_groups(df, "g", F.col("v"), (50, 90, 99)).collect()}
+    # ceil thresholds: p50 -> 5th value (10), p90 -> 9th (99), p99 -> 10th (100)
+    assert out == {50: 10, 90: 99, 99: 100}

@@ -491,3 +491,44 @@ def ols_two_feature_exact(
             F.round((a11 * b2 - a12 * b1) / det, 6).alias("beta2"),
         )
     )
+
+
+def quantile_disc_groups(
+    df: DataFrame,
+    group: str,
+    value: "F.Column",
+    qs_pct: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Per-group DISCRETE (type-1) quantiles of an integer measure —
+    the smallest observed value v with cum_count(v) >= ⌈q·n⌉ — chosen
+    over interpolated percentiles because the answer is an OBSERVED
+    value and the definition is engine-exact (interpolation families
+    differ across engines; this is pure integer arithmetic:
+    threshold = (q·n + 99) div 100).
+
+    Plan: reduce to (group, value) counts, ONE group-partitioned
+    window accumulates the cumulative count (value-grain input), the
+    tiny q-list explodes onto it, and a (group, q) min picks each
+    quantile. No sort wider than the per-group value grain, no
+    approximate sketches.
+    """
+    from pyspark.sql import Window
+
+    counts = df.select(F.col(group), value.cast("long").alias("v")).groupBy(
+        group, "v"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(group).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy(group)
+    cum = counts.select(
+        group,
+        "v",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(wall).alias("n_tot"),
+    )
+    qlist = F.explode(F.array(*[F.lit(int(q)) for q in qs_pct])).alias("q_pct")
+    hits = cum.select(group, "v", "cum", "n_tot", qlist).filter(
+        F.col("cum") >= F.expr("(q_pct * n_tot + 99) div 100")
+    )
+    return hits.groupBy(group, "q_pct").agg(F.min("v").cast("long").alias("v"))

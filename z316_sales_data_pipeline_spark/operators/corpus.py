@@ -721,17 +721,25 @@ def bm25_rank(
         )
     )
     per_doc = persist_fact(per_doc)  # doc-grain: keep lineage
+    return _bm25_score(per_doc, id_col, len(terms), k1, b, k)
+
+
+def _bm25_score(per_doc: DataFrame, id_col: str, n_terms: int, k1: float, b: float, k: int) -> DataFrame:
+    """Scoring tail shared by bm25_rank and bm25_rank_incremental:
+    corpus stats reduce from the doc-grain (dl, tf_i) relation and
+    broadcast back; score is pure column algebra; deterministic top-k
+    via TakeOrderedAndProject."""
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         *[
             F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
-            for i in range(len(terms))
+            for i in range(n_terms)
         ],
     )
     norm = F.col("dl") / F.col("avgdl")
     contribs = []
-    for i in range(len(terms)):
+    for i in range(n_terms):
         tf, dfreq = F.col(f"tf_{i}"), F.col(f"df_{i}")
         idf = F.log(F.lit(1.0) + (F.col("n_docs") - dfreq + 0.5) / (dfreq + 0.5))
         contribs.append(
@@ -742,7 +750,7 @@ def bm25_rank(
                 / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * norm)),
             ).otherwise(F.lit(0.0))
         )
-    matched = sum((F.col(f"tf_{i}") > 0).cast("long") for i in range(len(terms)))
+    matched = sum((F.col(f"tf_{i}") > 0).cast("long") for i in range(n_terms))
     scored = (
         per_doc.crossJoin(F.broadcast(stats))  # 1-row stats: broadcast, not cartesian
         .withColumn("bm25", F.round(sum(contribs, F.lit(0.0)), 6))
@@ -754,6 +762,49 @@ def bm25_rank(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def bm25_per_doc(df: DataFrame, text_col: str, id_col: str, query_terms: list[str]) -> DataFrame:
+    """The doc-grain BM25 partial (dl + pivoted query-term tf) — the
+    relation an index maintains at rest: mergeable by plain UNION
+    (doc-grain rows are disjoint across batches), so absorbing a new
+    document batch never re-tokenizes the base corpus."""
+    terms = list(query_terms)
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(_norm_tokens_of(F.coalesce(F.col(text_col), F.lit("")))).alias("term"),
+    )
+    return tokens.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+
+def bm25_rank_incremental(
+    base_per_doc: DataFrame,
+    delta_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Incremental BM25: absorb a new document batch into an at-rest
+    doc-grain partial (``bm25_per_doc`` of the base corpus) WITHOUT
+    re-tokenizing the base — tokenization (the dominant lake-scale
+    cost) is paid only on the delta; the global stats (n_docs, avgdl,
+    df) re-reduce from the merged doc-grain partials, O(docs) not
+    O(tokens). Exact: scores equal the full-corpus recompute (the
+    oracle states exactly that) because BM25's corpus statistics are
+    plain sums over disjoint doc-grain rows.
+    """
+    delta = bm25_per_doc(delta_df, text_col, id_col, list(query_terms))
+    merged = base_per_doc.unionByName(delta)
+    return _bm25_score(merged, id_col, len(list(query_terms)), k1, b, k)
 
 
 def dsir_weights(
@@ -1204,4 +1255,46 @@ def lm_trigram_backoff(
     ).withColumn(
         "hit3_rate",
         F.round(F.col("n_l3").cast("double") / F.col("n_tri"), 6),
+    )
+
+
+def token_run_lengths(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Degenerate-repetition audit: per document, the longest run of
+    consecutive IDENTICAL tokens (and which token it is) plus the run
+    count — the screen that catches looped generation / boilerplate
+    stutter ("very very very …") that n-gram ratios dilute away.
+
+    One doc-partitioned window pass over the posexploded token
+    relation (change flags + run-id cumsum share the exchange), one
+    (doc, run) aggregate, one doc rollup. The argmax run is the max
+    (run_len, token) struct — deterministic under ties (lexicographic
+    larger token wins).
+    """
+    tokens = df.select(
+        F.col(id_col), F.posexplode(_norm_tokens(text_col)).alias("pos", "term")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = tokens.withColumn(
+        "__new",
+        F.when(F.lag("term").over(w).eqNullSafe(F.col("term")), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("__run", F.sum("__new").over(w))
+    runs = flagged.groupBy(id_col, "__run").agg(
+        F.count(F.lit(1)).alias("__len"), F.max("term").alias("__term")
+    )
+    return runs.groupBy(id_col).agg(
+        F.sum("__len").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max(F.struct(F.col("__len"), F.col("__term"))).alias("__best"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "n_runs",
+        F.col("__best.__len").cast("long").alias("max_run"),
+        F.col("__best.__term").alias("run_token"),
     )
