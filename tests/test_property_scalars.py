@@ -377,3 +377,65 @@ def test_edit_distance_join_lossless_property(spark, strings, k):
         if lev(sa, sb) <= k
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=8),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.5, 0.8, 1.0]),
+)
+@settings(**_HEAVY_SETTINGS)
+def test_containment_join_lossless_property(spark, token_lists, threshold):
+    """Containment-join LAW: for any corpus (duplicates, subsets,
+    empty/short docs) and threshold, the dedupe-first shared-gram join
+    emits EXACTLY the brute-force pair set with exact intersections
+    and containments |∩|/min(|A|,|B|)."""
+    from itertools import combinations
+
+    from z316_sales_data_pipeline_spark.operators import dedup
+
+    rows = [(i, " ".join(toks), "g") for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["containment"])
+        for r in dedup.containment_join(
+            df, "text", "doc_id", "lang", threshold, shingle_k=2
+        ).collect()
+    }
+
+    def grams(toks):
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    t_num = int(round(threshold * 10))
+    want = {}
+    for (ia, ta), (ib, tb) in combinations(enumerate(token_lists), 2):
+        ga, gb = grams(ta), grams(tb)
+        if not ga or not gb:
+            continue
+        inter, mn = len(ga & gb), min(len(ga), len(gb))
+        if 10 * inter >= t_num * mn:
+            want[(ia, ib)] = (inter, round(inter / mn, 6))
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=-100, max_value=100), min_size=1, max_size=60),
+)
+@settings(**_HEAVY_SETTINGS)
+def test_quantile_disc_groups_matches_type1_property(spark, values):
+    """Type-1 quantile LAW over random multisets: v(q) equals the
+    ceil(q*n)-th order statistic for every q in {50, 90, 99}."""
+    import math
+
+    from z316_sales_data_pipeline_spark.operators import aggregates
+
+    df = spark.createDataFrame([("g", v) for v in values], "g string, v long")
+    got = {r["q_pct"]: r["v"]
+           for r in aggregates.quantile_disc_groups(df, "g", F.col("v"), (50, 90, 99)).collect()}
+    srt = sorted(values)
+    for q in (50, 90, 99):
+        want = srt[math.ceil(q * len(srt) / 100) - 1]
+        assert got[q] == want, (q, got[q], want, srt)

@@ -531,6 +531,36 @@ CHECKLIST = {
         "Window exchange shared by the running-max flag and the island "
         "cumsum, then two hash aggregates — integer micros throughout."
     ),
+    "ks_two_sample": (
+        "Two-sample KS (r9, re-planned after the fleet window guard "
+        "fired). Expect: two value-grain count aggregates, a full-outer "
+        "merge, then TWO two-phase running sums (repartitionByRange + "
+        "partition-local Window + broadcast offset joins) — NO "
+        "unpartitioned ordered Window; answer via TakeOrdered(1)."
+    ),
+    "bm25_incremental": (
+        "Incremental BM25 (r9). Expect: the delta's token explode is "
+        "the ONLY corpus-grain Generate on the live path; the base "
+        "partial is a doc-grain relation unioned in; stats reduce to "
+        "one broadcast row; TakeOrderedAndProject top-20."
+    ),
+    "token_run_lengths": (
+        "Repetition-run audit (r9). Expect: one doc-partitioned Window "
+        "exchange shared by the lag flag and the run cumsum, two hash "
+        "aggregates, max-struct argmax — no unpartitioned window, no "
+        "self-join."
+    ),
+    "quantile_disc_groups": (
+        "Type-1 group quantiles (r9). Expect: (group, value) count "
+        "aggregate, ONE group-partitioned Window for cum + total, the "
+        "3-literal q explode, and a (group, q) min — integer "
+        "thresholds, no percentile_approx, no global sort."
+    ),
+    "phrase_search": (
+        "Positional phrase search (r9). Expect: the posting relation "
+        "filtered per term BEFORE the joins (tiny posting lists), n-1 "
+        "equi-joins on (doc, pos+i), one count aggregate."
+    ),
 }
 
 
