@@ -9922,6 +9922,116 @@ FROM hits GROUP BY 1, 2
 """
 
 
+def _topk_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-constrained top-k (windows.topk_diverse): top-5
+    customers by revenue per order priority with AT MOST 2 from any
+    one market segment — two stacked key-partitioned window ranks
+    (quota first, then global top-k of the survivors)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        o.groupBy("o_orderpriority", "o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .join(c.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"), "o_custkey")
+    )
+    out = windows.topk_diverse(
+        rev, "o_orderpriority", "c_mktsegment", "o_custkey",
+        F.col("cents"), k=5, per_subcat=2,
+    )
+    return out.select(
+        "o_orderpriority", "rank", "o_custkey", "c_mktsegment",
+        F.col("score").cast("long").alias("cents"),
+    )
+
+
+_TOPK_DIVERSE_SQL = """
+WITH rev AS (
+    SELECT o_orderpriority, o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1, 2
+), j AS (
+    SELECT r.*, c.c_mktsegment FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+), quota AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_orderpriority, c_mktsegment
+        ORDER BY cents DESC, o_custkey ASC) AS sr
+    FROM j
+), ranked AS (
+    SELECT o_orderpriority, o_custkey, c_mktsegment, cents,
+           row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY cents DESC, o_custkey ASC) AS rank
+    FROM quota WHERE sr <= 2
+)
+SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank, o_custkey, c_mktsegment, cents
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _hierarchy_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent hierarchy rollup (aggregates.hierarchy_shares):
+    region → nation revenue tree, each node with exact cents and ONE
+    division for its share of the parent (root shares of the grand
+    total); ancestor levels reduce from the level below, never a
+    second fact scan."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    df = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select("r_name", "n_name", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    )
+    return aggregates.hierarchy_shares(df, ["r_name", "n_name"], F.col("cents"))
+
+
+_HIERARCHY_SHARES_SQL = """
+WITH leaf AS (
+    SELECT r_name, n_name,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+), l1 AS (
+    SELECT r_name, CAST(sum(cents) AS BIGINT) AS cents FROM leaf GROUP BY 1
+), tot AS (SELECT CAST(sum(cents) AS BIGINT) AS pc FROM l1)
+SELECT CAST(2 AS INT) AS level, n_name AS node, r_name AS parent, leaf.cents,
+       round(leaf.cents / CAST(l1.cents AS DOUBLE), 6) AS share_of_parent
+FROM leaf JOIN l1 USING (r_name)
+UNION ALL
+SELECT CAST(1 AS INT), r_name, '<total>', l1.cents,
+       round(l1.cents / CAST(tot.pc AS DOUBLE), 6)
+FROM l1, tot
+"""
+
+
+def _prefix_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix boilerplate groups (dedup.prefix_cluster,
+    portable md5 keying — the xxhash64 int64 form is the scale path):
+    docs whose first 4 normalized tokens are identical cluster
+    together; cluster-grain output with the min doc id canonical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_cluster(docs, "text", "doc_id", n_tokens=4, portable=True)
+
+
+_PREFIX_CLUSTER_SQL = r"""
+WITH p AS (
+    SELECT doc_id,
+           md5(array_to_string(
+               (string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))[1:4],
+               ' ')) AS prefix_fp
+    FROM documents
+)
+SELECT prefix_fp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id
+FROM p GROUP BY 1 HAVING count(*) > 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r9 driver sample (first 50): the 9 r4-stale entries, the 26
@@ -9998,6 +10108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_incremental": _bm25_incremental,
         "token_run_lengths": _token_run_lengths,
         "quantile_disc_groups": _quantile_disc_groups,
+        "topk_diverse": _topk_diverse,
+        "hierarchy_shares": _hierarchy_shares,
+        "prefix_cluster": _prefix_cluster,
         # -- tail, stalest-first: remaining r5/r6-attested --
         "g1_reconciliation_summary": _g1_reconciliation_summary,
         "g2_union_distinct": _g2_union_distinct,
@@ -10267,6 +10380,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_incremental": _BM25_SQL,
         "token_run_lengths": _TOKEN_RUN_SQL,
         "quantile_disc_groups": _QUANTILE_DISC_SQL,
+        "topk_diverse": _TOPK_DIVERSE_SQL,
+        "hierarchy_shares": _HIERARCHY_SHARES_SQL,
+        "prefix_cluster": _PREFIX_CLUSTER_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,

@@ -1977,3 +1977,55 @@ def test_quantile_disc_groups_type1_definition(spark):
            for r in aggregates.quantile_disc_groups(df, "g", F.col("v"), (50, 90, 99)).collect()}
     # ceil thresholds: p50 -> 5th value (10), p90 -> 9th (99), p99 -> 10th (100)
     assert out == {50: 10, 90: 99, 99: 100}
+
+
+def test_topk_diverse_quota_and_order(spark):
+    """The subcategory quota binds BEFORE the global top-k: a third
+    same-subcat row is excluded even when it outscores survivors."""
+    from z316_sales_data_pipeline_spark.operators import windows as W
+
+    rows = [
+        ("g", "A", 1, 100), ("g", "A", 2, 90), ("g", "A", 3, 80),  # 3rd A blocked
+        ("g", "B", 4, 70), ("g", "B", 5, 60), ("g", "C", 6, 50),
+    ]
+    df = spark.createDataFrame(rows, "grp string, sub string, k long, s long")
+    out = [(r["k"], r["rank"]) for r in W.topk_diverse(
+        df, "grp", "sub", "k", F.col("s"), k=5, per_subcat=2
+    ).orderBy("rank").collect()]
+    # 3 (A, 80) is excluded by the quota; 4,5,6 fill the remaining slots
+    assert out == [(1, 1), (2, 2), (4, 3), (5, 4), (6, 5)]
+
+
+def test_hierarchy_shares_sum_to_one(spark):
+    """Children's shares sum to 1 within every parent, and each node's
+    cents equals the sum of its children's."""
+    from collections import defaultdict
+
+    from z316_sales_data_pipeline_spark.operators import aggregates
+
+    rows = [
+        ("r1", "n1", 100), ("r1", "n2", 300), ("r2", "n3", 600),
+    ]
+    df = spark.createDataFrame(rows, "r string, n string, cents long")
+    out = aggregates.hierarchy_shares(df, ["r", "n"], F.col("cents")).collect()
+    by_parent = defaultdict(float)
+    for r in out:
+        by_parent[(r["level"], r["parent"])] += r["share_of_parent"]
+    for (_, _), s in by_parent.items():
+        assert abs(s - 1.0) < 1e-6
+    lvl1 = {r["node"]: r["cents"] for r in out if r["level"] == 1}
+    assert lvl1 == {"r1": 400, "r2": 600}
+
+
+def test_prefix_cluster_groups_identical_prefixes(spark):
+    """Docs sharing the first n normalized tokens cluster; the min id
+    is canonical; singletons are dropped."""
+    from z316_sales_data_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(5, "The  QUICK brown fox ran"), (2, "the quick brown fox slept"),
+         (9, "a different start entirely")],
+        "doc_id long, text string",
+    )
+    out = dedup.prefix_cluster(df, "text", "doc_id", n_tokens=4, portable=True).collect()
+    assert len(out) == 1 and out[0]["n_docs"] == 2 and out[0]["canonical_id"] == 2

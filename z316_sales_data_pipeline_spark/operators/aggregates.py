@@ -532,3 +532,51 @@ def quantile_disc_groups(
         F.col("cum") >= F.expr("(q_pct * n_tot + 99) div 100")
     )
     return hits.groupBy(group, "q_pct").agg(F.min("v").cast("long").alias("v"))
+
+
+def hierarchy_shares(
+    df: DataFrame,
+    levels: list[str],
+    amount_cents: "F.Column",
+) -> DataFrame:
+    """Share-of-parent rollup down a dimension hierarchy (e.g. region
+    → nation): one row per node at every level with its exact cents
+    and its share of the PARENT node (the root's parent is the grand
+    total) — the drill-down tree a BI surface renders, engine-exact:
+    integer cents everywhere, each share ONE division.
+
+    One hash aggregate at the leaf grain, then each ancestor level
+    reduces FROM the level below (never a second fact scan); parent
+    totals broadcast back. Output is hierarchy-grain — KB at any
+    input scale.
+    """
+    leaf = df.groupBy(*levels).agg(F.sum(amount_cents).cast("long").alias("cents"))
+    out = None
+    child = leaf
+    for i in range(len(levels), 0, -1):
+        keys = levels[:i]
+        node = (
+            child.groupBy(*keys).agg(F.sum("cents").cast("long").alias("cents"))
+            if i < len(levels)
+            else leaf
+        )
+        if i == 1:
+            parent = node.agg(F.sum("cents").cast("long").alias("__pc"))
+            joined = node.crossJoin(F.broadcast(parent))
+            parent_name = F.lit("<total>")
+        else:
+            parent = node.groupBy(*keys[:-1]).agg(
+                F.sum("cents").cast("long").alias("__pc")
+            )
+            joined = node.join(F.broadcast(parent), keys[:-1])
+            parent_name = F.col(keys[-2])
+        lvl = joined.select(
+            F.lit(i).cast("int").alias("level"),
+            F.col(keys[-1]).alias("node"),
+            parent_name.alias("parent"),
+            "cents",
+            F.round(F.col("cents") / F.col("__pc"), 6).alias("share_of_parent"),
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+        child = node
+    return out

@@ -1702,3 +1702,44 @@ def containment_join(
         )
     )
     return identical.unionByName(expanded).withColumnRenamed("__grp", group_col)
+
+
+def prefix_cluster(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_tokens: int = 16,
+    portable: bool = False,
+) -> DataFrame:
+    """Shared-prefix boilerplate groups (the C4-class crawl screen):
+    documents whose first ``n_tokens`` normalized tokens are IDENTICAL
+    cluster together — template pages, mirrored headers, scraped
+    navigation. One narrow fingerprint projection + one hash
+    aggregate; emits only groups with >= 2 members (cluster grain,
+    far below corpus grain) with the minimum doc id as the canonical
+    representative.
+    """
+    from ..functions.text import fingerprint64, shingles
+
+    prefix = F.array_join(
+        F.slice(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "),
+            1,
+            n_tokens,
+        ),
+        " ",
+    )
+    # portable=True keys groups by md5 hex (SQL-reproducible, the
+    # oracle-checked surface); default int64 xxhash64 is the scale
+    # path (8 bytes on the shuffle wire vs 32) — the minhash
+    # portable/xxhash64 twin pattern.
+    fp = F.md5(prefix) if portable else fingerprint64(prefix)
+    return (
+        df.select(F.col(id_col), fp.alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(id_col).cast("long").alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

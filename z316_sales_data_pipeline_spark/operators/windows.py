@@ -696,3 +696,45 @@ def peak_concurrency(
         .groupBy(bucket_name)
         .agg(F.max("__live").alias("peak_concurrent"))
     )
+
+
+def topk_diverse(
+    df: DataFrame,
+    group_col: str,
+    subcat_col: str,
+    key_col: str,
+    score: Column,
+    k: int = 5,
+    per_subcat: int = 2,
+) -> DataFrame:
+    """Diversity-constrained top-k per group: the k highest-scoring
+    rows subject to AT MOST ``per_subcat`` rows from any one
+    subcategory — the recommendation-surface rule ("top sellers, but
+    never three from the same brand") that a plain window rank cannot
+    express alone.
+
+    TWO stacked window ranks sharing deterministic (score desc, key
+    asc) order: rank within (group, subcat) filters the subcategory
+    quota FIRST, then rank within group takes the global top-k of the
+    survivors. Both windows are key-partitioned (group grain), both
+    compile onto the same exchange when Catalyst can prove the
+    partitioning compatible; output is (group, rank) grain.
+    """
+    w_sub = Window.partitionBy(group_col, subcat_col).orderBy(
+        score.desc(), F.col(key_col).asc()
+    )
+    w_grp = Window.partitionBy(group_col).orderBy(score.desc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__score", score)
+        .withColumn("__sr", F.row_number().over(w_sub))
+        .filter(F.col("__sr") <= per_subcat)
+        .withColumn("rank", F.row_number().over(w_grp))
+        .filter(F.col("rank") <= k)
+        .select(
+            group_col,
+            F.col("rank").cast("long").alias("rank"),
+            key_col,
+            subcat_col,
+            F.col("__score").alias("score"),
+        )
+    )
