@@ -561,6 +561,23 @@ CHECKLIST = {
         "filtered per term BEFORE the joins (tiny posting lists), n-1 "
         "equi-joins on (doc, pos+i), one count aggregate."
     ),
+    "topk_diverse": (
+        "Diversity-constrained top-k (r9). Expect: key-grain revenue "
+        "aggregate, broadcast customer-segment join, TWO stacked "
+        "key-partitioned Windows (quota rank then group rank) — no "
+        "unpartitioned window, no self-join."
+    ),
+    "hierarchy_shares": (
+        "Share-of-parent rollup (r9). Expect: ONE leaf-grain fact "
+        "aggregate; each ancestor level a HashAggregate over the "
+        "level below (no second fact scan); parent totals broadcast "
+        "back; one division per share."
+    ),
+    "prefix_cluster": (
+        "Boilerplate prefix groups (r9). Expect: narrow md5 "
+        "projection (slice of the token split — no explode), ONE hash "
+        "aggregate to cluster grain, count>1 filter."
+    ),
 }
 
 
