@@ -1502,3 +1502,45 @@ def test_scd2_agg_mv_sink_composition_matches_recompute(spark, sf_dir, tmp_path)
         for r in sinks.read_snapshot(spark, mv_t).collect()
     }
     assert got2 == want2
+
+
+def test_growth_accounting_sink_matches_batch(spark, sf_dir, tmp_path):
+    """Incremental growth accounting from a user-grain state snapshot
+    == the batch recompute for every folded day (the batch twin's
+    final max_day+1 churn row is about the future and appears once a
+    later epoch passes it); replayed epochs are no-ops; gap days with
+    zero activity still get their churn rows."""
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import timeseries
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming.pipeline import growth_accounting_sink
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    cuts = ["2024-01-08", "2024-01-17"]
+    slices = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    st = str(tmp_path / "ga_state")
+    mv = str(tmp_path / "ga_mv")
+    fold = growth_accounting_sink(st, mv, "user_id", "ts")
+    for i, sl in enumerate(slices):
+        fold(sl, i)
+
+    last_day = max(r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect())
+    want = {
+        tuple(r)
+        for r in timeseries.growth_accounting(ev, "user_id", "ts")
+        .filter(F.col("day") <= F.lit(last_day))
+        .collect()
+    }
+    got = {tuple(r) for r in sinks.read_appended(spark, mv).collect()}
+    assert got == want
+
+    # replayed epoch: strict no-op on BOTH tables
+    v = int(open(f"{st}/_LATEST").read())
+    rows_before = sinks.read_appended(spark, mv).count()
+    fold(slices[2], 2)
+    assert sinks.read_appended(spark, mv).count() == rows_before
+    assert int(open(f"{st}/_LATEST").read()) == v

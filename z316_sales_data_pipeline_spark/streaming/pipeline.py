@@ -528,6 +528,126 @@ def scd2_agg_mv_sink(
     return fold
 
 
+def growth_accounting_sink(
+    state_dir: str,
+    mv_dir: str,
+    user_col: str,
+    ts_col: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch maintainer for the daily growth-accounting MV
+    (batch twin: ``timeseries.growth_accounting``) — the day rows
+    (dau / new / retained / resurrected / churned) are derived from a
+    USER-GRAIN state snapshot (user → first_d, last_d) instead of the
+    full event history, so each epoch costs O(batch + state), never
+    O(history).
+
+    Per observed day d in the batch (processed in ascending order):
+    new = active users absent from state; retained = state.last_d ==
+    d-1; resurrected = state.last_d < d-1; churn is emitted for every
+    lapse day x in (last_folded_day, d]: users with state.last_d ==
+    x-1 who were not active at x (for x < d the lapse is already
+    final; for x == d membership in the day's active set decides).
+    Gap days with zero activity still receive their churn rows — the
+    same full-outer shape the batch twin emits. The one honest
+    difference: the batch twin's FINAL (max_day+1) churn row is a
+    statement about the future and is only emitted once a later epoch
+    passes that day.
+
+    Exactly-once: the state snapshot carries a ``_GA_DAY`` marker
+    (last folded day) and epochs replaying at-or-below it are no-ops;
+    the MV appends per-day segments keyed by day (idempotent
+    overwrite per day partition).
+    """
+    import datetime as _dt
+
+    from .. import sinks
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ud = (
+            batch_df.select(
+                F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)  # (user, day) grain of ONE batch
+        )
+        days = sorted(r["d"] for r in ud.select("d").distinct().collect())
+        marker = sinks.snapshot_meta(state_dir, "_GA_DAY")
+        prev_day = _dt.date.fromisoformat(marker) if marker else None
+        try:
+            state = sinks.read_snapshot(spark, state_dir)
+        except OSError:
+            state = spark.createDataFrame([], "u long, first_d date, last_d date")
+        folded_any = False
+        for d in days:
+            if prev_day is not None and d <= prev_day:
+                continue  # replayed day: already folded
+            folded_any = True
+            active = ud.filter(F.col("d") == d).select("u")
+            joined = active.join(state, "u", "left")
+            day_row = joined.agg(
+                F.count(F.lit(1)).cast("long").alias("dau"),
+                F.sum(F.when(F.col("last_d").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_new"),
+                F.sum(
+                    F.when(F.datediff(F.lit(d), F.col("last_d")) == 1, 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_retained"),
+                F.sum(
+                    F.when(F.datediff(F.lit(d), F.col("last_d")) > 1, 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_resurrected"),
+            ).select(F.lit(d).cast("date").alias("day"), "*")
+            # churn rows for every lapse day in (prev_day, d]
+            lapsed = state.withColumn("__cd", F.date_add("last_d", 1)).filter(
+                (F.col("__cd") <= F.lit(d))
+                & (F.lit(True) if prev_day is None else F.col("__cd") > F.lit(prev_day))
+            )
+            churn = (
+                lapsed.join(
+                    active.withColumn("__a", F.lit(1)), "u", "left"
+                )
+                .filter((F.col("__cd") < F.lit(d)) | F.col("__a").isNull())
+                .groupBy(F.col("__cd").alias("day"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+            )
+            mv_rows = (
+                day_row.join(churn, "day", "full_outer")
+                .select(
+                    "day",
+                    *[
+                        F.coalesce(c, F.lit(0)).cast("long").alias(c)
+                        for c in ("dau", "n_new", "n_retained", "n_resurrected", "n_churned")
+                    ],
+                )
+                .localCheckpoint(eager=True)  # day-grain reduction
+            )
+            sinks.append_snapshot(mv_rows, mv_dir, txn_key=f"ga-{d.isoformat()}")
+            # state upsert: actives get last_d = d (first_d kept)
+            touched = active.join(state, "u", "left").select(
+                "u",
+                F.coalesce("first_d", F.lit(d)).alias("first_d"),
+                F.lit(d).cast("date").alias("last_d"),
+            )
+            state = (
+                state.join(active, "u", "left_anti")
+                .unionByName(touched)
+                .localCheckpoint(eager=True)  # user-grain state; bounded by
+                # the user universe, the size a serving store holds anyway
+            )
+            prev_day = d
+        if not folded_any:
+            return  # fully-replayed epoch: strict no-op on BOTH tables
+        sinks.write_snapshot(state, state_dir, meta={"_GA_DAY": prev_day.isoformat()})
+
+    return fold
+
+
 def ivm_join_mv_sink(
     table_dir: str,
     dim: DataFrame,
