@@ -439,3 +439,120 @@ def test_quantile_disc_groups_matches_type1_property(spark, values):
     for q in (50, 90, 99):
         want = srt[math.ceil(q * len(srt) / 100) - 1]
         assert got[q] == want, (q, got[q], want, srt)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(**_HEAVY_SETTINGS)
+def test_interval_union_length_property(spark, offsets, dur):
+    """Islands LAW: merged-interval count and coverage equal the
+    brute-force union over random (duplicated, touching, nested)
+    interval sets."""
+    import datetime as dt
+
+    from z316_sales_data_pipeline_spark.operators import timeseries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("k", base + dt.timedelta(seconds=o)) for o in offsets]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    r = timeseries.interval_union_length(df, "user_id", "ts", duration_s=dur).collect()[0]
+
+    ivals = sorted((o, o + dur) for o in offsets)
+    islands, cover, cur_s, cur_e = 0, 0, None, None
+    for s, e in ivals:
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                cover += cur_e - cur_s
+            islands, cur_s, cur_e = islands + 1, s, e
+        else:
+            cur_e = max(cur_e, e)
+    cover += cur_e - cur_s
+    assert (r["n_islands"], r["active_micros"]) == (islands, cover * 1_000_000)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3), st.integers(min_value=1, max_value=12)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**_HEAVY_SETTINGS)
+def test_growth_accounting_property(spark, pairs):
+    """Growth-accounting LAW over random (user, day) streams: the
+    identity dau == new + retained + resurrected holds every day, and
+    each class matches the brute-force per-user classification
+    (churn on the day after every lapse, including the final one)."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from z316_sales_data_pipeline_spark.operators import timeseries
+
+    rows = [(f"u{u}", dt.datetime(2024, 1, d)) for u, d in pairs]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {str(r["day"]): (r["dau"], r["n_new"], r["n_retained"],
+                           r["n_resurrected"], r["n_churned"])
+           for r in timeseries.growth_accounting(df, "user_id", "ts").collect()}
+
+    days_by_user = defaultdict(set)
+    for u, t in rows:
+        days_by_user[u].add(t.date())
+    expect = defaultdict(lambda: [0, 0, 0, 0, 0])  # dau,new,ret,res,churn
+    for u, ds in days_by_user.items():
+        sd = sorted(ds)
+        for i, d in enumerate(sd):
+            expect[d][0] += 1
+            if i == 0:
+                expect[d][1] += 1
+            elif (d - sd[i - 1]).days == 1:
+                expect[d][2] += 1
+            else:
+                expect[d][3] += 1
+            nxt = sd[i + 1] if i + 1 < len(sd) else None
+            if nxt is None or (nxt - d).days > 1:
+                expect[d + dt.timedelta(days=1)][4] += 1
+    want = {str(d): tuple(v) for d, v in expect.items()}
+    assert got == want
+    for dau, new, ret, res, _ in got.values():
+        assert dau == new + ret + res
+
+
+@given(
+    st.lists(st.text(alphabet="abcd", min_size=1, max_size=5), min_size=2, max_size=15),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(**_HEAVY_SETTINGS)
+def test_sorted_neighborhood_property(spark, names, window):
+    """Sorted-neighborhood LAW: the pair set equals the brute-force
+    definition — global (name, id) sort, pairs within the next
+    window-1 positions, levenshtein <= 2 — over random corpora with
+    duplicate names."""
+    from z316_sales_data_pipeline_spark.operators import dedup
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dedup.sorted_neighborhood_pairs(
+            df, F.col("name"), "id", window=window, max_dist=2
+        ).collect()
+    }
+    order = sorted(range(len(names)), key=lambda i: (names[i], i))
+    want = {}
+    for p, i in enumerate(order):
+        for q in range(p + 1, min(p + window, len(order))):
+            j = order[q]
+            d = lev(names[i], names[j])
+            if d <= 2:
+                want[(i, j)] = d
+    assert got == want
