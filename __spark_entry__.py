@@ -60,35 +60,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q1-style rollup: the E-family aggregate shapes on lineitem."""
+    """TPC-H-Q1-style rollup: the E-family aggregate shapes on
+    lineitem, in the EXACT integer-scale discipline (r10, flagged by
+    the round-budget gate): the old round(sum(double), 4) columns
+    were order-dependent float sums presentation-rounded at 12+
+    integer digits — the revenue_bridge tie class. Now every sum is
+    an exact integer at its natural grain (qty units, price cents,
+    disc-price 1e-4 dollars, charge micro-dollars — the
+    revenue_waterfall grains) and each average is ONE unrounded
+    shared float expression over those exact integers, identical
+    IEEE on both engines. Scale contract: per-group micro sums fit
+    int64 up to ~9e12 dollars/group."""
     li = load_table(spark, sf_dir, "lineitem")
+    price, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    n = F.count(F.lit(1))
+    sum_qty = F.sum(F.round(F.col("l_quantity")).cast("long"))
+    sum_base = F.sum(F.round(price * 100).cast("long"))
+    sum_disc_pct = F.sum(F.round(disc * 100).cast("long"))
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            sum_qty.alias("sum_qty"),
+            sum_base.alias("sum_base_price_cents"),
+            F.sum(F.round(price * (1 - disc) * 10_000).cast("long")).alias(
+                "sum_disc_price_x10k"
+            ),
+            F.sum(F.round(price * (1 - disc) * (1 + tax) * 1_000_000).cast("long")).alias(
+                "sum_charge_micro"
+            ),
+            (sum_qty.cast("double") / n.cast("double")).alias("avg_qty"),
+            (sum_base.cast("double") / n.cast("double")).alias("avg_price_cents"),
+            (sum_disc_pct.cast("double") / n.cast("double")).alias("avg_disc_pct"),
+            n.alias("count_order"),
         )
     )
 
 
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 4) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       cast(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       cast(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       cast(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_x10k,
+       cast(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_micro,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price_cents,
+       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc_pct,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -4136,13 +4153,19 @@ def _rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("total_value"),
+        # exact cents (round-budget gate r10): o_totalprice is 2 dp,
+        # so the cent sum is an exact bigint — not an order-dependent
+        # rounded float sum
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_value_cents"
+        ),
     )
 
 
 _ROLLUP_SQL = """
 SELECT o_orderstatus, o_orderpriority,
-       count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_value
+       count(*) AS n_orders,
+       cast(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
@@ -4150,15 +4173,22 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 def _cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregate — all 2^n grouping sets in one pass."""
     orders = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_value"),
+        n.alias("n_orders"),
+        # ONE unrounded shared float expression over an exact cent sum
+        # (round-budget gate r10): round(avg(double), 4) was a rounded
+        # order-dependent float division — the revenue_bridge class
+        (cents.cast("double") / n.cast("double")).alias("avg_value_cents"),
     )
 
 
 _CUBE_SQL = """
 SELECT o_orderstatus, o_orderpriority,
-       count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_value
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avg_value_cents
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
@@ -4445,7 +4475,8 @@ def _grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n, round(sum(o_totalprice), 4) AS total
+               count(*) AS n,
+               cast(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders_v
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -4454,7 +4485,8 @@ def _grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GROUPING_SETS_SQL = """
 SELECT o_orderstatus, o_orderpriority,
-       count(*) AS n, round(sum(o_totalprice), 4) AS total
+       count(*) AS n,
+               cast(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
@@ -7945,8 +7977,9 @@ def _forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bake-off a reporting layer runs before trusting a forecast column.
     The day-grain relation is checkpointed once and feeds both arms;
     errors are bigint cents (EWMA's via the floor-scaled backtest
-    column, naive's directly), so the comparison is engine-exact;
-    the only float is the final MAE division, rounded to 2 dp."""
+    column, naive's directly), so the comparison is engine-exact end
+    to end — the MAE is a truncated integer division at centi-cent
+    grain (no float anywhere in the output)."""
     orders = load_table(spark, sf_dir, "orders")
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("day"))
@@ -7983,10 +8016,10 @@ def _forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method",
         "n_days",
         "total_abs_err_cents",
-        F.round(
-            F.col("total_abs_err_cents").cast("double") / F.col("n_days").cast("double"),
-            2,
-        ).alias("mae_cents"),
+        # exact integer MAE at centi-cent grain (round-budget gate
+        # r10): round(float_div, 2) was the revenue_bridge tie class;
+        # Spark `div` and DuckDB `//` both truncate toward zero
+        F.expr("total_abs_err_cents * 100 div n_days").alias("mae_centicents"),
     )
 
 
@@ -8009,7 +8042,7 @@ WITH daily AS (
     WHERE j.s_prev IS NOT NULL
 )
 SELECT method, n_days, total_abs_err_cents,
-       round(total_abs_err_cents / CAST(n_days AS DOUBLE), 2) AS mae_cents
+       CAST(CAST(total_abs_err_cents AS HUGEINT) * 100 // n_days AS BIGINT) AS mae_centicents
 FROM (
     SELECT 'ewma' AS method, CAST(count(*) AS BIGINT) AS n_days,
            CAST(sum(abs_err_ewma) AS BIGINT) AS total_abs_err_cents
@@ -8300,6 +8333,11 @@ WITH v AS (
            CAST(round(l_discount * 100) AS BIGINT) AS d,
            CAST(round(l_tax * 100) AS BIGINT) AS t
     FROM lineitem
+    -- complete-case (listwise deletion), pinning pearson_exact's
+    -- NULL screen: TPC-H measures happen to be NOT NULL, but the
+    -- oracle must encode the semantics, not rely on the data
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      AND l_discount IS NOT NULL AND l_tax IS NOT NULL
 ), m AS (
     SELECT cast(count(*) AS DOUBLE) AS n,
            cast(sum(q) AS DOUBLE) AS sq, cast(sum(p) AS DOUBLE) AS sp,
@@ -8597,8 +8635,13 @@ def _revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     a volume effect ((q1−q0)·avg_price0) and the residual price/mix
     effect. Revenue and quantity totals are exact integers off ONE
     fact scan (conditional sums, no self-join); the dimension join is
-    a broadcast; the two effects are single float expressions over
-    exact totals, round-6."""
+    a broadcast. The effects are EXACT integer micro-cents — decimal
+    (38,0) numerator `(q1−q0)·rev0_cents·1e6` truncated-div by qty0
+    (Spark `div` and DuckDB `//` both truncate toward zero, verified)
+    — never a rounded float division: the r9 driver red row was a
+    1-ulp HALF_UP-vs-half-even tie on `round(float_div, 6)`
+    (portability gotcha #3). Residual = delta·1e6 − volume, so the
+    bridge identity holds bit-for-bit."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     yr = F.year("l_shipdate")
@@ -8614,17 +8657,20 @@ def _revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     delta = F.col("rev1_cents") - F.col("rev0_cents")
+    # decimal(38,0) numerator keeps (q1-q0)*rev0*1e6 exact far past
+    # int64 (sf100: ~1e28 < 10^38); `div` emits the bigint quotient.
     vol_effect = F.when(
         F.col("qty0") > 0,
-        F.round(
-            (F.col("qty1") - F.col("qty0")) * (F.col("rev0_cents") / F.col("qty0")), 6
+        F.expr(
+            "CAST(qty1 - qty0 AS DECIMAL(38,0)) * rev0_cents * 1000000 div qty0"
         ),
     )
     return per_brand.select(
         "p_brand", "rev0_cents", "rev1_cents", "qty0", "qty1",
         delta.alias("delta_cents"),
-        vol_effect.alias("volume_effect_cents"),
-        F.when(F.col("qty0") > 0, F.round(delta - vol_effect, 6)).alias("price_mix_effect_cents"),
+        vol_effect.alias("volume_effect_microcents"),
+        F.when(F.col("qty0") > 0, delta * F.lit(1_000_000).cast("long") - vol_effect)
+        .alias("price_mix_effect_microcents"),
     )
 
 
@@ -8642,12 +8688,14 @@ WITH b AS (
 SELECT p_brand, rev0_cents, rev1_cents, qty0, qty1,
        rev1_cents - rev0_cents AS delta_cents,
        CASE WHEN qty0 > 0
-            THEN round((qty1 - qty0) * (rev0_cents / cast(qty0 AS DOUBLE)), 6) END
-           AS volume_effect_cents,
+            THEN CAST(CAST(qty1 - qty0 AS HUGEINT) * rev0_cents * 1000000 // qty0
+                      AS BIGINT) END
+           AS volume_effect_microcents,
        CASE WHEN qty0 > 0
-            THEN round((rev1_cents - rev0_cents)
-                       - round((qty1 - qty0) * (rev0_cents / cast(qty0 AS DOUBLE)), 6), 6) END
-           AS price_mix_effect_cents
+            THEN CAST(CAST(rev1_cents - rev0_cents AS HUGEINT) * 1000000
+                      - CAST(qty1 - qty0 AS HUGEINT) * rev0_cents * 1000000 // qty0
+                      AS BIGINT) END
+           AS price_mix_effect_microcents
 FROM b
 """
 
@@ -10034,61 +10082,11 @@ FROM p GROUP BY 1 HAVING count(*) > 1
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # -- r9 driver sample (first 50): the 9 r4-stale entries, the 26
-        # never-driver-attested r8 additions, then the 15 stalest of the
-        # r5/r6 block (VERDICT r8 item 1 order preserved). --
-        "q7_volume_shipping": _q7_volume_shipping,
-        "q8_market_share": _q8_market_share,
-        "quality_prune": _quality_prune,
-        "repair_run": _repair_run,
-        "retention_daily": _retention_daily,
-        "rolling_7d_revenue": _rolling_7d_revenue,
-        "semantic_dedup_incremental": _semantic_dedup_incremental,
-        "tokenizer_fertility": _tokenizer_fertility,
-        "w2_keeprule_backfill": _w2_keeprule_backfill,
-        "scd2_fold_late": _scd2_fold_late,
-        "prefix_jaccard_join": _prefix_jaccard_join,
-        "snapshot_diff": _snapshot_diff,
-        "ivm_join_delta": _ivm_join_delta,
-        "repurchase_intervals": _repurchase_intervals,
-        "price_points": _price_points,
-        "measure_correlations": _measure_correlations,
-        "rrf_fusion": _rrf_fusion,
-        "ndcg_eval": _ndcg_eval,
-        "collocation_pmi": _collocation_pmi,
-        "user_behavior_entropy": _user_behavior_entropy,
-        "top_event_paths": _top_event_paths,
-        "arrival_burstiness": _arrival_burstiness,
-        "revenue_bridge": _revenue_bridge,
-        "revenue_waterfall": _revenue_waterfall,
-        "chi_square_dow": _chi_square_dow,
-        "value_drift_psi": _value_drift_psi,
-        "recs_hit_rate": _recs_hit_rate,
-        "bag_setops": _bag_setops,
-        "unpivot_measures": _unpivot_measures,
-        "window_rank_suite": _window_rank_suite,
-        "embedding_norm_audit": _embedding_norm_audit,
-        "skyline_parts": _skyline_parts,
-        "basket_triples": _basket_triples,
-        "seasonal_strength": _seasonal_strength,
-        "ivm_agg_retract": _ivm_agg_retract,
-        "ann_recall_eval": _ann_recall_eval,
-        "cluster_representative": _cluster_representative,
-        "contrastive_triples": _contrastive_triples,
-        "d1_item_product_lookup": _d1_item_product_lookup,
-        "d2_order_customer_left": _d2_order_customer_left,
-        "d3_chained_enrichment": _d3_chained_enrichment,
-        "d4_incremental_guard": _d4_incremental_guard,
-        "d5_regroup_pivot": _d5_regroup_pivot,
-        "d6_semi_join": _d6_semi_join,
-        "decile_lift": _decile_lift,
-        "dup_cluster_stats": _dup_cluster_stats,
-        "dup_clusters": _dup_clusters,
-        "dup_rate_by_source": _dup_rate_by_source,
-        "e7_distinct_values": _e7_distinct_values,
-        "entity_resolution": _entity_resolution,
-        # -- never-attested r9 additions (positions 51+: next in line
-        # for the r10 rotation) --
+        # -- r10 driver sample (first 50): the 22 never-driver-attested
+        # r9 entries, the 2 entries whose code/oracle changed this round
+        # (revenue_bridge exact micro-cents; measure_correlations
+        # complete-case oracle — stale-churn guard), then the 26 stalest
+        # of the r5/r6 block. Freshly r9-attested fifty moved to the tail. --
         "scd2_agg_mv": _scd2_agg_mv,
         "sorted_neighborhood_dedup": _sorted_neighborhood_dedup,
         "edit_distance_join": _edit_distance_join,
@@ -10111,7 +10109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_diverse": _topk_diverse,
         "hierarchy_shares": _hierarchy_shares,
         "prefix_cluster": _prefix_cluster,
-        # -- tail, stalest-first: remaining r5/r6-attested --
+        "revenue_bridge": _revenue_bridge,
+        "measure_correlations": _measure_correlations,
         "g1_reconciliation_summary": _g1_reconciliation_summary,
         "g2_union_distinct": _g2_union_distinct,
         "g3_intersect": _g3_intersect,
@@ -10138,6 +10137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": _rfm_segments,
         "simhash_incremental": _simhash_incremental,
         "simhash_portable": _simhash_portable,
+        # -- stalest-first: remaining r5/r6-attested, then r7, then r8 --
         "skew_profile": _skew_profile,
         "span_dedup_incremental": _span_dedup_incremental,
         "topk_per_group": _topk_per_group,
@@ -10195,7 +10195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _token_count_bpe,
         "tumbling_counts": _tumbling_counts,
         "vocab_coverage": _vocab_coverage,
-        # -- r7-attested --
         "bfs_reachability": _bfs_reachability,
         "item_item_cosine": _item_item_cosine,
         "decayed_trending": _decayed_trending,
@@ -10246,7 +10245,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_partition_rollup": _hll_partition_rollup,
         "json_ingest_rollup": _json_ingest_rollup,
         "knn_graph": _knn_graph,
-        # -- r8-attested (freshest) --
         "lm_bigram_score": _lm_bigram_score,
         "multimodal_features": _multimodal_features,
         "pii_scrub": _pii_scrub,
@@ -10297,6 +10295,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_priority_count": _q4_priority_count,
         "q5_nation_volume": _q5_nation_volume,
         "q6_forecast_revenue": _q6_forecast_revenue,
+        # -- r9-attested (freshest, rotated to the tail) --
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q8_market_share": _q8_market_share,
+        "quality_prune": _quality_prune,
+        "repair_run": _repair_run,
+        "retention_daily": _retention_daily,
+        "rolling_7d_revenue": _rolling_7d_revenue,
+        "semantic_dedup_incremental": _semantic_dedup_incremental,
+        "tokenizer_fertility": _tokenizer_fertility,
+        "w2_keeprule_backfill": _w2_keeprule_backfill,
+        "scd2_fold_late": _scd2_fold_late,
+        "prefix_jaccard_join": _prefix_jaccard_join,
+        "snapshot_diff": _snapshot_diff,
+        "ivm_join_delta": _ivm_join_delta,
+        "repurchase_intervals": _repurchase_intervals,
+        "price_points": _price_points,
+        "rrf_fusion": _rrf_fusion,
+        "ndcg_eval": _ndcg_eval,
+        "collocation_pmi": _collocation_pmi,
+        "user_behavior_entropy": _user_behavior_entropy,
+        "top_event_paths": _top_event_paths,
+        "arrival_burstiness": _arrival_burstiness,
+        "revenue_waterfall": _revenue_waterfall,
+        "chi_square_dow": _chi_square_dow,
+        "value_drift_psi": _value_drift_psi,
+        "recs_hit_rate": _recs_hit_rate,
+        "bag_setops": _bag_setops,
+        "unpivot_measures": _unpivot_measures,
+        "window_rank_suite": _window_rank_suite,
+        "embedding_norm_audit": _embedding_norm_audit,
+        "skyline_parts": _skyline_parts,
+        "basket_triples": _basket_triples,
+        "seasonal_strength": _seasonal_strength,
+        "ivm_agg_retract": _ivm_agg_retract,
+        "ann_recall_eval": _ann_recall_eval,
+        "cluster_representative": _cluster_representative,
+        "contrastive_triples": _contrastive_triples,
+        "d1_item_product_lookup": _d1_item_product_lookup,
+        "d2_order_customer_left": _d2_order_customer_left,
+        "d3_chained_enrichment": _d3_chained_enrichment,
+        "d4_incremental_guard": _d4_incremental_guard,
+        "d5_regroup_pivot": _d5_regroup_pivot,
+        "d6_semi_join": _d6_semi_join,
+        "decile_lift": _decile_lift,
+        "dup_cluster_stats": _dup_cluster_stats,
+        "dup_clusters": _dup_clusters,
+        "dup_rate_by_source": _dup_rate_by_source,
+        "e7_distinct_values": _e7_distinct_values,
+        "entity_resolution": _entity_resolution,
     }
 
 

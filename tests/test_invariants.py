@@ -2029,3 +2029,44 @@ def test_prefix_cluster_groups_identical_prefixes(spark):
     )
     out = dedup.prefix_cluster(df, "text", "doc_id", n_tokens=4, portable=True).collect()
     assert len(out) == 1 and out[0]["n_docs"] == 2 and out[0]["canonical_id"] == 2
+
+
+def test_edit_distance_join_refuses_long_strings(spark):
+    """VERDICT r9 item 5: the k-deletion neighborhood is O(len^k) rows
+    per string, so document-length text must be refused at runtime
+    (ValueError with coarsening advice), not silently exploded;
+    raising max_len deliberately re-enables the call."""
+    import pytest as _pytest
+
+    from z316_sales_data_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "x" * 200), (2, "x" * 199 + "y")], "id long, s string"
+    )
+    with _pytest.raises(ValueError, match="max_len"):
+        dedup.edit_distance_join(df, "s", "id", k=1)
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in dedup.edit_distance_join(df, "s", "id", k=1, max_len=256).collect()
+    }
+    assert got == {(1, 2, 1)}
+
+
+def test_edit_distance_join_degenerate_strings_k2(spark):
+    """ADVICE r9: sequence(1, length-1) DESCENDS for strings of length
+    <= 1 — the CASE guard must keep the k=2 neighborhood well-defined
+    for empty and single-char strings (exact pair set, no phantom
+    members, no crash)."""
+    from z316_sales_data_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "b"), (4, "ab")], "id long, s string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in dedup.edit_distance_join(df, "s", "id", k=2).collect()
+    }
+    assert got == {
+        (1, 2, 1), (1, 3, 1), (1, 4, 2),
+        (2, 3, 1), (2, 4, 1), (3, 4, 1),
+    }

@@ -1544,3 +1544,118 @@ def test_growth_accounting_sink_matches_batch(spark, sf_dir, tmp_path):
     fold(slices[2], 2)
     assert sinks.read_appended(spark, mv).count() == rows_before
     assert int(open(f"{st}/_LATEST").read()) == v
+
+
+def test_growth_accounting_sink_refuses_late_rows_in_new_epoch(spark, tmp_path):
+    """ADVICE r9: a NEW epoch (epoch_id above the state's _GA_EPOCH
+    marker) carrying rows for days at-or-below _GA_DAY is LATE DATA,
+    not a replay — the sink must refuse (ValueError) instead of
+    silently skipping the rows and diverging from the batch twin.
+    Replays of an already-folded epoch stay strict no-ops."""
+    import pytest as _pytest
+
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.streaming.pipeline import growth_accounting_sink
+
+    st = str(tmp_path / "ga_state")
+    mv = str(tmp_path / "ga_mv")
+    fold = growth_accounting_sink(st, mv, "user_id", "ts")
+    day1 = spark.createDataFrame(
+        [(1, "2024-01-01 08:00:00"), (2, "2024-01-01 09:00:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    day2 = spark.createDataFrame(
+        [(1, "2024-01-02 08:00:00")], "user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    fold(day1, 0)
+    fold(day2, 1)
+    assert sinks.snapshot_meta(st, "_GA_EPOCH") == "1"
+    assert sinks.snapshot_meta(st, "_GA_DAY") == "2024-01-02"
+
+    # replay of epoch 1 (same days): strict no-op, NO error
+    v = int(open(f"{st}/_LATEST").read())
+    fold(day2, 1)
+    assert int(open(f"{st}/_LATEST").read()) == v
+
+    # NEW epoch 2 carrying a day-1 row: late data -> refusal, and
+    # neither table moved
+    late = spark.createDataFrame(
+        [(3, "2024-01-01 23:00:00"), (4, "2024-01-03 10:00:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows_before = sinks.read_appended(spark, mv).count()
+    with _pytest.raises(ValueError, match="late data"):
+        fold(late, 2)
+    assert int(open(f"{st}/_LATEST").read()) == v
+    assert sinks.read_appended(spark, mv).count() == rows_before
+
+    # the refusal's prescribed watermark filter makes the epoch foldable
+    ontime = late.filter(F.to_date("ts") > F.lit("2024-01-02").cast("date"))
+    fold(ontime, 2)
+    assert sinks.snapshot_meta(st, "_GA_EPOCH") == "2"
+    assert sinks.snapshot_meta(st, "_GA_DAY") == "2024-01-03"
+
+
+def test_scd2_agg_mv_sink_bootstraps_on_preexisting_history(spark, tmp_path):
+    """ADVICE r9: attaching the MV sink to a PRE-EXISTING history with
+    no MV snapshot must bootstrap from a full aggregation of the
+    current open rows (the old code raised in read_snapshot), and a
+    history that ran AHEAD of the MV by more than one epoch must fold
+    the whole gap (v_before = the version matching _MV_EPOCH, not
+    merely the first version older than the current epoch)."""
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import windows as W
+    from z316_sales_data_pipeline_spark.streaming.pipeline import (
+        scd2_agg_mv_sink,
+        scd2_history_sink,
+    )
+
+    args = dict(key="k", attr="g", ts="ts", tiebreak="tb")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, ts string, tb long"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    b0 = batch([(1, "a", "2024-01-01 00:00:00", 1), (2, "a", "2024-01-01 00:00:00", 2)])
+    b1 = batch([(2, "b", "2024-01-02 00:00:00", 3), (3, "c", "2024-01-02 00:00:00", 4)])
+    b2 = batch([(1, "b", "2024-01-03 00:00:00", 5)])
+    b3 = batch([(3, "a", "2024-01-04 00:00:00", 6), (4, "a", "2024-01-04 00:00:00", 7)])
+    b4 = batch([(4, "b", "2024-01-05 00:00:00", 8)])
+
+    hist_t = str(tmp_path / "hist")
+    mv_t = str(tmp_path / "mv")
+    hist_only = scd2_history_sink(hist_t, **args)
+    hist_only(b0, 0)
+    hist_only(b1, 1)  # pre-existing two-epoch history, NO MV yet
+
+    def mv_set():
+        return {
+            (r["g"], r["n"], r["sum_uid"])
+            for r in sinks.read_snapshot(spark, mv_t).collect()
+        }
+
+    def want_set(*batches):
+        ev = batches[0]
+        for b in batches[1:]:
+            ev = ev.unionByName(b)
+        return {
+            (r["g"], r["n"], r["sum_uid"])
+            for r in W.scd2_history(ev, **args)
+            .filter(F.col("is_current") == 1)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("long").alias("sum_uid"))
+            .collect()
+        }
+
+    fold = scd2_agg_mv_sink(hist_t, mv_t, **args)
+    fold(b2, 2)  # attach: must bootstrap, not raise
+    assert mv_set() == want_set(b0, b1, b2)
+    assert sinks.snapshot_meta(mv_t, "_MV_EPOCH") == "2"
+
+    # history runs ahead by TWO epochs externally, then the MV sink
+    # sees only epoch 4 — the fold must net epochs 3 AND 4
+    hist_only(b3, 3)
+    fold(b4, 4)
+    assert mv_set() == want_set(b0, b1, b2, b3, b4)
+    assert sinks.snapshot_meta(mv_t, "_MV_EPOCH") == "4"

@@ -32,7 +32,12 @@ def normalize(v):
             return "nan"
         if v == 0.0:
             return "0.0"  # fold -0.0
-        return f"{v:.6g}" if abs(v) < 1e-4 else f"{v:.10g}"
+        # Full precision (repr = shortest round-trip, up to 17 sig
+        # digits). The driver hashes floats at full precision; the old
+        # 10-sig-digit format masked an entire failure class (r9
+        # revenue_bridge: a 1-ulp round() tie divergence invisible at
+        # .10g). Local green must imply driver green.
+        return repr(v)
     if isinstance(v, (datetime, date)):
         return v.isoformat()
     return str(v)
@@ -41,6 +46,38 @@ def normalize(v):
 def row_multiset(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     return Counter(tuple(normalize(r[i]) for i in order) for r in rows)
+
+
+# Presentation-round precision budget (VERDICT r9 item 3, portability
+# gotcha #3 turned into a gate): Spark round() is HALF_UP over the
+# exact decimal expansion while DuckDB rounds via multiply-by-10^n —
+# the two agree only while v*10^n sits comfortably inside double's
+# 2^52 integer range; as the product approaches it, near-tie values
+# diverge by 1 ulp (r9 revenue_bridge: |v| ~ 2.7e8 at 6 dp = 15 sig
+# digits, one brand hit a .xx5 tie). The repo's convention is round-6,
+# so any double output column that (a) carries fractional values and
+# (b) has |max| * 1e6 within 6 bits of 2^52 has spent its mantissa on
+# integer digits and is one unlucky datum away from a driver-red row.
+# Fix pattern: integer-scale (cents/micros) before summing, or emit
+# the exact numerator/denominator, never round a float that large.
+ROUND_BUDGET_ABS = float(2**52) / 1e6 / 64  # ~7.04e7
+
+
+def precision_budget_flags(schema_fields, rows) -> list[str]:
+    flags = []
+    for ci, fld in enumerate(schema_fields):
+        if fld.dataType.typeName() not in ("double", "float"):
+            continue
+        max_abs, fractional = 0.0, False
+        for r in rows:
+            v = r[ci]
+            if v is None or not isinstance(v, float) or math.isnan(v) or math.isinf(v):
+                continue
+            max_abs = max(max_abs, abs(v))
+            fractional = fractional or v != int(v)
+        if fractional and max_abs > ROUND_BUDGET_ABS:
+            flags.append(f"{fld.name} (|max|={max_abs:.6g})")
+    return flags
 
 
 def main() -> int:
@@ -81,6 +118,16 @@ def main() -> int:
             print(
                 f"FAIL  {name}: complex-typed output cols {complex_cols} "
                 "(driver canonicalizer cannot hash them — flatten or to_json)"
+            )
+            failures.append(name)
+            continue
+        budget_flags = precision_budget_flags(df.schema.fields, spark_rows)
+        if budget_flags:
+            print(
+                f"FAIL  {name}: round-budget exhausted on float cols "
+                f"{budget_flags} — fractional doubles this large are "
+                "tie-prone under round-6 cross-engine (gotcha #3 / r9 "
+                "revenue_bridge); integer-scale or emit num/denom"
             )
             failures.append(name)
             continue

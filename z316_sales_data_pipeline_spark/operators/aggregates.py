@@ -357,25 +357,32 @@ def pearson_exact(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     per (x, y) pair with n and rounded r.
     """
     names = list(cols)
+    # Project every measure expression to decimal(18,0) ONCE (r10,
+    # VERDICT item 6: inlining the expr into all ~7 aggregate slots +
+    # the filter re-evaluated each double->decimal cast per slot per
+    # row — the measured 4x on measure_correlations); a product of two
+    # decimal(18,0) stays inside decimal(37,0), so the decimal(38,0)
+    # sum never truncates precision.
+    proj = df.select(
+        *[expr.cast("decimal(18,0)").alias(f"__m_{n}") for n, expr in cols.items()]
+    )
     # Complete-case analysis (ADVICE r8): __n counts rows while F.sum
     # skips NULLs, so a NULL in any measure would silently skew every
     # moment — drop rows where ANY measure is NULL up front, making n
     # and all sums range over exactly the same row set.
     complete = F.lit(True)
-    for expr in cols.values():
-        complete = complete & expr.isNotNull()
-    df = df.filter(complete)
-    # inputs as decimal(18,0): a product of two stays inside
-    # decimal(37,0), so the decimal(38,0) sum never truncates precision
-    dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    for n_ in names:
+        complete = complete & F.col(f"__m_{n_}").isNotNull()
+    proj = proj.filter(complete)
     aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")]
-    for name, expr in cols.items():
-        aggs.append(F.sum(dec(expr)).alias(f"__s_{name}"))
-        aggs.append(F.sum(dec(expr) * dec(expr)).alias(f"__q_{name}"))
+    for name in names:
+        m = F.col(f"__m_{name}")
+        aggs.append(F.sum(m).alias(f"__s_{name}"))
+        aggs.append(F.sum(m * m).alias(f"__q_{name}"))
     for i, x in enumerate(names):
         for y in names[i + 1 :]:
-            aggs.append(F.sum(dec(cols[x]) * dec(cols[y])).alias(f"__p_{x}_{y}"))
-    one = df.agg(*aggs)
+            aggs.append(F.sum(F.col(f"__m_{x}") * F.col(f"__m_{y}")).alias(f"__p_{x}_{y}"))
+    one = proj.agg(*aggs)
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     rows = []
     for i, x in enumerate(names):

@@ -1525,6 +1525,7 @@ def edit_distance_join(
     text_col: str,
     id_col: str,
     k: int = 1,
+    max_len: int = 64,
 ) -> DataFrame:
     """Exact small-edit-distance self-join (FastSS deletion
     neighborhoods): emit every unordered pair with levenshtein
@@ -1546,25 +1547,55 @@ def edit_distance_join(
     prefix_jaccard dedupe-first lesson) so duplicate-heavy corpora
     cost x1 + output; the neighborhood join never goes all-pairs —
     only strings sharing a deletion bucket meet.
+
+    Misuse guard (VERDICT r9): the neighborhood is O(len^k)
+    fingerprints per string — ~tens for the short keys this targets,
+    but a caller passing DOCUMENT TEXT would get a quadratic explode
+    with no error. A runtime max-length aggregate over the (cheap,
+    distinct-string-grain) key set refuses (ValueError, the
+    ewma_forecast pattern) past ``max_len`` with coarsening advice;
+    raise ``max_len`` deliberately if your keys really are longer.
     """
     if k not in (1, 2):
         raise ValueError("edit_distance_join supports k=1 or k=2")
-    uniq = df.select(F.col(text_col).alias("__s")).distinct()
+    # distinct-string grain = a reduction, so localCheckpoint is the
+    # right pin (grain rule); it also keeps the guard's length scan
+    # from re-reading the fact input a second time for the join.
+    uniq = df.select(F.col(text_col).alias("__s")).distinct().localCheckpoint(
+        eager=True
+    )
+    longest = uniq.agg(F.max(F.length("__s")).alias("m")).collect()[0]["m"]
+    if longest is not None and int(longest) > max_len:
+        raise ValueError(
+            f"edit_distance_join: max length({text_col}) = {longest} exceeds "
+            f"max_len={max_len}; the k={k} deletion neighborhood is "
+            f"O(len^{k}) rows PER STRING, so long text explodes "
+            "quadratically. This operator targets short keys (names, "
+            "codes, SKUs) — for document text use minhash_near_dup / "
+            "span_dedup, or pass a larger max_len deliberately."
+        )
     ids = df.select(F.col(id_col), F.col(text_col).alias("__s"))
 
-    # deletions via expr (substring arithmetic reads cleaner in SQL)
+    # deletions via expr (substring arithmetic reads cleaner in SQL);
+    # every sequence(1, n) needs the n >= 1 guard — sequence(1, 0)
+    # DESCENDS ([1, 0]) and would emit phantom neighborhood members
+    # for degenerate strings (ADVICE r9, the lm_trigram_backoff guard)
     neigh1 = F.expr(
+        "CASE WHEN length(__s) >= 1 THEN "
         "transform(sequence(1, length(__s)), "
-        "i -> concat(substring(__s, 1, i-1), substring(__s, i+1)))"
+        "i -> concat(substring(__s, 1, i-1), substring(__s, i+1))) "
+        "ELSE array() END"
     )
     if k == 1:
         neighborhood = F.array_union(F.array(F.col("__s")), neigh1)
     else:
         neigh2 = F.expr(
+            "CASE WHEN length(__s) >= 2 THEN "
             "flatten(transform(sequence(1, length(__s)), i -> "
             "transform(sequence(1, length(__s) - 1), j -> "
             "concat(substring(concat(substring(__s, 1, i-1), substring(__s, i+1)), 1, j-1), "
-            "substring(concat(substring(__s, 1, i-1), substring(__s, i+1)), j+1)))))"
+            "substring(concat(substring(__s, 1, i-1), substring(__s, i+1)), j+1))))) "
+            "ELSE array() END"
         )
         neighborhood = F.array_union(
             F.array_union(F.array(F.col("__s")), neigh1), F.array_distinct(neigh2)

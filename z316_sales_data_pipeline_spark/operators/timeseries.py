@@ -341,8 +341,13 @@ def growth_accounting(
     the final day-grain rollup is a second small shuffle. Churn is
     counted by REINDEXING each active day's rows to day+1 (a user
     churns ON the day after their last consecutive active day) so no
-    anti-join is needed; days outside the observed range are not
-    emitted.
+    anti-join is needed. Because every user's LAST active day also
+    reindexes forward, the output includes ONE trailing churn row at
+    max_observed_day + 1 (dau = 0, n_churned = still-active count) —
+    the full_outer day join emits it, the SQL oracle pins it, and the
+    streaming twin (``growth_accounting_sink``) emits it once a later
+    epoch passes that day. No other day outside the observed range
+    appears.
 
     At 100 TB: (user, day) distinct is the only fact-grain shuffle;
     the window shares its exchange with the lag; the day-grain output

@@ -488,6 +488,14 @@ def scd2_agg_mv_sink(
         if mv_last is not None and int(epoch_id) <= int(mv_last):
             return  # fully replayed epoch: both tables already folded
         hist_fold(batch_df, epoch_id)  # its own marker no-ops replays
+        # v_after = the history version this epoch produced; v_before
+        # = the version the MV actually reflects (marker == _MV_EPOCH,
+        # ADVICE r9) — NOT merely "first version older than epoch_id",
+        # which silently skipped any history-ahead-of-MV gap (external
+        # folds, crash between the two writes by >1 epoch). The
+        # open-row diff between those two versions nets ALL
+        # intermediate changes, so a multi-epoch catch-up folds
+        # correctly in one delta.
         v_after = v_before = None
         for v in versions_desc():
             marker = sinks.snapshot_meta(hist_dir, "_SCD2_EPOCH", version=v)
@@ -495,18 +503,29 @@ def scd2_agg_mv_sink(
                 continue
             if int(marker) == int(epoch_id) and v_after is None:
                 v_after = v
-            elif int(marker) < int(epoch_id):
+            if mv_last is not None and int(marker) == int(mv_last) and v_before is None:
                 v_before = v
-                break
         if v_after is None:
             return  # history rejected the batch (e.g. older epoch)
         cur_after = open_rows(spark, v_after)
-        if v_before is None:
+        if mv_last is None:
+            # bootstrap: no MV snapshot yet — full aggregation of the
+            # current open rows. Covers both a brand-new pipeline and
+            # attaching the sink to a PRE-EXISTING history (ADVICE r9:
+            # the old else-branch read_snapshot(mv_dir) raised here).
             mv = cur_after.groupBy(attr).agg(
                 F.count(F.lit(1)).alias("n"),
                 *[F.sum(e).cast("long").alias(a) for a, e in measures.items()],
             )
         else:
+            if v_before is None:
+                raise ValueError(
+                    f"scd2_agg_mv_sink: the MV's _MV_EPOCH={mv_last} has no "
+                    f"matching _SCD2_EPOCH history version under {hist_dir} "
+                    "(vacuumed or externally rewritten) — the delta base is "
+                    "gone; rebuild the MV by removing its snapshot dir so "
+                    "the next epoch bootstraps from the full open-row set."
+                )
             cur_before = open_rows(spark, v_before)
             mv_before = sinks.read_snapshot(spark, mv_dir)
             diff = ivm.snapshot_diff(cur_before, cur_after, key, [attr])
@@ -553,12 +572,24 @@ def growth_accounting_sink(
     statement about the future and is only emitted once a later epoch
     passes that day.
 
-    Exactly-once: the state snapshot carries a ``_GA_DAY`` marker
-    (last folded day) and epochs replaying at-or-below it are no-ops;
-    the MV appends per-day segments keyed by day (idempotent
-    overwrite per day partition).
+    Exactly-once AND late-data refusal (ADVICE r9): the state
+    snapshot carries a ``_GA_DAY`` marker (last folded day) and a
+    ``_GA_EPOCH`` marker (last folded epoch). An epoch at-or-below
+    ``_GA_EPOCH`` is a REPLAY — its already-folded days are skipped
+    as no-ops. A NEW epoch carrying rows for days at-or-below
+    ``_GA_DAY`` is LATE DATA, which this day-cursor state model
+    cannot fold retroactively — the sink REFUSES (ValueError) instead
+    of silently diverging from the batch twin
+    (``timeseries.growth_accounting``); filter late rows upstream
+    with a watermark (``withWatermark`` + ``ts >= _GA_DAY + 1``) to
+    accept the drop deliberately. Corollary: batches must be
+    DAY-COMPLETE — a day folds the first time it is seen, so feed
+    this sink from a day-windowed trigger (e.g. one trigger per
+    closed day), not sub-day micro-batches. The MV appends per-day
+    segments keyed by day (idempotent overwrite per day partition).
     """
     import datetime as _dt
+    import warnings as _warnings
 
     from .. import sinks
 
@@ -576,6 +607,30 @@ def growth_accounting_sink(
         days = sorted(r["d"] for r in ud.select("d").distinct().collect())
         marker = sinks.snapshot_meta(state_dir, "_GA_DAY")
         prev_day = _dt.date.fromisoformat(marker) if marker else None
+        epoch_marker = sinks.snapshot_meta(state_dir, "_GA_EPOCH")
+        is_replay = epoch_marker is not None and int(epoch_id) <= int(epoch_marker)
+        if prev_day is not None and not is_replay and days and days[0] <= prev_day:
+            if epoch_marker is None:
+                # state written before the _GA_EPOCH marker existed —
+                # cannot prove replay vs late; keep legacy skip, warn
+                _warnings.warn(
+                    "growth_accounting_sink: state has no _GA_EPOCH marker; "
+                    f"rows for already-folded days <= {prev_day} are being "
+                    "skipped as replays but could be late data. Rebuild the "
+                    "state snapshot to get the late-data refusal guard.",
+                    stacklevel=2,
+                )
+            else:
+                raise ValueError(
+                    f"growth_accounting_sink: epoch {int(epoch_id)} is NEW "
+                    f"(last folded epoch {int(epoch_marker)}) but carries rows "
+                    f"for day {days[0].isoformat()} <= last folded day "
+                    f"{prev_day.isoformat()} — late data cannot be folded "
+                    "retroactively by the day-cursor state and would silently "
+                    "diverge the MV from the batch twin. Watermark-filter the "
+                    "stream (ts at or after the day after _GA_DAY) to drop "
+                    "late rows deliberately."
+                )
         try:
             state = sinks.read_snapshot(spark, state_dir)
         except OSError:
@@ -643,7 +698,11 @@ def growth_accounting_sink(
             prev_day = d
         if not folded_any:
             return  # fully-replayed epoch: strict no-op on BOTH tables
-        sinks.write_snapshot(state, state_dir, meta={"_GA_DAY": prev_day.isoformat()})
+        sinks.write_snapshot(
+            state,
+            state_dir,
+            meta={"_GA_DAY": prev_day.isoformat(), "_GA_EPOCH": str(int(epoch_id))},
+        )
 
     return fold
 
