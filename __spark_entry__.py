@@ -21,6 +21,7 @@ from z316_sales_data_pipeline_spark.operators import (
     bloom,
     corpus,
     dedup,
+    experiment,
     graph,
     ivm,
     joins,
@@ -10080,6 +10081,161 @@ FROM p GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def _mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do purchase events carry larger values than clicks? Two-sample
+    Mann-Whitney U on value cents (experiment.mann_whitney_u): ranks
+    reduce to the distinct-VALUE grain, the cumulative below() count
+    is a two-phase running sum (no single-partition window), ranks
+    stay exact integers at 2x midrank scale, and rank-biserial / z
+    are single shared float expressions over exact moments."""
+    ev = load_table(spark, sf_dir, "events")
+    return experiment.mann_whitney_u(
+        ev, "event_type", "purchase", "click", F.round(F.col("value") * 100)
+    )
+
+
+_MANN_WHITNEY_SQL = """
+WITH b AS (
+    SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+    FROM events WHERE event_type IN ('purchase', 'click')
+), pv AS (
+    SELECT v,
+           cast(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           cast(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+           cast(count(*) AS BIGINT) AS c
+    FROM b GROUP BY 1
+), r AS (
+    SELECT *, cast(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM pv
+), m AS (
+    SELECT cast(sum(ca) AS BIGINT) AS n_a, cast(sum(cb) AS BIGINT) AS n_b,
+           cast(sum(CAST(ca AS HUGEINT) * (2 * (cum - c) + c + 1)) AS HUGEINT) AS ra2,
+           cast(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS ties
+    FROM r
+)
+SELECT n_a, n_b,
+       CAST(ra2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2,
+       CASE WHEN n_a * n_b > 0 THEN
+           1.0 - CAST(ra2 - n_a * (n_a + 1) AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS rank_biserial,
+       CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                 * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                    - CAST(ties AS DOUBLE)
+                      / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0))) > 0.0
+            THEN
+       (CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0
+        - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+       / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+              * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                 - CAST(ties AS DOUBLE)
+                   / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))) END AS z
+FROM m
+"""
+
+
+def _cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction over customers: pre-period covariate x
+    = 1997 order revenue cents, post metric y = 1998 revenue cents
+    (zero-filled conditional sums off ONE orders scan, no self-join);
+    theta / var_y / var_y_cuped are single shared float expressions
+    over exact decimal moments (experiment.cuped)."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(yr == 1997, cents).otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(yr == 1998, cents).otherwise(F.lit(0))).alias("y"),
+    )
+    return experiment.cuped(per_cust, F.col("x"), F.col("y"))
+
+
+_CUPED_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           cast(sum(CASE WHEN year(o_orderdate) = 1997
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+           cast(sum(CASE WHEN year(o_orderdate) = 1998
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+    FROM orders GROUP BY 1
+), m AS (
+    SELECT cast(count(*) AS BIGINT) AS n,
+           cast(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+           cast(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+           cast(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           cast(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+           cast(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+    FROM per_cust
+)
+SELECT n,
+       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+       sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std_y,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS var_reduction
+FROM m
+"""
+
+
+def _srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit of the production hash split
+    (experiment.srm_check): customers assigned to 2 arms by the same
+    portable md5 bucket dataset_split uses; per-arm observed vs equal
+    expected and the chi-square cell, floats as single shared
+    expressions over exact counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    return experiment.srm_check(cust, "c_custkey", n_arms=2)
+
+
+_SRM_SQL = """
+WITH arms AS (
+    SELECT CAST(('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::BIGINT % 2 AS INTEGER) AS arm,
+           cast(count(*) AS BIGINT) AS observed
+    FROM (SELECT DISTINCT c_custkey FROM customer) GROUP BY 1
+), tot AS (
+    SELECT cast(sum(observed) AS BIGINT) AS total FROM arms
+)
+SELECT arm, observed,
+       CAST(total AS DOUBLE) / 2.0 AS expected,
+       (CAST(observed AS DOUBLE) - CAST(total AS DOUBLE) / 2.0)
+       * (CAST(observed AS DOUBLE) - CAST(total AS DOUBLE) / 2.0)
+       / (CAST(total AS DOUBLE) / 2.0) AS chi2_cell
+FROM arms, tot
+"""
+
+
+def _order_totals_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail value reconciliation per order status
+    (quality.order_totals_reconcile): o_totalprice vs the sum of line
+    charges, both in exact integer micro-dollars; per-status order
+    count, exact-match count, and max/total absolute discrepancy."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return quality.order_totals_reconcile(orders, li)
+
+
+_ORDER_RECONCILE_SQL = """
+WITH per_order AS (
+    SELECT l_orderkey AS ok,
+           cast(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS lines_micro
+    FROM lineitem GROUP BY 1
+), j AS (
+    SELECT o.o_orderstatus,
+           CAST(round(o.o_totalprice * 1000000) AS BIGINT)
+               - coalesce(p.lines_micro, 0) AS d
+    FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.ok
+)
+SELECT o_orderstatus,
+       cast(count(*) AS BIGINT) AS n_orders,
+       cast(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       cast(max(abs(d)) AS BIGINT) AS max_abs_diff_micro,
+       cast(sum(abs(d)) AS BIGINT) AS total_abs_diff_micro
+FROM j GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r10 driver sample (first 50): the 22 never-driver-attested
@@ -10137,6 +10293,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": _rfm_segments,
         "simhash_incremental": _simhash_incremental,
         "simhash_portable": _simhash_portable,
+        # -- never-attested r10 additions (positions 51+: next in line
+        # for the r11 rotation) --
+        "mann_whitney_value": _mann_whitney_value,
+        "cuped_adjustment": _cuped_adjustment,
+        "srm_check": _srm_check,
+        "order_totals_reconcile": _order_totals_reconcile,
         # -- stalest-first: remaining r5/r6-attested, then r7, then r8 --
         "skew_profile": _skew_profile,
         "span_dedup_incremental": _span_dedup_incremental,
@@ -10430,6 +10592,10 @@ def oracle_sql() -> dict[str, str]:
         "topk_diverse": _TOPK_DIVERSE_SQL,
         "hierarchy_shares": _HIERARCHY_SHARES_SQL,
         "prefix_cluster": _PREFIX_CLUSTER_SQL,
+        "mann_whitney_value": _MANN_WHITNEY_SQL,
+        "cuped_adjustment": _CUPED_SQL,
+        "srm_check": _SRM_SQL,
+        "order_totals_reconcile": _ORDER_RECONCILE_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,

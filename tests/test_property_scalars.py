@@ -556,3 +556,71 @@ def test_sorted_neighborhood_property(spark, names, window):
             if d <= 2:
                 want[(i, j)] = d
     assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=2, max_size=25),
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=2, max_size=25),
+)
+@settings(**_HEAVY_SETTINGS)
+def test_mann_whitney_matches_bruteforce(spark, xs, ys):
+    """Mann-Whitney LAW: the distinct-value-grain midrank formulation
+    (2x-scaled integer ranks, two-phase cumulative below-count) equals
+    the textbook row-grain computation — U_a counted directly as
+    #\\{(a, b): a > b\\} + #ties/2, over adversarial tie-heavy data."""
+    from z316_sales_data_pipeline_spark.operators import experiment
+
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = experiment.mann_whitney_u(df, "g", "a", "b", F.col("v")).collect()[0]
+    u_x2 = sum(
+        2 if a > b else (1 if a == b else 0) for a in xs for b in ys
+    )
+    assert (got["n_a"], got["n_b"], got["u_a_x2"]) == (len(xs), len(ys), u_x2)
+    assert abs(got["rank_biserial"] - (1.0 - u_x2 / (len(xs) * len(ys)))) < 1e-12
+
+
+def test_cuped_matches_numpy(spark):
+    """CUPED moments vs numpy: theta = cov/var_x (population), std_y,
+    and the variance-reduction ratio rho^2 agree with float reference
+    values to 1e-9 relative (the exact-decimal moments remove any
+    accumulation-order slack)."""
+    import numpy as np
+
+    from z316_sales_data_pipeline_spark.operators import experiment
+
+    rng_x = [3, 14, 15, 92, 65, 35, 89, 79, 32, 38]
+    rng_y = [27, 18, 28, 182, 84, 59, 141, 123, 56, 64]
+    df = spark.createDataFrame(list(zip(rng_x, rng_y)), "x long, y long")
+    got = experiment.cuped(df, F.col("x"), F.col("y")).collect()[0]
+    x, y = np.array(rng_x, float), np.array(rng_y, float)
+    cov = ((x - x.mean()) * (y - y.mean())).mean()
+    assert got["n"] == 10
+    assert abs(got["theta"] - cov / x.var()) < 1e-9 * abs(cov / x.var())
+    assert abs(got["std_y"] - y.std()) < 1e-9 * y.std()
+    rho2 = cov * cov / (x.var() * y.var())
+    assert abs(got["var_reduction"] - rho2) < 1e-9 * rho2
+
+
+def test_order_totals_reconcile_known(spark):
+    """Pinned reconcile semantics: an exactly-matching order, a
+    10-cent-off order, and a header with NO lines (full header total
+    counted as discrepancy) land in the right buckets."""
+    from z316_sales_data_pipeline_spark.operators import quality
+
+    orders = spark.createDataFrame(
+        [(1, "F", 110.0), (2, "F", 50.0), (3, "O", 20.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0, 0.10),  # charge 110.00 — exact
+            (2, 50.1, 0.0, 0.0),    # charge 50.10 — off by 10 cents
+        ],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_tax double",
+    )
+    got = {
+        r["o_orderstatus"]: (r["n_orders"], r["n_exact"], r["max_abs_diff_micro"], r["total_abs_diff_micro"])
+        for r in quality.order_totals_reconcile(orders, li).collect()
+    }
+    assert got == {"F": (2, 1, 100_000, 100_000), "O": (1, 0, 20_000_000, 20_000_000)}

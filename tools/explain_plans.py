@@ -578,6 +578,33 @@ CHECKLIST = {
         "projection (slice of the token split — no explode), ONE hash "
         "aggregate to cluster grain, count>1 filter."
     ),
+    "mann_whitney_value": (
+        "Mann-Whitney U (r10). Expect: fact scan filtered to the two "
+        "groups with PushedFilters, ONE hash aggregate to distinct-"
+        "VALUE grain, the two-phase running sum (range exchange + "
+        "partition-local window — NO 'Window: No Partition Defined'), "
+        "then a one-row moment aggregate; z/effect are post-agg "
+        "projections."
+    ),
+    "cuped_adjustment": (
+        "CUPED (r10). Expect: one orders scan -> customer-grain "
+        "conditional-sum HashAggregate (partial map-side) -> one-row "
+        "decimal moment aggregate; theta/std/rho2 are a final Project "
+        "— no second fact scan, no window."
+    ),
+    "srm_check": (
+        "Sample-ratio mismatch (r10). Expect: distinct on the id, "
+        "md5-bucket HashAggregate to arm grain, one-row total "
+        "BroadcastNestedLoopJoin (the one-row stats-join pattern), "
+        "cell chi-square as a Project."
+    ),
+    "order_totals_reconcile": (
+        "Header-vs-detail reconcile (r10). Expect: lineitem pruned to "
+        "4 columns -> order-grain HashAggregate; orders pruned to 3 "
+        "columns; the header join shuffles BOTH sides on the order "
+        "key (same key as the aggregate — Exchange reuse), then a "
+        "status-grain rollup."
+    ),
 }
 
 

@@ -1,0 +1,163 @@
+"""Experiment-analysis statistics (A/B testing support): Mann-Whitney
+U, CUPED variance reduction, and sample-ratio-mismatch checks.
+
+Extension family beyond the reference's E-ops (reference computes only
+sum/count rollups, e.g. ``cloud_function/zapier-to-gcs/main.py`` order
+totals): a sales pipeline that powers pricing/promo experiments needs
+the read-side stats too. Engine-portable by the repo's exact-moment
+discipline: every accumulation is an exact integer / decimal(38,0)
+aggregate, and every float in the output is ONE shared IEEE expression
+over those exact moments (the pearson_exact rule), so the DuckDB
+oracle can mirror the expression tree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .corpus import hash_bucket
+from .windows import two_phase_running_sum
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    value_int: Column,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (rank-sum) test between two groups of
+    an INTEGER-VALUED measure, with the normal approximation's
+    tie-corrected z and the rank-biserial effect size.
+
+    Rank arithmetic never ranks ROWS: per distinct value v the average
+    midrank is (2·below(v) + cnt(v) + 1)/2 where below(v) is the count
+    of strictly smaller observations — so everything reduces to the
+    distinct-VALUE grain first (one shuffle), the cumulative below()
+    comes from :func:`~.windows.two_phase_running_sum` (no
+    single-partition window — the named 100 TB scale-killer), and all
+    ranks stay exact integers by carrying 2x the midrank. Tie
+    correction Σ(t³−t) accumulates as decimal(38,0) (t up to ~1e12
+    cubes past int64). Output: one row with n_a, n_b, u_a_x2 (exact
+    2·U_a), rank_biserial and z as single shared float expressions.
+    """
+    both = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(group_col).alias("__g"), value_int.cast("long").alias("__v")
+    )
+    per_v = both.groupBy("__v").agg(
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0)).alias("__cb"),
+    )
+    per_v = per_v.withColumn("__c", F.col("__ca") + F.col("__cb"))
+    ranked, _total = two_phase_running_sum(per_v, [F.col("__v")], "__c", "__cum")
+    # 2x the midrank of value v: 2*below + cnt + 1 (exact integer)
+    ranked = ranked.withColumn(
+        "__mr2", 2 * (F.col("__cum") - F.col("__c")) + F.col("__c") + F.lit(1)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = ranked.agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
+        F.sum(F.col("__ca") * F.col("__mr2")).cast("long").alias("__ra2"),
+        F.sum(dec(F.col("__c")) * dec(F.col("__c")) * dec(F.col("__c")) - dec(F.col("__c")))
+        .alias("__ties"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    u_a_x2 = F.col("__ra2") - na * (na + 1)
+    n = (na + nb).cast("double")
+    nad, nbd = na.cast("double"), nb.cast("double")
+    # tie-corrected variance of U: na*nb/12 * ((n+1) - ties/(n*(n-1)))
+    var_u = (
+        nad * nbd / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("__ties").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    z = (u_a_x2.cast("double") / F.lit(2.0) - nad * nbd / F.lit(2.0)) / F.sqrt(var_u)
+    # ANSI-safe: an empty group or an all-ties sample has no defined
+    # effect size / z — emit NULL (CASE-guarded on both engines), never
+    # a DIVIDE_BY_ZERO
+    return m.select(
+        "n_a",
+        "n_b",
+        u_a_x2.alias("u_a_x2"),
+        F.when(na * nb > 0, F.lit(1.0) - u_a_x2.cast("double") / (nad * nbd)).alias(
+            "rank_biserial"
+        ),
+        F.when(var_u > F.lit(0.0), z).alias("z"),
+    )
+
+
+def cuped(df: DataFrame, x_int: Column, y_int: Column) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data) variance
+    reduction: theta = cov(x, y)/var(x) over an integer pre-period
+    covariate x and post-period metric y, plus the population std of y
+    and the achieved variance-reduction ratio ρ² = cov²/(vx·vy).
+
+    One full-scan hash aggregate of exact decimal moments (n, Σx, Σy,
+    Σx², Σxy, Σy² — the pearson_exact projection discipline: each input
+    casts to decimal(18,0) once, products stay in decimal(37,0)); all
+    float outputs are single shared expressions over those moments
+    (sqrt is IEEE-exact, so std stays engine-identical). std rather
+    than raw variance keeps the emission inside the round-budget gate:
+    a cents² variance carries ~15 integer digits and would be one
+    fractional datum from a cross-engine tie. At 100 TB the whole
+    relation reduces to six numbers.
+    """
+    proj = df.select(
+        x_int.cast("decimal(18,0)").alias("__x"),
+        y_int.cast("decimal(18,0)").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    x, y = F.col("__x"), F.col("__y")
+    m = proj.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(y * y).alias("__syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    nd = d("__n")
+    cov = nd * d("__sxy") - d("__sx") * d("__sy")
+    vx = nd * d("__sxx") - d("__sx") * d("__sx")
+    vy = nd * d("__syy") - d("__sy") * d("__sy")
+    return m.select(
+        F.col("__n").cast("long").alias("n"),
+        (d("__sy") / nd).alias("mean_y"),
+        (cov / vx).alias("theta"),
+        F.sqrt(vy / (nd * nd)).alias("std_y"),
+        (cov * cov / (vx * vy)).alias("var_reduction"),
+    )
+
+
+def srm_check(df: DataFrame, id_col: str, n_arms: int = 2) -> DataFrame:
+    """Sample-ratio-mismatch audit for a deterministic hash split:
+    assign each unit to an arm with the engine-portable md5 bucket
+    (:func:`~.corpus.hash_bucket` — the dataset_split assignment, so
+    the audit checks the EXACT split production uses), then emit one
+    row per arm with observed count, expected count under equal
+    allocation, and the chi-square cell (o−e)²/e.
+
+    Cell-grain output (the chi_square_cells rule): every float is a
+    single expression over exact integer counts — the overall SRM
+    statistic is the sum of the cells, computed by the reader. One
+    distinct + one tiny aggregate; arms are a constant, so the
+    expected side is a broadcast-free literal division.
+    """
+    units = df.select(F.col(id_col).alias("__id")).distinct()
+    arms = units.groupBy(
+        (hash_bucket(F.col("__id"), n_arms)).cast("int").alias("arm")
+    ).agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    # one-row total joined back broadcast (the stats-join pattern) —
+    # no unpartitioned WindowExec anywhere, even on the tiny arm grain
+    tot = arms.agg(F.sum("observed").cast("long").alias("__total"))
+    expected = F.col("__total").cast("double") / F.lit(float(n_arms))
+    cell = (F.col("observed").cast("double") - expected) * (
+        F.col("observed").cast("double") - expected
+    ) / expected
+    return arms.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "observed",
+        expected.alias("expected"),
+        cell.alias("chi2_cell"),
+    )

@@ -373,3 +373,50 @@ def ks_two_sample(
             ).alias("ks_distance"),
         )
     )
+
+
+def order_totals_reconcile(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    group_col: str = "o_orderstatus",
+) -> DataFrame:
+    """Header-vs-detail reconciliation audit: does each order's stored
+    total equal the sum of its line charges? The E6 count-verify idea
+    (reference: data_validation/gcs_to_bq-checker.py row-count
+    reconciliation) lifted to VALUE grain — the audit a finance close
+    runs before trusting either table.
+
+    Exact end to end: the header total and every line charge
+    (price·(1−disc)·(1+tax)) land in integer micro-dollars (all three
+    factors are ≤2 dp, so 1e-6 scale is exact — the revenue_waterfall
+    grain), the per-order line sum is one hash aggregate, the
+    header join is on the order key (same shuffle key), and the
+    output is per-``group_col``: order count, exactly-matching count,
+    and the max / total absolute discrepancy in micro-dollars. Orders
+    with no lines count their full header total as discrepancy (left
+    join, zero-fill) — a missing-detail signal, not an error.
+    """
+    line_micro = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 1_000_000
+    ).cast("long")
+    per_order = lineitem.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sum(line_micro).alias("lines_micro")
+    )
+    hdr = orders.select(
+        F.col("o_orderkey").alias("ok"),
+        F.col(group_col),
+        F.round(F.col("o_totalprice") * 1_000_000).cast("long").alias("hdr_micro"),
+    )
+    joined = hdr.join(per_order, "ok", "left").select(
+        group_col,
+        (F.col("hdr_micro") - F.coalesce(F.col("lines_micro"), F.lit(0))).alias("__d"),
+    )
+    return joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("__d") == 0, 1).otherwise(0)).cast("long").alias("n_exact"),
+        F.max(F.abs(F.col("__d"))).cast("long").alias("max_abs_diff_micro"),
+        F.sum(F.abs(F.col("__d"))).cast("long").alias("total_abs_diff_micro"),
+    )
