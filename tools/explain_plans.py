@@ -605,6 +605,13 @@ CHECKLIST = {
         "key (same key as the aggregate — Exchange reuse), then a "
         "status-grain rollup."
     ),
+    "ab_readout": (
+        "A/B readout composition (r10). Expect: one orders scan -> "
+        "customer-grain conditional sums -> arm-grain decimal moment "
+        "HashAggregate + one-row pooled moments joined back broadcast "
+        "(BroadcastNestedLoopJoin on a single row); CUPED adjustment "
+        "is a final Project."
+    ),
 }
 
 

@@ -161,3 +161,57 @@ def srm_check(df: DataFrame, id_col: str, n_arms: int = 2) -> DataFrame:
         expected.alias("expected"),
         cell.alias("chi2_cell"),
     )
+
+
+def ab_readout(
+    df: DataFrame,
+    x_int: Column,
+    y_int: Column,
+    id_col: str,
+    n_arms: int = 2,
+) -> DataFrame:
+    """End-to-end A/B readout (composition of the family): units are
+    hash-split into arms (:func:`~.corpus.hash_bucket`, the same
+    portable assignment srm_check audits), and each arm's post-period
+    mean is reported raw and CUPED-adjusted:
+    mean_adj(arm) = mean_y(arm) − theta·(mean_x(arm) − mean_x(all)),
+    with theta = cov(x, y)/var(x) POOLED across arms from the
+    pre-period covariate — the standard production readout.
+
+    One hash aggregate to arm grain carrying exact decimal moments
+    (n, Σx, Σy per arm), one one-row pooled-moment aggregate
+    broadcast back (the stats-join pattern), every float a single
+    shared expression over exact integers. At 100 TB: the unit-grain
+    scan is the only size-linear term; arm grain is ~constant.
+    """
+    proj = df.select(
+        hash_bucket(F.col(id_col), n_arms).cast("int").alias("arm"),
+        x_int.cast("decimal(18,0)").alias("__x"),
+        y_int.cast("decimal(18,0)").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    x, y = F.col("__x"), F.col("__y")
+    per_arm = proj.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__na"),
+        F.sum(x).alias("__sxa"),
+        F.sum(y).alias("__sya"),
+    )
+    pooled = proj.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    theta = (d("__n") * d("__sxy") - d("__sx") * d("__sy")) / (
+        d("__n") * d("__sxx") - d("__sx") * d("__sx")
+    )
+    mean_y_arm = d("__sya") / d("__na")
+    mean_x_arm = d("__sxa") / d("__na")
+    mean_x_all = d("__sx") / d("__n")
+    return per_arm.crossJoin(F.broadcast(pooled)).select(
+        "arm",
+        F.col("__na").cast("long").alias("n"),
+        mean_y_arm.alias("mean_y"),
+        (mean_y_arm - theta * (mean_x_arm - mean_x_all)).alias("mean_y_cuped"),
+    )
