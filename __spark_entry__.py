@@ -8314,7 +8314,10 @@ def _measure_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(38,0) — no float-summation order anywhere, unlike builtin
     corr — and r is ONE double expression over exact integers, so both
     engines compute the identical IEEE value. One full-scan hash
-    aggregate; the 6-pair matrix unfolds from the single moment row."""
+    aggregate; the 6-pair matrix unfolds from the single moment row.
+    max_abs=1e8 engages the long-product fast path (per-row products
+    in int64, sums in decimal) — sound because price cents are bounded
+    by the 2-dp schema at ~1.1e7 and fail-stop-checked at runtime."""
     li = load_table(spark, sf_dir, "lineitem")
     return aggregates.pearson_exact(
         li,
@@ -8324,6 +8327,7 @@ def _measure_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "discount_pct": F.round(F.col("l_discount") * 100),
             "tax_pct": F.round(F.col("l_tax") * 100),
         },
+        max_abs=100_000_000,
     )
 
 

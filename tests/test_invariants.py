@@ -2070,3 +2070,24 @@ def test_edit_distance_join_degenerate_strings_k2(spark):
         (1, 2, 1), (1, 3, 1), (1, 4, 2),
         (2, 3, 1), (2, 4, 1), (3, 4, 1),
     }
+
+
+def test_pearson_fast_path_equals_exact_and_failstops(spark):
+    """pearson_exact's long-product fast path (max_abs bound) must be
+    BIT-IDENTICAL to the decimal path, and a violated bound must
+    raise (fail-stop) rather than emit a possibly-wrapped moment."""
+    import pytest as _pytest
+
+    from z316_sales_data_pipeline_spark.operators import aggregates
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 4), (3, 7), (4, 8), (10, 3)], "x long, y long"
+    )
+    cols = {"x": F.col("x"), "y": F.col("y")}
+    exact = aggregates.pearson_exact(df, cols).collect()
+    fast = aggregates.pearson_exact(df, cols, max_abs=100).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in fast]
+
+    lying = aggregates.pearson_exact(df, cols, max_abs=5)  # data max is 10
+    with _pytest.raises(Exception, match="max_abs"):
+        lying.collect()
