@@ -642,3 +642,28 @@ def test_ab_readout_preserves_overall_mean(spark):
     weighted = sum(r["n"] * r["mean_y_cuped"] for r in out)
     assert abs(weighted - total_y) < 1e-6 * total_y
     assert sum(r["n"] for r in out) == n_total
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab \t\n", min_size=0, max_size=30), min_size=1, max_size=40
+    ),
+    st.sampled_from([1, 2, 3, 4]),
+)
+@settings(**_SETTINGS)
+def test_shingles_zipwith_equals_index_reference(spark, texts, k):
+    """shingles() LAW (r10 zip_with rewrite): for random
+    whitespace-heavy text and every supported k, the zip_with chain
+    emits exactly the index-based reference — Python-side reference:
+    space-joined k-grams of the normalized token list, empty when
+    fewer than k tokens."""
+    from z316_sales_data_pipeline_spark.functions import text as T
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r[0] for r in df.select(T.shingles("t", k)).collect()]
+
+    def ref(t: str) -> list[str]:
+        toks = " ".join(t.lower().split()).strip().split(" ")
+        return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+    assert got == [ref(t) for t in texts]
