@@ -1659,3 +1659,53 @@ def test_scd2_agg_mv_sink_bootstraps_on_preexisting_history(spark, tmp_path):
     fold(b4, 4)
     assert mv_set() == want_set(b0, b1, b2, b3, b4)
     assert sinks.snapshot_meta(mv_t, "_MV_EPOCH") == "4"
+
+
+def test_ab_readout_sink_matches_batch_twin(spark, tmp_path):
+    """Streaming A/B readout (r10): unit-grain upserts folded across
+    epochs produce EXACTLY the batch ab_readout over the final unit
+    table; late/duplicate upserts are absorbed (last wins); replays
+    are no-ops on the state; a lost MV write heals on replay because
+    the MV is a pure function of current state."""
+    import os
+
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import experiment
+    from z316_sales_data_pipeline_spark.streaming.pipeline import ab_readout_sink
+
+    st = str(tmp_path / "abr_state")
+    mv = str(tmp_path / "abr_mv")
+    fold = ab_readout_sink(st, mv, "uid", "x", "y")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "uid long, x long, y long")
+
+    # epoch 0: initial units; epoch 1: new units + an UPDATE of uid 1
+    # (late revenue) + an exact duplicate of uid 2 (absorbed)
+    fold(batch([(1, 10, 20), (2, 5, 9), (3, 7, 7)]), 0)
+    fold(batch([(4, 3, 30), (1, 12, 26), (2, 5, 9)]), 1)
+
+    final_units = batch([(1, 12, 26), (2, 5, 9), (3, 7, 7), (4, 3, 30)])
+    want = {
+        tuple(r)
+        for r in experiment.ab_readout(final_units, F.col("x"), F.col("y"), "uid").collect()
+    }
+    got = {tuple(r) for r in sinks.read_snapshot(spark, mv).collect()}
+    assert got == want
+    assert sinks.snapshot_meta(st, "_ABR_EPOCH") == "1"
+
+    # replay epoch 1: state version unchanged, MV still equal
+    sv = int(open(f"{st}/_LATEST").read())
+    fold(batch([(4, 3, 30), (1, 12, 26), (2, 5, 9)]), 1)
+    assert int(open(f"{st}/_LATEST").read()) == sv
+    assert {tuple(r) for r in sinks.read_snapshot(spark, mv).collect()} == want
+
+    # crash heal: wipe the MV table entirely, replay the epoch — the
+    # state no-ops but the derived MV is rebuilt
+    import shutil
+
+    shutil.rmtree(mv)
+    fold(batch([(4, 3, 30), (1, 12, 26), (2, 5, 9)]), 1)
+    assert int(open(f"{st}/_LATEST").read()) == sv
+    assert {tuple(r) for r in sinks.read_snapshot(spark, mv).collect()} == want
+    assert os.path.isdir(st)

@@ -832,3 +832,95 @@ def cusum_monitor(
     return stream_df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
     )
+
+
+def ab_readout_sink(
+    state_dir: str,
+    mv_dir: str,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    n_arms: int = 2,
+    tiebreak: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch maintainer for the live A/B readout (streaming twin
+    of the batch ``ab_readout`` registry entry): each micro-batch of
+    UNIT-GRAIN UPSERTS (unit id, pre-period covariate x, post metric y
+    — e.g. a customer's running revenue pair) folds into a user-grain
+    state snapshot, and the arm-grain readout MV (per-arm n, mean_y,
+    CUPED-adjusted mean_y with the pooled theta) is rebuilt from that
+    COMPACT state — the event history is never rescanned, so each
+    epoch costs O(batch + |units|), never O(history).
+
+    Upsert semantics make late and duplicate unit rows harmless (last
+    write per unit wins; within a batch ``tiebreak`` picks the winner
+    deterministically, defaulting to max x+y struct order on ties) —
+    the friendlier contract compared to growth_accounting_sink's
+    day-cursor refusal, available here because the readout is a pure
+    function of current unit state, not of arrival order.
+
+    Exactly-once: the state snapshot carries an ``_ABR_EPOCH`` marker;
+    epochs at-or-below it are strict no-ops on BOTH tables. A crash
+    between the state write and the MV write heals on replay: the
+    MV is recomputed from the CURRENT state, so rewriting it is
+    idempotent (the MV needs no marker of its own — it is derived,
+    never folded).
+
+    At 100 TB: state is unit-grain (the size a serving store holds);
+    the readout aggregate reduces it to ``n_arms`` rows of exact
+    decimal moments; every float in the MV is one shared expression
+    over those moments (the experiment.ab_readout discipline).
+    """
+    from .. import sinks
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        marker = sinks.snapshot_meta(state_dir, "_ABR_EPOCH")
+        already = marker is not None and int(epoch_id) <= int(marker)
+        if not already:
+            order = (
+                F.col(tiebreak)
+                if tiebreak
+                else F.struct(F.col("__x"), F.col("__y"))
+            )
+            ups = (
+                batch_df.select(
+                    F.col(id_col).alias("__u"),
+                    F.col(x_col).cast("long").alias("__x"),
+                    F.col(y_col).cast("long").alias("__y"),
+                    *([F.col(tiebreak)] if tiebreak else []),
+                )
+                .groupBy("__u")
+                .agg(
+                    F.max_by(F.struct("__x", "__y"), order).alias("__v")
+                )
+                .select("__u", F.col("__v.__x").alias("__x"), F.col("__v.__y").alias("__y"))
+            )
+            try:
+                state = sinks.read_snapshot(spark, state_dir)
+            except OSError:
+                state = spark.createDataFrame([], "__u long, __x long, __y long")
+            state = (
+                state.join(ups, "__u", "left_anti")
+                .unionByName(ups)
+                .localCheckpoint(eager=True)  # unit-grain reduction; also
+                # pins rows before the versioned dir flips underneath
+            )
+            sinks.write_snapshot(
+                state, state_dir, meta={"_ABR_EPOCH": str(int(epoch_id))}
+            )
+        # MV: pure function of current state — recompute + overwrite is
+        # idempotent, which is exactly what heals a crash that landed
+        # the state write but lost the MV write (replayed epoch takes
+        # the `already` branch above and still rewrites the MV here)
+        state = sinks.read_snapshot(spark, state_dir)
+        from ..operators import experiment
+
+        mv = experiment.ab_readout(
+            state, F.col("__x"), F.col("__y"), "__u", n_arms=n_arms
+        ).localCheckpoint(eager=True)  # arm-grain reduction
+        sinks.write_snapshot(mv, mv_dir)
+
+    return fold
