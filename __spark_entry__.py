@@ -10292,6 +10292,108 @@ FROM per_arm, pooled
 """
 
 
+def _link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the STRONG-dup word-Jaccard
+    pair graph (threshold 0.8 — non-edges here are pairs just below
+    the pairing bar whose neighborhoods overlap, the reviewer's
+    should-these-clusters-merge triage list; graph.link_prediction):
+    the top-20 NON-edge pairs at distance 2 ranked by neighbor-set
+    Jaccard. Exact integer common-neighbor/degree counts; one float
+    division per row; top-k compiles to TakeOrderedAndProject. The
+    0.8 relation materializes at rest beside the 0.5 one (the
+    pair_graph cache is parameter-keyed)."""
+    pairs = pair_graph.jaccard_pair_graph(spark, sf_dir, threshold=0.8, shingle_k=1)
+    return graph.link_prediction(pairs, "id_a", "id_b", k=20)
+
+
+_LINK_PREDICTION_SQL = r"""
+WITH t AS (
+    SELECT source, doc_id,
+           list_distinct(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+    FROM documents
+), p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) /
+          cast(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.8
+), e AS (
+    SELECT id_a AS src, id_b AS dst FROM p
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM p
+), deg AS (
+    SELECT src, cast(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+), cn AS (
+    SELECT l.src AS a, r.src AS b, cast(count(*) AS BIGINT) AS n_common
+    FROM e l JOIN e r ON l.dst = r.dst AND l.src < r.src
+    GROUP BY 1, 2
+), cand AS (
+    SELECT cn.a, cn.b, cn.n_common FROM cn
+    ANTI JOIN p ON cn.a = p.id_a AND cn.b = p.id_b
+)
+SELECT c.a, c.b, c.n_common,
+       CAST(c.n_common AS DOUBLE)
+           / CAST(da.deg + db.deg - c.n_common AS DOUBLE) AS neighbor_jaccard
+FROM cand c JOIN deg da ON da.src = c.a JOIN deg db ON db.src = c.b
+ORDER BY neighbor_jaccard DESC, c.n_common DESC, c.a, c.b
+LIMIT 20
+"""
+
+
+def _t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (quality.t_closeness), completing the
+    k-anonymity / l-diversity governance trio: per (nation, segment)
+    quasi-identifier group, the EMD between the group's account-
+    balance bucket distribution (ordered buckets of 1000) and the
+    global one — exact cross-multiplied integer CDF differences, one
+    shared float division."""
+    cust = load_table(spark, sf_dir, "customer")
+    return quality.t_closeness(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        F.floor(F.col("c_acctbal") / 1000),
+    )
+
+
+_T_CLOSENESS_SQL = """
+WITH base AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS b
+    FROM customer
+), gb AS (
+    SELECT c_nationkey, c_mktsegment, b, cast(count(*) AS BIGINT) AS c
+    FROM base GROUP BY 1, 2, 3
+), allb AS (
+    SELECT b, cast(count(*) AS BIGINT) AS ca FROM base GROUP BY 1
+), groups AS (
+    SELECT c_nationkey, c_mktsegment, cast(sum(c) AS BIGINT) AS ng
+    FROM gb GROUP BY 1, 2
+), tot AS (
+    SELECT cast(sum(ca) AS BIGINT) AS na, cast(count(*) AS BIGINT) AS m
+    FROM allb
+), grid AS (
+    SELECT g.c_nationkey, g.c_mktsegment, g.ng, a.b, a.ca,
+           coalesce(x.c, 0) AS c
+    FROM groups g CROSS JOIN allb a
+    LEFT JOIN gb x ON x.c_nationkey = g.c_nationkey
+                  AND x.c_mktsegment = g.c_mktsegment AND x.b = a.b
+), cum AS (
+    SELECT c_nationkey, c_mktsegment, ng,
+           cast(sum(c) OVER w AS BIGINT) AS cg,
+           cast(sum(ca) OVER w AS BIGINT) AS call,
+           row_number() OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY b) AS i
+    FROM grid
+    WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT c_nationkey, c_mktsegment, cast(min(ng) AS BIGINT) AS n,
+       CAST(cast(sum(abs(CAST(cg AS HUGEINT) * tot.na - CAST(call AS HUGEINT) * ng)) AS HUGEINT) AS DOUBLE)
+           / (CAST(min(ng) AS DOUBLE) * CAST(min(tot.na) AS DOUBLE) * CAST(min(tot.m) - 1 AS DOUBLE)) AS t_emd
+FROM cum CROSS JOIN tot
+WHERE i < tot.m
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r10 driver sample (first 50): the 22 never-driver-attested
@@ -10356,6 +10458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srm_check": _srm_check,
         "order_totals_reconcile": _order_totals_reconcile,
         "ab_readout": _ab_readout,
+        "link_prediction": _link_prediction,
+        "t_closeness": _t_closeness,
         # -- stalest-first: remaining r5/r6-attested, then r7, then r8 --
         "skew_profile": _skew_profile,
         "span_dedup_incremental": _span_dedup_incremental,
@@ -10654,6 +10758,8 @@ def oracle_sql() -> dict[str, str]:
         "srm_check": _SRM_SQL,
         "order_totals_reconcile": _ORDER_RECONCILE_SQL,
         "ab_readout": _AB_READOUT_SQL,
+        "link_prediction": _LINK_PREDICTION_SQL,
+        "t_closeness": _T_CLOSENESS_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,

@@ -2091,3 +2091,36 @@ def test_pearson_fast_path_equals_exact_and_failstops(spark):
     lying = aggregates.pearson_exact(df, cols, max_abs=5)  # data max is 10
     with _pytest.raises(Exception, match="max_abs"):
         lying.collect()
+
+
+def test_link_prediction_known_graph(spark):
+    """Hand graph: path 1-2-3 plus 3-4; non-edges at distance 2 are
+    (1,3) via 2, (2,4) via 3, (1,4)? distance 3 — absent. Scores:
+    (1,3): N(1)={2}, N(3)={2,4}, common={2} -> 1/2; (2,4): N(2)={1,3},
+    N(4)={3}, common={3} -> 1/2. Deterministic (a, b) tiebreak."""
+    from z316_sales_data_pipeline_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    got = [tuple(r) for r in graph.link_prediction(pairs, k=10).collect()]
+    assert got == [(1, 3, 1, 0.5), (2, 4, 1, 0.5)]
+
+
+def test_t_closeness_known_distribution(spark):
+    """Hand-computable EMD: buckets {0,1}, global 4+4; group A = all
+    bucket-0 (CDF diff at i=1: |4*8 - 4*4| = 16 -> EMD = 16/(4*8*1) =
+    0.5), group B = 2+2 (matches global halves -> EMD 0)."""
+    from z316_sales_data_pipeline_spark.operators import quality
+
+    rows = [("A", 0)] * 4 + [("B", 0)] * 2 + [("B", 1)] * 2 + [("C", 1)] * 2
+    # global: bucket0 = 6, bucket1 = 4, n=10; recompute expectations:
+    # A (n=4, all b0): |4*10 - 6*4| = 16 -> 16/(4*10*1) = 0.4
+    # B (n=4, 2+2):    |2*10 - 6*4| = 4  -> 4/(4*10*1)  = 0.1
+    # C (n=2, all b1): |0*10 - 6*2| = 12 -> 12/(2*10*1) = 0.6
+    df = spark.createDataFrame(rows, "g string, b long")
+    got = {
+        r["g"]: (r["n"], r["t_emd"])
+        for r in quality.t_closeness(df, ["g"], F.col("b")).collect()
+    }
+    assert got == {"A": (4, 0.4), "B": (4, 0.1), "C": (2, 0.6)}

@@ -612,6 +612,19 @@ CHECKLIST = {
         "(BroadcastNestedLoopJoin on a single row); CUPED adjustment "
         "is a final Project."
     ),
+    "link_prediction": (
+        "Common-neighbor link prediction (r10). Expect: at-rest pair "
+        "scan, symmetrize + distinct, ONE self-join on the shared-"
+        "neighbor key, anti-join against edges, degree joins, "
+        "TakeOrderedAndProject for the top-k (no global sort)."
+    ),
+    "t_closeness": (
+        "t-closeness EMD audit (r10). Expect: one customer scan -> "
+        "(group, bucket) HashAggregate; tiny broadcast grid; the "
+        "cumulative CDF window is PARTITIONED by group (no "
+        "'No Partition Defined'); group-grain output with one float "
+        "division."
+    ),
 }
 
 

@@ -403,3 +403,65 @@ def bfs_hops_bipartite(
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return dist
+
+
+def link_prediction(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    k: int = 20,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected edge list:
+    for every NON-edge pair at distance 2, the common-neighbor count
+    and the neighbor-set Jaccard |N(a)∩N(b)| / |N(a)∪N(b)|, top-k by
+    (jaccard, n_common) with a deterministic (a, b) tiebreak — "these
+    two documents share most of their near-duplicate neighborhoods
+    but were never paired directly": the triage list a curation
+    reviewer works when deciding whether a dup cluster should merge.
+
+    Plan: symmetrize once, count distance-2 meets through the shared
+    neighbor (one self-join on the neighbor key), anti-join existing
+    edges, degree join, ONE float division per emitted row. Top-k via
+    orderBy+limit compiles to TakeOrderedAndProject (heap, no global
+    sort). Cost contract: the 2-hop join is Σ_v deg(v)² — bounded on
+    near-dup graphs (degree = duplication multiplicity); for
+    power-law graphs route hubs through ``skew_split_edges`` first or
+    cap degrees upstream.
+    """
+    und = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    left = und.select(F.col("dst").alias("v"), F.col("src").alias("a"))
+    right = und.select(F.col("dst").alias("b"), F.col("src").alias("v"))
+    cn = (
+        left.join(right, "v")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    edges = pairs.select(
+        F.least(F.col(a_col), F.col(b_col)).alias("a"),
+        F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+    ).distinct()
+    cand = cn.join(edges, ["a", "b"], "left_anti")
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("__db"))
+    scored = (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("__da") + F.col("__db") - F.col("n_common")).cast("double")
+            ).alias("neighbor_jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("neighbor_jaccard").desc(), F.col("n_common").desc(), "a", "b"
+    ).limit(k)

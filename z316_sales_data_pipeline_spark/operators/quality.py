@@ -420,3 +420,81 @@ def order_totals_reconcile(
         F.max(F.abs(F.col("__d"))).cast("long").alias("max_abs_diff_micro"),
         F.sum(F.abs(F.col("__d"))).cast("long").alias("total_abs_diff_micro"),
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket_col: Column,
+) -> DataFrame:
+    """t-closeness audit, completing the k-anonymity / l-diversity
+    privacy trio: per quasi-identifier group, the Earth Mover's
+    Distance between the group's distribution over an ORDERED
+    discrete sensitive attribute and the global distribution —
+    EMD = Σᵢ |CDF_group(i) − CDF_all(i)| / (m − 1) over the m
+    observed buckets. A group whose EMD exceeds the policy's t leaks
+    the sensitive attribute even if it is k-anonymous and l-diverse.
+
+    Exact until the last step: the CDF difference at bucket i
+    cross-multiplies counts (cum_g·n_all − cum_all·n_g, exact
+    bigints), their |·|-sum divides ONCE by n_g·n_all·(m−1) — the
+    single shared float both engines compute identically. Plan: one
+    pass to (group, bucket) counts, a tiny group×bucket grid
+    (zero-filled) so cumulative sums see every bucket, one
+    PARTITIONED window per group (never a global window), group-grain
+    output.
+    """
+    base = df.select(*group_cols, bucket_col.cast("long").alias("__b"))
+    gb = base.groupBy(*group_cols, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    allb = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__ca"))
+    groups = gb.groupBy(*group_cols).agg(F.sum("__c").alias("__ng"))
+    totals = allb.agg(
+        F.sum("__ca").alias("__na"), F.count(F.lit(1)).alias("__m")
+    )
+    grid = groups.crossJoin(F.broadcast(allb)).join(gb, [*group_cols, "__b"], "left")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        *group_cols,
+        "__ng",
+        F.sum(F.coalesce(F.col("__c"), F.lit(0))).over(w).alias("__cg"),
+        F.sum("__ca").over(w).alias("__call"),
+        F.row_number().over(Window.partitionBy(*group_cols).orderBy("__b")).alias("__i"),
+    )
+    per_group = (
+        cum.crossJoin(F.broadcast(totals))
+        # the last bucket's CDF difference is identically 0 — skip it
+        # so the (m-1) normalizer matches the summed terms
+        .filter(F.col("__i") < F.col("__m"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min("__ng").alias("__ng"),
+            # decimal(38,0) cross products: cum·n is group_count ×
+            # table_count — past int64 already at ~10^10 rows
+            F.sum(
+                F.abs(
+                    F.col("__cg").cast("decimal(19,0)") * F.col("__na")
+                    - F.col("__call").cast("decimal(19,0)") * F.col("__ng")
+                )
+            ).alias("__sdiff"),
+            F.min("__na").alias("__na"),
+            F.min("__m").alias("__m"),
+        )
+    )
+    return per_group.select(
+        *group_cols,
+        F.col("__ng").cast("long").alias("n"),
+        (
+            F.col("__sdiff").cast("double")
+            / (
+                F.col("__ng").cast("double")
+                * F.col("__na").cast("double")
+                * (F.col("__m") - F.lit(1)).cast("double")
+            )
+        ).alias("t_emd"),
+    )
