@@ -667,3 +667,84 @@ def test_shingles_zipwith_equals_index_reference(spark, texts, k):
         return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
     assert got == [ref(t) for t in texts]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_HEAVY_SETTINGS)
+def test_link_prediction_matches_bruteforce(spark, edge_list):
+    """link_prediction LAW: on random small graphs the emitted
+    (pair, n_common, jaccard) set equals the brute-force computation
+    over neighbor sets (non-edges with at least one common neighbor),
+    with the top-k cut disabled by a large k."""
+    from z316_sales_data_pipeline_spark.operators import graph
+
+    edges = {(min(a, b), max(a, b)) for a, b in edge_list}
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {
+        (r["a"], r["b"]): (r["n_common"], round(r["neighbor_jaccard"], 12))
+        for r in graph.link_prediction(df, k=10_000).collect()
+    }
+    from collections import defaultdict
+
+    nb = defaultdict(set)
+    for a, b in edges:
+        nb[a].add(b)
+        nb[b].add(a)
+    nodes = sorted(nb)
+    want = {}
+    for i, u in enumerate(nodes):
+        for w in nodes[i + 1 :]:
+            if (u, w) in edges:
+                continue
+            common = nb[u] & nb[w]
+            if common:
+                j = len(common) / len(nb[u] | nb[w])
+                want[(u, w)] = (len(common), round(j, 12))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 4)), min_size=2, max_size=60
+    )
+)
+@settings(**_HEAVY_SETTINGS)
+def test_t_closeness_matches_bruteforce(spark, rows):
+    """t_closeness LAW: per-group EMD equals the brute-force ordered
+    CDF computation; a group distributed identically to the global
+    distribution scores 0; every score sits in [0, 1]."""
+    from z316_sales_data_pipeline_spark.operators import quality
+
+    df = spark.createDataFrame([(f"g{g}", b) for g, b in rows], "g string, b long")
+    got = {
+        r["g"]: (r["n"], r["t_emd"])
+        for r in quality.t_closeness(df, ["g"], F.col("b")).collect()
+    }
+    buckets = sorted({b for _, b in rows})
+    m, n_all = len(buckets), len(rows)
+    if m == 1:
+        assert got == {}
+        return
+    from collections import Counter
+
+    all_c = Counter(b for _, b in rows)
+    for gname in {f"g{g}" for g, _ in rows}:
+        grp = [b for g, b in rows if f"g{g}" == gname]
+        cg = Counter(grp)
+        cum_g = cum_a = 0
+        s = 0
+        for bk in buckets[:-1]:
+            cum_g += cg.get(bk, 0)
+            cum_a += all_c[bk]
+            s += abs(cum_g * n_all - cum_a * len(grp))
+        want = s / (len(grp) * n_all * (m - 1))
+        n, emd = got[gname]
+        assert n == len(grp)
+        assert abs(emd - want) < 1e-12
+        assert -1e-12 <= emd <= 1.0 + 1e-12
