@@ -10394,6 +10394,100 @@ GROUP BY 1, 2
 """
 
 
+def _cust_year_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return orders.groupBy("o_custkey").agg(
+        F.sum(F.when(yr == 1997, cents).otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(yr == 1998, cents).otherwise(F.lit(0))).alias("y"),
+    )
+
+
+_CUST_PAIR_CTE = """
+per_cust AS (
+    SELECT o_custkey,
+           cast(sum(CASE WHEN year(o_orderdate) = 1997
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+           cast(sum(CASE WHEN year(o_orderdate) = 1998
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+    FROM orders GROUP BY 1
+)"""
+
+
+def _wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did per-customer revenue shift 1997 → 1998? Wilcoxon signed-rank
+    over the paired yearly cents (experiment.wilcoxon_signed_rank):
+    zero diffs dropped, |d| midranks at distinct-value grain (two-phase
+    cumulative, 2x-scale exact integers), tie-corrected z as one shared
+    float expression."""
+    return experiment.wilcoxon_signed_rank(
+        _cust_year_pair(spark, sf_dir), F.col("x"), F.col("y")
+    )
+
+
+_WILCOXON_SQL = f"""
+WITH {_CUST_PAIR_CTE},
+dd AS (
+    SELECT y - x AS d FROM per_cust WHERE y - x <> 0
+), pv AS (
+    SELECT abs(d) AS v,
+           cast(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+           cast(count(*) AS BIGINT) AS c
+    FROM dd GROUP BY 1
+), r AS (
+    SELECT *, cast(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM pv
+), m AS (
+    SELECT cast(coalesce(sum(cp), 0) AS BIGINT) AS n_pos,
+           cast(coalesce(sum(c - cp), 0) AS BIGINT) AS n_neg,
+           cast(coalesce(sum(CAST(cp AS HUGEINT) * (2 * (cum - c) + c + 1)), 0) AS HUGEINT) AS wp2,
+           cast(coalesce(sum(CAST(c AS HUGEINT) * c * c - c), 0) AS HUGEINT) AS ties
+    FROM r
+)
+SELECT n_pos, n_neg, CAST(wp2 AS BIGINT) AS w_plus_x2,
+       CASE WHEN CAST(n_pos + n_neg AS DOUBLE) * (CAST(n_pos + n_neg AS DOUBLE) + 1.0)
+                 * (2.0 * CAST(n_pos + n_neg AS DOUBLE) + 1.0) / 6.0
+                 - CAST(ties AS DOUBLE) / 12.0 > 0.0
+            THEN (CAST(wp2 AS DOUBLE)
+                  - CAST(n_pos + n_neg AS DOUBLE) * (CAST(n_pos + n_neg AS DOUBLE) + 1.0) / 2.0)
+                 / sqrt(CAST(n_pos + n_neg AS DOUBLE) * (CAST(n_pos + n_neg AS DOUBLE) + 1.0)
+                        * (2.0 * CAST(n_pos + n_neg AS DOUBLE) + 1.0) / 6.0
+                        - CAST(ties AS DOUBLE) / 12.0) END AS z
+FROM m
+"""
+
+
+def _paired_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric companion of the signed-rank shift test
+    (experiment.paired_t_test): exact decimal moments of the yearly
+    revenue difference per customer; mean_d and t as single shared
+    float expressions."""
+    return experiment.paired_t_test(
+        _cust_year_pair(spark, sf_dir), F.col("x"), F.col("y")
+    )
+
+
+_PAIRED_T_SQL = f"""
+WITH {_CUST_PAIR_CTE},
+m AS (
+    SELECT cast(count(*) AS BIGINT) AS n,
+           cast(sum(CAST(y - x AS HUGEINT)) AS HUGEINT) AS sd,
+           cast(sum(CAST(y - x AS HUGEINT) * (y - x)) AS HUGEINT) AS sdd
+    FROM per_cust
+)
+SELECT n,
+       CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS mean_d,
+       CASE WHEN CAST(n AS DOUBLE) > 1.0
+                 AND (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) > 0.0
+            THEN (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                        / CAST(n AS DOUBLE)) END AS t
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r10 driver sample (first 50): the 22 never-driver-attested
@@ -10460,6 +10554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_readout": _ab_readout,
         "link_prediction": _link_prediction,
         "t_closeness": _t_closeness,
+        "wilcoxon_signed_rank": _wilcoxon_signed_rank,
+        "paired_t_test": _paired_t_test,
         # -- stalest-first: remaining r5/r6-attested, then r7, then r8 --
         "skew_profile": _skew_profile,
         "span_dedup_incremental": _span_dedup_incremental,
@@ -10760,6 +10856,8 @@ def oracle_sql() -> dict[str, str]:
         "ab_readout": _AB_READOUT_SQL,
         "link_prediction": _LINK_PREDICTION_SQL,
         "t_closeness": _T_CLOSENESS_SQL,
+        "wilcoxon_signed_rank": _WILCOXON_SQL,
+        "paired_t_test": _PAIRED_T_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,

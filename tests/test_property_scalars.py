@@ -748,3 +748,49 @@ def test_t_closeness_matches_bruteforce(spark, rows):
         assert n == len(grp)
         assert abs(emd - want) < 1e-12
         assert -1e-12 <= emd <= 1.0 + 1e-12
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-6, 6), st.integers(-6, 6)), min_size=3, max_size=40
+    )
+)
+@settings(**_HEAVY_SETTINGS)
+def test_wilcoxon_matches_bruteforce(spark, pairs):
+    """Wilcoxon signed-rank LAW: the distinct-|d|-grain 2x-midrank
+    formulation equals the textbook row-grain computation over random
+    tie- and zero-heavy pairs (zero diffs dropped, midranks over |d|,
+    W+ = rank sum of positive diffs)."""
+    from z316_sales_data_pipeline_spark.operators import experiment
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = experiment.wilcoxon_signed_rank(df, F.col("x"), F.col("y")).collect()[0]
+    ds = [y - x for x, y in pairs if y != x]
+    sorted_abs = sorted(abs(d) for d in ds)
+    # 2x midrank of each |d|: positions are 1-based ranks
+    def mr2(v):
+        below = sum(1 for a in sorted_abs if a < v)
+        cnt = sum(1 for a in sorted_abs if a == v)
+        return 2 * below + cnt + 1
+
+    w2 = sum(mr2(abs(d)) for d in ds if d > 0)
+    n_pos = sum(1 for d in ds if d > 0)
+    n_neg = sum(1 for d in ds if d < 0)
+    assert (got["n_pos"], got["n_neg"], got["w_plus_x2"]) == (n_pos, n_neg, w2)
+
+
+def test_paired_t_matches_numpy(spark):
+    """paired_t_test vs a numpy reference at 1e-9 relative."""
+    import numpy as np
+
+    from z316_sales_data_pipeline_spark.operators import experiment
+
+    xs = [3, 14, 15, 92, 65, 35, 89, 79, 32, 38]
+    ys = [7, 11, 28, 90, 81, 30, 101, 88, 29, 51]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    got = experiment.paired_t_test(df, F.col("x"), F.col("y")).collect()[0]
+    d = np.array(ys, float) - np.array(xs, float)
+    t_ref = d.mean() / (d.std(ddof=1) / len(d) ** 0.5)
+    assert got["n"] == 10
+    assert abs(got["mean_d"] - d.mean()) < 1e-12
+    assert abs(got["t"] - t_ref) < 1e-9 * abs(t_ref)

@@ -625,6 +625,17 @@ CHECKLIST = {
         "'No Partition Defined'); group-grain output with one float "
         "division."
     ),
+    "wilcoxon_signed_rank": (
+        "Paired signed-rank shift test (r10). Expect: customer-grain "
+        "conditional sums -> distinct-|d| HashAggregate -> the "
+        "two-phase running sum (range exchange + partition-local "
+        "window), one-row moment aggregate; z is a guarded Project."
+    ),
+    "paired_t_test": (
+        "Paired t (r10). Expect: one orders scan -> customer-grain "
+        "sums -> one-row decimal moment aggregate -> guarded Project; "
+        "no window anywhere."
+    ),
 }
 
 

@@ -215,3 +215,97 @@ def ab_readout(
         mean_y_arm.alias("mean_y"),
         (mean_y_arm - theta * (mean_x_arm - mean_x_all)).alias("mean_y_cuped"),
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    x_int: Column,
+    y_int: Column,
+) -> DataFrame:
+    """Wilcoxon signed-rank test over paired integer measures — the
+    nonparametric paired twin of :func:`mann_whitney_u` ("did this
+    population's metric shift between the two periods?"). Zero
+    differences are dropped (the standard treatment); |d| ranks use
+    the same distinct-VALUE-grain 2x-midrank arithmetic and two-phase
+    cumulative below-count as mann_whitney_u (no single-partition
+    window, ranks exact integers); W+ is the rank sum of positive
+    differences; z uses the tie-corrected normal approximation
+    (mu = n(n+1)/4, var = n(n+1)(2n+1)/24 − Σ(t³−t)/48), emitted as
+    ONE shared float expression over exact decimal(38,0) moments.
+    """
+    d = (y_int.cast("long") - x_int.cast("long")).alias("__d")
+    nz = df.select(d).filter(F.col("__d") != 0).select(
+        F.abs(F.col("__d")).alias("__v"),
+        F.when(F.col("__d") > 0, 1).otherwise(0).alias("__pos"),
+    )
+    per_v = nz.groupBy("__v").agg(
+        F.sum("__pos").alias("__cp"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    ranked, _ = two_phase_running_sum(per_v, [F.col("__v")], "__c", "__cum")
+    ranked = ranked.withColumn(
+        "__mr2", 2 * (F.col("__cum") - F.col("__c")) + F.col("__c") + F.lit(1)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # coalesce to zeros: an all-zero-differences input leaves per_v
+    # empty, and empty sums are NULL — the test's answer is "no
+    # evidence" (counts 0, z NULL), not a NULL row
+    m = ranked.agg(
+        F.coalesce(F.sum("__cp"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum(F.col("__c") - F.col("__cp")), F.lit(0))
+        .cast("long")
+        .alias("n_neg"),
+        F.coalesce(
+            F.sum(dec(F.col("__cp")) * dec(F.col("__mr2"))), F.lit(0).cast("decimal(38,0)")
+        ).alias("__wp2"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("__c")) * dec(F.col("__c")) * dec(F.col("__c"))
+                - dec(F.col("__c"))
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__ties"),
+    )
+    n = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    w_plus_x2 = F.col("__wp2").cast("long")
+    mu_x2 = n * (n + F.lit(1.0)) / F.lit(2.0)  # 2x the mean n(n+1)/4
+    # var of W+ (x2 scale multiplies variance by 4):
+    var_x4 = (
+        n * (n + F.lit(1.0)) * (F.lit(2.0) * n + F.lit(1.0)) / F.lit(6.0)
+        - F.col("__ties").cast("double") / F.lit(12.0)
+    )
+    z = (w_plus_x2.cast("double") - mu_x2) / F.sqrt(var_x4)
+    return m.select(
+        "n_pos",
+        "n_neg",
+        w_plus_x2.alias("w_plus_x2"),
+        F.when(var_x4 > F.lit(0.0), z).alias("z"),
+    )
+
+
+def paired_t_test(df: DataFrame, x_int: Column, y_int: Column) -> DataFrame:
+    """Paired t-test over integer measures — the parametric companion
+    of :func:`wilcoxon_signed_rank`: exact decimal moments of the
+    difference d = y − x (n, Σd, Σd²), then mean, sample variance and
+    t = mean / sqrt(var/n) as single shared float expressions. One
+    full-scan hash aggregate; at 100 TB the relation reduces to three
+    numbers.
+    """
+    proj = df.select(
+        (y_int.cast("long") - x_int.cast("long")).cast("decimal(18,0)").alias("__d")
+    ).filter(F.col("__d").isNotNull())
+    m = proj.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(F.col("__d")).alias("__sd"),
+        F.sum(F.col("__d") * F.col("__d")).alias("__sdd"),
+    )
+    nd = F.col("__n").cast("double")
+    sd = F.col("__sd").cast("double")
+    sdd = F.col("__sdd").cast("double")
+    var_s = (nd * sdd - sd * sd) / (nd * (nd - F.lit(1.0)))
+    t = (sd / nd) / F.sqrt(var_s / nd)
+    return m.select(
+        F.col("__n").cast("long").alias("n"),
+        (sd / nd).alias("mean_d"),
+        F.when((nd > F.lit(1.0)) & (var_s > F.lit(0.0)), t).alias("t"),
+    )
