@@ -10488,6 +10488,46 @@ FROM m
 """
 
 
+def _auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (experiment.auc_exact): how well does event value
+    separate purchases from all other events? AUC is U/(n_pos·n_neg)
+    — the Mann-Whitney midrank machinery verbatim (distinct-value
+    grain, two-phase cumulative, exact 2x ranks), ties counted half;
+    one shared float division. The builtin evaluator trapezoid-sums
+    floats in partition order; this is the engine-portable exact
+    form."""
+    ev = load_table(spark, sf_dir, "events")
+    return experiment.auc_exact(
+        ev, F.col("event_type") == "purchase", F.round(F.col("value") * 100).cast("long")
+    )
+
+
+_AUC_SQL = """
+WITH b AS (
+    SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+), pv AS (
+    SELECT v,
+           cast(sum(pos) AS BIGINT) AS cp,
+           cast(count(*) AS BIGINT) AS c
+    FROM b GROUP BY 1
+), r AS (
+    SELECT *, cast(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM pv
+), m AS (
+    SELECT cast(coalesce(sum(cp), 0) AS BIGINT) AS n_pos,
+           cast(coalesce(sum(c - cp), 0) AS BIGINT) AS n_neg,
+           cast(coalesce(sum(CAST(cp AS HUGEINT) * (2 * (cum - c) + c + 1)), 0) AS HUGEINT) AS ra2
+    FROM r
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos * n_neg > 0
+            THEN CAST(ra2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r10 driver sample (first 50): the 22 never-driver-attested
@@ -10556,6 +10596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": _t_closeness,
         "wilcoxon_signed_rank": _wilcoxon_signed_rank,
         "paired_t_test": _paired_t_test,
+        "auc_eval": _auc_eval,
         # -- stalest-first: remaining r5/r6-attested, then r7, then r8 --
         "skew_profile": _skew_profile,
         "span_dedup_incremental": _span_dedup_incremental,
@@ -10858,6 +10899,7 @@ def oracle_sql() -> dict[str, str]:
         "t_closeness": _T_CLOSENESS_SQL,
         "wilcoxon_signed_rank": _WILCOXON_SQL,
         "paired_t_test": _PAIRED_T_SQL,
+        "auc_eval": _AUC_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,

@@ -794,3 +794,26 @@ def test_paired_t_matches_numpy(spark):
     assert got["n"] == 10
     assert abs(got["mean_d"] - d.mean()) < 1e-12
     assert abs(got["t"] - t_ref) < 1e-9 * abs(t_ref)
+
+
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.integers(0, 8)), min_size=2, max_size=40
+    ).filter(lambda rs: any(l for l, _ in rs) and any(not l for l, _ in rs))
+)
+@settings(**_HEAVY_SETTINGS)
+def test_auc_exact_matches_bruteforce(spark, rows):
+    """AUC LAW: U/(n_pos·n_neg) equals the direct probability that a
+    positive outranks a random negative with ties counted half, over
+    tie-heavy random labels/scores."""
+    from z316_sales_data_pipeline_spark.operators import experiment
+
+    df = spark.createDataFrame(rows, "label boolean, s long")
+    got = experiment.auc_exact(df, F.col("label"), F.col("s")).collect()[0]
+    pos = [s for l, s in rows if l]
+    neg = [s for l, s in rows if not l]
+    want = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    ) / (len(pos) * len(neg))
+    assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
+    assert abs(got["auc"] - want) < 1e-12

@@ -636,6 +636,11 @@ CHECKLIST = {
         "sums -> one-row decimal moment aggregate -> guarded Project; "
         "no window anywhere."
     ),
+    "auc_eval": (
+        "Exact ROC-AUC (r10). Expect: the Mann-Whitney shape verbatim "
+        "(distinct-value HashAggregate, two-phase running sum, one-row "
+        "moments), AUC as a guarded final Project."
+    ),
 }
 
 

@@ -309,3 +309,34 @@ def paired_t_test(df: DataFrame, x_int: Column, y_int: Column) -> DataFrame:
         (sd / nd).alias("mean_d"),
         F.when((nd > F.lit(1.0)) & (var_s > F.lit(0.0)), t).alias("t"),
     )
+
+
+def auc_exact(
+    df: DataFrame,
+    label_col: Column,
+    score_int: Column,
+) -> DataFrame:
+    """EXACT ROC-AUC of an integer score against a boolean label,
+    distributed: AUC is the probability a positive outranks a random
+    negative (ties count half), which is exactly U⁺/(n_pos·n_neg) —
+    so the computation IS :func:`mann_whitney_u`'s distinct-value
+    midrank machinery (2x-scale integer ranks, two-phase cumulative,
+    no row-grain sort, no single-partition window), and the AUC is
+    ONE shared float division over exact integers. The builtin
+    BinaryClassificationEvaluator trapezoid-sums floats in partition
+    order; this is the engine-portable exact form.
+    """
+    tagged = df.select(
+        F.when(label_col, F.lit("__pos")).otherwise(F.lit("__neg")).alias("__g"),
+        score_int.alias("__s"),
+    )
+    u = mann_whitney_u(tagged, "__g", "__pos", "__neg", F.col("__s"))
+    return u.select(
+        F.col("n_a").alias("n_pos"),
+        F.col("n_b").alias("n_neg"),
+        F.when(
+            F.col("n_a") * F.col("n_b") > 0,
+            F.col("u_a_x2").cast("double")
+            / (F.lit(2.0) * F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        ).alias("auc"),
+    )
