@@ -1709,3 +1709,67 @@ def test_ab_readout_sink_matches_batch_twin(spark, tmp_path):
     assert int(open(f"{st}/_LATEST").read()) == sv
     assert {tuple(r) for r in sinks.read_snapshot(spark, mv).collect()} == want
     assert os.path.isdir(st)
+
+
+def test_heavy_hitters_monitor_spacesaving_invariants(spark, tmp_path):
+    """SpaceSaving LAWS across micro-batches (r10): after the full
+    stream, for every tracked item count_est >= true >= count_est -
+    err; every item with true count > N/k is tracked; n_total equals
+    the exact stream length; at most k counters per key."""
+    import pandas as pd
+
+    k = 4
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    # skewed item stream over 2 partition keys, 3 micro-batches
+    batches = [
+        ["a"] * 10 + ["b"] * 6 + ["c"] * 2 + ["d", "e"],
+        ["a"] * 5 + ["c"] * 5 + ["f"] * 3 + ["g"],
+        ["b"] * 7 + ["h"] * 2 + ["a"] * 2 + ["i", "j"],
+    ]
+    for i, items in enumerate(batches):
+        pd.DataFrame(
+            {"k": ["x"] * len(items) + ["y"] * len(items), "item": items * 2}
+        ).to_parquet(src / f"b{i}.parquet")
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("item", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        pipeline.heavy_hitters_monitor(stream, "k", "item", k=k)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hh_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hh_out").collect()
+    # final emission per key = the rows carrying the max n_total
+    from collections import Counter, defaultdict
+
+    final = defaultdict(dict)
+    n_final = {}
+    for r in rows:
+        if r["k"] not in n_final or r["n_total"] >= n_final[r["k"]]:
+            if r["k"] in n_final and r["n_total"] > n_final[r["k"]]:
+                final[r["k"]].clear()
+            n_final[r["k"]] = r["n_total"]
+            final[r["k"]][r["item"]] = (r["count_est"], r["err"])
+
+    true = Counter(it for b in batches for it in b)
+    n_stream = sum(true.values())
+    for key in ("x", "y"):
+        counters = final[key]
+        assert n_final[key] == n_stream
+        assert len(counters) <= k
+        for item, (est, err) in counters.items():
+            assert est >= true[item] >= est - err, (item, est, err, true[item])
+        for item, cnt in true.items():
+            if cnt > n_stream / k:
+                assert item in counters, (item, cnt)

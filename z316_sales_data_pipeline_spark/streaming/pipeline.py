@@ -924,3 +924,87 @@ def ab_readout_sink(
         sinks.write_snapshot(mv, mv_dir)
 
     return fold
+
+
+def heavy_hitters_monitor(
+    stream_df: DataFrame,
+    key_col: str,
+    item_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Streaming per-key top-k heavy hitters via SpaceSaving (Metwally
+    et al., "Efficient computation of frequent and top-k elements in
+    data streams") — the online counterpart of the batch
+    ``heavy_hitters_cms`` sketch, as a custom stateful operator
+    (``applyInPandasWithState``).
+
+    State per key: at most ``k`` counters (item, count, err). Each
+    micro-batch folds its LOCAL exact item counts (weighted
+    SpaceSaving): a tracked item adds its weight; an untracked item
+    takes a free slot if one exists, else EVICTS the minimum counter m
+    and starts at (m.count + w, err = m.count) — ties on the minimum
+    break by lexicographic item so the fold is deterministic for a
+    fixed batching. Guarantees after ANY prefix of the stream (the
+    published invariants, pinned by the pytest law): every tracked
+    item's true count lies in [count − err, count]; any item whose
+    true count exceeds N/k (N = total weight seen) is tracked; count
+    is never an undercount. Output mode 'update': the current top-k
+    (by count, then item) per touched key each batch.
+
+    State is O(keys × k) — bounded regardless of item cardinality,
+    which is the whole point: exact per-item counting of an unbounded
+    item domain is the thing a 100 TB stream cannot hold. Re-batching
+    the same rows can change WHICH borderline items are tracked (the
+    algorithm is order-sensitive by nature) but never violates the
+    error envelope — the law tests assert the envelope, not a fixed
+    counter set.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "k string, item string, count_est bigint, err bigint, n_total bigint"
+    state_schema = "items array<string>, counts array<bigint>, errs array<bigint>, n bigint"
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        if state.exists:
+            items, counts, errs, n = state.get
+            slots = {it: (c, e) for it, c, e in zip(items, counts, errs)}
+        else:
+            slots, n = {}, 0
+        batch = pd.concat(list(pdfs))
+        local = batch[item_col].value_counts().sort_index()
+        for item, w in local.items():
+            w = int(w)
+            n += w
+            if item in slots:
+                c, e = slots[item]
+                slots[item] = (c + w, e)
+            elif len(slots) < k:
+                slots[item] = (w, 0)
+            else:
+                evict = min(slots.items(), key=lambda kv: (kv[1][0], kv[0]))
+                m_item, (m_count, _) = evict
+                del slots[m_item]
+                slots[item] = (m_count + w, m_count)
+        ordered = sorted(slots.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update(
+            (
+                [it for it, _ in ordered],
+                [c for _, (c, _) in ordered],
+                [e for _, (_, e) in ordered],
+                n,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "k": [key[0]] * len(ordered),
+                "item": [it for it, _ in ordered],
+                "count_est": [c for _, (c, _) in ordered],
+                "err": [e for _, (_, e) in ordered],
+                "n_total": [n] * len(ordered),
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
