@@ -8355,8 +8355,9 @@ WITH v AS (
     FROM v
 )
 SELECT u.measure_x, u.measure_y, CAST(m.n AS BIGINT) AS n,
-       round((m.n * u.sxy - u.sx * u.sy)
-             / sqrt((m.n * u.sxx - u.sx * u.sx) * (m.n * u.syy - u.sy * u.sy)), 6) AS r
+       CASE WHEN (m.n * u.sxx - u.sx * u.sx) * (m.n * u.syy - u.sy * u.sy) > 0.0
+            THEN round((m.n * u.sxy - u.sx * u.sy)
+                       / sqrt((m.n * u.sxx - u.sx * u.sx) * (m.n * u.syy - u.sy * u.sy)), 6) END AS r
 FROM m, LATERAL (
     SELECT * FROM (VALUES
         ('qty', 'price_cents', m.qp, m.sq, m.sp, m.qq, m.pp),
@@ -10101,7 +10102,7 @@ def _mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MANN_WHITNEY_SQL = """
 WITH b AS (
     SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
-    FROM events WHERE event_type IN ('purchase', 'click')
+    FROM events WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
 ), pv AS (
     SELECT v,
            cast(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
@@ -10111,9 +10112,10 @@ WITH b AS (
 ), r AS (
     SELECT *, cast(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM pv
 ), m AS (
-    SELECT cast(sum(ca) AS BIGINT) AS n_a, cast(sum(cb) AS BIGINT) AS n_b,
-           cast(sum(CAST(ca AS HUGEINT) * (2 * (cum - c) + c + 1)) AS HUGEINT) AS ra2,
-           cast(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS ties
+    SELECT cast(coalesce(sum(ca), 0) AS BIGINT) AS n_a,
+           cast(coalesce(sum(cb), 0) AS BIGINT) AS n_b,
+           cast(coalesce(sum(CAST(ca AS HUGEINT) * (2 * (cum - c) + c + 1)), 0) AS HUGEINT) AS ra2,
+           cast(coalesce(sum(CAST(c AS HUGEINT) * c * c - c), 0) AS HUGEINT) AS ties
     FROM r
 )
 SELECT n_a, n_b,
@@ -10121,7 +10123,7 @@ SELECT n_a, n_b,
        CASE WHEN n_a * n_b > 0 THEN
            1.0 - CAST(ra2 - n_a * (n_a + 1) AS DOUBLE)
                  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS rank_biserial,
-       CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+       CASE WHEN n_a + n_b > 1 AND CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
                  * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
                     - CAST(ties AS DOUBLE)
                       / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0))) > 0.0
@@ -10170,15 +10172,20 @@ WITH per_cust AS (
     FROM per_cust
 )
 SELECT n,
-       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
-       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
-       sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
-            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std_y,
-       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS var_reduction
+       CASE WHEN CAST(n AS DOUBLE) > 0.0
+            THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) END AS mean_y,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS theta,
+       CASE WHEN CAST(n AS DOUBLE) > 0.0
+            THEN sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END AS std_y,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS var_reduction
 FROM m
 """
 
@@ -10283,11 +10290,12 @@ WITH per_cust AS (
 )
 SELECT arm, na AS n,
        CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) AS mean_y,
-       CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
-       - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-         * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-           AS mean_y_cuped
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+            THEN CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+                 - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            ELSE CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) END AS mean_y_cuped
 FROM per_arm, pooled
 """
 
@@ -10506,7 +10514,7 @@ _AUC_SQL = """
 WITH b AS (
     SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
            CAST(round(value * 100) AS BIGINT) AS v
-    FROM events
+    FROM events WHERE value IS NOT NULL
 ), pv AS (
     SELECT v,
            cast(sum(pos) AS BIGINT) AS cp,

@@ -2124,3 +2124,70 @@ def test_t_closeness_known_distribution(spark):
         for r in quality.t_closeness(df, ["g"], F.col("b")).collect()
     }
     assert got == {"A": (4, 0.4), "B": (4, 0.1), "C": (2, 0.6)}
+
+
+def test_experiment_stats_survive_degenerate_inputs(spark):
+    """Self-review r10 regressions, pinned: constant covariates, tiny
+    groups, NULL measures and constant measures must produce NULL (or
+    raw-mean fallback) statistics under the ANSI session — never
+    DIVIDE_BY_ZERO — and NULL measure values are dropped from ranks."""
+    from z316_sales_data_pipeline_spark.operators import aggregates, experiment
+
+    # cuped: constant covariate x -> theta/var_reduction NULL, rest real
+    const_x = spark.createDataFrame([(5, 1), (5, 2), (5, 9)], "x long, y long")
+    r = experiment.cuped(const_x, F.col("x"), F.col("y")).collect()[0]
+    assert r["theta"] is None and r["var_reduction"] is None
+    assert r["n"] == 3 and r["mean_y"] == 4.0
+
+    # ab_readout: constant pooled covariate -> adjusted mean falls back
+    # to the raw mean (no adjustment is defined), never a crash
+    units = spark.createDataFrame(
+        [(i, 5, 10 + i) for i in range(1, 9)], "uid long, x long, y long"
+    )
+    rows = experiment.ab_readout(units, F.col("x"), F.col("y"), "uid").collect()
+    assert rows and all(r["mean_y_cuped"] == r["mean_y"] for r in rows)
+
+    # mann_whitney: a single observation total -> z NULL (var term
+    # divides by n(n-1)); NULL measure rows are dropped from ranks
+    one = spark.createDataFrame([("a", 7)], "g string, v long")
+    r = experiment.mann_whitney_u(one, "g", "a", "b", F.col("v")).collect()[0]
+    assert (r["n_a"], r["n_b"], r["z"]) == (1, 0, None)
+    withnull = spark.createDataFrame(
+        [("a", 1), ("a", None), ("b", 2), ("b", None)], "g string, v long"
+    )
+    r = experiment.mann_whitney_u(withnull, "g", "a", "b", F.col("v")).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (1, 1)
+
+    # pearson: constant measure -> r NULL (zero variance), both paths
+    const_m = spark.createDataFrame([(3, 1), (3, 2), (3, 5)], "x long, y long")
+    cols = {"x": F.col("x"), "y": F.col("y")}
+    for kw in ({}, {"max_abs": 100}):
+        r = aggregates.pearson_exact(const_m, cols, **kw).collect()[0]
+        assert r["r"] is None and r["n"] == 3
+
+
+def test_pearson_fast_path_edge_cases(spark):
+    """Self-review r10: (a) a single-measure fast-path call must not
+    crash on greatest(); (b) a row EXCLUDED by the complete-case flag
+    must not trip the max_abs fail-stop; (c) fractional measure
+    expressions quantize identically on both paths (decimal HALF_UP,
+    not long truncation)."""
+    from z316_sales_data_pipeline_spark.operators import aggregates
+
+    one_col = spark.createDataFrame([(1,), (2,), (3,)], "x long")
+    out = aggregates.pearson_exact(one_col, {"x": F.col("x")}, max_abs=10).collect()
+    assert out == []  # no pairs from one measure, and no crash
+
+    # excluded row carries |x| over the bound but must not refuse
+    excl = spark.createDataFrame(
+        [(200_000_000, None), (1, 2), (2, 4), (3, 7)], "x long, y long"
+    )
+    cols = {"x": F.col("x"), "y": F.col("y")}
+    got = aggregates.pearson_exact(excl, cols, max_abs=100_000_000).collect()[0]
+    assert got["n"] == 3
+
+    frac = spark.createDataFrame([(1,), (2,), (4,)], "k long")
+    cols2 = {"a": F.col("k") + F.lit(0.5), "b": F.col("k") * F.lit(1.5)}
+    exact = aggregates.pearson_exact(frac, cols2).collect()
+    fast = aggregates.pearson_exact(frac, cols2, max_abs=100).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in fast]

@@ -1773,3 +1773,27 @@ def test_heavy_hitters_monitor_spacesaving_invariants(spark, tmp_path):
         for item, cnt in true.items():
             if cnt > n_stream / k:
                 assert item in counters, (item, cnt)
+
+
+def test_ab_readout_sink_bootstraps_string_ids(spark, tmp_path):
+    """Self-review r10: the bootstrap state must take the BATCH's own
+    schema — a hardcoded long id schema broke string unit ids on the
+    first epoch's unionByName."""
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import experiment
+    from z316_sales_data_pipeline_spark.streaming.pipeline import ab_readout_sink
+
+    st = str(tmp_path / "abr_s_state")
+    mv = str(tmp_path / "abr_s_mv")
+    fold = ab_readout_sink(st, mv, "uid", "x", "y")
+    b = spark.createDataFrame(
+        [("u-1", 3, 6), ("u-2", 4, 4), ("u-3", 1, 9), ("u-4", 7, 2)],
+        "uid string, x long, y long",
+    )
+    fold(b, 0)
+    want = {
+        tuple(r)
+        for r in experiment.ab_readout(b, F.col("x"), F.col("y"), "uid").collect()
+    }
+    got = {tuple(r) for r in sinks.read_snapshot(spark, mv).collect()}
+    assert got == want and got

@@ -380,11 +380,25 @@ def pearson_exact(
     per (x, y) pair with n and rounded r.
     """
     names = list(cols)
+    if len(names) < 2:
+        # no pairs to correlate — empty result with the contract
+        # schema (an explode of a zero-struct array would type as
+        # VOID and fail analysis)
+        return df.sparkSession.createDataFrame(
+            [], "measure_x string, measure_y string, n long, r double"
+        )
     fast = max_abs is not None and int(max_abs) <= _PEARSON_LONG_BOUND
-    in_type = "long" if fast else "decimal(18,0)"
-    proj = df.select(
-        *[expr.cast(in_type).alias(f"__m_{n}") for n, expr in cols.items()]
-    )
+    # BOTH paths quantize through decimal(18,0) (self-review r10): a
+    # direct long cast TRUNCATES toward zero while decimal rounds
+    # HALF_UP, so a caller passing a fractional expression would get
+    # silently different moments between the two paths; routing the
+    # fast path through decimal first keeps fast == exact bit-for-bit
+    # for any input.
+    def in_cast(expr: Column) -> Column:
+        dec18 = expr.cast("decimal(18,0)")
+        return dec18.cast("long") if fast else dec18
+
+    proj = df.select(*[in_cast(expr).alias(f"__m_{n}") for n, expr in cols.items()])
     flag = F.lit(True)
     for n_ in names:
         flag = flag & F.col(f"__m_{n_}").isNotNull()
@@ -401,9 +415,13 @@ def pearson_exact(
         for y in names[i + 1 :]:
             aggs.append(g(F.col(f"__m_{x}") * F.col(f"__m_{y}")).alias(f"__p_{x}_{y}"))
     if fast:
-        aggs.append(
-            F.max(F.greatest(*[F.abs(F.col(f"__m_{n_}")) for n_ in names])).alias("__mx")
-        )
+        # flag-gated like every other slot (self-review r10): a row
+        # excluded by the complete-case screen contributes to no
+        # moment, so it must not be able to trip the bound refusal;
+        # greatest() needs >= 2 columns — single-measure calls use abs
+        abss = [F.abs(F.col(f"__m_{n_}")) for n_ in names]
+        mx_expr = abss[0] if len(abss) == 1 else F.greatest(*abss)
+        aggs.append(F.max(F.when(flag, mx_expr)).alias("__mx"))
     one = proj.agg(*aggs)
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     rows = []
@@ -416,7 +434,9 @@ def pearson_exact(
                 F.struct(
                     F.lit(x).alias("measure_x"),
                     F.lit(y).alias("measure_y"),
-                    F.round(cov / F.sqrt(vx * vy), 6).alias("r"),
+                    # ANSI-safe: a constant measure (zero variance) has
+                    # no defined correlation — NULL, never DIVIDE_BY_ZERO
+                    F.when(vx * vy > F.lit(0.0), F.round(cov / F.sqrt(vx * vy), 6)).alias("r"),
                 )
             )
     n_out = F.col("__n").cast("long")

@@ -42,8 +42,13 @@ def mann_whitney_u(
     cubes past int64). Output: one row with n_a, n_b, u_a_x2 (exact
     2·U_a), rank_biserial and z as single shared float expressions.
     """
-    both = df.filter(F.col(group_col).isin(group_a, group_b)).select(
-        F.col(group_col).alias("__g"), value_int.cast("long").alias("__v")
+    # NULL measures are DROPPED (the sibling operators' complete-case
+    # rule; self-review r10): ranking NULL as a value would inflate
+    # the counts AND diverge cross-engine on NULL sort order
+    both = (
+        df.filter(F.col(group_col).isin(group_a, group_b))
+        .select(F.col(group_col).alias("__g"), value_int.cast("long").alias("__v"))
+        .filter(F.col("__v").isNotNull())
     )
     per_v = both.groupBy("__v").agg(
         F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0)).alias("__ca"),
@@ -56,15 +61,28 @@ def mann_whitney_u(
         "__mr2", 2 * (F.col("__cum") - F.col("__c")) + F.col("__c") + F.lit(1)
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # rank sums accumulate as decimal(38,0) (self-review r10): ra2 is
+    # ~2n² and exits int64 at n ≈ 3e9 rows — ANSI would hard-fail and
+    # non-ANSI would silently wrap against the HUGEINT oracle
     m = ranked.agg(
-        F.sum("__ca").cast("long").alias("n_a"),
-        F.sum("__cb").cast("long").alias("n_b"),
-        F.sum(F.col("__ca") * F.col("__mr2")).cast("long").alias("__ra2"),
-        F.sum(dec(F.col("__c")) * dec(F.col("__c")) * dec(F.col("__c")) - dec(F.col("__c")))
-        .alias("__ties"),
+        F.coalesce(F.sum("__ca"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("__cb"), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(
+            F.sum(dec(F.col("__ca")) * dec(F.col("__mr2"))), F.lit(0).cast("decimal(38,0)")
+        ).alias("__ra2"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("__c")) * dec(F.col("__c")) * dec(F.col("__c"))
+                - dec(F.col("__c"))
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__ties"),
     )
     na, nb = F.col("n_a"), F.col("n_b")
-    u_a_x2 = F.col("__ra2") - na * (na + 1)
+    # exact in decimal, emitted as bigint (output contract: U fits
+    # int64 for n_a·n_b ≤ ~4.6e18 — group sizes to ~2e9 each)
+    u_a_x2_dec = F.col("__ra2") - dec(na) * (dec(na) + F.lit(1).cast("decimal(38,0)"))
+    u_a_x2 = u_a_x2_dec.cast("long")
     n = (na + nb).cast("double")
     nad, nbd = na.cast("double"), nb.cast("double")
     # tie-corrected variance of U: na*nb/12 * ((n+1) - ties/(n*(n-1)))
@@ -75,7 +93,11 @@ def mann_whitney_u(
     z = (u_a_x2.cast("double") / F.lit(2.0) - nad * nbd / F.lit(2.0)) / F.sqrt(var_u)
     # ANSI-safe: an empty group or an all-ties sample has no defined
     # effect size / z — emit NULL (CASE-guarded on both engines), never
-    # a DIVIDE_BY_ZERO
+    # a DIVIDE_BY_ZERO. The n > 1 guard must sit OUTSIDE (self-review
+    # r10): var_u's tie term divides by n·(n−1), and a WHEN condition
+    # still EVALUATES its predicate — only the outer branch's value is
+    # lazy, so the division must live in a value branch, not a
+    # condition, when n ≤ 1.
     return m.select(
         "n_a",
         "n_b",
@@ -83,7 +105,7 @@ def mann_whitney_u(
         F.when(na * nb > 0, F.lit(1.0) - u_a_x2.cast("double") / (nad * nbd)).alias(
             "rank_biserial"
         ),
-        F.when(var_u > F.lit(0.0), z).alias("z"),
+        F.when((na + nb) > F.lit(1), F.when(var_u > F.lit(0.0), z)).alias("z"),
     )
 
 
@@ -121,12 +143,15 @@ def cuped(df: DataFrame, x_int: Column, y_int: Column) -> DataFrame:
     cov = nd * d("__sxy") - d("__sx") * d("__sy")
     vx = nd * d("__sxx") - d("__sx") * d("__sx")
     vy = nd * d("__syy") - d("__sy") * d("__sy")
+    # ANSI-safe (self-review r10): a constant covariate (vx = 0 — e.g.
+    # every unit has zero pre-period revenue) has no defined theta/ρ²;
+    # emit NULL via CASE on both engines, never DIVIDE_BY_ZERO
     return m.select(
         F.col("__n").cast("long").alias("n"),
-        (d("__sy") / nd).alias("mean_y"),
-        (cov / vx).alias("theta"),
-        F.sqrt(vy / (nd * nd)).alias("std_y"),
-        (cov * cov / (vx * vy)).alias("var_reduction"),
+        F.when(nd > F.lit(0.0), d("__sy") / nd).alias("mean_y"),
+        F.when(vx > F.lit(0.0), cov / vx).alias("theta"),
+        F.when(nd > F.lit(0.0), F.sqrt(vy / (nd * nd))).alias("std_y"),
+        F.when(vx * vy > F.lit(0.0), cov * cov / (vx * vy)).alias("var_reduction"),
     )
 
 
@@ -203,17 +228,24 @@ def ab_readout(
         F.sum(x * y).alias("__sxy"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
-    theta = (d("__n") * d("__sxy") - d("__sx") * d("__sy")) / (
-        d("__n") * d("__sxx") - d("__sx") * d("__sx")
-    )
+    vx = d("__n") * d("__sxx") - d("__sx") * d("__sx")
+    theta = (d("__n") * d("__sxy") - d("__sx") * d("__sy")) / vx
     mean_y_arm = d("__sya") / d("__na")
     mean_x_arm = d("__sxa") / d("__na")
     mean_x_all = d("__sx") / d("__n")
+    # ANSI-safe (self-review r10): constant pooled covariate (vx = 0)
+    # means no adjustment is defined — emit the RAW mean as the
+    # adjusted one (theta undefined ⇒ no reduction), never
+    # DIVIDE_BY_ZERO; per-arm means are safe (groupBy rows have n ≥ 1)
     return per_arm.crossJoin(F.broadcast(pooled)).select(
         "arm",
         F.col("__na").cast("long").alias("n"),
         mean_y_arm.alias("mean_y"),
-        (mean_y_arm - theta * (mean_x_arm - mean_x_all)).alias("mean_y_cuped"),
+        F.when(
+            vx > F.lit(0.0), mean_y_arm - theta * (mean_x_arm - mean_x_all)
+        )
+        .otherwise(mean_y_arm)
+        .alias("mean_y_cuped"),
     )
 
 

@@ -505,6 +505,8 @@ def scd2_agg_mv_sink(
                 v_after = v
             if mv_last is not None and int(marker) == int(mv_last) and v_before is None:
                 v_before = v
+            if v_after is not None and (mv_last is None or v_before is not None):
+                break  # both located — stop the O(versions) meta scan
         if v_after is None:
             return  # history rejected the batch (e.g. older epoch)
         cur_after = open_rows(spark, v_after)
@@ -880,8 +882,11 @@ def ab_readout_sink(
         marker = sinks.snapshot_meta(state_dir, "_ABR_EPOCH")
         already = marker is not None and int(epoch_id) <= int(marker)
         if not already:
+            # ties on the caller's tiebreak fall through to the value
+            # struct so the within-batch winner is a pure function of
+            # the data, never of partition order (self-review r10)
             order = (
-                F.col(tiebreak)
+                F.struct(F.col(tiebreak), F.col("__x"), F.col("__y"))
                 if tiebreak
                 else F.struct(F.col("__x"), F.col("__y"))
             )
@@ -901,7 +906,10 @@ def ab_readout_sink(
             try:
                 state = sinks.read_snapshot(spark, state_dir)
             except OSError:
-                state = spark.createDataFrame([], "__u long, __x long, __y long")
+                # bootstrap with the BATCH's own schema (self-review
+                # r10: a literal "__u long" schema broke string unit
+                # ids at the unionByName)
+                state = ups.limit(0)
             state = (
                 state.join(ups, "__u", "left_anti")
                 .unionByName(ups)
