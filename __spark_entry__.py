@@ -10536,6 +10536,69 @@ FROM m
 """
 
 
+def _deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seedless reproducible training order (corpus.deterministic_
+    shuffle): (shard, position) is a pure function of the doc id —
+    portable md5 shard bucket, within-shard rank over the full md5 hex
+    via the two-phase partitioned rank (no per-shard WindowExec: a
+    shard at lake scale is tens of GB and must never route through one
+    task)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.deterministic_shuffle(docs, "doc_id", n_shards=8)
+
+
+_DET_SHUFFLE_SQL = """
+WITH h AS (
+    SELECT doc_id, md5(doc_id::VARCHAR) AS hx,
+           CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS INTEGER) AS shard
+    FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
+def _token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-ranked greedy selection under a 3000-token
+    budget (corpus.token_budget_select): the curation step that turns
+    a mixture share into a document list. Exact integer quality
+    (score·3) and token counts; the per-source cumulative sum runs
+    through the two-phase partitioned running sum (a source is the
+    classic giant-key window hazard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.token_budget_select(docs, "text", "doc_id", "source", 3000)
+
+
+_TOKEN_BUDGET_SQL = r"""
+WITH t AS (
+    SELECT source, doc_id,
+           length(text) AS nc,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS np
+    FROM documents
+), q AS (
+    SELECT source, doc_id, cast(n_tokens AS BIGINT) AS n_tokens,
+           CAST((CASE WHEN nc BETWEEN 50 AND 5000 THEN 1 ELSE 0 END)
+              + (CASE WHEN (CASE WHEN nc = 0 THEN 0.0 ELSE np / cast(nc AS DOUBLE) END) < 0.2
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN n_tokens > 0 AND nc / cast(n_tokens AS DOUBLE) BETWEEN 3.0 AND 12.0
+                      THEN 1 ELSE 0 END) AS INTEGER) AS quality_x3
+    FROM t
+), c AS (
+    SELECT source, doc_id, quality_x3, n_tokens,
+           cast(sum(n_tokens) OVER (PARTITION BY source
+                                    ORDER BY quality_x3 DESC, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+    FROM q
+)
+SELECT source, doc_id, quality_x3, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= 3000
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r10 driver sample (first 50): the 22 never-driver-attested
@@ -10605,6 +10668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilcoxon_signed_rank": _wilcoxon_signed_rank,
         "paired_t_test": _paired_t_test,
         "auc_eval": _auc_eval,
+        "deterministic_shuffle": _deterministic_shuffle,
+        "token_budget_select": _token_budget_select,
         # -- stalest-first: remaining r5/r6-attested, then r7, then r8 --
         "skew_profile": _skew_profile,
         "span_dedup_incremental": _span_dedup_incremental,
@@ -10908,6 +10973,8 @@ def oracle_sql() -> dict[str, str]:
         "wilcoxon_signed_rank": _WILCOXON_SQL,
         "paired_t_test": _PAIRED_T_SQL,
         "auc_eval": _AUC_SQL,
+        "deterministic_shuffle": _DET_SHUFFLE_SQL,
+        "token_budget_select": _TOKEN_BUDGET_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,

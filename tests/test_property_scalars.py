@@ -817,3 +817,47 @@ def test_auc_exact_matches_bruteforce(spark, rows):
     ) / (len(pos) * len(neg))
     assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
     assert abs(got["auc"] - want) < 1e-12
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(1, 9)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_HEAVY_SETTINGS)
+def test_two_phase_partitioned_helpers_match_windows(spark, rows):
+    """Two-phase partitioned rank/cumsum LAW: bit-identical to the
+    plain per-key WindowExec forms (which they exist to avoid at
+    scale) over random keys, duplicate order values (tie-broken by a
+    unique id), and integral weights."""
+    from pyspark.sql import Window
+
+    from z316_sales_data_pipeline_spark.operators import windows as W
+
+    data = [(k, v, w, i) for i, (k, v, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, v int, w long, id long")
+    order = [F.col("v").asc(), F.col("id").asc()]
+
+    got_rank = {
+        (r["id"], r["rn"])
+        for r in W.partitioned_row_number_two_phase(df, ["k"], order, "rn").collect()
+    }
+    wspec = Window.partitionBy("k").orderBy(*order)
+    want_rank = {
+        (r["id"], r["rn"])
+        for r in df.withColumn("rn", F.row_number().over(wspec)).collect()
+    }
+    assert got_rank == want_rank
+
+    got_sum = {
+        (r["id"], r["cs"])
+        for r in W.partitioned_running_sum_two_phase(df, ["k"], order, "w", "cs").collect()
+    }
+    wsum = wspec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want_sum = {
+        (r["id"], r["cs"])
+        for r in df.withColumn("cs", F.sum("w").over(wsum).cast("long")).collect()
+    }
+    assert got_sum == want_sum

@@ -641,6 +641,18 @@ CHECKLIST = {
         "(distinct-value HashAggregate, two-phase running sum, one-row "
         "moments), AUC as a guarded final Project."
     ),
+    "deterministic_shuffle": (
+        "Seedless training order (r10). Expect: narrow md5 projection, "
+        "the two-phase GLOBAL rank (range exchange + partition-local "
+        "window — never a per-shard window), shard-grain min-rank "
+        "aggregate joined back; NO per-key WindowExec."
+    ),
+    "token_budget_select": (
+        "Budgeted per-source selection (r10). Expect: quality/token "
+        "projection, two-phase partitioned running sum (range exchange "
+        "over (source, quality desc, id)), source-grain offset join, "
+        "budget filter — NO per-source window."
+    ),
 }
 
 

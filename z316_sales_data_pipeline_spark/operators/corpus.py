@@ -1298,3 +1298,74 @@ def token_run_lengths(
         F.col("__best.__len").cast("long").alias("max_run"),
         F.col("__best.__term").alias("run_token"),
     )
+
+
+def deterministic_shuffle(docs: DataFrame, id_col: str, n_shards: int = 8) -> DataFrame:
+    """Seedless reproducible training order: every document gets a
+    (shard, position) that is a pure function of its id — the property
+    a pretraining run needs so a rebuilt corpus reproduces the same
+    batch sequence with no seed registry (the dataset_split argument,
+    applied to ORDER). Shard = the portable md5 bucket; position =
+    rank within the shard ordered by the full md5 hex (uniform,
+    engine-portable) with the id as tiebreaker.
+
+    The per-shard rank uses
+    :func:`~.windows.partitioned_row_number_two_phase` — at lake scale
+    one shard is tens of GB, and a per-key WindowExec would route all
+    of it through a single task; the two-phase global rank + per-shard
+    min-rank join keeps every stage partitioned.
+    """
+    from .windows import partitioned_row_number_two_phase
+
+    base = docs.select(
+        F.col(id_col),
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
+        hash_bucket(F.col(id_col), n_shards).cast("int").alias("shard"),
+    )
+    out = partitioned_row_number_two_phase(
+        base, ["shard"], [F.col("__h"), F.col(id_col)], "pos"
+    )
+    return out.select(F.col(id_col), "shard", F.col("pos").cast("long").alias("pos"))
+
+
+def token_budget_select(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Per-source quality-ranked greedy selection under a token budget
+    — the curation step that turns "mix 30% of source A" into an
+    actual document list: within each source, take documents in
+    descending quality order until the cumulative token count would
+    exceed the budget (prefix rule: the cumulative sum is monotone, so
+    the kept set is exactly the rows with cum ≤ budget).
+
+    Quality is the repo's 3-signal heuristic scaled to an exact
+    integer (score·3 ∈ {0..3}); ordering is total via the id
+    tiebreaker, so the selection is deterministic and engine-portable.
+    The per-source cumulative sum uses
+    :func:`~.windows.partitioned_running_sum_two_phase` — a source is
+    the classic giant-key case where a per-key WindowExec would
+    single-task terabytes.
+    """
+    from ..functions.text import quality_score, whitespace_token_count
+    from .windows import partitioned_running_sum_two_phase
+
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        F.round(quality_score(text_col) * 3).cast("int").alias("quality_x3"),
+        whitespace_token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    cum = partitioned_running_sum_two_phase(
+        base,
+        ["source"],
+        [F.col("quality_x3").desc(), F.col(id_col).asc()],
+        "n_tokens",
+        "cum_tokens",
+    )
+    return cum.filter(F.col("cum_tokens") <= budget_tokens).select(
+        "source", F.col(id_col), "quality_x3", "n_tokens", "cum_tokens"
+    )

@@ -223,6 +223,70 @@ def ntile_from_rank(rank: Column, n_buckets: int, total: int) -> Column:
     return F.when(rank <= thr, first).otherwise(rest)
 
 
+def partitioned_row_number_two_phase(
+    df: DataFrame,
+    key_cols: list[str],
+    order_by: list[Column],
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-key 1-based row_number with NO per-key WindowExec partition
+    (r10): ``row_number().over(Window.partitionBy(keys).orderBy(...))``
+    routes every key through ONE task — fine for many small keys, a
+    scale-killer when a single key holds 100 GB (one source, one
+    shard). Here the GLOBAL two-phase rank runs over (keys, order) —
+    ascending range partitions, partition-local windows, broadcast
+    offsets — and each key's local position is the global rank minus
+    the key's min rank + 1 (a key-grain aggregate joined back).
+    Bit-identical to the per-key window whenever the ordering is total
+    within each key (callers include a unique tiebreaker, as
+    everywhere in this repo).
+    """
+    keys = [F.col(k) for k in key_cols]
+    ranked, _ = two_phase_row_number(df, [*keys, *order_by], "__gr", num_partitions)
+    first = ranked.groupBy(*key_cols).agg(F.min("__gr").alias("__gr0"))
+    return (
+        ranked.join(first, key_cols)
+        .withColumn(out_col, F.col("__gr") - F.col("__gr0") + F.lit(1))
+        .drop("__gr", "__gr0")
+    )
+
+
+def partitioned_running_sum_two_phase(
+    df: DataFrame,
+    key_cols: list[str],
+    order_by: list[Column],
+    value: Column | str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-key cumulative sum of an INTEGRAL value with no per-key
+    WindowExec (r10), the running-sum sibling of
+    :func:`partitioned_row_number_two_phase`: the GLOBAL two-phase
+    running sum over (keys, order) minus the key's exclusive prefix —
+    which is min(cum − value) within the key (the global total of
+    everything ordered before the key's first row). Bit-identical to
+    ``sum(value).over(Window.partitionBy(keys).orderBy(...).rows
+    Between(unboundedPreceding, currentRow))`` because integer
+    addition is associative; callers integer-scale floats first (the
+    same rule two_phase_running_sum documents).
+    """
+    value = F.col(value) if isinstance(value, str) else value
+    keys = [F.col(k) for k in key_cols]
+    with_val = df.withColumn("__v2p", value.cast("long"))
+    summed, _ = two_phase_running_sum(
+        with_val, [*keys, *order_by], F.col("__v2p"), "__gc", num_partitions
+    )
+    offs = summed.groupBy(*key_cols).agg(
+        F.min(F.col("__gc") - F.col("__v2p")).alias("__off2p")
+    )
+    return (
+        summed.join(offs, key_cols)
+        .withColumn(out_col, F.col("__gc") - F.col("__off2p"))
+        .drop("__gc", "__off2p", "__v2p")
+    )
+
+
 def scd2_history(
     df: DataFrame,
     key: str,
