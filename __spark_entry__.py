@@ -10599,6 +10599,44 @@ FROM c WHERE cum_tokens <= 3000
 """
 
 
+def _source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card (corpus.source_data_card): doc/token
+    counts, mean doc length, top-quality and below-length-floor shares
+    — one source-grain hash aggregate, exact integers + three shared
+    float divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.source_data_card(docs, "text", "source")
+
+
+_SOURCE_CARD_SQL = r"""
+WITH t AS (
+    SELECT source,
+           length(text) AS nc,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS np
+    FROM documents
+), m AS (
+    SELECT source,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(n_tokens) AS BIGINT) AS total_tokens,
+           cast(sum(CASE WHEN (CASE WHEN nc BETWEEN 50 AND 5000 THEN 1 ELSE 0 END)
+                            + (CASE WHEN (CASE WHEN nc = 0 THEN 0.0 ELSE np / cast(nc AS DOUBLE) END) < 0.2
+                                    THEN 1 ELSE 0 END)
+                            + (CASE WHEN n_tokens > 0 AND nc / cast(n_tokens AS DOUBLE) BETWEEN 3.0 AND 12.0
+                                    THEN 1 ELSE 0 END) = 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_top_quality,
+           cast(sum(CASE WHEN nc < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+    FROM t GROUP BY 1
+)
+SELECT source, n_docs, total_tokens,
+       CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_doc_tokens,
+       CAST(n_top_quality AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_quality_share,
+       CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) AS short_share
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r10 driver sample (first 50): the 22 never-driver-attested
@@ -10670,6 +10708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_eval": _auc_eval,
         "deterministic_shuffle": _deterministic_shuffle,
         "token_budget_select": _token_budget_select,
+        "source_data_card": _source_data_card,
         # -- stalest-first: remaining r5/r6-attested, then r7, then r8 --
         "skew_profile": _skew_profile,
         "span_dedup_incremental": _span_dedup_incremental,
@@ -10975,6 +11014,7 @@ def oracle_sql() -> dict[str, str]:
         "auc_eval": _AUC_SQL,
         "deterministic_shuffle": _DET_SHUFFLE_SQL,
         "token_budget_select": _TOKEN_BUDGET_SQL,
+        "source_data_card": _SOURCE_CARD_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,
         "winsorized_stats": _WINSOR_SQL,

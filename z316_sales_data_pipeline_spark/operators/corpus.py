@@ -1369,3 +1369,49 @@ def token_budget_select(
     return cum.filter(F.col("cum_tokens") <= budget_tokens).select(
         "source", F.col(id_col), "quality_x3", "n_tokens", "cum_tokens"
     )
+
+
+def source_data_card(docs: DataFrame, text_col: str, source_col: str) -> DataFrame:
+    """Per-source dataset card — the one-row-per-source documentation
+    a corpus release ships (datasheets-for-datasets distilled to the
+    measurable fields): document and token counts, mean document
+    length, the share of documents at the top quality score, and the
+    share below the minimum-length floor.
+
+    One hash aggregate to source grain; counts are exact integers
+    (quality at the exact ·3 integer scale) and each ratio is a single
+    shared float division — the experiment-family discipline. At
+    100 TB this is one map-side-combined pass ending in ~dozens of
+    rows.
+    """
+    from ..functions.text import quality_score, whitespace_token_count
+
+    n = F.count(F.lit(1))
+    toks = F.sum(whitespace_token_count(text_col).cast("long"))
+    q3 = F.sum(
+        F.when(F.round(quality_score(text_col) * 3).cast("int") == 3, 1).otherwise(0)
+    ).cast("long")
+    short = F.sum(F.when(F.length(text_col) < 50, 1).otherwise(0)).cast("long")
+    return (
+        docs.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            n.alias("n_docs"),
+            toks.alias("total_tokens"),
+            q3.alias("n_top_quality"),
+            short.alias("n_short"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            (F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")).alias(
+                "avg_doc_tokens"
+            ),
+            (F.col("n_top_quality").cast("double") / F.col("n_docs").cast("double")).alias(
+                "top_quality_share"
+            ),
+            (F.col("n_short").cast("double") / F.col("n_docs").cast("double")).alias(
+                "short_share"
+            ),
+        )
+    )
