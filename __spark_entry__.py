@@ -10201,10 +10201,15 @@ def _srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SRM_SQL = """
-WITH arms AS (
+WITH counted AS (
     SELECT CAST(('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::BIGINT % 2 AS INTEGER) AS arm,
            cast(count(*) AS BIGINT) AS observed
     FROM (SELECT DISTINCT c_custkey FROM customer) GROUP BY 1
+), arms AS (
+    -- explicit 0..n_arms-1 spine: a zero-unit arm still emits its cell
+    SELECT CAST(s.arm AS INTEGER) AS arm,
+           cast(coalesce(counted.observed, 0) AS BIGINT) AS observed
+    FROM (SELECT unnest(range(2)) AS arm) s LEFT JOIN counted ON s.arm = counted.arm
 ), tot AS (
     SELECT cast(sum(observed) AS BIGINT) AS total FROM arms
 )
@@ -10367,6 +10372,7 @@ WITH base AS (
     SELECT c_nationkey, c_mktsegment,
            CAST(floor(c_acctbal / 1000) AS BIGINT) AS b
     FROM customer
+    WHERE c_acctbal IS NOT NULL
 ), gb AS (
     SELECT c_nationkey, c_mktsegment, b, cast(count(*) AS BIGINT) AS c
     FROM base GROUP BY 1, 2, 3
@@ -10394,10 +10400,11 @@ WITH base AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT c_nationkey, c_mktsegment, cast(min(ng) AS BIGINT) AS n,
-       CAST(cast(sum(abs(CAST(cg AS HUGEINT) * tot.na - CAST(call AS HUGEINT) * ng)) AS HUGEINT) AS DOUBLE)
-           / (CAST(min(ng) AS DOUBLE) * CAST(min(tot.na) AS DOUBLE) * CAST(min(tot.m) - 1 AS DOUBLE)) AS t_emd
+       CASE WHEN min(tot.m) > 1 THEN
+       CAST(cast(coalesce(sum(CASE WHEN i < tot.m THEN abs(CAST(cg AS HUGEINT) * tot.na - CAST(call AS HUGEINT) * ng) END), 0) AS HUGEINT) AS DOUBLE)
+           / (CAST(min(ng) AS DOUBLE) * CAST(min(tot.na) AS DOUBLE) * CAST(min(tot.m) - 1 AS DOUBLE))
+       ELSE 0.0 END AS t_emd
 FROM cum CROSS JOIN tot
-WHERE i < tot.m
 GROUP BY 1, 2
 """
 

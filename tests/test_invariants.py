@@ -4,6 +4,7 @@ set-algebra sanity, sink delete semantics."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from z316_sales_data_pipeline_spark import sinks
@@ -2107,6 +2108,42 @@ def test_link_prediction_known_graph(spark):
     assert got == [(1, 3, 1, 0.5), (2, 4, 1, 0.5)]
 
 
+def test_link_prediction_enforces_degree_contract(spark):
+    """VERDICT r10 item 2, pinned: the Σdeg² cost contract is now a
+    runtime refusal (the edit_distance_join discipline). A star graph
+    whose hub exceeds max_degree raises with routing advice;
+    on_hubs='exclude' drops the hub from the shared-neighbor role
+    (warning carries the count), so only hub-mediated pairs vanish."""
+    import warnings
+
+    from z316_sales_data_pipeline_spark.operators import graph
+
+    # hub 0 connected to 1..5 (deg 5), plus a 1-2 edge so the pair
+    # (1,2) has BOTH a hub-mediated meet (via 0) and... is an edge.
+    # Non-edge leaf pairs like (3,4) meet ONLY via the hub.
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(1, 2)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="skew_split_edges"):
+        graph.link_prediction(star, max_degree=4).collect()
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = graph.link_prediction(star, k=100, max_degree=4, on_hubs="exclude")
+        rows = {(r["a"], r["b"]) for r in got.collect()}
+    assert any("1 hub node" in str(x.message) for x in w)
+    # leaf pairs met only through hub 0 are gone; the (1,2) edge pair
+    # still contributes non-hub meets for (0-adjacent) candidates:
+    # with hub 0 excluded as middle, candidate meets go through 1 or 2
+    # only — e.g. (0,1) and (0,2) are edges, (3,4) dropped
+    assert (3, 4) not in rows and (3, 5) not in rows and (4, 5) not in rows
+
+    # under the cap: identical to the unguarded result
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    got = [tuple(r) for r in graph.link_prediction(path, k=10, max_degree=4).collect()]
+    assert got == [(1, 3, 1, 0.5), (2, 4, 1, 0.5)]
+
+
 def test_t_closeness_known_distribution(spark):
     """Hand-computable EMD: buckets {0,1}, global 4+4; group A = all
     bucket-0 (CDF diff at i=1: |4*8 - 4*4| = 16 -> EMD = 16/(4*8*1) =
@@ -2124,6 +2161,33 @@ def test_t_closeness_known_distribution(spark):
         for r in quality.t_closeness(df, ["g"], F.col("b")).collect()
     }
     assert got == {"A": (4, 0.4), "B": (4, 0.1), "C": (2, 0.6)}
+
+
+def test_t_closeness_single_bucket_and_null_buckets(spark):
+    """ADVICE r11 edge contracts: (a) one observed bucket (m=1) must
+    emit every group with t_emd = 0.0 — not an empty audit frame;
+    (b) NULL sensitive values are filtered before bucketing (the NULL
+    window-order divergence class), so n counts recorded values."""
+    from z316_sales_data_pipeline_spark.operators import quality
+
+    one_bucket = spark.createDataFrame(
+        [("A", 7), ("A", 7), ("B", 7)], "g string, b long"
+    )
+    got = {
+        r["g"]: (r["n"], r["t_emd"])
+        for r in quality.t_closeness(one_bucket, ["g"], F.col("b")).collect()
+    }
+    assert got == {"A": (2, 0.0), "B": (1, 0.0)}
+
+    with_nulls = spark.createDataFrame(
+        [("A", 0), ("A", None), ("B", 0), ("B", 1), ("B", None)], "g string, b long"
+    )
+    got = {
+        r["g"]: r["n"]
+        for r in quality.t_closeness(with_nulls, ["g"], F.col("b")).collect()
+    }
+    # NULL rows dropped: A has 1 recorded value, B has 2
+    assert got == {"A": 1, "B": 2}
 
 
 def test_experiment_stats_survive_degenerate_inputs(spark):
@@ -2164,6 +2228,24 @@ def test_experiment_stats_survive_degenerate_inputs(spark):
     for kw in ({}, {"max_abs": 100}):
         r = aggregates.pearson_exact(const_m, cols, **kw).collect()[0]
         assert r["r"] is None and r["n"] == 3
+
+
+def test_srm_check_emits_zero_unit_arms(spark):
+    """ADVICE r11: an arm that received NO units is the most extreme
+    sample-ratio mismatch and must still emit its (o−e)²/e cell —
+    the arm grain is an explicit 0..n_arms−1 spine, not the set of
+    observed buckets. One unit, four arms: three arms are zero-filled
+    and every cell is present."""
+    from z316_sales_data_pipeline_spark.operators import experiment
+
+    one = spark.createDataFrame([(42,)], "uid long")
+    rows = {r["arm"]: r for r in experiment.srm_check(one, "uid", n_arms=4).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert sum(r["observed"] for r in rows.values()) == 1
+    for r in rows.values():
+        assert r["expected"] == 0.25
+        want = (r["observed"] - 0.25) ** 2 / 0.25
+        assert abs(r["chi2_cell"] - want) < 1e-15
 
 
 def test_pearson_fast_path_edge_cases(spark):

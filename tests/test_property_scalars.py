@@ -10,6 +10,7 @@ them (per-example Spark jobs would take minutes).
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -646,23 +647,28 @@ def test_ab_readout_preserves_overall_mean(spark):
 
 @given(
     st.lists(
-        st.text(alphabet="ab \t\n", min_size=0, max_size=30), min_size=1, max_size=40
+        st.one_of(st.none(), st.text(alphabet="ab \t\n", min_size=0, max_size=30)),
+        min_size=1,
+        max_size=40,
     ),
     st.sampled_from([1, 2, 3, 4]),
 )
 @settings(**_SETTINGS)
 def test_shingles_zipwith_equals_index_reference(spark, texts, k):
-    """shingles() LAW (r10 zip_with rewrite): for random
-    whitespace-heavy text and every supported k, the zip_with chain
-    emits exactly the index-based reference — Python-side reference:
-    space-joined k-grams of the normalized token list, empty when
-    fewer than k tokens."""
+    """shingles() LAW (r10 zip_with rewrite; NULL case ADVICE r11):
+    for random whitespace-heavy text — including NULL — and every
+    supported k, the zip_with chain emits exactly the index-based
+    reference — Python-side reference: space-joined k-grams of the
+    normalized token list, empty when fewer than k tokens AND empty
+    (never NULL) for NULL input."""
     from z316_sales_data_pipeline_spark.functions import text as T
 
     df = spark.createDataFrame([(t,) for t in texts], "t string")
     got = [r[0] for r in df.select(T.shingles("t", k)).collect()]
 
-    def ref(t: str) -> list[str]:
+    def ref(t: str | None) -> list[str]:
+        if t is None:
+            return []
         toks = " ".join(t.lower().split()).strip().split(" ")
         return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
@@ -729,7 +735,11 @@ def test_t_closeness_matches_bruteforce(spark, rows):
     buckets = sorted({b for _, b in rows})
     m, n_all = len(buckets), len(rows)
     if m == 1:
-        assert got == {}
+        # ADVICE r11: every group emitted with EMD 0, never empty
+        from collections import Counter
+
+        cg = Counter(f"g{g}" for g, _ in rows)
+        assert got == {g: (n, 0.0) for g, n in cg.items()}
         return
     from collections import Counter
 
@@ -821,7 +831,7 @@ def test_auc_exact_matches_bruteforce(spark, rows):
 
 @given(
     st.lists(
-        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(1, 9)),
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(-9, 9)),
         min_size=1,
         max_size=60,
     )
@@ -831,7 +841,10 @@ def test_two_phase_partitioned_helpers_match_windows(spark, rows):
     """Two-phase partitioned rank/cumsum LAW: bit-identical to the
     plain per-key WindowExec forms (which they exist to avoid at
     scale) over random keys, duplicate order values (tie-broken by a
-    unique id), and integral weights."""
+    unique id), and SIGNED integral weights — negative values are the
+    r11 ADVICE regression class (the r10 min(cum−value) offset shifted
+    every key containing a negative value; the min_by-on-first-row
+    offset is exact for any sign)."""
     from pyspark.sql import Window
 
     from z316_sales_data_pipeline_spark.operators import windows as W
@@ -861,3 +874,45 @@ def test_two_phase_partitioned_helpers_match_windows(spark, rows):
         for r in df.withColumn("cs", F.sum("w").over(wsum).cast("long")).collect()
     }
     assert got_sum == want_sum
+
+
+def test_two_phase_partitioned_running_sum_negative_regression(spark):
+    """Pinned ADVICE-r11 case: a key whose values dip below its first
+    row's global prefix (negative weight mid-key). The r10 offset
+    min(cum−value) picked the dip row and shifted the key's whole
+    cumulative sum upward; the first-row anchor must not."""
+    from pyspark.sql import Window
+
+    from z316_sales_data_pipeline_spark.operators import windows as W
+
+    # key 0 first (prefix 0), key 1 starts at global prefix 10 and
+    # immediately dips: values 10 | 5, -8, 4 → per-key cumsum 10 | 5, -3, 1
+    data = [(0, 0, 10, 0), (1, 1, 5, 1), (1, 2, -8, 2), (1, 3, 4, 3)]
+    df = spark.createDataFrame(data, "k int, v int, w long, id long")
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = {
+        (r["id"], r["cs"])
+        for r in W.partitioned_running_sum_two_phase(df, ["k"], order, "w", "cs").collect()
+    }
+    assert got == {(0, 10), (1, 5), (2, -3), (3, 1)}
+
+
+def test_two_phase_partitioned_running_sum_fractional_failstop(spark):
+    """Fail-stop contract (VERDICT r10 nit #2): a fractional or null
+    value must raise loudly, never silently truncate through
+    cast('long')."""
+    import pyspark.sql.utils
+
+    from z316_sales_data_pipeline_spark.operators import windows as W
+
+    order = [F.col("v").asc(), F.col("id").asc()]
+    frac = spark.createDataFrame(
+        [(0, 0, 1.5, 0), (0, 1, 2.0, 1)], "k int, v int, w double, id long"
+    )
+    with pytest.raises(Exception, match="integral"):
+        W.partitioned_running_sum_two_phase(frac, ["k"], order, "w", "cs").collect()
+    nul = spark.createDataFrame(
+        [(0, 0, None, 0), (0, 1, 2, 1)], "k int, v int, w long, id long"
+    )
+    with pytest.raises(Exception, match="non-null"):
+        W.partitioned_running_sum_two_phase(nul, ["k"], order, "w", "cs").collect()

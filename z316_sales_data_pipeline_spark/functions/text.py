@@ -173,6 +173,12 @@ def shingles(c: Column | str, k: int = 3) -> Column:
     document. The zip_with chain references ``tokens`` only ~k times
     PER ROW, so every inline caller (minhash, jaccard joins, span and
     corpus shapes) gets the linear form without restructuring.
+
+    NULL input returns an EMPTY ARRAY, not NULL (ADVICE r11): split
+    propagates NULL through zip_with/slice, which would silently turn
+    size-of-shingles consumers (e.g. ngram_jaccard_pairs' ``__n``)
+    NULL instead of 0 — the coalesce restores the documented contract
+    the pre-r10 when/otherwise form had.
     """
     tokens = F.split(F.trim(F.regexp_replace(F.lower(_col(c)), r"\s+", " ")), " ")
     n = F.size(tokens)
@@ -183,4 +189,7 @@ def shingles(c: Column | str, k: int = 3) -> Column:
             F.slice(tokens, j + 1, F.greatest(n - j, F.lit(0))),
             lambda a, b: F.concat_ws(" ", a, b),
         )
-    return F.slice(acc, 1, F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.coalesce(
+        F.slice(acc, 1, F.greatest(n - F.lit(k - 1), F.lit(0))),
+        F.array().cast("array<string>"),
+    )

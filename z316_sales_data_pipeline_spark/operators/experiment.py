@@ -168,11 +168,23 @@ def srm_check(df: DataFrame, id_col: str, n_arms: int = 2) -> DataFrame:
     statistic is the sum of the cells, computed by the reader. One
     distinct + one tiny aggregate; arms are a constant, so the
     expected side is a broadcast-free literal division.
+
+    Zero-unit arms (ADVICE r11): the arm grain is an explicit
+    0..n_arms−1 spine (``spark.range``) left-joined with the observed
+    counts and zero-filled, so an arm that received NO units — the
+    most extreme sample-ratio mismatch — still emits its (o−e)²/e
+    cell instead of silently vanishing from the reader's chi-square
+    sum. (The r10 shape grouped over observed buckets only.)
     """
     units = df.select(F.col(id_col).alias("__id")).distinct()
-    arms = units.groupBy(
+    observed = units.groupBy(
         (hash_bucket(F.col("__id"), n_arms)).cast("int").alias("arm")
     ).agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    spine = df.sparkSession.range(n_arms).select(F.col("id").cast("int").alias("arm"))
+    arms = (
+        spine.join(F.broadcast(observed), "arm", "left")
+        .select("arm", F.coalesce(F.col("observed"), F.lit(0)).cast("long").alias("observed"))
+    )
     # one-row total joined back broadcast (the stats-join pattern) —
     # no unpartitioned WindowExec anywhere, even on the tiny arm grain
     tot = arms.agg(F.sum("observed").cast("long").alias("__total"))

@@ -410,6 +410,8 @@ def link_prediction(
     a_col: str = "id_a",
     b_col: str = "id_b",
     k: int = 20,
+    max_degree: int = 256,
+    on_hubs: str = "error",
 ) -> DataFrame:
     """Common-neighbor link prediction over an undirected edge list:
     for every NON-edge pair at distance 2, the common-neighbor count
@@ -424,18 +426,74 @@ def link_prediction(
     edges, degree join, ONE float division per emitted row. Top-k via
     orderBy+limit compiles to TakeOrderedAndProject (heap, no global
     sort). Cost contract: the 2-hop join is Σ_v deg(v)² — bounded on
-    near-dup graphs (degree = duplication multiplicity); for
-    power-law graphs route hubs through ``skew_split_edges`` first or
-    cap degrees upstream.
+    near-dup graphs (degree = duplication multiplicity), superlinear
+    on power-law graphs where one hub key becomes a straggler task.
+
+    Degree contract — ENFORCED (VERDICT r10 → r11, the
+    edit_distance_join refusal discipline): the max degree rides a
+    node-grain aggregate over the (checkpointed, tiny) degree table.
+    ``on_hubs="error"`` (default) raises ValueError when any node
+    exceeds ``max_degree``, with coarsening advice; pass a larger
+    ``max_degree`` deliberately if your duplication multiplicity
+    really is that high. ``on_hubs="exclude"`` instead DROPS hub
+    nodes from the shared-neighbor (middle) role — capping the join
+    at Σ_v min(deg(v), max_degree)² exactly where the quadratic term
+    lives — and warns with the dropped-hub count; pairs then miss
+    hub-mediated common neighbors (a hub shared by everything carries
+    no discriminative signal anyway, the classic Adamic-Adar
+    intuition). For full fidelity on skewed graphs route hubs through
+    ``skew_split_edges`` upstream.
     """
+    if on_hubs not in ("error", "exclude"):
+        raise ValueError("link_prediction: on_hubs must be 'error' or 'exclude'")
     und = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    left = und.select(F.col("dst").alias("v"), F.col("src").alias("a"))
-    right = und.select(F.col("dst").alias("b"), F.col("src").alias("v"))
+    # node-grain reduction -> localCheckpoint is the right pin (grain
+    # rule); the guard scan and the da/db joins then share ONE
+    # materialization instead of recomputing the symmetrize+distinct.
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
+    stats = deg.agg(
+        F.max("deg").alias("mx"),
+        F.count(F.when(F.col("deg") > max_degree, 1)).alias("n_hubs"),
+    ).collect()[0]
+    if stats["mx"] is not None and int(stats["mx"]) > max_degree:
+        if on_hubs == "error":
+            raise ValueError(
+                f"link_prediction: max degree = {stats['mx']} exceeds "
+                f"max_degree={max_degree} on {stats['n_hubs']} node(s); the "
+                "2-hop self-join costs SUM(deg(v)^2), so one hub becomes a "
+                "straggler task at scale. Route hubs through "
+                "skew_split_edges upstream, pass on_hubs='exclude' to drop "
+                "them from the shared-neighbor role (losing hub-mediated "
+                "common neighbors), or raise max_degree deliberately."
+            )
+        import warnings
+
+        warnings.warn(
+            f"link_prediction: excluding {stats['n_hubs']} hub node(s) with "
+            f"degree > {max_degree} from the shared-neighbor role; pairs "
+            "whose only common neighbors are hubs will not be emitted",
+            stacklevel=2,
+        )
+        hubs = deg.filter(F.col("deg") > max_degree).select(
+            F.col("src").alias("__hub")
+        )
+        mid = und.join(
+            F.broadcast(hubs), und["dst"] == hubs["__hub"], "left_anti"
+        )
+    else:
+        mid = und
+    # both roles take the MIDDLE node from dst (und is symmetric, so
+    # (src,dst) and (dst,src) are both present — deriving right from
+    # the same dst-filtered frame keeps the hub exclusion effective
+    # on both sides of the self-join)
+    left = mid.select(F.col("dst").alias("v"), F.col("src").alias("a"))
+    right = mid.select(F.col("src").alias("b"), F.col("dst").alias("v"))
     cn = (
         left.join(right, "v")
         .filter(F.col("a") < F.col("b"))

@@ -443,8 +443,19 @@ def t_closeness(
     (zero-filled) so cumulative sums see every bucket, one
     PARTITIONED window per group (never a global window), group-grain
     output.
+
+    Edge contracts (ADVICE r11): (a) a single observed bucket (m = 1)
+    means every group trivially matches the global distribution —
+    each group row is EMITTED with t_emd = 0.0, never an empty audit
+    frame a policy reader would mistake for "nothing to check";
+    (b) NULL sensitive values are FILTERED before bucketing (a NULL
+    bucket has no position in the ordered EMD ground metric, and
+    Spark/DuckDB disagree on NULL window order — NULLS FIRST vs
+    LAST), so ``n`` counts rows with a recorded sensitive value.
     """
-    base = df.select(*group_cols, bucket_col.cast("long").alias("__b"))
+    base = df.select(*group_cols, bucket_col.cast("long").alias("__b")).filter(
+        F.col("__b").isNotNull()
+    )
     gb = base.groupBy(*group_cols, "__b").agg(F.count(F.lit(1)).alias("__c"))
     allb = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__ca"))
     groups = gb.groupBy(*group_cols).agg(F.sum("__c").alias("__ng"))
@@ -468,19 +479,26 @@ def t_closeness(
     )
     per_group = (
         cum.crossJoin(F.broadcast(totals))
-        # the last bucket's CDF difference is identically 0 — skip it
-        # so the (m-1) normalizer matches the summed terms
-        .filter(F.col("__i") < F.col("__m"))
+        # the last bucket's CDF difference is identically 0 — the
+        # conditional sum skips it so the (m-1) normalizer matches the
+        # summed terms, WITHOUT a row filter (a filter would delete
+        # whole groups when m = 1; the group rows must survive)
         .groupBy(*group_cols)
         .agg(
             F.min("__ng").alias("__ng"),
             # decimal(38,0) cross products: cum·n is group_count ×
             # table_count — past int64 already at ~10^10 rows
-            F.sum(
-                F.abs(
-                    F.col("__cg").cast("decimal(19,0)") * F.col("__na")
-                    - F.col("__call").cast("decimal(19,0)") * F.col("__ng")
-                )
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__i") < F.col("__m"),
+                        F.abs(
+                            F.col("__cg").cast("decimal(19,0)") * F.col("__na")
+                            - F.col("__call").cast("decimal(19,0)") * F.col("__ng")
+                        ),
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
             ).alias("__sdiff"),
             F.min("__na").alias("__na"),
             F.min("__m").alias("__m"),
@@ -489,12 +507,15 @@ def t_closeness(
     return per_group.select(
         *group_cols,
         F.col("__ng").cast("long").alias("n"),
-        (
+        F.when(
+            F.col("__m") > F.lit(1),
             F.col("__sdiff").cast("double")
             / (
                 F.col("__ng").cast("double")
                 * F.col("__na").cast("double")
                 * (F.col("__m") - F.lit(1)).cast("double")
-            )
-        ).alias("t_emd"),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("t_emd"),
     )

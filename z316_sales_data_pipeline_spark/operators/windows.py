@@ -260,30 +260,63 @@ def partitioned_running_sum_two_phase(
     out_col: str,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Per-key cumulative sum of an INTEGRAL value with no per-key
-    WindowExec (r10), the running-sum sibling of
-    :func:`partitioned_row_number_two_phase`: the GLOBAL two-phase
-    running sum over (keys, order) minus the key's exclusive prefix —
-    which is min(cum − value) within the key (the global total of
-    everything ordered before the key's first row). Bit-identical to
-    ``sum(value).over(Window.partitionBy(keys).orderBy(...).rows
-    Between(unboundedPreceding, currentRow))`` because integer
-    addition is associative; callers integer-scale floats first (the
-    same rule two_phase_running_sum documents).
+    """Per-key cumulative sum of a NON-NULL INTEGRAL value (any sign)
+    with no per-key WindowExec (r10, sign-corrected r11), the
+    running-sum sibling of :func:`partitioned_row_number_two_phase`:
+    one two-phase pass over (keys, order) produces BOTH the global
+    running sum and the global row_number, and the key's exclusive
+    prefix is (cum − value) AT THE KEY'S FIRST ROW — ``min_by(cum −
+    value, global_rank)``. The r10 form used ``min(cum − value)``
+    within the key, which only equals the first-row prefix when every
+    value is non-negative (a negative value dips the intra-key partial
+    sums below the first row's prefix and shifts the whole key);
+    anchoring on the minimum global rank is exact for any sign.
+    Bit-identical to ``sum(value).over(Window.partitionBy(keys)
+    .orderBy(...).rowsBetween(unboundedPreceding, currentRow))``
+    because integer addition is associative.
+
+    Fail-stop contract (r11): the value must be non-null and integral
+    — a fractional or null value raises at run time (``assert_true``
+    riding the projection, the pearson fast-path discipline) instead
+    of silently truncating through ``cast("long")``. Integer-scale
+    floats first, the same rule two_phase_running_sum documents.
     """
     value = F.col(value) if isinstance(value, str) else value
     keys = [F.col(k) for k in key_cols]
-    with_val = df.withColumn("__v2p", value.cast("long"))
-    summed, _ = two_phase_running_sum(
-        with_val, [*keys, *order_by], F.col("__v2p"), "__gc", num_partitions
+    guard = F.assert_true(
+        value.isNotNull() & (value == F.floor(value)),
+        F.lit(
+            "partitioned_running_sum_two_phase: value must be non-null and"
+            " integral — integer-scale fractional values first (silent"
+            " cast('long') truncation refused)"
+        ),
+    )
+    with_val = df.withColumn(
+        "__v2p", F.when(guard.isNull(), value).cast("long")
+    )
+    ranged = _ranged(with_val, [*keys, *order_by], num_partitions)
+    per_sum = ranged.groupBy("__pid").agg(F.sum("__v2p").cast("long").alias("__c"))
+    per_cnt = ranged.groupBy("__pid").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    off_sum, _ = _two_phase_offsets(ranged, per_sum, 0)
+    off_cnt, _ = _two_phase_offsets(ranged, per_cnt, 0)
+    w = Window.partitionBy("__pid").orderBy(*keys, *order_by)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    summed = (
+        ranged.withColumn("__lr", F.row_number().over(w).cast("long"))
+        .withColumn("__lc", F.sum("__v2p").over(wsum).cast("long"))
+        .join(F.broadcast(off_cnt.withColumnRenamed("__off", "__offr")), "__pid", "left")
+        .join(F.broadcast(off_sum.withColumnRenamed("__off", "__offc")), "__pid", "left")
+        .withColumn("__gr", F.col("__lr") + F.coalesce(F.col("__offr"), F.lit(0)))
+        .withColumn("__gc", F.col("__lc") + F.coalesce(F.col("__offc"), F.lit(0)))
+        .drop("__pid", "__lr", "__lc", "__offr", "__offc")
     )
     offs = summed.groupBy(*key_cols).agg(
-        F.min(F.col("__gc") - F.col("__v2p")).alias("__off2p")
+        F.min_by(F.col("__gc") - F.col("__v2p"), F.col("__gr")).alias("__off2p")
     )
     return (
         summed.join(offs, key_cols)
         .withColumn(out_col, F.col("__gc") - F.col("__off2p"))
-        .drop("__gc", "__off2p", "__v2p")
+        .drop("__gc", "__gr", "__off2p", "__v2p")
     )
 
 
