@@ -1306,11 +1306,45 @@ def _conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("first_purchase") - F.unix_micros("first_view"),
         )
     )
-    return per.agg(
-        F.count(F.lit(1)).alias("n_converted"),
-        F.round(F.expr("percentile(latency_us, 0.5)") / F.lit(1e6), 4).alias("p50_latency_s"),
-        F.round(F.expr("percentile(latency_us, 0.9)") / F.lit(1e6), 4).alias("p90_latency_s"),
+    # Exact interpolated percentiles as an INTEGER grain (r11 lint):
+    # percentile()/quantile_cont() interpolate in floats with
+    # engine-specific op order, and the former round-4 could land on
+    # .5 (HALF_UP vs half-even). At q in {0.5, 0.9} the interpolation
+    # position (n-1)*q falls on TENTHS, so value*10 =
+    # a*(10-f) + b*f over the two order statistics a, b is an exact
+    # integer both engines agree on; ONE shared division scales to
+    # seconds. The rank is two-phase (no single-task global sort) and
+    # n arrives free as the last cumulative offset.
+    ranked, n = windows.two_phase_row_number(
+        per, [F.col("latency_us").asc(), F.col("user_id").asc()], "rn"
     )
+    if n == 0:
+        return spark.createDataFrame(
+            [], "n_converted long, p50_latency_s double, p90_latency_s double"
+        ).agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.first("p50_latency_s").alias("p50_latency_s"),
+            F.first("p90_latency_s").alias("p90_latency_s"),
+        )
+    picks = {}
+    for label, num in (("50", 5), ("90", 9)):
+        k = num * (n - 1)
+        picks[label] = (k // 10 + 1, k // 10 + 2, k % 10)
+    val = F.col("latency_us")
+    aggs = [F.count(F.lit(1)).alias("n_converted")]
+    for label, (lo, hi, _f) in picks.items():
+        aggs.append(
+            F.coalesce(F.sum(F.when(F.col("rn") == lo, val)), F.lit(0)).alias(f"__a{label}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(F.col("rn") == hi, val)), F.lit(0)).alias(f"__b{label}")
+        )
+    out = ranked.agg(*aggs)
+    cols = [F.col("n_converted")]
+    for label, (_lo, _hi, f) in picks.items():
+        x10 = F.col(f"__a{label}") * F.lit(10 - f) + F.col(f"__b{label}") * F.lit(f)
+        cols.append((x10.cast("double") / F.lit(1e7)).alias(f"p{label}_latency_s"))
+    return out.select(*cols)
 
 
 _CONVERSION_LATENCY_SQL = """
@@ -1324,11 +1358,19 @@ WITH fv AS (
   GROUP BY e.user_id, fv.first_view
 ), lat AS (
   SELECT epoch_us(first_purchase) - epoch_us(first_view) AS latency_us FROM conv
+), ranked AS (
+  SELECT latency_us, row_number() OVER (ORDER BY latency_us) AS rn FROM lat
+), nn AS (
+  SELECT cast(count(*) AS BIGINT) AS n FROM lat
 )
+-- exact integer interpolation: at q in tenths, value*10 = a*(10-f) + b*f
 SELECT cast(count(*) AS BIGINT) AS n_converted,
-       round(quantile_cont(latency_us, 0.5) / 1e6, 4) AS p50_latency_s,
-       round(quantile_cont(latency_us, 0.9) / 1e6, 4) AS p90_latency_s
-FROM lat
+       CAST(cast(coalesce(sum(CASE WHEN rn = 5 * (n - 1) // 10 + 1 THEN latency_us END), 0) * (10 - 5 * (n - 1) % 10)
+          + coalesce(sum(CASE WHEN rn = 5 * (n - 1) // 10 + 2 THEN latency_us END), 0) * (5 * (n - 1) % 10) AS BIGINT) AS DOUBLE) / 1e7 AS p50_latency_s,
+       CAST(cast(coalesce(sum(CASE WHEN rn = 9 * (n - 1) // 10 + 1 THEN latency_us END), 0) * (10 - 9 * (n - 1) % 10)
+          + coalesce(sum(CASE WHEN rn = 9 * (n - 1) // 10 + 2 THEN latency_us END), 0) * (9 * (n - 1) % 10) AS BIGINT) AS DOUBLE) / 1e7 AS p90_latency_s
+FROM ranked CROSS JOIN nn
+GROUP BY n
 """
 
 
@@ -4584,13 +4626,18 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            # unrounded shared division of exact integer moments (r11
+            # lint: round(avg(int),4) was the cube_agg class)
+            (
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_chars"),
         )
     )
 
 
 _STRATIFIED_SQL = """
-SELECT lang, count(*) AS n_sampled, round(avg(n_chars), 4) AS avg_chars
+SELECT lang, count(*) AS n_sampled,
+       CAST(cast(sum(n_chars) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
 FROM documents
 WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 20
 GROUP BY lang
@@ -5367,31 +5414,50 @@ SELECT c_count, count(*) AS custdist FROM c_orders GROUP BY c_count
 def _q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q14-style: promo revenue share for one ship month.
     Conditional aggregate over a broadcast part join; the shipdate
-    filter reaches the parquet scan."""
+    filter reaches the parquet scan. Revenue is summed as the exact
+    integer grain cents x (100 - discount-hundredths) — decimal(18,0)
+    factors so products stay on the fast decimal path — and the share
+    is ONE unrounded float division both engines compute identically
+    (r11 lint: the former round(float-sum ratio, 4) rode
+    order-dependent double sums)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_s = F.round(F.col("l_extendedprice") * 100).cast("decimal(18,0)") * (
+        F.lit(100).cast("decimal(18,0)")
+        - F.round(F.col("l_discount") * 100).cast("decimal(18,0)")
+    )
     return (
         li.filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01"))
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
-                4,
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev_s).otherwise(
+                    F.lit(0).cast("decimal(37,0)")
+                )
+            ).alias("__sp"),
+            F.sum(rev_s).alias("__sa"),
+        )
+        .select(
+            (
+                F.lit(100.0) * F.col("__sp").cast("double") / F.col("__sa").cast("double")
             ).alias("promo_share")
         )
     )
 
 
 _Q14_SQL = """
-SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-              / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+WITH s AS (
+    SELECT cast(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(round(l_extendedprice * 100) AS HUGEINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    ELSE 0 END) AS HUGEINT) AS sp,
+           cast(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS HUGEINT) AS sa
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+)
+SELECT 100.0 * CAST(sp AS DOUBLE) / CAST(sa AS DOUBLE) AS promo_share FROM s
 """
 
 
@@ -5412,12 +5478,21 @@ def _q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         branded.join(F.broadcast(per_part), branded.l_partkey == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("qty_cutoff"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        # exact integer cents sum, ONE unrounded shared division (r11
+        # lint: the former round(float-sum / 7, 4) rode an
+        # order-dependent double sum)
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("decimal(18,0)"))
+                .cast("double")
+                / F.lit(700.0)
+            ).alias("avg_yearly")
+        )
     )
 
 
 _Q17_SQL = """
-SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+SELECT CAST(cast(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS DOUBLE) / 700.0 AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#1'
   AND l_quantity < (SELECT 0.5 * avg(l_quantity)
@@ -6792,7 +6867,12 @@ def _status_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").alias("status"))
         .agg(
             F.count(F.lit(1)).alias("n_intervals"),
-            F.round((F.sum(dur_micro) / F.count(F.lit(1))) / 1000000.0, 4).alias("mean_dwell_s"),
+            # unrounded shared expression over exact integer micros
+            # (r11 lint: round-4 of a rational mean can land on .5)
+            (
+                (F.sum(dur_micro).cast("double") / F.count(F.lit(1)).cast("double"))
+                / 1000000.0
+            ).alias("mean_dwell_s"),
         )
     )
 
@@ -6810,7 +6890,7 @@ WITH ordered AS (
 )
 SELECT event_type AS status,
        cast(count(*) AS BIGINT) AS n_intervals,
-       round((sum(epoch_us(valid_to) - epoch_us(valid_from)) / count(*)) / 1000000.0, 4) AS mean_dwell_s
+       (CAST(sum(epoch_us(valid_to) - epoch_us(valid_from)) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0 AS mean_dwell_s
 FROM hist
 WHERE valid_to IS NOT NULL
 GROUP BY event_type
@@ -7426,14 +7506,19 @@ def _promo_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         (F.col("n_tb") > 0) & (F.col("n_ta") > 0) & (F.col("n_cb") > 0) & (F.col("n_ca") > 0)
     )
-    m = {c: F.col(f"s_{c}") / F.col(f"n_{c}") / F.lit(100.0) for c in ("tb", "ta", "cb", "ca")}
+    # unrounded shared expressions over exact integer cells (r11 lint:
+    # round-4 of a rational s/n can land on .5 -> HALF_UP/half-even)
+    m = {
+        c: F.col(f"s_{c}").cast("double") / F.col(f"n_{c}").cast("double") / F.lit(100.0)
+        for c in ("tb", "ta", "cb", "ca")
+    }
     return agg.select(
         "p_brand",
-        F.round(m["tb"], 4).alias("mean_treat_before"),
-        F.round(m["ta"], 4).alias("mean_treat_after"),
-        F.round(m["cb"], 4).alias("mean_ctrl_before"),
-        F.round(m["ca"], 4).alias("mean_ctrl_after"),
-        F.round((m["ta"] - m["tb"]) - (m["ca"] - m["cb"]), 4).alias("uplift"),
+        m["tb"].alias("mean_treat_before"),
+        m["ta"].alias("mean_treat_after"),
+        m["cb"].alias("mean_ctrl_before"),
+        m["ca"].alias("mean_ctrl_after"),
+        ((m["ta"] - m["tb"]) - (m["ca"] - m["cb"])).alias("uplift"),
     )
 
 
@@ -7456,12 +7541,12 @@ WITH j AS (
     FROM j GROUP BY 1
 )
 SELECT p_brand,
-       round(s_tb / n_tb / 100.0, 4) AS mean_treat_before,
-       round(s_ta / n_ta / 100.0, 4) AS mean_treat_after,
-       round(s_cb / n_cb / 100.0, 4) AS mean_ctrl_before,
-       round(s_ca / n_ca / 100.0, 4) AS mean_ctrl_after,
-       round((s_ta / n_ta / 100.0 - s_tb / n_tb / 100.0)
-             - (s_ca / n_ca / 100.0 - s_cb / n_cb / 100.0), 4) AS uplift
+       CAST(s_tb AS DOUBLE) / CAST(n_tb AS DOUBLE) / 100.0 AS mean_treat_before,
+       CAST(s_ta AS DOUBLE) / CAST(n_ta AS DOUBLE) / 100.0 AS mean_treat_after,
+       CAST(s_cb AS DOUBLE) / CAST(n_cb AS DOUBLE) / 100.0 AS mean_ctrl_before,
+       CAST(s_ca AS DOUBLE) / CAST(n_ca AS DOUBLE) / 100.0 AS mean_ctrl_after,
+       (CAST(s_ta AS DOUBLE) / CAST(n_ta AS DOUBLE) / 100.0 - CAST(s_tb AS DOUBLE) / CAST(n_tb AS DOUBLE) / 100.0)
+       - (CAST(s_ca AS DOUBLE) / CAST(n_ca AS DOUBLE) / 100.0 - CAST(s_cb AS DOUBLE) / CAST(n_cb AS DOUBLE) / 100.0) AS uplift
 FROM agg
 WHERE n_tb > 0 AND n_ta > 0 AND n_cb > 0 AND n_ca > 0
 """
@@ -10644,13 +10729,82 @@ FROM m
 """
 
 
+# -- r11 driver sample (first 50), applied as a reorder at return time:
+# the 13 never-driver-attested r10 entries (mann_whitney_value ..
+# source_data_card — VERDICT r10 item 1; six of them are ALSO this
+# round's changed-code entries: srm_check zero-arm spine, t_closeness
+# m=1/NULL-bucket contract, link_prediction degree refusal,
+# deterministic_shuffle / token_budget_select / source_data_card on the
+# sign-corrected two-phase running sum), then the 7-entry r5 block and
+# the 30 stalest r6 entries (last-attested ranking computed from
+# CORRECTNESS_r01..r10 keys). Shingle consumers doc_fingerprint /
+# minhash_eval / minhash_near_dup / ngram_jaccard land in the r6 block,
+# covering the shingles() NULL-contract change. New r11 entries are
+# prepended as they are added. --
+_R11_SAMPLE_HEAD = [
+    "mann_whitney_value",
+    "cuped_adjustment",
+    "srm_check",
+    "order_totals_reconcile",
+    "ab_readout",
+    "link_prediction",
+    "t_closeness",
+    "wilcoxon_signed_rank",
+    "paired_t_test",
+    "auc_eval",
+    "deterministic_shuffle",
+    "token_budget_select",
+    "source_data_card",
+    "skew_profile",
+    "span_dedup_incremental",
+    "topk_per_group",
+    "w1_group_total",
+    "w2_dedup_keeprule",
+    "w3_pick_first",
+    "w4_min_by",
+    "asof_join",
+    "bpe_merges",
+    "bpe_token_count",
+    "c1_required_fields_filter",
+    "cube_agg",
+    "dedup_exact",
+    "dedup_incremental_exact",
+    "doc_fingerprint",
+    "doc_pagerank",
+    "dup_triangles",
+    "e8_duplicate_groups",
+    "embedding_near_dup",
+    "embedding_near_dup_blocked",
+    "f11_split_name_parse",
+    "f12_checksum",
+    "f15_json_extract",
+    "f1_f3_date_suite",
+    "f2_contact_datetime",
+    "f5_discount_parse",
+    "f8_category_split",
+    "f9_f10_blob_names",
+    "grouping_sets_agg",
+    "heavy_hitters_cms",
+    "hypertable_distinct",
+    "itens_fact",
+    "ivf_pq_rerank_top_k",
+    "ivf_top_k",
+    "kmeans_refine",
+    "knn_brute_force",
+    "lang_id",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _queries_base()
+    head = {k: base[k] for k in _R11_SAMPLE_HEAD}
+    return head | {k: v for k, v in base.items() if k not in head}
+
+
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # -- r10 driver sample (first 50): the 22 never-driver-attested
-        # r9 entries, the 2 entries whose code/oracle changed this round
-        # (revenue_bridge exact micro-cents; measure_correlations
-        # complete-case oracle — stale-churn guard), then the 26 stalest
-        # of the r5/r6 block. Freshly r9-attested fifty moved to the tail. --
+        # -- registration order (historical); the driver-facing order is
+        # the r11 rotation applied in queries() above. --
         "scd2_agg_mv": _scd2_agg_mv,
         "sorted_neighborhood_dedup": _sorted_neighborhood_dedup,
         "edit_distance_join": _edit_distance_join,

@@ -96,6 +96,23 @@ def quality_score(c: Column | str) -> Column:
     return (len_ok + punct_ok + word_ok) / F.lit(3.0)
 
 
+def quality_score_int3(c: Column | str) -> Column:
+    """:func:`quality_score` at its EXACT integer grain — the 0..3
+    indicator sum, never divided by 3 (r11 lint: consumers that
+    threshold on the score were rounding ``score * 3`` back to an
+    integer to undo the float division; this emits the integer
+    directly). Same three indicators, bit-portable to the SQL twins'
+    CASE sums."""
+    c = _col(c)
+    n = F.length(c)
+    len_ok = F.when((n >= 50) & (n <= 5000), F.lit(1)).otherwise(F.lit(0))
+    punct_ok = F.when(punct_ratio(c) < 0.2, F.lit(1)).otherwise(F.lit(0))
+    ntok = whitespace_token_count(c)
+    mean_word = F.when(ntok > 0, n.cast("double") / ntok).otherwise(F.lit(0.0))
+    word_ok = F.when((mean_word >= 3.0) & (mean_word <= 12.0), F.lit(1)).otherwise(F.lit(0))
+    return (len_ok + punct_ok + word_ok).cast("int")
+
+
 # PII patterns kept RE2-compatible (no lookarounds) so the same regex
 # runs on Spark (Java regex) and SQL oracles alike.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -1384,12 +1384,12 @@ def source_data_card(docs: DataFrame, text_col: str, source_col: str) -> DataFra
     100 TB this is one map-side-combined pass ending in ~dozens of
     rows.
     """
-    from ..functions.text import quality_score, whitespace_token_count
+    from ..functions.text import quality_score_int3, whitespace_token_count
 
     n = F.count(F.lit(1))
     toks = F.sum(whitespace_token_count(text_col).cast("long"))
     q3 = F.sum(
-        F.when(F.round(quality_score(text_col) * 3).cast("int") == 3, 1).otherwise(0)
+        F.when(quality_score_int3(text_col) == 3, 1).otherwise(0)
     ).cast("long")
     short = F.sum(F.when(F.length(text_col) < 50, 1).otherwise(0)).cast("long")
     return (
