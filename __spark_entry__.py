@@ -10729,6 +10729,185 @@ FROM m
 """
 
 
+def _mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical dependence audit (quality.mutual_information):
+    MI(lang; source) in nats over documents, with marginal entropies
+    and geometric-mean NMI. One map-side-combined aggregate to the
+    (lang, source) cell grain; marginals from windows over the tiny
+    cell relation; float terms fold per cell at the char_entropy
+    precedent (exact integer counts -> shared-verbatim double
+    expressions, round-6 at the audit grain)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality.mutual_information(docs, "lang", "source")
+
+
+_MUTUAL_INFORMATION_SQL = """
+WITH cells AS (
+    SELECT lang, source, cast(count(*) AS BIGINT) AS c
+    FROM documents
+    WHERE lang IS NOT NULL AND source IS NOT NULL
+    GROUP BY 1, 2
+), t AS (
+    SELECT c,
+           sum(c) OVER (PARTITION BY lang) AS nx,
+           sum(c) OVER (PARTITION BY source) AS ny,
+           sum(c) OVER () AS n
+    FROM cells
+), a AS (
+    SELECT cast(max(n) AS BIGINT) AS n,
+           cast(count(*) AS BIGINT) AS n_cells,
+           round(sum((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+                          / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))), 6) AS mi_nats,
+           sum(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))) AS hx,
+           sum(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))) AS hy
+    FROM t
+)
+SELECT n, n_cells, mi_nats,
+       round(hx, 6) AS h_x_nats,
+       round(hy, 6) AS h_y_nats,
+       CASE WHEN hx > 0 AND hy > 0
+            THEN round(mi_nats / sqrt(hx * hy), 6) END AS nmi
+FROM a
+"""
+
+
+def _target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free categorical feature build
+    (aggregates.target_encode_loo): each order's market segment
+    encoded as the mean total (cents) of every OTHER order in the
+    segment. Key-grain aggregate broadcast back over the fact — never
+    a window over 5 giant segment partitions; numerator exact int64,
+    one shared double division."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", F.col("c_mktsegment").alias("segment"), "cents"
+    )
+    return aggregates.target_encode_loo(j, "segment", "cents", "loo_mean_cents").select(
+        "o_orderkey", "segment", "loo_mean_cents"
+    )
+
+
+_TARGET_ENCODE_LOO_SQL = """
+WITH j AS (
+    SELECT o_orderkey, c_mktsegment AS segment,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+), t AS (
+    SELECT segment, sum(cents) AS tot, count(*) AS nk FROM j GROUP BY 1
+)
+SELECT o_orderkey, segment,
+       CASE WHEN nk > 1
+            THEN CAST(tot - cents AS DOUBLE) / CAST(nk - 1 AS DOUBLE)
+       END AS loo_mean_cents
+FROM j JOIN t USING (segment)
+"""
+
+
+def _jaro_winkler_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-pair scoring (dedup.jaro_winkler_rescore): every customer
+    name pair within edit distance 1 (lossless FastSS candidates),
+    scored with Jaro-Winkler. The sequential JW kernel runs as an
+    Arrow-batched pandas UDF on the surviving pairs only; the oracle
+    scores the same pairs with DuckDB's NATIVE
+    jaro_winkler_similarity — a true cross-implementation check of
+    the scoring kernel (convention pinned in
+    tests/test_invariants.py), not a mirrored formula."""
+    cust = load_table(spark, sf_dir, "customer")
+    return dedup.jaro_winkler_rescore(cust, "c_name", "c_custkey", k=1).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "dist",
+        "jw",
+    )
+
+
+_JARO_WINKLER_RESCORE_SQL = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+       round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+def _recs_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender rank-quality backtest: the recs_hit_rate setup
+    (co-purchase top-5 trained pre-1999, evaluated on held-out
+    directed test co-occurrences) graded by MRR@5 and hits@1 instead
+    of flat hit rate. Ranks come from a deterministic INTEGER
+    ordering (n_ab desc, j asc), and the reciprocal-rank sum stays
+    exact via the LCM trick — sum(60 div rank) in int64 (60 = lcm of
+    1..5), ONE shared double division at the end — so the metric
+    never rides float-summation order."""
+    k = 5
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_shipdate")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def directed_pairs(d: DataFrame) -> DataFrame:
+        dd = d.select("l_orderkey", "l_partkey").distinct()
+        a = dd.select("l_orderkey", F.col("l_partkey").alias("i"))
+        b = dd.select("l_orderkey", F.col("l_partkey").alias("j"))
+        return a.join(b, "l_orderkey").filter(F.col("i") != F.col("j"))
+
+    train = (
+        directed_pairs(li.filter(F.col("l_shipdate") < cutoff))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    w = Window.partitionBy("i").orderBy(F.col("n_ab").desc(), F.col("j").asc())
+    recs = train.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    test = directed_pairs(li.filter(F.col("l_shipdate") >= cutoff)).select("i", "j").distinct()
+    hit = test.join(recs.select("i", "j", "rn"), ["i", "j"], "left")
+    return hit.agg(
+        F.lit(k).alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.count("rn").cast("long").alias("n_hits"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_hits_at_1"),
+        F.round(
+            F.coalesce(F.sum(F.expr("60 div rn")), F.lit(0)).cast("double")
+            / (F.lit(60.0) * F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("mrr"),
+    )
+
+
+_RECS_MRR_SQL = """
+WITH tr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'),
+te AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'),
+train AS (
+    SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS n_ab
+    FROM tr a JOIN tr b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+), recs AS (
+    SELECT i, j, rn FROM (
+        SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY n_ab DESC, j) AS rn
+        FROM train
+    ) WHERE rn <= 5
+), test AS (
+    SELECT DISTINCT a.l_partkey AS i, b.l_partkey AS j
+    FROM te a JOIN te b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), h AS (
+    SELECT test.i, test.j, recs.rn
+    FROM test LEFT JOIN recs ON test.i = recs.i AND test.j = recs.j
+)
+SELECT 5 AS k,
+       cast(count(*) AS BIGINT) AS n_test,
+       cast(count(rn) AS BIGINT) AS n_hits,
+       cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_at_1,
+       round(CAST(coalesce(sum(60 // rn), 0) AS DOUBLE)
+             / (60.0 * CAST(count(*) AS DOUBLE)), 6) AS mrr
+FROM h
+"""
+
+
 # -- r11 driver sample (first 50), applied as a reorder at return time:
 # the 13 never-driver-attested r10 entries (mann_whitney_value ..
 # source_data_card — VERDICT r10 item 1; six of them are ALSO this
@@ -10742,6 +10921,10 @@ FROM m
 # covering the shingles() NULL-contract change. New r11 entries are
 # prepended as they are added. --
 _R11_SAMPLE_HEAD = [
+    "mutual_information",
+    "target_encode_loo",
+    "jaro_winkler_rescore",
+    "recs_mrr",
     "mann_whitney_value",
     "cuped_adjustment",
     "srm_check",
@@ -10805,6 +10988,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "mutual_information": _mutual_information,
+        "target_encode_loo": _target_encode_loo,
+        "jaro_winkler_rescore": _jaro_winkler_rescore,
+        "recs_mrr": _recs_mrr,
         "scd2_agg_mv": _scd2_agg_mv,
         "sorted_neighborhood_dedup": _sorted_neighborhood_dedup,
         "edit_distance_join": _edit_distance_join,
@@ -11082,6 +11269,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mutual_information": _MUTUAL_INFORMATION_SQL,
+        "target_encode_loo": _TARGET_ENCODE_LOO_SQL,
+        "jaro_winkler_rescore": _JARO_WINKLER_RESCORE_SQL,
+        "recs_mrr": _RECS_MRR_SQL,
         "bfs_reachability": _BFS_REACHABILITY_SQL,
         "item_item_cosine": _ITEM_ITEM_COSINE_SQL,
         "decayed_trending": _DECAYED_TRENDING_SQL,

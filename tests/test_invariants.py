@@ -2273,3 +2273,64 @@ def test_pearson_fast_path_edge_cases(spark):
     exact = aggregates.pearson_exact(frac, cols2).collect()
     fast = aggregates.pearson_exact(frac, cols2, max_abs=100).collect()
     assert [tuple(r) for r in exact] == [tuple(r) for r in fast]
+
+
+def test_mutual_information_laws(spark):
+    """Independent uniform columns give MI exactly 0 (every cell term
+    is ln(1)); a column against itself gives MI = H(X) and NMI = 1;
+    MI never exceeds either marginal entropy."""
+    rows = [(x, y) for x in ("a", "b") for y in ("u", "v", "w") for _ in range(4)]
+    ind = spark.createDataFrame(rows, "x string, y string")
+    r = quality.mutual_information(ind, "x", "y").collect()[0]
+    assert r["mi_nats"] == 0.0 and r["n"] == 24 and r["n_cells"] == 6
+
+    dup = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",)], "x string"
+    ).withColumn("y", F.col("x"))
+    r2 = quality.mutual_information(dup, "x", "y").collect()[0]
+    assert r2["mi_nats"] == r2["h_x_nats"] == r2["h_y_nats"] > 0
+    assert r2["nmi"] == 1.0
+
+    skewed = spark.createDataFrame(
+        [("a", "u"), ("a", "v"), ("b", "u"), ("b", "u"), ("b", "v")],
+        "x string, y string",
+    )
+    r3 = quality.mutual_information(skewed, "x", "y").collect()[0]
+    assert 0.0 <= r3["mi_nats"] <= min(r3["h_x_nats"], r3["h_y_nats"]) + 1e-6
+
+
+def test_target_encode_loo_contract(spark):
+    """LOO mean excludes the row's own value, singleton keys encode
+    NULL, and fractional / null values fail stop (never silent
+    truncation)."""
+    df = spark.createDataFrame(
+        [("s", 10, 1), ("s", 20, 2), ("s", 40, 3), ("t", 7, 4)],
+        "k string, v long, id long",
+    )
+    out = {
+        r["id"]: r["loo"]
+        for r in aggregates.target_encode_loo(df, "k", "v", "loo").collect()
+    }
+    assert out[1] == 30.0 and out[2] == 25.0 and out[3] == 15.0
+    assert out[4] is None
+
+    frac = spark.createDataFrame([("s", 1.5, 1), ("s", 2.0, 2)], "k string, v double, id long")
+    with pytest.raises(Exception, match="integer grain"):
+        aggregates.target_encode_loo(frac, "k", "v").collect()
+    nul = spark.createDataFrame([("s", None, 1), ("s", 2, 2)], "k string, v long, id long")
+    with pytest.raises(Exception, match="integer grain"):
+        aggregates.target_encode_loo(nul, "k", "v").collect()
+
+
+def test_jaro_winkler_rescore_bounds_and_pairs(spark):
+    """Rescored pairs are exactly the edit-distance<=1 pairs; scores
+    sit in [0, 1]; identical strings score 1."""
+    df = spark.createDataFrame(
+        [(1, "anna"), (2, "anna"), (3, "anne"), (4, "bob")],
+        "id long, name string",
+    )
+    rows = dedup.jaro_winkler_rescore(df, "name", "id", k=1).collect()
+    pairs = {(r["id_a"], r["id_b"]): (r["dist"], r["jw"]) for r in rows}
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert pairs[(1, 2)] == (0, 1.0)
+    assert all(0.0 <= jw <= 1.0 for _, jw in pairs.values())

@@ -916,3 +916,36 @@ def test_two_phase_partitioned_running_sum_fractional_failstop(spark):
     )
     with pytest.raises(Exception, match="non-null"):
         W.partitioned_running_sum_two_phase(nul, ["k"], order, "w", "cs").collect()
+
+
+def test_jaro_winkler_matches_duckdb_convention():
+    """The rescoring kernel's Python reference must track DuckDB's
+    native jaro_winkler_similarity bit-for-bit (within 1e-12) on
+    random pairs — including both-empty (0.0, NOT 1.0), one-empty,
+    equal, and transposition-heavy strings. This pins the convention
+    the cross-engine oracle of jaro_winkler_rescore depends on."""
+    import random
+
+    import duckdb
+
+    from z316_sales_data_pipeline_spark.operators.dedup import _jaro_winkler_py
+
+    con = duckdb.connect()
+    rng = random.Random(11)
+    cases = [("", ""), ("", "a"), ("ab", "ba"), ("martha", "marhta"),
+             ("DIXON", "DICKSONX"), ("abcdxxxx", "abcyyyyy")]
+    for _ in range(2000):
+        n1, n2 = rng.randint(0, 9), rng.randint(0, 9)
+        cases.append(
+            (
+                "".join(rng.choice("abcd") for _ in range(n1)),
+                "".join(rng.choice("abcd") for _ in range(n2)),
+            )
+        )
+    for s, t in cases:
+        d = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [s, t]
+        ).fetchone()[0]
+        p = _jaro_winkler_py(s, t)
+        assert abs(d - p) <= 1e-12, (s, t, d, p)
+    assert _jaro_winkler_py(None, "a") is None

@@ -652,3 +652,52 @@ def hierarchy_shares(
         out = lvl if out is None else out.unionByName(lvl)
         child = node
     return out
+
+
+def target_encode_loo(
+    df: DataFrame, key_col: str, value_col: str, out_col: str = "loo_mean"
+) -> DataFrame:
+    """Leave-one-out target encoding: each row's ``out_col`` is the
+    mean of ``value_col`` over all OTHER rows sharing its
+    ``key_col`` — the standard leakage-free categorical encoder for
+    model features (a row never sees its own target).
+
+    ``value_col`` must be an exact integer grain (cents,
+    micro-units): the numerator ``sum - own`` stays exact in int64
+    and the single double division is shared verbatim with the SQL
+    twin. A fail-stop ``assert_true`` refuses null/fractional inputs
+    rather than silently truncating (the two_phase_running_sum rule).
+    Keys with a single row encode as NULL (no leave-one-out mean
+    exists).
+
+    Plan shape: ONE map-side-combined hash aggregate to key grain
+    (|keys| rows), broadcast back over the fact — never a window
+    over giant key partitions (a 100 TB fact with 5 segment keys
+    would put ~20 TB in one window partition; the group-then-join
+    plan shuffles only the key-grain relation).
+    """
+    v = F.col(value_col)
+    guard = F.assert_true(
+        v.isNotNull() & (v == F.floor(v)),
+        F.lit(
+            f"target_encode_loo: {value_col} must be a non-null exact"
+            " integer grain (cents / micro-units) — round to an integer"
+            " grain explicitly before encoding"
+        ),
+    )
+    guarded = df.withColumn("__v", F.when(guard.isNull(), v).cast("long"))
+    totals = guarded.groupBy(key_col).agg(
+        F.sum("__v").alias("__tot"), F.count(F.lit(1)).alias("__nk")
+    )
+    return (
+        guarded.join(F.broadcast(totals), key_col)
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__nk") > 1,
+                (F.col("__tot") - F.col("__v")).cast("double")
+                / (F.col("__nk") - 1).cast("double"),
+            ),
+        )
+        .drop("__v", "__tot", "__nk")
+    )

@@ -519,3 +519,70 @@ def t_closeness(
         .otherwise(F.lit(0.0))
         .alias("t_emd"),
     )
+
+
+def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, with
+    marginal entropies and the geometric-mean normalized MI — the
+    feature-relevance / drift-profiling companion to the reference's
+    imperative per-column validators (`data_validation/*-checker.py`
+    counts one column at a time; this scores the DEPENDENCE between
+    two).
+
+    One hash aggregate reduces the fact scan to (x, y) cell counts
+    (map-side combined), so the wide relation never crosses the wire;
+    marginals come from windows over the CELL relation (|X|·|Y| rows,
+    ~dozens), never a second scan. MI folds one float term per cell —
+    the char_entropy precedent: exact integer counts feed
+    shared-verbatim double expressions, rounded at the audit grain
+    (6dp) on both engines. NULL categories count as their own level
+    only if present in BOTH columns' row (rows with a NULL in either
+    column are dropped first — complete-case, the mann_whitney rule).
+
+    At 100 TB: cost is the one scan + a shuffle of |X|·|Y| cells;
+    output is a single row.
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(x_col, y_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    from pyspark.sql import Window
+
+    wx = Window.partitionBy(x_col)
+    wy = Window.partitionBy(y_col)
+    wall = Window.partitionBy()
+    t = cells.select(
+        F.col("__c"),
+        F.sum("__c").over(wx).alias("__nx"),
+        F.sum("__c").over(wy).alias("__ny"),
+        F.sum("__c").over(wall).alias("__n"),
+    )
+    c = F.col("__c").cast("double")
+    nx = F.col("__nx").cast("double")
+    ny = F.col("__ny").cast("double")
+    n = F.col("__n").cast("double")
+    mi_term = (c / n) * F.log((c * n) / (nx * ny))
+    # marginal-entropy terms counted once per marginal level: weight
+    # each cell's term by c/n_margin so the per-level term sums to
+    # exactly -(n_margin/n)*ln(n_margin/n) without a second distinct
+    hx_term = -(c / n) * F.log(nx / n)
+    hy_term = -(c / n) * F.log(ny / n)
+    out = t.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.sum(mi_term), 6).alias("mi_nats"),
+        F.sum(hx_term).alias("__hx"),
+        F.sum(hy_term).alias("__hy"),
+    )
+    return out.select(
+        "n",
+        "n_cells",
+        "mi_nats",
+        F.round(F.col("__hx"), 6).alias("h_x_nats"),
+        F.round(F.col("__hy"), 6).alias("h_y_nats"),
+        F.when(
+            (F.col("__hx") > 0) & (F.col("__hy") > 0),
+            F.round(F.col("mi_nats") / F.sqrt(F.col("__hx") * F.col("__hy")), 6),
+        ).alias("nmi"),
+    )
