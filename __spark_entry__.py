@@ -10908,6 +10908,143 @@ FROM h
 """
 
 
+def _quantile_match_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration (corpus.quantile_match_normalize):
+    each source's n_chars distribution mapped onto the pooled
+    distribution's order statistics. Positions are exact integer
+    arithmetic (floor-division rank mapping — no interpolation, no
+    HALF_UP/half-even seam); within-source AND pooled ranks run
+    two-phase (no giant-key or single-task WindowExec)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return corpus.quantile_match_normalize(
+        docs, "n_chars", "doc_id", "source", out_col="n_chars_matched"
+    )
+
+
+_QUANTILE_MATCH_SQL = """
+WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+nn AS (SELECT cast(count(*) AS BIGINT) AS n FROM base),
+pooled AS (
+    SELECT n_chars AS v, row_number() OVER (ORDER BY n_chars, doc_id) AS g
+    FROM base
+), ranked AS (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+           count(*) OVER (PARTITION BY source) AS ng
+    FROM base
+), pos AS (
+    SELECT doc_id, source, n_chars,
+           CASE WHEN ng > 1 THEN 1 + ((r - 1) * (n - 1)) // (ng - 1)
+                ELSE 1 + (n - 1) // 2 END AS k
+    FROM ranked CROSS JOIN nn
+)
+SELECT pos.doc_id, pos.source, pos.n_chars, pooled.v AS n_chars_matched
+FROM pos JOIN pooled ON pos.k = pooled.g
+"""
+
+
+def _domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap curation (corpus.domain_cap_sample): at most 15
+    documents per source, selected by deterministic md5 order (no
+    RNG; re-runs and the oracle keep the identical subset). Ranks run
+    two-phase — a web crawl's hottest domain is exactly the giant key
+    a per-key window would serialize."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return corpus.domain_cap_sample(docs, "doc_id", "source", cap=15)
+
+
+_DOMAIN_CAP_SQL = """
+WITH h AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000007 AS hh
+    FROM documents
+), r AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS kept_rank
+    FROM h
+)
+SELECT doc_id, source, CAST(kept_rank AS BIGINT) AS kept_rank
+FROM r WHERE kept_rank <= 15
+"""
+
+
+def _always_valid_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential A/B monitor (experiment.always_valid_pvalue): mSPRT
+    always-valid p-value per day over the events stream, arms =
+    portable hash split of user_id, value integer-scaled to cents
+    (the mann_whitney grain), tau2 = 10000 cents^2 (a 1-unit prior sd
+    on the mean difference)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return experiment.always_valid_pvalue(
+        ev,
+        F.round(F.col("value") * 100),
+        "user_id",
+        "ts",
+        tau2=10000.0,
+    )
+
+
+_ALWAYS_VALID_SQL = """
+WITH proj AS (
+    SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS arm,
+           CAST(ts AS DATE) AS day,
+           CAST(round(value * 100) AS DECIMAL(18,0)) AS v
+    FROM events WHERE value IS NOT NULL
+), daily AS (
+    SELECT day, arm, count(*) AS n, sum(v) AS s, sum(v * v) AS ss
+    FROM proj GROUP BY 1, 2
+), cum AS (
+    SELECT day, arm,
+           sum(n) OVER w AS cn, sum(s) OVER w AS cs, sum(ss) OVER w AS css
+    FROM daily
+    WINDOW w AS (PARTITION BY arm ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), a0 AS (SELECT day, cn AS rn0, cs AS rs0, css AS rss0 FROM cum WHERE arm = 0),
+a1 AS (SELECT day, cn AS rn1, cs AS rs1, css AS rss1 FROM cum WHERE arm = 1),
+joined AS (
+    SELECT COALESCE(a0.day, a1.day) AS day, rn0, rs0, rss0, rn1, rs1, rss1
+    FROM a0 FULL OUTER JOIN a1 ON a0.day = a1.day
+), filled AS (
+    SELECT day,
+           last_value(rn0 IGNORE NULLS) OVER wf AS n0d,
+           last_value(rs0 IGNORE NULLS) OVER wf AS s0,
+           last_value(rss0 IGNORE NULLS) OVER wf AS ss0,
+           last_value(rn1 IGNORE NULLS) OVER wf AS n1d,
+           last_value(rs1 IGNORE NULLS) OVER wf AS s1,
+           last_value(rss1 IGNORE NULLS) OVER wf AS ss1
+    FROM joined
+    WINDOW wf AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), stats AS (
+    SELECT day,
+           CAST(n0d AS BIGINT) AS n0, CAST(n1d AS BIGINT) AS n1,
+           CAST(s1 AS DOUBLE) / CAST(n1d AS DOUBLE)
+             - CAST(s0 AS DOUBLE) / CAST(n0d AS DOUBLE) AS delta,
+           (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0d AS DOUBLE))
+             + (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1d AS DOUBLE)) AS ssw,
+           CAST(n0d AS DOUBLE) + CAST(n1d AS DOUBLE) AS n,
+           n0d IS NOT NULL AND n1d IS NOT NULL
+             AND CAST(n0d AS DOUBLE) + CAST(n1d AS DOUBLE) > 2.0 AS defined
+    FROM filled
+), lamt AS (
+    SELECT day, n0, n1,
+           CASE WHEN defined THEN round(delta, 6) END AS delta_hat,
+           CASE WHEN defined AND ssw > 0 THEN
+             sqrt((ssw / (n - 2.0)) * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))
+                  / ((ssw / (n - 2.0)) * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)) + 10000.0))
+             * exp(delta * delta * 10000.0
+                   / (2.0 * (ssw / (n - 2.0)) * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))
+                      * ((ssw / (n - 2.0)) * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)) + 10000.0)))
+           END AS lam
+    FROM stats
+)
+SELECT day, n0, n1, delta_hat,
+       CASE WHEN min(1.0 / lam) OVER wm IS NOT NULL
+            THEN round(least(1.0, min(1.0 / lam) OVER wm), 6) END AS p_always_valid
+FROM lamt
+WINDOW wm AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 # -- r11 driver sample (first 50), applied as a reorder at return time:
 # the 13 never-driver-attested r10 entries (mann_whitney_value ..
 # source_data_card — VERDICT r10 item 1; six of them are ALSO this
@@ -10921,6 +11058,9 @@ FROM h
 # covering the shingles() NULL-contract change. New r11 entries are
 # prepended as they are added. --
 _R11_SAMPLE_HEAD = [
+    "quantile_match_normalize",
+    "domain_cap_sample",
+    "always_valid_pvalue",
     "mutual_information",
     "target_encode_loo",
     "jaro_winkler_rescore",
@@ -10988,6 +11128,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "quantile_match_normalize": _quantile_match_normalize,
+        "domain_cap_sample": _domain_cap_sample,
+        "always_valid_pvalue": _always_valid_pvalue,
         "mutual_information": _mutual_information,
         "target_encode_loo": _target_encode_loo,
         "jaro_winkler_rescore": _jaro_winkler_rescore,
@@ -11269,6 +11412,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quantile_match_normalize": _QUANTILE_MATCH_SQL,
+        "domain_cap_sample": _DOMAIN_CAP_SQL,
+        "always_valid_pvalue": _ALWAYS_VALID_SQL,
         "mutual_information": _MUTUAL_INFORMATION_SQL,
         "target_encode_loo": _TARGET_ENCODE_LOO_SQL,
         "jaro_winkler_rescore": _JARO_WINKLER_RESCORE_SQL,

@@ -2334,3 +2334,72 @@ def test_jaro_winkler_rescore_bounds_and_pairs(spark):
     assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
     assert pairs[(1, 2)] == (0, 1.0)
     assert all(0.0 <= jw <= 1.0 for _, jw in pairs.values())
+
+
+def test_quantile_match_normalize_laws(spark):
+    """A single-group input maps every row onto itself (group ranks =
+    pooled ranks); with multiple groups the mapping is monotone in
+    the value within each group, row count is preserved, and outputs
+    are always pooled values."""
+    one = spark.createDataFrame(
+        [(i, "s", v) for i, v in enumerate([5, 1, 9, 3, 7])],
+        "id long, g string, v long",
+    )
+    out = corpus_mod.quantile_match_normalize(one, "v", "id", "g", "nv").collect()
+    assert all(r["nv"] == r["v"] for r in out) and len(out) == 5
+
+    two = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30),
+         (4, "b", 100), (5, "b", 300)],
+        "id long, g string, v long",
+    )
+    rows = corpus_mod.quantile_match_normalize(two, "v", "id", "g", "nv").collect()
+    assert len(rows) == 5
+    pooled = sorted(r["v"] for r in two.collect())
+    assert all(r["nv"] in pooled for r in rows)
+    for g in ("a", "b"):
+        seq = [r["nv"] for r in sorted(rows, key=lambda r: (r["v"], r["id"])) if r["g"] == g]
+        assert seq == sorted(seq)
+    # group b's min/max map to the pooled extremes
+    by_id = {r["id"]: r["nv"] for r in rows}
+    assert by_id[4] == pooled[0] and by_id[5] == pooled[-1]
+
+
+def test_domain_cap_sample_contract(spark):
+    """Kept counts are min(cap, group size), kept_rank is 1..cap, and
+    the selection is deterministic across runs."""
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(20)] + [(100 + i, "small") for i in range(3)],
+        "id long, g string",
+    )
+    out1 = corpus_mod.domain_cap_sample(df, "id", "g", cap=5).collect()
+    counts = {}
+    for r in out1:
+        counts[r["g"]] = counts.get(r["g"], 0) + 1
+        assert 1 <= r["kept_rank"] <= 5
+    assert counts == {"big": 5, "small": 3}
+    out2 = corpus_mod.domain_cap_sample(df, "id", "g", cap=5).collect()
+    assert {r["id"] for r in out1} == {r["id"] for r in out2}
+
+
+def test_always_valid_pvalue_laws(spark, sf_dir):
+    """The always-valid p is a running min capped at 1: within (0, 1],
+    non-increasing over days once defined; cumulative arm counts are
+    non-decreasing."""
+    from z316_sales_data_pipeline_spark.operators import experiment
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    rows = experiment.always_valid_pvalue(
+        ev, F.round(F.col("value") * 100), "user_id", "ts", tau2=10000.0
+    ).orderBy("day").collect()
+    assert rows
+    prev_p, prev_n = None, 0
+    for r in rows:
+        n = (r["n0"] or 0) + (r["n1"] or 0)
+        assert n >= prev_n
+        prev_n = n
+        if r["p_always_valid"] is not None:
+            assert 0.0 < r["p_always_valid"] <= 1.0
+            if prev_p is not None:
+                assert r["p_always_valid"] <= prev_p + 1e-12
+            prev_p = r["p_always_valid"]

@@ -1415,3 +1415,86 @@ def source_data_card(docs: DataFrame, text_col: str, source_col: str) -> DataFra
             ),
         )
     )
+
+
+def quantile_match_normalize(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_col: str,
+    out_col: str = "normalized",
+) -> DataFrame:
+    """Quantile matching: map each group's value distribution onto the
+    POOLED distribution — the cross-source score calibrator (a quality
+    score of 0.8 from a lenient source and 0.8 from a strict one mean
+    different things; after matching, equal quantile rank means equal
+    value). Each row's ``out_col`` is the pooled order statistic at
+    the row's within-group quantile position.
+
+    Positions are EXACT integer arithmetic, never interpolated floats:
+    a row at within-group rank r of n_g maps to pooled rank
+    ``1 + ((r-1)(N-1)) div (n_g-1)`` (floor division; a singleton
+    group maps to the pooled median ``1 + (N-1) div 2``), so both
+    engines pick the identical order statistic — no HALF_UP/half-even
+    divergence, no interpolation.
+
+    Scale shape: within-group ranks via
+    ``partitioned_row_number_two_phase`` (a 100 TB corpus has FEW
+    sources — per-key windows would route one source's shard through
+    one task); pooled ranks via the global two-phase rank; the order-
+    statistic lookup is an equi-join on the pooled rank. Guard:
+    (r-1)(N-1) must fit int64 — refuse past ~3e9 rows with decimal
+    advice rather than overflow silently.
+    """
+    from .windows import partitioned_row_number_two_phase, two_phase_row_number
+
+    v = F.col(value_col)
+    order = [v.asc(), F.col(id_col).asc()]
+    pooled, total = two_phase_row_number(
+        df.select(F.col(id_col), v.alias("__v")),
+        [F.col("__v").asc(), F.col(id_col).asc()],
+        "__g",
+    )
+    if total > 3_000_000_000:
+        raise ValueError(
+            "quantile_match_normalize: (r-1)*(N-1) would overflow int64 "
+            f"at N={total}; integer-upgrade the position product to "
+            "decimal(38,0) before running at this scale"
+        )
+    ranked = partitioned_row_number_two_phase(df, [group_col], order, "__r")
+    sizes = ranked.groupBy(group_col).agg(F.count(F.lit(1)).alias("__ng"))
+    k = F.when(
+        F.col("__ng") > 1,
+        F.lit(1)
+        + F.expr(f"((__r - 1) * ({total} - 1)) div (__ng - 1)"),
+    ).otherwise(F.lit(1) + F.lit((total - 1) // 2))
+    positioned = ranked.join(F.broadcast(sizes), group_col).withColumn("__k", k)
+    lookup = pooled.select(F.col("__g").alias("__k"), F.col("__v").alias(out_col))
+    return positioned.join(lookup, "__k").drop("__k", "__r", "__ng")
+
+
+def domain_cap_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    cap: int,
+) -> DataFrame:
+    """Per-domain cap sampling: keep at most ``cap`` rows per
+    ``group_col``, chosen by a DETERMINISTIC hash order (md5-hex of
+    the id — no RNG, no seed coordination; re-runs, late arrivals and
+    the SQL oracle keep the identical subset). The classic corpus-
+    curation guard against one domain flooding the mixture.
+
+    Within-group ranks via ``partitioned_row_number_two_phase`` — a
+    web crawl's biggest domain is exactly the giant key a per-key
+    window would serialize through one task. Rows keep their columns;
+    ``kept_rank`` (1..cap) records the selection order for audits.
+    """
+    from .windows import partitioned_row_number_two_phase
+
+    h = hash_bucket(F.col(id_col), 1_000_000_007)
+    with_h = df.withColumn("__h", h)
+    ranked = partitioned_row_number_two_phase(
+        with_h, [group_col], [F.col("__h").asc(), F.col(id_col).asc()], "kept_rank"
+    )
+    return ranked.filter(F.col("kept_rank") <= cap).drop("__h")

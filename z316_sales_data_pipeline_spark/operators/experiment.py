@@ -384,3 +384,128 @@ def auc_exact(
             / (F.lit(2.0) * F.col("n_a").cast("double") * F.col("n_b").cast("double")),
         ).alias("auc"),
     )
+
+
+def always_valid_pvalue(
+    df: DataFrame,
+    value_int: Column,
+    id_col: str,
+    ts_col: str,
+    tau2: float,
+    n_arms: int = 2,
+) -> DataFrame:
+    """Sequential A/B monitoring: a day-grain ALWAYS-VALID p-value via
+    the two-sample mixture SPRT (mSPRT, Johari et al. 2017) with a
+    normal mixture N(0, tau2) on the mean difference — the "peeking
+    is safe" readout a dashboard needs (a fixed-horizon t-test's p is
+    invalid the moment anyone looks early and stops).
+
+    Per day d over cumulative data through d (arms =
+    :func:`~.corpus.hash_bucket` of the unit, the srm_check
+    assignment):
+
+        Vn      = sigma2_hat * (1/n0 + 1/n1)   (pooled within-arm var)
+        Lambda  = sqrt(Vn / (Vn + tau2))
+                  * exp(delta_hat^2 * tau2 / (2 * Vn * (Vn + tau2)))
+        p_d     = min(1, min_{m <= d} 1 / Lambda_m)   (running min)
+
+    Exactness: the unit-grain scan reduces ONCE to (day, arm) moments
+    (n, sum, sum-of-squares as exact decimals of the integer-scaled
+    value — the ab_readout discipline); cumulative moments, the
+    Lambda expression and the running min all live on the ~day-count
+    relation, shared verbatim with the SQL twin. Days where the
+    statistic is undefined (an empty arm, <3 units, zero variance)
+    emit a NULL lambda and are skipped by the running min.
+
+    Scale: one size-linear aggregate; everything after is O(days).
+    The day-grain windows are single tiny partitions by construction
+    (bounded by the calendar, the ewma_forecast precedent).
+    """
+    from pyspark.sql import Window
+
+    proj = df.select(
+        hash_bucket(F.col(id_col), n_arms).cast("int").alias("arm"),
+        F.to_date(F.col(ts_col)).alias("day"),
+        value_int.cast("decimal(18,0)").alias("__v"),
+    ).filter(F.col("__v").isNotNull() & (F.col("arm") < 2))
+    daily = proj.groupBy("day", "arm").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__ss"),
+    )
+    wcum = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "day",
+        "arm",
+        F.sum("__n").over(wcum).alias("__cn"),
+        F.sum("__s").over(wcum).alias("__cs"),
+        F.sum("__ss").over(wcum).alias("__css"),
+    )
+    a0 = cum.filter(F.col("arm") == 0).select(
+        "day",
+        F.col("__cn").alias("__n0"),
+        F.col("__cs").alias("__s0"),
+        F.col("__css").alias("__ss0"),
+    )
+    a1 = cum.filter(F.col("arm") == 1).select(
+        "day",
+        F.col("__cn").alias("__n1"),
+        F.col("__cs").alias("__s1"),
+        F.col("__css").alias("__ss1"),
+    )
+    # as-of alignment: a day may have traffic in only one arm; carry
+    # the other arm's last cumulative forward via a running last
+    both = (
+        a0.join(a1, "day", "full")
+        .select(
+            "day",
+            *[
+                F.last(c, ignorenulls=True)
+                .over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0))
+                .alias(c)
+                for c in ("__n0", "__s0", "__ss0", "__n1", "__s1", "__ss1")
+            ],
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n0, n1 = d("__n0"), d("__n1")
+    n = n0 + n1
+    delta = d("__s1") / n1 - d("__s0") / n0
+    ssw = (d("__ss0") - d("__s0") * d("__s0") / n0) + (
+        d("__ss1") - d("__s1") * d("__s1") / n1
+    )
+    sigma2 = ssw / (n - F.lit(2.0))
+    vn = sigma2 * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+    lam = F.sqrt(vn / (vn + F.lit(tau2))) * F.exp(
+        delta * delta * F.lit(tau2) / (F.lit(2.0) * vn * (vn + F.lit(tau2)))
+    )
+    defined = (
+        F.col("__n0").isNotNull()
+        & F.col("__n1").isNotNull()
+        & (n > F.lit(2.0))
+    )
+    staged = both.select(
+        "day",
+        F.col("__n0").cast("long").alias("n0"),
+        F.col("__n1").cast("long").alias("n1"),
+        F.when(defined, F.round(delta, 6)).alias("delta_hat"),
+        F.when(defined & (ssw > 0), lam).alias("__lam"),
+    )
+    wmin = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    mn = F.min(F.lit(1.0) / F.col("__lam")).over(wmin)
+    # explicit NULL gate: Spark's least() skips NULL args while
+    # DuckDB 1.0's returns NULL only when ALL are NULL — don't let the
+    # two conventions meet; a day with no defined Lambda yet is NULL
+    return staged.select(
+        "day",
+        "n0",
+        "n1",
+        "delta_hat",
+        F.when(mn.isNotNull(), F.round(F.least(F.lit(1.0), mn), 6)).alias(
+            "p_always_valid"
+        ),
+    )
