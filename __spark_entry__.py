@@ -11045,6 +11045,86 @@ WINDOW wm AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
 
+def _local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-grain clustering coefficients (graph.local_clustering)
+    over the shared at-rest word-Jaccard pair relation — which dup
+    members are clique-core vs chain-bridge. Triangles credit their
+    three vertices via one explode; degrees from one union-count;
+    exact int64 counts, one shared division."""
+    pairs = pair_graph.jaccard_pair_graph(spark, sf_dir, threshold=0.5, shingle_k=1)
+    return graph.local_clustering(pairs)
+
+
+_LOCAL_CLUSTERING_SQL = r"""
+WITH t AS (
+    SELECT source, doc_id,
+           list_distinct(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+    FROM documents
+), p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) /
+          cast(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5
+), tri AS (
+    SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+    FROM p e1
+    JOIN p e2 ON e1.id_b = e2.id_a
+    JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+), per_v AS (
+    SELECT v, cast(count(*) AS BIGINT) AS tt
+    FROM (SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+          UNION ALL SELECT c AS v FROM tri)
+    GROUP BY v
+), deg AS (
+    SELECT v, cast(count(*) AS BIGINT) AS degree
+    FROM (SELECT id_a AS v FROM p UNION ALL SELECT id_b AS v FROM p)
+    GROUP BY v
+)
+SELECT deg.v, degree,
+       cast(coalesce(tt, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN degree >= 2
+            THEN CAST(2 * coalesce(tt, 0) AS DOUBLE)
+                 / CAST(degree * (degree - 1) AS DOUBLE)
+            ELSE 0.0 END AS local_clustering
+FROM deg LEFT JOIN per_v ON deg.v = per_v.v
+"""
+
+
+def _heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (corpus.heaps_law_curve): cumulative
+    tokens vs cumulative distinct types in doc_id scan order. The
+    running distinct is a running sum of first-occurrence counts
+    (min-doc per type), both cumulative sums exact int64 two-phase."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.heaps_law_curve(docs, "text", "doc_id")
+
+
+_HEAPS_LAW_SQL = r"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+    FROM documents
+), pd AS (
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1
+), ft AS (
+    SELECT token, min(doc_id) AS doc_id FROM tok GROUP BY 1
+), nt AS (
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_new_types FROM ft GROUP BY 1
+), base AS (
+    SELECT d.doc_id,
+           coalesce(pd.n_tokens, 0) AS n_tokens,
+           coalesce(nt.n_new_types, 0) AS n_new_types
+    FROM documents d
+    LEFT JOIN pd ON d.doc_id = pd.doc_id
+    LEFT JOIN nt ON d.doc_id = nt.doc_id
+)
+SELECT doc_id, n_tokens, n_new_types,
+       cast(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+       cast(sum(n_new_types) OVER (ORDER BY doc_id) AS BIGINT) AS cum_types
+FROM base
+"""
+
+
 # -- r11 driver sample (first 50), applied as a reorder at return time:
 # the 13 never-driver-attested r10 entries (mann_whitney_value ..
 # source_data_card — VERDICT r10 item 1; six of them are ALSO this
@@ -11058,6 +11138,8 @@ WINDOW wm AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 # covering the shingles() NULL-contract change. New r11 entries are
 # prepended as they are added. --
 _R11_SAMPLE_HEAD = [
+    "local_clustering",
+    "heaps_law_curve",
     "quantile_match_normalize",
     "domain_cap_sample",
     "always_valid_pvalue",
@@ -11128,6 +11210,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "local_clustering": _local_clustering,
+        "heaps_law_curve": _heaps_law_curve,
         "quantile_match_normalize": _quantile_match_normalize,
         "domain_cap_sample": _domain_cap_sample,
         "always_valid_pvalue": _always_valid_pvalue,
@@ -11412,6 +11496,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "local_clustering": _LOCAL_CLUSTERING_SQL,
+        "heaps_law_curve": _HEAPS_LAW_SQL,
         "quantile_match_normalize": _QUANTILE_MATCH_SQL,
         "domain_cap_sample": _DOMAIN_CAP_SQL,
         "always_valid_pvalue": _ALWAYS_VALID_SQL,

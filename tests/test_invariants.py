@@ -2403,3 +2403,35 @@ def test_always_valid_pvalue_laws(spark, sf_dir):
             if prev_p is not None:
                 assert r["p_always_valid"] <= prev_p + 1e-12
             prev_p = r["p_always_valid"]
+
+
+def test_local_clustering_known_graph(spark):
+    """Triangle + pendant: a-b-c triangle with d hanging off c.
+    a, b: d=2, 1 triangle -> coef 1.0; c: d=3, 1 triangle -> 1/3;
+    d: d=1 -> 0.0 by convention."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    rows = {r["v"]: r for r in graph.local_clustering(pairs).collect()}
+    assert rows[1]["local_clustering"] == 1.0 and rows[1]["degree"] == 2
+    assert rows[2]["local_clustering"] == 1.0
+    assert abs(rows[3]["local_clustering"] - 1 / 3) < 1e-12
+    assert rows[3]["n_triangles"] == 1 and rows[3]["degree"] == 3
+    assert rows[4]["local_clustering"] == 0.0 and rows[4]["n_triangles"] == 0
+
+
+def test_heaps_law_curve_laws(spark):
+    """Cumulative sums are monotone, cum_types <= cum_tokens, the
+    final cum_types equals the corpus distinct-type count, and a
+    repeat-only document adds tokens but no types."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha alpha"), (3, "beta gamma")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        corpus_mod.heaps_law_curve(docs, "text", "doc_id").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["cum_tokens"] for r in rows] == [2, 4, 6]
+    assert [r["cum_types"] for r in rows] == [2, 2, 3]
+    assert rows[1]["n_new_types"] == 0 and rows[1]["n_tokens"] == 2

@@ -1498,3 +1498,47 @@ def domain_cap_sample(
         with_h, [group_col], [F.col("__h").asc(), F.col(id_col).asc()], "kept_rank"
     )
     return ranked.filter(F.col("kept_rank") <= cap).drop("__h")
+
+
+def heaps_law_curve(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: scanning documents in
+    ``id_col`` order, the cumulative token count and cumulative
+    DISTINCT-type count after each document — the measurement behind
+    "how fast does the vocabulary still grow", i.e. how much novelty
+    is left in a corpus (flat curve = the crawl is exhausted).
+
+    The running distinct needs no stateful scan: a type's first
+    occurrence is ``min(doc)`` per token (one hash aggregate), so
+    cumulative vocabulary = running sum of first-occurrence counts —
+    both cumulative sums exact int64 over the DOC-grain relation via
+    the two-phase primitive (doc grain is NOT calendar-bounded; at
+    100 TB it is billions of rows, so no single-task window — and the
+    curve should be bucketed to e.g. per-million-docs grain upstream
+    when the full resolution isn't wanted).
+    """
+    from .windows import two_phase_running_sum
+
+    toks = df.select(
+        F.col(id_col).alias("__doc"), F.explode(_norm_tokens(text_col)).alias("token")
+    )
+    per_doc = toks.groupBy("__doc").agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    first = toks.groupBy("token").agg(F.min("__doc").alias("__doc"))
+    new_types = first.groupBy("__doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_types")
+    )
+    base = (
+        df.select(F.col(id_col).alias("__doc"))
+        .join(per_doc, "__doc", "left")
+        .join(new_types, "__doc", "left")
+        .select(
+            "__doc",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_new_types", F.lit(0)).cast("long").alias("n_new_types"),
+        )
+    )
+    order = [F.col("__doc").asc()]
+    cum1, _ = two_phase_running_sum(base, order, F.col("n_tokens"), "cum_tokens")
+    cum2, _ = two_phase_running_sum(cum1, order, F.col("n_new_types"), "cum_types")
+    return cum2.select(
+        F.col("__doc").alias(id_col), "n_tokens", "n_new_types", "cum_tokens", "cum_types"
+    )

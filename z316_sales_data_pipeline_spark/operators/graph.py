@@ -523,3 +523,51 @@ def link_prediction(
     return scored.orderBy(
         F.col("neighbor_jaccard").desc(), F.col("n_common").desc(), "a", "b"
     ).limit(k)
+
+
+def local_clustering(pairs: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected edge
+    list (one row per edge, id_a < id_b): for each vertex v,
+    ``2·t_v / (d_v·(d_v−1))`` where t_v is the number of triangles
+    through v — the node-grain refinement of
+    :func:`triangle_count`'s global census (which dup-cluster members
+    are clique-core vs chain-bridge).
+
+    Same node-iterator shape as the census (two equi-joins on ordered
+    edges find each triangle a<b<c exactly once), then every triangle
+    credits its THREE vertices via one explode — no per-vertex
+    re-join. Degrees from one union-count. Vertices with d < 2 have
+    no possible triangle and score 0.0 by convention. Counts exact
+    int64; the coefficient is ONE shared double division.
+    """
+    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).localCheckpoint(
+        eager=True
+    )
+    cand = e.join(e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b")
+    tri = cand.join(e.select("a", F.col("b").alias("c")), ["a", "c"])
+    per_v = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return (
+        deg.join(per_v, "v", "left")
+        .select(
+            "v",
+            "degree",
+            F.coalesce("__t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                (F.lit(2) * F.coalesce("__t", F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("local_clustering"),
+        )
+    )
