@@ -11125,6 +11125,149 @@ FROM base
 """
 
 
+def _fdr_bh_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control (experiment.fdr_bh): a 10-test battery
+    of per-segment and per-priority Welch z-tests (group vs
+    complement, order total cents) corrected with Benjamini-Hochberg
+    at q = 0.10. Exact decimal moments per test + one-row totals
+    broadcast back; z and the A&S normal tail are shared-verbatim
+    float expressions; p is rounded to the 6dp audit grain BEFORE
+    ranking so the BH order is engine-portable (ties break on
+    test_id)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("prio"), "cents"
+    )
+    v = F.col("cents").cast("decimal(18,0)")
+    stacked = j.select(
+        F.concat(F.lit("seg:"), F.col("seg")).alias("test_id"), v.alias("__v")
+    ).unionByName(
+        j.select(F.concat(F.lit("prio:"), F.col("prio")).alias("test_id"), v.alias("__v"))
+    )
+    per = stacked.groupBy("test_id").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__ng"),
+        F.sum("__v").alias("__sg"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__ssg"),
+    )
+    tot = j.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__ss"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    calc = per.crossJoin(F.broadcast(tot)).select(
+        "test_id",
+        d("__ng").alias("ngd"),
+        d("__sg").alias("sgd"),
+        d("__ssg").alias("ssgd"),
+        (F.col("__n") - F.col("__ng")).cast("double").alias("nrd"),
+        (F.col("__s") - F.col("__sg")).cast("double").alias("srd"),
+        (F.col("__ss") - F.col("__ssg")).cast("double").alias("ssrd"),
+    )
+    ngd, sgd, ssgd = F.col("ngd"), F.col("sgd"), F.col("ssgd")
+    nrd, srd, ssrd = F.col("nrd"), F.col("srd"), F.col("ssrd")
+    z = (sgd / ngd - srd / nrd) / F.sqrt(
+        ((ssgd - sgd * sgd / ngd) / (ngd - F.lit(1.0))) / ngd
+        + ((ssrd - srd * srd / nrd) / (nrd - F.lit(1.0))) / nrd
+    )
+    tests = (
+        calc.select(
+            "test_id",
+            F.when(
+                (ngd > F.lit(1.0)) & (nrd > F.lit(1.0)),
+                F.round(F.lit(2.0) * experiment.normal_sf_approx(F.abs(z)), 6),
+            ).alias("p"),
+        )
+        .filter(F.col("p").isNotNull())
+    )
+    return experiment.fdr_bh(tests, "test_id", "p", q=0.10)
+
+
+_FDR_BH_SQL = """
+WITH j AS (
+    SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+           CAST(round(o_totalprice * 100) AS DECIMAL(18,0)) AS v
+    FROM orders JOIN customer ON o_custkey = c_custkey
+), st AS (
+    SELECT 'seg:' || seg AS test_id, v FROM j
+    UNION ALL
+    SELECT 'prio:' || prio AS test_id, v FROM j
+), per AS (
+    SELECT test_id, count(*) AS ng, sum(v) AS sg, sum(v * v) AS ssg
+    FROM st GROUP BY 1
+), tot AS (
+    SELECT count(*) AS n, sum(v) AS s, sum(v * v) AS ss FROM j
+), calc AS (
+    SELECT test_id,
+           CAST(ng AS DOUBLE) AS ngd, CAST(sg AS DOUBLE) AS sgd, CAST(ssg AS DOUBLE) AS ssgd,
+           CAST(n - ng AS DOUBLE) AS nrd, CAST(s - sg AS DOUBLE) AS srd, CAST(ss - ssg AS DOUBLE) AS ssrd
+    FROM per CROSS JOIN tot
+), zt AS (
+    SELECT test_id,
+           (sgd / ngd - srd / nrd) /
+           sqrt(((ssgd - sgd * sgd / ngd) / (ngd - 1.0)) / ngd
+                + ((ssrd - srd * srd / nrd) / (nrd - 1.0)) / nrd) AS z
+    FROM calc WHERE ngd > 1.0 AND nrd > 1.0
+), pt AS (
+    SELECT test_id, round(2.0 * {NORMAL_SF}, 6) AS p FROM zt
+), ranked AS (
+    SELECT test_id, p,
+           row_number() OVER (ORDER BY p, test_id) AS rank,
+           count(*) OVER () AS m
+    FROM pt WHERE p IS NOT NULL
+), flagged AS (
+    SELECT *, 0.1 * CAST(rank AS DOUBLE) / CAST(m AS DOUBLE) AS thr FROM ranked
+), k AS (
+    SELECT coalesce(max(CASE WHEN p <= thr THEN rank END), 0) AS k FROM flagged
+)
+SELECT test_id, p, CAST(rank AS BIGINT) AS rank,
+       round(thr, 6) AS bh_threshold, rank <= k AS rejected
+FROM flagged CROSS JOIN k
+"""
+
+# the A&S normal tail is rendered from the SAME helper the Spark column
+# expression uses, so the two expression trees stay textually parallel
+_FDR_BH_SQL = _FDR_BH_SQL.replace(
+    "{NORMAL_SF}", experiment.render_normal_sf_sql("abs(z)")
+)
+
+
+def _mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing screen (experiment.minimum_detectable_effect):
+    per event_type, the minimum detectable effect (cents) of a 50/50
+    test sized like the observed group at alpha 0.05 / power 0.8. One
+    exact-decimal-moment aggregate; variance and MDE are shared
+    float expressions at the 6dp audit grain."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return experiment.minimum_detectable_effect(
+        ev, ["event_type"], F.round(F.col("value") * 100)
+    )
+
+
+_MDE_POWER_SQL = """
+WITH b AS (
+    SELECT event_type, CAST(round(value * 100) AS DECIMAL(18,0)) AS v
+    FROM events WHERE value IS NOT NULL
+), m AS (
+    SELECT event_type, count(*) AS n, sum(v) AS s, sum(v * v) AS ss
+    FROM b GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN n > 1 THEN round(
+           (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0), 6) END AS variance,
+       CASE WHEN n > 1 THEN round(2.801585 * sqrt(2.0 *
+           ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(n AS DOUBLE) - 1.0)) / (CAST(n AS DOUBLE) / 2.0)), 6) END AS mde
+FROM m
+"""
+
+
 # -- r11 driver sample (first 50), applied as a reorder at return time:
 # the 13 never-driver-attested r10 entries (mann_whitney_value ..
 # source_data_card — VERDICT r10 item 1; six of them are ALSO this
@@ -11138,6 +11281,8 @@ FROM base
 # covering the shingles() NULL-contract change. New r11 entries are
 # prepended as they are added. --
 _R11_SAMPLE_HEAD = [
+    "fdr_bh_segments",
+    "mde_power",
     "local_clustering",
     "heaps_law_curve",
     "quantile_match_normalize",
@@ -11210,6 +11355,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "fdr_bh_segments": _fdr_bh_segments,
+        "mde_power": _mde_power,
         "local_clustering": _local_clustering,
         "heaps_law_curve": _heaps_law_curve,
         "quantile_match_normalize": _quantile_match_normalize,
@@ -11496,6 +11643,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "fdr_bh_segments": _FDR_BH_SQL,
+        "mde_power": _MDE_POWER_SQL,
         "local_clustering": _LOCAL_CLUSTERING_SQL,
         "heaps_law_curve": _HEAPS_LAW_SQL,
         "quantile_match_normalize": _QUANTILE_MATCH_SQL,

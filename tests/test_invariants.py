@@ -2435,3 +2435,57 @@ def test_heaps_law_curve_laws(spark):
     assert [r["cum_tokens"] for r in rows] == [2, 4, 6]
     assert [r["cum_types"] for r in rows] == [2, 2, 3]
     assert rows[1]["n_new_types"] == 0 and rows[1]["n_tokens"] == 2
+
+
+def test_fdr_bh_step_up_and_known_battery(spark):
+    """BH on a crafted battery: classic rejections, plus the step-up
+    property (a rank failing its own threshold is still rejected when
+    a LATER rank passes)."""
+    from z316_sales_data_pipeline_spark.operators import experiment
+
+    t1 = spark.createDataFrame(
+        [("a", 0.001), ("b", 0.01), ("c", 0.02), ("d", 0.9)],
+        "test_id string, p double",
+    )
+    out = {r["test_id"]: r for r in experiment.fdr_bh(t1, "test_id", "p", q=0.1).collect()}
+    assert [out[t]["rejected"] for t in "abcd"] == [True, True, True, False]
+    assert out["a"]["rank"] == 1 and out["d"]["bh_threshold"] == 0.1
+
+    t2 = spark.createDataFrame(
+        [("x", 0.15), ("y", 0.19), ("z", 0.31)], "test_id string, p double"
+    )
+    out2 = {r["test_id"]: r for r in experiment.fdr_bh(t2, "test_id", "p", q=0.3).collect()}
+    # rank 1 (0.15 > 0.1) fails its own threshold but rank 2 passes
+    # (0.19 <= 0.2), so step-up rejects BOTH ranks 1 and 2
+    assert out2["x"]["rejected"] and out2["y"]["rejected"] and not out2["z"]["rejected"]
+
+
+def test_normal_sf_approx_accuracy(spark):
+    """A&S 7.1.26 tail vs math.erfc: |err| < 1.5e-7 over z in [0, 6]."""
+    import math
+
+    from z316_sales_data_pipeline_spark.operators import experiment
+
+    zs = [0.0, 0.5, 1.0, 1.959964, 2.5, 3.0, 4.0, 6.0]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {
+        r["z"]: r["sf"]
+        for r in df.select("z", experiment.normal_sf_approx(F.col("z")).alias("sf")).collect()
+    }
+    for z in zs:
+        exact = 0.5 * math.erfc(z / math.sqrt(2.0))
+        assert abs(got[z] - exact) < 1.5e-7, (z, got[z], exact)
+
+
+def test_minimum_detectable_effect_known_values(spark):
+    """n=2 values {0, 2}: variance 2, mde = 2.801585*sqrt(2*2/1);
+    singleton groups emit NULL."""
+    from z316_sales_data_pipeline_spark.operators import experiment
+
+    df = spark.createDataFrame(
+        [("g", 0), ("g", 2), ("solo", 5)], "k string, v long"
+    )
+    rows = {r["k"]: r for r in experiment.minimum_detectable_effect(df, ["k"], F.col("v")).collect()}
+    assert rows["g"]["variance"] == 2.0
+    assert abs(rows["g"]["mde"] - round(2.801585 * 2.0, 6)) < 1e-9
+    assert rows["solo"]["variance"] is None and rows["solo"]["mde"] is None

@@ -509,3 +509,118 @@ def always_valid_pvalue(
             "p_always_valid"
         ),
     )
+
+
+def normal_sf_approx(z: Column) -> Column:
+    """Upper-tail normal survival function 1 − Φ(z) for z ≥ 0 via the
+    Abramowitz-Stegun 7.1.26 erf polynomial (|error| < 1.5e-7) — pure
+    column arithmetic, so the IDENTICAL expression runs verbatim on
+    Spark and the ANSI oracle (neither engine ships erf; a library
+    CDF would be a cross-engine seam). Callers pass |z| and double the
+    result for a two-sided p.
+    """
+    x = z / F.lit(1.4142135623730951)  # z / sqrt(2)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = t * (
+        F.lit(0.254829592)
+        + t
+        * (
+            F.lit(-0.284496736)
+            + t * (F.lit(1.421413741) + t * (F.lit(-1.453152027) + t * F.lit(1.061405429)))
+        )
+    )
+    erf = F.lit(1.0) - poly * F.exp(-(x * x))
+    return F.lit(0.5) * (F.lit(1.0) - erf)
+
+
+# SQL rendering of normal_sf_approx(abs(z)) with {z} substituted —
+# kept textually parallel to the column version above so the oracle
+# computes bit-identical doubles.
+NORMAL_SF_SQL = (
+    "0.5 * (1.0 - (1.0 - ({t}) * (0.254829592 + ({t}) * (-0.284496736 + ({t}) *"
+    " (1.421413741 + ({t}) * (-1.453152027 + ({t}) * 1.061405429))))"
+    " * exp(-(({x}) * ({x})))))"
+)
+
+
+def render_normal_sf_sql(z_expr: str) -> str:
+    """Render the A&S survival function for a SQL z expression."""
+    x = f"({z_expr}) / 1.4142135623730951"
+    t = f"1.0 / (1.0 + 0.3275911 * ({x}))"
+    return NORMAL_SF_SQL.format(t=t, x=x)
+
+
+def fdr_bh(df: DataFrame, test_col: str, p_col: str, q: float = 0.05) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a battery of m hypothesis
+    tests: sort p ascending (ties broken by the test id — the
+    engine-portable total order), find the largest rank k with
+    p(k) <= q·k/m, reject every test ranked <= k. The multiple-testing
+    guard every per-segment metrics battery needs before anyone acts
+    on "segment X moved".
+
+    The input is TEST grain (one row per hypothesis) — m is dozens by
+    construction (segments x metrics), so the rank window and the
+    one-row max-k broadcast are on a ~constant relation; this operator
+    never touches unit grain. Output: test id, p, rank, the BH
+    threshold q·rank/m, and the reject flag.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(p_col).asc(), F.col(test_col).asc())
+    ranked = df.select(
+        F.col(test_col),
+        F.col(p_col),
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("__m"),
+    )
+    thr = (
+        F.lit(q) * F.col("rank").cast("double") / F.col("__m").cast("double")
+    )
+    flagged = ranked.withColumn("bh_threshold", thr).withColumn(
+        "__hit", F.when(F.col(p_col) <= F.col("bh_threshold"), F.col("rank"))
+    )
+    kmax = flagged.agg(F.coalesce(F.max("__hit"), F.lit(0)).alias("__k"))
+    return (
+        flagged.crossJoin(F.broadcast(kmax))
+        .select(
+            test_col,
+            p_col,
+            "rank",
+            F.round("bh_threshold", 6).alias("bh_threshold"),
+            (F.col("rank") <= F.col("__k")).alias("rejected"),
+        )
+    )
+
+
+def minimum_detectable_effect(
+    df: DataFrame,
+    group_cols: list[str],
+    value_int: Column,
+    alpha_z: float = 1.959964,
+    power_z: float = 0.841621,
+) -> DataFrame:
+    """Per-group minimum detectable effect for a future 50/50 A/B test
+    sized like the observed group: MDE = (z_a + z_b)·sqrt(2·s²/(n/2))
+    — the "is this segment even testable" screen run before an
+    experiment is provisioned. One hash aggregate to group grain with
+    exact decimal moments (n, Σv, Σv²); variance and MDE are shared-
+    verbatim float expressions, round-6 at the audit grain. Groups
+    with n < 2 emit NULL (no variance estimate exists).
+    """
+    v = value_int.cast("decimal(18,0)")
+    per = df.select(*group_cols, v.alias("__v")).filter(F.col("__v").isNotNull())
+    agg = per.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__ss"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = d("__n")
+    s2 = (d("__ss") - d("__s") * d("__s") / n) / (n - F.lit(1.0))
+    mde = F.lit(alpha_z + power_z) * F.sqrt(F.lit(2.0) * s2 / (n / F.lit(2.0)))
+    return agg.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        F.when(F.col("__n") > 1, F.round(s2, 6)).alias("variance"),
+        F.when(F.col("__n") > 1, F.round(mde, 6)).alias("mde"),
+    )
