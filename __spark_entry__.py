@@ -11268,6 +11268,105 @@ FROM m
 """
 
 
+def _conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-band honesty audit (timeseries.conformal_residual_
+    interval): per event_type, split-conformal quantile of lag-1
+    residuals calibrated before 2024-01-22 and coverage on the
+    held-out tail. Exact integer order-statistic pick (never an
+    interpolated percentile); ONE shared coverage division."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return timeseries.conformal_residual_interval(
+        ev, "event_type", "ts", F.round(F.col("value") * 100), "2024-01-22", alpha=0.1
+    )
+
+
+_CONFORMAL_SQL = """
+WITH daily AS (
+    SELECT event_type AS k, CAST(ts AS DATE) AS d,
+           sum(CAST(round(value * 100) AS BIGINT)) AS y
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), resid AS (
+    SELECT k, d,
+           abs(y - lag(y) OVER (PARTITION BY k ORDER BY d)) AS r
+    FROM daily
+    QUALIFY lag(y) OVER (PARTITION BY k ORDER BY d) IS NOT NULL
+), cal AS (
+    SELECT * FROM resid WHERE d < DATE '2024-01-22'
+), rankedc AS (
+    SELECT k, r, row_number() OVER (PARTITION BY k ORDER BY r, d) AS rn FROM cal
+), nc AS (
+    SELECT k, cast(count(*) AS BIGINT) AS n_cal FROM cal GROUP BY 1
+), pick AS (
+    SELECT k, n_cal,
+           least(n_cal, n_cal + 1 - ((n_cal + 1) * 100) // 1000) AS p
+    FROM nc
+), q AS (
+    SELECT rankedc.k, n_cal, CAST(r AS BIGINT) AS q_cents
+    FROM rankedc JOIN pick ON rankedc.k = pick.k AND rankedc.rn = pick.p
+), test AS (
+    SELECT * FROM resid WHERE d >= DATE '2024-01-22'
+)
+SELECT q.k AS event_type, n_cal, q_cents,
+       cast(count(*) AS BIGINT) AS n_test,
+       cast(sum(CASE WHEN test.r <= q_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST(sum(CASE WHEN test.r <= q_cents THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS coverage
+FROM test JOIN q ON test.k = q.k
+GROUP BY 1, 2, 3
+"""
+
+
+def _propensity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confounding-adjusted promo readout
+    (experiment.stratified_matching_readout): parts stratified into
+    retail-price deciles (exact two-phase ntile over the DIMENSION,
+    broadcast to facts), each stratum reporting treated/control line
+    counts and the within-stratum revenue mean difference. Stratum
+    grain on purpose — the ATT roll-up is a 10-float weighted sum
+    whose accumulation order neither engine pins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return experiment.stratified_matching_readout(
+        li,
+        part,
+        "l_partkey",
+        "p_partkey",
+        F.col("p_type") == "PROMO",
+        F.round(F.col("p_retailprice") * 100),
+        F.round(F.col("l_extendedprice") * 100),
+        n_strata=10,
+    )
+
+
+_PROPENSITY_SQL = """
+WITH d AS (
+    SELECT p_partkey AS dk, CAST(round(p_retailprice * 100) AS BIGINT) AS cov,
+           p_type = 'PROMO' AS treat
+    FROM part
+), s AS (
+    SELECT dk, treat, CAST(ntile(10) OVER (ORDER BY cov, dk) AS INTEGER) AS stratum FROM d
+), f AS (
+    SELECT l_partkey AS dk, CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+    FROM lineitem
+), j AS (
+    SELECT stratum, treat, y FROM f JOIN s USING (dk)
+), c AS (
+    SELECT stratum,
+           cast(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+           cast(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+           cast(coalesce(sum(CASE WHEN treat THEN y END), 0) AS BIGINT) AS st,
+           cast(coalesce(sum(CASE WHEN NOT treat THEN y END), 0) AS BIGINT) AS sc
+    FROM j GROUP BY 1
+)
+SELECT stratum, n_treated, n_control,
+       CASE WHEN n_treated > 0 AND n_control > 0
+            THEN CAST(st AS DOUBLE) / CAST(n_treated AS DOUBLE)
+                 - CAST(sc AS DOUBLE) / CAST(n_control AS DOUBLE)
+       END AS mean_diff
+FROM c
+"""
+
+
 # -- r11 driver sample (first 50), applied as a reorder at return time:
 # the 13 never-driver-attested r10 entries (mann_whitney_value ..
 # source_data_card — VERDICT r10 item 1; six of them are ALSO this
@@ -11281,6 +11380,8 @@ FROM m
 # covering the shingles() NULL-contract change. New r11 entries are
 # prepended as they are added. --
 _R11_SAMPLE_HEAD = [
+    "conformal_interval",
+    "propensity_strata",
     "fdr_bh_segments",
     "mde_power",
     "local_clustering",
@@ -11355,6 +11456,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "conformal_interval": _conformal_interval,
+        "propensity_strata": _propensity_strata,
         "fdr_bh_segments": _fdr_bh_segments,
         "mde_power": _mde_power,
         "local_clustering": _local_clustering,
@@ -11643,6 +11746,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "conformal_interval": _CONFORMAL_SQL,
+        "propensity_strata": _PROPENSITY_SQL,
         "fdr_bh_segments": _FDR_BH_SQL,
         "mde_power": _MDE_POWER_SQL,
         "local_clustering": _LOCAL_CLUSTERING_SQL,

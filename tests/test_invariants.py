@@ -2489,3 +2489,54 @@ def test_minimum_detectable_effect_known_values(spark):
     assert rows["g"]["variance"] == 2.0
     assert abs(rows["g"]["mde"] - round(2.801585 * 2.0, 6)) < 1e-9
     assert rows["solo"]["variance"] is None and rows["solo"]["mde"] is None
+
+
+def test_conformal_interval_known_series(spark):
+    """Hand-computable series: with alpha=0.1 and n_cal=4 residuals
+    the pick is min(4, 5 - floor(0.5)) = 4 -> q = max residual, so
+    test coverage counts |r| <= q exactly."""
+    from z316_sales_data_pipeline_spark.operators import timeseries as ts
+
+    rows = []
+    # key 'a': daily values 10, 11, 13, 10, 14 (cal: days 2-5 ->
+    # residuals 1, 2, 3, 4), test days 6-7: residuals 2, 10
+    vals = {1: 10, 2: 11, 3: 13, 4: 10, 5: 14, 6: 16, 7: 6}
+    for day, v in vals.items():
+        rows.append(("a", f"2024-01-0{day} 00:00:00", v))
+    df = spark.createDataFrame(rows, "k string, ts string, v long").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = ts.conformal_residual_interval(
+        df, "k", "ts", F.col("v"), "2024-01-06", alpha=0.1
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_cal"] == 4 and r["q_cents"] == 4
+    assert r["n_test"] == 2 and r["n_covered"] == 1 and r["coverage"] == 0.5
+
+
+def test_stratified_matching_readout_contract(spark):
+    """Strata partition the dimension into exact ntiles; cells carry
+    disjoint treated/control counts; a stratum missing a side emits a
+    NULL mean_diff."""
+    from z316_sales_data_pipeline_spark.operators import experiment
+
+    dim = spark.createDataFrame(
+        [(i, i * 10, i % 2 == 0) for i in range(1, 9)], "pk long, cov long, tr boolean"
+    )
+    facts = spark.createDataFrame(
+        [(i, 100 * i) for i in range(1, 9) for _ in range(2)], "pk long, y long"
+    )
+    out = experiment.stratified_matching_readout(
+        facts, dim, "pk", "pk", F.col("tr"), F.col("cov"), F.col("y"), n_strata=4
+    ).collect()
+    assert len(out) == 4
+    assert sum(r["n_treated"] + r["n_control"] for r in out) == 16
+    # each stratum holds parts {1,2},{3,4},{5,6},{7,8}: one treated,
+    # one control, 2 facts each -> mean_diff defined everywhere
+    for r in out:
+        assert r["n_treated"] == 2 and r["n_control"] == 2
+        assert r["mean_diff"] is not None
+    by_s = {r["stratum"]: r["mean_diff"] for r in out}
+    # stratum 1: parts 1 (control, y=100) and 2 (treated, y=200)
+    assert by_s[1] == 100.0

@@ -624,3 +624,69 @@ def minimum_detectable_effect(
         F.when(F.col("__n") > 1, F.round(s2, 6)).alias("variance"),
         F.when(F.col("__n") > 1, F.round(mde, 6)).alias("mde"),
     )
+
+
+def stratified_matching_readout(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    treat_col: Column,
+    covariate_int: Column,
+    y_int: Column,
+    n_strata: int = 10,
+) -> DataFrame:
+    """Observational treatment readout by covariate stratification
+    (the propensity-decile matching estimator, covariate version):
+    dimension rows are ranked into ``n_strata`` exact-ntile strata by
+    an integer covariate, facts inherit their dimension's stratum, and
+    each stratum reports treated/control counts and the within-stratum
+    mean difference — the confounding-adjusted uplift table (compare
+    unadjusted: promo parts simply COST more, so raw means confound
+    price with promotion).
+
+    Output is STRATUM grain on purpose: the ATT roll-up is a weighted
+    sum of ~10 floats whose accumulation order neither engine pins, so
+    the operator emits the exact per-stratum cells (counts int64,
+    sums exact, ONE shared mean-difference division each) and leaves
+    the one-line roll-up to the reader — the srm_check shape.
+
+    Strata come from :func:`~.windows.two_phase_row_number` +
+    :func:`~.windows.ntile_from_rank` over the DIMENSION (ntile over a
+    dim is cheap; the fact scan never sorts), broadcast back.
+    """
+    from .windows import ntile_from_rank, two_phase_row_number
+
+    d = dim.select(
+        F.col(dim_key).alias("__dk"),
+        covariate_int.cast("long").alias("__cov"),
+        treat_col.cast("boolean").alias("__treat"),
+    )
+    ranked, total = two_phase_row_number(
+        d, [F.col("__cov").asc(), F.col("__dk").asc()], "__rank"
+    )
+    strata = ranked.select(
+        "__dk", "__treat", ntile_from_rank(F.col("__rank"), n_strata, total).alias("stratum")
+    )
+    f = facts.select(F.col(fact_key).alias("__dk"), y_int.cast("long").alias("__y"))
+    joined = f.join(F.broadcast(strata), "__dk")
+    cells = joined.groupBy("stratum").agg(
+        F.sum(F.when(F.col("__treat"), 1).otherwise(0)).cast("long").alias("n_treated"),
+        F.sum(F.when(~F.col("__treat"), 1).otherwise(0)).cast("long").alias("n_control"),
+        F.coalesce(F.sum(F.when(F.col("__treat"), F.col("__y"))), F.lit(0))
+        .cast("long")
+        .alias("__st"),
+        F.coalesce(F.sum(F.when(~F.col("__treat"), F.col("__y"))), F.lit(0))
+        .cast("long")
+        .alias("__sc"),
+    )
+    return cells.select(
+        "stratum",
+        "n_treated",
+        "n_control",
+        F.when(
+            (F.col("n_treated") > 0) & (F.col("n_control") > 0),
+            F.col("__st").cast("double") / F.col("n_treated").cast("double")
+            - F.col("__sc").cast("double") / F.col("n_control").cast("double"),
+        ).alias("mean_diff"),
+    )

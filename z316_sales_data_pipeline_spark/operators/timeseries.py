@@ -564,3 +564,87 @@ def cohort_revenue_matrix(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+def conformal_residual_interval(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_int: Column,
+    split_date: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal interval calibration for a naive one-step
+    forecast: per key, the lag-1 forecast's absolute residuals on the
+    CALIBRATION days (before ``split_date``) yield the conformal
+    quantile q_hat = the ceil((n_cal+1)(1-alpha))-th smallest residual
+    (clamped to n_cal), and the TEST days report empirical coverage of
+    |y - yhat| <= q_hat — the distribution-free "are my forecast bands
+    honest" audit.
+
+    Everything is exact integers: daily totals, residuals, the rank
+    pick (an order statistic by (residual, day) — never an
+    interpolated percentile), the covered count. The only float is
+    ONE shared coverage division. Day-grain windows are calendar-
+    bounded per key (the ewma_forecast precedent); the rank pick is a
+    key-grain min_by-style aggregate, not a second scan.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.to_date(F.col(ts_col)).alias("__d"),
+            value_int.cast("long").alias("__v"),
+        )
+        .groupBy("__k", "__d")
+        .agg(F.sum("__v").alias("__y"))
+    )
+    w = Window.partitionBy("__k").orderBy("__d")
+    resid = (
+        daily.withColumn("__yhat", F.lag("__y").over(w))
+        .filter(F.col("__yhat").isNotNull())
+        .withColumn("__r", F.abs(F.col("__y") - F.col("__yhat")))
+        .withColumn("__cal", F.col("__d") < F.lit(split_date).cast("date"))
+    )
+    cal = resid.filter(F.col("__cal"))
+    wr = Window.partitionBy("__k").orderBy(F.col("__r").asc(), F.col("__d").asc())
+    cal_ranked = cal.withColumn("__rn", F.row_number().over(wr))
+    ncal = cal.groupBy("__k").agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    # conformal rank: ceil((n+1)(1-alpha)) = n + 1 - floor((n+1)*alpha)
+    # for the alphas in use; computed in exact integer arithmetic from
+    # a scaled-alpha literal (alpha as a rational a_num/a_den)
+    a_num, a_den = int(round(alpha * 1000)), 1000
+    pick = ncal.withColumn(
+        "__pick",
+        F.least(
+            F.col("n_cal"),
+            F.col("n_cal") + 1 - F.expr(f"((n_cal + 1) * {a_num}) div {a_den}"),
+        ),
+    )
+    qhat = (
+        cal_ranked.join(F.broadcast(pick), cal_ranked["__k"] == pick["__k"])
+        .filter(F.col("__rn") == F.col("__pick"))
+        .select(cal_ranked["__k"].alias("__k"), F.col("__r").alias("q_cents"), "n_cal")
+    )
+    test = resid.filter(~F.col("__cal"))
+    cov = (
+        test.join(F.broadcast(qhat), "__k")
+        .groupBy("__k", "q_cents", "n_cal")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(F.col("__r") <= F.col("q_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return cov.select(
+        F.col("__k").alias(key_col),
+        "n_cal",
+        "q_cents",
+        "n_test",
+        "n_covered",
+        (F.col("n_covered").cast("double") / F.col("n_test").cast("double")).alias(
+            "coverage"
+        ),
+    )
