@@ -485,6 +485,15 @@ _BOUNDED_GLOBAL_WINDOW_SITES = {
     # lists — the windows sit above LIMIT 20 (operators/similarity.py
     # rrf_fuse); the corpus never reaches them
     "rrf_fusion",
+    # BH rank over the TEST-grain battery: one row per hypothesis,
+    # dozens by construction (segments x metrics) — the unit-grain
+    # scan reduces to test grain before the window
+    # (operators/experiment.py fdr_bh)
+    "fdr_bh_segments",
+    # as-of fill + running-min p over the DAY-grain relation: bounded
+    # by the calendar (~30 rows per month of monitoring), never unit
+    # grain (operators/experiment.py always_valid_pvalue)
+    "always_valid_pvalue",
 }
 
 

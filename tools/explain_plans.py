@@ -653,6 +653,77 @@ CHECKLIST = {
         "over (source, quality desc, id)), source-grain offset join, "
         "budget filter — NO per-source window."
     ),
+    "mutual_information": (
+        "Categorical dependence audit (r11). Expect: ONE hash aggregate "
+        "(partial+final) to the (lang, source) cell grain off the scan; "
+        "marginal windows run over the tiny cell relation only; one-row "
+        "output."
+    ),
+    "target_encode_loo": (
+        "LOO target encoding (r11). Expect: key-grain HashAggregate "
+        "broadcast back over the fact (BroadcastHashJoin) — NO window "
+        "over the 5 giant segment partitions; assert_true riding the "
+        "projection."
+    ),
+    "jaro_winkler_rescore": (
+        "JW rescoring of FastSS candidates (r11). Expect: neighborhood "
+        "explode + fingerprint self-join on int64 keys, exact-levenshtein "
+        "verify, and ArrowEvalPython ONLY above the surviving-pair "
+        "relation — the corpus scan itself stays JVM-side."
+    ),
+    "recs_mrr": (
+        "Rank-quality backtest (r11). Expect: the recs_hit_rate plan "
+        "(order-local pair counting, per-i top-k window) plus a LEFT "
+        "join carrying rank; one exact int64 agg, one final division."
+    ),
+    "quantile_match_normalize": (
+        "Cross-source quantile matching (r11). Expect: two two-phase "
+        "rank pipelines (range exchanges, partition-local windows, "
+        "broadcast offsets), a key-grain size join, and an equi-join on "
+        "the pooled rank — NO single-task global window anywhere."
+    ),
+    "domain_cap_sample": (
+        "Per-domain cap (r11). Expect: md5-hash projection, two-phase "
+        "partitioned rank (range exchange), cap filter — NO per-source "
+        "window."
+    ),
+    "always_valid_pvalue": (
+        "mSPRT sequential monitor (r11). Expect: ONE size-linear hash "
+        "aggregate to (day, arm) grain; cumulative windows, the as-of "
+        "fill, Lambda and the running-min p all over the ~30-row "
+        "day-grain relation."
+    ),
+    "fdr_bh_segments": (
+        "BH-corrected test battery (r11). Expect: two stacked aggregates "
+        "to test grain (10 rows), one-row totals broadcast, the A&S "
+        "polynomial as plain projection arithmetic, rank window over 10 "
+        "rows, one-row max-k broadcast."
+    ),
+    "mde_power": (
+        "MDE sizing screen (r11). Expect: one exact-decimal-moment "
+        "HashAggregate to event_type grain; all floats post-aggregation."
+    ),
+    "local_clustering": (
+        "Per-node clustering (r11). Expect: the triangle census joins on "
+        "int64 id pairs, ONE explode crediting 3 vertices per triangle, "
+        "a union-count degree aggregate, left join + projection."
+    ),
+    "heaps_law_curve": (
+        "Vocabulary growth curve (r11). Expect: token explode feeding "
+        "two hash aggregates (per-doc counts, min-doc per type), "
+        "doc-grain joins, then TWO two-phase running sums — no "
+        "single-task window over the unbounded doc grain."
+    ),
+    "conformal_interval": (
+        "Split-conformal audit (r11). Expect: (key, day) hash aggregate, "
+        "calendar-bounded per-key lag/rank windows, broadcast joins for "
+        "the order-statistic pick and coverage — no unit-grain window."
+    ),
+    "propensity_strata": (
+        "Stratified matching readout (r11). Expect: two-phase rank + "
+        "exact ntile over the PART dimension, broadcast to the fact "
+        "scan, one stratum-grain HashAggregate."
+    ),
 }
 
 

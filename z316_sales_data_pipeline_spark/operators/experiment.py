@@ -419,7 +419,8 @@ def always_valid_pvalue(
 
     Scale: one size-linear aggregate; everything after is O(days).
     The day-grain windows are single tiny partitions by construction
-    (bounded by the calendar, the ewma_forecast precedent).
+    (bounded by the calendar, the ewma_forecast precedent) — an
+    allowlisted bounded site of the fleet unpartitioned-window guard.
     """
     from pyspark.sql import Window
 
@@ -559,19 +560,21 @@ def fdr_bh(df: DataFrame, test_col: str, p_col: str, q: float = 0.05) -> DataFra
     on "segment X moved".
 
     The input is TEST grain (one row per hypothesis) — m is dozens by
-    construction (segments x metrics), so the rank window and the
-    one-row max-k broadcast are on a ~constant relation; this operator
-    never touches unit grain. Output: test id, p, rank, the BH
-    threshold q·rank/m, and the reject flag.
+    construction (segments x metrics), so the global rank window runs
+    over a ~constant relation (an allowlisted bounded site of the
+    fleet unpartitioned-window guard, like the top-N coverage curve);
+    this operator never touches unit grain. Output: test id, p, rank,
+    the BH threshold q·rank/m, and the reject flag.
     """
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col(p_col).asc(), F.col(test_col).asc())
-    ranked = df.select(
+    m = df.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    ranked = df.crossJoin(F.broadcast(m)).select(
         F.col(test_col),
         F.col(p_col),
         F.row_number().over(w).cast("long").alias("rank"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("__m"),
+        F.col("__m"),
     )
     thr = (
         F.lit(q) * F.col("rank").cast("double") / F.col("__m").cast("double")

@@ -531,9 +531,11 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
 
     One hash aggregate reduces the fact scan to (x, y) cell counts
     (map-side combined), so the wide relation never crosses the wire;
-    marginals come from windows over the CELL relation (|X|·|Y| rows,
-    ~dozens), never a second scan. MI folds one float term per cell —
-    the char_entropy precedent: exact integer counts feed
+    marginals are CELL-grain aggregates broadcast back (the stats-join
+    pattern — never a window over the cell relation, which for a
+    high-cardinality pair would route |X|·|Y| rows through single
+    partitions), never a second scan. MI folds one float term per
+    cell — the char_entropy precedent: exact integer counts feed
     shared-verbatim double expressions, rounded at the audit grain
     (6dp) on both engines. NULL categories count as their own level
     only if present in BOTH columns' row (rows with a NULL in either
@@ -546,17 +548,16 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .groupBy(x_col, y_col)
         .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
     )
-    from pyspark.sql import Window
-
-    wx = Window.partitionBy(x_col)
-    wy = Window.partitionBy(y_col)
-    wall = Window.partitionBy()
-    t = cells.select(
-        F.col("__c"),
-        F.sum("__c").over(wx).alias("__nx"),
-        F.sum("__c").over(wy).alias("__ny"),
-        F.sum("__c").over(wall).alias("__n"),
+    mx = cells.groupBy(x_col).agg(F.sum("__c").alias("__nx"))
+    my = cells.groupBy(y_col).agg(F.sum("__c").alias("__ny"))
+    tot = cells.agg(F.sum("__c").alias("__n"))
+    t = (
+        cells.join(F.broadcast(mx), x_col)
+        .join(F.broadcast(my), y_col)
+        .crossJoin(F.broadcast(tot))
+        .select("__c", "__nx", "__ny", "__n")
     )
     c = F.col("__c").cast("double")
     nx = F.col("__nx").cast("double")
