@@ -656,7 +656,7 @@ CHECKLIST = {
     "mutual_information": (
         "Categorical dependence audit (r11). Expect: ONE hash aggregate "
         "(partial+final) to the (lang, source) cell grain off the scan; "
-        "marginal windows run over the tiny cell relation only; one-row "
+        "marginals are cell-grain aggregates broadcast back (stats-join); one-row "
         "output."
     ),
     "target_encode_loo": (
