@@ -11367,6 +11367,120 @@ FROM c
 """
 
 
+def _acf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality fingerprint (timeseries.acf_table): per event_type,
+    Pearson autocorrelation of the day-grain cents series at lags
+    1..7. Unit scan reduces once to (key, day) exact totals; a 7-row
+    lag spine cross-joins and the shifted series arrives by an
+    equi-join on day+lag; exact decimal moments per (key, lag), one
+    guarded shared expression, round-6."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return timeseries.acf_table(
+        ev, "event_type", "ts", F.round(F.col("value") * 100), max_lag=7
+    )
+
+
+_ACF_TABLE_SQL = """
+WITH daily AS (
+    SELECT event_type AS k, CAST(ts AS DATE) AS d,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DECIMAL(18,0)) AS y
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), spine AS (
+    SELECT unnest(generate_series(1, 7)) AS lag
+), pairs AS (
+    SELECT a.k, spine.lag, a.y AS y1, b.y AS y2
+    FROM daily a CROSS JOIN spine
+    JOIN daily b ON a.k = b.k AND b.d = a.d + CAST(spine.lag AS INTEGER)
+), m AS (
+    SELECT k, lag, count(*) AS n, sum(y1) AS sx, sum(y2) AS sy,
+           sum(y1 * y1) AS sxx, sum(y1 * y2) AS sxy, sum(y2 * y2) AS syy
+    FROM pairs GROUP BY 1, 2
+)
+SELECT k AS event_type, CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n >= 3 AND
+                 (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       END AS acf
+FROM m
+"""
+
+
+def _qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile drift (quality.qq_drift): the nine exact
+    decile order statistics of order totals pre- vs post-1998, side by
+    side with ratios — where in the distribution the shift lives.
+    Exact integer cut positions (floor division), two-phase per-period
+    ranks (two giant keys by construction), one shared ratio
+    division."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "pre")
+        .otherwise("post")
+        .alias("period"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    return quality.qq_drift(o, "cents", "o_orderkey", "period", "pre", "post", n_q=9)
+
+
+_QQ_DRIFT_SQL = """
+WITH base AS (
+    SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'pre' ELSE 'post' END AS p,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+           o_orderkey AS id
+    FROM orders
+), ranked AS (
+    SELECT p, v, row_number() OVER (PARTITION BY p ORDER BY v, id) AS r,
+           count(*) OVER (PARTITION BY p) AS n
+    FROM base
+), cut AS (
+    SELECT p, CAST(q AS INTEGER) AS q, v AS cutv
+    FROM ranked CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS q) s
+    WHERE r = 1 + ((n - 1) * q) // 10
+)
+SELECT pre.q AS q, pre.cutv AS v_pre, post.cutv AS v_post,
+       CASE WHEN pre.cutv <> 0
+            THEN round(CAST(post.cutv AS DOUBLE) / CAST(pre.cutv AS DOUBLE), 6)
+       END AS qq_ratio
+FROM (SELECT q, cutv FROM cut WHERE p = 'pre') pre
+JOIN (SELECT q, cutv FROM cut WHERE p = 'post') post USING (q)
+"""
+
+
+def _poisson_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-model screen (quality.poisson_dispersion): order
+    basket-size histogram vs the Poisson(lambda-hat) expectation with
+    the dispersion index. Exact decimal moments; expected counts one
+    shared float expression (factorial exact int64, fail-stop past
+    k=20)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("basket_k"))
+    return quality.poisson_dispersion(cnt, "basket_k")
+
+
+_POISSON_FIT_SQL = """
+WITH c AS (
+    SELECT count(*) AS k FROM lineitem GROUP BY l_orderkey
+), m AS (
+    SELECT count(*) AS n, sum(k) AS s, sum(k * k) AS ss FROM c
+), h AS (
+    SELECT k, cast(count(*) AS BIGINT) AS observed FROM c GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS k, observed,
+       round(CAST(n AS DOUBLE) * exp(-(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             * pow(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), CAST(k AS DOUBLE))
+             / CAST(factorial(CAST(k AS INTEGER)) AS DOUBLE), 6) AS expected,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS lambda_hat,
+       CASE WHEN n > 1 AND CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0
+            THEN round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1.0)
+                       / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) END AS dispersion
+FROM h CROSS JOIN m
+"""
+
+
 # -- r11 driver sample (first 50), applied as a reorder at return time:
 # the 13 never-driver-attested r10 entries (mann_whitney_value ..
 # source_data_card — VERDICT r10 item 1; six of them are ALSO this
@@ -11380,6 +11494,9 @@ FROM c
 # covering the shingles() NULL-contract change. New r11 entries are
 # prepended as they are added. --
 _R11_SAMPLE_HEAD = [
+    "qq_drift",
+    "poisson_fit",
+    "acf_table",
     "conformal_interval",
     "propensity_strata",
     "fdr_bh_segments",
@@ -11456,6 +11573,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "qq_drift": _qq_drift,
+        "poisson_fit": _poisson_fit,
+        "acf_table": _acf_table,
         "conformal_interval": _conformal_interval,
         "propensity_strata": _propensity_strata,
         "fdr_bh_segments": _fdr_bh_segments,
@@ -11746,6 +11866,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "qq_drift": _QQ_DRIFT_SQL,
+        "poisson_fit": _POISSON_FIT_SQL,
+        "acf_table": _ACF_TABLE_SQL,
         "conformal_interval": _CONFORMAL_SQL,
         "propensity_strata": _PROPENSITY_SQL,
         "fdr_bh_segments": _FDR_BH_SQL,

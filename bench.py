@@ -150,6 +150,15 @@ HEADLINE = [
     "growth_accounting",
     "interval_union_length",
     "monetary_unit_sample",
+    # r11 additions — the six heaviest of the 14 new entries by sweep
+    # time (split-conformal audit, Heaps curve, stratified matching,
+    # the BH battery, JW rescoring, quantile matching). Additions only.
+    "conformal_interval",
+    "heaps_law_curve",
+    "propensity_strata",
+    "fdr_bh_segments",
+    "jaro_winkler_rescore",
+    "quantile_match_normalize",
 ]
 
 

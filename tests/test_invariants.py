@@ -2540,3 +2540,70 @@ def test_stratified_matching_readout_contract(spark):
     by_s = {r["stratum"]: r["mean_diff"] for r in out}
     # stratum 1: parts 1 (control, y=100) and 2 (treated, y=200)
     assert by_s[1] == 100.0
+
+
+def test_acf_table_known_series(spark):
+    """A strict period-2 alternating series has acf(1) = -1 and
+    acf(2) = +1; a constant series emits NULL (zero variance)."""
+    from z316_sales_data_pipeline_spark.operators import timeseries as ts
+
+    rows = []
+    for i in range(10):
+        rows.append(("alt", f"2024-01-{i+1:02d} 00:00:00", 10 if i % 2 == 0 else 20))
+        rows.append(("const", f"2024-01-{i+1:02d} 00:00:00", 7))
+    df = spark.createDataFrame(rows, "k string, ts string, v long").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {(r["k"], r["lag"]): r for r in ts.acf_table(df, "k", "ts", F.col("v"), max_lag=3).collect()}
+    assert out[("alt", 1)]["acf"] == -1.0
+    assert out[("alt", 2)]["acf"] == 1.0
+    assert out[("alt", 1)]["n_pairs"] == 9
+    assert out[("const", 1)]["acf"] is None
+
+
+def test_qq_drift_identical_periods_ratio_one(spark):
+    """Two identical period distributions give every decile ratio 1.0;
+    cut values are monotone in q and members of the input."""
+    rows = [("pre", v, i) for i, v in enumerate([10, 20, 30, 40, 50, 60, 70, 80, 90, 100])]
+    rows += [("post", v, 100 + i) for i, v in enumerate([10, 20, 30, 40, 50, 60, 70, 80, 90, 100])]
+    df = spark.createDataFrame(rows, "p string, v long, id long")
+    out = sorted(
+        quality.qq_drift(df, "v", "id", "p", "pre", "post", n_q=9).collect(),
+        key=lambda r: r["q"],
+    )
+    assert len(out) == 9
+    assert all(r["qq_ratio"] == 1.0 and r["v_pre"] == r["v_post"] for r in out)
+    cuts = [r["v_pre"] for r in out]
+    assert cuts == sorted(cuts) and set(cuts) <= set(range(10, 101, 10))
+    # doubled post period shifts every ratio to exactly 2
+    rows2 = [("pre", v, i) for i, v in enumerate(range(1, 21))]
+    rows2 += [("post", 2 * v, 100 + i) for i, v in enumerate(range(1, 21))]
+    df2 = spark.createDataFrame(rows2, "p string, v long, id long")
+    out2 = quality.qq_drift(df2, "v", "id", "p", "pre", "post", n_q=9).collect()
+    assert all(r["qq_ratio"] == 2.0 for r in out2)
+
+
+def test_poisson_dispersion_contract(spark):
+    """Expected counts sum to ~n over the support, lambda_hat is the
+    exact mean, a constant distribution has dispersion 0, and counts
+    past 20 fail stop."""
+    import math
+
+    df = spark.createDataFrame([(k,) for k in [0, 1, 1, 2, 2, 2, 3]], "c long")
+    rows = quality.poisson_dispersion(df, "c").collect()
+    lam = sum([0, 1, 1, 2, 2, 2, 3]) / 7.0
+    assert all(abs(r["lambda_hat"] - round(lam, 6)) < 1e-9 for r in rows)
+    by_k = {r["k"]: r for r in rows}
+    assert by_k[2]["observed"] == 3
+    exp2 = 7.0 * math.exp(-lam) * lam**2 / 2.0
+    assert abs(by_k[2]["expected"] - exp2) < 1e-4
+
+    const = spark.createDataFrame([(5,)] * 4, "c long")
+    crows = quality.poisson_dispersion(const, "c").collect()
+    assert len(crows) == 1 and crows[0]["dispersion"] == 0.0
+
+    big = spark.createDataFrame([(25,)], "c long")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="factorial"):
+        quality.poisson_dispersion(big, "c").collect()

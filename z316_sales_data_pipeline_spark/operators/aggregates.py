@@ -701,3 +701,4 @@ def target_encode_loo(
         )
         .drop("__v", "__tot", "__nk")
     )
+

@@ -587,3 +587,114 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             F.round(F.col("mi_nats") / F.sqrt(F.col("__hx") * F.col("__hy")), 6),
         ).alias("nmi"),
     )
+
+
+def qq_drift(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    period_col: str,
+    pre_label: str,
+    post_label: str,
+    n_q: int = 9,
+) -> DataFrame:
+    """Quantile-quantile drift table between two periods: the exact
+    q/10-quantile order statistics of an integer value in each period,
+    side by side with their ratio — where in the distribution a shift
+    lives (a mean-only drift monitor can't tell "everything moved 5%"
+    from "the top decile doubled").
+
+    Quantile positions are exact integer arithmetic (the
+    quantile_match_normalize rule): the q-th of n_q cut points in a
+    period of n rows is the order statistic at rank
+    ``1 + ((n−1)·q) div (n_q+1)`` — no interpolation, no rounding
+    seam. Per-period ranks run two-phase (periods are two giant keys
+    by construction — the canonical giant-key window); the cut-point
+    lookup is a tiny spine join. One shared ratio division.
+    """
+    from .windows import partitioned_row_number_two_phase
+
+    base = df.select(
+        F.col(period_col).alias("__p"),
+        F.col(value_col).cast("long").alias("__v"),
+        F.col(id_col).alias("__id"),
+    ).filter(F.col("__p").isin(pre_label, post_label) & F.col("__v").isNotNull())
+    ranked = partitioned_row_number_two_phase(
+        base, ["__p"], [F.col("__v").asc(), F.col("__id").asc()], "__r"
+    )
+    sizes = ranked.groupBy("__p").agg(F.count(F.lit(1)).alias("__n"))
+    spine = df.sparkSession.range(1, n_q + 1).select(F.col("id").cast("int").alias("q"))
+    picks = (
+        sizes.crossJoin(F.broadcast(spine))
+        .withColumn("__k", F.lit(1) + F.expr(f"((__n - 1) * q) div {n_q + 1}"))
+        # distinct column names before the self-derived join: ranked and
+        # picks both descend from `base`, so a bare __p is ambiguous
+        .select(F.col("__p").alias("__pp"), "q", "__k")
+    )
+    cut = ranked.join(
+        F.broadcast(picks),
+        (ranked["__p"] == picks["__pp"]) & (ranked["__r"] == picks["__k"]),
+    ).select(F.col("__pp").alias("__p"), "q", F.col("__v").alias("__cut"))
+    pre = cut.filter(F.col("__p") == pre_label).select(
+        "q", F.col("__cut").alias("v_pre")
+    )
+    post = cut.filter(F.col("__p") == post_label).select(
+        "q", F.col("__cut").alias("v_post")
+    )
+    return pre.join(post, "q").select(
+        "q",
+        "v_pre",
+        "v_post",
+        F.when(
+            F.col("v_pre") != 0,
+            F.round(F.col("v_post").cast("double") / F.col("v_pre").cast("double"), 6),
+        ).alias("qq_ratio"),
+    )
+
+
+def poisson_dispersion(counts: DataFrame, count_col: str) -> DataFrame:
+    """Poisson goodness screen over an integer count distribution
+    (basket sizes, daily arrivals): the k-grain observed histogram
+    next to the Poisson(λ̂) expectation, with λ̂ = mean and the
+    dispersion index var/mean repeated on every row (≈1 = Poisson-
+    like; >1 overdispersed → a negative-binomial world; the check
+    behind every "can I model arrivals as Poisson" shortcut).
+
+    One exact-decimal-moment aggregate (n, Σk, Σk²) for λ̂ and the
+    dispersion; one hash aggregate to k grain for the histogram (k is
+    bounded by the max count — dozens of rows); expected counts
+    n·e^(−λ̂)·λ̂^k/k! are one shared float expression (``factorial``
+    is exact integer on both engines for the k this targets; refuse
+    past k = 20 where int64 factorial ends).
+    """
+    c = F.col(count_col)
+    guard = F.assert_true(
+        c.isNotNull() & (c >= 0) & (c <= 20),
+        F.lit(
+            f"poisson_dispersion: {count_col} must be a non-null count in "
+            "[0, 20] (int64 factorial ends at 20!; bucket larger counts "
+            "upstream)"
+        ),
+    )
+    base = counts.select(F.when(guard.isNull(), c).cast("long").alias("__k"))
+    m = base.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum("__k").cast("decimal(38,0)").alias("__s"),
+        F.sum(F.col("__k") * F.col("__k")).cast("decimal(38,0)").alias("__ss"),
+    )
+    hist = base.groupBy("__k").agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    n, s, ss = d("__n"), d("__s"), d("__ss")
+    lam = s / n
+    disp = (ss - s * s / n) / (n - F.lit(1.0)) / lam
+    joined = hist.crossJoin(F.broadcast(m))
+    expected = n * F.exp(-lam) * F.pow(lam, F.col("__k").cast("double")) / F.factorial(
+        F.col("__k").cast("int")
+    ).cast("double")
+    return joined.select(
+        F.col("__k").cast("long").alias("k"),
+        "observed",
+        F.round(expected, 6).alias("expected"),
+        F.round(lam, 6).alias("lambda_hat"),
+        F.when((F.col("__n") > 1) & (lam > 0), F.round(disp, 6)).alias("dispersion"),
+    )

@@ -601,11 +601,15 @@ def conformal_residual_interval(
         .agg(F.sum("__v").alias("__y"))
     )
     w = Window.partitionBy("__k").orderBy("__d")
+    # day-grain reduction consumed by THREE arms (calibration ranks,
+    # sizes, test coverage) — pin it (the grain rule) so the unit-grain
+    # scan and the (key, day) aggregate run once, not three times
     resid = (
         daily.withColumn("__yhat", F.lag("__y").over(w))
         .filter(F.col("__yhat").isNotNull())
         .withColumn("__r", F.abs(F.col("__y") - F.col("__yhat")))
         .withColumn("__cal", F.col("__d") < F.lit(split_date).cast("date"))
+        .localCheckpoint(eager=True)
     )
     cal = resid.filter(F.col("__cal"))
     wr = Window.partitionBy("__k").orderBy(F.col("__r").asc(), F.col("__d").asc())
@@ -647,4 +651,70 @@ def conformal_residual_interval(
         (F.col("n_covered").cast("double") / F.col("n_test").cast("double")).alias(
             "coverage"
         ),
+    )
+
+
+def acf_table(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_int: Column,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Per-key autocorrelation table: Pearson r between the day-grain
+    series and its lag-l shift for l = 1..max_lag — the seasonality /
+    memory fingerprint (a weekly cycle shows as a lag-7 spike) behind
+    every "should I even fit a seasonal model" decision.
+
+    The unit scan reduces ONCE to (key, day) exact integer totals;
+    a max_lag-row spine cross-joins (constant fan-out, never a data-
+    sized blowup) and the shifted series arrives by an equi-join on
+    day + lag — day-grain relations throughout, so cost after the
+    first aggregate is O(keys · days · max_lag). Exact decimal moments
+    per (key, lag); r is one shared guarded expression, round-6.
+    Lags with fewer than 3 overlapping days or zero variance emit
+    NULL.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.to_date(F.col(ts_col)).alias("__d"),
+            value_int.cast("long").alias("__v"),
+        )
+        .groupBy("__k", "__d")
+        .agg(F.sum("__v").cast("decimal(18,0)").alias("__y"))
+        .localCheckpoint(eager=True)
+    )
+    spine = df.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.crossJoin(F.broadcast(spine))
+    b = daily.select(
+        F.col("__k"), F.col("__d").alias("__d2"), F.col("__y").alias("__y2")
+    )
+    pairs = a.join(
+        b,
+        (a["__k"] == b["__k"]) & (F.expr("date_add(__d, lag)") == b["__d2"]),
+    ).select(a["__k"].alias("__k"), "lag", "__y", "__y2")
+    m = pairs.groupBy("__k", "lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum("__y").alias("__sx"),
+        F.sum("__y2").alias("__sy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y2")).alias("__sxy"),
+        F.sum(F.col("__y2") * F.col("__y2")).alias("__syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = d("__n")
+    vx = n * d("__sxx") - d("__sx") * d("__sx")
+    vy = n * d("__syy") - d("__sy") * d("__sy")
+    cov = n * d("__sxy") - d("__sx") * d("__sy")
+    return m.select(
+        F.col("__k").alias(key_col),
+        "lag",
+        F.col("__n").cast("long").alias("n_pairs"),
+        F.when(
+            (F.col("__n") >= 3) & (vx * vy > F.lit(0.0)),
+            F.round(cov / F.sqrt(vx * vy), 6),
+        ).alias("acf"),
     )
