@@ -1449,6 +1449,10 @@ def quantile_match_normalize(
     from .windows import partitioned_row_number_two_phase, two_phase_row_number
 
     v = F.col(value_col)
+    # complete-case: a NULL value would sort NULLS FIRST on Spark but
+    # NULLS LAST in an ANSI oracle's ascending window — drop rather
+    # than rank it (the mann_whitney rule)
+    df = df.filter(v.isNotNull())
     order = [v.asc(), F.col(id_col).asc()]
     pooled, total = two_phase_row_number(
         df.select(F.col(id_col), v.alias("__v")),

@@ -568,6 +568,10 @@ def fdr_bh(df: DataFrame, test_col: str, p_col: str, q: float = 0.05) -> DataFra
     """
     from pyspark.sql import Window
 
+    # complete-case: a NULL p (undefined test) must not enter the rank —
+    # Spark and ANSI oracles disagree on NULL sort position, and BH's m
+    # counts only realized tests
+    df = df.filter(F.col(p_col).isNotNull())
     w = Window.orderBy(F.col(p_col).asc(), F.col(test_col).asc())
     m = df.agg(F.count(F.lit(1)).cast("long").alias("__m"))
     ranked = df.crossJoin(F.broadcast(m)).select(
