@@ -11481,6 +11481,44 @@ FROM h CROSS JOIN m
 """
 
 
+def _interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process screen (timeseries.interarrival_fit): per
+    event_type mean gap and CV of successive inter-arrival times
+    (CV ~ 1 = memoryless) — the poisson_fit companion at the process
+    grain. Exact int64 microsecond gaps via two-phase per-key ranks +
+    a (key, rank-1) self-join of the pinned ranked relation."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.interarrival_fit(ev, "event_type", "ts", "event_id")
+
+
+_INTERARRIVAL_SQL = """
+WITH b AS (
+    SELECT event_type AS k, epoch_us(ts) AS m, event_id AS id FROM events
+), r AS (
+    SELECT k, m, row_number() OVER (PARTITION BY k ORDER BY m, id) AS rn FROM b
+), g AS (
+    SELECT a.k, a.m - p.m AS gap
+    FROM r a JOIN r p ON a.k = p.k AND a.rn = p.rn + 1
+), mm AS (
+    -- widen before the square (the Spark side squares decimal(18,0)
+    -- into decimal(37,0)): multi-hour gaps in microseconds overflow
+    -- INT64 squared, and DuckDB's DECIMAL(18) product does not
+    -- auto-widen — HUGEINT is its exact 128-bit grain
+    SELECT k, count(*) AS n, sum(gap) AS s,
+           sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS ss
+    FROM g GROUP BY 1
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n_gaps,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean_gap_s,
+       CASE WHEN n > 1 AND s > 0.0 THEN
+           round(sqrt(greatest((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                               / (CAST(n AS DOUBLE) - 1.0), 0.0))
+                 / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+       END AS cv
+FROM mm
+"""
+
+
 # -- r11 driver sample (first 50), applied as a reorder at return time:
 # the 13 never-driver-attested r10 entries (mann_whitney_value ..
 # source_data_card — VERDICT r10 item 1; six of them are ALSO this
@@ -11494,6 +11532,7 @@ FROM h CROSS JOIN m
 # covering the shingles() NULL-contract change. New r11 entries are
 # prepended as they are added. --
 _R11_SAMPLE_HEAD = [
+    "interarrival_fit",
     "qq_drift",
     "poisson_fit",
     "acf_table",
@@ -11573,6 +11612,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "interarrival_fit": _interarrival_fit,
         "qq_drift": _qq_drift,
         "poisson_fit": _poisson_fit,
         "acf_table": _acf_table,
@@ -11866,6 +11906,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "interarrival_fit": _INTERARRIVAL_SQL,
         "qq_drift": _QQ_DRIFT_SQL,
         "poisson_fit": _POISSON_FIT_SQL,
         "acf_table": _ACF_TABLE_SQL,

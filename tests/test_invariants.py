@@ -2607,3 +2607,27 @@ def test_poisson_dispersion_contract(spark):
 
     with _pytest.raises(Exception, match="factorial"):
         quality.poisson_dispersion(big, "c").collect()
+
+
+def test_interarrival_fit_known_gaps(spark):
+    """Evenly spaced arrivals have CV exactly 0; known mixed gaps give
+    the hand-computed mean; a single event (no gaps) emits no row."""
+    from z316_sales_data_pipeline_spark.operators import timeseries as ts
+
+    rows = []
+    for i in range(5):  # even: gaps all 60s
+        rows.append(("even", f"2024-01-01 00:{i:02d}:00", i))
+    rows.append(("solo", "2024-01-01 00:00:00", 99))
+    for i, t in enumerate(["00:00:00", "00:00:10", "00:00:40"]):  # gaps 10s, 30s
+        rows.append(("mix", f"2024-01-01 {t}", 200 + i))
+    df = spark.createDataFrame(rows, "k string, ts string, id long").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "id"
+    )
+    out = {r["k"]: r for r in ts.interarrival_fit(df, "k", "ts", "id").collect()}
+    assert "solo" not in out
+    assert out["even"]["n_gaps"] == 4 and out["even"]["mean_gap_s"] == 60.0
+    assert out["even"]["cv"] == 0.0
+    assert out["mix"]["n_gaps"] == 2 and out["mix"]["mean_gap_s"] == 20.0
+    # gaps 10, 30: sd = sqrt(200), cv = sqrt(200)/20
+    import math
+    assert abs(out["mix"]["cv"] - round(math.sqrt(200.0) / 20.0, 6)) < 1e-9

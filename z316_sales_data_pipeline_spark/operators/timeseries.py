@@ -718,3 +718,59 @@ def acf_table(
             F.round(cov / F.sqrt(vx * vy), 6),
         ).alias("acf"),
     )
+
+
+def interarrival_fit(
+    df: DataFrame, key_col: str, ts_col: str, id_col: str
+) -> DataFrame:
+    """Inter-arrival-time fit per key: mean gap and the coefficient of
+    variation of successive event gaps — the exponential/Poisson-
+    process screen at the PROCESS grain (CV ≈ 1 ⇒ memoryless arrivals;
+    CV >> 1 ⇒ bursty; the :func:`~.quality.poisson_dispersion`
+    companion, which fits COUNTS).
+
+    Gaps are exact int64 microseconds: the per-key sequence rank runs
+    two-phase (keys are few giant partitions by construction — a
+    per-key window would route one event type's shard through one
+    task) and the lag arrives by a (key, rank−1) self-join of the
+    PINNED ranked relation. Moments exact decimal; mean and CV are
+    shared verbatim float expressions at the 6dp audit grain
+    (``greatest(var, 0)`` absorbs float cancellation identically on
+    both engines before the sqrt).
+    """
+    from .windows import partitioned_row_number_two_phase
+
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(ts_col)).alias("__m"),
+        F.col(id_col).alias("__id"),
+    )
+    ranked = partitioned_row_number_two_phase(
+        base, ["__k"], [F.col("__m").asc(), F.col("__id").asc()], "__rn"
+    ).localCheckpoint(eager=True)
+    prev = ranked.select(
+        "__k", (F.col("__rn") + 1).alias("__rn"), F.col("__m").alias("__pm")
+    )
+    gaps = ranked.join(prev, ["__k", "__rn"]).select(
+        "__k", (F.col("__m") - F.col("__pm")).alias("__g")
+    )
+    m = gaps.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum("__g").cast("decimal(38,0)").alias("__s"),
+        F.sum(F.col("__g").cast("decimal(18,0)") * F.col("__g").cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("__ss"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n, s, ss = d("__n"), d("__s"), d("__ss")
+    mean = s / n
+    var = (ss - s * s / n) / (n - F.lit(1.0))
+    return m.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").cast("long").alias("n_gaps"),
+        F.round(mean / F.lit(1000000.0), 6).alias("mean_gap_s"),
+        F.when(
+            (F.col("__n") > 1) & (s > F.lit(0.0)),
+            F.round(F.sqrt(F.greatest(var, F.lit(0.0))) / mean, 6),
+        ).alias("cv"),
+    )
