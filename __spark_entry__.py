@@ -11519,6 +11519,44 @@ FROM mm
 """
 
 
+def _temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture designer (corpus.temperature_mix_weights):
+    per-source sampling weights at temperature alpha = 0.3 (natural
+    share ^ alpha, normalized) with the low-resource boost factor.
+    Exact integer token counts; floats at the char_entropy round-6
+    precedent over the ~|sources| relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.temperature_mix_weights(docs, "text", "source", alpha=0.3)
+
+
+_TEMPERATURE_MIX_SQL = r"""
+WITH t AS (
+    SELECT source,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+    FROM documents
+), srcs AS (
+    SELECT source, cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM t GROUP BY 1
+), tot AS (
+    SELECT cast(sum(n_tokens) AS BIGINT) AS tt FROM srcs
+), staged AS (
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS p,
+           pow(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 0.3) AS pa
+    FROM srcs CROSS JOIN tot
+), dn AS (
+    SELECT sum(pa) AS d FROM staged
+)
+SELECT source, n_docs, n_tokens,
+       round(p, 6) AS natural_share,
+       round(pa / d, 6) AS sample_weight,
+       CASE WHEN p > 0 THEN round((pa / d) / p, 6) END AS boost
+FROM staged CROSS JOIN dn
+"""
+
+
 # -- r11 driver sample (first 50), applied as a reorder at return time:
 # the 13 never-driver-attested r10 entries (mann_whitney_value ..
 # source_data_card — VERDICT r10 item 1; six of them are ALSO this
@@ -11532,6 +11570,7 @@ FROM mm
 # covering the shingles() NULL-contract change. New r11 entries are
 # prepended as they are added. --
 _R11_SAMPLE_HEAD = [
+    "temperature_mix",
     "interarrival_fit",
     "qq_drift",
     "poisson_fit",
@@ -11612,6 +11651,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "temperature_mix": _temperature_mix,
         "interarrival_fit": _interarrival_fit,
         "qq_drift": _qq_drift,
         "poisson_fit": _poisson_fit,
@@ -11906,6 +11946,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "temperature_mix": _TEMPERATURE_MIX_SQL,
         "interarrival_fit": _INTERARRIVAL_SQL,
         "qq_drift": _QQ_DRIFT_SQL,
         "poisson_fit": _POISSON_FIT_SQL,

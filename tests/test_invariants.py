@@ -2631,3 +2631,20 @@ def test_interarrival_fit_known_gaps(spark):
     # gaps 10, 30: sd = sqrt(200), cv = sqrt(200)/20
     import math
     assert abs(out["mix"]["cv"] - round(math.sqrt(200.0) / 20.0, 6)) < 1e-9
+
+
+def test_temperature_mix_weights_laws(spark):
+    """Weights sum to ~1; alpha=1 reproduces natural shares; alpha<1
+    boosts the low-resource source (boost > 1) and shrinks the
+    dominant one (boost < 1)."""
+    docs = spark.createDataFrame(
+        [("big", "a b c d e f g h"), ("big", "a b c d e f g h"),
+         ("small", "a b")],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in corpus_mod.temperature_mix_weights(docs, "text", "source", alpha=0.3).collect()}
+    assert abs(sum(r["sample_weight"] for r in out.values()) - 1.0) < 1e-5
+    assert out["small"]["boost"] > 1.0 > out["big"]["boost"]
+    nat = {r["source"]: r for r in corpus_mod.temperature_mix_weights(docs, "text", "source", alpha=1.0).collect()}
+    for s in ("big", "small"):
+        assert abs(nat[s]["sample_weight"] - nat[s]["natural_share"]) < 1e-5

@@ -1546,3 +1546,50 @@ def heaps_law_curve(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return cum2.select(
         F.col("__doc").alias(id_col), "n_tokens", "n_new_types", "cum_tokens", "cum_types"
     )
+
+
+def temperature_mix_weights(
+    df: DataFrame, text_col: str, group_col: str, alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-scaled source sampling weights: w_s ∝ p_s^alpha
+    with p_s = source's token share — the standard up-weighting of
+    low-resource sources when mixing a training corpus (alpha = 1
+    reproduces natural proportions; alpha -> 0 approaches uniform).
+
+    One size-linear aggregate to SOURCE grain (exact integer token
+    counts); p, p^alpha, the normalizing sum and the boost factor are
+    shared-verbatim float expressions over the ~|sources| relation at
+    the char_entropy round-6 precedent. Output per source: docs,
+    tokens, natural share, sampling weight, boost = weight/share.
+    """
+    from ..functions.text import whitespace_token_count
+
+    srcs = (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(whitespace_token_count(text_col).cast("long"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = srcs.agg(F.sum("n_tokens").cast("long").alias("__t"))
+    p = F.col("n_tokens").cast("double") / F.col("__t").cast("double")
+    staged = srcs.crossJoin(F.broadcast(tot)).withColumn(
+        "__pa", F.pow(p, F.lit(alpha))
+    )
+    denom = staged.agg(F.sum("__pa").alias("__d"))
+    return (
+        staged.crossJoin(F.broadcast(denom))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            F.round(p, 6).alias("natural_share"),
+            F.round(F.col("__pa") / F.col("__d"), 6).alias("sample_weight"),
+            F.when(p > 0, F.round((F.col("__pa") / F.col("__d")) / p, 6)).alias(
+                "boost"
+            ),
+        )
+    )
