@@ -11558,17 +11558,18 @@ FROM staged CROSS JOIN dn
 
 
 # -- r11 driver sample (first 50), applied as a reorder at return time:
-# the 13 never-driver-attested r10 entries (mann_whitney_value ..
-# source_data_card — VERDICT r10 item 1; six of them are ALSO this
-# round's changed-code entries: srm_check zero-arm spine, t_closeness
-# m=1/NULL-bucket contract, link_prediction degree refusal,
-# deterministic_shuffle / token_budget_select / source_data_card on the
-# sign-corrected two-phase running sum), then the 7-entry r5 block and
-# the 30 stalest r6 entries (last-attested ranking computed from
-# CORRECTNESS_r01..r10 keys). Shingle consumers doc_fingerprint /
-# minhash_eval / minhash_near_dup / ngram_jaccard land in the r6 block,
-# covering the shingles() NULL-contract change. New r11 entries are
-# prepended as they are added. --
+# the 18 NEW r11 entries lead (never driver-attested — temperature_mix
+# .. recs_mrr, in reverse order of addition), then the 13
+# never-driver-attested r10 entries (mann_whitney_value ..
+# source_data_card — VERDICT r10 item 1; six of them are ALSO the
+# first session's changed-code entries: srm_check zero-arm spine,
+# t_closeness m=1/NULL-bucket contract, link_prediction degree
+# refusal, deterministic_shuffle / token_budget_select /
+# source_data_card on the sign-corrected two-phase running sum), then
+# the stalest r5/r6 entries up to 50 (last-attested ranking computed
+# from CORRECTNESS_r01..r10 keys); the rest keep registration order.
+# Shingle consumers doc_fingerprint / minhash_eval / minhash_near_dup
+# / ngram_jaccard cover the shingles() NULL-contract change. --
 _R11_SAMPLE_HEAD = [
     "temperature_mix",
     "interarrival_fit",
