@@ -11557,6 +11557,135 @@ FROM staged CROSS JOIN dn
 """
 
 
+def _spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone association (aggregates.spearman_exact): Spearman rho
+    between order total and the customer's account balance — exact
+    tie-averaged doubled midranks via two-phase running sums over the
+    distinct-value grain (the mann_whitney trick), decimal moments,
+    ONE shared guarded float expression."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return aggregates.spearman_exact(
+        j,
+        F.round(F.col("o_totalprice") * 100),
+        F.round(F.col("c_acctbal") * 100),
+    )
+
+
+_SPEARMAN_SQL = """
+WITH b AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS y
+    FROM orders JOIN customer ON o_custkey = c_custkey
+), vx AS (SELECT x, count(*) AS c FROM b GROUP BY 1),
+cx AS (SELECT x, c, sum(c) OVER (ORDER BY x) AS cum FROM vx),
+mx AS (SELECT x, 2 * (cum - c) + c + 1 AS mrx FROM cx),
+vy AS (SELECT y, count(*) AS c FROM b GROUP BY 1),
+cy AS (SELECT y, c, sum(c) OVER (ORDER BY y) AS cum FROM vy),
+my AS (SELECT y, 2 * (cum - c) + c + 1 AS mry FROM cy),
+j AS (SELECT mrx, mry FROM b JOIN mx USING (x) JOIN my USING (y)),
+m AS (
+    SELECT count(*) AS n,
+           sum(CAST(mrx AS HUGEINT)) AS sx, sum(CAST(mry AS HUGEINT)) AS sy,
+           sum(CAST(mrx AS HUGEINT) * CAST(mrx AS HUGEINT)) AS sxx,
+           sum(CAST(mrx AS HUGEINT) * CAST(mry AS HUGEINT)) AS sxy,
+           sum(CAST(mry AS HUGEINT) * CAST(mry AS HUGEINT)) AS syy
+    FROM j
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       END AS spearman_rho
+FROM m
+"""
+
+
+def _cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized association (quality.cramers_v): Cramér's V between
+    lang and source over documents — the [0,1]-comparable companion
+    to mutual_information, same stats-join plan skeleton."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality.cramers_v(docs, "lang", "source")
+
+
+_CRAMERS_V_SQL = """
+WITH cells AS (
+    SELECT lang, source, cast(count(*) AS BIGINT) AS c
+    FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+    GROUP BY 1, 2
+), rt AS (SELECT lang, sum(c) AS rt FROM cells GROUP BY 1),
+ct AS (SELECT source, sum(c) AS ct FROM cells GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM cells),
+lv AS (SELECT (SELECT cast(count(*) AS BIGINT) FROM rt) AS rx,
+              (SELECT cast(count(*) AS BIGINT) FROM ct) AS cy),
+t AS (
+    SELECT c, rt, ct, n FROM cells
+    JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot
+), a AS (
+    -- empty cells carry (0-e)^2/e = e; their total is n - sum_obs(e)
+    SELECT cast(max(n) AS BIGINT) AS n,
+           round(sum((CAST(c AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(c AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)))
+                 + (CAST(max(n) AS DOUBLE)
+                    - sum(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS chi2
+    FROM t
+)
+SELECT n, rx AS n_x_levels, cy AS n_y_levels, chi2,
+       CASE WHEN rx > 1 AND cy > 1
+            THEN round(sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(rx - 1, cy - 1) AS DOUBLE))), 6)
+       END AS cramers_v
+FROM a CROSS JOIN lv
+"""
+
+
+def _cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected classifier agreement (quality.cohens_kappa):
+    kappa of the stopword-argmax lang-ID prediction against the
+    labeled lang column — the honest accuracy for a skewed label mix.
+    Diagonal and expected-agreement numerators are exact decimal
+    integers; two divisions and the kappa ratio are the only
+    floats."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang"), text.language_id("text").alias("lang_pred")
+    )
+    return quality.cohens_kappa(pred, "lang", "lang_pred")
+
+
+def _cohens_kappa_sql() -> str:
+    pred = _lang_id_sql().strip().rstrip()
+    # reuse the lang_id CTE verbatim, adding the label column
+    pred_with_label = pred.replace(
+        "WITH h AS (SELECT doc_id,", "WITH h AS (SELECT doc_id, lang,"
+    ).replace("SELECT doc_id, CASE", "SELECT lang, CASE")
+    return f"""
+WITH pred AS ({pred_with_label}),
+cells AS (
+    SELECT lang, lang_pred, cast(count(*) AS BIGINT) AS c
+    FROM pred WHERE lang IS NOT NULL AND lang_pred IS NOT NULL
+    GROUP BY 1, 2
+), ra AS (SELECT lang AS k, sum(c) AS ra FROM cells GROUP BY 1),
+cb AS (SELECT lang_pred AS k, sum(c) AS cb FROM cells GROUP BY 1),
+n AS (SELECT sum(c) AS n FROM cells),
+diag AS (SELECT coalesce(sum(c), 0) AS d FROM cells WHERE lang = lang_pred),
+pe AS (SELECT coalesce(sum(ra * cb), 0) AS pe_num FROM ra JOIN cb USING (k))
+SELECT CAST(n AS BIGINT) AS n,
+       round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_observed,
+       round(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_expected,
+       CASE WHEN CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+            THEN round((CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+                        - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                       / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+       END AS kappa
+FROM n CROSS JOIN diag CROSS JOIN pe
+"""
+
+
 # -- r11 driver sample (first 50), applied as a reorder at return time:
 # the 18 NEW r11 entries lead (never driver-attested — temperature_mix
 # .. recs_mrr, in reverse order of addition), then the 13
@@ -11571,6 +11700,9 @@ FROM staged CROSS JOIN dn
 # Shingle consumers doc_fingerprint / minhash_eval / minhash_near_dup
 # / ngram_jaccard cover the shingles() NULL-contract change. --
 _R11_SAMPLE_HEAD = [
+    "spearman_corr",
+    "cramers_v",
+    "cohens_kappa",
     "temperature_mix",
     "interarrival_fit",
     "qq_drift",
@@ -11652,6 +11784,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "spearman_corr": _spearman_corr,
+        "cramers_v": _cramers_v,
+        "cohens_kappa": _cohens_kappa,
         "temperature_mix": _temperature_mix,
         "interarrival_fit": _interarrival_fit,
         "qq_drift": _qq_drift,
@@ -11947,6 +12082,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "spearman_corr": _SPEARMAN_SQL,
+        "cramers_v": _CRAMERS_V_SQL,
+        "cohens_kappa": _cohens_kappa_sql(),
         "temperature_mix": _TEMPERATURE_MIX_SQL,
         "interarrival_fit": _INTERARRIVAL_SQL,
         "qq_drift": _QQ_DRIFT_SQL,

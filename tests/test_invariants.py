@@ -2648,3 +2648,54 @@ def test_temperature_mix_weights_laws(spark):
     nat = {r["source"]: r for r in corpus_mod.temperature_mix_weights(docs, "text", "source", alpha=1.0).collect()}
     for s in ("big", "small"):
         assert abs(nat[s]["sample_weight"] - nat[s]["natural_share"]) < 1e-5
+
+
+def test_spearman_exact_laws(spark):
+    """rho(x, monotone(x)) = 1 even under a nonlinear transform;
+    rho(x, -x) = -1; constant y gives NULL; tie-averaged midranks
+    match the hand-computed value on a small tied sample."""
+    df = spark.createDataFrame([(i, i**3) for i in range(1, 9)], "x long, y long")
+    assert aggregates.spearman_exact(df, F.col("x"), F.col("y")).collect()[0][
+        "spearman_rho"
+    ] == 1.0
+    neg = spark.createDataFrame([(i, -i) for i in range(1, 9)], "x long, y long")
+    assert aggregates.spearman_exact(neg, F.col("x"), F.col("y")).collect()[0][
+        "spearman_rho"
+    ] == -1.0
+    const = spark.createDataFrame([(i, 7) for i in range(1, 9)], "x long, y long")
+    assert aggregates.spearman_exact(const, F.col("x"), F.col("y")).collect()[0][
+        "spearman_rho"
+    ] is None
+    # ties: x = [1,2,2,3], y = [10,20,20,40] -> midranks x: 1, 2.5, 2.5, 4
+    # and y identical ranks -> rho exactly 1
+    ties = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 20), (3, 40)], "x long, y long"
+    )
+    assert aggregates.spearman_exact(ties, F.col("x"), F.col("y")).collect()[0][
+        "spearman_rho"
+    ] == 1.0
+
+
+def test_cramers_v_and_kappa_laws(spark):
+    """Perfect association gives V = 1 and kappa = 1; independence
+    gives chi2 = 0 and V = 0; a constant classifier gets kappa 0."""
+    perfect = spark.createDataFrame(
+        [(c, c) for c in "aabbcc"], "x string, y string"
+    )
+    r = quality.cramers_v(perfect, "x", "y").collect()[0]
+    assert r["cramers_v"] == 1.0 and r["n_x_levels"] == 3
+    k = quality.cohens_kappa(perfect, "x", "y").collect()[0]
+    assert k["kappa"] == 1.0 and k["p_observed"] == 1.0
+
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "uv" for _ in range(3)],
+        "x string, y string",
+    )
+    r2 = quality.cramers_v(ind, "x", "y").collect()[0]
+    assert r2["chi2"] == 0.0 and r2["cramers_v"] == 0.0
+
+    const = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("a", "a"), ("c", "a")], "x string, y string"
+    )
+    k2 = quality.cohens_kappa(const, "x", "y").collect()[0]
+    assert k2["kappa"] == 0.0

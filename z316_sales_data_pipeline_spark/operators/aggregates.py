@@ -702,3 +702,67 @@ def target_encode_loo(
         .drop("__v", "__tot", "__nk")
     )
 
+
+
+def spearman_exact(df: DataFrame, x_int: Column, y_int: Column) -> DataFrame:
+    """Spearman rank correlation with EXACT tie-averaged ranks — the
+    monotone-association companion to :func:`pearson_exact` (robust to
+    outliers and nonlinearity: rho asks "do they move together", not
+    "linearly").
+
+    Ranks never rank ROWS: per distinct value the doubled midrank
+    2·below + cnt + 1 is an exact integer (the mann_whitney trick),
+    with below() from :func:`~.windows.two_phase_running_sum` over the
+    distinct-VALUE grain — no single-partition window. The doubled
+    midranks map back to rows by a value join, the six moments
+    accumulate in decimal(38,0), and rho is ONE shared guarded float
+    expression (the 2x scaling cancels in the correlation). Rows with
+    a NULL on either side are dropped (complete-case). NULL rho for
+    degenerate inputs (constant x or y, n < 2).
+    """
+    from .windows import two_phase_running_sum
+
+    proj = df.select(
+        x_int.cast("long").alias("__x"), y_int.cast("long").alias("__y")
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+
+    def midrank_map(col: str) -> DataFrame:
+        per_v = proj.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
+        ranked, _ = two_phase_running_sum(
+            per_v, [F.col(col).asc()], F.col("__c"), "__cum"
+        )
+        return ranked.select(
+            col,
+            (
+                2 * (F.col("__cum") - F.col("__c")) + F.col("__c") + F.lit(1)
+            ).alias(f"__mr{col}"),
+        )
+
+    j = (
+        proj.join(midrank_map("__x"), "__x")
+        .join(midrank_map("__y"), "__y")
+        .select(
+            F.col("__mr__x").cast("decimal(18,0)").alias("__rx"),
+            F.col("__mr__y").cast("decimal(18,0)").alias("__ry"),
+        )
+    )
+    rx, ry = F.col("__rx"), F.col("__ry")
+    m = j.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(rx).alias("__sx"),
+        F.sum(ry).alias("__sy"),
+        F.sum(rx * rx).alias("__sxx"),
+        F.sum(rx * ry).alias("__sxy"),
+        F.sum(ry * ry).alias("__syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = d("__n")
+    vx = n * d("__sxx") - d("__sx") * d("__sx")
+    vy = n * d("__syy") - d("__sy") * d("__sy")
+    cov = n * d("__sxy") - d("__sx") * d("__sy")
+    return m.select(
+        F.col("__n").cast("long").alias("n"),
+        F.when(vx * vy > F.lit(0.0), F.round(cov / F.sqrt(vx * vy), 6)).alias(
+            "spearman_rho"
+        ),
+    )

@@ -698,3 +698,124 @@ def poisson_dispersion(counts: DataFrame, count_col: str) -> DataFrame:
         F.round(lam, 6).alias("lambda_hat"),
         F.when((F.col("__n") > 1) & (lam > 0), F.round(disp, 6)).alias("dispersion"),
     )
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa between two categorical labelings (a classifier
+    vs ground truth, or two annotators): chance-corrected agreement
+    kappa = (p_o − p_e)/(1 − p_e) — the honest version of "accuracy"
+    when the label distribution is skewed (a constant classifier gets
+    p_o = majority share for free; kappa gives it 0).
+
+    Everything reduces to the |A|·|B| confusion-cell relation in one
+    hash aggregate; p_o's numerator (the diagonal) and p_e's
+    (Σ row_k · col_k over shared categories) are EXACT decimal
+    integers, so the two divisions and the kappa ratio are the only
+    floats — shared verbatim, round-6. Rows with a NULL on either
+    side are dropped (complete-case).
+    """
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    ra = cells.groupBy(col_a).agg(F.sum("__c").cast("decimal(19,0)").alias("__ra"))
+    cb = cells.groupBy(col_b).agg(F.sum("__c").cast("decimal(19,0)").alias("__cb"))
+    n = cells.agg(F.sum("__c").cast("decimal(38,0)").alias("__n"))
+    diag = cells.filter(F.col(col_a) == F.col(col_b)).agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("decimal(38,0)").alias("__diag")
+    )
+    pe_num = (
+        ra.join(cb, ra[col_a] == cb[col_b])
+        .agg(
+            F.coalesce(F.sum(F.col("__ra") * F.col("__cb")), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__pe_num")
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    po = d("__diag") / d("__n")
+    pe = d("__pe_num") / (d("__n") * d("__n"))
+    return (
+        n.crossJoin(F.broadcast(diag))
+        .crossJoin(F.broadcast(pe_num))
+        .select(
+            F.col("__n").cast("long").alias("n"),
+            F.round(po, 6).alias("p_observed"),
+            F.round(pe, 6).alias("p_expected"),
+            F.when(pe < F.lit(1.0), F.round((po - pe) / (F.lit(1.0) - pe), 6)).alias(
+                "kappa"
+            ),
+        )
+    )
+
+
+def cramers_v(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Cramér's V association strength between two categoricals:
+    V = sqrt(chi² / (n · min(|X|−1, |Y|−1))) — the [0, 1]-normalized
+    companion to :func:`mutual_information` (V is comparable across
+    tables of different shapes; MI is not).
+
+    Same plan skeleton as the MI audit: ONE cell-grain hash aggregate,
+    margins as cell-grain aggregates broadcast back (stats-join —
+    never windows over the cell relation), chi² folding one float term
+    per cell at the char_entropy round-6 precedent. Degenerate tables
+    (a single level on either side) emit NULL.
+
+    EMPTY cells carry chi² mass too — (0 − e)²/e = e — and a groupBy
+    only yields observed cells (the srm_check zero-arm lesson). No
+    grid cross-join is needed: total expected over the full grid is
+    exactly n, so the empty-cell mass is n − Σ_observed(e), folded in
+    as one extra term.
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(x_col, y_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    rt = cells.groupBy(x_col).agg(F.sum("__c").alias("__rt"))
+    ct = cells.groupBy(y_col).agg(F.sum("__c").alias("__ct"))
+    tot = cells.agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("__cells"),
+    )
+    lv = rt.agg(F.count(F.lit(1)).cast("long").alias("__rx")).crossJoin(
+        F.broadcast(ct.agg(F.count(F.lit(1)).cast("long").alias("__cy")))
+    )
+    t = (
+        cells.join(F.broadcast(rt), x_col)
+        .join(F.broadcast(ct), y_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    o = F.col("__c").cast("double")
+    e = (
+        F.col("__rt").cast("double")
+        * F.col("__ct").cast("double")
+        / F.col("__n").cast("double")
+    )
+    agg = t.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.round(
+            F.sum((o - e) * (o - e) / e)
+            + (F.max("__n").cast("double") - F.sum(e)),
+            6,
+        ).alias("chi2"),
+    )
+    mind = F.least(F.col("__rx") - 1, F.col("__cy") - 1).cast("double")
+    return (
+        agg.crossJoin(F.broadcast(lv))
+        .select(
+            "n",
+            F.col("__rx").alias("n_x_levels"),
+            F.col("__cy").alias("n_y_levels"),
+            "chi2",
+            F.when(
+                (F.col("__rx") > 1) & (F.col("__cy") > 1),
+                F.round(
+                    F.sqrt(F.col("chi2") / (F.col("n").cast("double") * mind)), 6
+                ),
+            ).alias("cramers_v"),
+        )
+    )
