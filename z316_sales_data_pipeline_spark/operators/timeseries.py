@@ -619,17 +619,21 @@ def conformal_residual_interval(
     # for the alphas in use; computed in exact integer arithmetic from
     # a scaled-alpha literal (alpha as a rational a_num/a_den)
     a_num, a_den = int(round(alpha * 1000)), 1000
-    pick = ncal.withColumn(
-        "__pick",
+    # distinct key name before the self-derived join (the qq_drift
+    # lesson: pick descends from cal, so a bare __k == __k predicate
+    # is ambiguous — Spark warns "trivially true equals predicate")
+    pick = ncal.select(
+        F.col("__k").alias("__pk"),
+        "n_cal",
         F.least(
             F.col("n_cal"),
             F.col("n_cal") + 1 - F.expr(f"((n_cal + 1) * {a_num}) div {a_den}"),
-        ),
+        ).alias("__pick"),
     )
     qhat = (
-        cal_ranked.join(F.broadcast(pick), cal_ranked["__k"] == pick["__k"])
+        cal_ranked.join(F.broadcast(pick), F.col("__k") == F.col("__pk"))
         .filter(F.col("__rn") == F.col("__pick"))
-        .select(cal_ranked["__k"].alias("__k"), F.col("__r").alias("q_cents"), "n_cal")
+        .select("__k", F.col("__r").alias("q_cents"), "n_cal")
     )
     test = resid.filter(~F.col("__cal"))
     cov = (
