@@ -692,14 +692,20 @@ def acf_table(
     spine = df.sparkSession.range(1, max_lag + 1).select(
         F.col("id").cast("int").alias("lag")
     )
+    # distinct key name on the shifted side: both arms descend from
+    # `daily`, so a bare __k == __k predicate is ambiguous (the
+    # conformal/qq lesson)
     a = daily.crossJoin(F.broadcast(spine))
     b = daily.select(
-        F.col("__k"), F.col("__d").alias("__d2"), F.col("__y").alias("__y2")
+        F.col("__k").alias("__k2"),
+        F.col("__d").alias("__d2"),
+        F.col("__y").alias("__y2"),
     )
     pairs = a.join(
         b,
-        (a["__k"] == b["__k"]) & (F.expr("date_add(__d, lag)") == b["__d2"]),
-    ).select(a["__k"].alias("__k"), "lag", "__y", "__y2")
+        (F.col("__k") == F.col("__k2"))
+        & (F.expr("date_add(__d, lag)") == F.col("__d2")),
+    ).select("__k", "lag", "__y", "__y2")
     m = pairs.groupBy("__k", "lag").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
         F.sum("__y").alias("__sx"),
