@@ -724,6 +724,49 @@ CHECKLIST = {
         "exact ntile over the PART dimension, broadcast to the fact "
         "scan, one stratum-grain HashAggregate."
     ),
+    "acf_table": (
+        "Autocorrelation table (r11). Expect: one (key, day) hash "
+        "aggregate off the scan (pinned via Scan ExistingRDD), a "
+        "broadcast 7-row lag spine, an equi-join on (key, day+lag), "
+        "one (key, lag)-grain moment aggregate."
+    ),
+    "qq_drift": (
+        "Q-Q drift deciles (r11). Expect: two-phase per-period ranks "
+        "(range exchange over (period, value, id)), a broadcast "
+        "9-row cut spine, equi-joins for the order-statistic picks — "
+        "no giant-key window."
+    ),
+    "poisson_fit": (
+        "Poisson dispersion screen (r11). Expect: one order-grain "
+        "count aggregate, one exact-moment aggregate + one k-grain "
+        "histogram over it, a one-row broadcast cross join."
+    ),
+    "interarrival_fit": (
+        "Inter-arrival CV (r11). Expect: two-phase per-key ranks over "
+        "(key, micros, id), the pinned ranked relation self-joined on "
+        "(key, rank-1), one key-grain moment aggregate."
+    ),
+    "temperature_mix": (
+        "Mixture weights (r11). Expect: one source-grain aggregate "
+        "(pinned), two one-row broadcast cross joins (total, "
+        "normalizer) — all floats post-aggregation."
+    ),
+    "spearman_corr": (
+        "Spearman rho (r11). Expect: two distinct-VALUE-grain "
+        "aggregates each feeding a two-phase running sum (range "
+        "exchanges, never a single-task window), midrank maps joined "
+        "back by value, one moment aggregate."
+    ),
+    "cramers_v": (
+        "Cramer's V (r11). Expect: the MI skeleton — one cell-grain "
+        "aggregate (pinned), margins broadcast back, one-row output; "
+        "no window over the cell relation."
+    ),
+    "cohens_kappa": (
+        "Cohen's kappa (r11). Expect: confusion cells pinned once, "
+        "diagonal / marginal-product aggregates as one-row broadcast "
+        "cross joins, exact decimal numerators."
+    ),
 }
 
 
