@@ -719,6 +719,12 @@ def spearman_exact(df: DataFrame, x_int: Column, y_int: Column) -> DataFrame:
     expression (the 2x scaling cancels in the correlation). Rows with
     a NULL on either side are dropped (complete-case). NULL rho for
     degenerate inputs (constant x or y, n < 2).
+
+    Cost note: the projected input is evaluated three times (the two
+    value-grain count aggregates + the map-back join) — inherent to
+    ranking two independent domains and row-mapping both, and the
+    assoc_rules doctrine says don't checkpoint a FACT-sized relation
+    to save re-scans; pre-reduce upstream if the input is a join.
     """
     from .windows import two_phase_running_sum
 
