@@ -11557,6 +11557,90 @@ FROM staged CROSS JOIN dn
 """
 
 
+def _market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier concentration (aggregates.market_
+    concentration): HHI of supplier line revenue + effective supplier
+    count. Two stacked exact aggregates; one shared division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    f = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "l_suppkey", "l_extendedprice")
+    )
+    return aggregates.market_concentration(
+        f, ["nation"], "l_suppkey", F.round(F.col("l_extendedprice") * 100)
+    )
+
+
+_MARKET_HHI_SQL = """
+WITH f AS (
+    SELECT n_name AS nation, l_suppkey AS sel,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+), ps AS (
+    SELECT nation, sel, CAST(sum(v) AS DECIMAL(18,0)) AS s FROM f GROUP BY 1, 2
+), g AS (
+    SELECT nation, cast(count(*) AS BIGINT) AS n_sellers,
+           sum(s) AS tot,
+           sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss2
+    FROM ps GROUP BY 1
+)
+SELECT nation, n_sellers, CAST(tot AS BIGINT) AS total_value,
+       CASE WHEN CAST(tot AS DOUBLE) > 0.0
+            THEN round(CAST(ss2 AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6)
+       END AS hhi,
+       CASE WHEN CAST(tot AS DOUBLE) > 0.0 AND ss2 > 0
+            THEN round((CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) / CAST(ss2 AS DOUBLE), 6)
+       END AS effective_sellers
+FROM g
+"""
+
+
+def _nb_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion follow-up (quality.negative_binomial_fit): NB
+    method-of-moments r/p over order basket sizes — the model to
+    reach for when poisson_fit's dispersion exceeds 1. Exact decimal
+    moments; NULL fit when var <= mean."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("basket_k"))
+    return quality.negative_binomial_fit(cnt, "basket_k")
+
+
+_NB_FIT_SQL = """
+WITH c AS (
+    SELECT count(*) AS k FROM lineitem GROUP BY l_orderkey
+), m AS (
+    SELECT count(*) AS n, sum(k) AS s,
+           sum(CAST(k AS HUGEINT) * CAST(k AS HUGEINT)) AS ss
+    FROM c
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+       CASE WHEN n > 1 THEN round(
+           (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0), 6) END AS variance,
+       CASE WHEN n > 1 AND
+                 (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+            THEN round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       / ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1.0) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+       END AS r_hat,
+       CASE WHEN n > 1 AND
+                 (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+            THEN round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       / ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1.0)), 6)
+       END AS p_hat
+FROM m
+"""
+
+
 def _spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monotone association (aggregates.spearman_exact): Spearman rho
     between order total and the customer's account balance — exact
@@ -11700,6 +11784,8 @@ FROM n CROSS JOIN diag CROSS JOIN pe
 # Shingle consumers doc_fingerprint / minhash_eval / minhash_near_dup
 # / ngram_jaccard cover the shingles() NULL-contract change. --
 _R11_SAMPLE_HEAD = [
+    "market_hhi",
+    "nb_fit",
     "spearman_corr",
     "cramers_v",
     "cohens_kappa",
@@ -11784,6 +11870,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "market_hhi": _market_hhi,
+        "nb_fit": _nb_fit,
         "spearman_corr": _spearman_corr,
         "cramers_v": _cramers_v,
         "cohens_kappa": _cohens_kappa,
@@ -12082,6 +12170,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "market_hhi": _MARKET_HHI_SQL,
+        "nb_fit": _NB_FIT_SQL,
         "spearman_corr": _SPEARMAN_SQL,
         "cramers_v": _CRAMERS_V_SQL,
         "cohens_kappa": _cohens_kappa_sql(),

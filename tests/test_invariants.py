@@ -2699,3 +2699,31 @@ def test_cramers_v_and_kappa_laws(spark):
     )
     k2 = quality.cohens_kappa(const, "x", "y").collect()[0]
     assert k2["kappa"] == 0.0
+
+
+def test_market_concentration_laws(spark):
+    """A monopoly group has HHI = 1 and effective sellers 1; k equal
+    sellers give HHI = 1/k and effective sellers exactly k."""
+    df = spark.createDataFrame(
+        [("mono", 1, 100)] * 3
+        + [("quad", s, 50) for s in (1, 2, 3, 4) for _ in range(2)],
+        "g string, sel long, v long",
+    )
+    out = {r["g"]: r for r in aggregates.market_concentration(df, ["g"], "sel", F.col("v")).collect()}
+    assert out["mono"]["hhi"] == 1.0 and out["mono"]["effective_sellers"] == 1.0
+    assert out["quad"]["hhi"] == 0.25 and out["quad"]["effective_sellers"] == 4.0
+    assert out["quad"]["n_sellers"] == 4 and out["quad"]["total_value"] == 400
+
+
+def test_negative_binomial_fit_contract(spark):
+    """Overdispersed counts yield r/p matching the hand MoM; an
+    equi-dispersed (or under-) sample emits NULL fit."""
+    over = spark.createDataFrame([(0,), (0,), (0,), (12,)], "c long")
+    r = quality.negative_binomial_fit(over, "c").collect()[0]
+    mean, var = 3.0, (144 - 144 / 4) / 3  # 36.0
+    assert r["mean"] == mean and r["variance"] == 36.0
+    assert abs(r["r_hat"] - round(mean * mean / (var - mean), 6)) < 1e-9
+    assert abs(r["p_hat"] - round(mean / var, 6)) < 1e-9
+    under = spark.createDataFrame([(5,), (5,), (5,), (5,)], "c long")
+    r2 = quality.negative_binomial_fit(under, "c").collect()[0]
+    assert r2["r_hat"] is None and r2["p_hat"] is None and r2["variance"] == 0.0

@@ -772,3 +772,43 @@ def spearman_exact(df: DataFrame, x_int: Column, y_int: Column) -> DataFrame:
             "spearman_rho"
         ),
     )
+
+
+def market_concentration(
+    df: DataFrame, group_cols: list[str], seller_col: str, value_int: Column
+) -> DataFrame:
+    """Per-group market concentration: the Herfindahl-Hirschman index
+    HHI = Σ share² over sellers, plus the effective seller count
+    1/HHI — the antitrust/assortment screen ("is this segment's
+    revenue one supplier in a trench coat").
+
+    Two stacked hash aggregates: unit grain → (group, seller) exact
+    int64 value sums, then (group) grain folding Σs² in decimal(37,0)
+    (decimal(18,0) factors — the exact-product rule) and Σs in int64.
+    HHI is ONE shared float division ((Σs)² computed in doubles only
+    at the end — it exceeds int64 while Σs itself does not). Groups
+    with zero total emit NULL.
+    """
+    per_seller = (
+        df.select(*group_cols, F.col(seller_col).alias("__sel"), value_int.cast("long").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy(*group_cols, "__sel")
+        .agg(F.sum("__v").cast("decimal(18,0)").alias("__s"))
+    )
+    g = per_seller.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sellers"),
+        F.sum("__s").cast("decimal(38,0)").alias("__tot"),
+        F.sum(F.col("__s") * F.col("__s")).alias("__ss2"),
+    )
+    tot = F.col("__tot").cast("double")
+    hhi = F.col("__ss2").cast("double") / (tot * tot)
+    return g.select(
+        *group_cols,
+        "n_sellers",
+        F.col("__tot").cast("long").alias("total_value"),
+        F.when(tot > F.lit(0.0), F.round(hhi, 6)).alias("hhi"),
+        F.when(
+            (tot > F.lit(0.0)) & (F.col("__ss2") > 0),
+            F.round((tot * tot) / F.col("__ss2").cast("double"), 6),
+        ).alias("effective_sellers"),
+    )

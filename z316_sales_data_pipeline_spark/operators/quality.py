@@ -819,3 +819,36 @@ def cramers_v(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+def negative_binomial_fit(counts: DataFrame, count_col: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit over an integer count
+    distribution — the overdispersion follow-up to
+    :func:`poisson_dispersion` (when var > mean, Poisson is the wrong
+    arrival model; NB's r_hat = mean²/(var − mean) and
+    p_hat = mean/var say HOW overdispersed). One exact-decimal-moment
+    aggregate; every float a shared post-aggregation expression. When
+    var <= mean (under- or equi-dispersed) the NB fit is undefined and
+    r_hat/p_hat emit NULL — the dispersion column still reports.
+    """
+    c = F.col(count_col)
+    base = counts.select(c.cast("long").alias("__k")).filter(F.col("__k").isNotNull())
+    m = base.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum("__k").cast("decimal(38,0)").alias("__s"),
+        F.sum(F.col("__k").cast("decimal(18,0)") * F.col("__k").cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("__ss"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    n, s, ss = d("__n"), d("__s"), d("__ss")
+    mean = s / n
+    var = (ss - s * s / n) / (n - F.lit(1.0))
+    defined = (F.col("__n") > 1) & (var > mean)
+    return m.select(
+        F.col("__n").cast("long").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.when(F.col("__n") > 1, F.round(var, 6)).alias("variance"),
+        F.when(defined, F.round(mean * mean / (var - mean), 6)).alias("r_hat"),
+        F.when(defined, F.round(mean / var, 6)).alias("p_hat"),
+    )
