@@ -2727,3 +2727,119 @@ def test_negative_binomial_fit_contract(spark):
     under = spark.createDataFrame([(5,), (5,), (5,), (5,)], "c long")
     r2 = quality.negative_binomial_fit(under, "c").collect()[0]
     assert r2["r_hat"] is None and r2["p_hat"] is None and r2["variance"] == 0.0
+
+
+def test_fdr_bh_matches_python_reference(spark):
+    """fdr_bh against a direct Python BH implementation over random
+    p-vectors (batched: one Spark run per vector set)."""
+    import random
+
+    from z316_sales_data_pipeline_spark.operators import experiment
+
+    rng = random.Random(7)
+    for trial in range(5):
+        m = rng.randint(1, 12)
+        q = rng.choice([0.05, 0.1, 0.25])
+        ps = [round(rng.random(), 4) for _ in range(m)]
+        rows = [(f"t{i:02d}", p) for i, p in enumerate(ps)]
+        got = {
+            r["test_id"]: r["rejected"]
+            for r in experiment.fdr_bh(
+                spark.createDataFrame(rows, "test_id string, p double"),
+                "test_id",
+                "p",
+                q=q,
+            ).collect()
+        }
+        # reference: sort by (p, id), k = max rank with p <= q*rank/m
+        order = sorted(rows, key=lambda t: (t[1], t[0]))
+        k = 0
+        for i, (_, p) in enumerate(order, start=1):
+            if p <= q * i / m:
+                k = i
+        expect = {tid: (rank <= k) for rank, (tid, _) in enumerate(order, start=1)}
+        assert got == expect, (trial, q, rows, got, expect)
+
+
+def test_spearman_matches_python_reference(spark):
+    """spearman_exact against a pure-Python average-rank Spearman on
+    random integer samples with heavy ties."""
+    import math
+    import random
+
+    rng = random.Random(13)
+
+    def py_spearman(xs, ys):
+        def avg_ranks(vals):
+            order = sorted(range(len(vals)), key=lambda i: vals[i])
+            ranks = [0.0] * len(vals)
+            i = 0
+            while i < len(order):
+                j = i
+                while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                    j += 1
+                r = (i + j) / 2 + 1
+                for t in range(i, j + 1):
+                    ranks[order[t]] = r
+                i = j + 1
+            return ranks
+
+        rx, ry = avg_ranks(xs), avg_ranks(ys)
+        n = len(xs)
+        mx, my = sum(rx) / n, sum(ry) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        vx = sum((a - mx) ** 2 for a in rx)
+        vy = sum((b - my) ** 2 for b in ry)
+        if vx <= 0 or vy <= 0:
+            return None
+        return cov / math.sqrt(vx * vy)
+
+    for _ in range(4):
+        n = rng.randint(3, 40)
+        xs = [rng.randint(0, 6) for _ in range(n)]
+        ys = [rng.randint(0, 6) for _ in range(n)]
+        df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+        got = aggregates.spearman_exact(df, F.col("x"), F.col("y")).collect()[0][
+            "spearman_rho"
+        ]
+        ref = py_spearman(xs, ys)
+        if ref is None:
+            assert got is None
+        else:
+            assert abs(got - round(ref, 6)) < 2e-6, (xs, ys, got, ref)
+
+
+def test_quantile_match_matches_python_reference(spark):
+    """quantile_match_normalize against a direct Python computation of
+    the floor-division rank mapping on random grouped data."""
+    import random
+
+    rng = random.Random(29)
+    for _ in range(3):
+        rows = []
+        i = 0
+        for g in ("a", "b", "c")[: rng.randint(2, 3)]:
+            for _ in range(rng.randint(1, 12)):
+                rows.append((i, g, rng.randint(0, 50)))
+                i += 1
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        got = {
+            r["id"]: r["nv"]
+            for r in corpus_mod.quantile_match_normalize(df, "v", "id", "g", "nv").collect()
+        }
+        pooled = sorted(rows, key=lambda t: (t[2], t[0]))
+        n_total = len(rows)
+        by_g: dict[str, list] = {}
+        for t in rows:
+            by_g.setdefault(t[1], []).append(t)
+        expect = {}
+        for g, members in by_g.items():
+            members.sort(key=lambda t: (t[2], t[0]))
+            ng = len(members)
+            for r0, t in enumerate(members):
+                if ng > 1:
+                    k = (r0 * (n_total - 1)) // (ng - 1)
+                else:
+                    k = (n_total - 1) // 2
+                expect[t[0]] = pooled[k][2]
+        assert got == expect, (rows, got, expect)
