@@ -11557,6 +11557,44 @@ FROM staged CROSS JOIN dn
 """
 
 
+def _lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue distribution table (aggregates.lorenz_deciles):
+    customers ranked by order-total cents into exact deciles with
+    cumulative revenue share — where the revenue_gini skew lives.
+    Two-phase rank + exact ntile; cumulative via a bounded triangular
+    self-join on the 10-row bucket relation, never a global window."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return aggregates.lorenz_deciles(o, "o_custkey", F.col("cents"), n_buckets=10)
+
+
+_LORENZ_SQL = """
+WITH per AS (
+    SELECT o_custkey AS id, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS t
+    FROM orders GROUP BY 1
+), ranked AS (
+    SELECT t, ntile(10) OVER (ORDER BY t, id) AS decile FROM per
+), dec AS (
+    SELECT CAST(decile AS INTEGER) AS decile,
+           cast(count(*) AS BIGINT) AS n_units,
+           cast(sum(t) AS BIGINT) AS decile_value
+    FROM ranked GROUP BY 1
+), tot AS (SELECT cast(sum(decile_value) AS BIGINT) AS tt FROM dec),
+cum AS (
+    SELECT a.decile, a.n_units, a.decile_value,
+           cast(sum(b.decile_value) AS BIGINT) AS cum_value
+    FROM dec a JOIN dec b ON b.decile <= a.decile
+    GROUP BY 1, 2, 3
+)
+SELECT decile, n_units, decile_value, cum_value,
+       CASE WHEN tt <> 0
+            THEN round(CAST(cum_value AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+       END AS cum_share
+FROM cum CROSS JOIN tot
+"""
+
+
 def _market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation supplier concentration (aggregates.market_
     concentration): HHI of supplier line revenue + effective supplier
@@ -11784,6 +11822,7 @@ FROM n CROSS JOIN diag CROSS JOIN pe
 # Shingle consumers doc_fingerprint / minhash_eval / minhash_near_dup
 # / ngram_jaccard cover the shingles() NULL-contract change. --
 _R11_SAMPLE_HEAD = [
+    "lorenz_deciles",
     "market_hhi",
     "nb_fit",
     "spearman_corr",
@@ -11870,6 +11909,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "lorenz_deciles": _lorenz_deciles,
         "market_hhi": _market_hhi,
         "nb_fit": _nb_fit,
         "spearman_corr": _spearman_corr,
@@ -12170,6 +12210,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lorenz_deciles": _LORENZ_SQL,
         "market_hhi": _MARKET_HHI_SQL,
         "nb_fit": _NB_FIT_SQL,
         "spearman_corr": _SPEARMAN_SQL,

@@ -2843,3 +2843,24 @@ def test_quantile_match_matches_python_reference(spark):
                     k = (n_total - 1) // 2
                 expect[t[0]] = pooled[k][2]
         assert got == expect, (rows, got, expect)
+
+
+def test_lorenz_deciles_laws(spark):
+    """cum_share is monotone and ends at exactly 1.0; deciles
+    partition the units; an equal distribution gives cum_share k/10."""
+    rows = [(i, 100) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = sorted(
+        aggregates.lorenz_deciles(df, "id", F.col("v"), n_buckets=10).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert len(out) == 10 and sum(r["n_units"] for r in out) == 20
+    assert [r["cum_share"] for r in out] == [round(k / 10, 6) for k in range(1, 11)]
+    skew = spark.createDataFrame([(i, 1) for i in range(9)] + [(9, 991)], "id long, v long")
+    s = sorted(
+        aggregates.lorenz_deciles(skew, "id", F.col("v"), n_buckets=10).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert s[-1]["cum_share"] == 1.0 and s[-2]["cum_share"] == 0.009
+    shares = [r["cum_share"] for r in s]
+    assert shares == sorted(shares)

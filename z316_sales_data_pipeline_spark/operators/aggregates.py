@@ -812,3 +812,67 @@ def market_concentration(
             F.round((tot * tot) / F.col("__ss2").cast("double"), 6),
         ).alias("effective_sellers"),
     )
+
+
+def lorenz_deciles(
+    df: DataFrame, id_col: str, value_int: Column, n_buckets: int = 10
+) -> DataFrame:
+    """Lorenz curve at decile grain: units ranked by their value total
+    ascending, bucketed into exact ntiles, each decile reporting its
+    value sum and the CUMULATIVE share — the distribution table behind
+    a Gini number ("the top decile is 40% of revenue" reads off row
+    10 minus row 9; the scalar Gini can't say where the skew lives).
+
+    Unit totals reduce in one hash aggregate; the global rank runs
+    two-phase + exact ntile (no single-task window); the cumulative
+    share folds on the BUCKET-grain relation via a bounded triangular
+    self-join (d2 <= d over n_buckets rows — never an unpartitioned
+    ordered window, the fleet-guard rule). All sums exact int64; the
+    share is one division, round-6.
+    """
+    from .windows import ntile_from_rank, two_phase_row_number
+
+    per_id = (
+        df.select(F.col(id_col).alias("__id"), value_int.cast("long").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__id")
+        .agg(F.sum("__v").alias("__t"))
+    )
+    ranked, total = two_phase_row_number(
+        per_id, [F.col("__t").asc(), F.col("__id").asc()], "__r"
+    )
+    dec = (
+        ranked.select(
+            ntile_from_rank(F.col("__r"), n_buckets, total).alias("decile"), "__t"
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum("__t").cast("long").alias("decile_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = dec.agg(F.sum("decile_value").cast("long").alias("__tot"))
+    older = dec.select(
+        F.col("decile").alias("__d2"), F.col("decile_value").alias("__v2")
+    )
+    cum = (
+        dec.join(older, F.col("__d2") <= F.col("decile"))
+        .groupBy("decile", "n_units", "decile_value")
+        .agg(F.sum("__v2").cast("long").alias("__cum"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_units",
+            "decile_value",
+            F.col("__cum").alias("cum_value"),
+            F.when(
+                F.col("__tot") != 0,
+                F.round(
+                    F.col("__cum").cast("double") / F.col("__tot").cast("double"), 6
+                ),
+            ).alias("cum_share"),
+        )
+    )
