@@ -753,7 +753,11 @@ def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text.language_id("text").alias("lang_pred"))
 
 
-def _lang_id_sql() -> str:
+def _lang_id_sql(select_cols: tuple = ("doc_id",)) -> str:
+    """Language-ID oracle CTE. ``select_cols`` are the passthrough
+    projection columns carried alongside lang_pred — a parameterized
+    template, so dependents (_cohens_kappa_sql) compose it instead of
+    string-replacing exact substrings that silently break on reformat."""
     hits = []
     for lang, words in text.STOPWORDS.items():
         arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
@@ -767,10 +771,11 @@ def _lang_id_sql() -> str:
     for lang in langs:
         case += f"WHEN hits_{lang} = best AND best > 0 THEN '{lang}' "
     case += "ELSE 'und' END"
+    cols = ", ".join(select_cols)
     return f"""
-WITH h AS (SELECT doc_id, {', '.join(hits)} FROM documents),
+WITH h AS (SELECT {cols}, {', '.join(hits)} FROM documents),
      b AS (SELECT *, {greatest} AS best FROM h)
-SELECT doc_id, {case} AS lang_pred FROM b
+SELECT {cols}, {case} AS lang_pred FROM b
 """
 
 
@@ -11544,15 +11549,17 @@ WITH t AS (
 ), staged AS (
     SELECT source, n_docs, n_tokens,
            CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS p,
-           pow(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 0.3) AS pa
+           CAST(floor(pow(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 0.3)
+                      * 1e15) AS HUGEINT) AS paq
     FROM srcs CROSS JOIN tot
 ), dn AS (
-    SELECT sum(pa) AS d FROM staged
+    SELECT sum(paq) AS d FROM staged
 )
 SELECT source, n_docs, n_tokens,
        round(p, 6) AS natural_share,
-       round(pa / d, 6) AS sample_weight,
-       CASE WHEN p > 0 THEN round((pa / d) / p, 6) END AS boost
+       round(CAST(paq AS DOUBLE) / CAST(d AS DOUBLE), 6) AS sample_weight,
+       CASE WHEN p > 0
+            THEN round((CAST(paq AS DOUBLE) / CAST(d AS DOUBLE)) / p, 6) END AS boost
 FROM staged CROSS JOIN dn
 """
 
@@ -11780,11 +11787,9 @@ def _cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cohens_kappa_sql() -> str:
-    pred = _lang_id_sql().strip().rstrip()
-    # reuse the lang_id CTE verbatim, adding the label column
-    pred_with_label = pred.replace(
-        "WITH h AS (SELECT doc_id,", "WITH h AS (SELECT doc_id, lang,"
-    ).replace("SELECT doc_id, CASE", "SELECT lang, CASE")
+    # compose the lang_id template with the label as the passthrough
+    # column (no textual surgery — the template is parameterized)
+    pred_with_label = _lang_id_sql(select_cols=("lang",)).strip()
     return f"""
 WITH pred AS ({pred_with_label}),
 cells AS (
@@ -11808,70 +11813,24 @@ FROM n CROSS JOIN diag CROSS JOIN pe
 """
 
 
-# -- r11 driver sample (first 50), applied as a reorder at return time:
-# the 18 NEW r11 entries lead (never driver-attested — temperature_mix
-# .. recs_mrr, in reverse order of addition), then the 13
-# never-driver-attested r10 entries (mann_whitney_value ..
-# source_data_card — VERDICT r10 item 1; six of them are ALSO the
-# first session's changed-code entries: srm_check zero-arm spine,
-# t_closeness m=1/NULL-bucket contract, link_prediction degree
-# refusal, deterministic_shuffle / token_budget_select /
-# source_data_card on the sign-corrected two-phase running sum), then
-# the stalest r5/r6 entries up to 50 (last-attested ranking computed
-# from CORRECTNESS_r01..r10 keys); the rest keep registration order.
-# Shingle consumers doc_fingerprint / minhash_eval / minhash_near_dup
-# / ngram_jaccard cover the shingles() NULL-contract change. --
-_R11_SAMPLE_HEAD = [
+# -- r12 driver sample (first 50), applied as a reorder at return time:
+# NEW r12 entries lead (never driver-attested), then the entries whose
+# code or oracle changed this round (lorenz_deciles broadcast hint,
+# temperature_mix order-free quantized normalizer, market_hhi int64
+# fail-stop, cohens_kappa/lang_id parameterized oracle template,
+# always_valid_pvalue n_arms refusal), then stalest-first from the
+# actual CORRECTNESS_r01..r11 keys — the r06-last-attested block that
+# sat at r11 head positions 51-74 plus the rest of the r06 cohort
+# (VERDICT r11 item 3). The rest keep registration order. --
+_R12_SAMPLE_HEAD = [
+    # changed this round
     "lorenz_deciles",
-    "market_hhi",
-    "nb_fit",
-    "spearman_corr",
-    "cramers_v",
-    "cohens_kappa",
     "temperature_mix",
-    "interarrival_fit",
-    "qq_drift",
-    "poisson_fit",
-    "acf_table",
-    "conformal_interval",
-    "propensity_strata",
-    "fdr_bh_segments",
-    "mde_power",
-    "local_clustering",
-    "heaps_law_curve",
-    "quantile_match_normalize",
-    "domain_cap_sample",
+    "market_hhi",
+    "cohens_kappa",
     "always_valid_pvalue",
-    "mutual_information",
-    "target_encode_loo",
-    "jaro_winkler_rescore",
-    "recs_mrr",
-    "mann_whitney_value",
-    "cuped_adjustment",
-    "srm_check",
-    "order_totals_reconcile",
-    "ab_readout",
-    "link_prediction",
-    "t_closeness",
-    "wilcoxon_signed_rank",
-    "paired_t_test",
-    "auc_eval",
-    "deterministic_shuffle",
-    "token_budget_select",
-    "source_data_card",
-    "skew_profile",
-    "span_dedup_incremental",
-    "topk_per_group",
-    "w1_group_total",
-    "w2_dedup_keeprule",
-    "w3_pick_first",
-    "w4_min_by",
-    "asof_join",
-    "bpe_merges",
-    "bpe_token_count",
-    "c1_required_fields_filter",
-    "cube_agg",
-    "dedup_exact",
+    "lang_id",
+    # stalest (last attested r06)
     "dedup_incremental_exact",
     "doc_fingerprint",
     "doc_pagerank",
@@ -11895,13 +11854,37 @@ _R11_SAMPLE_HEAD = [
     "ivf_top_k",
     "kmeans_refine",
     "knn_brute_force",
-    "lang_id",
+    "lsh_top_k",
+    "minhash_eval",
+    "minhash_near_dup",
+    "ngram_jaccard",
+    "pedidos_fact",
+    "q18_top_customers",
+    "range_join_clicks",
+    "rollup_agg",
+    "salted_agg",
+    "semantic_dedup",
+    "session_windows",
+    "simhash_groups",
+    "sliding_counts",
+    "source_drift",
+    "span_dedup",
+    "sql_surface_portable",
+    "text_quality",
+    "token_count_bpe",
+    "tumbling_counts",
+    "vocab_coverage",
+    # stalest r07 fill
+    "abc_xyz_class",
+    "approx_profile",
+    "assoc_rules",
+    "benford_audit",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    head = {k: base[k] for k in _R11_SAMPLE_HEAD}
+    head = {k: base[k] for k in _R12_SAMPLE_HEAD}
     return head | {k: v for k, v in base.items() if k not in head}
 
 

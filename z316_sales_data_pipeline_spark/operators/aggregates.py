@@ -786,8 +786,12 @@ def market_concentration(
     int64 value sums, then (group) grain folding Σs² in decimal(37,0)
     (decimal(18,0) factors — the exact-product rule) and Σs in int64.
     HHI is ONE shared float division ((Σs)² computed in doubles only
-    at the end — it exceeds int64 while Σs itself does not). Groups
-    with zero total emit NULL.
+    at the end — it exceeds int64 while Σs itself is BOUND-CHECKED:
+    total_value is emitted via decimal→long cast, which would yield
+    NULL past ~9.2e18 in non-ANSI Spark while the oracle widens, so a
+    fail-stop ``assert_true`` (the pearson_exact refusal discipline)
+    rides the projection and raises instead of silently diverging.
+    Groups with zero total emit NULL hhi.
     """
     per_seller = (
         df.select(*group_cols, F.col(seller_col).alias("__sel"), value_int.cast("long").alias("__v"))
@@ -802,10 +806,23 @@ def market_concentration(
     )
     tot = F.col("__tot").cast("double")
     hhi = F.col("__ss2").cast("double") / (tot * tot)
+    # fail-stop: the decimal->long cast below NULLs past int64 in
+    # non-ANSI Spark while the oracle widens; refuse loudly instead
+    total_out = F.when(
+        F.assert_true(
+            F.col("__tot") <= F.lit(9223372036854775807).cast("decimal(38,0)"),
+            F.concat(
+                F.lit("market_concentration: group total "),
+                F.col("__tot").cast("string"),
+                F.lit(" exceeds int64; emit total_value as decimal instead"),
+            ),
+        ).isNull(),
+        F.col("__tot").cast("long"),
+    )
     return g.select(
         *group_cols,
         "n_sellers",
-        F.col("__tot").cast("long").alias("total_value"),
+        total_out.alias("total_value"),
         F.when(tot > F.lit(0.0), F.round(hhi, 6)).alias("hhi"),
         F.when(
             (tot > F.lit(0.0)) & (F.col("__ss2") > 0),
@@ -825,9 +842,10 @@ def lorenz_deciles(
 
     Unit totals reduce in one hash aggregate; the global rank runs
     two-phase + exact ntile (no single-task window); the cumulative
-    share folds on the BUCKET-grain relation via a bounded triangular
-    self-join (d2 <= d over n_buckets rows — never an unpartitioned
-    ordered window, the fleet-guard rule). All sums exact int64; the
+    share folds on the BUCKET-grain relation via a bounded BROADCAST
+    triangular self-join (d2 <= d over n_buckets rows, broadcast hint so
+    the plan is BroadcastNestedLoopJoin, never a CartesianProduct —
+    never an unpartitioned ordered window, the fleet-guard rule). All sums exact int64; the
     share is one division, round-6.
     """
     from .windows import ntile_from_rank, two_phase_row_number
@@ -857,7 +875,7 @@ def lorenz_deciles(
         F.col("decile").alias("__d2"), F.col("decile_value").alias("__v2")
     )
     cum = (
-        dec.join(older, F.col("__d2") <= F.col("decile"))
+        dec.join(F.broadcast(older), F.col("__d2") <= F.col("decile"))
         .groupBy("decile", "n_units", "decile_value")
         .agg(F.sum("__v2").cast("long").alias("__cum"))
     )

@@ -1557,10 +1557,14 @@ def temperature_mix_weights(
     reproduces natural proportions; alpha -> 0 approaches uniform).
 
     One size-linear aggregate to SOURCE grain (exact integer token
-    counts); p, p^alpha, the normalizing sum and the boost factor are
-    shared-verbatim float expressions over the ~|sources| relation at
-    the char_entropy round-6 precedent. Output per source: docs,
-    tokens, natural share, sampling weight, boost = weight/share.
+    counts); p and p^alpha are shared-verbatim float expressions over
+    the ~|sources| relation at the char_entropy round-6 precedent. The
+    NORMALIZER is order-free: p^alpha is quantized to integer
+    1e-15-units (the dsir_weights floor-scale pattern) and summed as
+    decimal(38,0), so the denominator — a float sum would be
+    partition/accumulation-order dependent — is an exact integer in
+    both engines. Output per source: docs, tokens, natural share,
+    sampling weight, boost = weight/share.
     """
     from ..functions.text import whitespace_token_count
 
@@ -1577,9 +1581,11 @@ def temperature_mix_weights(
     tot = srcs.agg(F.sum("n_tokens").cast("long").alias("__t"))
     p = F.col("n_tokens").cast("double") / F.col("__t").cast("double")
     staged = srcs.crossJoin(F.broadcast(tot)).withColumn(
-        "__pa", F.pow(p, F.lit(alpha))
+        "__paq",
+        F.floor(F.pow(p, F.lit(alpha)) * F.lit(1.0e15)).cast("decimal(38,0)"),
     )
-    denom = staged.agg(F.sum("__pa").alias("__d"))
+    denom = staged.agg(F.sum("__paq").alias("__d"))
+    w = F.col("__paq").cast("double") / F.col("__d").cast("double")
     return (
         staged.crossJoin(F.broadcast(denom))
         .select(
@@ -1587,9 +1593,7 @@ def temperature_mix_weights(
             "n_docs",
             "n_tokens",
             F.round(p, 6).alias("natural_share"),
-            F.round(F.col("__pa") / F.col("__d"), 6).alias("sample_weight"),
-            F.when(p > 0, F.round((F.col("__pa") / F.col("__d")) / p, 6)).alias(
-                "boost"
-            ),
+            F.round(w, 6).alias("sample_weight"),
+            F.when(p > 0, F.round(w / p, 6)).alias("boost"),
         )
     )

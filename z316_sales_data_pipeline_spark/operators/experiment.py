@@ -2,8 +2,8 @@
 U, CUPED variance reduction, and sample-ratio-mismatch checks.
 
 Extension family beyond the reference's E-ops (reference computes only
-sum/count rollups, e.g. ``cloud_function/zapier-to-gcs/main.py`` order
-totals): a sales pipeline that powers pricing/promo experiments needs
+sum/count rollups, e.g. ``data_transformation/sales_to_bq/main.py:89-117``
+order totals): a sales pipeline that powers pricing/promo experiments needs
 the read-side stats too. Engine-portable by the repo's exact-moment
 discipline: every accumulation is an exact integer / decimal(38,0)
 aggregate, and every float in the output is ONE shared IEEE expression
@@ -421,9 +421,19 @@ def always_valid_pvalue(
     The day-grain windows are single tiny partitions by construction
     (bounded by the calendar, the ewma_forecast precedent) — an
     allowlisted bounded site of the fleet unpartitioned-window guard.
+
+    The mSPRT statistic here is strictly TWO-sample; a multi-arm
+    readout needs a per-pair run, so ``n_arms != 2`` is refused
+    fail-stop rather than silently dropping units hashed to arms
+    2..n-1 and quietly reading arms 0 vs 1 at reduced power.
     """
     from pyspark.sql import Window
 
+    if n_arms != 2:
+        raise ValueError(
+            "always_valid_pvalue is a two-sample mSPRT; got n_arms="
+            f"{n_arms}. Run one call per arm pair instead."
+        )
     proj = df.select(
         hash_bucket(F.col(id_col), n_arms).cast("int").alias("arm"),
         F.to_date(F.col(ts_col)).alias("day"),
