@@ -11813,6 +11813,82 @@ FROM n CROSS JOIN diag CROSS JOIN pe
 """
 
 
+def _token_budget_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion curation (corpus.token_budget_select_incremental):
+    the at-rest corpus (doc_id % 7 != 0) was selected under the 3000-token
+    budget in a previous run; a new batch (doc_id % 7 == 0) folds into the
+    selection by re-ranking only (prior_selected ∪ scored_batch) — the
+    at-rest corpus is never re-read. The ORACLE is the FULL-UNION greedy
+    SQL: by the prefix-displacement lemma the incremental fold must equal
+    the full recompute exactly, so the differential check proves the lemma
+    on real data every round."""
+    docs = load_table(spark, sf_dir, "documents")
+    at_rest = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    prior = corpus.token_budget_select(at_rest, "text", "doc_id", "source", 3000)
+    return corpus.token_budget_select_incremental(
+        prior, batch, "text", "doc_id", "source", 3000
+    )
+
+
+def _ivf_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aged-index ANN audit (similarity.ivf_incremental_recall): the
+    coarse quantizer is frozen from the at-rest corpus (vec_id % 5 != 0,
+    16 lowest-id vectors), the batch (vec_id % 5 == 0) is appended via
+    ivf_append, and recall@10 of the 4-cell probe is measured per query
+    on the GROWN corpus (queries vec_id % 100 == 0 — all of them new
+    vectors, the realistic fresh-queries-on-aged-index read). The oracle
+    replays the stale-centroid schedule and both top-k arms."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    at_rest = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    return similarity.ivf_incremental_recall(
+        at_rest, batch, "embedding", "vec_id", query_mod=100, k=10, n_cells=16, n_probe=4
+    )
+
+
+_IVF_INCREMENTAL_RECALL_SQL = """
+WITH e0 AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+    SELECT row_number() OVER (ORDER BY vid) - 1 AS cell, v AS cv
+    FROM e0 WHERE vid % 5 <> 0 ORDER BY vid LIMIT 16
+), a AS (
+    SELECT e0.vid, e0.v, c.cell
+    FROM e0 CROSS JOIN c
+    QUALIFY row_number() OVER (PARTITION BY e0.vid
+        ORDER BY list_dot_product(e0.v, c.cv) DESC, c.cell) = 1
+), q AS (
+    SELECT vid AS query_id, v AS qv FROM e0 WHERE vid % 100 = 0
+), probe AS (
+    SELECT q.query_id, q.qv, c.cell
+    FROM q CROSS JOIN c
+    QUALIFY row_number() OVER (PARTITION BY q.query_id
+        ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell) <= 4
+), ivf AS (
+    SELECT probe.query_id, a.vid
+    FROM probe JOIN a USING (cell)
+    QUALIFY row_number() OVER (PARTITION BY probe.query_id
+        ORDER BY round(list_dot_product(probe.qv, a.v) /
+                       (sqrt(list_dot_product(probe.qv, probe.qv)) *
+                        sqrt(list_dot_product(a.v, a.v))), 6) DESC, a.vid) <= 10
+), brute AS (
+    SELECT q.query_id, e0.vid
+    FROM q CROSS JOIN e0
+    QUALIFY row_number() OVER (PARTITION BY q.query_id
+        ORDER BY round(list_dot_product(q.qv, e0.v) /
+                       (sqrt(list_dot_product(q.qv, q.qv)) *
+                        sqrt(list_dot_product(e0.v, e0.v))), 6) DESC, e0.vid) <= 10
+), h AS (
+    SELECT ivf.query_id, count(*) AS n_hits
+    FROM ivf JOIN brute ON ivf.query_id = brute.query_id AND ivf.vid = brute.vid
+    GROUP BY ivf.query_id
+)
+SELECT q.query_id, cast(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall_at_k
+FROM q LEFT JOIN h USING (query_id)
+"""
+
+
 # -- r12 driver sample (first 50), applied as a reorder at return time:
 # NEW r12 entries lead (never driver-attested), then the entries whose
 # code or oracle changed this round (lorenz_deciles broadcast hint,
@@ -11823,6 +11899,9 @@ FROM n CROSS JOIN diag CROSS JOIN pe
 # sat at r11 head positions 51-74 plus the rest of the r06 cohort
 # (VERDICT r11 item 3). The rest keep registration order. --
 _R12_SAMPLE_HEAD = [
+    # new r12 entries (never driver-attested)
+    "token_budget_incremental",
+    "ivf_incremental_recall",
     # changed this round
     "lorenz_deciles",
     "temperature_mix",
@@ -11892,6 +11971,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "token_budget_incremental": _token_budget_incremental,
+        "ivf_incremental_recall": _ivf_incremental_recall,
         "lorenz_deciles": _lorenz_deciles,
         "market_hhi": _market_hhi,
         "nb_fit": _nb_fit,
@@ -12193,6 +12274,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "token_budget_incremental": _TOKEN_BUDGET_SQL,
+        "ivf_incremental_recall": _IVF_INCREMENTAL_RECALL_SQL,
         "lorenz_deciles": _LORENZ_SQL,
         "market_hhi": _MARKET_HHI_SQL,
         "nb_fit": _NB_FIT_SQL,

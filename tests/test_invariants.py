@@ -1967,6 +1967,94 @@ def test_bm25_incremental_equals_full_recompute(spark, sf_dir):
     assert [tuple(r) for r in inc.collect()] == [tuple(r) for r in full.collect()]
 
 
+def test_token_budget_incremental_equals_full_recompute(spark, sf_dir):
+    """The prefix-displacement lemma on real data: folding a new batch
+    into the at-rest selection (re-ranking only selected ∪ batch) must
+    equal the full greedy recompute over the union bit-for-bit —
+    adding docs can displace selected ones but never re-admit rejected
+    ones, so the at-rest REJECTED rows are irrelevant."""
+    from z316_sales_data_pipeline_spark.operators import corpus as C
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    prior = C.token_budget_select(
+        docs.filter(F.col("doc_id") % 7 != 0), "text", "doc_id", "source", 3000
+    )
+    inc = C.token_budget_select_incremental(
+        prior, docs.filter(F.col("doc_id") % 7 == 0), "text", "doc_id", "source", 3000
+    )
+    full = C.token_budget_select(docs, "text", "doc_id", "source", 3000)
+    key = ["source", "doc_id"]
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+    assert inc.select(key).distinct().count() == inc.count()
+
+
+def test_ivf_incremental_recall_empty_batch_is_ann_recall_eval(spark, sf_dir):
+    """With no appended batch the aged-index audit IS ann_recall_eval:
+    same centroids (corpus-only), same corpus, same queries."""
+    from z316_sales_data_pipeline_spark.operators import similarity as S
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    empty = emb.filter(F.lit(False))
+    inc = S.ivf_incremental_recall(emb, empty, "embedding", "vec_id", 100, 10, 16, 4)
+    base = S.ann_recall_eval(emb, "embedding", "vec_id", 100, 10, 16, 4)
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_ivf_append_matches_full_assignment_on_new_ids(spark, sf_dir):
+    """Appending under the frozen quantizer gives each new vector the
+    SAME cell the full assignment over the union would give it — cell
+    identity depends only on (vector, centroids), so the at-rest rows
+    never need rewriting."""
+    from z316_sales_data_pipeline_spark.operators import similarity as S
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = S._centroids(corpus, "embedding", "vec_id", 16)
+    appended = {
+        (r["vec_id"], r["cell"])
+        for r in S.ivf_append(batch, "embedding", "vec_id", cents).collect()
+    }
+    full = S.ivf_assign(
+        emb.withColumn("embedding", F.col("embedding").cast("array<double>")),
+        "embedding",
+        cents,
+    )
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in full.filter(F.col("vec_id") % 5 == 0).select("vec_id", "cell").collect()
+    }
+    assert appended == want and appended
+
+
+def test_always_valid_pvalue_refuses_multi_arm(spark):
+    """mSPRT is strictly two-sample: n_arms != 2 must raise instead of
+    silently dropping units hashed to arms 2..n-1."""
+    from z316_sales_data_pipeline_spark.operators import experiment
+
+    df = spark.createDataFrame(
+        [("u1", "2024-01-01", 5)], "uid string, ts string, v long"
+    )
+    with pytest.raises(ValueError, match="two-sample"):
+        experiment.always_valid_pvalue(df, F.col("v"), "uid", "ts", 1.0, n_arms=3)
+
+
+def test_market_concentration_total_overflow_fail_stop(spark):
+    """A group whose seller totals sum past int64 must raise (the
+    decimal->long cast would silently NULL in non-ANSI Spark while the
+    oracle widens) — the assert_true guard fires on collect."""
+    from z316_sales_data_pipeline_spark.operators import aggregates
+
+    # 11 sellers x 9e17 = 9.9e18 > int64 max; each per-seller sum fits
+    rows = [("g", f"s{i}", 900_000_000_000_000_000) for i in range(11)]
+    df = spark.createDataFrame(rows, "grp string, seller string, v long")
+    with pytest.raises(Exception, match="exceeds int64"):
+        aggregates.market_concentration(df, ["grp"], "seller", F.col("v")).collect()
+
+
 def test_quantile_disc_groups_type1_definition(spark):
     """v(q) = smallest observed value with cum >= ceil(q*n) — checked
     against the hand-computed answer on a known multiset."""

@@ -1371,6 +1371,66 @@ def token_budget_select(
     )
 
 
+def token_budget_select_incremental(
+    prior_selected: DataFrame,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Fold a NEW document batch into an existing token-budget
+    selection WITHOUT re-ranking the at-rest corpus — the
+    continuous-ingestion twin of :func:`token_budget_select` (the
+    minhash_near_dup_incremental pattern applied to curation).
+
+    ``prior_selected`` is the at-rest output of a previous
+    :func:`token_budget_select` run (in practice read back from
+    parquet: (source, id, quality_x3, n_tokens) — cum_tokens is
+    recomputed). Only the new batch is scored here; the at-rest
+    corpus is touched through its (tiny) SELECTED rows only — never
+    re-read, never re-scored.
+
+    EXACTNESS (the prefix-displacement lemma): the greedy prefix rule
+    over (corpus ∪ batch) can only DISPLACE previously-selected docs,
+    never re-admit previously-rejected ones — a corpus doc d selected
+    in the union run satisfies cum_union(d) ≤ budget, and new docs
+    only add mass at ranks above d, so cum_corpus(d) ≤ cum_union(d) ≤
+    budget means d was already selected in the corpus run. Hence
+    re-ranking (prior_selected ∪ scored_batch) and re-applying the
+    prefix rule is EXACTLY the full recompute over the union — the
+    registry oracle runs the full-union SQL against this incremental
+    plan, making the lemma a per-round differential check.
+
+    Scale: the fold ranks |selected| + |batch| rows (budget-bounded +
+    batch-bounded — independent of corpus size); the per-source
+    cumulative sum stays on the two-phase shape since a single source
+    can still be a giant key within the fold.
+    """
+    from ..functions.text import quality_score, whitespace_token_count
+    from .windows import partitioned_running_sum_two_phase
+
+    scored_new = new_docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        F.round(quality_score(text_col) * 3).cast("int").alias("quality_x3"),
+        whitespace_token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    prior = prior_selected.select(
+        "source", F.col(id_col), F.col("quality_x3").cast("int"), F.col("n_tokens").cast("long")
+    )
+    cum = partitioned_running_sum_two_phase(
+        prior.unionByName(scored_new),
+        ["source"],
+        [F.col("quality_x3").desc(), F.col(id_col).asc()],
+        "n_tokens",
+        "cum_tokens",
+    )
+    return cum.filter(F.col("cum_tokens") <= budget_tokens).select(
+        "source", F.col(id_col), "quality_x3", "n_tokens", "cum_tokens"
+    )
+
+
 def source_data_card(docs: DataFrame, text_col: str, source_col: str) -> DataFrame:
     """Per-source dataset card — the one-row-per-source documentation
     a corpus release ships (datasheets-for-datasets distilled to the

@@ -447,9 +447,24 @@ def ann_recall_eval(
     cost stays put. Round-6 cosine + id tie-breaks keep both arms
     engine-portable.
     """
-    from pyspark.sql import Window
-
     cents = _centroids(df, vec_col, id_col, n_cells)
+    return _recall_eval_with_cents(df, vec_col, id_col, cents, query_mod, k, n_probe)
+
+
+def _recall_eval_with_cents(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cents: list[tuple[int, list[float]]],
+    query_mod: int,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Shared recall@k body: probe the given centroid model over
+    ``df``, compare to exact brute force — called with fresh centroids
+    by :func:`ann_recall_eval` and with the at-rest (stale) model by
+    :func:`ivf_incremental_recall`."""
+    from pyspark.sql import Window
 
     def dots_arr(col: Column) -> Column:
         return F.array(*[dot(col, literal_vector(c)) for _, c in cents])
@@ -500,6 +515,66 @@ def ann_recall_eval(
             F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6).alias("recall_at_k"),
         )
     )
+
+
+def ivf_append(
+    new_vecs: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cents: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """Incremental IVF index maintenance, write side: assign a NEW
+    embedding batch to the EXISTING (frozen) coarse-quantizer cells —
+    the continuous-ingestion path for the at-rest IVF layout. Only the
+    batch is scanned; the at-rest partitions are appended to, never
+    rewritten, and the centroid model is the tiny broadcast literal it
+    always was (:func:`ivf_assign`). Re-training the quantizer is a
+    separate, deliberate act — :func:`ivf_incremental_recall` is the
+    audit that tells you when the frozen model has aged enough to
+    warrant it.
+
+    Output: (id, vec, cell) rows for the batch, ready to append
+    partition-by-``cell`` onto the at-rest layout.
+    """
+    return ivf_assign(
+        new_vecs.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)),
+        vec_col,
+        cents,
+    ).select(F.col(id_col), F.col(vec_col), "cell")
+
+
+def ivf_incremental_recall(
+    corpus: DataFrame,
+    new_vecs: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_mod: int = 100,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Recall@k of the AGED IVF index: the coarse quantizer was
+    trained on ``corpus`` alone (the at-rest model — n_cells lowest-id
+    corpus vectors, exactly what :func:`ivf_top_k` would have frozen
+    at build time), but the index now also holds ``new_vecs`` appended
+    via :func:`ivf_append`, and recall is measured on the GROWN
+    corpus. This is the maintenance audit of incremental ANN: as
+    appended batches drift from the training distribution, probed
+    recall decays, and this table — same per-query grain as
+    :func:`ann_recall_eval` — is the evidence for scheduling a
+    re-train. With an empty batch it reduces to ann_recall_eval
+    exactly (pinned as a law test).
+
+    Scale: identical plan shape to ann_recall_eval (one checkpointed
+    assignment pass shared by both arms, fixed-size query batch, no
+    quadratic term); the stale centroid model adds nothing — it is
+    the same O(n_cells·dim) broadcast literal.
+    """
+    cents = _centroids(corpus, vec_col, id_col, n_cells)
+    union = corpus.select(F.col(id_col), F.col(vec_col)).unionByName(
+        new_vecs.select(F.col(id_col), F.col(vec_col))
+    )
+    return _recall_eval_with_cents(union, vec_col, id_col, cents, query_mod, k, n_probe)
 
 
 def ivf_probe_sweep(
