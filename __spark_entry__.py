@@ -11813,6 +11813,115 @@ FROM n CROSS JOIN diag CROSS JOIN pe
 """
 
 
+def _ivf_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aged-index occupancy audit (similarity.ivf_cell_drift): how the
+    appended batch (vec_id % 5 == 0) distributes over the frozen
+    corpus-trained cells vs the corpus itself — per-cell counts on an
+    explicit 0..15 spine (empty cells are rows), shares and drift as
+    round-6 divisions of exact counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_cell_drift(
+        emb.filter(F.col("vec_id") % 5 != 0),
+        emb.filter(F.col("vec_id") % 5 == 0),
+        "embedding",
+        "vec_id",
+        n_cells=16,
+    )
+
+
+_IVF_CELL_DRIFT_SQL = """
+WITH e0 AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+    SELECT row_number() OVER (ORDER BY vid) - 1 AS cell, v AS cv
+    FROM e0 WHERE vid % 5 <> 0 ORDER BY vid LIMIT 16
+), a AS (
+    SELECT e0.vid, c.cell
+    FROM e0 CROSS JOIN c
+    QUALIFY row_number() OVER (PARTITION BY e0.vid
+        ORDER BY list_dot_product(e0.v, c.cv) DESC, c.cell) = 1
+), rest AS (
+    SELECT cell, cast(count(*) AS BIGINT) AS n_rest FROM a WHERE vid % 5 <> 0 GROUP BY 1
+), nw AS (
+    SELECT cell, cast(count(*) AS BIGINT) AS n_new FROM a WHERE vid % 5 = 0 GROUP BY 1
+), spine AS (SELECT unnest(generate_series(0, 15)) AS cell),
+j AS (
+    SELECT spine.cell,
+           cast(coalesce(rest.n_rest, 0) AS BIGINT) AS n_rest,
+           cast(coalesce(nw.n_new, 0) AS BIGINT) AS n_new
+    FROM spine LEFT JOIN rest ON spine.cell = rest.cell
+               LEFT JOIN nw ON spine.cell = nw.cell
+), tots AS (SELECT sum(n_rest) AS tr, sum(n_new) AS tn FROM j)
+SELECT j.cell, j.n_rest, j.n_new,
+       round(CAST(j.n_rest AS DOUBLE) / CAST(tots.tr AS DOUBLE), 6) AS rest_share,
+       CASE WHEN tots.tn > 0
+            THEN round(CAST(j.n_new AS DOUBLE) / CAST(tots.tn AS DOUBLE), 6) END AS new_share,
+       CASE WHEN tots.tn > 0
+            THEN round(CAST(j.n_new AS DOUBLE) / CAST(tots.tn AS DOUBLE)
+                       - CAST(j.n_rest AS DOUBLE) / CAST(tots.tr AS DOUBLE), 6) END AS drift
+FROM j CROSS JOIN tots
+"""
+
+
+def _trigram_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score (corpus.trigram_doc_logprob):
+    held-out docs (doc_id % 10 == 0) priced under the reference-split
+    stupid-backoff trigram LM — avg log-score per trigram, the
+    curation filter that drops gibberish. Every score is one ln on an
+    exact int64-count rational, floor-scaled to micro-units BEFORE the
+    per-doc sum (dsir discipline), so the oracle replays it digit for
+    digit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.trigram_doc_logprob(docs, "text", "doc_id", holdout_mod=10)
+
+
+_TRIGRAM_LOGPROB_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           unnest([{t3: toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2],
+                    t2p: toks[i] || ' ' || toks[i+1],
+                    t2: toks[i+1] || ' ' || toks[i+2],
+                    t1p: toks[i+1],
+                    t1: toks[i+2]}
+                   FOR i IN generate_series(1, len(toks) - 2)], recursive := true)
+    FROM t
+), ref AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
+   m3 AS (SELECT t3, cast(count(*) AS BIGINT) AS c3 FROM ref GROUP BY 1),
+   m2p AS (SELECT t2p, cast(count(*) AS BIGINT) AS c2p FROM ref GROUP BY 1),
+   m2 AS (SELECT t2, cast(count(*) AS BIGINT) AS c2 FROM ref GROUP BY 1),
+   m1p AS (SELECT t1p, cast(count(*) AS BIGINT) AS c1p FROM ref GROUP BY 1),
+   m1 AS (SELECT t1, cast(count(*) AS BIGINT) AS c1 FROM ref GROUP BY 1),
+   nn AS (SELECT cast(count(*) AS BIGINT) AS n FROM ref),
+   s AS (
+    SELECT g.doc_id,
+           CASE WHEN m3.c3 IS NOT NULL THEN
+                    CAST(floor(ln(CAST(m3.c3 AS DOUBLE) / CAST(m2p.c2p AS DOUBLE)) * 1000000.0) AS BIGINT)
+                WHEN m2.c2 IS NOT NULL THEN
+                    CAST(floor(ln((2.0 * m2.c2) / (5.0 * m1p.c1p)) * 1000000.0) AS BIGINT)
+                WHEN m1.c1 IS NOT NULL THEN
+                    CAST(floor(ln((4.0 * m1.c1) / (25.0 * nn.n)) * 1000000.0) AS BIGINT)
+                ELSE CAST(floor(ln(4.0 / (25.0 * (nn.n + 1.0))) * 1000000.0) AS BIGINT)
+           END AS s
+    FROM g
+    LEFT JOIN m3 ON g.t3 = m3.t3
+    LEFT JOIN m2p ON g.t2p = m2p.t2p
+    LEFT JOIN m2 ON g.t2 = m2.t2
+    LEFT JOIN m1p ON g.t1p = m1p.t1p
+    LEFT JOIN m1 ON g.t1 = m1.t1
+    CROSS JOIN nn
+    WHERE g.doc_id % 10 = 0
+)
+SELECT doc_id,
+       cast(count(*) AS BIGINT) AS n_tri,
+       cast(sum(s) AS BIGINT) AS logprob_micro,
+       cast(floor(CAST(sum(s) AS DOUBLE) / count(*)) AS BIGINT) AS avg_logprob_micro
+FROM s GROUP BY 1
+"""
+
+
 def _token_budget_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion curation (corpus.token_budget_select_incremental):
     the at-rest corpus (doc_id % 7 != 0) was selected under the 3000-token
@@ -11900,6 +12009,8 @@ FROM q LEFT JOIN h USING (query_id)
 # (VERDICT r11 item 3). The rest keep registration order. --
 _R12_SAMPLE_HEAD = [
     # new r12 entries (never driver-attested)
+    "ivf_cell_drift",
+    "trigram_doc_logprob",
     "token_budget_incremental",
     "ivf_incremental_recall",
     # changed this round
@@ -11971,6 +12082,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "ivf_cell_drift": _ivf_cell_drift,
+        "trigram_doc_logprob": _trigram_doc_logprob,
         "token_budget_incremental": _token_budget_incremental,
         "ivf_incremental_recall": _ivf_incremental_recall,
         "lorenz_deciles": _lorenz_deciles,
@@ -12274,6 +12387,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ivf_cell_drift": _IVF_CELL_DRIFT_SQL,
+        "trigram_doc_logprob": _TRIGRAM_LOGPROB_SQL,
         "token_budget_incremental": _TOKEN_BUDGET_SQL,
         "ivf_incremental_recall": _IVF_INCREMENTAL_RECALL_SQL,
         "lorenz_deciles": _LORENZ_SQL,

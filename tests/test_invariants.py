@@ -2055,6 +2055,59 @@ def test_market_concentration_total_overflow_fail_stop(spark):
         aggregates.market_concentration(df, ["grp"], "seller", F.col("v")).collect()
 
 
+def test_trigram_doc_logprob_hand_computed(spark):
+    """Stupid-backoff scores on a corpus small enough to price by
+    hand: one target trigram at each backoff level (trigram hit,
+    bigram backoff, unigram backoff, OOV floor), each score =
+    floor(ln(rational)*1e6) with the canonical 0.4 factor folded in."""
+    import math
+
+    from z316_sales_data_pipeline_spark.operators import corpus as C
+
+    # ref (id=1): trigrams (a b c), (b c d); N=2
+    # target id=0 "x b c d": "x b c" -> L2 (t2 "b c" in ref, c1p(b)=1)
+    #                        "b c d" -> L3 (c3=1, c2p("b c")=1)
+    # target id=10 "y y d y": "y y d" -> L1 (c1(d)=1), "y d y" -> OOV
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (0, "x b c d"), (10, "y y d y")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_tri"], r["logprob_micro"], r["avg_logprob_micro"])
+        for r in C.trigram_doc_logprob(docs, "text", "doc_id", holdout_mod=10).collect()
+    }
+    m = lambda x: math.floor(math.log(x) * 1e6)  # noqa: E731
+    want0 = m(2 * 1 / (5 * 1)) + m(1 / 1)  # L2 + L3
+    want10 = m(4 * 1 / (25 * 2)) + m(4 / (25 * 3))  # L1 + OOV floor
+    assert out[0] == (2, want0, want0 // 2)
+    assert out[10] == (2, want10, math.floor(want10 / 2))
+    assert 1 not in out  # ref docs are not scored
+
+
+def test_ivf_cell_drift_spine_and_share_laws(spark, sf_dir):
+    """The cell spine is complete (n_cells rows even when a cell is
+    empty), counts reconcile to the arm sizes, shares sum to 1 within
+    round-6 slack, and an EMPTY batch yields NULL new_share/drift
+    instead of a division blowup."""
+    from z316_sales_data_pipeline_spark.operators import similarity as S
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus_arm = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    rows = S.ivf_cell_drift(corpus_arm, batch, "embedding", "vec_id", 16).collect()
+    assert len(rows) == 16 and {r["cell"] for r in rows} == set(range(16))
+    assert sum(r["n_rest"] for r in rows) == corpus_arm.count()
+    assert sum(r["n_new"] for r in rows) == batch.count()
+    assert abs(sum(r["rest_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["new_share"] for r in rows) - 1.0) < 1e-4
+
+    empty = S.ivf_cell_drift(
+        corpus_arm, emb.filter(F.lit(False)), "embedding", "vec_id", 16
+    ).collect()
+    assert len(empty) == 16
+    assert all(r["n_new"] == 0 and r["new_share"] is None and r["drift"] is None for r in empty)
+
+
 def test_quantile_disc_groups_type1_definition(spark):
     """v(q) = smallest observed value with cum >= ceil(q*n) — checked
     against the hand-computed answer on a known multiset."""

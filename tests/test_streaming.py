@@ -1546,6 +1546,36 @@ def test_growth_accounting_sink_matches_batch(spark, sf_dir, tmp_path):
     assert int(open(f"{st}/_LATEST").read()) == v
 
 
+def test_token_budget_sink_matches_batch_and_replay_noop(spark, sf_dir, tmp_path):
+    """Streaming budgeted selection == the batch twin over everything
+    folded so far, after EVERY epoch (the prefix-displacement lemma,
+    end to end through the snapshot round-trip); a replayed epoch is a
+    strict no-op (folding the same batch twice would double-count)."""
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import corpus as C
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming.pipeline import token_budget_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    slices = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    st = str(tmp_path / "tbs_state")
+    fold = token_budget_sink(st, "text", "doc_id", "source", 3000)
+    seen = None
+    for i, sl in enumerate(slices):
+        fold(sl, i)
+        seen = sl if seen is None else seen.unionByName(sl)
+        want = sorted(
+            map(tuple, C.token_budget_select(seen, "text", "doc_id", "source", 3000).collect())
+        )
+        got = sorted(map(tuple, sinks.read_snapshot(spark, st).collect()))
+        assert got == want, f"epoch {i}"
+
+    # replayed epoch: snapshot version unchanged
+    v = int(open(f"{st}/_LATEST").read())
+    fold(slices[1], 1)
+    assert int(open(f"{st}/_LATEST").read()) == v
+
+
 def test_growth_accounting_sink_refuses_late_rows_in_new_epoch(spark, tmp_path):
     """ADVICE r9: a NEW epoch (epoch_id above the state's _GA_EPOCH
     marker) carrying rows for days at-or-below _GA_DAY is LATE DATA,

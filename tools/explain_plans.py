@@ -653,6 +653,34 @@ CHECKLIST = {
         "over (source, quality desc, id)), source-grain offset join, "
         "budget filter — NO per-source window."
     ),
+    "token_budget_incremental": (
+        "Incremental budgeted selection (r12). Expect: the batch arm "
+        "scored like token_budget_select; the at-rest arm enters as the "
+        "(tiny) SELECTED relation only — a union of the two feeding the "
+        "same two-phase running sum + budget filter; the full corpus is "
+        "scanned once for the prior selection, never re-ranked with the "
+        "batch; NO per-source window."
+    ),
+    "ivf_incremental_recall": (
+        "Aged-index recall audit (r12). Expect: the SAME shape as "
+        "ann_recall_eval (one checkpointed (vid, v, cell) relation, "
+        "broadcast query batch, per-query top-k windows over candidates "
+        "only) — the stale centroid model is a broadcast literal from "
+        "the corpus arm; the union add no extra shuffle."
+    ),
+    "ivf_cell_drift": (
+        "Aged-index occupancy audit (r12). Expect: two assignment "
+        "projections (broadcast centroid literal dots, no shuffle), two "
+        "cell-grain hash aggregates, spine outer joins on the 16-row "
+        "range, one-row totals broadcast back. Empty cells present."
+    ),
+    "trigram_doc_logprob": (
+        "Perplexity-proxy scoring (r12). Expect: one trigram explode; "
+        "five n-gram-grain count aggregates (far below corpus grain) "
+        "hash-joined back on int64 fingerprints; scores are "
+        "floor-scaled micro-units summed as longs per doc — the only "
+        "doubles are one ln per joined row and the final avg division."
+    ),
     "mutual_information": (
         "Categorical dependence audit (r11). Expect: ONE hash aggregate "
         "(partial+final) to the (lang, source) cell grain off the scan; "

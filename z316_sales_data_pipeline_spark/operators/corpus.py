@@ -1258,6 +1258,122 @@ def lm_trigram_backoff(
     )
 
 
+def trigram_doc_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    holdout_mod: int = 10,
+) -> DataFrame:
+    """Per-document stupid-backoff trigram LOG-SCORE for held-out
+    documents — the perplexity-proxy quality filter of an LM data
+    pipeline (score a candidate document under a reference corpus LM;
+    rank or threshold to drop gibberish / off-distribution text). The
+    count-based companion of :func:`lm_trigram_backoff`, which only
+    classifies coverage levels; this one prices them:
+
+        S(w3 | w1 w2) = c3/c2p          if the trigram is in the ref
+                        0.4·c2/c1p      elif the (w2,w3) bigram is
+                        0.16·c1/N       elif the unigram w3 is
+                        0.16/(N+1)      else (OOV floor)
+
+    (Brants et al. 2007 "Large language models in machine
+    translation" — stupid backoff with the canonical 0.4 factor;
+    scores are not normalized probabilities, which is exactly why the
+    backoff needs no discounting pass and stays two-join-deep at lake
+    scale.)
+
+    Engine-exactness (the dsir_weights pattern): every score is ONE
+    `ln` call on ONE exact rational of int64 counts (0.4 = 2/5 and
+    0.16 = 4/25 fold INTO the rational: ln(2·c2/(5·c1p)) — fewer libm
+    calls, less 1-ulp boundary surface), floor-scaled to integer
+    MICRO-units per trigram; the per-doc reduction sums int64, so
+    float accumulation order cannot flip a digit. The per-trigram
+    average is ALSO integral — floor(Σmicro / n) in micro-nats —
+    because a round-6 float average lands EXACTLY on .5 at the sixth
+    digit whenever Σmicro is odd over n=2 (the pareto_abc lesson:
+    Spark HALF_UP vs DuckDB half-even would flip the last digit).
+
+    Plan: the trigram relation is built once; the five reference
+    count models reduce to n-gram grain (far below corpus grain) and
+    join the target's trigrams as int64 fingerprints — hash joins on
+    longs, no strings on the wire. 64-bit fingerprint collisions
+    merge counts (same accepted contract as every fingerprint64
+    consumer); N = total reference trigram positions.
+    """
+    from ..functions.text import fingerprint64
+
+    toks = _norm_tokens(text_col)
+    tri = F.expr(
+        "transform("
+        "  CASE WHEN size(__toks) >= 3 THEN sequence(1, size(__toks) - 2) "
+        "       ELSE CAST(array() AS array<int>) END, "
+        "i -> struct(concat_ws(' ', __toks[i-1], __toks[i], __toks[i+1]) AS t3, "
+        "concat_ws(' ', __toks[i-1], __toks[i]) AS t2p, "
+        "concat_ws(' ', __toks[i], __toks[i+1]) AS t2, "
+        "__toks[i] AS t1p, __toks[i+1] AS t1))"
+    )
+    base = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), F.explode(tri).alias("__g"))
+        .select(
+            F.col(id_col),
+            fingerprint64(F.col("__g.t3")).alias("__h3"),
+            fingerprint64(F.col("__g.t2p")).alias("__h2p"),
+            fingerprint64(F.col("__g.t2")).alias("__h2"),
+            fingerprint64(F.col("__g.t1p")).alias("__h1p"),
+            fingerprint64(F.col("__g.t1")).alias("__h1"),
+        )
+    )
+    is_target = F.col(id_col) % holdout_mod == 0
+    target = base.filter(is_target)
+    ref = base.filter(~is_target)
+
+    def model(col: str, out: str) -> DataFrame:
+        return ref.groupBy(F.col(col).alias(f"__k_{out}")).agg(
+            F.count(F.lit(1)).cast("long").alias(out)
+        )
+
+    c3 = model("__h3", "c3")
+    c2p = model("__h2p", "c2p")
+    c2 = model("__h2", "c2")
+    c1p = model("__h1p", "c1p")
+    c1 = model("__h1", "c1")
+    n_row = ref.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    micro = lambda expr: F.floor(F.log(expr) * F.lit(1000000.0)).cast("long")  # noqa: E731
+    score = (
+        F.when(F.col("c3").isNotNull(), micro(d("c3") / d("c2p")))
+        .when(
+            F.col("c2").isNotNull(),
+            micro((F.lit(2.0) * d("c2")) / (F.lit(5.0) * d("c1p"))),
+        )
+        .when(
+            F.col("c1").isNotNull(),
+            micro((F.lit(4.0) * d("c1")) / (F.lit(25.0) * d("__N"))),
+        )
+        .otherwise(micro(F.lit(4.0) / (F.lit(25.0) * (d("__N") + F.lit(1.0)))))
+    )
+    scored = (
+        target.join(c3, target["__h3"] == c3["__k_c3"], "left")
+        .join(c2p, target["__h2p"] == c2p["__k_c2p"], "left")
+        .join(c2, target["__h2"] == c2["__k_c2"], "left")
+        .join(c1p, target["__h1p"] == c1p["__k_c1p"], "left")
+        .join(c1, target["__h1"] == c1["__k_c1"], "left")
+        .crossJoin(F.broadcast(n_row))
+        .select(F.col(id_col), score.alias("__s"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tri"),
+        F.sum("__s").cast("long").alias("logprob_micro"),
+    ).withColumn(
+        "avg_logprob_micro",
+        F.floor(
+            F.col("logprob_micro").cast("double") / F.col("n_tri").cast("double")
+        ).cast("long"),
+    )
+
+
 def token_run_lengths(
     df: DataFrame,
     text_col: str,

@@ -577,6 +577,72 @@ def ivf_incremental_recall(
     return _recall_eval_with_cents(union, vec_col, id_col, cents, query_mod, k, n_probe)
 
 
+def ivf_cell_drift(
+    corpus: DataFrame,
+    new_vecs: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 16,
+) -> DataFrame:
+    """Per-cell occupancy drift of the aged IVF index: how the
+    appended batch distributes over the FROZEN cells vs how the
+    training corpus did — the cheap leading indicator that
+    :func:`ivf_incremental_recall`'s recall decay follows (a batch
+    that piles into a few cells is off the training distribution, and
+    hot cells also break the at-rest layout's pruning economics).
+
+    One assignment pass per arm (broadcast centroid literals, no
+    shuffle), two cell-grain hash aggregates, and an explicit
+    0..n_cells-1 SPINE outer-joined with the counts — empty cells are
+    rows too (the srm_check zero-arm lesson: a cell the batch
+    abandons, or one it floods that the corpus never used, is the
+    most extreme drift and must not vanish from the audit). Shares
+    are single float divisions over exact int64 counts, round-6.
+    """
+    cents = _centroids(corpus, vec_col, id_col, n_cells)
+
+    def cell_counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            ivf_assign(
+                df.select(F.col(vec_col).cast("array<double>").alias(vec_col)),
+                vec_col,
+                cents,
+            )
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    spark = corpus.sparkSession
+    spine = spark.range(n_cells).select(F.col("id").cast("int").alias("cell"))
+    rest = cell_counts(corpus, "n_rest")
+    new = cell_counts(new_vecs, "n_new")
+    joined = (
+        spine.join(rest, "cell", "left")
+        .join(new, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_rest", F.lit(0)).cast("long").alias("n_rest"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    tots = joined.agg(
+        F.sum("n_rest").cast("long").alias("__tr"), F.sum("n_new").cast("long").alias("__tn")
+    )
+    rest_share = F.col("n_rest").cast("double") / F.col("__tr").cast("double")
+    new_share = F.col("n_new").cast("double") / F.col("__tn").cast("double")
+    return (
+        joined.crossJoin(F.broadcast(tots))
+        .select(
+            "cell",
+            "n_rest",
+            "n_new",
+            F.round(rest_share, 6).alias("rest_share"),
+            F.when(F.col("__tn") > 0, F.round(new_share, 6)).alias("new_share"),
+            F.when(F.col("__tn") > 0, F.round(new_share - rest_share, 6)).alias("drift"),
+        )
+    )
+
+
 def ivf_probe_sweep(
     df: DataFrame,
     vec_col: str,

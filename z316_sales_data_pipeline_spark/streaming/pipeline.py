@@ -934,6 +934,61 @@ def ab_readout_sink(
     return fold
 
 
+def token_budget_sink(
+    state_dir: str,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    budget_tokens: int,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch maintainer for the budgeted-selection snapshot
+    (batch twin: ``corpus.token_budget_select``; fold kernel:
+    ``corpus.token_budget_select_incremental``) — a training-corpus
+    curation list that stays current as document shards stream in,
+    at O(batch + selection) per epoch, never O(corpus).
+
+    Each epoch scores ONLY the batch, unions it with the at-rest
+    SELECTED rows, and re-applies the per-source greedy prefix rule;
+    by the prefix-displacement lemma (see the incremental operator's
+    docstring) the resulting snapshot equals the batch twin over
+    every document ever folded — pinned by the pytest law.
+
+    Exactly-once: the snapshot carries a ``_TBS_EPOCH`` marker; an
+    epoch at-or-below it is a replay and no-ops (folding the same
+    batch twice would double-count its rows in the union — the replay
+    guard is load-bearing, not an optimization). Within a first-time
+    epoch the batch is deduped on (source, id); ACROSS distinct
+    epochs document ids must be disjoint (the minhash_incremental
+    contract — re-sends of the same doc under a new epoch are new
+    documents to this sink).
+    """
+    from .. import sinks
+    from ..operators import corpus as corpus_ops
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        epoch_marker = sinks.snapshot_meta(state_dir, "_TBS_EPOCH")
+        if epoch_marker is not None and int(epoch_id) <= int(epoch_marker):
+            return  # replay: this batch is already in the selection
+        batch = batch_df.dropDuplicates([source_col, id_col])
+        try:
+            prior = sinks.read_snapshot(spark, state_dir)
+        except OSError:
+            prior = spark.createDataFrame(
+                [], f"source string, {id_col} long, quality_x3 int, n_tokens long"
+            )
+        sel = corpus_ops.token_budget_select_incremental(
+            prior, batch, text_col, id_col, source_col, budget_tokens
+        ).localCheckpoint(eager=True)  # selection grain: budget-bounded
+        sinks.write_snapshot(
+            sel, state_dir, meta={"_TBS_EPOCH": str(int(epoch_id))}
+        )
+
+    return fold
+
+
 def heavy_hitters_monitor(
     stream_df: DataFrame,
     key_col: str,
