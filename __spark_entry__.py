@@ -11813,6 +11813,55 @@ FROM n CROSS JOIN diag CROSS JOIN pe
 """
 
 
+def _doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition screen (corpus.doc_ngram_repetition): the
+    Gopher-family filter for phrase-looped / templated documents —
+    top-bigram token-mass and duplicated-5-gram position share, every
+    output an exact count or a floor-scaled integer micro-ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.doc_ngram_repetition(docs, "text", "doc_id", n=5)
+
+
+_DOC_NGRAM_REPETITION_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), b AS (
+    SELECT doc_id, cast(len(toks) AS BIGINT) AS nt FROM t
+), g2 AS (
+    SELECT doc_id,
+           unnest([toks[i] || ' ' || toks[i+1]
+                   FOR i IN generate_series(1, len(toks) - 1)]) AS g
+    FROM t
+), c2 AS (
+    SELECT doc_id, max(c) AS top_n
+    FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1
+), g5 AS (
+    SELECT doc_id,
+           unnest([array_to_string(toks[i:i+4], ' ')
+                   FOR i IN generate_series(1, len(toks) - 4)]) AS g
+    FROM t
+), c5 AS (
+    SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_n
+    FROM (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2) GROUP BY 1
+)
+SELECT b.doc_id,
+       b.nt AS n_tokens,
+       cast(greatest(b.nt - 1, 0) AS BIGINT) AS n_bigrams,
+       cast(coalesce(c2.top_n, 0) AS BIGINT) AS top_bigram_n,
+       CASE WHEN b.nt > 0
+            THEN cast(floor((1000000.0 * (2 * coalesce(c2.top_n, 0))) / b.nt) AS BIGINT)
+            ELSE 0 END AS rep2_micro,
+       cast(greatest(b.nt - 4, 0) AS BIGINT) AS n_ngrams,
+       cast(coalesce(c5.dup_n, 0) AS BIGINT) AS dup_ngram_n,
+       CASE WHEN greatest(b.nt - 4, 0) > 0
+            THEN cast(floor((1000000.0 * coalesce(c5.dup_n, 0)) / (b.nt - 4)) AS BIGINT)
+            ELSE 0 END AS repn_micro
+FROM b LEFT JOIN c2 USING (doc_id) LEFT JOIN c5 USING (doc_id)
+"""
+
+
 def _ivf_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aged-index occupancy audit (similarity.ivf_cell_drift): how the
     appended batch (vec_id % 5 == 0) distributes over the frozen
@@ -12009,6 +12058,7 @@ FROM q LEFT JOIN h USING (query_id)
 # (VERDICT r11 item 3). The rest keep registration order. --
 _R12_SAMPLE_HEAD = [
     # new r12 entries (never driver-attested)
+    "doc_ngram_repetition",
     "ivf_cell_drift",
     "trigram_doc_logprob",
     "token_budget_incremental",
@@ -12082,6 +12132,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "doc_ngram_repetition": _doc_ngram_repetition,
         "ivf_cell_drift": _ivf_cell_drift,
         "trigram_doc_logprob": _trigram_doc_logprob,
         "token_budget_incremental": _token_budget_incremental,
@@ -12387,6 +12438,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_ngram_repetition": _DOC_NGRAM_REPETITION_SQL,
         "ivf_cell_drift": _IVF_CELL_DRIFT_SQL,
         "trigram_doc_logprob": _TRIGRAM_LOGPROB_SQL,
         "token_budget_incremental": _TOKEN_BUDGET_SQL,

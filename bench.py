@@ -159,6 +159,12 @@ HEADLINE = [
     "fdr_bh_segments",
     "jaro_winkler_rescore",
     "quantile_match_normalize",
+    # r12 additions — the incremental families and the trigram scorer
+    # (ivf_cell_drift shares its assignment cost with the recall audit
+    # and is cheap; left out to keep the line under the capture limit)
+    "token_budget_incremental",
+    "ivf_incremental_recall",
+    "trigram_doc_logprob",
 ]
 
 

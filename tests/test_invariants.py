@@ -2083,6 +2083,30 @@ def test_trigram_doc_logprob_hand_computed(spark):
     assert 1 not in out  # ref docs are not scored
 
 
+def test_doc_ngram_repetition_hand_computed(spark):
+    """Repetition profile on hand-countable docs: a pure phrase loop,
+    a no-repeat doc, and a doc too short for any 5-gram."""
+    from z316_sales_data_pipeline_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a"), (2, "b c d e f g"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_bigrams"], r["top_bigram_n"], r["rep2_micro"],
+            r["n_ngrams"], r["dup_ngram_n"], r["repn_micro"],
+        )
+        for r in C.doc_ngram_repetition(docs, "text", "doc_id", n=5).collect()
+    }
+    # loop doc: "a a" x5, both 5-grams identical -> fully duplicated
+    assert out[1] == (6, 5, 5, 10_000_000 // 6, 2, 2, 1_000_000)
+    # clean doc: every bigram unique, no dup 5-grams
+    assert out[2] == (6, 5, 1, 333_333, 2, 0, 0)
+    # short doc: no 5-gram positions at all
+    assert out[3] == (2, 1, 1, 1_000_000, 0, 0, 0)
+
+
 def test_ivf_cell_drift_spine_and_share_laws(spark, sf_dir):
     """The cell spine is complete (n_cells rows even when a cell is
     empty), counts reconcile to the arm sizes, shares sum to 1 within

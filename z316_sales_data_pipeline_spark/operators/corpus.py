@@ -1258,6 +1258,94 @@ def lm_trigram_backoff(
     )
 
 
+def doc_ngram_repetition(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Within-document n-gram repetition profile — the Gopher-family
+    repetition filter (Rae et al. 2021 §A1.1) adapted to token
+    n-grams: documents whose text is dominated by a few repeated
+    phrases (SEO spam, templated boilerplate, generation loops) are
+    poison for LM training and this is the standard screen. Per doc:
+
+      n_tokens        exact whitespace-token count
+      n_bigrams       bigram positions (n_tokens − 1, 0 if < 2)
+      top_bigram_n    occurrences of the MOST frequent bigram
+      rep2_micro      floor(1e6 · 2·top_bigram_n / n_tokens) — the
+                      token-mass share of the top bigram, micro-units
+      n_ngrams        n-gram positions (window n)
+      dup_ngram_n     positions whose n-gram occurs ≥ 2× in the doc
+      repn_micro      floor(1e6 · dup_ngram_n / n_ngrams)
+
+    Every output is an INTEGER (counts, or floor-scaled micro-ratios
+    of exact counts — one IEEE division each, both engines identical);
+    thresholding is the caller's policy (Gopher drops top-2-gram mass
+    > 0.20 and dup-5-gram coverage in the same spirit). Sibling of
+    the ``repetition_ratio`` entry (top-bigram fraction only): the
+    dup-n-gram POSITION share is the signal that catches a document
+    looping several different phrases, which no single top gram sees.
+    rep2_micro can exceed 1e6 when top-bigram occurrences overlap
+    (token mass 2·c vs n: "a a a" counts the middle token twice).
+
+    Plan: one explode to (doc, gram) grain, one hash aggregate to
+    (doc, gram) counts, one to doc grain — the repetition statistics
+    need no cross-doc state at all, so the whole audit is
+    map-side-combinable and embarrassingly parallel at 100 TB.
+    """
+    toks = _norm_tokens(text_col)
+    grams = lambda k: F.expr(  # noqa: E731
+        "transform("
+        f"  CASE WHEN size(__toks) >= {k} THEN sequence(1, size(__toks) - {k - 1}) "
+        "       ELSE CAST(array() AS array<int>) END, "
+        f"i -> concat_ws(' ', slice(__toks, i, {k})))"
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).cast("long").alias("__nt")
+    )
+
+    def gram_stats(k: int, top: bool) -> DataFrame:
+        cnt = (
+            base.select(F.col(id_col), F.explode(grams(k)).alias("__g"))
+            .groupBy(id_col, "__g")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        )
+        if top:
+            return cnt.groupBy(id_col).agg(F.max("__c").alias(f"top_{k}gram_n"))
+        return cnt.groupBy(id_col).agg(
+            F.sum(F.when(F.col("__c") >= 2, F.col("__c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"dup_{k}gram_n")
+        )
+
+    top2 = gram_stats(2, top=True)
+    dupn = gram_stats(n, top=False)
+    micro = lambda num, den: F.when(  # noqa: E731
+        den > 0,
+        F.floor(F.lit(1000000.0) * num.cast("double") / den.cast("double")).cast("long"),
+    ).otherwise(F.lit(0))
+    n_bi = F.greatest(F.col("__nt") - 1, F.lit(0))
+    n_ng = F.greatest(F.col("__nt") - (n - 1), F.lit(0))
+    return (
+        base.select(F.col(id_col), "__nt")
+        .join(top2, id_col, "left")
+        .join(dupn, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__nt").alias("n_tokens"),
+            n_bi.cast("long").alias("n_bigrams"),
+            F.coalesce("top_2gram_n", F.lit(0)).cast("long").alias("top_bigram_n"),
+            micro(F.lit(2) * F.coalesce("top_2gram_n", F.lit(0)), F.col("__nt")).alias(
+                "rep2_micro"
+            ),
+            n_ng.cast("long").alias("n_ngrams"),
+            F.coalesce(f"dup_{n}gram_n", F.lit(0)).cast("long").alias("dup_ngram_n"),
+            micro(F.coalesce(f"dup_{n}gram_n", F.lit(0)), n_ng).alias("repn_micro"),
+        )
+    )
+
+
 def trigram_doc_logprob(
     df: DataFrame,
     text_col: str,
