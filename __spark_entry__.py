@@ -11813,6 +11813,51 @@ FROM n CROSS JOIN diag CROSS JOIN pe
 """
 
 
+def _dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (similarity.dim_truncation_recall):
+    recall@10 of prefix-d cosine rankings (d = 8/16/32) against the
+    full 64-dim exact top-k over the deterministic query batch — the
+    storage/recall trade table for serving truncated embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.dim_truncation_recall(
+        emb, "embedding", "vec_id", dims=(8, 16, 32), query_mod=100, k=10
+    )
+
+
+def _dim_truncation_recall_sql() -> str:
+    arms = []
+    for d in (8, 16, 32):
+        arms.append(f"""
+SELECT {d} AS dim, nq.n_queries, h.n_hits,
+       round(CAST(h.n_hits AS DOUBLE) / (CAST(nq.n_queries AS DOUBLE) * 10.0), 6) AS mean_recall
+FROM (
+    SELECT cast(count(*) AS BIGINT) AS n_hits FROM (
+        SELECT c.query_id, c.vid FROM cand c
+        QUALIFY row_number() OVER (PARTITION BY c.query_id
+            ORDER BY round(list_dot_product(c.qv[1:{d}], c.v[1:{d}]) /
+                           (sqrt(list_dot_product(c.qv[1:{d}], c.qv[1:{d}])) *
+                            sqrt(list_dot_product(c.v[1:{d}], c.v[1:{d}]))), 6) DESC, c.vid) <= 10
+    ) t
+    JOIN fullk USING (query_id, vid)
+) h CROSS JOIN nq
+""".strip())
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH e0 AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vid AS query_id, v AS qv FROM e0 WHERE vid % 100 = 0),
+cand AS (SELECT q.query_id, q.qv, e0.vid, e0.v FROM e0 CROSS JOIN q),
+fullk AS (
+    SELECT c.query_id, c.vid FROM cand c
+    QUALIFY row_number() OVER (PARTITION BY c.query_id
+        ORDER BY round(list_dot_product(c.qv, c.v) /
+                       (sqrt(list_dot_product(c.qv, c.qv)) *
+                        sqrt(list_dot_product(c.v, c.v))), 6) DESC, c.vid) <= 10
+),
+nq AS (SELECT cast(count(*) AS BIGINT) AS n_queries FROM q)
+{body}
+"""
+
+
 def _doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition screen (corpus.doc_ngram_repetition): the
     Gopher-family filter for phrase-looped / templated documents —
@@ -12058,6 +12103,7 @@ FROM q LEFT JOIN h USING (query_id)
 # (VERDICT r11 item 3). The rest keep registration order. --
 _R12_SAMPLE_HEAD = [
     # new r12 entries (never driver-attested)
+    "dim_truncation_recall",
     "doc_ngram_repetition",
     "ivf_cell_drift",
     "trigram_doc_logprob",
@@ -12132,6 +12178,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "dim_truncation_recall": _dim_truncation_recall,
         "doc_ngram_repetition": _doc_ngram_repetition,
         "ivf_cell_drift": _ivf_cell_drift,
         "trigram_doc_logprob": _trigram_doc_logprob,
@@ -12438,6 +12485,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dim_truncation_recall": _dim_truncation_recall_sql(),
         "doc_ngram_repetition": _DOC_NGRAM_REPETITION_SQL,
         "ivf_cell_drift": _IVF_CELL_DRIFT_SQL,
         "trigram_doc_logprob": _TRIGRAM_LOGPROB_SQL,

@@ -2083,6 +2083,22 @@ def test_trigram_doc_logprob_hand_computed(spark):
     assert 1 not in out  # ref docs are not scored
 
 
+def test_dim_truncation_recall_full_width_is_perfect(spark, sf_dir):
+    """Truncating to the FULL embedding width is the identity ranking:
+    recall@k must be exactly 1.0 (n_hits = n_queries·k) — pins the
+    slice indexing (1-based, length d) and the shared-candidate join."""
+    from z316_sales_data_pipeline_spark.operators import similarity as S
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = S.dim_truncation_recall(
+        emb, "embedding", "vec_id", dims=(64,), query_mod=100, k=10
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_hits"] == r["n_queries"] * 10 and r["mean_recall"] == 1.0
+
+
 def test_doc_ngram_repetition_hand_computed(spark):
     """Repetition profile on hand-countable docs: a pure phrase loop,
     a no-repeat doc, and a doc too short for any 5-gram."""

@@ -1576,6 +1576,57 @@ def test_token_budget_sink_matches_batch_and_replay_noop(spark, sf_dir, tmp_path
     assert int(open(f"{st}/_LATEST").read()) == v
 
 
+def test_quantile_sketch_sink_matches_batch_and_replay_noop(spark, sf_dir, tmp_path):
+    """Streaming histogram state == the batch sketch over everything
+    folded (counter addition is associative/commutative), and the MV
+    == histogram_quantiles over the union, after EVERY epoch; a
+    replayed epoch is a strict no-op on both tables."""
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import sketch as SK
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming.pipeline import quantile_sketch_sink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    slices = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    st = str(tmp_path / "qs_state")
+    mv = str(tmp_path / "qs_mv")
+    fold = quantile_sketch_sink(st, mv, "value", "event_type", 0.0, 200.0, 64, (0.5, 0.9))
+    seen = None
+    for i, sl in enumerate(slices):
+        fold(sl, i)
+        seen = sl if seen is None else seen.unionByName(sl)
+        want_state = sorted(
+            (r["part"], r["bucket"], r["c"])
+            for r in SK.histogram_table(
+                seen, "value", F.col("event_type").cast("string"), 0.0, 200.0, 64
+            ).collect()
+        )
+        got_state = sorted(
+            (r["part"], r["bucket"], r["c"]) for r in sinks.read_snapshot(spark, st).collect()
+        )
+        assert got_state == want_state, f"epoch {i}"
+    want_mv = sorted(
+        map(
+            tuple,
+            SK.histogram_quantiles(
+                SK.histogram_table(seen, "value", F.col("event_type"), 0.0, 200.0, 64),
+                [0.5, 0.9],
+                0.0,
+                200.0,
+                64,
+            ).collect(),
+        )
+    )
+    got_mv = sorted(map(tuple, sinks.read_snapshot(spark, mv).collect()))
+    assert got_mv == want_mv
+
+    v = int(open(f"{st}/_LATEST").read())
+    fold(slices[0], 0)  # replay
+    assert int(open(f"{st}/_LATEST").read()) == v
+
+
 def test_growth_accounting_sink_refuses_late_rows_in_new_epoch(spark, tmp_path):
     """ADVICE r9: a NEW epoch (epoch_id above the state's _GA_EPOCH
     marker) carrying rows for days at-or-below _GA_DAY is LATE DATA,

@@ -577,6 +577,88 @@ def ivf_incremental_recall(
     return _recall_eval_with_cents(union, vec_col, id_col, cents, query_mod, k, n_probe)
 
 
+def dim_truncation_recall(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dims: tuple[int, ...] = (8, 16, 32),
+    query_mod: int = 100,
+    k: int = 10,
+) -> DataFrame:
+    """Recall@k under EMBEDDING TRUNCATION: rank by cosine over only
+    the first d dimensions and measure overlap with the full-dimension
+    exact top-k, per truncation width — the Matryoshka-representation
+    audit (Kusupati et al. 2022): if a model's embeddings front-load
+    information, serving a 4× shorter prefix buys 4× less index
+    storage and bandwidth at a measured recall cost, and this table IS
+    that measurement (sibling of :func:`pq_recall_eval`, which audits
+    quantization instead of truncation).
+
+    One candidate relation (corpus × broadcast fixed-size query batch)
+    computes the full-width cosine AND every truncated cosine in the
+    same pass — scan cost is linear in data and does not grow with
+    ``len(dims)``; each width then pays one per-query top-k window
+    over the shared candidates (the ivf_probe_sweep sharing shape).
+    Output at WIDTH grain with exact integer hit sums; mean recall is
+    one division of two exact integers, round-6.
+    """
+    from pyspark.sql import Window
+
+    e = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vid") % query_mod == 0).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = e.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vid",
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_full"),
+        *[
+            F.round(
+                cosine(F.slice(F.col("qv"), 1, d), F.slice(F.col("v"), 1, d)), 6
+            ).alias(f"cos_{d}")
+            for d in dims
+        ],
+    )
+    cand = persist_fact(cand)  # candidate grain: shared by every width
+    wk = lambda c: Window.partitionBy("query_id").orderBy(  # noqa: E731
+        F.col(c).desc(), F.col("vid").asc()
+    )
+    full = (
+        cand.withColumn("__rn", F.row_number().over(wk("cos_full")))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vid")
+    )
+    n_queries = q.select(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    parts = []
+    for d in dims:
+        trunc = (
+            cand.withColumn("__rn", F.row_number().over(wk(f"cos_{d}")))
+            .filter(F.col("__rn") <= k)
+            .select("query_id", "vid")
+        )
+        hits = trunc.join(full, ["query_id", "vid"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        parts.append(
+            hits.crossJoin(F.broadcast(n_queries)).select(
+                F.lit(d).cast("int").alias("dim"),
+                "n_queries",
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / (F.col("n_queries").cast("double") * F.lit(float(k))),
+                    6,
+                ).alias("mean_recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def ivf_cell_drift(
     corpus: DataFrame,
     new_vecs: DataFrame,

@@ -989,6 +989,74 @@ def token_budget_sink(
     return fold
 
 
+def quantile_sketch_sink(
+    state_dir: str,
+    mv_dir: str,
+    value_col: str,
+    part_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 64,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch maintainer for the streaming quantile sketch
+    (batch twins: ``sketch.histogram_table`` + ``histogram_quantiles``)
+    — rolling latency/value percentiles over an unbounded stream at
+    O(batch + n_buckets·parts) per epoch, the monitoring read every
+    ops dashboard wants from a 100 TB event stream.
+
+    The state is the at-rest (part, bucket, c) histogram partial over
+    the FIXED [lo, hi) range; folding a micro-batch is counter
+    ADDITION (the CMS merge law — associative, commutative), so the
+    state after any prefix of the stream equals the batch sketch over
+    the union of its rows, bit for bit (pinned by the pytest law).
+    The MV is the quantile table recomputed from the state each epoch
+    — a pure function of state, so crash-replay overwrite is
+    idempotent (the ab_readout_sink healing pattern).
+
+    Exactly-once: ``_QS_EPOCH`` marker; replayed epochs no-op (adding
+    the same counters twice would double mass — the guard is
+    load-bearing). Unlike the day-cursor growth sink there is NO
+    late-data refusal: bucket counters fold in any order.
+    """
+    from .. import sinks
+    from ..operators import sketch as sketch_ops
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        epoch_marker = sinks.snapshot_meta(state_dir, "_QS_EPOCH")
+        if epoch_marker is not None and int(epoch_id) <= int(epoch_marker):
+            return  # replay: these counters are already folded
+        part = sketch_ops.histogram_table(
+            batch_df, value_col, F.col(part_col), lo, hi, n_buckets
+        )
+        try:
+            prior = sinks.read_snapshot(spark, state_dir)
+        except OSError:
+            prior = spark.createDataFrame([], "part string, bucket int, c long")
+        merged = (
+            prior.unionByName(
+                part.select(
+                    F.col("part").cast("string").alias("part"),
+                    F.col("bucket").cast("int").alias("bucket"),
+                    F.col("c").cast("long").alias("c"),
+                )
+            )
+            .groupBy("part", "bucket")
+            .agg(F.sum("c").cast("long").alias("c"))
+            .localCheckpoint(eager=True)  # sketch grain: n_buckets x parts
+        )
+        sinks.write_snapshot(merged, state_dir, meta={"_QS_EPOCH": str(int(epoch_id))})
+        mv = sketch_ops.histogram_quantiles(
+            sinks.read_snapshot(spark, state_dir), list(qs), lo, hi, n_buckets
+        ).localCheckpoint(eager=True)
+        sinks.write_snapshot(mv, mv_dir)
+
+    return fold
+
+
 def heavy_hitters_monitor(
     stream_df: DataFrame,
     key_col: str,
