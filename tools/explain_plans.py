@@ -681,6 +681,19 @@ CHECKLIST = {
         "floor-scaled micro-units summed as longs per doc — the only "
         "doubles are one ln per joined row and the final avg division."
     ),
+    "doc_ngram_repetition": (
+        "Within-doc repetition screen (r12). Expect: one explode per "
+        "gram width to (doc, gram) grain, partial-aggregated hash "
+        "counts, doc-grain reduction — no cross-doc state, no joins "
+        "beyond the two doc-grain stat merges; embarrassingly parallel."
+    ),
+    "dim_truncation_recall": (
+        "Matryoshka truncation audit (r12). Expect: ONE checkpointed "
+        "candidate relation (corpus x broadcast fixed query batch) "
+        "carrying full + every truncated cosine; per-width top-k are "
+        "windows over those shared candidates — no new scans per "
+        "width; width-grain output with exact hit sums."
+    ),
     "mutual_information": (
         "Categorical dependence audit (r11). Expect: ONE hash aggregate "
         "(partial+final) to the (lang, source) cell grain off the scan; "
