@@ -1576,6 +1576,55 @@ def test_token_budget_sink_matches_batch_and_replay_noop(spark, sf_dir, tmp_path
     assert int(open(f"{st}/_LATEST").read()) == v
 
 
+def test_contamination_gate_sink_split_and_replay(spark, sf_dir, tmp_path):
+    """The gate's accept/quarantine split equals the exact-join batch
+    predicate (bloom pruning changes nothing — no false negatives,
+    false positives die in the exact join); accepted ∪ quarantined ==
+    input with no loss; replayed epochs are strict no-ops on both
+    tables; shingle-less docs are accepted with zero stats."""
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.functions.text import shingles
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming.pipeline import contamination_gate_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # eval set: shingles of the src-0-style holdout (doc_id % 17 == 0)
+    ev = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.explode(F.array_distinct(shingles("text", 3))).alias("s")
+    )
+    incoming = docs.filter(F.col("doc_id") % 17 != 0).unionByName(
+        spark.createDataFrame([(999_999, "too short")], "doc_id long, text string")
+    )
+    acc = str(tmp_path / "gate_acc")
+    qua = str(tmp_path / "gate_qua")
+    gate = contamination_gate_sink(ev, acc, qua, "text", "doc_id", 3, max_hit_micro=0)
+    slices = [incoming.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    for i, sl in enumerate(slices):
+        gate(sl, i)
+
+    got_acc = {r["doc_id"] for r in sinks.read_appended(spark, acc).collect()}
+    got_qua = {r["doc_id"] for r in sinks.read_appended(spark, qua).collect()}
+    all_ids = {r["doc_id"] for r in incoming.collect()}
+    assert got_acc | got_qua == all_ids and not (got_acc & got_qua)
+
+    # batch predicate: any distinct shingle present in the eval set
+    sh = incoming.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("s")
+    )
+    dirty = {
+        r["doc_id"]
+        for r in sh.join(ev.distinct(), "s", "left_semi").select("doc_id").distinct().collect()
+    }
+    assert got_qua == dirty
+    assert 999_999 in got_acc  # shingle-less doc accepted
+
+    # replay: both tables keep their version pointers
+    va, vq = int(open(f"{acc}/_LATEST").read()), int(open(f"{qua}/_LATEST").read())
+    gate(slices[0], 0)
+    assert int(open(f"{acc}/_LATEST").read()) == va
+    assert int(open(f"{qua}/_LATEST").read()) == vq
+
+
 def test_quantile_sketch_sink_matches_batch_and_replay_noop(spark, sf_dir, tmp_path):
     """Streaming histogram state == the batch sketch over everything
     folded (counter addition is associative/commutative), and the MV

@@ -989,6 +989,104 @@ def token_budget_sink(
     return fold
 
 
+def contamination_gate_sink(
+    eval_shingles: DataFrame,
+    accepted_dir: str,
+    quarantined_dir: str,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    max_hit_micro: int = 0,
+    m_bits: int = 1 << 20,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch INGEST GATE against eval-set contamination: every
+    incoming document's distinct k-shingles are checked against the
+    (small, fixed) eval-set shingle relation, and documents whose
+    hit share exceeds ``max_hit_micro`` (micro-units; default 0 = any
+    hit) are QUARANTINED instead of landed — the streaming half of the
+    ``contamination_check`` batch audit: the audit measures leakage
+    after the fact, the gate stops it at the door, which is where a
+    training pipeline actually wants it.
+
+    Plan per epoch: shingle ONLY the batch; an explicit bloom bitset
+    built ONCE from the eval shingles (broadcast, ⌈m_bits/64⌉ rows)
+    prunes the exact semi-join to candidate shingles — no false
+    negatives, and bloom false positives die in the exact join, so
+    the split is bit-identical with pruning on or off (the
+    contamination_check contract). Cost: O(batch shingles), never
+    O(corpus).
+
+    Exactly-once: both appends carry ``txn_key=epoch`` through
+    ``sinks.append_snapshot`` — a replayed epoch finds its committed
+    segment and no-ops; a crash between the two appends re-runs the
+    epoch and each table independently keeps or completes its own
+    segment (per-table idempotence, the Delta txnAppId shape).
+    Documents with no shingles (shorter than k tokens) have nothing
+    to match and are accepted with zero stats.
+    """
+    from .. import sinks
+    from ..functions.text import shingles
+    from ..operators.bloom import bloom_prune, build_bloom
+
+    ev = (
+        eval_shingles.select(F.col(eval_shingles.columns[0]).alias("__es"))
+        .distinct()
+        .localCheckpoint(eager=True)  # eval grain: small fixed set
+    )
+    bloom = build_bloom(ev, "__es", m_bits).localCheckpoint(eager=True)
+
+    def gate(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sh = batch_df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("__s"),
+        )
+        n_sh = sh.groupBy("__id").agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
+        hits = (
+            bloom_prune(sh, "__s", bloom, m_bits)
+            .join(ev, F.col("__s") == F.col("__es"), "left_semi")
+            .groupBy("__id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_eval_hits"))
+        )
+        stats = (
+            n_sh.join(hits, "__id", "left")
+            .select(
+                "__id",
+                "n_shingles",
+                F.coalesce("n_eval_hits", F.lit(0)).cast("long").alias("n_eval_hits"),
+            )
+            .withColumn(
+                "hit_micro",
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.floor(
+                        F.lit(1000000.0)
+                        * F.col("n_eval_hits").cast("double")
+                        / F.col("n_shingles").cast("double")
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("long"),
+            )
+        )
+        out = (
+            batch_df.join(stats, batch_df[id_col] == stats["__id"], "left")
+            .drop("__id")
+            .na.fill({"n_shingles": 0, "n_eval_hits": 0, "hit_micro": 0})
+            .localCheckpoint(eager=True)  # batch grain: feeds both splits
+        )
+        key = f"epoch={int(epoch_id)}"
+        sinks.append_snapshot(
+            out.filter(F.col("hit_micro") <= max_hit_micro), accepted_dir, txn_key=key
+        )
+        sinks.append_snapshot(
+            out.filter(F.col("hit_micro") > max_hit_micro), quarantined_dir, txn_key=key
+        )
+
+    return gate
+
+
 def quantile_sketch_sink(
     state_dir: str,
     mv_dir: str,
