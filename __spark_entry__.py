@@ -11813,6 +11813,55 @@ FROM n CROSS JOIN diag CROSS JOIN pe
 """
 
 
+def _mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k (similarity.mmr_rerank): greedy MMR over the
+    relevance top-50 pool, lam = 0.7 — ten results that are relevant
+    AND spread out, vs the plain cosine list's near-duplicates. The
+    oracle UNROLLS the k-step greedy as successive 1-row argmax CTEs
+    and must reproduce the selection decision for decision."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_rerank(
+        emb, "embedding", "vec_id", _KNN_QUERY_VEC, k=10, pool=50, lam=0.7
+    )
+
+
+def _mmr_rerank_sql(k: int = 10, pool: int = 50, lam: float = 0.7) -> str:
+    vec = "[" + ", ".join(str(v) for v in _KNN_QUERY_VEC) + "]"
+    lam_s, one_minus = repr(lam), repr(1.0 - lam)
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f"""
+pick{i} AS (
+    SELECT p.vid FROM pool p
+    WHERE p.vid NOT IN (SELECT vid FROM selu{i - 1})
+    ORDER BY {lam_s} * p.rel - {one_minus} * (
+        SELECT max(s.s) FROM sims s JOIN selu{i - 1} t ON s.a = p.vid AND s.b = t.vid
+    ) DESC, p.vid
+    LIMIT 1
+),
+selu{i} AS MATERIALIZED (SELECT * FROM selu{i - 1} UNION ALL SELECT {i} AS rank, vid FROM pick{i})""".strip())
+    body = ",\n".join(steps)
+    return f"""
+WITH e0 AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+pool AS MATERIALIZED (
+    SELECT vid, v,
+           round(list_dot_product(v, {vec}) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product({vec}, {vec}))), 6) AS rel
+    FROM e0 ORDER BY rel DESC, vid LIMIT {pool}
+),
+sims AS MATERIALIZED (
+    SELECT a.vid AS a, b.vid AS b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS s
+    FROM pool a JOIN pool b ON a.vid <> b.vid
+),
+selu1 AS MATERIALIZED (SELECT 1 AS rank, vid FROM pool ORDER BY rel DESC, vid LIMIT 1),
+{body}
+SELECT t.rank, t.vid AS vec_id, p.rel
+FROM selu{k} t JOIN pool p ON t.vid = p.vid
+"""
+
+
 def _dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation audit (similarity.dim_truncation_recall):
     recall@10 of prefix-d cosine rankings (d = 8/16/32) against the
@@ -12103,6 +12152,7 @@ FROM q LEFT JOIN h USING (query_id)
 # (VERDICT r11 item 3). The rest keep registration order. --
 _R12_SAMPLE_HEAD = [
     # new r12 entries (never driver-attested)
+    "mmr_rerank",
     "dim_truncation_recall",
     "doc_ngram_repetition",
     "ivf_cell_drift",
@@ -12178,6 +12228,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "mmr_rerank": _mmr_rerank,
         "dim_truncation_recall": _dim_truncation_recall,
         "doc_ngram_repetition": _doc_ngram_repetition,
         "ivf_cell_drift": _ivf_cell_drift,
@@ -12485,6 +12536,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mmr_rerank": _mmr_rerank_sql(),
         "dim_truncation_recall": _dim_truncation_recall_sql(),
         "doc_ngram_repetition": _DOC_NGRAM_REPETITION_SQL,
         "ivf_cell_drift": _IVF_CELL_DRIFT_SQL,

@@ -2083,6 +2083,25 @@ def test_trigram_doc_logprob_hand_computed(spark):
     assert 1 not in out  # ref docs are not scored
 
 
+def test_mmr_rerank_prefers_diverse_over_duplicate(spark):
+    """At lam=0.5 an exact duplicate of the first pick scores
+    0.5·1 − 0.5·1 = 0, tying the orthogonal (irrelevant) vector — the
+    tie breaks to the lower id, so the diverse result outranks the
+    duplicate that plain cosine top-k would put second."""
+    from z316_sales_data_pipeline_spark.operators import similarity as S
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = [
+        (r["rank"], r["vec_id"], r["rel"])
+        for r in S.mmr_rerank(df, "embedding", "vec_id", [1.0, 0.0], k=3, pool=3, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert out == [(1, 1, 1.0), (2, 2, 0.0), (3, 3, 1.0)]
+    # plain top-k would order (1, 3, 2): the duplicate loses its head start
+
+
 def test_dim_truncation_recall_full_width_is_perfect(spark, sf_dir):
     """Truncating to the FULL embedding width is the identity ranking:
     recall@k must be exactly 1.0 (n_hits = n_queries·k) — pins the

@@ -659,6 +659,78 @@ def dim_truncation_recall(
     return out
 
 
+def mmr_rerank(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick k results from the relevance top-``pool``,
+    each step maximizing ``lam·rel − (1−lam)·max_sim_to_selected`` —
+    the diversified top-k a retrieval surface serves when the plain
+    cosine list is ten near-duplicates of the same document
+    (:func:`~.windows.topk_diverse` imposes a categorical quota; MMR
+    needs no labels — the embedding itself is the diversity signal).
+
+    Plan: the pool is a distributed TakeOrderedAndProject (linear
+    scan, fixed-size result); the greedy runs DRIVER-SIDE over the
+    collected pool — a bounded k·pool² float loop on an O(1)-size
+    model relation, the probe_cells precedent, NOT a corpus collect.
+    Engine-exactness: rel and pairwise sims are recomputed on the
+    driver with Python's sequential left-fold dot and banker's-round
+    (both bit-matching DuckDB's ``list_dot_product`` + ``round``), so
+    the unrolled-greedy SQL oracle replays the selection decision for
+    decision; ties break to the lowest id at every step.
+    """
+    from math import sqrt
+
+    e = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = literal_vector(query_vec)
+    pool_rows = (
+        e.select("vid", "v", F.round(cosine(F.col("v"), q), 6).alias("__rel"))
+        .orderBy(F.col("__rel").desc(), F.col("vid").asc())
+        .limit(pool)
+        .collect()
+    )
+
+    def pydot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def pycos(a, b):
+        return round(pydot(a, b) / (sqrt(pydot(a, a)) * sqrt(pydot(b, b))), 6)
+
+    vecs = {r["vid"]: [float(x) for x in r["v"]] for r in pool_rows}
+    rel = {vid: pycos(v, [float(x) for x in query_vec]) for vid, v in vecs.items()}
+    sim = {
+        (a, b): pycos(vecs[a], vecs[b]) for a in vecs for b in vecs if a != b
+    }
+    selected: list[int] = []
+    remaining = set(vecs)
+    while remaining and len(selected) < k:
+        if not selected:
+            pick = min(remaining, key=lambda vid: (-rel[vid], vid))
+        else:
+            def score(vid):
+                worst = max(sim[(vid, s)] for s in selected)
+                return lam * rel[vid] - (1.0 - lam) * worst
+            pick = min(remaining, key=lambda vid: (-score(vid), vid))
+        selected.append(pick)
+        remaining.discard(pick)
+    out = [(i + 1, vid, rel[vid]) for i, vid in enumerate(selected)]
+    return df.sparkSession.createDataFrame(
+        out, "rank int, vid long, rel double"
+    ).select("rank", F.col("vid").alias(id_col), "rel")
+
+
 def ivf_cell_drift(
     corpus: DataFrame,
     new_vecs: DataFrame,
