@@ -11813,6 +11813,83 @@ FROM n CROSS JOIN diag CROSS JOIN pe
 """
 
 
+def _ivf_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-index WRITE side (similarity.ivf_append): the new
+    batch's (vid, cell) assignments under the frozen corpus-trained
+    quantizer — the rows appended partition-by-cell onto the at-rest
+    IVF layout. Vector column dropped for the oracle hash (arrays are
+    unhashable by the driver canonicalizer)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity._centroids(
+        emb.filter(F.col("vec_id") % 5 != 0), "embedding", "vec_id", 16
+    )
+    return similarity.ivf_append(
+        emb.filter(F.col("vec_id") % 5 == 0), "embedding", "vec_id", cents
+    ).select("vec_id", "cell")
+
+
+_IVF_APPEND_ASSIGN_SQL = """
+WITH e0 AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+    SELECT row_number() OVER (ORDER BY vid) - 1 AS cell, v AS cv
+    FROM e0 WHERE vid % 5 <> 0 ORDER BY vid LIMIT 16
+)
+SELECT e0.vid AS vec_id, CAST(c.cell AS INTEGER) AS cell
+FROM e0 CROSS JOIN c
+WHERE e0.vid % 5 = 0
+QUALIFY row_number() OVER (PARTITION BY e0.vid
+    ORDER BY list_dot_product(e0.v, c.cv) DESC, c.cell) = 1
+"""
+
+
+def _mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture epoch plan (corpus.mix_epoch_plan): given the
+    temperature-weighted target shares and a total token budget, how
+    many PASSES (epochs) over each source the mix implies, capped at
+    max_epochs — the repetition-risk planning table (repeating a
+    small source past ~4 epochs degrades models; the cap makes the
+    shortfall explicit instead of silent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.mix_epoch_plan(
+        docs, "text", "source", total_tokens=200_000, alpha=0.3, max_epochs=4.0
+    )
+
+
+_MIX_EPOCH_PLAN_SQL = r"""
+WITH t AS (
+    SELECT source,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+    FROM documents
+), srcs AS (
+    SELECT source, cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM t GROUP BY 1
+), tot AS (
+    SELECT cast(sum(n_tokens) AS BIGINT) AS tt FROM srcs
+), staged AS (
+    SELECT source, n_docs, n_tokens,
+           CAST(floor(pow(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 0.3)
+                      * 1e15) AS HUGEINT) AS paq
+    FROM srcs CROSS JOIN tot
+), dn AS (
+    SELECT sum(paq) AS d FROM staged
+), w AS (
+    SELECT source, n_docs, n_tokens,
+           CAST(paq AS DOUBLE) / CAST(d AS DOUBLE) AS wt
+    FROM staged CROSS JOIN dn
+)
+SELECT source, n_docs, n_tokens,
+       round(wt, 6) AS sample_weight,
+       cast(floor(wt * 200000.0) AS BIGINT) AS target_tokens,
+       round(least(wt * 200000.0 / n_tokens, 4.0), 6) AS epochs,
+       CASE WHEN wt * 200000.0 / n_tokens > 4.0
+            THEN cast(floor(wt * 200000.0 - 4.0 * n_tokens) AS BIGINT)
+            ELSE 0 END AS shortfall_tokens
+FROM w
+"""
+
+
 def _mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified top-k (similarity.mmr_rerank): greedy MMR over the
     relevance top-50 pool, lam = 0.7 — ten results that are relevant
@@ -12152,6 +12229,8 @@ FROM q LEFT JOIN h USING (query_id)
 # (VERDICT r11 item 3). The rest keep registration order. --
 _R12_SAMPLE_HEAD = [
     # new r12 entries (never driver-attested)
+    "mix_epoch_plan",
+    "ivf_append_assign",
     "mmr_rerank",
     "dim_truncation_recall",
     "doc_ngram_repetition",
@@ -12228,6 +12307,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "mix_epoch_plan": _mix_epoch_plan,
+        "ivf_append_assign": _ivf_append_assign,
         "mmr_rerank": _mmr_rerank,
         "dim_truncation_recall": _dim_truncation_recall,
         "doc_ngram_repetition": _doc_ngram_repetition,
@@ -12536,6 +12617,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mix_epoch_plan": _MIX_EPOCH_PLAN_SQL,
+        "ivf_append_assign": _IVF_APPEND_ASSIGN_SQL,
         "mmr_rerank": _mmr_rerank_sql(),
         "dim_truncation_recall": _dim_truncation_recall_sql(),
         "doc_ngram_repetition": _DOC_NGRAM_REPETITION_SQL,

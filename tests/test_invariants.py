@@ -2083,6 +2083,29 @@ def test_trigram_doc_logprob_hand_computed(spark):
     assert 1 not in out  # ref docs are not scored
 
 
+def test_mix_epoch_plan_cap_and_budget_laws(spark, sf_dir):
+    """Epoch cap binds exactly when shortfall is reported; allocations
+    reconcile with the budget to within per-source floor loss; an
+    uncapped plan (max_epochs=inf-ish) has zero shortfall everywhere."""
+    from z316_sales_data_pipeline_spark.operators import corpus as C
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = 200_000
+    rows = C.mix_epoch_plan(docs, "text", "source", total, 0.3, 4.0).collect()
+    assert rows
+    for r in rows:
+        assert r["epochs"] <= 4.0
+        assert (r["shortfall_tokens"] > 0) == (r["epochs"] == 4.0) or r["shortfall_tokens"] == 0
+        if r["shortfall_tokens"] > 0:
+            assert r["epochs"] == 4.0
+    # floors lose < 1 token per source
+    assert abs(sum(r["target_tokens"] for r in rows) - total) <= len(rows)
+
+    free = C.mix_epoch_plan(docs, "text", "source", total, 0.3, 1e9).collect()
+    assert all(r["shortfall_tokens"] == 0 for r in free)
+
+
 def test_mmr_rerank_prefers_diverse_over_duplicate(spark):
     """At lam=0.5 an exact duplicate of the first pick scores
     0.5·1 − 0.5·1 = 0, tying the orthogonal (irrelevant) vector — the

@@ -1575,6 +1575,71 @@ def token_budget_select(
     )
 
 
+def mix_epoch_plan(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    total_tokens: int,
+    alpha: float = 0.3,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Mixture EPOCH plan: turn temperature-scaled sampling weights
+    (:func:`temperature_mix_weights`) and a total token budget into
+    the passes-over-each-source table — epochs = min(w·T / tokens_s,
+    max_epochs), with the tokens the cap forfeits reported as
+    ``shortfall_tokens``. This is the repetition-risk readout of a mix
+    design: up-weighting a small source past ~4 passes degrades models
+    (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    Models"), so the planner CAPS it and makes the shortfall explicit
+    for the designer to reallocate, instead of silently over-epoching.
+
+    Same exactness shape as temperature_mix_weights: exact int64 token
+    sums, order-free quantized normalizer, then epochs/shortfall as
+    shared-verbatim float expressions over the ~|sources| relation.
+    """
+    from ..functions.text import whitespace_token_count
+
+    srcs = (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(whitespace_token_count(text_col).cast("long"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = srcs.agg(F.sum("n_tokens").cast("long").alias("__t"))
+    p = F.col("n_tokens").cast("double") / F.col("__t").cast("double")
+    staged = srcs.crossJoin(F.broadcast(tot)).withColumn(
+        "__paq",
+        F.floor(F.pow(p, F.lit(alpha)) * F.lit(1.0e15)).cast("decimal(38,0)"),
+    )
+    denom = staged.agg(F.sum("__paq").alias("__d"))
+    wt = F.col("__paq").cast("double") / F.col("__d").cast("double")
+    alloc = wt * F.lit(float(total_tokens))
+    ratio = alloc / F.col("n_tokens").cast("double")
+    return (
+        staged.crossJoin(F.broadcast(denom))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            F.round(wt, 6).alias("sample_weight"),
+            F.floor(alloc).cast("long").alias("target_tokens"),
+            F.round(F.least(ratio, F.lit(float(max_epochs))), 6).alias("epochs"),
+            F.when(
+                ratio > F.lit(float(max_epochs)),
+                F.floor(
+                    alloc - F.lit(float(max_epochs)) * F.col("n_tokens").cast("double")
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("shortfall_tokens"),
+        )
+    )
+
+
 def token_budget_select_incremental(
     prior_selected: DataFrame,
     new_docs: DataFrame,
