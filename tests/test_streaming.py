@@ -1576,6 +1576,43 @@ def test_token_budget_sink_matches_batch_and_replay_noop(spark, sf_dir, tmp_path
     assert int(open(f"{st}/_LATEST").read()) == v
 
 
+def test_ivf_append_sink_matches_batch_and_prunes(spark, sf_dir, tmp_path):
+    """Appended segments read back == the batch assignment over every
+    folded id; a cell-filtered read shows PartitionFilters on cell
+    (the at-rest pruning survives segment appends); replay no-ops."""
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import similarity as S
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming.pipeline import ivf_append_sink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus_arm = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = S._centroids(corpus_arm, "embedding", "vec_id", 16)
+    idx = str(tmp_path / "ivf_idx")
+    fold = ivf_append_sink(idx, "embedding", "vec_id", cents)
+    slices = [batch.filter(F.col("vec_id") % 2 == i) for i in range(2)]
+    for i, sl in enumerate(slices):
+        fold(sl, i)
+
+    got = {
+        (r["vec_id"], r["cell"]) for r in sinks.read_appended(spark, idx).collect()
+    }
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in S.ivf_append(batch, "embedding", "vec_id", cents).collect()
+    }
+    assert got == want and got
+
+    pruned = sinks.read_appended(spark, idx).filter(F.col("cell") == 3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:120]
+
+    v = int(open(f"{idx}/_LATEST").read())
+    fold(slices[0], 0)  # replay
+    assert int(open(f"{idx}/_LATEST").read()) == v
+
+
 def test_contamination_gate_sink_split_and_replay(spark, sf_dir, tmp_path):
     """The gate's accept/quarantine split equals the exact-join batch
     predicate (bloom pruning changes nothing — no false negatives,

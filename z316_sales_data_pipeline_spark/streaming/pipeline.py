@@ -989,6 +989,43 @@ def token_budget_sink(
     return fold
 
 
+def ivf_append_sink(
+    index_dir: str,
+    vec_col: str,
+    id_col: str,
+    cents: list,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch maintainer for the at-rest IVF layout: assign each
+    embedding micro-batch to the FROZEN coarse-quantizer cells
+    (``similarity.ivf_append``) and land it as an append segment
+    partitioned by ``cell`` — so probe-time reads keep partition
+    pruning over the whole segment history (``sinks.read_appended``
+    reads all segments as ONE hive-partitioned scan and a cell filter
+    prunes files). This closes the incremental-ANN loop:
+    this sink writes, :func:`~..operators.similarity.ivf_cell_drift`
+    watches occupancy, ``ivf_incremental_recall`` audits recall decay,
+    and a re-train is a deliberate batch rebuild.
+
+    Exactly-once via ``txn_key=epoch`` (append_snapshot's Delta
+    txnAppId shape): replays find their committed segment and no-op.
+    The centroid model is the caller's frozen O(n_cells·dim) literal —
+    never derived from the stream (a shifting quantizer would scatter
+    one logical cell across segments and break pruning).
+    """
+    from .. import sinks
+    from ..operators import similarity as sim_ops
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        assigned = sim_ops.ivf_append(batch_df, vec_col, id_col, cents)
+        sinks.append_snapshot(
+            assigned, index_dir, partition_by="cell", txn_key=f"epoch={int(epoch_id)}"
+        )
+
+    return fold
+
+
 def contamination_gate_sink(
     eval_shingles: DataFrame,
     accepted_dir: str,
