@@ -694,6 +694,24 @@ CHECKLIST = {
         "windows over those shared candidates — no new scans per "
         "width; width-grain output with exact hit sums."
     ),
+    "mmr_rerank": (
+        "MMR diversified top-k (r12). Expect: the pool is a "
+        "TakeOrderedAndProject over the scan (linear, fixed-size "
+        "result); the plan ENDS there — the greedy is a bounded "
+        "driver-side loop over the collected pool (the probe_cells "
+        "O(1)-model precedent), and the output is a LocalTableScan."
+    ),
+    "mix_epoch_plan": (
+        "Mixture epoch planner (r12). Expect: one size-linear hash "
+        "aggregate to source grain, two one-row broadcast stat joins "
+        "(total, quantized normalizer), all epoch/shortfall math in "
+        "the final projection over ~|sources| rows."
+    ),
+    "ivf_append_assign": (
+        "Incremental-index write side (r12). Expect: a single narrow "
+        "projection over the batch scan — the 16-dot argmax against "
+        "broadcast centroid literals; no shuffle, no join."
+    ),
     "mutual_information": (
         "Categorical dependence audit (r11). Expect: ONE hash aggregate "
         "(partial+final) to the (lang, source) cell grain off the scan; "
