@@ -11842,6 +11842,99 @@ QUALIFY row_number() OVER (PARTITION BY e0.vid
 """
 
 
+def _filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-filter ablation audit (corpus.filter_overlap_matrix):
+    pairwise kill overlap of the four drop-rules, diagonal = per-rule
+    totals — what curation_filter's first-rule-wins log cannot show.
+    All predicates exact-integer; one scan + bigram reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.filter_overlap_matrix(docs, "text", "doc_id")
+
+
+def _filter_overlap_sql() -> str:
+    lang = _lang_id_sql().strip()
+    names = ["short", "quality", "lang", "repeat"]
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i:]]
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS rule_a, '{b}' AS rule_b, "
+        f"cast(sum(CASE WHEN f_{a} AND f_{b} THEN 1 ELSE 0 END) AS BIGINT) AS n_both "
+        "FROM flags"
+        for a, b in pairs
+    )
+    return rf"""
+WITH lang AS ({lang}),
+t AS (
+    SELECT doc_id, length(text) AS nc,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS np,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), q AS (
+    SELECT doc_id, nc, toks,
+           CAST((CASE WHEN nc BETWEEN 50 AND 5000 THEN 1 ELSE 0 END)
+              + (CASE WHEN (CASE WHEN nc = 0 THEN 0.0 ELSE np / cast(nc AS DOUBLE) END) < 0.2
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN n_tokens > 0 AND nc / cast(n_tokens AS DOUBLE) BETWEEN 3.0 AND 12.0
+                      THEN 1 ELSE 0 END) AS INTEGER) AS q3
+    FROM t
+), g2 AS (
+    SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+                           FOR i IN generate_series(1, len(toks) - 1)]) AS g
+    FROM t
+), c2 AS (
+    SELECT doc_id, max(c) AS top_n
+    FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1
+), flags AS (
+    SELECT q.doc_id,
+           q.nc < 50 AS f_short,
+           q.q3 < 2 AS f_quality,
+           lang.lang_pred = 'und' AS f_lang,
+           coalesce(5 * c2.top_n > greatest(len(q.toks) - 1, 0) AND len(q.toks) >= 2,
+                    FALSE) AS f_repeat
+    FROM q JOIN lang USING (doc_id) LEFT JOIN c2 USING (doc_id)
+)
+{selects}
+"""
+
+
+def _curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seedless curriculum schedule (corpus.curriculum_phases): exact
+    ntile(3) over the difficulty ordering (quality desc, length asc)
+    plus a deterministic md5 within-phase order — phase boundaries and
+    batch sequence are a pure function of the corpus. Both ranks
+    two-phase; the oracle keeps plain ntile()/row_number()."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.curriculum_phases(docs, "text", "doc_id", n_phases=3)
+
+
+_CURRICULUM_PHASES_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           length(text) AS nc,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS np
+    FROM documents
+), q AS (
+    SELECT doc_id, cast(n_tokens AS BIGINT) AS n_tokens,
+           CAST((CASE WHEN nc BETWEEN 50 AND 5000 THEN 1 ELSE 0 END)
+              + (CASE WHEN (CASE WHEN nc = 0 THEN 0.0 ELSE np / cast(nc AS DOUBLE) END) < 0.2
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN n_tokens > 0 AND nc / cast(n_tokens AS DOUBLE) BETWEEN 3.0 AND 12.0
+                      THEN 1 ELSE 0 END) AS INTEGER) AS quality_x3,
+           md5(cast(doc_id AS VARCHAR)) AS h
+    FROM t
+), r AS (
+    SELECT *, CAST(ntile(3) OVER (ORDER BY quality_x3 DESC, n_tokens, doc_id) AS INTEGER) AS phase
+    FROM q
+)
+SELECT doc_id, quality_x3, n_tokens, phase,
+       CAST(row_number() OVER (PARTITION BY phase ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM r
+"""
+
+
 def _mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture epoch plan (corpus.mix_epoch_plan): given the
     temperature-weighted target shares and a total token budget, how
@@ -12229,6 +12322,8 @@ FROM q LEFT JOIN h USING (query_id)
 # (VERDICT r11 item 3). The rest keep registration order. --
 _R12_SAMPLE_HEAD = [
     # new r12 entries (never driver-attested)
+    "filter_overlap_matrix",
+    "curriculum_phases",
     "mix_epoch_plan",
     "ivf_append_assign",
     "mmr_rerank",
@@ -12307,6 +12402,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "filter_overlap_matrix": _filter_overlap_matrix,
+        "curriculum_phases": _curriculum_phases,
         "mix_epoch_plan": _mix_epoch_plan,
         "ivf_append_assign": _ivf_append_assign,
         "mmr_rerank": _mmr_rerank,
@@ -12617,6 +12714,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "filter_overlap_matrix": _filter_overlap_sql(),
+        "curriculum_phases": _CURRICULUM_PHASES_SQL,
         "mix_epoch_plan": _MIX_EPOCH_PLAN_SQL,
         "ivf_append_assign": _IVF_APPEND_ASSIGN_SQL,
         "mmr_rerank": _mmr_rerank_sql(),

@@ -2083,6 +2083,71 @@ def test_trigram_doc_logprob_hand_computed(spark):
     assert 1 not in out  # ref docs are not scored
 
 
+def test_curriculum_phases_matches_global_window(spark, sf_dir):
+    """Two-phase ntile + per-phase rank == the plain global-window
+    formulation bit-for-bit (the windows are fine at test scale; the
+    operator exists so the same answer computes without them)."""
+    from pyspark.sql import Window as W
+
+    from z316_sales_data_pipeline_spark.functions.text import (
+        quality_score_int3,
+        whitespace_token_count,
+    )
+    from z316_sales_data_pipeline_spark.operators import corpus as C
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(map(tuple, C.curriculum_phases(docs, "text", "doc_id", 3).collect()))
+    base = docs.select(
+        "doc_id",
+        quality_score_int3("text").cast("int").alias("quality_x3"),
+        whitespace_token_count("text").cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = W.orderBy(F.col("quality_x3").desc(), F.col("n_tokens").asc(), F.col("doc_id").asc())
+    want = sorted(
+        map(
+            tuple,
+            base.withColumn("phase", F.ntile(3).over(w))
+            .withColumn(
+                "pos",
+                F.row_number()
+                .over(W.partitionBy("phase").orderBy("h", "doc_id"))
+                .cast("long"),
+            )
+            .select("doc_id", "quality_x3", "n_tokens", "phase", "pos")
+            .collect(),
+        )
+    )
+    assert got == want and got
+
+
+def test_filter_overlap_matrix_bounds_and_hand_case(spark):
+    """Overlap counts are bounded by the diagonals, only a<=b pairs
+    are emitted, and a hand-built corpus lands each doc in the
+    expected cells (a doc failing two rules counts in their overlap)."""
+    from z316_sales_data_pipeline_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny"),  # short AND low quality (punct-free but <50 chars)
+            (2, "the and of to is in that it for with " * 5),  # en, long enough
+            (3, "b b b b b b b b b b b b b b"),  # repetition + und + quality
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r["rule_a"], r["rule_b"]): r["n_both"] for r in C.filter_overlap_matrix(docs, "text", "doc_id").collect()}
+    assert len(rows) == 10
+    names = ["short", "quality", "lang", "repeat"]
+    diag = {a: rows[(a, a)] for a in names}
+    for (a, b), v in rows.items():
+        assert v <= min(diag[a], diag[b])
+        assert names.index(a) <= names.index(b)
+    assert rows[("short", "short")] >= 1  # doc 1
+    assert rows[("repeat", "repeat")] == 1  # doc 3
+    assert rows[("lang", "repeat")] == 1  # doc 3 fails both
+
+
 def test_mix_epoch_plan_cap_and_budget_laws(spark, sf_dir):
     """Epoch cap binds exactly when shortfall is reported; allocations
     reconcile with the budget to within per-source floor loss; an

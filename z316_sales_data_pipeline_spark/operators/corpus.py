@@ -1575,6 +1575,134 @@ def token_budget_select(
     )
 
 
+def filter_overlap_matrix(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Pairwise overlap of the corpus curation filters: for every
+    unordered pair of drop-rules (too-short, low-quality,
+    unknown-language, phrase-repetition), how many documents BOTH
+    would remove — the ablation audit a filter-stack design reads
+    before ordering the cascade (a rule whose kills are a subset of
+    an earlier rule's adds nothing but risk; `curation_filter` logs
+    only the FIRST failing rule, so overlap is invisible there).
+    Diagonal rows are per-rule totals.
+
+    Every predicate is exact-integer (the repetition rule is
+    ``5·top_bigram > n_bigrams``, i.e. the Gopher 0.2 mass threshold
+    cleared of float division); one doc-grain flag projection, one
+    1-row aggregate of the 10 pair sums, exploded to long format —
+    the only corpus-grain work is the one scan + bigram reduce.
+    """
+    from ..functions.text import language_id, quality_score_int3
+
+    toks = _norm_tokens(text_col)
+    bi = F.expr(
+        "transform("
+        "  CASE WHEN size(__toks) >= 2 THEN sequence(1, size(__toks) - 1) "
+        "       ELSE CAST(array() AS array<int>) END, "
+        "i -> concat_ws(' ', __toks[i-1], __toks[i]))"
+    )
+    rep = (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), F.size("__toks").alias("__nt"), F.explode_outer(bi).alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.max("__nt").alias("__nt"), F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("__nt").alias("__nt"),
+            F.max(F.when(F.col("__g").isNotNull(), F.col("__c")).otherwise(0)).alias("__top"),
+        )
+        .select(
+            F.col(id_col),
+            (
+                (F.lit(5) * F.col("__top") > F.greatest(F.col("__nt") - 1, F.lit(0)))
+                & (F.col("__nt") >= 2)
+            ).alias("f_repeat"),
+        )
+    )
+    flags = (
+        docs.select(
+            F.col(id_col),
+            (F.length(text_col) < 50).alias("f_short"),
+            (quality_score_int3(text_col) < 2).alias("f_quality"),
+            (language_id(text_col) == "und").alias("f_lang"),
+        )
+        .join(rep, id_col, "left")
+        .na.fill({"f_repeat": False})
+    )
+    names = ["short", "quality", "lang", "repeat"]
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i:]]
+    agg_row = flags.agg(
+        *[
+            F.sum(
+                (F.col(f"f_{a}") & F.col(f"f_{b}")).cast("long")
+            ).alias(f"{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("rule_a"),
+                F.lit(b).alias("rule_b"),
+                F.col(f"{a}__{b}").cast("long").alias("n_both"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return agg_row.select(F.explode(structs).alias("x")).select("x.*")
+
+
+def curriculum_phases(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_phases: int = 3,
+) -> DataFrame:
+    """Curriculum assignment (Bengio et al. 2009 applied to corpus
+    order): every document gets a PHASE (1 = easiest) by exact ntile
+    over the difficulty ordering — high quality first, short first,
+    id tiebreak — and a deterministic within-phase position (the
+    :func:`deterministic_shuffle` md5 order), so a curriculum
+    schedule is a pure function of the corpus: rebuilds reproduce the
+    same phase boundaries and the same batch sequence with no seed.
+
+    Both ranks are two-phase (global ntile via
+    :func:`~.windows.two_phase_row_number` +
+    :func:`~.windows.ntile_from_rank`; per-phase position via
+    :func:`~.windows.partitioned_row_number_two_phase`) — a phase is
+    a third of the corpus, the definitional giant key that must never
+    route through one WindowExec task.
+    """
+    from ..functions.text import quality_score_int3, whitespace_token_count
+    from .windows import (
+        ntile_from_rank,
+        partitioned_row_number_two_phase,
+        two_phase_row_number,
+    )
+
+    base = docs.select(
+        F.col(id_col),
+        quality_score_int3(text_col).cast("int").alias("quality_x3"),
+        whitespace_token_count(text_col).cast("long").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
+    )
+    ranked, total = two_phase_row_number(
+        base,
+        [F.col("quality_x3").desc(), F.col("n_tokens").asc(), F.col(id_col).asc()],
+        "__r",
+    )
+    staged = ranked.withColumn(
+        "phase", ntile_from_rank(F.col("__r"), n_phases, total)
+    ).drop("__r")
+    out = partitioned_row_number_two_phase(
+        staged, ["phase"], [F.col("__h"), F.col(id_col)], "pos"
+    )
+    return out.select(
+        F.col(id_col), "quality_x3", "n_tokens", "phase", F.col("pos").cast("long").alias("pos")
+    )
+
+
 def mix_epoch_plan(
     df: DataFrame,
     text_col: str,
