@@ -11842,6 +11842,54 @@ QUALIFY row_number() OVER (PARTITION BY e0.vid
 """
 
 
+def _embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mis-embedded-document screen (similarity.embedding_outlier_audit):
+    per-cell distance²-to-own-centroid moments over micro-quantized
+    integers, outliers past 3 sigma — cell-grain output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_outlier_audit(
+        emb, "embedding", "vec_id", n_cells=16, z_thresh=3.0
+    )
+
+
+_EMBEDDING_OUTLIER_SQL = """
+WITH e0 AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+    SELECT row_number() OVER (ORDER BY vid) - 1 AS cell, v AS cv
+    FROM e0 ORDER BY vid LIMIT 16
+), a AS (
+    SELECT e0.vid, c.cell,
+           CAST(floor((list_dot_product(e0.v, e0.v)
+                       - 2.0 * list_dot_product(e0.v, c.cv)
+                       + list_dot_product(c.cv, c.cv)) * 1000000.0) AS BIGINT) AS d2q
+    FROM e0 CROSS JOIN c
+    QUALIFY row_number() OVER (PARTITION BY e0.vid
+        ORDER BY list_dot_product(e0.v, c.cv) DESC, c.cell) = 1
+), s AS (
+    SELECT cell, cast(count(*) AS BIGINT) AS n, sum(d2q) AS sm,
+           sum(CAST(d2q AS HUGEINT) * d2q) AS ss
+    FROM a GROUP BY 1
+), st AS (
+    SELECT cell, n,
+           CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           sqrt((CAST(ss AS DOUBLE)
+                 - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE)) AS std
+    FROM s
+), o AS (
+    SELECT a.cell, cast(count(*) AS BIGINT) AS n_outliers
+    FROM a JOIN st USING (cell)
+    WHERE st.std > 0 AND CAST(a.d2q AS DOUBLE) - st.mean > 3.0 * st.std
+    GROUP BY 1
+)
+SELECT st.cell, st.n,
+       round(st.mean, 6) AS mean_d2_micro,
+       round(st.std, 6) AS std_d2_micro,
+       cast(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers
+FROM st LEFT JOIN o USING (cell)
+"""
+
+
 def _filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-filter ablation audit (corpus.filter_overlap_matrix):
     pairwise kill overlap of the four drop-rules, diagonal = per-rule
@@ -12322,6 +12370,7 @@ FROM q LEFT JOIN h USING (query_id)
 # (VERDICT r11 item 3). The rest keep registration order. --
 _R12_SAMPLE_HEAD = [
     # new r12 entries (never driver-attested)
+    "embedding_outlier_audit",
     "filter_overlap_matrix",
     "curriculum_phases",
     "mix_epoch_plan",
@@ -12402,6 +12451,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "embedding_outlier_audit": _embedding_outlier_audit,
         "filter_overlap_matrix": _filter_overlap_matrix,
         "curriculum_phases": _curriculum_phases,
         "mix_epoch_plan": _mix_epoch_plan,
@@ -12714,6 +12764,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "embedding_outlier_audit": _EMBEDDING_OUTLIER_SQL,
         "filter_overlap_matrix": _filter_overlap_sql(),
         "curriculum_phases": _CURRICULUM_PHASES_SQL,
         "mix_epoch_plan": _MIX_EPOCH_PLAN_SQL,

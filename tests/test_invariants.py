@@ -2083,6 +2083,33 @@ def test_trigram_doc_logprob_hand_computed(spark):
     assert 1 not in out  # ref docs are not scored
 
 
+def test_embedding_outlier_audit_chebyshev_and_injection(spark, sf_dir):
+    """Counts reconcile to the corpus; per-cell outliers respect the
+    one-sided Chebyshev bound for z>3 (≤ n/9, any distribution); an
+    injected far-away vector is flagged in its cell."""
+    from z316_sales_data_pipeline_spark.operators import similarity as S
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = S.embedding_outlier_audit(emb, "embedding", "vec_id", 16, 3.0).collect()
+    assert sum(r["n"] for r in rows) == emb.count()
+    for r in rows:
+        assert r["n_outliers"] <= r["n"] / 9 + 1
+
+    # inject: scale one non-centroid vector far out of its cluster
+    spiked = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 399,
+            F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 50.0),
+        ).otherwise(F.col("embedding").cast("array<double>")),
+    )
+    before = {r["cell"]: r["n_outliers"] for r in rows}
+    after = S.embedding_outlier_audit(spiked, "embedding", "vec_id", 16, 3.0).collect()
+    assert sum(r["n_outliers"] for r in after) >= sum(before.values()) + 1 - 2
+    assert any(r["n_outliers"] >= 1 for r in after)
+
+
 def test_curriculum_phases_matches_global_window(spark, sf_dir):
     """Two-phase ntile + per-phase rank == the plain global-window
     formulation bit-for-bit (the windows are fine at test scale; the

@@ -659,6 +659,89 @@ def dim_truncation_recall(
     return out
 
 
+def embedding_outlier_audit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 16,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Per-cell embedding OUTLIER audit: assign every vector to its
+    nearest centroid cell, quantize the squared distance to its own
+    centroid to integer micro-units, and flag vectors whose distance
+    z-score within the cell exceeds ``z_thresh`` — the curation screen
+    for mis-embedded documents (truncated inputs, wrong modality,
+    encoder failures) that sit far from everything in their own
+    neighborhood. Output at CELL grain: n, mean/std of distance², and
+    the outlier count.
+
+    Exactness: d² = (v·v − 2·v·c) + c·c is ONE shared float
+    expression per row (no accumulation across rows); it is floored
+    to 1e-6-units BEFORE the per-cell reduction, so the cell moments
+    are exact integers (sums as decimal(38,0) — squares of micro
+    units pass int64) and mean/std/z are shared-verbatim float
+    expressions over the 16-row cell relation. Plan: one narrow
+    assignment map (broadcast centroid literals), one cell-grain hash
+    aggregate, one broadcast stats join back for the outlier count.
+    """
+    cents = _centroids(df, vec_col, id_col, n_cells)
+    e = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    dots = F.array(*[dot(F.col("v"), literal_vector(c)) for _, c in cents])
+    cc = F.array(*[F.lit(sum(x * x for x in c)) for _, c in cents])
+    assigned = (
+        e.withColumn("__dots", dots)
+        .withColumn("cell", (F.array_position("__dots", F.array_max("__dots")) - 1).cast("int"))
+        .withColumn(
+            "__d2",
+            dot(F.col("v"), F.col("v"))
+            - F.lit(2.0) * F.element_at("__dots", F.col("cell") + 1)
+            + F.element_at(cc, F.col("cell") + 1),
+        )
+        .withColumn("__d2q", F.floor(F.col("__d2") * F.lit(1000000.0)).cast("long"))
+        .select("vid", "cell", "__d2q")
+    )
+    assigned = persist_fact(assigned)  # corpus-grain assignment: shared twice
+    stats = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__d2q").cast("decimal(38,0)").alias("__s"),
+        F.sum(F.col("__d2q").cast("decimal(19,0)") * F.col("__d2q").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("__ss"),
+    )
+    mean = F.col("__s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("__ss").cast("double") - F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("n").cast("double")
+    ) / F.col("n").cast("double")
+    std = F.sqrt(var)
+    enriched = stats.select(
+        "cell", "n", mean.alias("__mean"), std.alias("__std")
+    )
+    outliers = (
+        assigned.join(F.broadcast(enriched), "cell")
+        .filter(
+            (F.col("__std") > 0)
+            & (
+                F.col("__d2q").cast("double") - F.col("__mean")
+                > F.lit(float(z_thresh)) * F.col("__std")
+            )
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_outliers"))
+    )
+    return (
+        enriched.join(outliers, "cell", "left")
+        .select(
+            "cell",
+            "n",
+            F.round(F.col("__mean"), 6).alias("mean_d2_micro"),
+            F.round(F.col("__std"), 6).alias("std_d2_micro"),
+            F.coalesce("n_outliers", F.lit(0)).cast("long").alias("n_outliers"),
+        )
+    )
+
+
 def mmr_rerank(
     df: DataFrame,
     vec_col: str,
