@@ -949,3 +949,99 @@ def test_jaro_winkler_matches_duckdb_convention():
         p = _jaro_winkler_py(s, t)
         assert abs(d - p) <= 1e-12, (s, t, d, p)
     assert _jaro_winkler_py(None, "a") is None
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=20),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_HEAVY_SETTINGS)
+def test_doc_ngram_repetition_matches_python_reference(spark, docs_tokens):
+    """Repetition profile LAW over random small-alphabet corpora
+    (collisions guaranteed): every output field equals a pure-Python
+    recount — counts exact, micro-ratios via the same (1e6*num)/den
+    IEEE expression."""
+    import math
+    from collections import Counter
+
+    from z316_sales_data_pipeline_spark.operators import corpus as C
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_bigrams"], r["top_bigram_n"], r["rep2_micro"],
+            r["n_ngrams"], r["dup_ngram_n"], r["repn_micro"],
+        )
+        for r in C.doc_ngram_repetition(df, "text", "doc_id", n=5).collect()
+    }
+    for i, toks in enumerate(docs_tokens):
+        nt = len(toks)
+        bi = Counter(tuple(toks[j : j + 2]) for j in range(nt - 1))
+        top = max(bi.values()) if bi else 0
+        five = Counter(tuple(toks[j : j + 5]) for j in range(nt - 4))
+        dup = sum(c for c in five.values() if c >= 2)
+        n5 = max(nt - 4, 0)
+        rep2 = math.floor(1000000.0 * (2 * top) / nt) if nt > 0 else 0
+        repn = math.floor(1000000.0 * dup / n5) if n5 > 0 else 0
+        assert got[i] == (nt, max(nt - 1, 0), top, rep2, n5, dup, repn), (i, toks)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**_HEAVY_SETTINGS)
+def test_trigram_doc_logprob_matches_python_reference(spark, docs_tokens):
+    """Stupid-backoff LAW over random corpora: every target doc's
+    (n_tri, logprob_micro, avg) equals a pure-Python replay of the
+    count models and the four-level when-chain — including the empty-
+    reference-LM edge (all scores at the OOV floor)."""
+    import math
+    from collections import Counter
+
+    from z316_sales_data_pipeline_spark.operators import corpus as C
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tri"], r["logprob_micro"], r["avg_logprob_micro"])
+        for r in C.trigram_doc_logprob(df, "text", "doc_id", holdout_mod=2).collect()
+    }
+    c3, c2p, c2, c1p, c1 = Counter(), Counter(), Counter(), Counter(), Counter()
+    n_ref = 0
+    tris = {}
+    for i, toks in enumerate(docs_tokens):
+        t = [
+            (tuple(toks[j : j + 3]), tuple(toks[j : j + 2]),
+             tuple(toks[j + 1 : j + 3]), toks[j + 1], toks[j + 2])
+            for j in range(len(toks) - 2)
+        ]
+        tris[i] = t
+        if i % 2 != 0:
+            for g3, g2p, g2, w2, w3 in t:
+                c3[g3] += 1; c2p[g2p] += 1; c2[g2] += 1; c1p[w2] += 1; c1[w3] += 1
+                n_ref += 1
+    m = lambda x: math.floor(math.log(x) * 1000000.0)  # noqa: E731
+    for i, toks in enumerate(docs_tokens):
+        if i % 2 != 0 or not tris[i]:
+            assert i not in got or i % 2 != 0
+            continue
+        s = 0
+        for g3, g2p, g2, w2, w3 in tris[i]:
+            if c3[g3]:
+                s += m(c3[g3] / c2p[g2p])
+            elif c2[g2]:
+                s += m((2.0 * c2[g2]) / (5.0 * c1p[w2]))
+            elif c1[w3]:
+                s += m((4.0 * c1[w3]) / (25.0 * n_ref))
+            else:
+                s += m(4.0 / (25.0 * (n_ref + 1.0)))
+        n = len(tris[i])
+        assert got[i] == (n, s, math.floor(s / n)), (i, toks)
