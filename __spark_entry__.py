@@ -11842,6 +11842,42 @@ QUALIFY row_number() OVER (PARTITION BY e0.vid
 """
 
 
+def _code_switch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language screen (corpus.code_switch_audit): per doc the
+    argmax language, top/runner-up stopword hit counts, and the
+    integer 2*second >= top flag — what single-label lang_id silently
+    mislabels."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.code_switch_audit(docs, "text", "doc_id")
+
+
+def _code_switch_sql() -> str:
+    hits = []
+    for lang, words in text.STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        hits.append(
+            f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            f"t -> list_contains({arr}, t))) AS hits_{lang}"
+        )
+    langs = list(text.STOPWORDS)
+    n = len(langs)
+    sort = "list_sort([" + ", ".join(f"hits_{lang}" for lang in langs) + "])"
+    case = "CASE "
+    for lang in langs:
+        case += f"WHEN hits_{lang} = top AND top > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH h AS (SELECT doc_id, {', '.join(hits)} FROM documents),
+b AS (SELECT *, {sort}[{n}] AS top, {sort}[{n - 1}] AS second FROM h)
+SELECT doc_id, {case} AS lang_top,
+       cast(top AS BIGINT) AS hits_top,
+       cast(second AS BIGINT) AS hits_second,
+       CAST(CASE WHEN top > 0 AND 2 * second >= top THEN 1 ELSE 0 END AS INTEGER)
+           AS is_code_switched
+FROM b
+"""
+
+
 def _embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mis-embedded-document screen (similarity.embedding_outlier_audit):
     per-cell distance²-to-own-centroid moments over micro-quantized
@@ -12379,6 +12415,7 @@ FROM q LEFT JOIN h USING (query_id)
 # (VERDICT r11 item 3). The rest keep registration order. --
 _R12_SAMPLE_HEAD = [
     # new r12 entries (never driver-attested)
+    "code_switch_audit",
     "embedding_outlier_audit",
     "filter_overlap_matrix",
     "curriculum_phases",
@@ -12460,6 +12497,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- registration order (historical); the driver-facing order is
         # the r11 rotation applied in queries() above. --
+        "code_switch_audit": _code_switch_audit,
         "embedding_outlier_audit": _embedding_outlier_audit,
         "filter_overlap_matrix": _filter_overlap_matrix,
         "curriculum_phases": _curriculum_phases,
@@ -12773,6 +12811,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "code_switch_audit": _code_switch_sql(),
         "embedding_outlier_audit": _EMBEDDING_OUTLIER_SQL,
         "filter_overlap_matrix": _filter_overlap_sql(),
         "curriculum_phases": _CURRICULUM_PHASES_SQL,

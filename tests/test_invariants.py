@@ -2083,6 +2083,36 @@ def test_trigram_doc_logprob_hand_computed(spark):
     assert 1 not in out  # ref docs are not scored
 
 
+def test_code_switch_audit_hand_cases(spark):
+    """Pure-language, mixed, and no-signal docs land exactly where the
+    2*second >= top rule says; lang_top matches language_id's argmax
+    tie-break; the flag never fires when nothing matches."""
+    from z316_sales_data_pipeline_spark.functions.text import language_id
+    from z316_sales_data_pipeline_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in that house for sure"),  # en only
+            (2, "the house el perro la casa and que de to is"),  # en + es mix
+            (3, "zz yy xx ww"),  # no stopwords at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["lang_top"], r["hits_top"], r["hits_second"], r["is_code_switched"])
+        for r in C.code_switch_audit(docs, "text", "doc_id").collect()
+    }
+    assert out[1][0] == "en" and out[1][3] == 0 and out[1][2] * 2 < out[1][1]
+    assert out[2][0] in ("en", "es") and out[2][3] == 1
+    assert out[3] == ("und", 0, 0, 0)
+    # lang_top agrees with the single-label language_id everywhere
+    li = {
+        r["doc_id"]: r["l"]
+        for r in docs.select("doc_id", language_id("text").alias("l")).collect()
+    }
+    assert all(out[k][0] == li[k] for k in out)
+
+
 def test_embedding_outlier_audit_chebyshev_and_injection(spark, sf_dir):
     """Counts reconcile to the corpus; per-cell outliers respect the
     one-sided Chebyshev bound for z>3 (≤ n/9, any distribution); an

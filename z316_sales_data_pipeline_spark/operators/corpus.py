@@ -1575,6 +1575,51 @@ def token_budget_select(
     )
 
 
+def code_switch_audit(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Code-switching screen: documents whose SECOND-strongest
+    language signal is at least half the strongest are flagged as
+    mixed-language — the curation case single-label language ID
+    (:func:`~..functions.text.language_id`) silently mislabels, and
+    the standard reason a "French" document poisons an English-only
+    filter pass. Per doc: the argmax language (same tie-break as
+    lang_id), the top and runner-up stopword hit counts, and the
+    0/1 flag ``2·second >= top`` (exact integers, no ratio float).
+
+    One pass of column algebra over the same stopword-hit columns the
+    language-ID expression uses — no UDF, no shuffle, no joins; the
+    runner-up comes from one array_sort over the fixed 6-language
+    hit vector.
+    """
+    from ..functions.text import STOPWORDS, stopword_hit_count
+
+    langs = list(STOPWORDS)
+    n = len(langs)
+    base = docs.select(
+        F.col(id_col),
+        *[
+            stopword_hit_count(text_col, lang).cast("long").alias(f"__h_{lang}")
+            for lang in langs
+        ],
+    )
+    arr = F.array_sort(F.array(*[F.col(f"__h_{lang}") for lang in langs]))
+    top = F.element_at(arr, n)
+    second = F.element_at(arr, n - 1)
+    lang_expr = F.lit("und")
+    for lang in reversed(langs):
+        lang_expr = F.when(
+            (F.col(f"__h_{lang}") == top) & (top > 0), F.lit(lang)
+        ).otherwise(lang_expr)
+    return base.select(
+        F.col(id_col),
+        lang_expr.alias("lang_top"),
+        top.cast("long").alias("hits_top"),
+        second.cast("long").alias("hits_second"),
+        F.when((top > 0) & (F.lit(2) * second >= top), 1).otherwise(0).cast("int").alias(
+            "is_code_switched"
+        ),
+    )
+
+
 def filter_overlap_matrix(
     docs: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
