@@ -12323,16 +12323,18 @@ def _token_budget_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion curation (corpus.token_budget_select_incremental):
     the at-rest corpus (doc_id % 7 != 0) was selected under the 3000-token
     budget in a previous run; a new batch (doc_id % 7 == 0) folds into the
-    selection by re-ranking only (prior_selected ∪ scored_batch) — the
-    at-rest corpus is never re-read. The ORACLE is the FULL-UNION greedy
-    SQL: by the prefix-displacement lemma the incremental fold must equal
-    the full recompute exactly, so the differential check proves the lemma
-    on real data every round."""
+    selection by gating on the per-source cutoff and re-ranking only
+    (prior_selected ∪ surviving batch) — the at-rest corpus is never
+    re-read. The ORACLE is the FULL-UNION greedy SQL: by the
+    cutoff-carrying prefix rule the incremental fold must equal the full
+    recompute exactly, so the differential check proves the exactness on
+    real data every round (the cutoff-free fold is NOT exact — see the
+    operator docstring's r12-advice counterexample)."""
     docs = load_table(spark, sf_dir, "documents")
     at_rest = docs.filter(F.col("doc_id") % 7 != 0)
     batch = docs.filter(F.col("doc_id") % 7 == 0)
-    # the prior selection IS the at-rest relation in production — it
-    # materializes once per corpus identity (pair_graph warehouse
+    # the prior selection+cutoff ARE the at-rest relations in production
+    # — they materialize once per corpus identity (pair_graph warehouse
     # discipline) so steady-state epochs pay only the fold
     prior = pair_graph._materialized(
         spark,
@@ -12341,8 +12343,15 @@ def _token_budget_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mod7_b3000",
         lambda: corpus.token_budget_select(at_rest, "text", "doc_id", "source", 3000),
     )
+    prior_cut = pair_graph._materialized(
+        spark,
+        sf_dir,
+        "token_budget_prior_cut",
+        "mod7_b3000",
+        lambda: corpus.token_budget_cutoff(at_rest, "text", "doc_id", "source", 3000),
+    )
     return corpus.token_budget_select_incremental(
-        prior, batch, "text", "doc_id", "source", 3000
+        prior, batch, "text", "doc_id", "source", 3000, prior_cut
     )
 
 

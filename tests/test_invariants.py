@@ -1968,25 +1968,76 @@ def test_bm25_incremental_equals_full_recompute(spark, sf_dir):
 
 
 def test_token_budget_incremental_equals_full_recompute(spark, sf_dir):
-    """The prefix-displacement lemma on real data: folding a new batch
-    into the at-rest selection (re-ranking only selected ∪ batch) must
-    equal the full greedy recompute over the union bit-for-bit —
-    adding docs can displace selected ones but never re-admit rejected
-    ones, so the at-rest REJECTED rows are irrelevant."""
+    """The cutoff-carrying prefix rule on real data: folding a new
+    batch into the at-rest (selection, cutoff) state — gate the batch
+    on the cutoff, re-rank selected ∪ survivors — must equal the full
+    greedy recompute over the union bit-for-bit."""
     from z316_sales_data_pipeline_spark.operators import corpus as C
     from z316_sales_data_pipeline_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    prior = C.token_budget_select(
-        docs.filter(F.col("doc_id") % 7 != 0), "text", "doc_id", "source", 3000
-    )
+    at_rest = docs.filter(F.col("doc_id") % 7 != 0)
+    prior = C.token_budget_select(at_rest, "text", "doc_id", "source", 3000)
+    cut = C.token_budget_cutoff(at_rest, "text", "doc_id", "source", 3000)
     inc = C.token_budget_select_incremental(
-        prior, docs.filter(F.col("doc_id") % 7 == 0), "text", "doc_id", "source", 3000
+        prior, docs.filter(F.col("doc_id") % 7 == 0), "text", "doc_id", "source", 3000, cut
     )
     full = C.token_budget_select(docs, "text", "doc_id", "source", 3000)
     key = ["source", "doc_id"]
     assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
     assert inc.select(key).distinct().count() == inc.count()
+
+
+def test_token_budget_incremental_rejected_doc_counterexample(spark):
+    """The r12-advice counterexample, constructed: at-rest d1 (90 tok,
+    selected) and d2 (20 tok, REJECTED at budget 100); a batch doc b
+    (5 tok) ranking below d2 must be rejected by the fold exactly as
+    the full recompute rejects it — the cutoff gate is what makes the
+    incremental fold exact (a selected-rows-only fold would admit b at
+    cum 95). Also covers the displacement side: a batch doc b2 ranking
+    ABOVE d1 is admitted and the fold's cumulative sums match the full
+    recompute's."""
+    from z316_sales_data_pipeline_spark.operators import corpus as C
+
+    words = lambda n: " ".join(f"word{i:02d}" for i in range(n))
+    # d1: 90 tok q3; d2: 20 tok q3 — budget 100 selects d1, rejects d2
+    at_rest = spark.createDataFrame(
+        [(1, "s", words(90)), (2, "s", words(20))], "doc_id long, source string, text string"
+    )
+    prior = C.token_budget_select(at_rest, "text", "doc_id", "source", 100)
+    assert [r["doc_id"] for r in prior.collect()] == [1]
+    cut = C.token_budget_cutoff(at_rest, "text", "doc_id", "source", 100)
+    assert [tuple(r) for r in cut.collect()] == [("s", 3, 2)]
+
+    # the pure counterexample: b (5 tok, q2 — nc<50) ranks below d2;
+    # a selected-rows-only fold would see cum 90+5=95 and admit it
+    b = spark.createDataFrame([(3, "s", words(5))], "doc_id long, source string, text string")
+    inc = C.token_budget_select_incremental(
+        prior, b, "text", "doc_id", "source", 100, cut
+    )
+    full = C.token_budget_select(at_rest.unionByName(b), "text", "doc_id", "source", 100)
+    assert [r["doc_id"] for r in full.collect()] == [1]
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+    # the displacement side: b2 (10 tok, q3, id 0) ranks ABOVE d1 and
+    # is admitted; d1 lands exactly at the budget — both kept
+    b2 = spark.createDataFrame([(0, "s", words(10))], "doc_id long, source string, text string")
+    inc2 = C.token_budget_select_incremental(
+        prior, b2, "text", "doc_id", "source", 100, cut
+    )
+    full2 = C.token_budget_select(at_rest.unionByName(b2), "text", "doc_id", "source", 100)
+    assert sorted(r["doc_id"] for r in full2.collect()) == [0, 1]
+    assert sorted(map(tuple, inc2.collect())) == sorted(map(tuple, full2.collect()))
+
+    # cutoff maintenance matches the full recompute's boundary in both folds
+    for batch, merged in ((b, at_rest.unionByName(b)), (b2, at_rest.unionByName(b2))):
+        new_cut = C.token_budget_cutoff_incremental(
+            prior, batch, "text", "doc_id", "source", 100, cut
+        )
+        full_cut = C.token_budget_cutoff(merged, "text", "doc_id", "source", 100)
+        assert sorted(map(tuple, new_cut.collect())) == sorted(
+            map(tuple, full_cut.collect())
+        )
 
 
 def test_ivf_incremental_recall_empty_batch_is_ann_recall_eval(spark, sf_dir):
@@ -2245,6 +2296,23 @@ def test_mmr_rerank_prefers_diverse_over_duplicate(spark):
     ]
     assert out == [(1, 1, 1.0), (2, 2, 0.0), (3, 3, 1.0)]
     # plain top-k would order (1, 3, 2): the duplicate loses its head start
+
+
+def test_mmr_rerank_string_ids(spark):
+    """The result schema derives the id type from the input — string
+    ids must round-trip instead of crashing the hardcoded 'vid long'
+    createDataFrame (r12 advice)."""
+    from z316_sales_data_pipeline_spark.operators import similarity as S
+
+    rows = [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("c", [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "doc string, embedding array<double>")
+    out = S.mmr_rerank(df, "embedding", "doc", [1.0, 0.0], k=3, pool=3, lam=0.5)
+    assert out.schema["doc"].dataType.simpleString() == "string"
+    assert [(r["rank"], r["doc"]) for r in out.orderBy("rank").collect()] == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
 
 
 def test_dim_truncation_recall_full_width_is_perfect(spark, sf_dir):

@@ -1711,6 +1711,44 @@ def test_quantile_sketch_sink_matches_batch_and_replay_noop(spark, sf_dir, tmp_p
     v = int(open(f"{st}/_LATEST").read())
     fold(slices[0], 0)  # replay
     assert int(open(f"{st}/_LATEST").read()) == v
+    # state untouched, but the MV IS rewritten from current state on
+    # replay — the ab_readout_sink healing pattern (r12 advice: a crash
+    # between the state write and the MV write must not strand the MV)
+    assert sorted(map(tuple, sinks.read_snapshot(spark, mv).collect())) == want_mv
+
+
+def test_quantile_sketch_sink_replay_heals_lost_mv(spark, sf_dir, tmp_path):
+    """Crash between the state write (which commits _QS_EPOCH) and the
+    MV write: on replay of the same epoch the sink must skip the fold
+    but still rebuild the MV from the committed state (r12 advice —
+    the early-return form left the MV stale or missing forever)."""
+    import shutil
+
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import sketch as SK
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming.pipeline import quantile_sketch_sink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    st = str(tmp_path / "qs_state")
+    mv = str(tmp_path / "qs_mv")
+    fold = quantile_sketch_sink(st, mv, "value", "event_type", 0.0, 200.0, 64, (0.5, 0.9))
+    fold(ev, 0)
+    shutil.rmtree(mv)  # simulate the crash: state+marker landed, MV lost
+    v_state = int(open(f"{st}/_LATEST").read())
+    fold(ev, 0)  # replay of the committed epoch
+    assert int(open(f"{st}/_LATEST").read()) == v_state  # fold skipped
+    want_mv = sorted(
+        map(
+            tuple,
+            SK.histogram_quantiles(
+                sinks.read_snapshot(spark, st), [0.5, 0.9], 0.0, 200.0, 64
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, sinks.read_snapshot(spark, mv).collect())) == want_mv
 
 
 def test_growth_accounting_sink_refuses_late_rows_in_new_epoch(spark, tmp_path):

@@ -808,9 +808,14 @@ def market_concentration(
     hhi = F.col("__ss2").cast("double") / (tot * tot)
     # fail-stop: the decimal->long cast below NULLs past int64 in
     # non-ANSI Spark while the oracle widens; refuse loudly instead
+    # NULL __tot (every per-seller sum overflowed decimal(18) to NULL
+    # in non-ANSI Spark) is not an int64 overflow — let it flow through
+    # as NULL total_value instead of tripping the bound check with a
+    # misleading message (r12 advice)
     total_out = F.when(
         F.assert_true(
-            F.col("__tot") <= F.lit(9223372036854775807).cast("decimal(38,0)"),
+            F.col("__tot").isNull()
+            | (F.col("__tot") <= F.lit(9223372036854775807).cast("decimal(38,0)")),
             F.concat(
                 F.lit("market_concentration: group total "),
                 F.col("__tot").cast("string"),

@@ -1554,25 +1554,87 @@ def token_budget_select(
     the classic giant-key case where a per-key WindowExec would
     single-task terabytes.
     """
-    from ..functions.text import quality_score, whitespace_token_count
-    from .windows import partitioned_running_sum_two_phase
+    cum = _token_budget_cum(
+        _token_budget_scored(docs, text_col, id_col, source_col), id_col
+    )
+    return cum.filter(F.col("cum_tokens") <= budget_tokens).select(
+        "source", F.col(id_col), "quality_x3", "n_tokens", "cum_tokens"
+    )
 
-    base = docs.select(
+
+def _token_budget_scored(
+    docs: DataFrame, text_col: str, id_col: str, source_col: str
+) -> DataFrame:
+    """Shared scoring projection for the token-budget family:
+    (source, id, quality_x3, n_tokens)."""
+    from ..functions.text import quality_score, whitespace_token_count
+
+    return docs.select(
         F.col(source_col).alias("source"),
         F.col(id_col),
         F.round(quality_score(text_col) * 3).cast("int").alias("quality_x3"),
         whitespace_token_count(text_col).cast("long").alias("n_tokens"),
     )
-    cum = partitioned_running_sum_two_phase(
-        base,
+
+
+def _token_budget_cum(scored: DataFrame, id_col: str) -> DataFrame:
+    """Per-source greedy-prefix cumulative sum in the family's total
+    order (quality desc, id asc) — two-phase, no per-key WindowExec."""
+    from .windows import partitioned_running_sum_two_phase
+
+    return partitioned_running_sum_two_phase(
+        scored,
         ["source"],
         [F.col("quality_x3").desc(), F.col(id_col).asc()],
         "n_tokens",
         "cum_tokens",
     )
-    return cum.filter(F.col("cum_tokens") <= budget_tokens).select(
-        "source", F.col(id_col), "quality_x3", "n_tokens", "cum_tokens"
+
+
+def _first_rejected_cutoff(cum: DataFrame, id_col: str, budget_tokens: int) -> DataFrame:
+    """Per-source sort key of the FIRST over-budget row — the greedy
+    boundary. Because cum_tokens is monotone within a source, every
+    row at-or-below this key is rejected, so the key is the complete
+    rejection state a later incremental fold needs. Sources that never
+    overflowed are absent. The rank-min over rejected rows is one
+    struct-min (struct comparison is lexicographic; quality is negated
+    so 'higher quality first' becomes 'smaller struct')."""
+    return (
+        cum.filter(F.col("cum_tokens") > budget_tokens)
+        .groupBy("source")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("quality_x3")).alias("nq"), F.col(id_col).alias("cid")
+                )
+            ).alias("__c")
+        )
+        .select(
+            "source",
+            (-F.col("__c.nq")).cast("int").alias("cut_quality_x3"),
+            F.col("__c.cid").alias("cut_id"),
+        )
     )
+
+
+def token_budget_cutoff(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Per-source greedy-cutoff state of a full :func:`token_budget_select`
+    run — (source, cut_quality_x3, cut_id), the sort key of the first
+    row whose cumulative tokens overflowed the budget. This tiny
+    (≤ #sources rows) relation is the SECOND half of the at-rest state
+    an exact incremental fold requires: the selected rows say what is
+    in, the cutoff says where 'out' begins. Persist it next to the
+    selection (the token_budget_sink does)."""
+    cum = _token_budget_cum(
+        _token_budget_scored(docs, text_col, id_col, source_col), id_col
+    )
+    return _first_rejected_cutoff(cum, id_col, budget_tokens)
 
 
 def code_switch_audit(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -1813,6 +1875,46 @@ def mix_epoch_plan(
     )
 
 
+def _token_budget_fold_cum(
+    prior_selected: DataFrame,
+    prior_cutoff: DataFrame,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+) -> DataFrame:
+    """The incremental fold's ranked relation: score ONLY the batch,
+    drop batch docs ranked at-or-below the prior per-source cutoff
+    (in the full-union greedy they sit below a row that already
+    overflowed — cum is monotone, so they are rejected without being
+    ranked), union with the at-rest SELECTED rows, re-apply the
+    two-phase cumulative sum. Both public fold outputs (the new
+    selection and the new cutoff) derive from this one relation."""
+    scored_new = _token_budget_scored(new_docs, text_col, id_col, source_col)
+    cut = prior_cutoff.select(
+        "source",
+        F.col("cut_quality_x3").cast("int"),
+        F.col("cut_id"),
+    )
+    survives = (
+        F.col("cut_quality_x3").isNull()
+        | (F.col("quality_x3") > F.col("cut_quality_x3"))
+        | (
+            (F.col("quality_x3") == F.col("cut_quality_x3"))
+            & (F.col(id_col) < F.col("cut_id"))
+        )
+    )
+    gated = (
+        scored_new.join(F.broadcast(cut), "source", "left")
+        .filter(survives)
+        .drop("cut_quality_x3", "cut_id")
+    )
+    prior = prior_selected.select(
+        "source", F.col(id_col), F.col("quality_x3").cast("int"), F.col("n_tokens").cast("long")
+    )
+    return _token_budget_cum(prior.unionByName(gated), id_col)
+
+
 def token_budget_select_incremental(
     prior_selected: DataFrame,
     new_docs: DataFrame,
@@ -1820,6 +1922,7 @@ def token_budget_select_incremental(
     id_col: str,
     source_col: str,
     budget_tokens: int,
+    prior_cutoff: DataFrame,
 ) -> DataFrame:
     """Fold a NEW document batch into an existing token-budget
     selection WITHOUT re-ranking the at-rest corpus — the
@@ -1827,49 +1930,94 @@ def token_budget_select_incremental(
     minhash_near_dup_incremental pattern applied to curation).
 
     ``prior_selected`` is the at-rest output of a previous
-    :func:`token_budget_select` run (in practice read back from
-    parquet: (source, id, quality_x3, n_tokens) — cum_tokens is
-    recomputed). Only the new batch is scored here; the at-rest
-    corpus is touched through its (tiny) SELECTED rows only — never
-    re-read, never re-scored.
+    :func:`token_budget_select` run (read back from parquet:
+    (source, id, quality_x3, n_tokens) — cum_tokens is recomputed);
+    ``prior_cutoff`` is the matching :func:`token_budget_cutoff`
+    state (source, cut_quality_x3, cut_id). Only the new batch is
+    scored here; the at-rest corpus is touched through its (tiny)
+    SELECTED rows and per-source cutoff keys only — never re-read.
 
-    EXACTNESS (the prefix-displacement lemma): the greedy prefix rule
-    over (corpus ∪ batch) can only DISPLACE previously-selected docs,
-    never re-admit previously-rejected ones — a corpus doc d selected
-    in the union run satisfies cum_union(d) ≤ budget, and new docs
-    only add mass at ranks above d, so cum_corpus(d) ≤ cum_union(d) ≤
-    budget means d was already selected in the corpus run. Hence
-    re-ranking (prior_selected ∪ scored_batch) and re-applying the
-    prefix rule is EXACTLY the full recompute over the union — the
-    registry oracle runs the full-union SQL against this incremental
-    plan, making the lemma a per-round differential check.
+    EXACTNESS (the cutoff-carrying prefix rule): within a source the
+    cumulative sum is monotone, so in the full-union greedy every doc
+    ranked at-or-below the first over-budget doc is rejected. The fold
+    therefore (a) rejects batch docs ranked at-or-below the prior
+    cutoff outright, and (b) re-ranks (prior_selected ∪ surviving
+    batch); above the cutoff the union's cumulative sum equals the
+    fold's, because rejected at-rest docs contribute no mass there.
+    Selected-rows-only folding WITHOUT the cutoff is NOT exact — a
+    batch doc ranked below a previously-rejected doc would be admitted
+    because the rejected doc's tokens are missing from the fold's
+    cumulative sum (the r12 advice counterexample: corpus d1=90tok
+    selected, d2=20tok rejected at budget 100, batch b=5tok below d2 —
+    the cutoff-free fold selects {d1, b}, the full recompute {d1}).
+    The registry oracle runs the full-union greedy SQL against this
+    incremental plan, making the exactness a per-round differential
+    check; :func:`token_budget_cutoff_incremental` maintains the
+    cutoff across epochs so the streaming sink never drifts.
 
     Scale: the fold ranks |selected| + |batch| rows (budget-bounded +
-    batch-bounded — independent of corpus size); the per-source
-    cumulative sum stays on the two-phase shape since a single source
-    can still be a giant key within the fold.
+    batch-bounded — independent of corpus size); the cutoff join is a
+    broadcast of ≤ #sources rows; the per-source cumulative sum stays
+    on the two-phase shape since a single source can still be a giant
+    key within the fold.
     """
-    from ..functions.text import quality_score, whitespace_token_count
-    from .windows import partitioned_running_sum_two_phase
-
-    scored_new = new_docs.select(
-        F.col(source_col).alias("source"),
-        F.col(id_col),
-        F.round(quality_score(text_col) * 3).cast("int").alias("quality_x3"),
-        whitespace_token_count(text_col).cast("long").alias("n_tokens"),
-    )
-    prior = prior_selected.select(
-        "source", F.col(id_col), F.col("quality_x3").cast("int"), F.col("n_tokens").cast("long")
-    )
-    cum = partitioned_running_sum_two_phase(
-        prior.unionByName(scored_new),
-        ["source"],
-        [F.col("quality_x3").desc(), F.col(id_col).asc()],
-        "n_tokens",
-        "cum_tokens",
+    cum = _token_budget_fold_cum(
+        prior_selected, prior_cutoff, new_docs, text_col, id_col, source_col
     )
     return cum.filter(F.col("cum_tokens") <= budget_tokens).select(
         "source", F.col(id_col), "quality_x3", "n_tokens", "cum_tokens"
+    )
+
+
+def token_budget_cutoff_incremental(
+    prior_selected: DataFrame,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    budget_tokens: int,
+    prior_cutoff: DataFrame,
+) -> DataFrame:
+    """The cutoff state AFTER folding ``new_docs`` — the rank-min (in
+    (quality desc, id asc) order) of the prior cutoff and the fold's
+    own first over-budget row per source. Inductively exact: union
+    rejections are (old rejections, all at-or-below the old cutoff) ∪
+    (batch docs gated out, also at-or-below it) ∪ (fold rejections,
+    at-or-below the fold's first overflow), and the earliest of those
+    keys is the union run's first overflow. Persist this next to the
+    new selection; the pair is the complete at-rest state for the next
+    epoch (the token_budget_sink does exactly that)."""
+    cum = _token_budget_fold_cum(
+        prior_selected, prior_cutoff, new_docs, text_col, id_col, source_col
+    )
+    fold_cut = _first_rejected_cutoff(cum, id_col, budget_tokens)
+    return _cutoff_rank_min(prior_cutoff, fold_cut)
+
+
+def _cutoff_rank_min(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-source earlier-in-rank of two cutoff relations — min of
+    struct(-quality, id), the same lexicographic trick as
+    :func:`_first_rejected_cutoff`."""
+    both = a.select(
+        "source", F.col("cut_quality_x3").cast("int"), F.col("cut_id")
+    ).unionByName(
+        b.select("source", F.col("cut_quality_x3").cast("int"), F.col("cut_id"))
+    )
+    return (
+        both.groupBy("source")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cut_quality_x3")).alias("nq"),
+                    F.col("cut_id").alias("cid"),
+                )
+            ).alias("__c")
+        )
+        .select(
+            "source",
+            (-F.col("__c.nq")).cast("int").alias("cut_quality_x3"),
+            F.col("__c.cid").alias("cut_id"),
+        )
     )
 
 

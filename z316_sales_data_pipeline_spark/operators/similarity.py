@@ -767,16 +767,23 @@ def mmr_rerank(
     driver with Python's sequential left-fold dot and banker's-round
     (both bit-matching DuckDB's ``list_dot_product`` + ``round``), so
     the unrolled-greedy SQL oracle replays the selection decision for
-    decision; ties break to the lowest id at every step.
+    decision; ties break to the lowest id at every step. The pool cut
+    itself orders by ``F.bround`` (HALF_EVEN) — Spark's HALF_UP
+    ``round`` would flip pool-boundary membership vs the oracle's
+    half-even-rounded pool whenever a cosine's 6th decimal lands on a
+    rounding tie (r12 advice), the same seam the trigram_doc_logprob
+    docstring warns about.
     """
     from math import sqrt
+
+    from pyspark.sql import types as T
 
     e = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
     q = literal_vector(query_vec)
     pool_rows = (
-        e.select("vid", "v", F.round(cosine(F.col("v"), q), 6).alias("__rel"))
+        e.select("vid", "v", F.bround(cosine(F.col("v"), q), 6).alias("__rel"))
         .orderBy(F.col("__rel").desc(), F.col("vid").asc())
         .limit(pool)
         .collect()
@@ -809,9 +816,18 @@ def mmr_rerank(
         selected.append(pick)
         remaining.discard(pick)
     out = [(i + 1, vid, rel[vid]) for i, vid in enumerate(selected)]
-    return df.sparkSession.createDataFrame(
-        out, "rank int, vid long, rel double"
-    ).select("rank", F.col("vid").alias(id_col), "rel")
+    # the id field keeps the INPUT's id type — a hardcoded 'vid long'
+    # would crash or silently coerce string ids (r12 advice)
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField("vid", df.schema[id_col].dataType, False),
+            T.StructField("rel", T.DoubleType(), False),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out, schema).select(
+        "rank", F.col("vid").alias(id_col), "rel"
+    )
 
 
 def ivf_cell_drift(

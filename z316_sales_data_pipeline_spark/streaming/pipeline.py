@@ -947,23 +947,34 @@ def token_budget_sink(
     curation list that stays current as document shards stream in,
     at O(batch + selection) per epoch, never O(corpus).
 
-    Each epoch scores ONLY the batch, unions it with the at-rest
-    SELECTED rows, and re-applies the per-source greedy prefix rule;
-    by the prefix-displacement lemma (see the incremental operator's
-    docstring) the resulting snapshot equals the batch twin over
-    every document ever folded — pinned by the pytest law.
+    Each epoch scores ONLY the batch, gates it on the at-rest
+    per-source CUTOFF (the first over-budget sort key from every fold
+    so far — ``corpus.token_budget_cutoff``'s state, kept in a sibling
+    snapshot at ``{state_dir}_cutoff``), unions the survivors with the
+    at-rest SELECTED rows, and re-applies the per-source greedy prefix
+    rule; by the cutoff-carrying prefix rule (see the incremental
+    operator's docstring — the cutoff-free fold is NOT exact) the
+    resulting snapshot equals the batch twin over every document ever
+    folded — pinned by the pytest law.
 
     Exactly-once: the snapshot carries a ``_TBS_EPOCH`` marker; an
     epoch at-or-below it is a replay and no-ops (folding the same
     batch twice would double-count its rows in the union — the replay
-    guard is load-bearing, not an optimization). Within a first-time
-    epoch the batch is deduped on (source, id); ACROSS distinct
-    epochs document ids must be disjoint (the minhash_incremental
-    contract — re-sends of the same doc under a new epoch are new
-    documents to this sink).
+    guard is load-bearing, not an optimization). The cutoff snapshot
+    commits BEFORE the selection snapshot: a crash between the two
+    leaves a tightened cutoff with the old selection+marker, and the
+    replayed fold under the tighter cutoff yields the identical
+    selection (docs at-or-below the fold's own first overflow are
+    rejected whether gated pre-fold or ranked over budget in-fold) —
+    so the pair always converges. Within a first-time epoch the batch
+    is deduped on (source, id); ACROSS distinct epochs document ids
+    must be disjoint (the minhash_incremental contract — re-sends of
+    the same doc under a new epoch are new documents to this sink).
     """
     from .. import sinks
     from ..operators import corpus as corpus_ops
+
+    cutoff_dir = f"{state_dir}_cutoff"
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -979,9 +990,22 @@ def token_budget_sink(
             prior = spark.createDataFrame(
                 [], f"source string, {id_col} long, quality_x3 int, n_tokens long"
             )
-        sel = corpus_ops.token_budget_select_incremental(
-            prior, batch, text_col, id_col, source_col, budget_tokens
-        ).localCheckpoint(eager=True)  # selection grain: budget-bounded
+        id_type = batch_df.schema[id_col].dataType.simpleString()
+        try:
+            prior_cut = sinks.read_snapshot(spark, cutoff_dir)
+        except OSError:
+            prior_cut = spark.createDataFrame(
+                [], f"source string, cut_quality_x3 int, cut_id {id_type}"
+            )
+        cum = corpus_ops._token_budget_fold_cum(
+            prior, prior_cut, batch, text_col, id_col, source_col
+        ).localCheckpoint(eager=True)  # fold grain: budget + batch bounded
+        sel = cum.filter(F.col("cum_tokens") <= budget_tokens).select(
+            "source", F.col(id_col), "quality_x3", "n_tokens", "cum_tokens"
+        )
+        fold_cut = corpus_ops._first_rejected_cutoff(cum, id_col, budget_tokens)
+        new_cut = corpus_ops._cutoff_rank_min(prior_cut, fold_cut)
+        sinks.write_snapshot(new_cut, cutoff_dir)  # cutoff first — see docstring
         sinks.write_snapshot(
             sel, state_dir, meta={"_TBS_EPOCH": str(int(epoch_id))}
         )
@@ -1149,10 +1173,14 @@ def quantile_sketch_sink(
     — a pure function of state, so crash-replay overwrite is
     idempotent (the ab_readout_sink healing pattern).
 
-    Exactly-once: ``_QS_EPOCH`` marker; replayed epochs no-op (adding
-    the same counters twice would double mass — the guard is
-    load-bearing). Unlike the day-cursor growth sink there is NO
-    late-data refusal: bucket counters fold in any order.
+    Exactly-once: ``_QS_EPOCH`` marker; replayed epochs skip ONLY the
+    counter fold (adding the same counters twice would double mass —
+    the guard is load-bearing) but still recompute and overwrite the
+    MV from the current state, exactly as ab_readout_sink's `already`
+    branch does — a crash between the state write (which commits
+    ``_QS_EPOCH``) and the MV write would otherwise leave the MV stale
+    forever on replay (r12 advice). Unlike the day-cursor growth sink
+    there is NO late-data refusal: bucket counters fold in any order.
     """
     from .. import sinks
     from ..operators import sketch as sketch_ops
@@ -1162,28 +1190,33 @@ def quantile_sketch_sink(
             return
         spark = batch_df.sparkSession
         epoch_marker = sinks.snapshot_meta(state_dir, "_QS_EPOCH")
-        if epoch_marker is not None and int(epoch_id) <= int(epoch_marker):
-            return  # replay: these counters are already folded
-        part = sketch_ops.histogram_table(
-            batch_df, value_col, F.col(part_col), lo, hi, n_buckets
-        )
-        try:
-            prior = sinks.read_snapshot(spark, state_dir)
-        except OSError:
-            prior = spark.createDataFrame([], "part string, bucket int, c long")
-        merged = (
-            prior.unionByName(
-                part.select(
-                    F.col("part").cast("string").alias("part"),
-                    F.col("bucket").cast("int").alias("bucket"),
-                    F.col("c").cast("long").alias("c"),
-                )
+        already = epoch_marker is not None and int(epoch_id) <= int(epoch_marker)
+        if not already:
+            part = sketch_ops.histogram_table(
+                batch_df, value_col, F.col(part_col), lo, hi, n_buckets
             )
-            .groupBy("part", "bucket")
-            .agg(F.sum("c").cast("long").alias("c"))
-            .localCheckpoint(eager=True)  # sketch grain: n_buckets x parts
-        )
-        sinks.write_snapshot(merged, state_dir, meta={"_QS_EPOCH": str(int(epoch_id))})
+            try:
+                prior = sinks.read_snapshot(spark, state_dir)
+            except OSError:
+                prior = spark.createDataFrame([], "part string, bucket int, c long")
+            merged = (
+                prior.unionByName(
+                    part.select(
+                        F.col("part").cast("string").alias("part"),
+                        F.col("bucket").cast("int").alias("bucket"),
+                        F.col("c").cast("long").alias("c"),
+                    )
+                )
+                .groupBy("part", "bucket")
+                .agg(F.sum("c").cast("long").alias("c"))
+                .localCheckpoint(eager=True)  # sketch grain: n_buckets x parts
+            )
+            sinks.write_snapshot(
+                merged, state_dir, meta={"_QS_EPOCH": str(int(epoch_id))}
+            )
+        # MV: pure function of current state — recompute + overwrite is
+        # idempotent, so running it on the `already` branch too is what
+        # heals a crash that landed the state write but lost the MV write
         mv = sketch_ops.histogram_quantiles(
             sinks.read_snapshot(spark, state_dir), list(qs), lo, hi, n_buckets
         ).localCheckpoint(eager=True)
