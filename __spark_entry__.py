@@ -3546,7 +3546,7 @@ cb AS (
                    cb.code) AS rn
         FROM x JOIN cb USING (sub)
     ) t WHERE rn = 1
-), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0 AND vec_id < 50000),
 qs AS (
     SELECT q.query_id, s.sub, q.qv[s.sub*16+1 : s.sub*16+16] AS qsv
     FROM q CROSS JOIN s
@@ -3885,7 +3885,7 @@ c AS (
     QUALIFY row_number() OVER (PARTITION BY e0.vid
         ORDER BY list_dot_product(e0.v, c.cv) DESC, c.cell) = 1
 ), q AS (
-    SELECT vid AS query_id, v AS qv FROM e0 WHERE vid % 100 = 0
+    SELECT vid AS query_id, v AS qv FROM e0 WHERE vid % 100 = 0 AND vid < 50000
 ), probe AS (
     SELECT q.query_id, q.qv, c.cell
     FROM q CROSS JOIN c
@@ -3942,7 +3942,7 @@ c AS (
     QUALIFY row_number() OVER (PARTITION BY e0.vid
         ORDER BY list_dot_product(e0.v, c.cv) DESC, c.cell) = 1
 ), q AS (
-    SELECT vid AS query_id, v AS qv FROM e0 WHERE vid % 100 = 0
+    SELECT vid AS query_id, v AS qv FROM e0 WHERE vid % 100 = 0 AND vid < 50000
 ), nq AS (SELECT cast(count(*) AS BIGINT) AS n FROM q),
 pr AS (
     SELECT q.query_id, q.qv, c.cell,
@@ -8548,7 +8548,7 @@ c AS (
     QUALIFY row_number() OVER (PARTITION BY e0.vid
         ORDER BY list_dot_product(e0.v, c.cv) DESC, c.cell) = 1
 ), q AS (
-    SELECT vid AS query_id, v AS qv FROM e0 WHERE vid % 100 = 0
+    SELECT vid AS query_id, v AS qv FROM e0 WHERE vid % 100 = 0 AND vid < 50000
 ), probe AS (
     SELECT q.query_id, q.qv, c.cell
     FROM q CROSS JOIN c
@@ -12147,7 +12147,7 @@ FROM (
     body = "\nUNION ALL\n".join(arms)
     return f"""
 WITH e0 AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vid AS query_id, v AS qv FROM e0 WHERE vid % 100 = 0),
+q AS (SELECT vid AS query_id, v AS qv FROM e0 WHERE vid % 100 = 0 AND vid < 50000),
 cand AS (SELECT q.query_id, q.qv, e0.vid, e0.v FROM e0 CROSS JOIN q),
 fullk AS (
     SELECT c.query_id, c.vid FROM cand c
@@ -12382,7 +12382,7 @@ c AS (
     QUALIFY row_number() OVER (PARTITION BY e0.vid
         ORDER BY list_dot_product(e0.v, c.cv) DESC, c.cell) = 1
 ), q AS (
-    SELECT vid AS query_id, v AS qv FROM e0 WHERE vid % 100 = 0
+    SELECT vid AS query_id, v AS qv FROM e0 WHERE vid % 100 = 0 AND vid < 50000
 ), probe AS (
     SELECT q.query_id, q.qv, c.cell
     FROM q CROSS JOIN c
