@@ -2882,6 +2882,66 @@ _MINHASH_INCREMENTAL_SQL = (
 )
 
 
+def _minhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keep/drop labels under the keep-first-by-id near-dup
+    gate rule (dedup.minhash_dedup_gate): doc d is dropped iff some
+    d' < d verifies Jaccard ≥ 0.5 — deliberately non-transitive, the
+    BATCH TWIN of streaming/pipeline.minhash_gate_sink (whose pytest
+    law pins the stream's accepted/quarantined split equal to this
+    relation over every doc folded). Portable hash family over the
+    maintained at-rest shingle relation, so the oracle replays the
+    whole pipeline value-for-value."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = pair_graph.full_shingle_table(spark, sf_dir, shingle_k=3, portable=True)
+    return dedup.minhash_dedup_gate(
+        docs, "text", "doc_id", threshold=0.5, portable=True, ex=ex
+    )
+
+
+# The portable-pipeline skeleton (normalize → k=3 shingles → rolling
+# hashes → 16 minima → 8 bands of 2 joined on raw slices → exact
+# Jaccard ≥ 0.5), reduced to the gate's doc-grain labels: drop = "is
+# the GREATER side of any verified pair".
+_MINHASH_GATE_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct([
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+          [CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(array_to_string(toks[i:i+2], ' '), '')]),
+        (acc, c) -> (acc * 31 + c) % 2147483647)
+      FOR i IN generate_series(1, len(toks) - 2)]) AS hs
+  FROM base WHERE len(toks) >= 3
+),
+sig AS (
+  SELECT doc_id, hs, len(hs) AS nsh,
+    [list_min([(h * ((2654435761 * (i + 1)) % 2147483647) + (40503 * i + 1) % 2147483647) % 2147483647
+               FOR h IN hs])
+     FOR i IN generate_series(0, 15)] AS mh
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, u.b AS band_id, mh[2*u.b + 1] AS m1, mh[2*u.b + 2] AS m2
+  FROM sig, unnest(generate_series(0, 7)) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.m1 = b.m1 AND a.m2 = b.m2
+  WHERE a.doc_id < b.doc_id
+),
+dropped AS (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+        (sa.nsh + sb.nsh - len(list_intersect(sa.hs, sb.hs))) >= 0.5
+)
+SELECT d.doc_id, dr.doc_id IS NULL AS keep
+FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+"""
+
+
 def _simhash_groups_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup groups, fast xxhash64 variant (bench/library
     surface; the oracle-checked ``simhash_groups`` runs the identical
@@ -12581,6 +12641,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": _mad_outliers,
         "minhash_calibration": _minhash_calibration,
         "minhash_incremental": _minhash_incremental,
+        "minhash_gate": _minhash_gate,
         "minhash_portable": _minhash_portable,
         "minhash_scurve": _minhash_scurve,
         "multimodal_frames": _multimodal_frames,
@@ -12995,6 +13056,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _DOC_FP_SQL,
         "minhash_portable": _MINHASH_PORTABLE_SQL,
         "minhash_incremental": _MINHASH_INCREMENTAL_SQL,
+        "minhash_gate": _MINHASH_GATE_SQL,
         "salted_agg": _SALTED_AGG_SQL,
         "q18_top_customers": _Q18_SQL,
         "d3_chained_enrichment": _D3_SQL,

@@ -1662,6 +1662,67 @@ def test_contamination_gate_sink_split_and_replay(spark, sf_dir, tmp_path):
     assert int(open(f"{qua}/_LATEST").read()) == vq
 
 
+def test_minhash_gate_sink_matches_batch_twin_replay_noop_and_refusal(
+    spark, sf_dir, tmp_path
+):
+    """The streaming near-dup door: after EVERY epoch of monotone-id
+    batches, the accepted/quarantined split equals the batch twin
+    (dedup.minhash_dedup_gate) over all docs folded so far — the
+    keep-first-by-id law holds end to end through the appended ex/idx
+    segments. A replayed epoch is a strict no-op on all four tables;
+    a NEW epoch carrying ids at-or-below the folded maximum is
+    late/reordered data and refuses."""
+    import pytest as _pytest
+
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import dedup as D
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming.pipeline import minhash_gate_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    cuts = [(None, 167), (167, 334), (334, None)]
+    slices = [
+        docs.filter(
+            (F.lit(True) if lo is None else (F.col("doc_id") >= lo))
+            & (F.lit(True) if hi is None else (F.col("doc_id") < hi))
+        )
+        for lo, hi in cuts
+    ]
+    st = str(tmp_path / "mhg_state")
+    acc = str(tmp_path / "mhg_accepted")
+    qua = str(tmp_path / "mhg_quarantined")
+    fold = minhash_gate_sink(st, acc, qua, "text", "doc_id")
+    seen = None
+    for i, sl in enumerate(slices):
+        fold(sl, i)
+        seen = sl if seen is None else seen.unionByName(sl)
+        twin = {
+            r["doc_id"]: r["keep"]
+            for r in D.minhash_dedup_gate(seen, "text", "doc_id").collect()
+        }
+        got_acc = {r["doc_id"] for r in sinks.read_appended(spark, acc).collect()}
+        got_qua = {r["doc_id"] for r in sinks.read_appended(spark, qua).collect()}
+        assert got_acc == {d for d, k in twin.items() if k}, f"epoch {i} accepted"
+        assert got_qua == {d for d, k in twin.items() if not k}, f"epoch {i} quarantined"
+        assert got_acc.isdisjoint(got_qua)
+
+    # replay: strict no-op on every table
+    versions = [
+        int(open(f"{d}/_LATEST").read()) for d in (f"{st}/ex", f"{st}/idx", acc, qua)
+    ]
+    fold(slices[1], 1)
+    assert [
+        int(open(f"{d}/_LATEST").read()) for d in (f"{st}/ex", f"{st}/idx", acc, qua)
+    ] == versions
+
+    # late/reordered ids under a NEW epoch: refuse, tables untouched
+    with _pytest.raises(ValueError, match="late/reordered"):
+        fold(slices[0], 9)
+    assert [
+        int(open(f"{d}/_LATEST").read()) for d in (f"{st}/ex", f"{st}/idx", acc, qua)
+    ] == versions
+
+
 def test_quantile_sketch_sink_matches_batch_and_replay_noop(spark, sf_dir, tmp_path):
     """Streaming histogram state == the batch sketch over everything
     folded (counter addition is associative/commutative), and the MV

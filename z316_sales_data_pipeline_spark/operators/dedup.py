@@ -180,6 +180,8 @@ def minhash_near_dup_incremental(
     n_bands: int = 8,
     shingle_k: int = 3,
     portable: bool = False,
+    ex_new: DataFrame | None = None,
+    idx_new: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dups of a NEW batch: against the indexed corpus AND within
     the batch — the continuous-ingestion path at 100 TB.
@@ -191,10 +193,19 @@ def minhash_near_dup_incremental(
     candidate verify — never re-hashed, never rescanned. Id spaces must
     be disjoint. Output matches the full-corpus run restricted to pairs
     touching a new id (asserted in tests), because the hash family and
-    banding are deterministic.
+    banding are deterministic. Callers that also PERSIST the batch's
+    relations (minhash_gate_sink appends them to the at-rest segments)
+    pass the prebuilt ``ex_new``/``idx_new`` so the batch is shingled
+    once, not twice.
     """
-    ex_new = shingle_table(new_docs, text_col, id_col, shingle_k, portable).persist()
-    idx_new = minhash_index(ex_new, id_col, n_hashes, n_bands).persist()
+    ex_new = (
+        ex_new
+        if ex_new is not None
+        else shingle_table(new_docs, text_col, id_col, shingle_k, portable)
+    ).persist()
+    idx_new = (
+        idx_new if idx_new is not None else minhash_index(ex_new, id_col, n_hashes, n_bands)
+    ).persist()
     all_idx = corpus_index.unionByName(idx_new)
     left = idx_new.select("band_id", "band_hash", F.col(id_col).alias("__id_n"))
     right = all_idx.select("band_id", "band_hash", F.col(id_col).alias("__id_o"))
@@ -218,6 +229,48 @@ def minhash_near_dup_incremental(
     ex_new.unpersist()
     idx_new.unpersist()
     return out
+
+
+def minhash_dedup_gate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    shingle_k: int = 3,
+    portable: bool = False,
+    ex: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document keep/drop labels from verified MinHash near-dup
+    pairs — the keep-first-by-id gate rule: doc d is dropped iff SOME
+    d' < d verifies ``jaccard(d, d') ≥ threshold``. Deliberately
+    NON-transitive (a dup-of-a-dropped-dup is dropped too): every doc
+    — kept or dropped — stays in the comparison set, which is exactly
+    what makes this the batch twin of the streaming
+    ``minhash_gate_sink`` (the sink folds EVERY arriving doc into the
+    at-rest index, so under its monotone-id contract the stream's
+    labels equal this function over all docs folded — the pinned law).
+    A transitive survivor-only rule would be an iterative greedy
+    (order-dependent folding, not expressible as one relational pass).
+
+    Plan: the pair machinery is :func:`minhash_near_dup_pairs`
+    unchanged (banded candidates, exact verify — never all-pairs);
+    labels are one distinct projection of the pairs' greater side and
+    a left anti-ish join back to the id spine. Docs too short to
+    shingle form no pairs and are kept.
+    """
+    pairs = minhash_near_dup_pairs(
+        df, text_col, id_col, threshold, n_hashes, n_bands, shingle_k, portable, ex
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
+        "__drop", F.lit(1)
+    )
+    return (
+        df.select(id_col)
+        .join(dropped, id_col, "left")
+        .select(id_col, F.col("__drop").isNull().alias("keep"))
+    )
 
 
 def minhash_signature(df: DataFrame, text_col: str, id_col: str, n_hashes: int = 32, shingle_k: int = 3) -> DataFrame:

@@ -1013,6 +1013,161 @@ def token_budget_sink(
     return fold
 
 
+def minhash_gate_sink(
+    state_dir: str,
+    accepted_dir: str,
+    quarantined_dir: str,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    shingle_k: int = 3,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch INGEST GATE against near-duplicates (batch twin:
+    ``dedup.minhash_dedup_gate``; fold kernel:
+    ``dedup.minhash_near_dup_incremental``) — the banded-MinHash
+    micro-batch door that closes the gap between the batch dedup
+    family and the streaming edge (the reference validates at the
+    door, webhook_handler/main.py:27-33; this is that posture for
+    near-dups). Each epoch shingles ONLY the batch, band-joins its
+    signatures against the at-rest index (``{state_dir}/idx``) plus
+    itself, exact-verifies candidates on the at-rest shingle relation
+    (``{state_dir}/ex``), and splits the batch: docs with a verified
+    smaller-id near-dup land in ``quarantined_dir``, the rest in
+    ``accepted_dir``. EVERY doc — kept or quarantined — folds into
+    the at-rest ex/idx segments, so a later dup of a quarantined doc
+    is still caught; that is what makes the labels equal the batch
+    twin over all docs ever folded (the pinned pytest law).
+
+    MONOTONE-ID CONTRACT: batch ids must be strictly above every id
+    previously folded (ids are assigned at the door in an ingest
+    pipeline). A new epoch violating it is LATE/REORDERED DATA and the
+    sink refuses (ValueError) — the growth_accounting day-cursor
+    discipline — because under out-of-order ids "has a smaller-id
+    near-dup" would depend on arrival order and the batch-twin law
+    would silently break.
+
+    Exactly-once: a ``_MHG_EPOCH`` marker (written LAST) makes a
+    replayed epoch a strict no-op; each of the four appends also
+    carries ``txn_key=epoch`` so a crash mid-epoch replays into
+    committed-segment no-ops, and the prior relations are read with an
+    ``id < min(batch)`` range filter (partition-prunable) so a
+    half-committed previous attempt of the SAME epoch can never pair
+    the batch against its own crashed copy.
+
+    Scale: per-epoch cost is O(batch shingles + band-join against the
+    index) — the corpus is touched through the (bucketable) band index
+    and the candidate verify only, never re-shingled; the at-rest
+    segments append, never rewrite (ivf_append_sink posture).
+    """
+    import os
+
+    from .. import sinks
+    from ..operators import dedup as dedup_ops
+
+    ex_dir = f"{state_dir}/ex"
+    idx_dir = f"{state_dir}/idx"
+    epoch_marker_path = f"{state_dir}/_MHG_EPOCH"
+    maxid_marker_path = f"{state_dir}/_MHG_MAXID"
+
+    def _read_marker(path: str) -> int | None:
+        try:
+            with open(path) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _write_marker(path: str, value: int) -> None:
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(int(value)))
+        os.replace(tmp, path)  # atomic, the _LATEST discipline
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        os.makedirs(state_dir, exist_ok=True)
+        marker = _read_marker(epoch_marker_path)
+        if marker is not None and int(epoch_id) <= int(marker):
+            return  # replay: every table committed before the marker
+        batch = batch_df.dropDuplicates([id_col])
+        bounds = batch.agg(
+            F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+        ).first()
+        max_seen = _read_marker(maxid_marker_path)
+        if max_seen is not None and int(bounds["lo"]) <= max_seen:
+            raise ValueError(
+                f"minhash_gate_sink: epoch {epoch_id} carries id "
+                f"{bounds['lo']} at-or-below the folded maximum {max_seen} "
+                "— late/reordered ids break the keep-first-by-id law; "
+                "re-key or replay through the original epoch instead"
+            )
+        try:
+            prior_ex = sinks.read_appended(spark, ex_dir).filter(
+                F.col(id_col) < bounds["lo"]
+            )
+            prior_idx = sinks.read_appended(spark, idx_dir).filter(
+                F.col(id_col) < bounds["lo"]
+            )
+        except OSError:
+            prior_ex = spark.createDataFrame(
+                [], f"{id_col} long, __h long, __hp long"
+            )
+            prior_idx = spark.createDataFrame(
+                [], f"{id_col} long, __nsh long, band_id int, band_hash long"
+            )
+        # batch-grain, materialized once: shared by the pair kernel AND
+        # the segment appends (the kernel's own persist/unpersist cycle
+        # would otherwise recompute the shingling for the appends)
+        ex_new = dedup_ops.shingle_table(batch, text_col, id_col, shingle_k).localCheckpoint(
+            eager=True
+        )
+        idx_new = dedup_ops.minhash_index(ex_new, id_col, n_hashes, n_bands).localCheckpoint(
+            eager=True
+        )
+        pairs = dedup_ops.minhash_near_dup_incremental(
+            prior_ex,
+            prior_idx,
+            batch,
+            text_col,
+            id_col,
+            threshold,
+            n_hashes,
+            n_bands,
+            shingle_k,
+            ex_new=ex_new,
+            idx_new=idx_new,
+        )
+        dropped = (
+            pairs.select(F.col("id_b").alias(id_col))
+            .distinct()
+            .withColumn("__drop", F.lit(1))
+        )
+        labeled = (
+            batch.join(dropped, id_col, "left")
+            .withColumn("__keep", F.col("__drop").isNull())
+            .drop("__drop")
+            .localCheckpoint(eager=True)  # batch grain; pins the split
+        )
+        txn = f"epoch={int(epoch_id)}"
+        sinks.append_snapshot(ex_new, ex_dir, txn_key=txn)
+        sinks.append_snapshot(idx_new, idx_dir, txn_key=txn)
+        sinks.append_snapshot(
+            labeled.filter(F.col("__keep")).drop("__keep"), accepted_dir, txn_key=txn
+        )
+        sinks.append_snapshot(
+            labeled.filter(~F.col("__keep")).drop("__keep"),
+            quarantined_dir,
+            txn_key=txn,
+        )
+        _write_marker(maxid_marker_path, int(bounds["hi"]))
+        _write_marker(epoch_marker_path, int(epoch_id))  # commit point
+
+    return fold
+
+
 def ivf_append_sink(
     index_dir: str,
     vec_col: str,
