@@ -12431,6 +12431,129 @@ def _ivf_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_retrain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """When-to-retrain as one oracle-checked plan
+    (similarity.ivf_retrain_plan, the repair_run detect→act→verify
+    precedent): exact-integer TVD of batch-vs-corpus cell occupancy
+    under the frozen quantizer PLUS aged-index recall over the capped
+    query batch decide retrain; on retrain the quantizer is rebuilt
+    with the batch convention (_centroids over the grown corpus — what
+    ivf_top_k would freeze, pinned by the law test) and the fresh
+    model's recall is audited on the same queries. Thresholds chosen
+    so the recall arm TRIPS at the test SFs (aged 4-of-16 probe recall
+    sits below 0.95) — the retrain arm is exercised, not dead code."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    at_rest = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    return similarity.ivf_retrain_plan(
+        at_rest,
+        batch,
+        "embedding",
+        "vec_id",
+        n_cells=16,
+        n_probe=4,
+        k=10,
+        query_mod=100,
+        query_cap=500,
+        drift_thresh_micro=100_000,
+        recall_thresh_micro=950_000,
+    )
+
+
+def _ivf_retrain_sql(
+    drift_thresh_micro: int = 100_000, recall_thresh_micro: int = 950_000, k: int = 10
+) -> str:
+    # one recall arm per quantizer: identical schedule, different
+    # centroid CTE (cs = stale 16 lowest corpus ids; cf = fresh 16
+    # lowest union ids)
+    def arm(cents: str, tag: str) -> str:
+        return f"""
+a{tag} AS (
+    SELECT e0.vid, e0.v, {cents}.cell
+    FROM e0 CROSS JOIN {cents}
+    QUALIFY row_number() OVER (PARTITION BY e0.vid
+        ORDER BY list_dot_product(e0.v, {cents}.cv) DESC, {cents}.cell) = 1
+), probe{tag} AS (
+    SELECT q.query_id, q.qv, {cents}.cell
+    FROM q CROSS JOIN {cents}
+    QUALIFY row_number() OVER (PARTITION BY q.query_id
+        ORDER BY list_dot_product(q.qv, {cents}.cv) DESC, {cents}.cell) <= 4
+), ivf{tag} AS (
+    SELECT probe{tag}.query_id, a{tag}.vid
+    FROM probe{tag} JOIN a{tag} USING (cell)
+    QUALIFY row_number() OVER (PARTITION BY probe{tag}.query_id
+        ORDER BY round(list_dot_product(probe{tag}.qv, a{tag}.v) /
+                       (sqrt(list_dot_product(probe{tag}.qv, probe{tag}.qv)) *
+                        sqrt(list_dot_product(a{tag}.v, a{tag}.v))), 6) DESC, a{tag}.vid) <= {k}
+), h{tag} AS (
+    SELECT ivf{tag}.query_id, count(*) AS n_hits
+    FROM ivf{tag} JOIN brute ON ivf{tag}.query_id = brute.query_id AND ivf{tag}.vid = brute.vid
+    GROUP BY 1
+), r{tag} AS (
+    SELECT cast(coalesce(sum(h{tag}.n_hits), 0) AS BIGINT) AS hits,
+           cast(count(*) AS BIGINT) AS nq
+    FROM q LEFT JOIN h{tag} USING (query_id)
+)"""
+
+    return f"""
+WITH e0 AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+cs AS (
+    SELECT row_number() OVER (ORDER BY vid) - 1 AS cell, v AS cv
+    FROM e0 WHERE vid % 5 <> 0 ORDER BY vid LIMIT 16
+),
+cf AS (
+    SELECT row_number() OVER (ORDER BY vid) - 1 AS cell, v AS cv
+    FROM e0 ORDER BY vid LIMIT 16
+),
+q AS (SELECT vid AS query_id, v AS qv FROM e0 WHERE vid % 100 = 0 AND vid < 50000),
+brute AS (
+    SELECT q.query_id, e0.vid
+    FROM q CROSS JOIN e0
+    QUALIFY row_number() OVER (PARTITION BY q.query_id
+        ORDER BY round(list_dot_product(q.qv, e0.v) /
+                       (sqrt(list_dot_product(q.qv, q.qv)) *
+                        sqrt(list_dot_product(e0.v, e0.v))), 6) DESC, e0.vid) <= {k}
+),{arm("cs", "1")},{arm("cf", "2")},
+spine AS (SELECT unnest(generate_series(0, 15)) AS cell),
+j AS (
+    SELECT spine.cell,
+           cast(coalesce(r.n_rest, 0) AS BIGINT) AS n_rest,
+           cast(coalesce(nw.n_new, 0) AS BIGINT) AS n_new
+    FROM spine
+    LEFT JOIN (SELECT cell, count(*) AS n_rest FROM a1 WHERE vid % 5 <> 0 GROUP BY 1) r USING (cell)
+    LEFT JOIN (SELECT cell, count(*) AS n_new FROM a1 WHERE vid % 5 = 0 GROUP BY 1) nw USING (cell)
+),
+tots AS (SELECT cast(sum(n_rest) AS BIGINT) AS tr, cast(sum(n_new) AS BIGINT) AS tn FROM j),
+sv AS (
+    SELECT sum(abs(j.n_new * tots.tr - j.n_rest * tots.tn)) AS s_tvd
+    FROM j CROSS JOIN tots
+),
+dec AS (
+    SELECT tots.tr, tots.tn, sv.s_tvd, rs.hits, rs.nq,
+           (tots.tn > 0 AND tots.tr > 0
+            AND sv.s_tvd * 1000000 > 2 * {drift_thresh_micro} * tots.tn * tots.tr)
+               AS drift_exceeded,
+           (rs.nq > 0 AND rs.hits * 1000000 < {recall_thresh_micro} * rs.nq * {k})
+               AS recall_below
+    FROM tots CROSS JOIN sv CROSS JOIN r1 rs
+)
+SELECT cast(dec.tr AS BIGINT) AS n_corpus,
+       cast(dec.tn AS BIGINT) AS n_new,
+       CASE WHEN dec.tn > 0 AND dec.tr > 0
+            THEN cast((dec.s_tvd * 1000000) // (2 * dec.tn * dec.tr) AS BIGINT) END AS drift_tvd_micro,
+       cast(dec.hits AS BIGINT) AS aged_hits,
+       cast(dec.nq AS BIGINT) AS n_queries,
+       CASE WHEN dec.nq > 0 THEN cast((dec.hits * 1000000) // (dec.nq * {k}) AS BIGINT) END
+           AS aged_recall_micro,
+       drift_exceeded, recall_below,
+       (drift_exceeded OR recall_below) AS retrain,
+       CASE WHEN (drift_exceeded OR recall_below) AND rf.nq > 0
+            THEN cast((rf.hits * 1000000) // (rf.nq * {k}) AS BIGINT) END
+           AS fresh_recall_micro
+FROM dec CROSS JOIN r2 rf
+"""
+
+
 _IVF_INCREMENTAL_RECALL_SQL = """
 WITH e0 AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (
@@ -12579,6 +12702,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_doc_logprob": _trigram_doc_logprob,
         "token_budget_incremental": _token_budget_incremental,
         "ivf_incremental_recall": _ivf_incremental_recall,
+        "ivf_retrain_plan": _ivf_retrain_plan,
         "lorenz_deciles": _lorenz_deciles,
         "market_hhi": _market_hhi,
         "nb_fit": _nb_fit,
@@ -12894,6 +13018,7 @@ def oracle_sql() -> dict[str, str]:
         "trigram_doc_logprob": _TRIGRAM_LOGPROB_SQL,
         "token_budget_incremental": _TOKEN_BUDGET_SQL,
         "ivf_incremental_recall": _IVF_INCREMENTAL_RECALL_SQL,
+        "ivf_retrain_plan": _ivf_retrain_sql(),
         "lorenz_deciles": _LORENZ_SQL,
         "market_hhi": _MARKET_HHI_SQL,
         "nb_fit": _NB_FIT_SQL,

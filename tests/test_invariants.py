@@ -2315,6 +2315,45 @@ def test_mmr_rerank_string_ids(spark):
     ]
 
 
+def test_ivf_retrain_plan_fresh_index_reproduces_ivf_top_k(spark, sf_dir):
+    """The retrain arm's contract: the rebuilt quantizer is EXACTLY
+    the batch convention (_centroids over the grown corpus), so an
+    index rebuilt by the plan answers queries bit-for-bit like
+    ivf_top_k run from scratch on the grown corpus — retrain converges
+    to the batch build, never to a third model. Also pins that the
+    decision row actually retrains on this data (the fresh column is
+    exercised, not dead code)."""
+    from z316_sales_data_pipeline_spark.operators import similarity as S
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    row = S.ivf_retrain_plan(
+        corpus, batch, "embedding", "vec_id", recall_thresh_micro=950_000
+    ).first()
+    assert row["retrain"] and row["fresh_recall_micro"] is not None
+
+    union = corpus.select("vec_id", "embedding").unionByName(
+        batch.select("vec_id", "embedding")
+    )
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    fresh = S._centroids(union, "embedding", "vec_id", 16)
+    rebuilt = S.brute_force_top_k(
+        S.ivf_assign(
+            union.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+            "embedding",
+            fresh,
+        ).filter(F.col("cell").isin(S.probe_cells(fresh, qv, 4))),
+        "embedding",
+        "vec_id",
+        qv,
+        10,
+    )
+    scratch = S.ivf_top_k(union, "embedding", "vec_id", qv, k=10, n_cells=16, n_probe=4)
+    assert [tuple(r) for r in rebuilt.collect()] == [tuple(r) for r in scratch.collect()]
+
+
 def test_dim_truncation_recall_full_width_is_perfect(spark, sf_dir):
     """Truncating to the FULL embedding width is the identity ranking:
     recall@k must be exactly 1.0 (n_hits = n_queries·k) — pins the

@@ -852,6 +852,45 @@ def mmr_rerank(
     )
 
 
+def _drift_cell_counts(
+    corpus: DataFrame,
+    new_vecs: DataFrame,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    n_cells: int,
+) -> DataFrame:
+    """Spine-joined EXACT per-cell occupancy counts of both arms under
+    a frozen quantizer — shared by :func:`ivf_cell_drift` (share/drift
+    readout) and :func:`ivf_retrain_plan` (integer-exact TVD decision).
+    One assignment pass per arm, two cell-grain hash aggregates, empty
+    cells present as zero rows."""
+
+    def cell_counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            ivf_assign(
+                df.select(F.col(vec_col).cast("array<double>").alias(vec_col)),
+                vec_col,
+                cents,
+            )
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    spark = corpus.sparkSession
+    spine = spark.range(n_cells).select(F.col("id").cast("int").alias("cell"))
+    rest = cell_counts(corpus, "n_rest")
+    new = cell_counts(new_vecs, "n_new")
+    return (
+        spine.join(rest, "cell", "left")
+        .join(new, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_rest", F.lit(0)).cast("long").alias("n_rest"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+
+
 def ivf_cell_drift(
     corpus: DataFrame,
     new_vecs: DataFrame,
@@ -875,31 +914,7 @@ def ivf_cell_drift(
     are single float divisions over exact int64 counts, round-6.
     """
     cents = _centroids(corpus, vec_col, id_col, n_cells)
-
-    def cell_counts(df: DataFrame, out: str) -> DataFrame:
-        return (
-            ivf_assign(
-                df.select(F.col(vec_col).cast("array<double>").alias(vec_col)),
-                vec_col,
-                cents,
-            )
-            .groupBy("cell")
-            .agg(F.count(F.lit(1)).cast("long").alias(out))
-        )
-
-    spark = corpus.sparkSession
-    spine = spark.range(n_cells).select(F.col("id").cast("int").alias("cell"))
-    rest = cell_counts(corpus, "n_rest")
-    new = cell_counts(new_vecs, "n_new")
-    joined = (
-        spine.join(rest, "cell", "left")
-        .join(new, "cell", "left")
-        .select(
-            "cell",
-            F.coalesce("n_rest", F.lit(0)).cast("long").alias("n_rest"),
-            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
-        )
-    )
+    joined = _drift_cell_counts(corpus, new_vecs, vec_col, cents, n_cells)
     tots = joined.agg(
         F.sum("n_rest").cast("long").alias("__tr"), F.sum("n_new").cast("long").alias("__tn")
     )
@@ -915,6 +930,114 @@ def ivf_cell_drift(
             F.when(F.col("__tn") > 0, F.round(new_share, 6)).alias("new_share"),
             F.when(F.col("__tn") > 0, F.round(new_share - rest_share, 6)).alias("drift"),
         )
+    )
+
+
+def ivf_retrain_plan(
+    corpus: DataFrame,
+    new_vecs: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    query_mod: int = 100,
+    query_cap: int = 500,
+    drift_thresh_micro: int = 100_000,
+    recall_thresh_micro: int = 900_000,
+) -> DataFrame:
+    """WHEN-TO-RETRAIN, encoded as a plan instead of operator judgment
+    — the decision step the incremental-ANN loop (ivf_append_sink →
+    :func:`ivf_cell_drift` → :func:`ivf_incremental_recall`) left
+    implicit, in the repair_run detect→act→verify shape
+    (plans/reconcile.py:108). One decision row:
+
+    - drift arm: total-variation distance between the batch's and the
+      corpus's cell occupancy under the FROZEN quantizer, computed in
+      EXACT integers (S = Σ_c |n_new_c·tr − n_rest_c·tn|; TVD =
+      S/(2·tn·tr)); exceeds iff S·10^6 > 2·thresh·tn·tr — no float
+      ever meets a threshold (the pareto_abc rounding discipline);
+    - recall arm: aged-index recall@k over the capped deterministic
+      query batch (:func:`_recall_eval_with_cents` with the stale
+      model); below iff hits·10^6 < thresh·n_queries·k, exact;
+    - decision: retrain iff either trips. On retrain the plan REBUILDS
+      the quantizer with the standard batch convention
+      (:func:`_centroids` over the GROWN corpus — exactly what
+      :func:`ivf_top_k` would freeze, so a fresh index reproduces
+      ivf_top_k bit-for-bit: the pinned law test) and audits the fresh
+      model's recall on the same queries; otherwise the fresh column
+      is NULL and nothing is rebuilt.
+
+    Scale: the decision consumes one n_cells-row model relation and
+    two scalar aggregates (collected driver-side — the probe_cells
+    precedent, model grain, never the data); the heavy arms are the
+    same capped audits the loop already runs, and the retrain arm is
+    paid ONLY when the decision trips.
+    """
+    spark = corpus.sparkSession
+    stale = _centroids(corpus, vec_col, id_col, n_cells)
+    union = corpus.select(F.col(id_col), F.col(vec_col)).unionByName(
+        new_vecs.select(F.col(id_col), F.col(vec_col))
+    )
+    counts = _drift_cell_counts(corpus, new_vecs, vec_col, stale, n_cells).collect()
+    tr = sum(int(r["n_rest"]) for r in counts)
+    tn = sum(int(r["n_new"]) for r in counts)
+    s_tvd = sum(abs(int(r["n_new"]) * tr - int(r["n_rest"]) * tn) for r in counts)
+    drift_tvd_micro = (s_tvd * 1_000_000) // (2 * tn * tr) if tn > 0 and tr > 0 else None
+    drift_exceeded = (
+        tn > 0 and tr > 0 and s_tvd * 1_000_000 > 2 * drift_thresh_micro * tn * tr
+    )
+    aged = _recall_eval_with_cents(
+        union, vec_col, id_col, stale, query_mod, k, n_probe, query_cap
+    ).agg(
+        F.sum("n_hits").cast("long").alias("h"), F.count(F.lit(1)).alias("nq")
+    ).first()
+    aged_hits, nq = int(aged["h"] or 0), int(aged["nq"])
+    aged_recall_micro = (aged_hits * 1_000_000) // (nq * k) if nq > 0 else None
+    recall_below = nq > 0 and aged_hits * 1_000_000 < recall_thresh_micro * nq * k
+    retrain = bool(drift_exceeded or recall_below)
+    fresh_recall_micro = None
+    if retrain:
+        fresh = _centroids(union, vec_col, id_col, n_cells)
+        fa = _recall_eval_with_cents(
+            union, vec_col, id_col, fresh, query_mod, k, n_probe, query_cap
+        ).agg(
+            F.sum("n_hits").cast("long").alias("h"), F.count(F.lit(1)).alias("nq")
+        ).first()
+        if int(fa["nq"]) > 0:
+            fresh_recall_micro = (int(fa["h"] or 0) * 1_000_000) // (int(fa["nq"]) * k)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("n_corpus", T.LongType(), False),
+            T.StructField("n_new", T.LongType(), False),
+            T.StructField("drift_tvd_micro", T.LongType(), True),
+            T.StructField("aged_hits", T.LongType(), False),
+            T.StructField("n_queries", T.LongType(), False),
+            T.StructField("aged_recall_micro", T.LongType(), True),
+            T.StructField("drift_exceeded", T.BooleanType(), False),
+            T.StructField("recall_below", T.BooleanType(), False),
+            T.StructField("retrain", T.BooleanType(), False),
+            T.StructField("fresh_recall_micro", T.LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                tr,
+                tn,
+                drift_tvd_micro,
+                aged_hits,
+                nq,
+                aged_recall_micro,
+                bool(drift_exceeded),
+                bool(recall_below),
+                retrain,
+                fresh_recall_micro,
+            )
+        ],
+        schema,
     )
 
 
