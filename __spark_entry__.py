@@ -2942,6 +2942,131 @@ FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
 """
 
 
+def _suffix_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximal duplicated-substring spans (dedup.suffix_dedup_spans)
+    — the Lee et al. 2022 suffix-array substring dedup as a
+    prefix-group plan: repeated L-token windows grouped BY CONTENT,
+    merged per doc into maximal [start, end) token spans (the removal
+    mask). The oracle replays tokenize → windows → cross-doc dup →
+    gaps-and-islands verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.suffix_dedup_spans(docs, "text", "doc_id", min_tokens=8)
+
+
+_SUFFIX_SPAN_WIN_SQL = """
+base AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+win AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS w
+  FROM base, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+  WHERE len(toks) >= 8
+),
+dup AS (
+  SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT win.doc_id, win.pos FROM win JOIN dup USING (w))
+"""
+
+_SUFFIX_DEDUP_SPANS_SQL = (
+    "WITH "
+    + _SUFFIX_SPAN_WIN_SQL
+    + """,
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits)
+)
+SELECT doc_id,
+       cast(min(pos) AS BIGINT) AS span_start,
+       cast(max(pos) + 8 AS BIGINT) AS span_end,
+       cast(max(pos) + 8 - min(pos) AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, island
+"""
+)
+
+
+def _suffix_span_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit between the EXACT substring-dedup channel
+    (window text, dedup.suffix_dedup_spans) and the window-HASH
+    channel (rolling 64-bit, dedup.span_dedup) over the same corpus —
+    the dedup_agreement pattern: before trusting the cheaper hash
+    channel at lake scale, measure what it would over-flag (hash
+    collisions are the ONLY possible divergence, and only in the
+    hash channel's favor). One row: span counts from the exact
+    channel, duplicated-window totals from both channels, and the
+    collision excess."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup.suffix_dedup_spans(docs, "text", "doc_id", min_tokens=8)
+    sd = dedup.span_dedup(docs, "text", "doc_id", k=8)
+    exact = spans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs_with_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") - F.lit(7))
+        .cast("long")
+        .alias("n_dup_windows_exact"),
+    )
+    hashed = sd.agg(
+        F.sum("n_dup_windows").cast("long").alias("n_dup_windows_hash")
+    )
+    return exact.crossJoin(F.broadcast(hashed)).select(
+        "n_spans",
+        "n_docs_with_spans",
+        "n_dup_windows_exact",
+        "n_dup_windows_hash",
+        (F.col("n_dup_windows_hash") - F.col("n_dup_windows_exact"))
+        .cast("long")
+        .alias("n_collision_windows"),
+    )
+
+
+_SUFFIX_SPAN_AGREEMENT_SQL = (
+    "WITH "
+    + _SUFFIX_SPAN_WIN_SQL
+    + """,
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits)
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+  FROM isl GROUP BY doc_id, island
+),
+exact AS (
+  SELECT cast(count(*) AS BIGINT) AS n_spans,
+         cast(count(DISTINCT doc_id) AS BIGINT) AS n_docs_with_spans,
+         cast(coalesce(sum(e - s - 7), 0) AS BIGINT) AS n_dup_windows_exact
+  FROM spans
+),
+hw AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             [CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(w, '')]),
+           (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+  FROM win
+),
+hdup AS (SELECT h FROM hw GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+hashed AS (
+  SELECT cast(count(*) AS BIGINT) AS n_dup_windows_hash
+  FROM hw JOIN hdup USING (h)
+)
+SELECT exact.n_spans, exact.n_docs_with_spans, exact.n_dup_windows_exact,
+       hashed.n_dup_windows_hash,
+       cast(hashed.n_dup_windows_hash - exact.n_dup_windows_exact AS BIGINT)
+           AS n_collision_windows
+FROM exact CROSS JOIN hashed
+"""
+)
+
+
 def _simhash_groups_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup groups, fast xxhash64 variant (bench/library
     surface; the oracle-checked ``simhash_groups`` runs the identical
@@ -12766,6 +12891,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": _minhash_calibration,
         "minhash_incremental": _minhash_incremental,
         "minhash_gate": _minhash_gate,
+        "suffix_dedup_spans": _suffix_dedup_spans,
+        "suffix_span_agreement": _suffix_span_agreement,
         "minhash_portable": _minhash_portable,
         "minhash_scurve": _minhash_scurve,
         "multimodal_frames": _multimodal_frames,
@@ -13182,6 +13309,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_portable": _MINHASH_PORTABLE_SQL,
         "minhash_incremental": _MINHASH_INCREMENTAL_SQL,
         "minhash_gate": _MINHASH_GATE_SQL,
+        "suffix_dedup_spans": _SUFFIX_DEDUP_SPANS_SQL,
+        "suffix_span_agreement": _SUFFIX_SPAN_AGREEMENT_SQL,
         "salted_agg": _SALTED_AGG_SQL,
         "q18_top_customers": _Q18_SQL,
         "d3_chained_enrichment": _D3_SQL,

@@ -2315,6 +2315,60 @@ def test_mmr_rerank_string_ids(spark):
     ]
 
 
+def test_suffix_dedup_spans_agree_with_span_dedup(spark, sf_dir):
+    """Agreement law between the exact substring channel and the
+    window-hash channel: per doc, the number of window positions
+    covered by suffix_dedup_spans (Σ span_len − L + 1 — exact text
+    duplication) is ≤ span_dedup's n_dup_windows (rolling-hash
+    duplication): a collision can only MERGE hash groups, so the hash
+    channel over-flags, never under-flags. Spans are well-formed:
+    length ≥ L, disjoint and non-adjacent per doc (maximality)."""
+    from z316_sales_data_pipeline_spark.operators import dedup as D
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    L = 8
+    docs = load_table(spark, sf_dir, "documents")
+    spans = D.suffix_dedup_spans(docs, "text", "doc_id", min_tokens=L).collect()
+    hash_ch = {
+        r["doc_id"]: r["n_dup_windows"]
+        for r in D.span_dedup(docs, "text", "doc_id", k=L).collect()
+    }
+    exact_ch: dict = {}
+    by_doc: dict = {}
+    for r in spans:
+        assert r["span_len"] == r["span_end"] - r["span_start"] >= L
+        exact_ch[r["doc_id"]] = exact_ch.get(r["doc_id"], 0) + (r["span_len"] - L + 1)
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for d, n in exact_ch.items():
+        assert n <= hash_ch[d], f"doc {d}: exact {n} > hash {hash_ch[d]}"
+    for d, iv in by_doc.items():
+        iv.sort()
+        for (s1, e1), (s2, e2) in zip(iv, iv[1:]):
+            # maximal: the next span's first window starts past the
+            # previous span's last window + L (else they would merge)
+            assert s2 > e1, f"doc {d}: spans {(s1, e1)} / {(s2, e2)} should merge"
+
+
+def test_suffix_dedup_spans_constructed_copy(spark):
+    """A paragraph copied verbatim between two docs yields exactly one
+    span per doc covering the copied region (positions pinned by
+    construction); a doc with no repeated window yields no rows."""
+    from z316_sales_data_pipeline_spark.operators import dedup as D
+
+    shared = " ".join(f"copy{i:02d}" for i in range(12))  # 12 shared tokens
+    a = " ".join(f"apre{i:02d}" for i in range(5)) + " " + shared
+    b = shared + " " + " ".join(f"btail{i:02d}" for i in range(4))
+    c = " ".join(f"uniq{i:02d}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    rows = sorted(
+        map(tuple, D.suffix_dedup_spans(df, "text", "doc_id", min_tokens=8).collect())
+    )
+    # doc 1: copied block at tokens [5, 17); doc 2: at [0, 12); doc 3: none
+    assert rows == [(1, 5, 17, 12), (2, 0, 12, 12)]
+
+
 def test_ivf_retrain_plan_fresh_index_reproduces_ivf_top_k(spark, sf_dir):
     """The retrain arm's contract: the rebuilt quantizer is EXACTLY
     the batch convention (_centroids over the grown corpus), so an

@@ -1033,6 +1033,95 @@ def span_dedup(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFra
     )
 
 
+def suffix_dedup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 8,
+    max_tokens: int = 4096,
+) -> DataFrame:
+    """EXACT maximal duplicated-substring spans — the suffix-array
+    substring dedup of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") re-expressed as a prefix-group
+    plan: two corpus suffixes share an L-token prefix exactly when the
+    same L-token window occurs at both positions, so grouping the
+    corpus's L-token windows BY CONTENT is the suffix array's
+    first-L-tokens bucket sort, and every repeated substring of length
+    M ≥ L is a run of M − L + 1 repeated windows that the per-doc
+    interval merge reassembles into one maximal [start, end) span.
+    :func:`span_dedup` approximates this with window-hash FRACTIONS
+    per doc; this operator emits the spans themselves — the removal
+    mask (union of repeated regions, so overlapping distinct repeats
+    merge — the Lee et al. removal semantics, not a claim that the
+    merged span is verbatim-repeated as a whole).
+
+    Duplication is cross-document (a window occurring in ≥ 2 distinct
+    docs), matching span_dedup's rule, and judged on the window TEXT —
+    exact, no hash-collision false positives (the agreement audit
+    measures the hash channel against this truth).
+
+    Plan: one narrow Generate (positions via posexplode over the
+    shared shingle transform — same normalization as every text
+    operator), one content-keyed duplicate reduction (at lake scale
+    you would pre-hash and verify; the shuffle key here IS the exact
+    window, which is what makes the op exact), a hash join back, and a
+    per-DOC gaps-and-islands window. Per-doc windows are safe because
+    the doc is the bounded key: the ``max_tokens`` fail-stop guard
+    (the edit_distance_join max_len discipline) refuses documents that
+    would break that bound instead of silently single-tasking them.
+
+    Output: (id, span_start, span_end, span_len) — token offsets,
+    0-based, end-exclusive; docs with no repeated window emit no rows.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import shingles
+
+    guard = F.assert_true(
+        F.col("pos") <= F.lit(int(max_tokens) - int(min_tokens)),
+        F.lit(
+            f"suffix_dedup_spans: document exceeds max_tokens={max_tokens} — "
+            "chunk it first (doc_chunks) or raise the cap deliberately; a "
+            "per-doc interval merge over an unbounded doc would single-task"
+        ),
+    )
+    win = df.select(
+        F.col(id_col), F.posexplode(shingles(text_col, min_tokens)).alias("pos", "__w")
+    ).select(
+        id_col, F.when(guard.isNull(), F.col("pos")).alias("pos"), "__w"
+    )
+    win = persist_fact(win)  # window-grain: feeds the dup reduce AND the join back
+    dup = (
+        win.groupBy("__w")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__w")
+    )
+    hits = win.join(dup, "__w").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islanded = hits.withColumn(
+        "__brk",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + F.lit(int(min_tokens))),
+            1,
+        ).otherwise(0),
+    ).withColumn("__island", F.sum("__brk").over(w))
+    return (
+        islanded.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(int(min_tokens))).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).cast("long").alias("span_len"),
+        )
+    )
+
+
 def connected_components_incremental(
     labels_at_rest: DataFrame,
     new_nodes: DataFrame,
