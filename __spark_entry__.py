@@ -12721,69 +12721,35 @@ FROM q LEFT JOIN h USING (query_id)
 """
 
 
-# -- r12 driver sample (first 50), applied as a reorder at return time:
-# NEW r12 entries lead (never driver-attested), then the entries whose
-# code or oracle changed this round (lorenz_deciles broadcast hint,
-# temperature_mix order-free quantized normalizer, market_hhi int64
-# fail-stop, cohens_kappa/lang_id parameterized oracle template,
-# always_valid_pvalue n_arms refusal), then stalest-first from the
-# actual CORRECTNESS_r01..r11 keys — the r06-last-attested block that
-# sat at r11 head positions 51-74 plus the rest of the r06 cohort
-# (VERDICT r11 item 3). The rest keep registration order. --
-_R12_SAMPLE_HEAD = [
-    # new r12 entries (never driver-attested)
-    "code_switch_audit",
-    "embedding_outlier_audit",
-    "filter_overlap_matrix",
-    "curriculum_phases",
-    "mix_epoch_plan",
-    "ivf_append_assign",
-    "mmr_rerank",
-    "dim_truncation_recall",
-    "doc_ngram_repetition",
-    "ivf_cell_drift",
-    "trigram_doc_logprob",
-    "token_budget_incremental",
-    "ivf_incremental_recall",
+# -- r13 driver sample (first 50), applied as a reorder at return time:
+# NEW r13 entries lead (never driver-attested: the streaming-gate batch
+# twin, the suffix-span pair, the retrain plan), then entries whose
+# code or oracle changed this round (the cutoff-carrying token-budget
+# fold; mmr_rerank bround pool cut + derived id type; market_hhi NULL
+# guard; the six query-capped recall audits), then the SURVEY-core w2
+# pair (last attested r11), then stalest-first: the full r06 cohort
+# remaining plus the r07 block, 35 entries last attested <= r8
+# (VERDICT r12 item 2). The rest keep registration order. --
+_R13_SAMPLE_HEAD = [
+    # new r13 entries (never driver-attested)
+    "minhash_gate",
+    "suffix_dedup_spans",
+    "suffix_span_agreement",
+    "ivf_retrain_plan",
     # changed this round
-    "lorenz_deciles",
-    "temperature_mix",
+    "token_budget_incremental",
+    "mmr_rerank",
     "market_hhi",
-    "cohens_kappa",
-    "always_valid_pvalue",
-    "lang_id",
+    "ann_recall_eval",
+    "ivf_incremental_recall",
+    "dim_truncation_recall",
+    "ivf_probe_sweep",
+    "pq_recall_eval",
+    "ndcg_eval",
+    # SURVEY-core, last attested r11
+    "w2_dedup_keeprule",
+    "w2_keeprule_backfill",
     # stalest (last attested r06)
-    "dedup_incremental_exact",
-    "doc_fingerprint",
-    "doc_pagerank",
-    "dup_triangles",
-    "e8_duplicate_groups",
-    "embedding_near_dup",
-    "embedding_near_dup_blocked",
-    "f11_split_name_parse",
-    "f12_checksum",
-    "f15_json_extract",
-    "f1_f3_date_suite",
-    "f2_contact_datetime",
-    "f5_discount_parse",
-    "f8_category_split",
-    "f9_f10_blob_names",
-    "grouping_sets_agg",
-    "heavy_hitters_cms",
-    "hypertable_distinct",
-    "itens_fact",
-    "ivf_pq_rerank_top_k",
-    "ivf_top_k",
-    "kmeans_refine",
-    "knn_brute_force",
-    "lsh_top_k",
-    "minhash_eval",
-    "minhash_near_dup",
-    "ngram_jaccard",
-    "pedidos_fact",
-    "q18_top_customers",
-    "range_join_clicks",
-    "rollup_agg",
     "salted_agg",
     "semantic_dedup",
     "session_windows",
@@ -12801,12 +12767,31 @@ _R12_SAMPLE_HEAD = [
     "approx_profile",
     "assoc_rules",
     "benford_audit",
+    "bfs_reachability",
+    "bigram_counts",
+    "bm25_search",
+    "boilerplate_ngrams",
+    "cdc_merge",
+    "char_entropy",
+    "churn_flags",
+    "contamination_check",
+    "curation_filter",
+    "cusum_drift",
+    "dataset_split",
+    "decayed_trending",
+    "dedup_agreement",
+    "doc_chunks",
+    "dow_seasonality",
+    "dq_orders_summary",
+    "dsir_weights",
+    "duplicate_payments",
+    "json_ingest_rollup",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    head = {k: base[k] for k in _R12_SAMPLE_HEAD}
+    head = {k: base[k] for k in _R13_SAMPLE_HEAD}
     return head | {k: v for k, v in base.items() if k not in head}
 
 

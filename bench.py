@@ -165,6 +165,13 @@ HEADLINE = [
     "token_budget_incremental",
     "ivf_incremental_recall",
     "trigram_doc_logprob",
+    # r13 additions — the streaming-gate batch twin, the exact
+    # substring spans, and the retrain decision plan
+    # (suffix_span_agreement shares the span/window cost and is left
+    # out to keep the line under the capture limit)
+    "minhash_gate",
+    "suffix_dedup_spans",
+    "ivf_retrain_plan",
 ]
 
 

@@ -2315,6 +2315,40 @@ def test_mmr_rerank_string_ids(spark):
     ]
 
 
+def test_label_propagation_auto_split_is_result_invariant(spark):
+    """hot_degree='auto' (the in-plan skew decision) and an explicit
+    threshold both label a hub-heavy graph identically to the plain
+    shuffle plan — the split is a partition of the edge multiset, so
+    the mitigation can never change results. On a flat ring the auto
+    profile must NOT arm the split (max degree < 10× mean) and the
+    labels still match."""
+    from z316_sales_data_pipeline_spark.operators import graph as G
+
+    nodes = spark.range(40).select(F.col("id"))
+    hub = spark.range(1, 40).select(F.lit(0).alias("src"), F.col("id").alias("dst"))
+    ring = spark.range(1, 39).select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    half = hub.unionByName(ring)
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    def labels(hd):
+        return sorted(
+            map(tuple, G.label_propagation(edges, nodes, "id", n_iters=2, hot_degree=hd).collect())
+        )
+
+    plain = labels(None)
+    assert labels("auto") == plain
+    assert labels(5) == plain
+
+    flat = ring.unionByName(ring.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    flat_nodes = spark.range(1, 40).select(F.col("id"))
+    assert (
+        sorted(map(tuple, G.label_propagation(flat, flat_nodes, "id", 2, "auto").collect()))
+        == sorted(map(tuple, G.label_propagation(flat, flat_nodes, "id", 2, None).collect()))
+    )
+
+
 def test_suffix_dedup_spans_agree_with_span_dedup(spark, sf_dir):
     """Agreement law between the exact substring channel and the
     window-hash channel: per doc, the number of window positions

@@ -87,6 +87,9 @@ def main() -> None:
     t_plain_shuffle = run(None, -1)
     # arm C — 100 TB regime + the explicit profiler-driven split
     t_split_shuffle = run(hot_degree, -1)
+    # arm D — 100 TB regime + the IN-PLAN decision (hot_degree="auto"
+    # profiles degrees and arms the split itself — r12 verdict item 6)
+    t_auto_shuffle = run("auto", -1)
     print(
         json.dumps(
             {
@@ -98,6 +101,7 @@ def main() -> None:
                 "lpa_broadcastable_labels_sec": round(t_plain_bcast, 2),
                 "lpa_shuffle_aqe_only_sec": round(t_plain_shuffle, 2),
                 "lpa_shuffle_skew_split_sec": round(t_split_shuffle, 2),
+                "lpa_shuffle_auto_sec": round(t_auto_shuffle, 2),
                 "split_speedup_in_shuffle_regime": (
                     round(t_plain_shuffle / t_split_shuffle, 2) if t_split_shuffle else None
                 ),
