@@ -2990,6 +2990,39 @@ FROM isl GROUP BY doc_id, island
 )
 
 
+def _suffix_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion exact substring dedup
+    (dedup.suffix_dedup_spans_incremental): the new batch
+    (doc_id % 5 == 0) is tokenized and probed against the MAINTAINED
+    at-rest window-content table (pair_graph warehouse, corpus text
+    never re-read); within-batch repeats count too. The ORACLE is the
+    full-union pipeline restricted to batch ids — the union/duplicate
+    rule makes the incremental fold exactly equal to the full
+    recompute on batch docs, checked differentially every round."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus_win = pair_graph._materialized(
+        spark,
+        sf_dir,
+        "suffix_window_table",
+        "k8_mod5",
+        lambda: dedup.suffix_window_table(
+            docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id", 8
+        ),
+    )
+    return dedup.suffix_dedup_spans_incremental(corpus_win, batch, "text", "doc_id", 8)
+
+
+# the full-union spans pipeline with the output restricted to batch
+# docs — dup flags still derive from ALL docs, which is the exactness
+# claim the incremental operator makes
+_SUFFIX_SPANS_INCR_SQL = _SUFFIX_DEDUP_SPANS_SQL.replace(
+    "hits AS (SELECT win.doc_id, win.pos FROM win JOIN dup USING (w))",
+    "hits AS (SELECT win.doc_id, win.pos FROM win JOIN dup USING (w)\n"
+    "         WHERE win.doc_id % 5 = 0)",
+)
+
+
 def _suffix_span_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agreement audit between the EXACT substring-dedup channel
     (window text, dedup.suffix_dedup_spans) and the window-HASH
@@ -12878,6 +12911,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_gate": _minhash_gate,
         "suffix_dedup_spans": _suffix_dedup_spans,
         "suffix_span_agreement": _suffix_span_agreement,
+        "suffix_spans_incremental": _suffix_spans_incremental,
         "minhash_portable": _minhash_portable,
         "minhash_scurve": _minhash_scurve,
         "multimodal_frames": _multimodal_frames,
@@ -13296,6 +13330,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_gate": _MINHASH_GATE_SQL,
         "suffix_dedup_spans": _SUFFIX_DEDUP_SPANS_SQL,
         "suffix_span_agreement": _SUFFIX_SPAN_AGREEMENT_SQL,
+        "suffix_spans_incremental": _SUFFIX_SPANS_INCR_SQL,
         "salted_agg": _SALTED_AGG_SQL,
         "q18_top_customers": _Q18_SQL,
         "d3_chained_enrichment": _D3_SQL,

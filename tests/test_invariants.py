@@ -2383,6 +2383,28 @@ def test_suffix_dedup_spans_agree_with_span_dedup(spark, sf_dir):
             assert s2 > e1, f"doc {d}: spans {(s1, e1)} / {(s2, e2)} should merge"
 
 
+def test_suffix_spans_incremental_equals_full_restricted(spark, sf_dir):
+    """The incremental suffix fold on real data: probing the batch
+    against the at-rest window-content table (plus within-batch
+    repeats) must equal the full recompute over the union RESTRICTED
+    to batch ids, bit for bit — the union duplicate rule ('≥2 distinct
+    docs' ⇔ 'in corpus OR in another batch doc') makes the fold
+    exact."""
+    from z316_sales_data_pipeline_spark.operators import dedup as D
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    inc = D.suffix_dedup_spans_incremental(
+        D.suffix_window_table(corpus, "text", "doc_id", 8), batch, "text", "doc_id", 8
+    )
+    full = D.suffix_dedup_spans(docs, "text", "doc_id", 8).filter(
+        F.col("doc_id") % 5 == 0
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+
 def test_suffix_dedup_spans_constructed_copy(spark):
     """A paragraph copied verbatim between two docs yields exactly one
     span per doc covering the copied region (positions pinned by

@@ -1073,23 +1073,7 @@ def suffix_dedup_spans(
     Output: (id, span_start, span_end, span_len) — token offsets,
     0-based, end-exclusive; docs with no repeated window emit no rows.
     """
-    from pyspark.sql import Window
-
-    from ..functions.text import shingles
-
-    guard = F.assert_true(
-        F.col("pos") <= F.lit(int(max_tokens) - int(min_tokens)),
-        F.lit(
-            f"suffix_dedup_spans: document exceeds max_tokens={max_tokens} — "
-            "chunk it first (doc_chunks) or raise the cap deliberately; a "
-            "per-doc interval merge over an unbounded doc would single-task"
-        ),
-    )
-    win = df.select(
-        F.col(id_col), F.posexplode(shingles(text_col, min_tokens)).alias("pos", "__w")
-    ).select(
-        id_col, F.when(guard.isNull(), F.col("pos")).alias("pos"), "__w"
-    )
+    win = suffix_window_table(df, text_col, id_col, min_tokens, max_tokens)
     win = persist_fact(win)  # window-grain: feeds the dup reduce AND the join back
     dup = (
         win.groupBy("__w")
@@ -1098,6 +1082,88 @@ def suffix_dedup_spans(
         .select("__w")
     )
     hits = win.join(dup, "__w").select(id_col, "pos")
+    return _merge_window_islands(hits, id_col, min_tokens)
+
+
+def suffix_window_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 8,
+    max_tokens: int = 4096,
+) -> DataFrame:
+    """The at-rest relation behind the exact substring-dedup family:
+    (id, pos, __w) — every L-token window WITH ITS CONTENT (position
+    0-based). The content column is what makes the exact channel exact
+    (the hash channel's at-rest twin is ``span_hash_table``); at lake
+    scale you materialize this once per corpus partition and both the
+    batch audit and the incremental probe read it instead of
+    re-tokenizing text."""
+    from ..functions.text import shingles
+
+    guard = F.assert_true(
+        F.col("pos") <= F.lit(int(max_tokens) - int(min_tokens)),
+        F.lit(
+            f"suffix_window_table: document exceeds max_tokens={max_tokens} — "
+            "chunk it first (doc_chunks) or raise the cap deliberately"
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(shingles(text_col, min_tokens)).alias("pos", "__w")
+    ).select(id_col, F.when(guard.isNull(), F.col("pos")).alias("pos"), "__w")
+
+
+def suffix_dedup_spans_incremental(
+    corpus_windows: DataFrame,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 8,
+    max_tokens: int = 4096,
+) -> DataFrame:
+    """Exact substring-dedup spans of a NEW batch against the at-rest
+    corpus window index AND within the batch — the continuous-ingestion
+    member of the suffix family (the minhash_incremental pattern).
+    ``corpus_windows`` is the at-rest :func:`suffix_window_table`
+    output (only its DISTINCT content column is read — one projection
+    of the stored relation, the corpus text is never re-tokenized).
+
+    EXACTNESS: for a batch doc d, a window is duplicated in the full
+    union run iff ≥ 2 distinct docs contain it; that is exactly
+    "some corpus doc has it, OR another batch doc has it" — so the
+    output equals :func:`suffix_dedup_spans` over (corpus ∪ batch)
+    RESTRICTED to batch ids, bit for bit (the registry oracle runs the
+    full-union SQL with that restriction — a per-round differential
+    check). Corpus docs' own spans can grow when the batch repeats
+    their text; those belong to a corpus-side refresh, not the batch
+    gate, exactly as minhash_near_dup_incremental scopes its output to
+    pairs touching a new id.
+
+    Scale: only the batch is tokenized; the corpus contributes one
+    distinct-content projection to a hash join keyed on window text.
+    """
+    win_new = suffix_window_table(new_docs, text_col, id_col, min_tokens, max_tokens)
+    win_new = persist_fact(win_new)  # batch-window grain: reused thrice
+    corpus_w = corpus_windows.select("__w").distinct().withColumn("__in_corpus", F.lit(1))
+    batch_docs_per_w = win_new.groupBy("__w").agg(
+        F.count_distinct(F.col(id_col)).alias("__nb")
+    )
+    hits = (
+        win_new.join(corpus_w, "__w", "left")
+        .join(batch_docs_per_w, "__w")
+        .filter(F.col("__in_corpus").isNotNull() | (F.col("__nb") >= 2))
+        .select(id_col, "pos")
+    )
+    return _merge_window_islands(hits, id_col, min_tokens)
+
+
+def _merge_window_islands(hits: DataFrame, id_col: str, min_tokens: int) -> DataFrame:
+    """Per-doc gaps-and-islands merge of duplicated window positions
+    into maximal [start, end) token spans — shared by the batch and
+    incremental suffix-dedup operators. Per-doc windows are safe: the
+    doc is the bounded key (the max_tokens guard upstream)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("pos")
     islanded = hits.withColumn(
         "__brk",

@@ -477,11 +477,15 @@ def _recall_eval_with_cents(
     k: int,
     n_probe: int,
     query_cap: int = 500,
+    brute: DataFrame | None = None,
 ) -> DataFrame:
     """Shared recall@k body: probe the given centroid model over
     ``df``, compare to exact brute force — called with fresh centroids
     by :func:`ann_recall_eval` and with the at-rest (stale) model by
-    :func:`ivf_incremental_recall`."""
+    :func:`ivf_incremental_recall`. ``brute`` accepts a precomputed
+    (query_id, vid) exact top-k — it is MODEL-INDEPENDENT, so a caller
+    auditing two quantizers over the same corpus (ivf_retrain_plan)
+    pays it once."""
     from pyspark.sql import Window
 
     def dots_arr(col: Column) -> Column:
@@ -512,13 +516,14 @@ def _recall_eval_with_cents(
         .filter(F.col("__rn") <= k)
         .select("query_id", "vid")
     )
-    brute = (
-        e.crossJoin(F.broadcast(q))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
-        .withColumn("__rn", F.row_number().over(wk))
-        .filter(F.col("__rn") <= k)
-        .select("query_id", "vid")
-    )
+    if brute is None:
+        brute = (
+            e.crossJoin(F.broadcast(q))
+            .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+            .withColumn("__rn", F.row_number().over(wk))
+            .filter(F.col("__rn") <= k)
+            .select("query_id", "vid")
+        )
     hits = (
         ivf.join(brute, ["query_id", "vid"])
         .groupBy("query_id")
@@ -974,6 +979,8 @@ def ivf_retrain_plan(
     same capped audits the loop already runs, and the retrain arm is
     paid ONLY when the decision trips.
     """
+    from pyspark.sql import Window
+
     spark = corpus.sparkSession
     stale = _centroids(corpus, vec_col, id_col, n_cells)
     union = corpus.select(F.col(id_col), F.col(vec_col)).unionByName(
@@ -987,8 +994,26 @@ def ivf_retrain_plan(
     drift_exceeded = (
         tn > 0 and tr > 0 and s_tvd * 1_000_000 > 2 * drift_thresh_micro * tn * tr
     )
+    # the exact brute-force top-k is MODEL-INDEPENDENT — pay it once
+    # (checkpointed at query×k grain) and share it across the aged and
+    # fresh audits instead of recomputing the corpus×queries arm twice
+    eu = union.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    qrel = eu.filter(_query_sample_pred(F.col("vid"), query_mod, query_cap)).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vid").asc())
+    brute = (
+        eu.crossJoin(F.broadcast(qrel))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vid")
+        .localCheckpoint(eager=True)
+    )
     aged = _recall_eval_with_cents(
-        union, vec_col, id_col, stale, query_mod, k, n_probe, query_cap
+        union, vec_col, id_col, stale, query_mod, k, n_probe, query_cap, brute=brute
     ).agg(
         F.sum("n_hits").cast("long").alias("h"), F.count(F.lit(1)).alias("nq")
     ).first()
@@ -1000,7 +1025,7 @@ def ivf_retrain_plan(
     if retrain:
         fresh = _centroids(union, vec_col, id_col, n_cells)
         fa = _recall_eval_with_cents(
-            union, vec_col, id_col, fresh, query_mod, k, n_probe, query_cap
+            union, vec_col, id_col, fresh, query_mod, k, n_probe, query_cap, brute=brute
         ).agg(
             F.sum("n_hits").cast("long").alias("h"), F.count(F.lit(1)).alias("nq")
         ).first()
