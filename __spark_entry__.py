@@ -12768,6 +12768,7 @@ _R13_SAMPLE_HEAD = [
     "minhash_gate",
     "suffix_dedup_spans",
     "suffix_span_agreement",
+    "suffix_spans_incremental",
     "ivf_retrain_plan",
     # changed this round
     "token_budget_incremental",
@@ -12778,7 +12779,6 @@ _R13_SAMPLE_HEAD = [
     "dim_truncation_recall",
     "ivf_probe_sweep",
     "pq_recall_eval",
-    "ndcg_eval",
     # SURVEY-core, last attested r11
     "w2_dedup_keeprule",
     "w2_keeprule_backfill",
