@@ -1723,6 +1723,68 @@ def test_minhash_gate_sink_matches_batch_twin_replay_noop_and_refusal(
     ] == versions
 
 
+def test_suffix_span_sink_as_of_epoch_law_replay_noop_and_refusal(
+    spark, sf_dir, tmp_path
+):
+    """The streaming removal-mask maintainer: after every epoch of
+    monotone-id batches, the spans appended FOR THAT EPOCH'S ids equal
+    the full-union batch twin (dedup.suffix_dedup_spans over all docs
+    folded so far) restricted to those ids — the as-of-epoch law. A
+    replayed epoch is a strict no-op on both tables; late/reordered
+    ids refuse."""
+    import pytest as _pytest
+
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import dedup as D
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming.pipeline import suffix_span_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cuts = [(None, 167), (167, 334), (334, None)]
+    slices = [
+        docs.filter(
+            (F.lit(True) if lo is None else (F.col("doc_id") >= lo))
+            & (F.lit(True) if hi is None else (F.col("doc_id") < hi))
+        )
+        for lo, hi in cuts
+    ]
+    st = str(tmp_path / "sss_state")
+    sp = str(tmp_path / "sss_spans")
+    fold = suffix_span_sink(st, sp, "text", "doc_id")
+    seen = None
+    for i, (sl, (lo, hi)) in enumerate(zip(slices, cuts)):
+        fold(sl, i)
+        seen = sl if seen is None else seen.unionByName(sl)
+        epoch_pred = (
+            F.lit(True) if lo is None else (F.col("doc_id") >= lo)
+        ) & (F.lit(True) if hi is None else (F.col("doc_id") < hi))
+        want = sorted(
+            map(
+                tuple,
+                D.suffix_dedup_spans(seen, "text", "doc_id")
+                .filter(epoch_pred)
+                .collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                sinks.read_appended(spark, sp).filter(epoch_pred).collect(),
+            )
+        )
+        assert got == want, f"epoch {i}"
+
+    # replay: strict no-op on both tables
+    versions = [int(open(f"{d}/_LATEST").read()) for d in (f"{st}/win", sp)]
+    fold(slices[1], 1)
+    assert [int(open(f"{d}/_LATEST").read()) for d in (f"{st}/win", sp)] == versions
+
+    # late/reordered ids under a NEW epoch: refuse, tables untouched
+    with _pytest.raises(ValueError, match="late/reordered"):
+        fold(slices[0], 9)
+    assert [int(open(f"{d}/_LATEST").read()) for d in (f"{st}/win", sp)] == versions
+
+
 def test_quantile_sketch_sink_matches_batch_and_replay_noop(spark, sf_dir, tmp_path):
     """Streaming histogram state == the batch sketch over everything
     folded (counter addition is associative/commutative), and the MV

@@ -1120,6 +1120,7 @@ def suffix_dedup_spans_incremental(
     id_col: str,
     min_tokens: int = 8,
     max_tokens: int = 4096,
+    win_new: DataFrame | None = None,
 ) -> DataFrame:
     """Exact substring-dedup spans of a NEW batch against the at-rest
     corpus window index AND within the batch — the continuous-ingestion
@@ -1141,9 +1142,13 @@ def suffix_dedup_spans_incremental(
 
     Scale: only the batch is tokenized; the corpus contributes one
     distinct-content projection to a hash join keyed on window text.
+    ``win_new`` accepts the batch's prebuilt window relation so a
+    caller that also PERSISTS it (suffix_span_sink appends it to the
+    at-rest segments) tokenizes once.
     """
-    win_new = suffix_window_table(new_docs, text_col, id_col, min_tokens, max_tokens)
-    win_new = persist_fact(win_new)  # batch-window grain: reused thrice
+    if win_new is None:
+        win_new = suffix_window_table(new_docs, text_col, id_col, min_tokens, max_tokens)
+        win_new = persist_fact(win_new)  # batch-window grain: reused thrice
     corpus_w = corpus_windows.select("__w").distinct().withColumn("__in_corpus", F.lit(1))
     batch_docs_per_w = win_new.groupBy("__w").agg(
         F.count_distinct(F.col(id_col)).alias("__nb")

@@ -1168,6 +1168,108 @@ def minhash_gate_sink(
     return fold
 
 
+def suffix_span_sink(
+    state_dir: str,
+    spans_dir: str,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 8,
+    max_tokens: int = 4096,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch maintainer for the EXACT substring-dedup removal
+    mask (batch twin: ``dedup.suffix_dedup_spans``; fold kernel:
+    ``dedup.suffix_dedup_spans_incremental``) — the streaming member
+    of the suffix family. Each epoch tokenizes ONLY the batch, probes
+    its windows against the at-rest window-content segments
+    (``{state_dir}/win``) plus within-batch repeats, and appends the
+    batch docs' maximal duplicated-substring spans to ``spans_dir`` —
+    the mask a downstream scrub (span_scrub's exact sibling) consumes.
+    Every batch's windows fold into the at-rest segments, so a later
+    verbatim copy of ANY seen doc is masked.
+
+    Semantics note (why this is a MASK MAINTAINER, not a gate): a
+    batch that repeats at-rest text changes what the full recompute
+    would say about the AT-REST docs too; those retroactive spans
+    belong to a deliberate corpus-side refresh (re-run the batch twin)
+    — the appended mask is exact for every doc AS OF ITS OWN EPOCH,
+    which is the contract the pinned law states (appended spans ==
+    the full union recompute restricted to each epoch's ids).
+
+    MONOTONE-ID CONTRACT + exactly-once: identical to
+    minhash_gate_sink — late/reordered ids refuse (ValueError);
+    ``_SSS_EPOCH`` written last makes replays strict no-ops; per-table
+    ``txn_key`` heals crashes mid-epoch; prior segments are read under
+    an ``id < min(batch)`` range filter so a half-committed attempt
+    never probes the batch against its own crashed copy.
+
+    Scale: per-epoch cost is O(batch tokens + distinct-content probe
+    of the window segments); corpus text is never re-read.
+    """
+    import os
+
+    from .. import sinks
+    from ..operators import dedup as dedup_ops
+
+    win_dir = f"{state_dir}/win"
+    epoch_marker_path = f"{state_dir}/_SSS_EPOCH"
+    maxid_marker_path = f"{state_dir}/_SSS_MAXID"
+
+    def _read_marker(path: str) -> int | None:
+        try:
+            with open(path) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _write_marker(path: str, value: int) -> None:
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(int(value)))
+        os.replace(tmp, path)  # atomic, the _LATEST discipline
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        os.makedirs(state_dir, exist_ok=True)
+        marker = _read_marker(epoch_marker_path)
+        if marker is not None and int(epoch_id) <= int(marker):
+            return  # replay: every table committed before the marker
+        batch = batch_df.dropDuplicates([id_col])
+        bounds = batch.agg(
+            F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+        ).first()
+        max_seen = _read_marker(maxid_marker_path)
+        if max_seen is not None and int(bounds["lo"]) <= max_seen:
+            raise ValueError(
+                f"suffix_span_sink: epoch {epoch_id} carries id "
+                f"{bounds['lo']} at-or-below the folded maximum {max_seen} "
+                "— late/reordered ids break the as-of-epoch mask law; "
+                "re-key or replay through the original epoch instead"
+            )
+        try:
+            prior_win = sinks.read_appended(spark, win_dir).filter(
+                F.col(id_col) < bounds["lo"]
+            )
+        except OSError:
+            prior_win = spark.createDataFrame(
+                [], f"{id_col} long, pos int, __w string"
+            )
+        win_new = dedup_ops.suffix_window_table(
+            batch, text_col, id_col, min_tokens, max_tokens
+        ).localCheckpoint(eager=True)  # batch-window grain: probe + append
+        spans = dedup_ops.suffix_dedup_spans_incremental(
+            prior_win, batch, text_col, id_col, min_tokens, max_tokens, win_new=win_new
+        )
+        txn = f"epoch={int(epoch_id)}"
+        sinks.append_snapshot(win_new, win_dir, txn_key=txn)
+        sinks.append_snapshot(spans, spans_dir, txn_key=txn)
+        _write_marker(maxid_marker_path, int(bounds["hi"]))
+        _write_marker(epoch_marker_path, int(epoch_id))  # commit point
+
+    return fold
+
+
 def ivf_append_sink(
     index_dir: str,
     vec_col: str,
