@@ -826,6 +826,32 @@ CHECKLIST = {
         "diagonal / marginal-product aggregates as one-row broadcast "
         "cross joins, exact decimal numerators."
     ),
+    "minhash_gate": (
+        "Near-dup gate labels (r13). Expect: the minhash_near_dup "
+        "pipeline unchanged (banded candidates, exact verify, never "
+        "all-pairs) plus ONE distinct projection of the pairs' greater "
+        "side and a left join back to the id spine — label derivation "
+        "adds no new shuffle class."
+    ),
+    "suffix_dedup_spans": (
+        "Exact substring spans (r13). Expect: one Generate (posexplode "
+        "windows), a content-keyed hash aggregate for the cross-doc "
+        "duplicate reduce, a hash join back, then per-DOC window "
+        "functions (partitionBy id — bounded keys via the max_tokens "
+        "guard, never a global window)."
+    ),
+    "suffix_spans_incremental": (
+        "Incremental substring spans (r13). Expect: batch-only "
+        "Generate; the at-rest window table contributes a "
+        "distinct-content projection to a hash join keyed on window "
+        "text; per-doc islands as in the batch twin."
+    ),
+    "ivf_retrain_plan": (
+        "Retrain decision (r13). Expect: a LocalTableScan of the "
+        "one-row decision (the heavy arms — drift counts, shared brute "
+        "checkpoint, two capped audits — run as separate bounded jobs "
+        "before the row is assembled; model-grain collects only)."
+    ),
 }
 
 
