@@ -3023,6 +3023,57 @@ _SUFFIX_SPANS_INCR_SQL = _SUFFIX_DEDUP_SPANS_SQL.replace(
 )
 
 
+def _suffix_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect→remove on the EXACT channel (dedup.suffix_dedup_spans →
+    dedup.apply_span_mask): every token covered by a duplicated
+    8-token window is dropped and the survivors re-join — span_scrub's
+    exact sibling with the mask decoupled from the removal, so the
+    same transform consumes the batch op's, the incremental fold's, or
+    the streaming sink's mask. The oracle replays windows → dup →
+    islands → indexed token filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup.suffix_dedup_spans(docs, "text", "doc_id", min_tokens=8)
+    return dedup.apply_span_mask(docs, spans, "text", "doc_id")
+
+
+_SUFFIX_SCRUB_SQL = (
+    "WITH "
+    + _SUFFIX_SPAN_WIN_SQL
+    + """,
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits)
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+  FROM isl GROUP BY doc_id, island
+),
+mask AS (
+  SELECT doc_id, list({'s': s, 'e': e}) AS sps FROM spans GROUP BY doc_id
+),
+keep AS (
+  SELECT b.doc_id, b.toks, m.sps,
+         [b.toks[i] FOR i IN generate_series(1, len(b.toks))
+            IF m.sps IS NULL
+               OR len(list_filter(m.sps, sp -> (i - 1) >= sp.s AND (i - 1) < sp.e)) = 0]
+             AS kept
+  FROM base b LEFT JOIN mask m USING (doc_id)
+)
+SELECT doc_id,
+       cast(len(toks) AS BIGINT) AS n_tokens,
+       cast(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       -- DuckDB's array_to_string of an empty list is NULL; Spark's
+       -- array_join is '' — a fully-scrubbed doc is an empty string
+       coalesce(array_to_string(kept, ' '), '') AS scrubbed_text
+FROM keep
+"""
+)
+
+
 def _suffix_span_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agreement audit between the EXACT substring-dedup channel
     (window text, dedup.suffix_dedup_spans) and the window-HASH
@@ -12769,6 +12820,7 @@ _R13_SAMPLE_HEAD = [
     "suffix_dedup_spans",
     "suffix_span_agreement",
     "suffix_spans_incremental",
+    "suffix_scrub",
     "ivf_retrain_plan",
     # changed this round
     "token_budget_incremental",
@@ -12777,7 +12829,6 @@ _R13_SAMPLE_HEAD = [
     "ann_recall_eval",
     "ivf_incremental_recall",
     "dim_truncation_recall",
-    "ivf_probe_sweep",
     "pq_recall_eval",
     # SURVEY-core, last attested r11
     "w2_dedup_keeprule",
@@ -12912,6 +12963,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_dedup_spans": _suffix_dedup_spans,
         "suffix_span_agreement": _suffix_span_agreement,
         "suffix_spans_incremental": _suffix_spans_incremental,
+        "suffix_scrub": _suffix_scrub,
         "minhash_portable": _minhash_portable,
         "minhash_scurve": _minhash_scurve,
         "multimodal_frames": _multimodal_frames,
@@ -13331,6 +13383,7 @@ def oracle_sql() -> dict[str, str]:
         "suffix_dedup_spans": _SUFFIX_DEDUP_SPANS_SQL,
         "suffix_span_agreement": _SUFFIX_SPAN_AGREEMENT_SQL,
         "suffix_spans_incremental": _SUFFIX_SPANS_INCR_SQL,
+        "suffix_scrub": _SUFFIX_SCRUB_SQL,
         "salted_agg": _SALTED_AGG_SQL,
         "q18_top_customers": _Q18_SQL,
         "d3_chained_enrichment": _D3_SQL,

@@ -175,6 +175,7 @@ HEADLINE = [
     "minhash_gate",
     "suffix_dedup_spans",
     "suffix_spans_incremental",
+    "suffix_scrub",
 ]
 
 

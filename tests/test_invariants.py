@@ -2425,6 +2425,52 @@ def test_suffix_dedup_spans_constructed_copy(spark):
     assert rows == [(1, 5, 17, 12), (2, 0, 12, 12)]
 
 
+def test_apply_span_mask_removes_exactly_the_mask(spark, sf_dir):
+    """Mask application is exact: per doc, n_removed equals the summed
+    length of its (disjoint, maximal) spans; docs with no mask rows
+    pass through with n_removed 0 and scrubbed_text equal to the
+    normalized token stream; a fully-masked doc scrubs to ''."""
+    from z316_sales_data_pipeline_spark.operators import dedup as D
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = D.suffix_dedup_spans(docs, "text", "doc_id", min_tokens=8)
+    out = {r["doc_id"]: r for r in D.apply_span_mask(docs, spans, "text", "doc_id").collect()}
+    masked: dict = {}
+    for r in spans.collect():
+        masked[r["doc_id"]] = masked.get(r["doc_id"], 0) + r["span_len"]
+    assert len(out) == docs.count()
+    for d, row in out.items():
+        assert row["n_removed"] == masked.get(d, 0), f"doc {d}"
+        if d not in masked:
+            toks = row["scrubbed_text"].split(" ")
+            assert len(toks) == row["n_tokens"]
+        if row["n_removed"] == row["n_tokens"]:
+            assert row["scrubbed_text"] == ""
+
+
+def test_apply_span_mask_constructed_copy(spark):
+    """The copied block (and only it) disappears from both docs; the
+    unique doc is untouched."""
+    from z316_sales_data_pipeline_spark.operators import dedup as D
+
+    shared = " ".join(f"copy{i:02d}" for i in range(12))
+    pre = " ".join(f"apre{i:02d}" for i in range(5))
+    tail = " ".join(f"btail{i:02d}" for i in range(4))
+    df = spark.createDataFrame(
+        [(1, pre + " " + shared), (2, shared + " " + tail), (3, "just some unique words here")],
+        "doc_id long, text string",
+    )
+    spans = D.suffix_dedup_spans(df, "text", "doc_id", min_tokens=8)
+    got = {
+        r["doc_id"]: (r["n_removed"], r["scrubbed_text"])
+        for r in D.apply_span_mask(df, spans, "text", "doc_id").collect()
+    }
+    assert got[1] == (12, pre)
+    assert got[2] == (12, tail)
+    assert got[3] == (0, "just some unique words here")
+
+
 def test_ivf_retrain_plan_fresh_index_reproduces_ivf_top_k(spark, sf_dir):
     """The retrain arm's contract: the rebuilt quantizer is EXACTLY
     the batch convention (_centroids over the grown corpus), so an

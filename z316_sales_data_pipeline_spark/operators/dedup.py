@@ -1162,6 +1162,57 @@ def suffix_dedup_spans_incremental(
     return _merge_window_islands(hits, id_col, min_tokens)
 
 
+def apply_span_mask(
+    docs: DataFrame, spans: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Apply a token-span REMOVAL MASK to documents — the transform
+    half consuming :func:`suffix_dedup_spans`' (or the streaming
+    sink's appended) (id, span_start, span_end) rows: every token
+    whose 0-based position falls in a masked [start, end) range is
+    dropped and the survivors re-join in order. The exact-channel
+    sibling of :func:`span_scrub` (which detects AND removes on the
+    hash channel in one pass); splitting detect from remove is what
+    lets the mask come from ANY producer — the batch op, the
+    incremental fold, or the at-rest segments the streaming sink
+    maintains.
+
+    Output per input doc: (id, n_tokens, n_removed, scrubbed_text) —
+    ``scrubbed_text`` is over the NORMALIZED token stream (lowercased,
+    whitespace-collapsed: the stream the mask positions refer to).
+    Docs with no mask rows pass through intact (n_removed 0).
+
+    Plan: the mask folds to one array column per doc (collect_list of
+    span structs — spans per doc are few by construction, the islands
+    are merged maximal intervals), broadcast-friendly join back, then
+    pure column algebra: an indexed transform + a nested exists()
+    filter — no explode of the token stream, no shuffle beyond the
+    mask join and its grouping.
+    """
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    mask = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("__sps")
+    )
+    base = docs.select(F.col(id_col), toks.alias("__toks")).join(mask, id_col, "left")
+    indexed = F.transform(
+        "__toks", lambda t, i: F.struct(t.alias("t"), i.cast("long").alias("i"))
+    )
+    covered = lambda x: F.exists(  # noqa: E731
+        F.coalesce("__sps", F.array().cast("array<struct<s:long,e:long>>")),
+        lambda sp: (x["i"] >= sp["s"]) & (x["i"] < sp["e"]),
+    )
+    kept = F.filter(indexed, lambda x: ~covered(x))
+    return base.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias("scrubbed_text"),
+    )
+
+
 def _merge_window_islands(hits: DataFrame, id_col: str, min_tokens: int) -> DataFrame:
     """Per-doc gaps-and-islands merge of duplicated window positions
     into maximal [start, end) token spans — shared by the batch and
