@@ -3074,6 +3074,55 @@ FROM keep
 )
 
 
+def _span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-grain decontamination audit (dedup.eval_span_contamination):
+    for each TRAIN doc (source != src0), the maximal token spans whose
+    8-token windows occur verbatim in the EVAL set (source = src0) —
+    the substring-exact counterpart of contamination_check's n-gram
+    fractions, emitting the removal mask apply_span_mask consumes.
+    Same train/eval split convention as the contamination family."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.eval_span_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        min_tokens=8,
+    )
+
+
+_SPAN_CONTAMINATION_SQL = """
+WITH base AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+win AS (
+  SELECT doc_id, source, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS w
+  FROM base, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+  WHERE len(toks) >= 8
+),
+evw AS (SELECT DISTINCT w FROM win WHERE source = 'src0'),
+hits AS (
+  SELECT win.doc_id, win.pos FROM win JOIN evw USING (w)
+  WHERE win.source <> 'src0'
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits)
+)
+SELECT doc_id,
+       cast(min(pos) AS BIGINT) AS span_start,
+       cast(max(pos) + 8 AS BIGINT) AS span_end,
+       cast(max(pos) + 8 - min(pos) AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def _suffix_span_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agreement audit between the EXACT substring-dedup channel
     (window text, dedup.suffix_dedup_spans) and the window-HASH
@@ -12821,6 +12870,7 @@ _R13_SAMPLE_HEAD = [
     "suffix_span_agreement",
     "suffix_spans_incremental",
     "suffix_scrub",
+    "span_contamination",
     "ivf_retrain_plan",
     # changed this round
     "token_budget_incremental",
@@ -12829,7 +12879,6 @@ _R13_SAMPLE_HEAD = [
     "ann_recall_eval",
     "ivf_incremental_recall",
     "dim_truncation_recall",
-    "pq_recall_eval",
     # SURVEY-core, last attested r11
     "w2_dedup_keeprule",
     "w2_keeprule_backfill",
@@ -12964,6 +13013,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_span_agreement": _suffix_span_agreement,
         "suffix_spans_incremental": _suffix_spans_incremental,
         "suffix_scrub": _suffix_scrub,
+        "span_contamination": _span_contamination,
         "minhash_portable": _minhash_portable,
         "minhash_scurve": _minhash_scurve,
         "multimodal_frames": _multimodal_frames,
@@ -13384,6 +13434,7 @@ def oracle_sql() -> dict[str, str]:
         "suffix_span_agreement": _SUFFIX_SPAN_AGREEMENT_SQL,
         "suffix_spans_incremental": _SUFFIX_SPANS_INCR_SQL,
         "suffix_scrub": _SUFFIX_SCRUB_SQL,
+        "span_contamination": _SPAN_CONTAMINATION_SQL,
         "salted_agg": _SALTED_AGG_SQL,
         "q18_top_customers": _Q18_SQL,
         "d3_chained_enrichment": _D3_SQL,

@@ -176,6 +176,7 @@ HEADLINE = [
     "suffix_dedup_spans",
     "suffix_spans_incremental",
     "suffix_scrub",
+    "span_contamination",
 ]
 
 

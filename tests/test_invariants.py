@@ -2425,6 +2425,39 @@ def test_suffix_dedup_spans_constructed_copy(spark):
     assert rows == [(1, 5, 17, 12), (2, 0, 12, 12)]
 
 
+def test_eval_span_contamination_constructed(spark):
+    """A train doc embedding an eval paragraph gets exactly that
+    region as a span; within-TRAIN duplication is NOT contamination
+    (only eval-verbatim windows flag); scrubbing the mask then
+    re-auditing this data finds nothing (decontamination converges
+    here — splice artifacts are a known theoretical caveat, absent by
+    construction)."""
+    from z316_sales_data_pipeline_spark.operators import dedup as D
+
+    leak = " ".join(f"leak{i:02d}" for i in range(12))
+    traindup = " ".join(f"tdup{i:02d}" for i in range(10))
+    train = spark.createDataFrame(
+        [
+            (1, " ".join(f"apre{i:02d}" for i in range(5)) + " " + leak),
+            (2, traindup + " tail2a tail2b"),
+            (3, traindup + " tail3a tail3b"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "eval context words " + leak + " more eval words")],
+        "doc_id long, text string",
+    )
+    spans = D.eval_span_contamination(train, ev, "text", "doc_id", min_tokens=8)
+    assert sorted(map(tuple, spans.collect())) == [(1, 5, 17, 12)]
+
+    scrubbed = D.apply_span_mask(train, spans, "text", "doc_id").select(
+        "doc_id", F.col("scrubbed_text").alias("text")
+    )
+    again = D.eval_span_contamination(scrubbed, ev, "text", "doc_id", min_tokens=8)
+    assert again.count() == 0
+
+
 def test_apply_span_mask_removes_exactly_the_mask(spark, sf_dir):
     """Mask application is exact: per doc, n_removed equals the summed
     length of its (disjoint, maximal) spans; docs with no mask rows

@@ -1162,6 +1162,48 @@ def suffix_dedup_spans_incremental(
     return _merge_window_islands(hits, id_col, min_tokens)
 
 
+def eval_span_contamination(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 8,
+    max_tokens: int = 4096,
+) -> DataFrame:
+    """Span-grain DECONTAMINATION audit: for each training document,
+    the maximal token spans covered by L-token windows that occur
+    VERBATIM anywhere in the eval set — the substring-exact
+    counterpart of the doc-grain n-gram ``contamination_check``
+    (which scores overlap fractions through a bloom-pruned join) and
+    the third producer of :func:`apply_span_mask`'s removal-mask
+    shape: scrubbing these spans decontaminates the training doc
+    instead of dropping it (the Lee et al. removal posture applied to
+    train/eval leakage).
+
+    Plan: the eval side reduces to ONE distinct window-content
+    projection (the eval set is the small, fixed relation — the same
+    asymmetry contamination_check exploits); the train side is the
+    linear window Generate; one hash join keyed on window text, then
+    the shared per-doc island merge. At lake scale you additionally
+    bloom-prune the train windows on the eval set before the join
+    (operators/bloom.py, exactness unchanged) — at audit grain the
+    exact join IS the plan.
+
+    Output: (id, span_start, span_end, span_len) over TRAIN docs —
+    docs with no eval-verbatim window emit no rows.
+    """
+    win_train = suffix_window_table(
+        train_docs, text_col, id_col, min_tokens, max_tokens
+    )
+    eval_w = (
+        suffix_window_table(eval_docs, text_col, id_col, min_tokens, max_tokens)
+        .select("__w")
+        .distinct()
+    )
+    hits = win_train.join(eval_w, "__w").select(id_col, "pos")
+    return _merge_window_islands(hits, id_col, min_tokens)
+
+
 def apply_span_mask(
     docs: DataFrame, spans: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
