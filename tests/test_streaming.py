@@ -1662,6 +1662,53 @@ def test_contamination_gate_sink_split_and_replay(spark, sf_dir, tmp_path):
     assert int(open(f"{qua}/_LATEST").read()) == vq
 
 
+def test_token_budget_sink_cutoff_tightens_on_displacement(spark, tmp_path):
+    """Constructed multi-epoch displacement: a high-quality later doc
+    pushes a previously-SELECTED doc over budget, so the at-rest
+    cutoff must TIGHTEN (move up in rank) — the inductive step of the
+    cutoff-carrying fold. Epoch 0: d1(60tok q2) selected, d2(50tok q2)
+    rejected → cutoff (2, id2). Epoch 1: d3(50tok q3) displaces d1 →
+    selection {d3}, cutoff tightens to (2, id1). Epoch 2: d4(q2,10tok)
+    must be gated by the TIGHTENED cutoff (a stale cutoff would admit
+    it at cum 60+10... i.e. the old boundary), d5(q3,40tok) folds in.
+    Every epoch's snapshot equals the batch twin over all docs so
+    far."""
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import corpus as C
+    from z316_sales_data_pipeline_spark.streaming.pipeline import token_budget_sink
+
+    q2 = lambda n: " ".join("zz!!" for _ in range(n))  # punct ratio 0.4 → q2
+    q3 = lambda n: " ".join(f"word{i:02d}" for i in range(n))
+    rows = {
+        0: [(1, "s", q2(60)), (2, "s", q2(50))],
+        1: [(3, "s", q3(50))],
+        2: [(4, "s", q2(10)), (5, "s", q3(40))],
+    }
+    st = str(tmp_path / "tbs2")
+    fold = token_budget_sink(st, "text", "doc_id", "source", 100)
+    seen = None
+    for ep in range(3):
+        sl = spark.createDataFrame(rows[ep], "doc_id long, source string, text string")
+        fold(sl, ep)
+        seen = sl if seen is None else seen.unionByName(sl)
+        want = sorted(
+            map(tuple, C.token_budget_select(seen, "text", "doc_id", "source", 100).collect())
+        )
+        got = sorted(map(tuple, sinks.read_snapshot(spark, st).collect()))
+        assert got == want, f"epoch {ep}: {got} != {want}"
+        want_cut = sorted(
+            map(tuple, C.token_budget_cutoff(seen, "text", "doc_id", "source", 100).collect())
+        )
+        got_cut = sorted(
+            map(tuple, sinks.read_snapshot(spark, f"{st}_cutoff").collect())
+        )
+        assert got_cut == want_cut, f"epoch {ep} cutoff: {got_cut} != {want_cut}"
+    # the endgame state: d3+d5 selected, boundary at (q2, id1)
+    assert [r[0] for r in sorted(got)] == ["s", "s"]
+    assert sorted(r[1] for r in got) == [3, 5]
+    assert got_cut == [("s", 2, 1)]
+
+
 def test_minhash_gate_sink_matches_batch_twin_replay_noop_and_refusal(
     spark, sf_dir, tmp_path
 ):
