@@ -1662,6 +1662,62 @@ def test_contamination_gate_sink_split_and_replay(spark, sf_dir, tmp_path):
     assert int(open(f"{qua}/_LATEST").read()) == vq
 
 
+def test_minhash_gate_sink_crash_between_appends_heals_on_replay(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Fault injection into the documented crash window: the epoch's
+    ex/idx segments commit, then the sink dies before the label
+    appends and the markers. The replay must (a) not trip the
+    late-data refusal (markers are old), (b) not pair the batch
+    against its own crashed segments (the id < min(batch) prior-read
+    range filter), and (c) converge to exactly the labels a clean run
+    produces — committed segments no-op through their txn keys."""
+    import pytest as _pytest
+
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import dedup as D
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming import pipeline as P
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    sl0 = docs.filter(F.col("doc_id") < 167)
+    sl1 = docs.filter((F.col("doc_id") >= 167) & (F.col("doc_id") < 334))
+    st = str(tmp_path / "mhgc_state")
+    acc = str(tmp_path / "mhgc_acc")
+    qua = str(tmp_path / "mhgc_qua")
+    fold = P.minhash_gate_sink(st, acc, qua, "text", "doc_id")
+    fold(sl0, 0)
+
+    calls = {"n": 0}
+    orig = sinks.append_snapshot
+
+    def crash_after_idx(df, table_dir, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:  # ex ✓, idx ✓, then die before the labels
+            raise RuntimeError("injected crash")
+        return orig(df, table_dir, *a, **kw)
+
+    monkeypatch.setattr(sinks, "append_snapshot", crash_after_idx)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        fold(sl1, 1)
+    monkeypatch.setattr(sinks, "append_snapshot", orig)
+    # epoch marker not written → the replay refolds; ex/idx no-op via txn
+    fold(sl1, 1)
+
+    seen = sl0.unionByName(sl1)
+    twin = {
+        r["doc_id"]: r["keep"]
+        for r in D.minhash_dedup_gate(seen, "text", "doc_id").collect()
+    }
+    got_acc = {r["doc_id"] for r in sinks.read_appended(spark, acc).collect()}
+    got_qua = {r["doc_id"] for r in sinks.read_appended(spark, qua).collect()}
+    assert got_acc == {d for d, k in twin.items() if k}
+    assert got_qua == {d for d, k in twin.items() if not k}
+    # and the ex table holds each doc's shingles exactly once
+    ex = sinks.read_appended(spark, f"{st}/ex")
+    assert ex.count() == ex.dropDuplicates(["doc_id", "__h"]).count()
+
+
 def test_token_budget_sink_cutoff_tightens_on_displacement(spark, tmp_path):
     """Constructed multi-epoch displacement: a high-quality later doc
     pushes a previously-SELECTED doc over budget, so the at-rest
