@@ -3123,6 +3123,91 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def _span_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source decontamination report — the source_data_card
+    pattern over span_contamination: for each TRAIN source, docs
+    scanned, docs carrying eval-verbatim spans, total tokens the mask
+    would remove, and the affected-doc share (exact integer counts;
+    the share is one float division, round-6). The one-page summary a
+    corpus release reads before deciding scrub-vs-drop."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    spans = dedup.eval_span_contamination(
+        train, docs.filter(F.col("source") == "src0"), "text", "doc_id", min_tokens=8
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_len").cast("long").alias("__masked")
+    )
+    return (
+        train.select("source", "doc_id")
+        .join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("__masked").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated_docs"),
+            F.coalesce(F.sum("__masked"), F.lit(0)).cast("long").alias("tokens_masked"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_contaminated_docs",
+            "tokens_masked",
+            # floor-scaled micro-units, not round-6: a ratio of small
+            # exact counts can tie at the 6th decimal and HALF_UP vs
+            # half-even would diverge (the trigram lesson)
+            F.floor(
+                F.col("n_contaminated_docs") * F.lit(1_000_000) / F.col("n_docs")
+            )
+            .cast("long")
+            .alias("contaminated_share_micro"),
+        )
+    )
+
+
+_SPAN_CONTAMINATION_REPORT_SQL = """
+WITH base AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+win AS (
+  SELECT doc_id, source, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS w
+  FROM base, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+  WHERE len(toks) >= 8
+),
+evw AS (SELECT DISTINCT w FROM win WHERE source = 'src0'),
+hits AS (
+  SELECT win.doc_id, win.pos FROM win JOIN evw USING (w)
+  WHERE win.source <> 'src0'
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits)
+),
+spans AS (
+  SELECT doc_id, max(pos) + 8 - min(pos) AS span_len
+  FROM isl GROUP BY doc_id, island
+),
+per_doc AS (SELECT doc_id, sum(span_len) AS masked FROM spans GROUP BY doc_id)
+SELECT d.source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(CASE WHEN p.masked IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated_docs,
+       cast(coalesce(sum(p.masked), 0) AS BIGINT) AS tokens_masked,
+       cast((sum(CASE WHEN p.masked IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS contaminated_share_micro
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+WHERE d.source <> 'src0'
+GROUP BY d.source
+"""
+
+
 def _suffix_span_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agreement audit between the EXACT substring-dedup channel
     (window text, dedup.suffix_dedup_spans) and the window-HASH
@@ -12871,6 +12956,7 @@ _R13_SAMPLE_HEAD = [
     "suffix_spans_incremental",
     "suffix_scrub",
     "span_contamination",
+    "span_contamination_report",
     "ivf_retrain_plan",
     # changed this round
     "token_budget_incremental",
@@ -12878,7 +12964,6 @@ _R13_SAMPLE_HEAD = [
     "market_hhi",
     "ann_recall_eval",
     "ivf_incremental_recall",
-    "dim_truncation_recall",
     # SURVEY-core, last attested r11
     "w2_dedup_keeprule",
     "w2_keeprule_backfill",
@@ -13014,6 +13099,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_spans_incremental": _suffix_spans_incremental,
         "suffix_scrub": _suffix_scrub,
         "span_contamination": _span_contamination,
+        "span_contamination_report": _span_contamination_report,
         "minhash_portable": _minhash_portable,
         "minhash_scurve": _minhash_scurve,
         "multimodal_frames": _multimodal_frames,
@@ -13435,6 +13521,7 @@ def oracle_sql() -> dict[str, str]:
         "suffix_spans_incremental": _SUFFIX_SPANS_INCR_SQL,
         "suffix_scrub": _SUFFIX_SCRUB_SQL,
         "span_contamination": _SPAN_CONTAMINATION_SQL,
+        "span_contamination_report": _SPAN_CONTAMINATION_REPORT_SQL,
         "salted_agg": _SALTED_AGG_SQL,
         "q18_top_customers": _Q18_SQL,
         "d3_chained_enrichment": _D3_SQL,
