@@ -2106,6 +2106,40 @@ def test_market_concentration_total_overflow_fail_stop(spark):
         aggregates.market_concentration(df, ["grp"], "seller", F.col("v")).collect()
 
 
+def test_market_concentration_per_seller_overflow_fail_stop(spark):
+    """A single SELLER whose value sum overflows decimal(18,0) must
+    raise, not vanish (ADVICE r13): sum() skips the NULLed __s, so
+    without the guard the group would silently emit a total/hhi over
+    the surviving sellers (or NULL when all overflow) while the
+    widening oracle keeps real values."""
+    from z316_sales_data_pipeline_spark.operators import aggregates
+
+    # one seller, 2 x 6e17 = 1.2e18 — fits int64, overflows decimal(18).
+    # Under ANSI (this suite) the decimal cast itself raises; under
+    # non-ANSI the cast NULLs silently and the __novf guard is the only
+    # thing standing between that NULL and a silent parity divergence —
+    # accept either loud failure.
+    rows = [("g", "s0", 600_000_000_000_000_000)] * 2 + [("g", "s1", 5)]
+    df = spark.createDataFrame(rows, "grp string, seller string, v long")
+    with pytest.raises(
+        Exception,
+        match="per-seller value sum overflowed|cannot be represented as Decimal",
+    ):
+        aggregates.market_concentration(df, ["grp"], "seller", F.col("v")).collect()
+
+
+def test_label_propagation_rejects_unknown_hot_degree_string(spark):
+    """Any string other than 'auto' must raise up front (ADVICE r13):
+    it would otherwise reach skew_split_edges as a string compared
+    against a long degree column and fail deep in the plan."""
+    from z316_sales_data_pipeline_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    with pytest.raises(ValueError, match="hot_degree must be"):
+        label_propagation(edges, nodes, "id", n_iters=1, hot_degree="adaptive")
+
+
 def test_trigram_doc_logprob_hand_computed(spark):
     """Stupid-backoff scores on a corpus small enough to price by
     hand: one target trigram at each backoff level (trigram hit,

@@ -1718,6 +1718,64 @@ def test_minhash_gate_sink_crash_between_appends_heals_on_replay(
     assert ex.count() == ex.dropDuplicates(["doc_id", "__h"]).count()
 
 
+def test_gate_sink_commit_marker_atomic_crash_at_commit(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r13 (medium): the epoch marker and the folded-maximum id
+    commit in ONE atomic write. Fault-inject a crash exactly at the
+    commit point, after every append succeeded: the replay must refold
+    WITHOUT tripping the late/reordered-id refusal against the crashed
+    epoch's own ids (the old two-file form wedged the stream here —
+    maxid had advanced to the crashed epoch's maximum while the epoch
+    marker still named the previous epoch), no-op through the
+    committed segments, and land the marker with both values advanced
+    together."""
+    import pytest as _pytest
+
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import dedup as D
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming import pipeline as P
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sl0 = docs.filter(F.col("doc_id") < 167)
+    sl1 = docs.filter((F.col("doc_id") >= 167) & (F.col("doc_id") < 334))
+    st = str(tmp_path / "mhga_state")
+    acc = str(tmp_path / "mhga_acc")
+    qua = str(tmp_path / "mhga_qua")
+    fold = P.minhash_gate_sink(st, acc, qua, "text", "doc_id")
+    fold(sl0, 0)
+    marker0 = P._read_commit(f"{st}/_MHG_COMMIT")
+    assert marker0 is not None and marker0[0] == 0
+
+    orig = P._write_commit
+
+    def crash_at_commit(path, epoch, max_id):
+        raise RuntimeError("injected crash at commit")
+
+    monkeypatch.setattr(P, "_write_commit", crash_at_commit)
+    with _pytest.raises(RuntimeError, match="injected crash at commit"):
+        fold(sl1, 1)
+    monkeypatch.setattr(P, "_write_commit", orig)
+    # the pair is intact: still epoch 0 with epoch 0's own maximum —
+    # the late-data cursor cannot have outrun the epoch marker
+    assert P._read_commit(f"{st}/_MHG_COMMIT") == marker0
+
+    fold(sl1, 1)  # replay: must NOT raise the late/reordered refusal
+    hi1 = sl1.agg(F.max("doc_id")).first()[0]
+    assert P._read_commit(f"{st}/_MHG_COMMIT") == (1, int(hi1))
+
+    seen = sl0.unionByName(sl1)
+    twin = {
+        r["doc_id"]: r["keep"]
+        for r in D.minhash_dedup_gate(seen, "text", "doc_id").collect()
+    }
+    got_acc = {r["doc_id"] for r in sinks.read_appended(spark, acc).collect()}
+    got_qua = {r["doc_id"] for r in sinks.read_appended(spark, qua).collect()}
+    assert got_acc == {d for d, k in twin.items() if k}
+    assert got_qua == {d for d, k in twin.items() if not k}
+
+
 def test_token_budget_sink_cutoff_tightens_on_displacement(spark, tmp_path):
     """Constructed multi-epoch displacement: a high-quality later doc
     pushes a previously-SELECTED doc over budget, so the at-rest

@@ -801,6 +801,7 @@ def market_concentration(
     )
     g = per_seller.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_sellers"),
+        F.sum(F.when(F.col("__s").isNull(), 1).otherwise(0)).alias("__novf"),
         F.sum("__s").cast("decimal(38,0)").alias("__tot"),
         F.sum(F.col("__s") * F.col("__s")).alias("__ss2"),
     )
@@ -808,10 +809,6 @@ def market_concentration(
     hhi = F.col("__ss2").cast("double") / (tot * tot)
     # fail-stop: the decimal->long cast below NULLs past int64 in
     # non-ANSI Spark while the oracle widens; refuse loudly instead
-    # NULL __tot (every per-seller sum overflowed decimal(18) to NULL
-    # in non-ANSI Spark) is not an int64 overflow — let it flow through
-    # as NULL total_value instead of tripping the bound check with a
-    # misleading message (r12 advice)
     total_out = F.when(
         F.assert_true(
             F.col("__tot").isNull()
@@ -824,9 +821,24 @@ def market_concentration(
         ).isNull(),
         F.col("__tot").cast("long"),
     )
+    # distinct fail-stop for PER-SELLER decimal(18) overflow (ADVICE
+    # r13): sum() skips NULL __s, so an overflowed seller silently
+    # vanishes from __tot/__ss2 (and an all-overflowed group emits
+    # NULL) while the widening oracle keeps real values — refuse
+    # loudly instead of diverging quietly
+    sellers_out = F.when(
+        F.assert_true(
+            F.col("__novf") == 0,
+            F.lit(
+                "market_concentration: a per-seller value sum overflowed "
+                "decimal(18,0) — widen value_int upstream"
+            ),
+        ).isNull(),
+        F.col("n_sellers"),
+    )
     return g.select(
         *group_cols,
-        "n_sellers",
+        sellers_out.alias("n_sellers"),
         total_out.alias("total_value"),
         F.when(tot > F.lit(0.0), F.round(hhi, 6)).alias("hhi"),
         F.when(

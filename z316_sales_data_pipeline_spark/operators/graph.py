@@ -207,6 +207,13 @@ def label_propagation(
     way: it is map-side combinable, so a hub only costs its DISTINCT
     neighbour-label count at the reducer, bounded by community count,
     not degree."""
+    if isinstance(hot_degree, str) and hot_degree != "auto":
+        # ADVICE r13: any other string would fall into the numeric
+        # branch and fail deep in the plan as a string-vs-long compare
+        raise ValueError(
+            "label_propagation: hot_degree must be an int threshold, "
+            f"None, or 'auto'; got {hot_degree!r}"
+        )
     deg = None
     if hot_degree == "auto":
         # ONE edge pass: the checkpointed (src, deg) relation feeds the

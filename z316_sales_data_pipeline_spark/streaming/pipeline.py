@@ -19,6 +19,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _read_commit(path: str) -> tuple[int, int] | None:
+    """(epoch, max_id) from a gate-sink commit marker: ONE file whose
+    single line is ``epoch:maxid``. The pair advances together in one
+    atomic ``os.replace`` (ADVICE r13, medium): with two separate
+    marker files a crash between the maxid and epoch writes left the
+    maxid at the crashed epoch's own maximum while the epoch marker
+    still named the previous epoch — every replay of the crashed epoch
+    then tripped the late/reordered-id refusal against its OWN ids and
+    wedged the stream, contradicting the documented replay contract.
+    Missing/corrupt file reads as None (fresh state)."""
+    try:
+        with open(path) as f:
+            ep, mx = f.read().strip().split(":")
+            return int(ep), int(mx)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_commit(path: str, epoch: int, max_id: int) -> None:
+    """Atomically commit a gate epoch: epoch marker and folded-maximum
+    id land in one ``os.replace`` so no crash window can separate
+    them (the _LATEST pointer discipline)."""
+    import os
+
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        f.write(f"{int(epoch)}:{int(max_id)}")
+    os.replace(tmp, path)
+
+
 def file_stream(spark: SparkSession, path: str, schema, fmt: str = "json") -> DataFrame:
     """A2 — file-notification source (GCS-finalize analogue).
 
@@ -1048,8 +1078,10 @@ def minhash_gate_sink(
     near-dup" would depend on arrival order and the batch-twin law
     would silently break.
 
-    Exactly-once: a ``_MHG_EPOCH`` marker (written LAST) makes a
-    replayed epoch a strict no-op; each of the four appends also
+    Exactly-once: a ``_MHG_COMMIT`` marker (written LAST, carrying
+    ``epoch:maxid`` in ONE atomic replace — the late-data cursor can
+    never advance without the epoch, ADVICE r13) makes a replayed
+    epoch a strict no-op; each of the four appends also
     carries ``txn_key=epoch`` so a crash mid-epoch replays into
     committed-segment no-ops, and the prior relations are read with an
     ``id < min(batch)`` range filter (partition-prunable) so a
@@ -1068,35 +1100,21 @@ def minhash_gate_sink(
 
     ex_dir = f"{state_dir}/ex"
     idx_dir = f"{state_dir}/idx"
-    epoch_marker_path = f"{state_dir}/_MHG_EPOCH"
-    maxid_marker_path = f"{state_dir}/_MHG_MAXID"
-
-    def _read_marker(path: str) -> int | None:
-        try:
-            with open(path) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
-            return None
-
-    def _write_marker(path: str, value: int) -> None:
-        tmp = f"{path}.tmp"
-        with open(tmp, "w") as f:
-            f.write(str(int(value)))
-        os.replace(tmp, path)  # atomic, the _LATEST discipline
+    commit_marker_path = f"{state_dir}/_MHG_COMMIT"
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         os.makedirs(state_dir, exist_ok=True)
-        marker = _read_marker(epoch_marker_path)
-        if marker is not None and int(epoch_id) <= int(marker):
+        commit = _read_commit(commit_marker_path)
+        if commit is not None and int(epoch_id) <= commit[0]:
             return  # replay: every table committed before the marker
         batch = batch_df.dropDuplicates([id_col])
         bounds = batch.agg(
             F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
         ).first()
-        max_seen = _read_marker(maxid_marker_path)
+        max_seen = commit[1] if commit is not None else None
         if max_seen is not None and int(bounds["lo"]) <= max_seen:
             raise ValueError(
                 f"minhash_gate_sink: epoch {epoch_id} carries id "
@@ -1162,8 +1180,7 @@ def minhash_gate_sink(
             quarantined_dir,
             txn_key=txn,
         )
-        _write_marker(maxid_marker_path, int(bounds["hi"]))
-        _write_marker(epoch_marker_path, int(epoch_id))  # commit point
+        _write_commit(commit_marker_path, int(epoch_id), int(bounds["hi"]))  # commit point
 
     return fold
 
@@ -1197,7 +1214,8 @@ def suffix_span_sink(
 
     MONOTONE-ID CONTRACT + exactly-once: identical to
     minhash_gate_sink — late/reordered ids refuse (ValueError);
-    ``_SSS_EPOCH`` written last makes replays strict no-ops; per-table
+    ``_SSS_COMMIT`` (``epoch:maxid``, one atomic replace — ADVICE r13)
+    written last makes replays strict no-ops; per-table
     ``txn_key`` heals crashes mid-epoch; prior segments are read under
     an ``id < min(batch)`` range filter so a half-committed attempt
     never probes the batch against its own crashed copy.
@@ -1211,35 +1229,21 @@ def suffix_span_sink(
     from ..operators import dedup as dedup_ops
 
     win_dir = f"{state_dir}/win"
-    epoch_marker_path = f"{state_dir}/_SSS_EPOCH"
-    maxid_marker_path = f"{state_dir}/_SSS_MAXID"
-
-    def _read_marker(path: str) -> int | None:
-        try:
-            with open(path) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
-            return None
-
-    def _write_marker(path: str, value: int) -> None:
-        tmp = f"{path}.tmp"
-        with open(tmp, "w") as f:
-            f.write(str(int(value)))
-        os.replace(tmp, path)  # atomic, the _LATEST discipline
+    commit_marker_path = f"{state_dir}/_SSS_COMMIT"
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         os.makedirs(state_dir, exist_ok=True)
-        marker = _read_marker(epoch_marker_path)
-        if marker is not None and int(epoch_id) <= int(marker):
+        commit = _read_commit(commit_marker_path)
+        if commit is not None and int(epoch_id) <= commit[0]:
             return  # replay: every table committed before the marker
         batch = batch_df.dropDuplicates([id_col])
         bounds = batch.agg(
             F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
         ).first()
-        max_seen = _read_marker(maxid_marker_path)
+        max_seen = commit[1] if commit is not None else None
         if max_seen is not None and int(bounds["lo"]) <= max_seen:
             raise ValueError(
                 f"suffix_span_sink: epoch {epoch_id} carries id "
@@ -1264,8 +1268,7 @@ def suffix_span_sink(
         txn = f"epoch={int(epoch_id)}"
         sinks.append_snapshot(win_new, win_dir, txn_key=txn)
         sinks.append_snapshot(spans, spans_dir, txn_key=txn)
-        _write_marker(maxid_marker_path, int(bounds["hi"]))
-        _write_marker(epoch_marker_path, int(epoch_id))  # commit point
+        _write_commit(commit_marker_path, int(epoch_id), int(bounds["hi"]))  # commit point
 
     return fold
 
