@@ -2994,23 +2994,28 @@ def _suffix_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion exact substring dedup
     (dedup.suffix_dedup_spans_incremental): the new batch
     (doc_id % 5 == 0) is tokenized and probed against the MAINTAINED
-    at-rest window-content table (pair_graph warehouse, corpus text
-    never re-read); within-batch repeats count too. The ORACLE is the
-    full-union pipeline restricted to batch ids — the union/duplicate
-    rule makes the incremental fold exactly equal to the full
-    recompute on batch docs, checked differentially every round."""
+    at-rest HASH-keyed window table (pair_graph warehouse, r14 re-key:
+    (id, pos, xxhash64) — 8 bytes a window, never text); candidate
+    matches are confirmed by the positional verify arm, which
+    re-slices window text from the corpus doc relation for
+    hash-matched docs only. Within-batch repeats count too. The ORACLE
+    is the full-union pipeline restricted to batch ids — the
+    union/duplicate rule makes the incremental fold exactly equal to
+    the full recompute on batch docs, checked differentially every
+    round."""
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
     corpus_win = pair_graph._materialized(
         spark,
         sf_dir,
         "suffix_window_table",
-        "k8_mod5",
-        lambda: dedup.suffix_window_table(
-            docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id", 8
-        ),
+        "k8h_mod5",
+        lambda: dedup.suffix_window_table(corpus, "text", "doc_id", 8),
     )
-    return dedup.suffix_dedup_spans_incremental(corpus_win, batch, "text", "doc_id", 8)
+    return dedup.suffix_dedup_spans_incremental(
+        corpus_win, batch, "text", "doc_id", 8, corpus_docs=corpus
+    )
 
 
 # the full-union spans pipeline with the output restricted to batch
@@ -3217,17 +3222,23 @@ def _suffix_span_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions are the ONLY possible divergence, and only in the
     hash channel's favor). One row: span counts from the exact
     channel, duplicated-window totals from both channels, and the
-    collision excess."""
+    collision excess. The exact total counts VERIFIED duplicated
+    window POSITIONS directly (dedup.suffix_dup_hits, pre-merge —
+    ADVICE r13: deriving it from merged span lengths counted gap
+    positions that are not themselves duplicated, which could exceed
+    the hash channel and made 'exact <= hash' data-dependent; counted
+    this way it is a theorem)."""
     docs = load_table(spark, sf_dir, "documents")
-    spans = dedup.suffix_dedup_spans(docs, "text", "doc_id", min_tokens=8)
+    hits = dedup.suffix_dup_hits(docs, "text", "doc_id", min_tokens=8).localCheckpoint(
+        eager=True
+    )  # hit grain: feeds the position count AND the island merge
+    spans = dedup._merge_window_islands(hits, "doc_id", 8)
     sd = dedup.span_dedup(docs, "text", "doc_id", k=8)
-    exact = spans.agg(
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    n_spans = spans.agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+    exact = hits.agg(
         F.count_distinct("doc_id").cast("long").alias("n_docs_with_spans"),
-        F.sum(F.col("span_end") - F.col("span_start") - F.lit(7))
-        .cast("long")
-        .alias("n_dup_windows_exact"),
-    )
+        F.count(F.lit(1)).cast("long").alias("n_dup_windows_exact"),
+    ).crossJoin(F.broadcast(n_spans))
     hashed = sd.agg(
         F.sum("n_dup_windows").cast("long").alias("n_dup_windows_hash")
     )
@@ -3259,10 +3270,10 @@ spans AS (
   FROM isl GROUP BY doc_id, island
 ),
 exact AS (
-  SELECT cast(count(*) AS BIGINT) AS n_spans,
+  SELECT cast((SELECT count(*) FROM spans) AS BIGINT) AS n_spans,
          cast(count(DISTINCT doc_id) AS BIGINT) AS n_docs_with_spans,
-         cast(coalesce(sum(e - s - 7), 0) AS BIGINT) AS n_dup_windows_exact
-  FROM spans
+         cast(count(*) AS BIGINT) AS n_dup_windows_exact
+  FROM hits
 ),
 hw AS (
   SELECT doc_id,

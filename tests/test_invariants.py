@@ -2385,28 +2385,45 @@ def test_label_propagation_auto_split_is_result_invariant(spark):
 
 def test_suffix_dedup_spans_agree_with_span_dedup(spark, sf_dir):
     """Agreement law between the exact substring channel and the
-    window-hash channel: per doc, the number of window positions
-    covered by suffix_dedup_spans (Σ span_len − L + 1 — exact text
-    duplication) is ≤ span_dedup's n_dup_windows (rolling-hash
-    duplication): a collision can only MERGE hash groups, so the hash
-    channel over-flags, never under-flags. Spans are well-formed:
-    length ≥ L, disjoint and non-adjacent per doc (maximality)."""
+    window-hash channel: per doc, the number of VERIFIED duplicated
+    window POSITIONS (suffix_dup_hits, pre-merge — ADVICE r13: merged
+    span lengths count gap positions that are not themselves
+    duplicated, which made this law data-dependent) is ≤ span_dedup's
+    n_dup_windows (rolling-hash duplication): every exact-dup
+    position's text is shared across ≥ 2 docs, hence so is its hash —
+    a collision can only MERGE hash groups, so the hash channel
+    over-flags, never under-flags; counted this way the law is a
+    theorem. Spans are well-formed: length ≥ L, disjoint and
+    non-adjacent per doc (maximality); every hit position lies inside
+    some span and every span is covered by hits at both ends."""
     from z316_sales_data_pipeline_spark.operators import dedup as D
     from z316_sales_data_pipeline_spark.sources.tables import load_table
 
     L = 8
     docs = load_table(spark, sf_dir, "documents")
+    hits = D.suffix_dup_hits(docs, "text", "doc_id", min_tokens=L).collect()
     spans = D.suffix_dedup_spans(docs, "text", "doc_id", min_tokens=L).collect()
     hash_ch = {
         r["doc_id"]: r["n_dup_windows"]
         for r in D.span_dedup(docs, "text", "doc_id", k=L).collect()
     }
     exact_ch: dict = {}
+    for r in hits:
+        exact_ch[r["doc_id"]] = exact_ch.get(r["doc_id"], 0) + 1
     by_doc: dict = {}
+    hit_pos: dict = {}
+    for r in hits:
+        hit_pos.setdefault(r["doc_id"], set()).add(r["pos"])
     for r in spans:
         assert r["span_len"] == r["span_end"] - r["span_start"] >= L
-        exact_ch[r["doc_id"]] = exact_ch.get(r["doc_id"], 0) + (r["span_len"] - L + 1)
         by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+        # span endpoints are real hits (maximality anchors)
+        assert r["span_start"] in hit_pos[r["doc_id"]]
+        assert r["span_end"] - L in hit_pos[r["doc_id"]]
+    for d, ps in hit_pos.items():
+        ivs = sorted(by_doc[d])
+        for p in ps:
+            assert any(s <= p and p + L <= e for s, e in ivs), f"doc {d} pos {p}"
     for d, n in exact_ch.items():
         assert n <= hash_ch[d], f"doc {d}: exact {n} > hash {hash_ch[d]}"
     for d, iv in by_doc.items():
@@ -2431,7 +2448,12 @@ def test_suffix_spans_incremental_equals_full_restricted(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     inc = D.suffix_dedup_spans_incremental(
-        D.suffix_window_table(corpus, "text", "doc_id", 8), batch, "text", "doc_id", 8
+        D.suffix_window_table(corpus, "text", "doc_id", 8),
+        batch,
+        "text",
+        "doc_id",
+        8,
+        corpus_docs=corpus,
     )
     full = D.suffix_dedup_spans(docs, "text", "doc_id", 8).filter(
         F.col("doc_id") % 5 == 0

@@ -1662,6 +1662,84 @@ def test_contamination_gate_sink_split_and_replay(spark, sf_dir, tmp_path):
     assert int(open(f"{qua}/_LATEST").read()) == vq
 
 
+def test_semantic_gate_sink_matches_batch_twin_replay_noop_and_refusal(
+    spark, sf_dir, tmp_path
+):
+    """The streaming SemDeDup door (r13 verdict item 5): after EVERY
+    epoch of monotone-id batches, the accepted/quarantined split
+    equals the batch twin — dedup.semantic_dedup over all vectors
+    folded so far, assigned by the SAME frozen centroid model — the
+    any-lower-id-in-cluster law holds end to end through the appended
+    assignment segments (pruning runs against the FULL at-rest
+    assignment, kept and quarantined alike, which is exactly what
+    makes the non-transitive batch rule reproduce). A replayed epoch
+    is a strict no-op on all three tables; a NEW epoch carrying ids
+    at-or-below the folded maximum refuses."""
+    import pytest as _pytest
+
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import dedup as D
+    from z316_sales_data_pipeline_spark.operators import similarity as S
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming.pipeline import semantic_gate_sink
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    # frozen cluster model from the pre-stream corpus arm — the sink's
+    # contract (a shifting quantizer would scatter clusters)
+    corpus_arm = emb.filter(F.col("vec_id") % 5 != 0)
+    assign = S.kmeans_assign(corpus_arm, "embedding", "vec_id", "label", n_iters=1)
+    cents = S.centroid_table(assign, corpus_arm, "embedding", "vec_id")
+
+    n = emb.agg(F.max("vec_id")).first()[0]
+    cuts = [(None, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, None)]
+    slices = [
+        emb.filter(
+            (F.lit(True) if lo is None else (F.col("vec_id") >= lo))
+            & (F.lit(True) if hi is None else (F.col("vec_id") < hi))
+        )
+        for lo, hi in cuts
+    ]
+    st = str(tmp_path / "smg_state")
+    acc = str(tmp_path / "smg_acc")
+    qua = str(tmp_path / "smg_qua")
+    fold = semantic_gate_sink(st, acc, qua, "embedding", "vec_id", cents)
+    seen = None
+    for i, sl in enumerate(slices):
+        fold(sl, i)
+        seen = sl if seen is None else seen.unionByName(sl)
+        twin_assign = S.nearest_centroid_assign(seen, "embedding", "vec_id", cents)
+        clustered = seen.select("vec_id", "embedding").join(twin_assign, "vec_id")
+        twin = {
+            r["vec_id"]: r["keep"]
+            for r in D.semantic_dedup(
+                clustered, "embedding", "vec_id", "cluster", threshold=0.3
+            ).collect()
+        }
+        got_acc = {r["vec_id"] for r in sinks.read_appended(spark, acc).collect()}
+        got_qua = {r["vec_id"] for r in sinks.read_appended(spark, qua).collect()}
+        assert got_acc == {v for v, k in twin.items() if k}, f"epoch {i} accepted"
+        assert got_qua == {v for v, k in twin.items() if not k}, f"epoch {i} quarantined"
+        assert got_acc.isdisjoint(got_qua)
+
+    # replay: strict no-op on every table
+    versions = [
+        int(open(f"{d}/_LATEST").read()) for d in (f"{st}/asg", acc, qua)
+    ]
+    fold(slices[1], 1)
+    assert [
+        int(open(f"{d}/_LATEST").read()) for d in (f"{st}/asg", acc, qua)
+    ] == versions
+
+    # late/reordered ids under a NEW epoch: refuse, tables untouched
+    with _pytest.raises(ValueError, match="late/reordered"):
+        fold(slices[0], 9)
+    assert [
+        int(open(f"{d}/_LATEST").read()) for d in (f"{st}/asg", acc, qua)
+    ] == versions
+
+
 def test_minhash_gate_sink_crash_between_appends_heals_on_replay(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -1774,6 +1852,114 @@ def test_gate_sink_commit_marker_atomic_crash_at_commit(
     got_qua = {r["doc_id"] for r in sinks.read_appended(spark, qua).collect()}
     assert got_acc == {d for d, k in twin.items() if k}
     assert got_qua == {d for d, k in twin.items() if not k}
+
+
+def test_gate_sinks_compact_segment_state_and_survive_compaction_crashes(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r13 verdict item 2: the at-the-door sinks bound their committed
+    segment count through sinks.maybe_compact — over a production day
+    of micro-batches the O(epochs) listing/footer overhead is what
+    six-epoch receipts cannot see. With max_segments=2 and six
+    monotone-id epochs every gate table must stay at ≤ 3 committed
+    segments while the accept/quarantine split STILL equals the batch
+    twin (compaction folds rows, never changes them; the id <
+    min(batch) prior-read range filter survives as a row filter).
+    Then fault-inject BOTH compaction crash windows and require
+    convergence: (a) post-pointer-flip (old-dir cleanup dies → folded
+    originals linger and readers must skip them via
+    _COMPACTED_THROUGH, serving every row exactly once); (b)
+    pre-pointer-flip (the _TXNS write dies → the new segment is an
+    orphan above _LATEST that no reader sees and the next epoch's
+    append sweeps). Both crashes happen AFTER the epoch's commit
+    marker — the epoch itself is never lost, maintenance converges."""
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import dedup as D
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming import pipeline as P
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    step = (n + 5) // 6
+    slices = [
+        docs.filter((F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step))
+        for i in range(6)
+    ]
+    st = str(tmp_path / "mhgcp_state")
+    acc = str(tmp_path / "mhgcp_acc")
+    qua = str(tmp_path / "mhgcp_qua")
+    # max_segments=1: every epoch past the first folds every table, so
+    # the injections below hit deterministically
+    fold = P.minhash_gate_sink(st, acc, qua, "text", "doc_id", max_segments=1)
+
+    def check_twin(through: int) -> None:
+        seen = slices[0]
+        for sl in slices[1:through + 1]:
+            seen = seen.unionByName(sl)
+        twin = {
+            r["doc_id"]: r["keep"]
+            for r in D.minhash_dedup_gate(seen, "text", "doc_id").collect()
+        }
+        got_acc = {r["doc_id"] for r in sinks.read_appended(spark, acc).collect()}
+        got_qua = {r["doc_id"] for r in sinks.read_appended(spark, qua).collect()}
+        assert got_acc == {d for d, k in twin.items() if k}
+        assert got_qua == {d for d, k in twin.items() if not k}
+
+    fold(slices[0], 0)
+    fold(slices[1], 1)
+    fold(slices[2], 2)
+    for d in (f"{st}/ex", f"{st}/idx", acc, qua):
+        assert sinks.committed_segment_count(d) <= 2, d
+    check_twin(2)
+
+    # (a) crash AFTER the pointer flip: old-dir cleanup dies (state is
+    # clean — no orphans — so the first rmtree in this fold IS the
+    # post-flip cleanup inside compact_appended). Folded originals
+    # linger on disk; _COMPACTED_THROUGH must keep every read
+    # single-serve until a later fold sweeps them.
+    orig_rmtree = _shutil.rmtree
+    calls = {"n": 0}
+
+    def crash_rmtree(path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash post-flip")
+        return orig_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(_shutil, "rmtree", crash_rmtree)
+    with _pytest.raises(RuntimeError, match="injected crash post-flip"):
+        fold(slices[3], 3)
+    monkeypatch.setattr(_shutil, "rmtree", orig_rmtree)
+    fold(slices[3], 3)  # epoch already committed: replay is a no-op
+    check_twin(3)
+
+    # (b) crash BEFORE the pointer flip: the _TXNS record write dies.
+    # The half-built compacted segment sits above _LATEST — an orphan
+    # no reader ever sees; the next epoch's append sweeps it.
+    orig_record = sinks._record_txns
+    calls["n"] = 0
+
+    def crash_record(table_dir, keys):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash pre-flip")
+        return orig_record(table_dir, keys)
+
+    monkeypatch.setattr(sinks, "_record_txns", crash_record)
+    with _pytest.raises(RuntimeError, match="injected crash pre-flip"):
+        fold(slices[4], 4)
+    monkeypatch.setattr(sinks, "_record_txns", orig_record)
+    fold(slices[4], 4)  # replay: strict no-op (marker committed)
+    check_twin(4)
+
+    fold(slices[5], 5)  # sweeps the orphan, maintenance converges
+    check_twin(5)
+    for d in (f"{st}/ex", f"{st}/idx", acc, qua):
+        assert sinks.committed_segment_count(d) <= 2, d
 
 
 def test_token_budget_sink_cutoff_tightens_on_displacement(spark, tmp_path):

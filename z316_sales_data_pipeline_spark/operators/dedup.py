@@ -1058,31 +1058,66 @@ def suffix_dedup_spans(
     Duplication is cross-document (a window occurring in ≥ 2 distinct
     docs), matching span_dedup's rule, and judged on the window TEXT —
     exact, no hash-collision false positives (the agreement audit
-    measures the hash channel against this truth).
+    measures the raw hash channel against this truth; its 2 measured
+    collisions at sf0.01 are what make the verify arm load-bearing).
 
-    Plan: one narrow Generate (positions via posexplode over the
-    shared shingle transform — same normalization as every text
-    operator), one content-keyed duplicate reduction (at lake scale
-    you would pre-hash and verify; the shuffle key here IS the exact
-    window, which is what makes the op exact), a hash join back, and a
-    per-DOC gaps-and-islands window. Per-doc windows are safe because
-    the doc is the bounded key: the ``max_tokens`` fail-stop guard
-    (the edit_distance_join max_len discipline) refuses documents that
+    Plan (r14 re-key — the at-rest/shuffle key is a HASH, never text):
+    one narrow Generate (positions via posexplode over the shared
+    shingle transform — same normalization as every text operator)
+    hashed in-stage to (id, pos, h); a hash-keyed candidate reduction
+    (h in ≥ 2 distinct docs — a superset of true duplicates, never a
+    miss); then the POSITIONAL VERIFY arm: candidate window text is
+    re-extracted from the doc relation by (id, pos) slice and true
+    duplicates are confirmed on (h, text) within candidate groups —
+    window content exists only transiently inside the verify stage,
+    bounded to candidates, and never lands at rest or keys a full-
+    corpus shuffle (at 100 TB the old text-keyed form was ~8x corpus
+    bytes at rest; this is 8 bytes a window). Finally a per-DOC
+    gaps-and-islands window. Per-doc work is safe because the doc is
+    the bounded key: the ``max_tokens`` fail-stop guard (the
+    edit_distance_join max_len discipline) refuses documents that
     would break that bound instead of silently single-tasking them.
 
     Output: (id, span_start, span_end, span_len) — token offsets,
     0-based, end-exclusive; docs with no repeated window emit no rows.
     """
+    hits = suffix_dup_hits(df, text_col, id_col, min_tokens, max_tokens)
+    return _merge_window_islands(hits, id_col, min_tokens)
+
+
+def suffix_dup_hits(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 8,
+    max_tokens: int = 4096,
+) -> DataFrame:
+    """(id, pos) of every VERIFIED cross-document duplicated L-token
+    window position — the pre-merge hit relation behind
+    :func:`suffix_dedup_spans` (which folds it into maximal spans) and
+    the exact channel of the agreement audit (which counts it
+    directly: counting positions here, not merged-span lengths, is
+    what makes 'exact ≤ hash' a theorem rather than data-dependent —
+    merged islands include gap positions that are not themselves
+    duplicated, ADVICE r13)."""
     win = suffix_window_table(df, text_col, id_col, min_tokens, max_tokens)
-    win = persist_fact(win)  # window-grain: feeds the dup reduce AND the join back
-    dup = (
-        win.groupBy("__w")
+    win = persist_fact(win)  # window-grain: feeds the candidate reduce AND the semi-join
+    cand_h = (
+        win.groupBy("__h")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
         .filter(F.col("__nd") >= 2)
-        .select("__w")
+        .select("__h")
     )
-    hits = win.join(dup, "__w").select(id_col, "pos")
-    return _merge_window_islands(hits, id_col, min_tokens)
+    cand = win.join(cand_h, "__h", "left_semi")
+    wrows = _extract_windows(df, cand, text_col, id_col, min_tokens)
+    wrows = persist_fact(wrows)  # candidate grain: verify agg + join back
+    verified = (
+        wrows.groupBy("__h", "__w")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__h", "__w")
+    )
+    return wrows.join(verified, ["__h", "__w"], "left_semi").select(id_col, "pos")
 
 
 def suffix_window_table(
@@ -1093,12 +1128,17 @@ def suffix_window_table(
     max_tokens: int = 4096,
 ) -> DataFrame:
     """The at-rest relation behind the exact substring-dedup family:
-    (id, pos, __w) — every L-token window WITH ITS CONTENT (position
-    0-based). The content column is what makes the exact channel exact
-    (the hash channel's at-rest twin is ``span_hash_table``); at lake
-    scale you materialize this once per corpus partition and both the
-    batch audit and the incremental probe read it instead of
-    re-tokenizing text."""
+    (id, pos, __h) — every L-token window position with the xxhash64
+    of its content (position 0-based), NEVER the content itself (r14
+    re-key, r13 verdict item 1: the text-keyed form was ~8x corpus
+    bytes at rest and full-text shuffle keys in every probe). At lake
+    scale you materialize this once per corpus partition; the batch
+    audit and the incremental probe both read it instead of
+    re-tokenizing text, and exactness comes from the shared positional
+    verify arm (:func:`_extract_windows`) that re-slices candidate
+    window text from the doc relation — the 64-bit space still
+    collides at 100 TB window counts (birthday), so the verify arm is
+    load-bearing, not belt-and-braces."""
     from ..functions.text import shingles
 
     guard = F.assert_true(
@@ -1110,7 +1150,58 @@ def suffix_window_table(
     )
     return df.select(
         F.col(id_col), F.posexplode(shingles(text_col, min_tokens)).alias("pos", "__w")
-    ).select(id_col, F.when(guard.isNull(), F.col("pos")).alias("pos"), "__w")
+    ).select(
+        id_col,
+        F.when(guard.isNull(), F.col("pos")).alias("pos"),
+        F.xxhash64("__w").alias("__h"),
+    )
+
+
+def _extract_windows(
+    docs: DataFrame,
+    cand: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int,
+) -> DataFrame:
+    """The POSITIONAL VERIFY arm shared by the suffix family: given
+    candidate window positions (id, pos, __h), re-extract each
+    window's text from the doc relation by slicing the normalized
+    token stream at pos — (id, pos, __h, __w). One doc-grain join and
+    one tokenize pass over CANDIDATE DOCS only (positions fold to an
+    array per doc first, so each doc's text is scanned once, not once
+    per window); window content exists only inside this stage."""
+    per_doc = cand.groupBy(id_col).agg(
+        F.collect_list(F.struct(F.col("pos"), F.col("__h"))).alias("__cs")
+    )
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .join(per_doc, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    "__cs",
+                    lambda c: F.struct(
+                        c["pos"].alias("pos"),
+                        c["__h"].alias("__h"),
+                        F.array_join(
+                            F.slice(
+                                F.col("__toks"),
+                                c["pos"] + F.lit(1),
+                                F.lit(int(min_tokens)),
+                            ),
+                            " ",
+                        ).alias("__w"),
+                    ),
+                )
+            ).alias("__e"),
+        )
+        .select(id_col, F.col("__e.pos").alias("pos"), F.col("__e.__h").alias("__h"), F.col("__e.__w").alias("__w"))
+    )
 
 
 def suffix_dedup_spans_incremental(
@@ -1121,13 +1212,17 @@ def suffix_dedup_spans_incremental(
     min_tokens: int = 8,
     max_tokens: int = 4096,
     win_new: DataFrame | None = None,
+    corpus_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact substring-dedup spans of a NEW batch against the at-rest
     corpus window index AND within the batch — the continuous-ingestion
     member of the suffix family (the minhash_incremental pattern).
     ``corpus_windows`` is the at-rest :func:`suffix_window_table`
-    output (only its DISTINCT content column is read — one projection
-    of the stored relation, the corpus text is never re-tokenized).
+    output — (id, pos, hash), 8 bytes a window, never text (r14
+    re-key); ``corpus_docs`` is the doc relation the positional verify
+    arm re-slices CANDIDATE corpus windows from (the raw corpus is
+    at rest in any lake — the verify touches only docs holding a
+    hash-matched window, by (id, pos), partition-prunable).
 
     EXACTNESS: for a batch doc d, a window is duplicated in the full
     union run iff ≥ 2 distinct docs contain it; that is exactly
@@ -1135,30 +1230,64 @@ def suffix_dedup_spans_incremental(
     output equals :func:`suffix_dedup_spans` over (corpus ∪ batch)
     RESTRICTED to batch ids, bit for bit (the registry oracle runs the
     full-union SQL with that restriction — a per-round differential
-    check). Corpus docs' own spans can grow when the batch repeats
+    check). Hash matches are candidates only: both the corpus arm and
+    the within-batch arm confirm on re-extracted (hash, text) before a
+    position counts, so a 64-bit collision can never flag a span.
+    Corpus docs' own spans can grow when the batch repeats
     their text; those belong to a corpus-side refresh, not the batch
     gate, exactly as minhash_near_dup_incremental scopes its output to
     pairs touching a new id.
 
-    Scale: only the batch is tokenized; the corpus contributes one
-    distinct-content projection to a hash join keyed on window text.
+    Scale: only the batch is tokenized in full; the corpus contributes
+    one distinct-hash projection to the candidate semi-join plus a
+    bounded positional re-slice of hash-matched windows.
     ``win_new`` accepts the batch's prebuilt window relation so a
     caller that also PERSISTS it (suffix_span_sink appends it to the
     at-rest segments) tokenizes once.
     """
+    if corpus_docs is None:
+        raise ValueError(
+            "suffix_dedup_spans_incremental: corpus_docs is required — the "
+            "at-rest window relation is hash-keyed (r14) and the exactness "
+            "verify arm re-extracts candidate window text from the doc "
+            "relation positionally"
+        )
     if win_new is None:
         win_new = suffix_window_table(new_docs, text_col, id_col, min_tokens, max_tokens)
         win_new = persist_fact(win_new)  # batch-window grain: reused thrice
-    corpus_w = corpus_windows.select("__w").distinct().withColumn("__in_corpus", F.lit(1))
-    batch_docs_per_w = win_new.groupBy("__w").agg(
-        F.count_distinct(F.col(id_col)).alias("__nb")
+    # candidate hashes: matched in the corpus, or multi-doc within batch
+    matched_h = (
+        win_new.join(corpus_windows.select("__h"), "__h", "left_semi")
+        .select("__h")
+        .distinct()
     )
-    hits = (
-        win_new.join(corpus_w, "__w", "left")
-        .join(batch_docs_per_w, "__w")
-        .filter(F.col("__in_corpus").isNotNull() | (F.col("__nb") >= 2))
-        .select(id_col, "pos")
+    batch_multi_h = (
+        win_new.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nb"))
+        .filter(F.col("__nb") >= 2)
+        .select("__h")
     )
+    cand_h = matched_h.unionByName(batch_multi_h).distinct()
+    cand_new = win_new.join(cand_h, "__h", "left_semi")
+    batch_w = persist_fact(
+        _extract_windows(new_docs, cand_new, text_col, id_col, min_tokens)
+    )  # candidate grain: corpus-verify join + within-batch agg + output
+    # verify arm, corpus side: re-slice ONLY hash-matched corpus windows
+    cand_corpus = corpus_windows.join(matched_h, "__h", "left_semi")
+    corpus_hw = (
+        _extract_windows(corpus_docs, cand_corpus, text_col, id_col, min_tokens)
+        .select("__h", "__w")
+        .distinct()
+    )
+    # verify arm, batch side: text in >= 2 distinct batch docs
+    batch_multi_hw = (
+        batch_w.groupBy("__h", "__w")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nb"))
+        .filter(F.col("__nb") >= 2)
+        .select("__h", "__w")
+    )
+    dup_hw = corpus_hw.unionByName(batch_multi_hw).distinct()
+    hits = batch_w.join(dup_hw, ["__h", "__w"], "left_semi").select(id_col, "pos")
     return _merge_window_islands(hits, id_col, min_tokens)
 
 
@@ -1180,27 +1309,36 @@ def eval_span_contamination(
     instead of dropping it (the Lee et al. removal posture applied to
     train/eval leakage).
 
-    Plan: the eval side reduces to ONE distinct window-content
-    projection (the eval set is the small, fixed relation — the same
-    asymmetry contamination_check exploits); the train side is the
-    linear window Generate; one hash join keyed on window text, then
-    the shared per-doc island merge. At lake scale you additionally
-    bloom-prune the train windows on the eval set before the join
-    (operators/bloom.py, exactness unchanged) — at audit grain the
-    exact join IS the plan.
+    Plan (r14 re-key): the eval side reduces to ONE distinct
+    (hash, window) projection — the eval set is the small, fixed
+    relation (the same asymmetry contamination_check exploits), so it
+    alone carries text. The train side is the linear hash-only window
+    Generate (:func:`suffix_window_table` — 8 bytes a window, the
+    relation you keep at rest); a hash semi-join narrows train windows
+    to candidates, the shared positional verify arm re-slices their
+    text from the train docs, and the (hash, text) semi-join against
+    the eval projection confirms — a 64-bit collision can never flag a
+    span. Then the shared per-doc island merge. At lake scale you
+    additionally bloom-prune the train hashes on the eval set before
+    the semi-join (operators/bloom.py, exactness unchanged).
 
     Output: (id, span_start, span_end, span_len) over TRAIN docs —
     docs with no eval-verbatim window emit no rows.
     """
+    from ..functions.text import shingles
+
     win_train = suffix_window_table(
         train_docs, text_col, id_col, min_tokens, max_tokens
     )
-    eval_w = (
-        suffix_window_table(eval_docs, text_col, id_col, min_tokens, max_tokens)
-        .select("__w")
+    eval_hw = (
+        eval_docs.select(F.explode(shingles(text_col, min_tokens)).alias("__w"))
         .distinct()
+        .select(F.xxhash64("__w").alias("__h"), F.col("__w"))
     )
-    hits = win_train.join(eval_w, "__w").select(id_col, "pos")
+    eval_hw = persist_fact(eval_hw)  # eval grain: hash semi-join + verify join
+    cand = win_train.join(eval_hw.select("__h"), "__h", "left_semi")
+    train_w = _extract_windows(train_docs, cand, text_col, id_col, min_tokens)
+    hits = train_w.join(eval_hw, ["__h", "__w"], "left_semi").select(id_col, "pos")
     return _merge_window_islands(hits, id_col, min_tokens)
 
 
