@@ -1613,6 +1613,100 @@ def test_ivf_append_sink_matches_batch_and_prunes(spark, sf_dir, tmp_path):
     assert int(open(f"{idx}/_LATEST").read()) == v
 
 
+def test_ivf_retrain_sink_closes_loop_model_advances_and_serve_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """r13 verdict item 7 — the incremental-ANN loop closed in
+    streaming: append → decide → retrain → re-audit, end to end. After
+    a drift-inducing epoch (a batch concentrated in one cell: the
+    exact-integer TVD arm must trip) the at-rest model snapshot
+    VERSION ADVANCES, the index is atomically rebuilt under the fresh
+    quantizer, and the serve path (ivf_serve_top_k over the at-rest
+    model + cell-pruned index) equals similarity.ivf_top_k over all
+    folded vectors — the pinned fresh-index law, now through the
+    at-rest state. Decision rows land in the audit table; replays are
+    strict no-ops; late/reordered ids refuse."""
+    import pytest as _pytest
+
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.operators import similarity as S
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming.pipeline import (
+        ivf_retrain_sink,
+        ivf_serve_top_k,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = emb.agg(F.max("vec_id")).first()[0]
+    e0 = emb.filter(F.col("vec_id") <= n // 2)
+    e1 = emb.filter(F.col("vec_id") > n // 2)
+    # drift epoch: every vector identical → 100% of the batch lands in
+    # ONE cell, so batch-vs-corpus occupancy TVD far exceeds 0.1
+    e2 = emb.limit(40).select(
+        (F.col("vec_id") + F.lit(int(n) + 1000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.0) + F.lit(1.0)).alias(
+            "embedding"
+        ),
+    )
+    st = str(tmp_path / "ivr_state")
+    fold = ivf_retrain_sink(st, "embedding", "vec_id", n_cells=8, n_probe=8, k=5)
+
+    def model_version() -> int:
+        return int(open(f"{st}/model/_LATEST").read())
+
+    def serve_matches_batch(folded) -> None:
+        q = [float(x) for x in folded.orderBy("vec_id").first()["embedding"]]
+        got = [
+            (r["vec_id"], r["cos"])
+            for r in ivf_serve_top_k(
+                spark, st, "embedding", "vec_id", q, k=5, n_probe=8
+            ).collect()
+        ]
+        want = [
+            (r["vec_id"], r["cos"])
+            for r in S.ivf_top_k(
+                folded, "embedding", "vec_id", q, k=5, n_cells=8, n_probe=8
+            ).collect()
+        ]
+        assert got == want
+
+    fold(e0, 0)
+    assert model_version() == 1  # bootstrap
+    serve_matches_batch(e0)
+
+    fold(e1, 1)
+    seen = e0.unionByName(e1)
+    assert sinks.read_appended(spark, f"{st}/audit").count() == 1
+    serve_matches_batch(seen)
+    v_before = model_version()
+
+    fold(e2, 2)
+    seen = seen.unionByName(e2)
+    dec = {
+        r["epoch"]: r for r in sinks.read_appended(spark, f"{st}/audit").collect()
+    }
+    assert dec[2]["drift_exceeded"] and dec[2]["retrain"]
+    assert model_version() > v_before  # the at-rest model advanced
+    serve_matches_batch(seen)  # rebuilt index ≡ batch pipeline
+
+    # replay: strict no-op everywhere
+    versions = [
+        int(open(f"{d}/_LATEST").read())
+        for d in (f"{st}/model", f"{st}/idx", f"{st}/audit")
+    ]
+    fold(e1, 1)
+    assert [
+        int(open(f"{d}/_LATEST").read())
+        for d in (f"{st}/model", f"{st}/idx", f"{st}/audit")
+    ] == versions
+
+    # late/reordered ids under a NEW epoch: refuse
+    with _pytest.raises(ValueError, match="late/reordered"):
+        fold(e0, 9)
+
+
 def test_contamination_gate_sink_split_and_replay(spark, sf_dir, tmp_path):
     """The gate's accept/quarantine split equals the exact-join batch
     predicate (bloom pruning changes nothing — no false negatives,

@@ -374,7 +374,9 @@ def _detect_segment_partitioning(table_dir: str, seg_dirs: list[str]) -> str | N
     return None
 
 
-def compact_appended(spark, table_dir: str, partition_by: str | None = None) -> int:
+def compact_appended(
+    spark, table_dir: str, partition_by: str | None = None, transform=None
+) -> int:
     """Compaction for an append-segment table: rewrite the union of
     all segments as ONE new segment at version N+1 and delete the old
     segment dirs — the rewrite-half of the append lifecycle
@@ -419,6 +421,16 @@ def compact_appended(spark, table_dir: str, partition_by: str | None = None) -> 
     keys present in both the log and the still-live ``_TXN`` markers
     (idempotent), never in neither.
 
+    ``transform`` (r14): an optional DataFrame→DataFrame applied to
+    the union before the compacted write — the REBUILD form of
+    compaction (e.g. the IVF retrain sink reassigns every folded
+    vector to a fresh quantizer's cells in the same atomic
+    fold-and-flip; all the crash/replay discipline above applies
+    unchanged because the rewrite is still one new segment + marker +
+    pointer flip). The transform must preserve row identity for the
+    _TXNS replay contract to stay meaningful (relabel/reproject,
+    never filter).
+
     Returns the new version number."""
     import os
     import shutil
@@ -445,7 +457,10 @@ def compact_appended(spark, table_dir: str, partition_by: str | None = None) -> 
             pass
     # localCheckpoint pins the union's rows before any segment dir is
     # touched (the write below must not lazily re-read dirs mid-delete)
-    merged = read_appended(spark, table_dir, version=latest).localCheckpoint(eager=True)
+    merged = read_appended(spark, table_dir, version=latest)
+    if transform is not None:
+        merged = transform(merged)
+    merged = merged.localCheckpoint(eager=True)
     new_v = latest + 1
     w = merged.write.mode("overwrite")
     if partition_by:

@@ -1348,6 +1348,186 @@ def ivf_append_sink(
     return fold
 
 
+def ivf_retrain_sink(
+    state_dir: str,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    query_mod: int = 100,
+    query_cap: int = 500,
+    drift_thresh_micro: int = 100_000,
+    recall_thresh_micro: int = 900_000,
+    decide_every: int = 1,
+    max_segments: int = 16,
+) -> Callable[[DataFrame, int], None]:
+    """The CLOSED incremental-ANN loop (r13 verdict item 7): where
+    ``ivf_append_sink`` appends under a caller-frozen quantizer and
+    leaves drift/recall/retrain to offline audits, this sink OWNS the
+    model lifecycle end-to-end — append → decide → retrain → re-audit
+    — the way ``repair_run`` closes the reconciliation loop.
+
+    Layout under ``state_dir``: ``model`` (versioned snapshot of the
+    (cell, c) centroid relation — the at-rest quantizer, version
+    history IS the model lineage), ``idx`` (cell-partitioned append
+    segments — every folded vector), ``audit`` (one appended
+    ``ivf_retrain_plan`` decision row per decision epoch).
+
+    Per epoch: assign ONLY the batch to the CURRENT at-rest model
+    (bootstrap epoch: freeze ``_centroids`` of the first batch) and
+    append it cell-partitioned; then (every ``decide_every`` epochs)
+    run the :func:`~..operators.similarity.ivf_retrain_plan` decision
+    — exact-integer TVD on cell occupancy + capped aged-recall arm —
+    and append the decision row. If it trips: advance the model
+    snapshot (``_centroids`` over the grown corpus — exactly what
+    ``ivf_top_k`` would freeze, the plan's pinned fresh-index law) and
+    REBUILD the index as one atomic fold (``compact_appended`` with a
+    reassignment transform: same new-segment + _COMPACTED_THROUGH +
+    pointer-flip crash discipline as plain compaction, so readers are
+    never half-served and pre-rebuild epochs still replay as no-ops
+    through the ``_TXNS`` log). The serve path
+    (:func:`ivf_serve_top_k`) then prunes by the NEW model's cells.
+
+    Exactly-once: ``_IVR_COMMIT`` (``epoch:maxid``, one atomic
+    replace) + per-table txn keys; monotone-id contract as in every
+    gate sink. A crash between the model-snapshot advance and the
+    index rebuild leaves a version-skewed pair; the uncommitted epoch
+    replays from the top and converges (single-writer, the MV-sink
+    staleness window — ``scd2_agg_mv_sink``'s discipline).
+
+    Scale: the per-epoch append is O(batch); the decision is model-
+    grain scalars plus the CAPPED query-batch audits (the documented
+    ~8-10 s fixed orchestration cost at any scale — set
+    ``decide_every`` to amortize it); the rebuild is O(corpus) but
+    paid only when the decision trips, which is the entire point of
+    deciding instead of retraining on a timer.
+    """
+    import os
+
+    from .. import sinks
+    from ..operators import similarity as sim_ops
+
+    model_dir = f"{state_dir}/model"
+    idx_dir = f"{state_dir}/idx"
+    audit_dir = f"{state_dir}/audit"
+    commit_marker_path = f"{state_dir}/_IVR_COMMIT"
+
+    def _model_cents(spark) -> list | None:
+        try:
+            rows = sinks.read_snapshot(spark, model_dir).orderBy("cell").collect()
+        except OSError:
+            return None
+        return [(int(r["cell"]), [float(x) for x in r["c"]]) for r in rows]
+
+    def _write_model(spark, cents: list, epoch_id: int) -> int:
+        rows = spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in cents],
+            "cell int, c array<double>",
+        )
+        return sinks.write_snapshot(
+            rows, model_dir, meta={"_IVF_MODEL_EPOCH": str(int(epoch_id))}
+        )
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        os.makedirs(state_dir, exist_ok=True)
+        commit = _read_commit(commit_marker_path)
+        if commit is not None and int(epoch_id) <= commit[0]:
+            return  # replay: every table committed before the marker
+        batch = batch_df.dropDuplicates([id_col]).select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+        )
+        bounds = batch.agg(
+            F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+        ).first()
+        max_seen = commit[1] if commit is not None else None
+        if max_seen is not None and int(bounds["lo"]) <= max_seen:
+            raise ValueError(
+                f"ivf_retrain_sink: epoch {epoch_id} carries id "
+                f"{bounds['lo']} at-or-below the folded maximum {max_seen} "
+                "— late/reordered ids break the at-rest model lineage; "
+                "re-key or replay through the original epoch instead"
+            )
+        txn = f"epoch={int(epoch_id)}"
+        cents = _model_cents(spark)
+        if cents is None:
+            cents = sim_ops._centroids(batch, vec_col, id_col, n_cells)
+            _write_model(spark, cents, epoch_id)  # bootstrap model v1
+        assigned = sim_ops.ivf_append(batch, vec_col, id_col, cents)
+        sinks.append_snapshot(assigned, idx_dir, partition_by="cell", txn_key=txn)
+        prior = (
+            sinks.read_appended(spark, idx_dir)
+            .filter(F.col(id_col) < bounds["lo"])
+            .select(F.col(id_col), F.col(vec_col))
+        )
+        n_prior = prior.count()
+        if n_prior > 0 and int(epoch_id) % max(int(decide_every), 1) == 0:
+            decision = sim_ops.ivf_retrain_plan(
+                prior,
+                batch,
+                vec_col,
+                id_col,
+                n_cells=n_cells,
+                n_probe=n_probe,
+                k=k,
+                query_mod=query_mod,
+                query_cap=query_cap,
+                drift_thresh_micro=drift_thresh_micro,
+                recall_thresh_micro=recall_thresh_micro,
+            ).withColumn("epoch", F.lit(int(epoch_id)))
+            decision = decision.localCheckpoint(eager=True)  # one row
+            sinks.append_snapshot(decision, audit_dir, txn_key=txn)
+            if bool(decision.first()["retrain"]):
+                union = prior.unionByName(
+                    assigned.select(F.col(id_col), F.col(vec_col))
+                )
+                fresh = sim_ops._centroids(union, vec_col, id_col, n_cells)
+                _write_model(spark, fresh, epoch_id)  # model version advances
+                sinks.compact_appended(
+                    spark,
+                    idx_dir,
+                    partition_by="cell",
+                    transform=lambda df: sim_ops.ivf_append(
+                        df.drop("cell"), vec_col, id_col, fresh
+                    ),
+                )
+        _write_commit(commit_marker_path, int(epoch_id), int(bounds["hi"]))  # commit point
+        sinks.maybe_compact(spark, idx_dir, max_segments=max_segments, partition_by="cell")
+        sinks.maybe_compact(spark, audit_dir, max_segments=max_segments)
+
+    return fold
+
+
+def ivf_serve_top_k(
+    spark: SparkSession,
+    state_dir: str,
+    vec_col: str,
+    id_col: str,
+    query_vec: list,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Serve-side ANN probe against :func:`ivf_retrain_sink`'s at-rest
+    state: read the CURRENT model snapshot, pick the ``n_probe`` cells
+    nearest the query (model-grain, plan-build time), and scan only
+    those cells of the appended index — the cell filter is partition
+    pruning over every segment. The pinned law: this equals
+    ``similarity.ivf_top_k`` over all folded vectors whenever the
+    at-rest model equals the batch convention's frozen centroids —
+    which the retrain arm maintains by construction."""
+    from .. import sinks
+    from ..operators import similarity as sim_ops
+
+    rows = sinks.read_snapshot(spark, f"{state_dir}/model").orderBy("cell").collect()
+    cents = [(int(r["cell"]), [float(x) for x in r["c"]]) for r in rows]
+    probe = sim_ops.probe_cells(cents, [float(x) for x in query_vec], n_probe)
+    idx = sinks.read_appended(spark, f"{state_dir}/idx").filter(F.col("cell").isin(probe))
+    return sim_ops.brute_force_top_k(idx, vec_col, id_col, [float(x) for x in query_vec], k)
+
+
 def contamination_gate_sink(
     eval_shingles: DataFrame,
     accepted_dir: str,
