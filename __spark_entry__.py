@@ -3028,6 +3028,67 @@ _SUFFIX_SPANS_INCR_SQL = _SUFFIX_DEDUP_SPANS_SQL.replace(
 )
 
 
+def _intra_doc_repeat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-substring spans, keep-first
+    (dedup.intra_doc_repeat_spans) — the self-repetition scrub
+    (degenerate generation loops, boilerplate pasted twice into one
+    page): every 8-token window occurring ≥ 2 times in the SAME doc
+    marks its non-first occurrences for removal. Same hash-only window
+    spine + positional verify arm as the cross-doc family; all stages
+    key on the doc id — no cross-doc shuffle at all. The synthetic
+    corpus has no natural within-doc repeats at audit length, so the
+    harness makes the op observable by doubling every 7th document's
+    text (a deterministic derivation the oracle replays verbatim) —
+    those docs must mask exactly their second copy."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" "), "text")
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.intra_doc_repeat_spans(docs, "text", "doc_id", min_tokens=8)
+
+
+_INTRA_DOC_REPEAT_SPANS_SQL = """
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM src
+),
+win AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS w
+  FROM base, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+  WHERE len(toks) >= 8
+),
+rep AS (
+  SELECT doc_id, pos,
+         min(pos) OVER (PARTITION BY doc_id, w) AS first_pos,
+         count(*) OVER (PARTITION BY doc_id, w) AS n
+  FROM win
+),
+hits AS (SELECT doc_id, pos FROM rep WHERE n >= 2 AND pos > first_pos),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits)
+)
+SELECT doc_id,
+       cast(min(pos) AS BIGINT) AS span_start,
+       cast(max(pos) + 8 AS BIGINT) AS span_end,
+       cast(max(pos) + 8 - min(pos) AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def _suffix_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detect→remove on the EXACT channel (dedup.suffix_dedup_spans →
     dedup.apply_span_mask): every token covered by a duplicated
@@ -12950,77 +13011,76 @@ FROM q LEFT JOIN h USING (query_id)
 """
 
 
-# -- r13 driver sample (first 50), applied as a reorder at return time:
-# NEW r13 entries lead (never driver-attested: the streaming-gate batch
-# twin, the suffix-span pair, the retrain plan), then entries whose
-# code or oracle changed this round (the cutoff-carrying token-budget
-# fold; mmr_rerank bround pool cut + derived id type; market_hhi NULL
-# guard; the six query-capped recall audits), then the SURVEY-core w2
-# pair (last attested r11), then stalest-first: the full r06 cohort
-# remaining plus the r07 block, 35 entries last attested <= r8
-# (VERDICT r12 item 2). The rest keep registration order. --
-_R13_SAMPLE_HEAD = [
-    # new r13 entries (never driver-attested)
-    "minhash_gate",
+# -- r14 driver sample (first 50), applied as a reorder at return time:
+# new r14 entry + entries whose code changed this round lead, then the
+# FULL remaining r07 cohort (27) and the alphabetical head of the r08
+# block — 43 of the 50 were last driver-attested <= r9 (VERDICT r13
+# item 3). The rest keep registration order. --
+_R14_SAMPLE_HEAD = [
+    # new r14 entry (never driver-attested)
+    "intra_doc_repeat_spans",
+    # changed this round (r14): suffix family re-keyed on (hash, pos)
+    # with the positional verify arm; agreement exact channel now
+    # counts pre-merge hit positions; market_hhi gained the per-seller
+    # overflow fail-stop
     "suffix_dedup_spans",
     "suffix_span_agreement",
     "suffix_spans_incremental",
     "suffix_scrub",
     "span_contamination",
     "span_contamination_report",
-    "ivf_retrain_plan",
-    # changed this round
-    "token_budget_incremental",
-    "mmr_rerank",
     "market_hhi",
-    "ann_recall_eval",
-    "ivf_incremental_recall",
-    # SURVEY-core, last attested r11
-    "w2_dedup_keeprule",
-    "w2_keeprule_backfill",
-    # stalest (last attested r06)
-    "salted_agg",
-    "semantic_dedup",
-    "session_windows",
-    "simhash_groups",
-    "sliding_counts",
-    "source_drift",
-    "span_dedup",
-    "sql_surface_portable",
-    "text_quality",
-    "token_count_bpe",
-    "tumbling_counts",
-    "vocab_coverage",
-    # stalest r07 fill
-    "abc_xyz_class",
-    "approx_profile",
-    "assoc_rules",
-    "benford_audit",
-    "bfs_reachability",
-    "bigram_counts",
-    "bm25_search",
-    "boilerplate_ngrams",
-    "cdc_merge",
-    "char_entropy",
-    "churn_flags",
-    "contamination_check",
-    "curation_filter",
-    "cusum_drift",
-    "dataset_split",
-    "decayed_trending",
-    "dedup_agreement",
-    "doc_chunks",
-    "dow_seasonality",
-    "dq_orders_summary",
-    "dsir_weights",
-    "duplicate_payments",
-    "json_ingest_rollup",
+    # the FULL remaining r07 cohort (r13 verdict item 3)
+    "embedding_contamination",
+    "ewma_forecast",
+    "forecast_backtest",
+    "gapfill_daily",
+    "hll_partition_rollup",
+    "inventory_runout",
+    "item_item_cosine",
+    "k_core_peel",
+    "kaplan_meier",
+    "knn_graph",
+    "mann_kendall_trend",
+    "new_vs_returning",
+    "ngram_novelty",
+    "peak_concurrency",
+    "price_elasticity",
+    "promo_uplift",
+    "revenue_gini",
+    "safety_stock",
+    "scd2_history",
+    "scd2_incremental",
+    "scd2_point_in_time",
+    "span_scrub",
+    "sq8_quantize_audit",
+    "status_dwell_time",
+    "touch_attribution",
+    "winsorized_stats",
+    "zone_map_prune",
+    # r08 cohort fill (alphabetical head of the 50-entry block)
+    "a4_union_pages",
+    "a5_manifest_scan",
+    "basket_pairs",
+    "c2_status_dispatch",
+    "c5_validate_or_delete",
+    "cohort_retention",
+    "conversion_latency",
+    "embedding_centroids",
+    "embedding_top_pc",
+    "embedding_whiten",
+    "event_transitions",
+    "f14_pubsub_decode",
+    "f16_url_assembly",
+    "funnel_conversion",
+    "g4_symmetric_difference",
+    "lang_id_eval",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    head = {k: base[k] for k in _R13_SAMPLE_HEAD}
+    head = {k: base[k] for k in _R14_SAMPLE_HEAD}
     return head | {k: v for k, v in base.items() if k not in head}
 
 
@@ -13106,6 +13166,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": _minhash_incremental,
         "minhash_gate": _minhash_gate,
         "suffix_dedup_spans": _suffix_dedup_spans,
+        "intra_doc_repeat_spans": _intra_doc_repeat_spans,
         "suffix_span_agreement": _suffix_span_agreement,
         "suffix_spans_incremental": _suffix_spans_incremental,
         "suffix_scrub": _suffix_scrub,
@@ -13528,6 +13589,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_incremental": _MINHASH_INCREMENTAL_SQL,
         "minhash_gate": _MINHASH_GATE_SQL,
         "suffix_dedup_spans": _SUFFIX_DEDUP_SPANS_SQL,
+        "intra_doc_repeat_spans": _INTRA_DOC_REPEAT_SPANS_SQL,
         "suffix_span_agreement": _SUFFIX_SPAN_AGREEMENT_SQL,
         "suffix_spans_incremental": _SUFFIX_SPANS_INCR_SQL,
         "suffix_scrub": _SUFFIX_SCRUB_SQL,

@@ -2481,6 +2481,67 @@ def test_suffix_dedup_spans_constructed_copy(spark):
     assert rows == [(1, 5, 17, 12), (2, 0, 12, 12)]
 
 
+def test_intra_doc_repeat_spans_constructed(spark):
+    """Keep-first within-doc semantics pinned by construction: a doc
+    that is a verbatim double of a block masks exactly the second
+    copy; a period-1 repetition ('w w w ... w') keeps only the first
+    token; a doc with no within-doc repeat emits nothing; within-doc
+    masking ignores CROSS-doc duplication (docs 1 and 4 share text
+    but neither repeats internally)."""
+    from z316_sales_data_pipeline_spark.operators import dedup as D
+
+    block = " ".join(f"b{i:02d}" for i in range(10))
+    rows = [
+        (1, block),                       # no internal repeat
+        (2, block + " " + block),         # doubled: mask [10, 20)
+        (3, " ".join(["w"] * 10)),        # periodic: mask [1, 10)
+        (4, block),                       # cross-doc dup of 1 — not intra
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(tuple, D.intra_doc_repeat_spans(df, "text", "doc_id", min_tokens=8).collect())
+    )
+    assert got == [(2, 10, 20, 10), (3, 1, 10, 9)]
+
+
+def test_intra_doc_repeat_spans_scrub_converges(spark, sf_dir):
+    """On the registry's derived corpus (every 7th doc doubled), the
+    mask is exactly each doubled doc's second copy — n_removed equals
+    the original token count — and applying it then re-auditing finds
+    nothing (the scrub converges; splice artifacts absent by
+    construction, the eval_span_contamination caveat)."""
+    from z316_sales_data_pipeline_spark.operators import dedup as D
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" "), "text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    spans = D.intra_doc_repeat_spans(docs, "text", "doc_id", min_tokens=8)
+    scrubbed = D.apply_span_mask(docs, spans, "text", "doc_id")
+    toks = F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "))
+    orig_n = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("n"))
+        .collect()
+    }
+    for r in scrubbed.collect():
+        if r["doc_id"] % 7 == 0 and orig_n[r["doc_id"]] >= 8:
+            assert r["n_removed"] == orig_n[r["doc_id"]], r["doc_id"]
+        else:
+            assert r["n_removed"] == 0, r["doc_id"]
+    again = D.intra_doc_repeat_spans(
+        scrubbed.select("doc_id", F.col("scrubbed_text").alias("text")),
+        "text",
+        "doc_id",
+        min_tokens=8,
+    )
+    assert again.count() == 0
+
+
 def test_eval_span_contamination_constructed(spark):
     """A train doc embedding an eval paragraph gets exactly that
     region as a span; within-TRAIN duplication is NOT contamination

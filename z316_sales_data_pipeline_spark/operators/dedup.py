@@ -1120,6 +1120,60 @@ def suffix_dup_hits(
     return wrows.join(verified, ["__h", "__w"], "left_semi").select(id_col, "pos")
 
 
+def intra_doc_repeat_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 8,
+    max_tokens: int = 4096,
+) -> DataFrame:
+    """EXACT WITHIN-document repeated-substring spans, keep-first —
+    the self-repetition scrub (degenerate generation loops, boiler-
+    plate chains pasted twice into one page): an L-token window
+    occurring ≥ 2 times in the SAME document marks every occurrence
+    AFTER the first (positions ordered ascending) for removal; the
+    kept first occurrence preserves one copy of the repeated content,
+    which is the within-doc analogue of the cross-document family's
+    keep-one posture (:func:`suffix_dedup_spans` masks cross-doc
+    repeats regardless of position — the two masks compose by
+    unioning span rows into :func:`apply_span_mask`).
+
+    Plan: the same hash-only window spine (:func:`suffix_window_table`
+    — (id, pos, hash), never text at rest), candidates = hashes with
+    ≥ 2 occurrences within a doc (a (id, hash) count, map-side
+    combinable), the shared positional verify arm re-slices candidate
+    text and confirms on (id, hash, text), then a per-(id, text)
+    min-pos window drops the first occurrence from the hit set and the
+    shared per-doc island merge emits maximal spans. All windows are
+    per-doc (bounded by the ``max_tokens`` fail-stop), so every stage
+    keys on the doc id — no cross-doc shuffle at all.
+
+    Output: (id, span_start, span_end, span_len) — positions of
+    REPEATED (non-first) occurrences only; docs with no within-doc
+    repeat emit no rows.
+    """
+    from pyspark.sql import Window
+
+    win = suffix_window_table(df, text_col, id_col, min_tokens, max_tokens)
+    win = persist_fact(win)  # window grain: feeds candidate count + semi-join
+    cand_h = (
+        win.groupBy(id_col, "__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select(id_col, "__h")
+    )
+    cand = win.join(cand_h, [id_col, "__h"], "left_semi")
+    wrows = _extract_windows(df, cand, text_col, id_col, min_tokens)
+    w = Window.partitionBy(id_col, "__w")
+    hits = (
+        wrows.withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn("__first", F.min("pos").over(w))
+        .filter((F.col("__n") >= 2) & (F.col("pos") > F.col("__first")))
+        .select(id_col, "pos")
+    )
+    return _merge_window_islands(hits, id_col, min_tokens)
+
+
 def suffix_window_table(
     df: DataFrame,
     text_col: str,
