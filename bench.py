@@ -177,6 +177,8 @@ HEADLINE = [
     "suffix_spans_incremental",
     "suffix_scrub",
     "span_contamination",
+    # r14 addition — the within-doc sibling of the suffix family
+    "intra_doc_repeat_spans",
 ]
 
 

@@ -2481,6 +2481,55 @@ def test_suffix_dedup_spans_constructed_copy(spark):
     assert rows == [(1, 5, 17, 12), (2, 0, 12, 12)]
 
 
+def test_suffix_bloom_prune_changes_nothing(spark, sf_dir):
+    """The explicit bloom arms on the suffix probes are pure pruning:
+    with bloom_m_bits set, eval_span_contamination and
+    suffix_dedup_spans_incremental return BIT-IDENTICAL rows to the
+    unpruned plans (bloom has no false negatives; false positives die
+    in the exact semi-join) — including at a deliberately tiny bitset
+    (high FP rate) where the prune keeps almost everything."""
+    from z316_sales_data_pipeline_spark.operators import dedup as D
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    ev = docs.filter(F.col("source") == "src0")
+    base = sorted(
+        map(tuple, D.eval_span_contamination(train, ev, "text", "doc_id", 8).collect())
+    )
+    for m in (1 << 16, 1 << 6):  # realistic and adversarially tiny
+        pruned = sorted(
+            map(
+                tuple,
+                D.eval_span_contamination(
+                    train, ev, "text", "doc_id", 8, bloom_m_bits=m
+                ).collect(),
+            )
+        )
+        assert pruned == base, f"m_bits={m}"
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    cw = D.suffix_window_table(corpus, "text", "doc_id", 8)
+    inc_base = sorted(
+        map(
+            tuple,
+            D.suffix_dedup_spans_incremental(
+                cw, batch, "text", "doc_id", 8, corpus_docs=corpus
+            ).collect(),
+        )
+    )
+    inc_pruned = sorted(
+        map(
+            tuple,
+            D.suffix_dedup_spans_incremental(
+                cw, batch, "text", "doc_id", 8, corpus_docs=corpus, bloom_m_bits=1 << 16
+            ).collect(),
+        )
+    )
+    assert inc_pruned == inc_base
+
+
 def test_intra_doc_repeat_spans_constructed(spark):
     """Keep-first within-doc semantics pinned by construction: a doc
     that is a verbatim double of a block masks exactly the second

@@ -1267,6 +1267,7 @@ def suffix_dedup_spans_incremental(
     max_tokens: int = 4096,
     win_new: DataFrame | None = None,
     corpus_docs: DataFrame | None = None,
+    bloom_m_bits: int | None = None,
 ) -> DataFrame:
     """Exact substring-dedup spans of a NEW batch against the at-rest
     corpus window index AND within the batch — the continuous-ingestion
@@ -1297,7 +1298,13 @@ def suffix_dedup_spans_incremental(
     bounded positional re-slice of hash-matched windows.
     ``win_new`` accepts the batch's prebuilt window relation so a
     caller that also PERSISTS it (suffix_span_sink appends it to the
-    at-rest segments) tokenizes once.
+    at-rest segments) tokenizes once. ``bloom_m_bits`` arms the
+    explicit bloom prune (operators/bloom.py): a bitset over the
+    BATCH's window hashes — tiny, broadcast — drops non-matching
+    corpus windows BEFORE the candidate semi-join's shuffle; no false
+    negatives, false positives die in the semi-join, so the output is
+    bit-identical with pruning on or off (pinned test) while the
+    corpus-side shuffle shrinks to near the true match volume.
     """
     if corpus_docs is None:
         raise ValueError(
@@ -1309,6 +1316,11 @@ def suffix_dedup_spans_incremental(
     if win_new is None:
         win_new = suffix_window_table(new_docs, text_col, id_col, min_tokens, max_tokens)
         win_new = persist_fact(win_new)  # batch-window grain: reused thrice
+    if bloom_m_bits:
+        from .bloom import bloom_prune, build_bloom
+
+        bl = build_bloom(win_new.select("__h"), "__h", bloom_m_bits)
+        corpus_windows = bloom_prune(corpus_windows, "__h", bl, bloom_m_bits)
     # candidate hashes: matched in the corpus, or multi-doc within batch
     matched_h = (
         win_new.join(corpus_windows.select("__h"), "__h", "left_semi")
@@ -1352,6 +1364,7 @@ def eval_span_contamination(
     id_col: str,
     min_tokens: int = 8,
     max_tokens: int = 4096,
+    bloom_m_bits: int | None = None,
 ) -> DataFrame:
     """Span-grain DECONTAMINATION audit: for each training document,
     the maximal token spans covered by L-token windows that occur
@@ -1372,9 +1385,13 @@ def eval_span_contamination(
     to candidates, the shared positional verify arm re-slices their
     text from the train docs, and the (hash, text) semi-join against
     the eval projection confirms — a 64-bit collision can never flag a
-    span. Then the shared per-doc island merge. At lake scale you
-    additionally bloom-prune the train hashes on the eval set before
-    the semi-join (operators/bloom.py, exactness unchanged).
+    span. Then the shared per-doc island merge. ``bloom_m_bits`` arms
+    the explicit bloom prune (operators/bloom.py): a bitset over the
+    eval hashes — tiny, broadcast — drops non-matching train windows
+    BEFORE the semi-join's shuffle; no false negatives, false
+    positives die in the semi-join, so the output is bit-identical
+    with pruning on or off (pinned test) — the lake-scale arm the
+    contamination_check gate already runs.
 
     Output: (id, span_start, span_end, span_len) over TRAIN docs —
     docs with no eval-verbatim window emit no rows.
@@ -1390,6 +1407,11 @@ def eval_span_contamination(
         .select(F.xxhash64("__w").alias("__h"), F.col("__w"))
     )
     eval_hw = persist_fact(eval_hw)  # eval grain: hash semi-join + verify join
+    if bloom_m_bits:
+        from .bloom import bloom_prune, build_bloom
+
+        bl = build_bloom(eval_hw.select("__h"), "__h", bloom_m_bits)
+        win_train = bloom_prune(win_train, "__h", bl, bloom_m_bits)
     cand = win_train.join(eval_hw.select("__h"), "__h", "left_semi")
     train_w = _extract_windows(train_docs, cand, text_col, id_col, min_tokens)
     hits = train_w.join(eval_hw, ["__h", "__w"], "left_semi").select(id_col, "pos")
