@@ -34,7 +34,13 @@ from z316_sales_data_pipeline_spark.operators import (
     timeseries,
     windows,
 )
-from z316_sales_data_pipeline_spark.plans import pair_graph, reconcile, rollup, sales_facts
+from z316_sales_data_pipeline_spark.plans import (
+    corpus_pipeline,
+    pair_graph,
+    reconcile,
+    rollup,
+    sales_facts,
+)
 from z316_sales_data_pipeline_spark.plans.sales_facts import (
     ITENS_FACT_SQL,
     PEDIDOS_FACT_SQL,
@@ -11171,6 +11177,109 @@ FROM c WHERE cum_tokens <= 3000
 """
 
 
+def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation attrition funnel
+    (plans.corpus_pipeline.curation_funnel): the standard pretraining
+    cascade — integer quality gate → language gate → exact dedup
+    (min-id per md5 fingerprint) → eval decontamination (bloom-pruned
+    8-shingle semi-join vs the raw src0 eval set) → per-source token
+    budget — with each stage an already-oracle-checked operator of
+    this repo, pinned here in COMPOSITION. One row per stage carrying
+    doc count, token mass and two multiset id checksums (sum and
+    sum-of-squares of doc_id mod 262139), so the oracle pins the
+    exact surviving membership at every stage, not just counts.
+    Read-path sibling of run_corpus_pipeline (the pytest-pinned write
+    path); stage semantics cross-checked against dedup_exact,
+    contamination_check and token_budget_select's oracles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_pipeline.curation_funnel(docs, "text", "doc_id", "lang", "source")
+
+
+_CURATION_FUNNEL_SQL = r"""
+WITH t AS (
+    SELECT doc_id, lang, source, text,
+           length(text) AS nc,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS np
+    FROM documents
+), q AS MATERIALIZED (
+    SELECT doc_id, lang, source, text, cast(n_tokens AS BIGINT) AS n_tokens,
+           CAST((CASE WHEN nc BETWEEN 50 AND 5000 THEN 1 ELSE 0 END)
+              + (CASE WHEN (CASE WHEN nc = 0 THEN 0.0 ELSE np / cast(nc AS DOUBLE) END) < 0.2
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN n_tokens > 0 AND nc / cast(n_tokens AS DOUBLE) BETWEEN 3.0 AND 12.0
+                      THEN 1 ELSE 0 END) AS INTEGER) AS quality_x3
+    FROM t
+), p2 AS (
+    SELECT * FROM q WHERE quality_x3 >= 3 AND lang = 'en'
+), f AS MATERIALIZED (
+    SELECT *, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM p2
+), w AS (
+    SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY 1
+), p3 AS MATERIALIZED (
+    SELECT f.* FROM f JOIN w ON f.fp = w.fp AND f.doc_id = w.doc_id
+), esh AS (
+    SELECT DISTINCT unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 7, 0)),
+               i -> array_to_string(toks[i:i+7], ' ')))) AS s
+    FROM (SELECT string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+                 AS toks
+          FROM documents WHERE source = 'src0')
+), tsh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 7, 0)),
+               i -> array_to_string(toks[i:i+7], ' ')))) AS s
+    FROM (SELECT doc_id,
+                 string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+                     AS toks
+          FROM p3 WHERE source <> 'src0')
+), cont AS (
+    SELECT DISTINCT tsh.doc_id FROM tsh JOIN esh USING (s)
+), p4 AS MATERIALIZED (
+    SELECT p3t.* FROM (SELECT * FROM p3 WHERE source <> 'src0') p3t
+    ANTI JOIN cont USING (doc_id)
+), c AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY source ORDER BY quality_x3 DESC, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM p4
+), p5 AS (
+    SELECT doc_id, n_tokens FROM c WHERE cum <= 200
+)
+SELECT 's0_raw' AS stage, cast(count(*) AS BIGINT) AS n_docs,
+       cast(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens,
+       cast(coalesce(sum(doc_id % 262139), 0) AS BIGINT) AS id_check1,
+       cast(coalesce(sum((doc_id % 262139) * (doc_id % 262139)), 0) AS BIGINT) AS id_check2
+FROM q
+UNION ALL
+SELECT 's1_quality', cast(count(*) AS BIGINT), cast(coalesce(sum(n_tokens), 0) AS BIGINT),
+       cast(coalesce(sum(doc_id % 262139), 0) AS BIGINT),
+       cast(coalesce(sum((doc_id % 262139) * (doc_id % 262139)), 0) AS BIGINT)
+FROM q WHERE quality_x3 >= 3
+UNION ALL
+SELECT 's2_lang', cast(count(*) AS BIGINT), cast(coalesce(sum(n_tokens), 0) AS BIGINT),
+       cast(coalesce(sum(doc_id % 262139), 0) AS BIGINT),
+       cast(coalesce(sum((doc_id % 262139) * (doc_id % 262139)), 0) AS BIGINT)
+FROM p2
+UNION ALL
+SELECT 's3_exact_dedup', cast(count(*) AS BIGINT), cast(coalesce(sum(n_tokens), 0) AS BIGINT),
+       cast(coalesce(sum(doc_id % 262139), 0) AS BIGINT),
+       cast(coalesce(sum((doc_id % 262139) * (doc_id % 262139)), 0) AS BIGINT)
+FROM p3
+UNION ALL
+SELECT 's4_decontaminated', cast(count(*) AS BIGINT), cast(coalesce(sum(n_tokens), 0) AS BIGINT),
+       cast(coalesce(sum(doc_id % 262139), 0) AS BIGINT),
+       cast(coalesce(sum((doc_id % 262139) * (doc_id % 262139)), 0) AS BIGINT)
+FROM p4
+UNION ALL
+SELECT 's5_token_budget', cast(count(*) AS BIGINT), cast(coalesce(sum(n_tokens), 0) AS BIGINT),
+       cast(coalesce(sum(doc_id % 262139), 0) AS BIGINT),
+       cast(coalesce(sum((doc_id % 262139) * (doc_id % 262139)), 0) AS BIGINT)
+FROM p5
+"""
+
+
 def _source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dataset card (corpus.source_data_card): doc/token
     counts, mean doc length, top-quality and below-length-floor shares
@@ -13017,8 +13126,9 @@ FROM q LEFT JOIN h USING (query_id)
 # block — 43 of the 50 were last driver-attested <= r9 (VERDICT r13
 # item 3). The rest keep registration order. --
 _R14_SAMPLE_HEAD = [
-    # new r14 entry (never driver-attested)
+    # new r14 entries (never driver-attested)
     "intra_doc_repeat_spans",
+    "curation_funnel",
     # changed this round (r14): suffix family re-keyed on (hash, pos)
     # with the positional verify arm; agreement exact channel now
     # counts pre-merge hit positions; market_hhi gained the per-seller
@@ -13073,8 +13183,6 @@ _R14_SAMPLE_HEAD = [
     "f14_pubsub_decode",
     "f16_url_assembly",
     "funnel_conversion",
-    "g4_symmetric_difference",
-    "lang_id_eval",
 ]
 
 
@@ -13198,6 +13306,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_eval": _auc_eval,
         "deterministic_shuffle": _deterministic_shuffle,
         "token_budget_select": _token_budget_select,
+        "curation_funnel": _curation_funnel,
         "source_data_card": _source_data_card,
         # -- stalest-first: remaining r5/r6-attested, then r7, then r8 --
         "skew_profile": _skew_profile,
@@ -13542,6 +13651,7 @@ def oracle_sql() -> dict[str, str]:
         "auc_eval": _AUC_SQL,
         "deterministic_shuffle": _DET_SHUFFLE_SQL,
         "token_budget_select": _TOKEN_BUDGET_SQL,
+        "curation_funnel": _CURATION_FUNNEL_SQL,
         "source_data_card": _SOURCE_CARD_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,

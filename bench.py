@@ -179,6 +179,8 @@ HEADLINE = [
     "span_contamination",
     # r14 addition — the within-doc sibling of the suffix family
     "intra_doc_repeat_spans",
+    # r14 addition — the end-to-end curation attrition funnel
+    "curation_funnel",
 ]
 
 

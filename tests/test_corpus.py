@@ -469,3 +469,92 @@ def test_span_scrub_removes_shared_span_keeps_unique(spark):
     assert out[4]["scrubbed_text"] == "short doc"
     assert out[1]["n_tokens"] == 12 and out[1]["n_kept"] == 4
     assert out[4]["n_tokens"] == 2 and out[4]["n_kept"] == 2
+
+
+def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
+    """The funnel is a monotone subset cascade: per-stage doc counts,
+    token mass and both id checksums are non-increasing (checksums are
+    sums of non-negative per-doc terms over shrinking sets), stage 0
+    equals the raw table, and the stage rows aggregate the levels
+    relation exactly (level >= k membership)."""
+    from z316_sales_data_pipeline_spark.plans import corpus_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = {
+        r["stage"]: r
+        for r in corpus_pipeline.curation_funnel(
+            docs, "text", "doc_id", "lang", "source"
+        ).collect()
+    }
+    assert list(rows) == list(corpus_pipeline.CURATION_STAGES)
+    ordered = [rows[s] for s in corpus_pipeline.CURATION_STAGES]
+    for a, b in zip(ordered, ordered[1:]):
+        for col in ("n_docs", "n_tokens", "id_check1", "id_check2"):
+            assert a[col] >= b[col], (a["stage"], b["stage"], col)
+    raw = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("doc_id") % 262139)).alias("k1"),
+    ).collect()[0]
+    assert ordered[0]["n_docs"] == raw["n"]
+    assert ordered[0]["id_check1"] == raw["k1"]
+
+    lab = corpus_pipeline.curation_levels(docs, "text", "doc_id", "lang", "source")
+    per = {
+        r["level"]: (r["c"], r["t"])
+        for r in lab.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    for k, stage in enumerate(corpus_pipeline.CURATION_STAGES):
+        n = sum(c for lvl, (c, _) in per.items() if lvl >= k)
+        t = sum(t for lvl, (_, t) in per.items() if lvl >= k)
+        assert rows[stage]["n_docs"] == n, stage
+        assert rows[stage]["n_tokens"] == t, stage
+
+
+def test_curation_levels_stage_semantics(spark, sf_dir):
+    """Stage predicates hold on the labeled relation: every stage-3
+    survivor owns a unique fingerprint AND is the min-id holder of it
+    within the stage-2 set; stage-5 membership equals
+    token_budget_select_scored over the stage-4 set (pinning the
+    delegation refactor); no eval-source doc survives past stage 3."""
+    from z316_sales_data_pipeline_spark.plans import corpus_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = corpus_pipeline.curation_levels(
+        docs, "text", "doc_id", "lang", "source"
+    ).cache()
+    try:
+        s3 = lab.filter(F.col("level") >= 3)
+        dup_fp = s3.groupBy("fp").count().filter(F.col("count") > 1).count()
+        assert dup_fp == 0
+        # min-id winner: no stage-2 member with the same fp and a lower id
+        s2 = lab.filter(F.col("level") >= 2).select("fp", F.col("doc_id").alias("other_id"))
+        usurped = (
+            s3.join(s2, "fp")
+            .filter(F.col("other_id") < F.col("doc_id"))
+            .count()
+        )
+        assert usurped == 0
+        assert lab.filter((F.col("level") >= 4) & (F.col("source") == "src0")).count() == 0
+
+        s4 = lab.filter(F.col("level") >= 4)
+        sel = corpus.token_budget_select_scored(
+            s4.select("source", "doc_id", "quality_x3", "n_tokens"), "doc_id", 200
+        )
+        got = {r["doc_id"] for r in lab.filter(F.col("level") >= 5).select("doc_id").collect()}
+        want = {r["doc_id"] for r in sel.select("doc_id").collect()}
+        assert got == want
+    finally:
+        lab.unpersist()
+
+
+def test_token_budget_select_delegates_to_scored(spark, sf_dir):
+    """token_budget_select == token_budget_select_scored over its own
+    scored relation (the r14 decomposition cannot drift)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = corpus.token_budget_select(docs, "text", "doc_id", "source", 3000)
+    b = corpus.token_budget_select_scored(
+        corpus._token_budget_scored(docs, "text", "doc_id", "source"), "doc_id", 3000
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -1554,9 +1554,21 @@ def token_budget_select(
     the classic giant-key case where a per-key WindowExec would
     single-task terabytes.
     """
-    cum = _token_budget_cum(
-        _token_budget_scored(docs, text_col, id_col, source_col), id_col
+    return token_budget_select_scored(
+        _token_budget_scored(docs, text_col, id_col, source_col), id_col, budget_tokens
     )
+
+
+def token_budget_select_scored(
+    scored: DataFrame, id_col: str, budget_tokens: int
+) -> DataFrame:
+    """:func:`token_budget_select`'s budget stage decoupled from text
+    scoring: takes the already-scored relation (source, id,
+    quality_x3, n_tokens) so composed pipelines (the curation funnel
+    in ``plans.corpus_pipeline``) can reuse ONE text scan across
+    stages instead of re-tokenizing per consumer. ``token_budget_select``
+    delegates here, so the two can never drift."""
+    cum = _token_budget_cum(scored, id_col)
     return cum.filter(F.col("cum_tokens") <= budget_tokens).select(
         "source", F.col(id_col), "quality_x3", "n_tokens", "cum_tokens"
     )

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .. import sinks
 from ..functions import text
-from ..operators import corpus, dedup
+from ..operators import bloom, corpus, dedup
 from ..persistence import persist_fact
 from ..sources.tables import load_table
 
@@ -128,3 +128,195 @@ def run_corpus_pipeline(
         "bpe_merges": spark.read.parquet(f"{out_dir}_bpe").count(),
         "manifest_files": spark.read.parquet(f"{out_dir}_manifest").count(),
     }
+
+
+CURATION_STAGES = (
+    "s0_raw",
+    "s1_quality",
+    "s2_lang",
+    "s3_exact_dedup",
+    "s4_decontaminated",
+    "s5_token_budget",
+)
+
+
+def curation_levels(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    source_col: str,
+    *,
+    keep_lang: str = "en",
+    min_quality_x3: int = 3,
+    eval_source: str = "src0",
+    shingle_k: int = 8,
+    budget_tokens: int = 200,
+) -> DataFrame:
+    """Doc-grain curation audit: the LAST funnel stage each document
+    survives, as one labeled relation.
+
+    The stages are the standard pretraining-curation cascade, each an
+    already-oracle-checked operator of this repo, pinned here in
+    composition (the read-path sibling of :func:`run_corpus_pipeline`,
+    which pins the write path):
+
+      0. raw lake
+      1. quality gate   — integer quality ``quality_score_int3 >=
+                          min_quality_x3`` (the token-budget family's
+                          exact grain, no float seam)
+      2. language gate  — ``lang == keep_lang`` (null-safe: an unknown
+                          lang drops, as the SQL twin's equality does)
+      3. exact dedup    — min-id winner per md5 of normalized text
+                          (``dedup_exact`` keep rule)
+      4. decontamination— drop the eval source itself plus any
+                          surviving train doc sharing a distinct
+                          ``shingle_k``-gram with the RAW eval set
+                          (``contamination_check`` semantics: eval is
+                          fixed upstream of curation); the train-side
+                          shingle stream is pruned by an explicit
+                          bloom built from the small eval-shingle set
+                          before the exact semi-join, so the 100 TB
+                          side never shuffles in full — false
+                          positives die in the exact join, false
+                          negatives are impossible, results are
+                          bit-identical with pruning on or off
+      5. token budget   — per-source greedy prefix under
+                          ``budget_tokens`` (``token_budget_select``
+                          semantics via the shared scored relation)
+
+    Returns (doc_id, lang, source, quality_x3, n_tokens, fp, level)
+    with level in 0..5 = the highest stage index the doc is still a
+    member of (stage k's surviving set is exactly ``level >= k`` —
+    the chain is a monotone subset cascade by construction).
+
+    Scale shape: ONE text scan feeds a narrow checkpointed base
+    (ids, integer score, token count, 16-byte fingerprint — no text
+    retained); the only second text touch is the shingle arm, and it
+    reads just the eval source plus the stage-3 survivors (semi-join
+    pushdown). The dedup winner set, the contaminated-id set and the
+    budget selection are key-only relations joined back as flags, so
+    every exchange after the base projection carries ids and scalars,
+    never documents.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.col(source_col).alias("source"),
+        text.quality_score_int3(text_col).alias("quality_x3"),
+        text.whitespace_token_count(text_col).cast("long").alias("n_tokens"),
+        F.md5(norm).alias("fp"),
+    ).localCheckpoint(eager=True)
+
+    s2 = base.filter(
+        (F.col("quality_x3") >= min_quality_x3)
+        & F.col("lang").eqNullSafe(F.lit(keep_lang))
+    )
+    winners = s2.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    s3 = s2.join(winners, ["fp", "doc_id"], "semi")
+
+    eval_sh = (
+        docs.filter(F.col(source_col) == eval_source)
+        .select(F.explode(F.array_distinct(text.shingles(text_col, shingle_k))).alias("s"))
+        .distinct()
+    )
+    ebloom = bloom.build_bloom(eval_sh, "s")
+    train = s3.filter(F.col("source") != eval_source)
+    train_text = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).join(train.select("doc_id"), "doc_id", "semi")
+    train_sh = train_text.select(
+        "doc_id", F.explode(F.array_distinct(text.shingles("__text", shingle_k))).alias("s")
+    )
+    # small id set, consumed twice (s4 below + the level flag join):
+    # one eager checkpoint stops the shingle arm re-executing per branch
+    contaminated = (
+        bloom.bloom_prune(train_sh, "s", ebloom)
+        .join(eval_sh, "s", "semi")
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s4 = train.join(contaminated, "doc_id", "anti")
+    s5 = corpus.token_budget_select_scored(
+        s4.select("source", "doc_id", "quality_x3", "n_tokens"), "doc_id", budget_tokens
+    )
+
+    return (
+        base.join(winners.withColumn("__w", F.lit(1)), ["fp", "doc_id"], "left")
+        .join(contaminated.withColumn("__c", F.lit(1)), "doc_id", "left")
+        .join(s5.select("doc_id").withColumn("__s", F.lit(1)), "doc_id", "left")
+        .withColumn(
+            "level",
+            F.when(F.col("quality_x3") < min_quality_x3, F.lit(0))
+            .when(~F.col("lang").eqNullSafe(F.lit(keep_lang)), F.lit(1))
+            .when(F.col("__w").isNull(), F.lit(2))
+            .when(
+                (F.col("source") == eval_source) | F.col("__c").isNotNull(), F.lit(3)
+            )
+            .when(F.col("__s").isNull(), F.lit(4))
+            .otherwise(F.lit(5)),
+        )
+        .select("doc_id", "lang", "source", "quality_x3", "n_tokens", "fp", "level")
+    )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    source_col: str,
+    *,
+    keep_lang: str = "en",
+    min_quality_x3: int = 3,
+    eval_source: str = "src0",
+    shingle_k: int = 8,
+    budget_tokens: int = 200,
+    checksum_mod: int = 262139,
+) -> DataFrame:
+    """Per-stage attrition funnel over :func:`curation_levels`: one row
+    per stage with the surviving doc count, surviving token mass, and
+    a pair of multiset id checksums (sum and sum-of-squares of
+    ``doc_id % checksum_mod`` — bounded so the squares never overflow
+    a long even on the 30x scale-study replicas' shifted ids) that pin
+    the EXACT surviving membership of every stage against the SQL
+    twin, not just its cardinality.
+
+    The funnel itself is a single pass over the labeled relation:
+    stage k aggregates ``level >= k`` via 6x4 conditional sums in ONE
+    map-side-combinable aggregate, then ``stack``s the scalar row to
+    stage grain — no join, no window, no second scan.
+    """
+    lab = curation_levels(
+        docs,
+        text_col,
+        id_col,
+        lang_col,
+        source_col,
+        keep_lang=keep_lang,
+        min_quality_x3=min_quality_x3,
+        eval_source=eval_source,
+        shingle_k=shingle_k,
+        budget_tokens=budget_tokens,
+    )
+    m = F.col("doc_id") % F.lit(checksum_mod)
+    aggs = []
+    for k in range(len(CURATION_STAGES)):
+        keep = F.col("level") >= F.lit(k)
+        aggs += [
+            F.sum(keep.cast("long")).alias(f"c{k}"),
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(F.lit(0))).alias(f"t{k}"),
+            F.sum(F.when(keep, m).otherwise(F.lit(0))).alias(f"o{k}"),
+            F.sum(F.when(keep, m * m).otherwise(F.lit(0))).alias(f"p{k}"),
+        ]
+    stacked = ", ".join(
+        f"'{name}', c{k}, t{k}, o{k}, p{k}" for k, name in enumerate(CURATION_STAGES)
+    )
+    return lab.agg(*aggs).select(
+        F.expr(
+            f"stack({len(CURATION_STAGES)}, {stacked})"
+            " as (stage, n_docs, n_tokens, id_check1, id_check2)"
+        )
+    )
