@@ -11280,6 +11280,41 @@ FROM p5
 """
 
 
+def _curation_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion curation
+    (plans.corpus_pipeline.curation_funnel_incremental): the at-rest
+    corpus (doc_id below the 80% id mark, plus ALL eval-source docs —
+    the eval set is frozen upstream of curation) was curated in a
+    previous run; the new batch (the remaining non-eval ids, all above
+    every at-rest non-eval id — the gate family's monotone-id
+    contract, fail-stopped in the fold) folds in through the at-rest
+    LEVELS relation, the bloom-probed fingerprint index, the frozen
+    eval shingles and the budget family's (selected, cutoff) state —
+    the at-rest corpus is never re-scored. Stage 5 is NOT append-only
+    (a batch doc can evict an at-rest selected doc), so the union's
+    stage-5 row comes from the fold output. The ORACLE is the FULL
+    batch-path funnel SQL: the fold must equal the full recompute
+    exactly, checked differentially every round."""
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    t = int(max_id * 8 // 10)
+    prior = docs.filter((F.col("doc_id") < t) | (F.col("source") == "src0"))
+    batch = docs.filter((F.col("doc_id") >= t) & (F.col("source") != "src0"))
+    # the at-rest levels relation IS the production at-rest state —
+    # materialize once per corpus identity (pair_graph warehouse
+    # discipline) so steady-state epochs pay only the fold
+    prior_levels = pair_graph._materialized(
+        spark,
+        sf_dir,
+        "curation_levels_prior",
+        "t80_en_q3_k8_b200",
+        lambda: corpus_pipeline.curation_levels(prior, "text", "doc_id", "lang", "source"),
+    )
+    return corpus_pipeline.curation_funnel_incremental(
+        prior, batch, "text", "doc_id", "lang", "source", prior_levels=prior_levels
+    )
+
+
 def _source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dataset card (corpus.source_data_card): doc/token
     counts, mean doc length, top-quality and below-length-floor shares
@@ -13129,6 +13164,7 @@ _R14_SAMPLE_HEAD = [
     # new r14 entries (never driver-attested)
     "intra_doc_repeat_spans",
     "curation_funnel",
+    "curation_funnel_incremental",
     # changed this round (r14): suffix family re-keyed on (hash, pos)
     # with the positional verify arm; agreement exact channel now
     # counts pre-merge hit positions; market_hhi gained the per-seller
@@ -13182,7 +13218,6 @@ _R14_SAMPLE_HEAD = [
     "event_transitions",
     "f14_pubsub_decode",
     "f16_url_assembly",
-    "funnel_conversion",
 ]
 
 
@@ -13307,6 +13342,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_shuffle": _deterministic_shuffle,
         "token_budget_select": _token_budget_select,
         "curation_funnel": _curation_funnel,
+        "curation_funnel_incremental": _curation_funnel_incremental,
         "source_data_card": _source_data_card,
         # -- stalest-first: remaining r5/r6-attested, then r7, then r8 --
         "skew_profile": _skew_profile,
@@ -13652,6 +13688,8 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_shuffle": _DET_SHUFFLE_SQL,
         "token_budget_select": _TOKEN_BUDGET_SQL,
         "curation_funnel": _CURATION_FUNNEL_SQL,
+        # the incremental fold must equal the full batch-path recompute
+        "curation_funnel_incremental": _CURATION_FUNNEL_SQL,
         "source_data_card": _SOURCE_CARD_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,

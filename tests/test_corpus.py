@@ -558,3 +558,100 @@ def test_token_budget_select_delegates_to_scored(spark, sf_dir):
         corpus._token_budget_scored(docs, "text", "doc_id", "source"), "doc_id", 3000
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def _cf_doc(doc_id, text, lang="en", source="srcA"):
+    return (doc_id, text, lang, source)
+
+
+def _cf_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def _cf_words(n, stem="tok"):
+    return " ".join(f"{stem}{i % 50}x" for i in range(n))
+
+
+def test_curation_funnel_incremental_equals_full_recompute(spark):
+    """Crafted corpus exercising EVERY fold path the synthetic tables
+    cannot (they hold zero cross-split exact dups): cross-split exact
+    dup (batch loser), within-batch dup, eval contamination of a batch
+    doc, a low-quality and a wrong-lang batch doc, and a batch arrival
+    whose rank EVICTS an at-rest selected doc from the budget stage
+    (stage 5 is not append-only). The fold must equal the full
+    batch-path funnel on the union, row for row."""
+    from z316_sales_data_pipeline_spark.plans import corpus_pipeline
+
+    eval_text = _cf_words(40, "evla")
+    dup_text = _cf_words(60, "dupx")
+    # q3 = 2: mean word length > 12 chars (len/punct still fine)
+    q2_text = " ".join("wordpartsverylong" + str(i) for i in range(12))
+    prior = _cf_df(
+        spark,
+        [
+            _cf_doc(1, _cf_words(100, "pone")),          # selected (q3=3, 100 tok)
+            _cf_doc(2, q2_text, source="srcA"),           # q3=2, selected at rest
+            _cf_doc(3, dup_text),                         # dedup winner at rest
+            _cf_doc(7, eval_text, source="src0"),         # frozen eval set
+            _cf_doc(8, _cf_words(30, "pbee"), source="srcB"),
+        ],
+    )
+    batch = _cf_df(
+        spark,
+        [
+            _cf_doc(101, dup_text),                       # cross-split dup -> loser
+            _cf_doc(102, _cf_words(55, "botc")),          # clean survivor
+            _cf_doc(103, _cf_words(55, "botc")),          # within-batch dup of 102
+            _cf_doc(104, _cf_words(120, "bevi")),         # rank-evicts doc 2's budget room
+            _cf_doc(105, _cf_words(20, "evla") + " " + eval_text),  # contaminated
+            _cf_doc(106, _cf_words(55, "bfrx"), lang="fr"),         # wrong lang
+            _cf_doc(107, "short!!!???;;;:::!!!???;;;"),              # low quality
+        ],
+    )
+    kw = dict(keep_lang="en", min_quality_x3=2, eval_source="src0",
+              shingle_k=8, budget_tokens=200)
+    got = corpus_pipeline.curation_funnel_incremental(
+        prior, batch, "text", "doc_id", "lang", "source", **kw
+    ).collect()
+    want = corpus_pipeline.curation_funnel(
+        prior.unionByName(batch), "text", "doc_id", "lang", "source", **kw
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    rows = {r["stage"]: r for r in got}
+    # the crafted paths actually fired: dedup dropped 101+103, budget
+    # rejected 104 AND evicted at-rest doc 2 (so stage-5 mass shrank
+    # below prior's 1+2+3 selection), contamination dropped 105
+    assert rows["s3_exact_dedup"]["n_docs"] == rows["s2_lang"]["n_docs"] - 2
+    assert rows["s4_decontaminated"]["n_docs"] == rows["s3_exact_dedup"]["n_docs"] - 2
+    # derive the expected selection directly from the full batch-path levels
+    lab = corpus_pipeline.curation_levels(
+        prior.unionByName(batch), "text", "doc_id", "lang", "source", **kw
+    )
+    want_sel = {r["doc_id"] for r in lab.filter(F.col("level") >= 5).collect()}
+    assert rows["s5_token_budget"]["n_docs"] == len(want_sel)
+    assert 2 not in want_sel  # the eviction really happened
+
+
+def test_curation_funnel_incremental_fail_stops(spark):
+    """Contract violations refuse loudly instead of diverging: a batch
+    eval-source row (frozen-eval contract) and a batch doc that would
+    usurp an at-rest dedup winner (monotone-id contract) both raise."""
+    from py4j.protocol import Py4JJavaError
+    from z316_sales_data_pipeline_spark.plans import corpus_pipeline
+
+    base = _cf_df(spark, [_cf_doc(10, _cf_words(60, "pone")),
+                          _cf_doc(11, _cf_words(40, "evla"), source="src0")])
+    bad_eval = _cf_df(spark, [_cf_doc(100, _cf_words(50, "bnew"), source="src0")])
+    with pytest.raises(Exception) as ei:
+        corpus_pipeline.curation_funnel_incremental(
+            base, bad_eval, "text", "doc_id", "lang", "source"
+        ).collect()
+    assert "eval-source" in str(ei.value)
+
+    usurper = _cf_df(spark, [_cf_doc(5, _cf_words(60, "pone"))])  # id 5 < winner 10, same fp
+    with pytest.raises(Exception) as ei:
+        corpus_pipeline.curation_funnel_incremental(
+            base, usurper, "text", "doc_id", "lang", "source",
+            min_quality_x3=2,
+        ).collect()
+    assert "monotone-id" in str(ei.value)

@@ -1643,9 +1643,20 @@ def token_budget_cutoff(
     an exact incremental fold requires: the selected rows say what is
     in, the cutoff says where 'out' begins. Persist it next to the
     selection (the token_budget_sink does)."""
-    cum = _token_budget_cum(
-        _token_budget_scored(docs, text_col, id_col, source_col), id_col
+    return token_budget_cutoff_scored(
+        _token_budget_scored(docs, text_col, id_col, source_col), id_col, budget_tokens
     )
+
+
+def token_budget_cutoff_scored(
+    scored: DataFrame, id_col: str, budget_tokens: int
+) -> DataFrame:
+    """:func:`token_budget_cutoff` over an already-scored relation
+    (source, id, quality_x3, n_tokens) — the scored-grain twin of
+    :func:`token_budget_select_scored`, for composed pipelines that
+    already paid the text scan. ``token_budget_cutoff`` delegates
+    here."""
+    cum = _token_budget_cum(scored, id_col)
     return _first_rejected_cutoff(cum, id_col, budget_tokens)
 
 

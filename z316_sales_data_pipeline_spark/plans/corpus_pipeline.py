@@ -301,6 +301,13 @@ def curation_funnel(
         shingle_k=shingle_k,
         budget_tokens=budget_tokens,
     )
+    return _funnel_rows(lab, checksum_mod)
+
+
+def _funnel_rows(lab: DataFrame, checksum_mod: int) -> DataFrame:
+    """The funnel aggregation over any (doc_id, n_tokens, level)
+    relation: 6x4 conditional sums in one map-side-combinable
+    aggregate, stacked to stage grain."""
     m = F.col("doc_id") % F.lit(checksum_mod)
     aggs = []
     for k in range(len(CURATION_STAGES)):
@@ -320,3 +327,192 @@ def curation_funnel(
             " as (stage, n_docs, n_tokens, id_check1, id_check2)"
         )
     )
+
+
+def curation_funnel_incremental(
+    prior_docs: DataFrame,
+    batch_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    source_col: str,
+    *,
+    keep_lang: str = "en",
+    min_quality_x3: int = 3,
+    eval_source: str = "src0",
+    shingle_k: int = 8,
+    budget_tokens: int = 200,
+    checksum_mod: int = 262139,
+    prior_levels: DataFrame | None = None,
+) -> DataFrame:
+    """Fold a NEW document batch into an existing curation funnel and
+    emit the UNION funnel — provably equal to
+    :func:`curation_funnel` over ``prior_docs ∪ batch_docs`` without
+    re-curating the at-rest corpus (the token_budget_incremental /
+    minhash_incremental pattern applied to the whole cascade).
+
+    Contracts that make the fold exact (each either structural or
+    fail-stopped):
+
+    - **Frozen eval** — ``batch_docs`` must contain no ``eval_source``
+      rows (the eval set is fixed upstream of curation; a batch eval
+      doc would retroactively contaminate at-rest survivors). Guarded
+      by a fail-stop riding the batch projection.
+    - **Monotone dedup winners** — a batch doc whose fingerprint is
+      already at rest must have a HIGHER id than the at-rest winner
+      (the gate-sink monotone-id contract); otherwise it would usurp
+      the winner and silently change at-rest survivorship. Guarded by
+      a fail-stop on the probe join: violation raises instead of
+      diverging — rebuild via the batch path.
+    - **Budget fold exactness** — the per-source cutoff-carrying
+      prefix rule (:func:`~..operators.corpus.token_budget_select_incremental`);
+      unlike stages 0–4, stage 5 is NOT append-only (a high-quality
+      batch doc can evict an at-rest selected doc), so the union's
+      stage-5 row is computed from the fold output, never summed.
+
+    Stage 0–4 membership of at-rest docs is untouched by the batch
+    (gates are stateless, winners are monotone, eval is frozen), so
+    the union levels relation is (prior levels capped at 4) ∪ (batch
+    levels 0–4), re-flagged to 5 by the fold's selected set.
+
+    Scale shape: the at-rest corpus is touched ONLY through its
+    levels relation (ids + scalars, materialize-once per corpus),
+    its fingerprint index probe (bloom-pruned by the small batch's
+    fingerprints before the join), the eval shingle set, and the
+    budget family's (selected, cutoff) state — never re-read or
+    re-scored. Everything scored from text is batch-sized.
+    """
+    if prior_levels is None:
+        prior_levels = curation_levels(
+            prior_docs,
+            text_col,
+            id_col,
+            lang_col,
+            source_col,
+            keep_lang=keep_lang,
+            min_quality_x3=min_quality_x3,
+            eval_source=eval_source,
+            shingle_k=shingle_k,
+            budget_tokens=budget_tokens,
+        )
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    no_eval = F.assert_true(
+        ~F.col(source_col).eqNullSafe(F.lit(eval_source)),
+        F.lit(
+            "curation_funnel_incremental: batch contains eval-source rows —"
+            " the eval set is frozen upstream of curation (a batch eval doc"
+            " would retroactively contaminate at-rest survivors)"
+        ),
+    )
+    b = batch_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.when(no_eval.isNull(), F.col(source_col)).alias("source"),
+        text.quality_score_int3(text_col).alias("quality_x3"),
+        text.whitespace_token_count(text_col).cast("long").alias("n_tokens"),
+        F.md5(norm).alias("fp"),
+    ).localCheckpoint(eager=True)
+
+    b_s2 = b.filter(
+        (F.col("quality_x3") >= min_quality_x3)
+        & F.col("lang").eqNullSafe(F.lit(keep_lang))
+    )
+    # at-rest fingerprint index = (fp, winner id) of the at-rest
+    # stage-3 survivors; bloom-pruned by the batch's fps so the 100 TB
+    # side is probed, never rescanned into a shuffle
+    fp_index = prior_levels.filter(F.col("level") >= 3).select(
+        "fp", F.col("doc_id").alias("__rest_winner")
+    )
+    bbloom = bloom.build_bloom(b_s2, "fp")
+    cand_idx = bloom.bloom_prune(fp_index, "fp", bbloom)
+    usurp_guard = F.assert_true(
+        F.col("__rest_winner").isNull() | (F.col("doc_id") > F.col("__rest_winner")),
+        F.lit(
+            "curation_funnel_incremental: monotone-id contract violated — a"
+            " batch doc would usurp an at-rest dedup winner (lower id, same"
+            " fingerprint); fold refused, rebuild via the batch path"
+        ),
+    )
+    probed = b_s2.join(cand_idx, "fp", "left").withColumn(
+        "__rest_hit", F.when(usurp_guard.isNull(), F.col("__rest_winner").isNotNull())
+    )
+    fresh = probed.filter(~F.col("__rest_hit")).drop("__rest_winner", "__rest_hit")
+    bwin = fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    b_s3 = fresh.join(bwin, ["fp", "doc_id"], "semi")
+
+    eval_sh = (
+        prior_docs.filter(F.col(source_col) == eval_source)
+        .select(F.explode(F.array_distinct(text.shingles(text_col, shingle_k))).alias("s"))
+        .distinct()
+    )
+    ebloom = bloom.build_bloom(eval_sh, "s")
+    b_text = batch_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).join(b_s3.select("doc_id"), "doc_id", "semi")
+    b_sh = b_text.select(
+        "doc_id", F.explode(F.array_distinct(text.shingles("__text", shingle_k))).alias("s")
+    )
+    contaminated = (
+        bloom.bloom_prune(b_sh, "s", ebloom)
+        .join(eval_sh, "s", "semi")
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    b_s4 = b_s3.join(contaminated, "doc_id", "anti")
+
+    prior_selected = prior_levels.filter(F.col("level") >= 5).select(
+        "source", F.col("doc_id").alias(id_col), "quality_x3", "n_tokens"
+    )
+    prior_cut = corpus.token_budget_cutoff_scored(
+        prior_levels.filter(F.col("level") >= 4).select(
+            "source", "doc_id", "quality_x3", "n_tokens"
+        ),
+        "doc_id",
+        budget_tokens,
+    )
+    batch_new_docs = batch_docs.join(
+        b_s4.select(F.col("doc_id").alias(id_col)), id_col, "semi"
+    )
+    fold = corpus.token_budget_select_incremental(
+        prior_selected,
+        batch_new_docs,
+        text_col,
+        id_col,
+        source_col,
+        budget_tokens,
+        prior_cut,
+    )
+    selected = fold.select(F.col(id_col).alias("doc_id")).withColumn("__sel", F.lit(1))
+
+    b_lab04 = (
+        b.join(contaminated.withColumn("__c", F.lit(1)), "doc_id", "left")
+        .join(
+            b_s3.select("doc_id").withColumn("__w3", F.lit(1)), "doc_id", "left"
+        )
+        .withColumn(
+            "lvl4",
+            F.when(F.col("quality_x3") < min_quality_x3, F.lit(0))
+            .when(~F.col("lang").eqNullSafe(F.lit(keep_lang)), F.lit(1))
+            .when(F.col("__w3").isNull(), F.lit(2))
+            .when(F.col("__c").isNotNull(), F.lit(3))
+            .otherwise(F.lit(4)),
+        )
+        .select("doc_id", "n_tokens", "lvl4")
+    )
+    union_lab = (
+        prior_levels.select(
+            "doc_id", "n_tokens", F.least(F.col("level"), F.lit(4)).alias("lvl4")
+        )
+        .unionByName(b_lab04)
+        .join(selected, "doc_id", "left")
+        .withColumn(
+            "level",
+            F.when((F.col("lvl4") == 4) & F.col("__sel").isNotNull(), F.lit(5)).otherwise(
+                F.col("lvl4")
+            ),
+        )
+        .select("doc_id", "n_tokens", "level")
+    )
+    return _funnel_rows(union_lab, checksum_mod)
