@@ -2566,3 +2566,220 @@ def test_ab_readout_sink_bootstraps_string_ids(spark, tmp_path):
     }
     got = {tuple(r) for r in sinks.read_snapshot(spark, mv).collect()}
     assert got == want and got
+
+
+def test_curation_gate_sink_matches_batch_twin_replay_noop_and_refusal(
+    spark, sf_dir, tmp_path
+):
+    """The COMPOSED curation door: after EVERY epoch of monotone-id
+    train batches, curation_gate_funnel equals the batch twin —
+    plans.corpus_pipeline.curation_funnel over (all docs folded so
+    far ∪ the frozen eval set), restricted to train docs — bit for
+    bit, including the eviction-aware budget stage. A replayed epoch
+    is a strict no-op on every table; a NEW epoch with ids at-or-below
+    the folded maximum refuses; a batch carrying eval-source rows
+    refuses."""
+    import pytest as _pytest
+
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.plans import corpus_pipeline
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming import pipeline as P
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    eval_docs = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    n = train.agg(F.max("doc_id")).first()[0]
+    cuts = [(None, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, None)]
+    slices = [
+        train.filter(
+            (F.lit(True) if lo is None else (F.col("doc_id") >= lo))
+            & (F.lit(True) if hi is None else (F.col("doc_id") <= hi if hi is None else F.col("doc_id") < hi))
+        )
+        for lo, hi in cuts
+    ]
+    st = str(tmp_path / "cgs_state")
+    acc = str(tmp_path / "cgs_acc")
+    qua = str(tmp_path / "cgs_qua")
+    fold = P.curation_gate_sink(
+        st, acc, qua, "text", "doc_id", "lang", "source", eval_docs
+    )
+    seen = None
+    for i, sl in enumerate(slices):
+        fold(sl, i)
+        seen = sl if seen is None else seen.unionByName(sl)
+        got = sorted(
+            map(tuple, P.curation_gate_funnel(spark, st).collect())
+        )
+        twin_lab = corpus_pipeline.curation_levels(
+            seen.unionByName(eval_docs), "text", "doc_id", "lang", "source"
+        ).filter(F.col("source") != "src0")
+        want = sorted(
+            map(
+                tuple,
+                corpus_pipeline._funnel_rows(twin_lab, 262139).collect(),
+            )
+        )
+        assert got == want, f"epoch {i} funnel"
+        # accepted/quarantined split matches the levels audit
+        got_acc = {r["doc_id"] for r in sinks.read_appended(spark, acc).collect()}
+        twin_admit = {
+            r["doc_id"] for r in twin_lab.filter(F.col("level") >= 4).collect()
+        }
+        assert got_acc == twin_admit, f"epoch {i} accepted"
+
+    # replay: strict no-op on every table
+    tables = [f"{st}/fp", f"{st}/levels", acc, qua]
+    versions = [int(open(f"{d}/_LATEST").read()) for d in tables]
+    fold(slices[1], 1)
+    assert [int(open(f"{d}/_LATEST").read()) for d in tables] == versions
+
+    # late ids under a NEW epoch: refuse
+    with _pytest.raises(ValueError, match="late/reordered"):
+        fold(slices[0], 9)
+    assert [int(open(f"{d}/_LATEST").read()) for d in tables] == versions
+
+    # eval-source rows in the batch: refuse loudly (frozen-eval contract)
+    bad = eval_docs.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    with _pytest.raises(Exception, match="eval-source"):
+        fold(bad, 10)
+
+
+def test_curation_gate_sink_eval_contender_and_eviction_paths(spark, tmp_path):
+    """Crafted stream exercising the seams the synthetic corpus lacks:
+    (a) a train doc whose fingerprint is owned by a LOWER-id frozen
+    eval doc loses dedup winnership at the gate exactly as in the
+    batch twin; (b) a later epoch's arrival EVICTS an earlier epoch's
+    budget selection (stage 5 is not append-only across epochs)."""
+    from z316_sales_data_pipeline_spark.plans import corpus_pipeline
+    from z316_sales_data_pipeline_spark.streaming import pipeline as P
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+
+    def words(n, stem):
+        return " ".join(f"{stem}{i % 50}x" for i in range(n))
+
+    q2 = " ".join("wordpartsverylong" + str(i) for i in range(12))
+    eval_docs = mk([(5, words(40, "evla"), "en", "src0")])
+    e1 = mk(
+        [
+            (10, words(40, "evla"), "en", "srcA"),   # fp owned by eval id 5 -> loser
+            (11, words(100, "pone"), "en", "srcA"),  # selected
+            (12, q2, "en", "srcA"),                  # q3=2, selected at rest
+        ]
+    )
+    e2 = mk([(100, words(120, "bevi"), "en", "srcA")])  # rank-evicts doc 12
+    st = str(tmp_path / "cgs2_state")
+    fold = P.curation_gate_sink(
+        st,
+        str(tmp_path / "cgs2_acc"),
+        str(tmp_path / "cgs2_qua"),
+        "text",
+        "doc_id",
+        "lang",
+        "source",
+        eval_docs,
+        min_quality_x3=2,
+        budget_tokens=200,
+    )
+    all_docs = eval_docs
+    for i, sl in enumerate([e1, e2]):
+        fold(sl, i)
+        all_docs = all_docs.unionByName(sl)
+        got = sorted(map(tuple, P.curation_gate_funnel(spark, st).collect()))
+        twin_lab = corpus_pipeline.curation_levels(
+            all_docs, "text", "doc_id", "lang", "source",
+            min_quality_x3=2, budget_tokens=200,
+        ).filter(F.col("source") != "src0")
+        want = sorted(
+            map(tuple, corpus_pipeline._funnel_rows(twin_lab, 262139).collect())
+        )
+        assert got == want, f"epoch {i}"
+    final = {r["stage"]: r for r in P.curation_gate_funnel(spark, st).collect()}
+    # doc 10 lost to the eval contender (dedup stage shrank) and doc 12
+    # was evicted by doc 100's higher-quality arrival
+    assert final["s3_exact_dedup"]["n_docs"] == final["s2_lang"]["n_docs"] - 1
+    assert final["s5_token_budget"]["n_docs"] == 1
+
+
+def test_curation_gate_sink_crash_windows_converge(spark, sf_dir, tmp_path, monkeypatch):
+    """Fault injection into the composed gate's two sink-specific
+    crash windows: (a) appends committed but the sink dies BEFORE the
+    budget cutoff snapshot — the replay refolds everything (append txn
+    keys no-op, budget folds first-time); (b) the sel snapshot lands
+    but the sink dies BEFORE the commit marker — the replay must NOT
+    refold the batch into the selection (the _CGS_SEL_EPOCH meta is
+    the double-count guard) yet still lands the marker. Both replays
+    must converge to exactly the clean-run state."""
+    import pytest as _pytest
+
+    from z316_sales_data_pipeline_spark import sinks
+    from z316_sales_data_pipeline_spark.sources.tables import load_table
+    from z316_sales_data_pipeline_spark.streaming import pipeline as P
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    eval_docs = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    sl0 = train.filter(F.col("doc_id") < 167)
+    sl1 = train.filter((F.col("doc_id") >= 167) & (F.col("doc_id") < 334))
+
+    def run(tag, crash_mode):
+        st = str(tmp_path / f"{tag}_state")
+        fold = P.curation_gate_sink(
+            st,
+            str(tmp_path / f"{tag}_acc"),
+            str(tmp_path / f"{tag}_qua"),
+            "text", "doc_id", "lang", "source", eval_docs,
+        )
+        fold(sl0, 0)
+        if crash_mode == "pre_cutoff":
+            real = sinks.write_snapshot
+            calls = {"n": 0}
+
+            def boom(df, table_dir, **kw):
+                calls["n"] += 1
+                raise OSError("injected: died before the cutoff snapshot")
+
+            monkeypatch.setattr(sinks, "write_snapshot", boom)
+            try:
+                with _pytest.raises(OSError, match="injected"):
+                    fold(sl1, 1)
+            finally:
+                monkeypatch.setattr(sinks, "write_snapshot", real)
+        elif crash_mode == "pre_marker":
+            real = P._write_commit
+
+            def boom(path, epoch, max_id):
+                if epoch == 1:
+                    raise OSError("injected: died before the commit marker")
+                return real(path, epoch, max_id)
+
+            monkeypatch.setattr(P, "_write_commit", boom)
+            try:
+                with _pytest.raises(OSError, match="injected"):
+                    fold(sl1, 1)
+            finally:
+                monkeypatch.setattr(P, "_write_commit", real)
+        fold(sl1, 1)  # the replay
+        return st
+
+    clean = run("cgclean", None)
+    for mode in ("pre_cutoff", "pre_marker"):
+        st = run(f"cg{mode}", mode)
+        got = sorted(map(tuple, P.curation_gate_funnel(spark, st).collect()))
+        want = sorted(map(tuple, P.curation_gate_funnel(spark, clean).collect()))
+        assert got == want, mode
+        got_sel = sorted(
+            map(tuple, sinks.read_snapshot(spark, f"{st}/sel").collect())
+        )
+        want_sel = sorted(
+            map(tuple, sinks.read_snapshot(spark, f"{clean}/sel").collect())
+        )
+        assert got_sel == want_sel, mode

@@ -161,6 +161,46 @@ def main() -> None:
             for t in ("state/asg", "acc", "qua")
         }
 
+        # composed curation gate: full admission cascade per epoch;
+        # eval set frozen at construction, stream carries train only
+        from z316_sales_data_pipeline_spark.streaming.pipeline import (
+            curation_gate_sink,
+        )
+
+        docs_l = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        eval_docs = docs_l.filter(F.col("source") == "src0").localCheckpoint(
+            eager=True
+        )
+        train = docs_l.filter(F.col("source") != "src0")
+        tslices = [
+            train.filter(
+                (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+            ).localCheckpoint(eager=True)
+            for i in range(n_epochs)
+        ]
+        cg = curation_gate_sink(
+            f"{td}/cgs_state",
+            f"{td}/cgs_acc",
+            f"{td}/cgs_qua",
+            "text",
+            "doc_id",
+            "lang",
+            "source",
+            eval_docs,
+        )
+        times = []
+        for i, sl in enumerate(tslices):
+            t0 = time.time()
+            cg(sl, i)
+            times.append(round(time.time() - t0, 2))
+        out["curation_gate_sink_epoch_sec"] = summarize(times)
+        out["cgs_segments"] = {
+            t: sinks.committed_segment_count(f"{td}/cgs_{t}")
+            for t in ("state/fp", "state/levels", "acc", "qua")
+        }
+
     print(json.dumps(out))
 
 

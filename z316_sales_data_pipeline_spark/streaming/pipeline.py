@@ -1944,3 +1944,329 @@ def heavy_hitters_monitor(
     return stream_df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def curation_gate_sink(
+    state_dir: str,
+    accepted_dir: str,
+    quarantined_dir: str,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    source_col: str,
+    eval_docs: DataFrame,
+    *,
+    keep_lang: str = "en",
+    min_quality_x3: int = 3,
+    eval_source: str = "src0",
+    shingle_k: int = 8,
+    budget_tokens: int = 200,
+    max_segments: int = 16,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch COMPOSED curation gate — the whole
+    ``plans.corpus_pipeline.curation_funnel`` cascade at the streaming
+    door (batch twin: ``curation_funnel``; fold kernel:
+    ``curation_funnel_incremental``). Where the other at-the-door
+    members each guard ONE hazard (minhash near-dups, exact
+    substrings, n-gram contamination, semantic near-dups), this gate
+    runs the full pretraining admission pipeline per epoch: integer
+    quality gate → language gate → exact-dup gate against the at-rest
+    fingerprint index → decontamination against the FROZEN eval
+    shingle set → per-source token-budget fold.
+
+    Per-epoch state:
+
+    - ``{state_dir}/fp``     — append-only (fp, id) index of admitted
+      dedup winners; probed bloom-pruned by the batch's fingerprints.
+      The stream's monotone-id refusal makes usurpation structurally
+      impossible (every batch id exceeds every at-rest id), so the
+      fold needs no usurpation fail-stop — strictly stronger than the
+      batch-incremental operator's per-fingerprint contract.
+    - ``{state_dir}/levels`` — append-only doc-grain audit
+      (id, source, n_tokens, lvl4, reason): the funnel's stages 0–4
+      are append-only under the contracts, so the at-rest funnel is
+      one aggregate over this relation (:func:`curation_gate_funnel`).
+    - ``{state_dir}/sel`` + ``{state_dir}/sel_cutoff`` — the budget
+      family's REWRITTEN snapshot pair (token_budget_sink mechanics:
+      cutoff commits first; the fold under a tightened cutoff is
+      idempotent by the prefix rule; the sel snapshot's own epoch meta
+      guards the double-fold replay window).
+    - eval shingles + their bloom are frozen at sink construction
+      (``eval_docs`` is the fixed upstream eval set — the frozen-eval
+      contract; batch rows claiming ``eval_source`` refuse loudly),
+      and so is the eval DEDUP-CONTENDER relation (min eval id per
+      fingerprint among gate-passing eval docs): the batch twin lets
+      a lower-id eval doc win a fingerprint, so the gate must too —
+      ids are one space across eval ∪ stream.
+
+    Exactly-once: ``_CGS_COMMIT`` (``epoch:maxid``, ONE atomic
+    replace) + per-table txn keys + the ``id < min(batch)`` range
+    filter on at-rest reads; append tables compact past
+    ``max_segments``. Pinned law: after EVERY epoch
+    ``curation_gate_funnel`` ≡ ``curation_funnel`` over all docs ever
+    folded plus the frozen eval set, bit-for-bit.
+    """
+    import os
+
+    from .. import sinks
+    from ..functions import text as text_fns
+    from ..operators import bloom as bloom_ops
+    from ..operators import corpus as corpus_ops
+
+    fp_dir = f"{state_dir}/fp"
+    levels_dir = f"{state_dir}/levels"
+    sel_dir = f"{state_dir}/sel"
+    cutoff_dir = f"{state_dir}/sel_cutoff"
+    commit_marker_path = f"{state_dir}/_CGS_COMMIT"
+
+    eval_sh = (
+        eval_docs.select(
+            F.explode(
+                F.array_distinct(text_fns.shingles(text_col, shingle_k))
+            ).alias("s")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # frozen eval shingle set
+    )
+    ebloom = bloom_ops.build_bloom(eval_sh, "s").localCheckpoint(eager=True)
+    # frozen eval DEDUP CONTENDERS: in the batch twin, eval docs that
+    # pass the quality/lang gates compete for min-id fingerprint
+    # winnership (and then die at the decontamination stage); a train
+    # doc sharing a fingerprint with a LOWER-id eval doc must lose
+    # here too, or the gate would diverge from the batch path. Ids are
+    # one space across eval ∪ stream (the batch twin's ordering).
+    eval_norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    eval_fp = (
+        eval_docs.filter(
+            (text_fns.quality_score_int3(text_col) >= min_quality_x3)
+            & F.col(lang_col).eqNullSafe(F.lit(keep_lang))
+        )
+        .select(F.md5(eval_norm).alias("__fp"), F.col(id_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias("__eval_id"))
+        .localCheckpoint(eager=True)
+    )
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        os.makedirs(state_dir, exist_ok=True)
+        commit = _read_commit(commit_marker_path)
+        if commit is not None and int(epoch_id) <= commit[0]:
+            return  # replay: every table committed before the marker
+        batch_raw = batch_df.dropDuplicates([id_col])
+        bounds = batch_raw.agg(
+            F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+        ).first()
+        max_seen = commit[1] if commit is not None else None
+        if max_seen is not None and int(bounds["lo"]) <= max_seen:
+            raise ValueError(
+                f"curation_gate_sink: epoch {epoch_id} carries id "
+                f"{bounds['lo']} at-or-below the folded maximum {max_seen} "
+                "— late/reordered ids break the keep-first-by-id dedup law; "
+                "re-key or replay through the original epoch instead"
+            )
+        no_eval = F.assert_true(
+            ~F.col(source_col).eqNullSafe(F.lit(eval_source)),
+            F.lit(
+                "curation_gate_sink: batch contains eval-source rows — the"
+                " eval set is frozen at sink construction (a streamed eval"
+                " doc would retroactively contaminate admitted documents)"
+            ),
+        )
+        norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+        b = batch_raw.select(
+            F.col(id_col),
+            F.col(lang_col).alias("__lang"),
+            F.when(no_eval.isNull(), F.col(source_col)).alias("__source"),
+            text_fns.quality_score_int3(text_col).alias("__q3"),
+            text_fns.whitespace_token_count(text_col).cast("long").alias("__ntok"),
+            F.md5(norm).alias("__fp"),
+        ).localCheckpoint(eager=True)  # batch grain: gates + appends
+
+        b_s2 = b.filter(
+            (F.col("__q3") >= min_quality_x3)
+            & F.col("__lang").eqNullSafe(F.lit(keep_lang))
+        )
+        try:
+            rest_fp = sinks.read_appended(spark, fp_dir).filter(
+                F.col(id_col) < bounds["lo"]
+            )
+        except OSError:
+            rest_fp = None
+        if rest_fp is not None:
+            bbloom = bloom_ops.build_bloom(b_s2, "__fp")
+            cand = bloom_ops.bloom_prune(
+                rest_fp.select(F.col("fp").alias("__fp")), "__fp", bbloom
+            ).withColumn("__hit", F.lit(1))
+            fresh = (
+                b_s2.join(cand, "__fp", "left")
+                .filter(F.col("__hit").isNull())
+                .drop("__hit")
+            )
+        else:
+            fresh = b_s2
+        fresh = (
+            fresh.join(eval_fp, "__fp", "left")
+            .filter(
+                F.col("__eval_id").isNull() | (F.col(id_col) < F.col("__eval_id"))
+            )
+            .drop("__eval_id")
+        )
+        bwin = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+        b_s3 = fresh.join(bwin, ["__fp", id_col], "semi")
+
+        b_text = batch_raw.select(F.col(id_col), F.col(text_col)).join(
+            b_s3.select(id_col), id_col, "semi"
+        )
+        b_sh = b_text.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(text_fns.shingles(text_col, shingle_k))
+            ).alias("s"),
+        )
+        contaminated = (
+            bloom_ops.bloom_prune(b_sh, "s", ebloom)
+            .join(eval_sh, "s", "semi")
+            .select(id_col)
+            .distinct()
+            .withColumn("__c", F.lit(1))
+        )
+        lab = (
+            b.join(b_s3.select(id_col).withColumn("__w3", F.lit(1)), id_col, "left")
+            .join(contaminated, id_col, "left")
+            .withColumn(
+                "lvl4",
+                F.when(F.col("__q3") < min_quality_x3, F.lit(0))
+                .when(~F.col("__lang").eqNullSafe(F.lit(keep_lang)), F.lit(1))
+                .when(F.col("__w3").isNull(), F.lit(2))
+                .when(F.col("__c").isNotNull(), F.lit(3))
+                .otherwise(F.lit(4)),
+            )
+            .select(
+                F.col(id_col),
+                F.col("__source").alias("source"),
+                F.col("__fp").alias("fp"),
+                F.col("__q3").alias("quality_x3"),
+                F.col("__ntok").alias("n_tokens"),
+                "lvl4",
+                F.element_at(
+                    F.array(
+                        F.lit("quality"),
+                        F.lit("lang"),
+                        F.lit("exact_dup"),
+                        F.lit("contaminated"),
+                        F.lit("admitted"),
+                    ),
+                    F.col("lvl4") + 1,
+                ).alias("reason"),
+            )
+            .localCheckpoint(eager=True)  # pins the split for all writes
+        )
+
+        txn = f"epoch={int(epoch_id)}"
+        sinks.append_snapshot(
+            lab.filter(F.col("lvl4") >= 3).select("fp", F.col(id_col)),
+            fp_dir,
+            txn_key=txn,
+        )
+        sinks.append_snapshot(lab, levels_dir, txn_key=txn)
+        admitted = lab.filter(F.col("lvl4") == 4).select(id_col).withColumn(
+            "__a", F.lit(1)
+        )
+        out = batch_raw.join(admitted, id_col, "left")
+        sinks.append_snapshot(
+            out.filter(F.col("__a").isNotNull()).drop("__a"),
+            accepted_dir,
+            txn_key=txn,
+        )
+        sinks.append_snapshot(
+            out.filter(F.col("__a").isNull())
+            .drop("__a")
+            .join(lab.select(id_col, "reason"), id_col, "left"),
+            quarantined_dir,
+            txn_key=txn,
+        )
+
+        sel_epoch = sinks.snapshot_meta(sel_dir, "_CGS_SEL_EPOCH")
+        if sel_epoch is None or int(sel_epoch) < int(epoch_id):
+            batch_new_docs = batch_raw.join(
+                lab.filter(F.col("lvl4") == 4).select(id_col), id_col, "semi"
+            )
+            try:
+                prior_sel = sinks.read_snapshot(spark, sel_dir)
+            except OSError:
+                prior_sel = spark.createDataFrame(
+                    [], f"source string, {id_col} long, quality_x3 int, n_tokens long"
+                )
+            id_type = batch_df.schema[id_col].dataType.simpleString()
+            try:
+                prior_cut = sinks.read_snapshot(spark, cutoff_dir)
+            except OSError:
+                prior_cut = spark.createDataFrame(
+                    [], f"source string, cut_quality_x3 int, cut_id {id_type}"
+                )
+            cum = corpus_ops._token_budget_fold_cum(
+                prior_sel.select(
+                    "source", F.col(id_col), "quality_x3", "n_tokens"
+                ),
+                prior_cut,
+                batch_new_docs,
+                text_col,
+                id_col,
+                source_col,
+            ).localCheckpoint(eager=True)  # fold grain: budget + batch bounded
+            sel = cum.filter(F.col("cum_tokens") <= budget_tokens).select(
+                "source", F.col(id_col), "quality_x3", "n_tokens", "cum_tokens"
+            )
+            fold_cut = corpus_ops._first_rejected_cutoff(cum, id_col, budget_tokens)
+            new_cut = corpus_ops._cutoff_rank_min(prior_cut, fold_cut)
+            sinks.write_snapshot(new_cut, cutoff_dir)  # cutoff first — converges
+            sinks.write_snapshot(
+                sel, sel_dir, meta={"_CGS_SEL_EPOCH": str(int(epoch_id))}
+            )
+        _write_commit(commit_marker_path, int(epoch_id), int(bounds["hi"]))  # commit
+        for d in (fp_dir, levels_dir, accepted_dir, quarantined_dir):
+            sinks.maybe_compact(spark, d, max_segments=max_segments)
+
+    return fold
+
+
+def curation_gate_funnel(
+    spark: SparkSession, state_dir: str, checksum_mod: int = 262139
+) -> DataFrame:
+    """The at-rest curation funnel of a :func:`curation_gate_sink`
+    table: stages 0–4 aggregate the append-only levels audit; stage 5
+    re-flags by the CURRENT budget selection snapshot (eviction-aware).
+    Equals ``plans.corpus_pipeline.curation_funnel`` over every doc
+    ever folded plus the frozen eval set's raw rows EXCLUDED — the
+    gate never sees eval docs, so its funnel is the train-side funnel
+    (the pinned pytest law constructs the twin accordingly)."""
+    from .. import sinks
+    from ..plans.corpus_pipeline import _funnel_rows
+
+    levels = sinks.read_appended(spark, f"{state_dir}/levels")
+    id_col = levels.columns[0]
+    try:
+        sel = sinks.read_snapshot(spark, f"{state_dir}/sel").select(
+            F.col(id_col)
+        ).withColumn("__sel", F.lit(1))
+    except OSError:
+        sel = None
+    lab = levels.select(
+        F.col(id_col).alias("doc_id"), "n_tokens", F.col("lvl4")
+    )
+    if sel is not None:
+        lab = lab.join(
+            sel.select(F.col(id_col).alias("doc_id"), "__sel"), "doc_id", "left"
+        )
+    else:
+        lab = lab.withColumn("__sel", F.lit(None).cast("int"))
+    lab = lab.withColumn(
+        "level",
+        F.when((F.col("lvl4") == 4) & F.col("__sel").isNotNull(), F.lit(5)).otherwise(
+            F.col("lvl4")
+        ),
+    ).select("doc_id", "n_tokens", "level")
+    return _funnel_rows(lab, checksum_mod)
