@@ -852,6 +852,22 @@ CHECKLIST = {
         "checkpoint, two capped audits — run as separate bounded jobs "
         "before the row is assembled; model-grain collects only)."
     ),
+    "curation_funnel": (
+        "End-to-end curation funnel (r14). Expect: the checkpointed "
+        "narrow base (no text column) feeding the flag joins; ONE "
+        "final aggregate with 24 conditional sums (partial-agg before "
+        "its single exchange) expanded by Generate(stack) — no window, "
+        "no join in the funnel aggregation itself; the shingle arm "
+        "confined to semi-join-pruned doc text with the bloom filter "
+        "ahead of the exact contamination join."
+    ),
+    "curation_funnel_incremental": (
+        "Curation fold (r14). Expect: batch-only scoring projections; "
+        "the at-rest side appearing ONLY as the materialized levels "
+        "scan, a bloom-pruned fingerprint probe, eval shingles, and "
+        "the budget (selected ∪ gated batch) two-phase re-rank; the "
+        "same single stacked funnel aggregate on top."
+    ),
 }
 
 
