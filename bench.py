@@ -180,6 +180,11 @@ HEADLINE = [
     # r14 addition — the within-doc sibling of the suffix family
     "intra_doc_repeat_spans",
     # r14 addition — the end-to-end curation attrition funnel
+    # (curation_funnel_incremental stays OUT of the headline: its
+    # entry materializes the at-rest prior-levels relation through the
+    # warehouse on first touch and then measures mostly fixed
+    # orchestration, the ivf_retrain_plan precedent; the registry
+    # sweep still times it every round)
     "curation_funnel",
 ]
 
