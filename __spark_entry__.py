@@ -11195,7 +11195,9 @@ def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_pipeline.curation_funnel(docs, "text", "doc_id", "lang", "source")
 
 
-_CURATION_FUNNEL_SQL = r"""
+# shared CTE chain of the curation-funnel family (batch, incremental
+# and per-source report tails all consume the same stage relations)
+_CURATION_CTES = r"""
 WITH t AS (
     SELECT doc_id, lang, source, text,
            length(text) AS nc,
@@ -11240,13 +11242,17 @@ WITH t AS (
     SELECT p3t.* FROM (SELECT * FROM p3 WHERE source <> 'src0') p3t
     ANTI JOIN cont USING (doc_id)
 ), c AS (
-    SELECT doc_id, n_tokens,
+    SELECT doc_id, source, n_tokens,
            sum(n_tokens) OVER (PARTITION BY source ORDER BY quality_x3 DESC, doc_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
     FROM p4
 ), p5 AS (
-    SELECT doc_id, n_tokens FROM c WHERE cum <= 200
+    SELECT doc_id, source, n_tokens FROM c WHERE cum <= 200
 )
+"""
+
+
+_CURATION_FUNNEL_SQL = _CURATION_CTES + r"""
 SELECT 's0_raw' AS stage, cast(count(*) AS BIGINT) AS n_docs,
        cast(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens,
        cast(coalesce(sum(doc_id % 262139), 0) AS BIGINT) AS id_check1,
@@ -11313,6 +11319,50 @@ def _curation_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_pipeline.curation_funnel_incremental(
         prior, batch, "text", "doc_id", "lang", "source", prior_levels=prior_levels
     )
+
+
+def _curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation release report
+    (plans.corpus_pipeline.curation_report): survivor counts at every
+    funnel stage + raw/selected token mass + selected shares as
+    floor-scaled integer ppm (the micro-unit discipline — ratios of
+    small exact counts are never emitted as round-6 floats). The eval
+    source's zeros past stage 3 are the report's audit value: a
+    nonzero eval selection is a pipeline bug. One per-source hash
+    aggregate over the shared labeled relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_pipeline.curation_report(docs, "text", "doc_id", "lang", "source")
+
+
+_CURATION_REPORT_SQL = _CURATION_CTES + r"""
+SELECT per.source,
+       per.n_docs,
+       per.tok_raw,
+       coalesce(s1.c, 0) AS n_quality,
+       coalesce(s2.c, 0) AS n_lang,
+       coalesce(s3.c, 0) AS n_dedup,
+       coalesce(s4.c, 0) AS n_decontaminated,
+       coalesce(s5.c, 0) AS n_selected,
+       coalesce(s5.t, 0) AS tok_selected,
+       cast(coalesce(s5.c, 0) * 1000000 // per.n_docs AS BIGINT) AS sel_docs_ppm,
+       cast(CASE WHEN per.tok_raw > 0
+                 THEN coalesce(s5.t, 0) * 1000000 // per.tok_raw
+                 ELSE 0 END AS BIGINT) AS sel_tok_ppm
+FROM (SELECT source, cast(count(*) AS BIGINT) AS n_docs,
+             cast(coalesce(sum(n_tokens), 0) AS BIGINT) AS tok_raw
+      FROM q GROUP BY 1) per
+LEFT JOIN (SELECT source, cast(count(*) AS BIGINT) AS c
+           FROM q WHERE quality_x3 >= 3 GROUP BY 1) s1 USING (source)
+LEFT JOIN (SELECT source, cast(count(*) AS BIGINT) AS c FROM p2 GROUP BY 1) s2
+    USING (source)
+LEFT JOIN (SELECT source, cast(count(*) AS BIGINT) AS c FROM p3 GROUP BY 1) s3
+    USING (source)
+LEFT JOIN (SELECT source, cast(count(*) AS BIGINT) AS c FROM p4 GROUP BY 1) s4
+    USING (source)
+LEFT JOIN (SELECT source, cast(count(*) AS BIGINT) AS c,
+                  cast(sum(n_tokens) AS BIGINT) AS t
+           FROM p5 GROUP BY 1) s5 USING (source)
+"""
 
 
 def _source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13343,6 +13393,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": _token_budget_select,
         "curation_funnel": _curation_funnel,
         "curation_funnel_incremental": _curation_funnel_incremental,
+        "curation_report": _curation_report,
         "source_data_card": _source_data_card,
         # -- stalest-first: remaining r5/r6-attested, then r7, then r8 --
         "skew_profile": _skew_profile,
@@ -13690,6 +13741,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel": _CURATION_FUNNEL_SQL,
         # the incremental fold must equal the full batch-path recompute
         "curation_funnel_incremental": _CURATION_FUNNEL_SQL,
+        "curation_report": _CURATION_REPORT_SQL,
         "source_data_card": _SOURCE_CARD_SQL,
         "scd2_point_in_time": _SCD2_PIT_SQL,
         "cdc_merge": _CDC_MERGE_SQL,

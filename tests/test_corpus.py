@@ -655,3 +655,38 @@ def test_curation_funnel_incremental_fail_stops(spark):
             min_quality_x3=2,
         ).collect()
     assert "monotone-id" in str(ei.value)
+
+
+def test_curation_report_sums_to_funnel(spark, sf_dir):
+    """The per-source report is the funnel at source grain: summing
+    each stage column over sources reproduces the funnel's stage
+    counts and token masses, the eval source selects nothing, and the
+    ppm shares floor-divide exactly."""
+    from z316_sales_data_pipeline_spark.plans import corpus_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = corpus_pipeline.curation_report(
+        docs, "text", "doc_id", "lang", "source"
+    ).collect()
+    fun = {
+        r["stage"]: r
+        for r in corpus_pipeline.curation_funnel(
+            docs, "text", "doc_id", "lang", "source"
+        ).collect()
+    }
+    col_for_stage = {
+        "s0_raw": "n_docs",
+        "s1_quality": "n_quality",
+        "s2_lang": "n_lang",
+        "s3_exact_dedup": "n_dedup",
+        "s4_decontaminated": "n_decontaminated",
+        "s5_token_budget": "n_selected",
+    }
+    for stage, col in col_for_stage.items():
+        assert sum(r[col] for r in rep) == fun[stage]["n_docs"], stage
+    assert sum(r["tok_raw"] for r in rep) == fun["s0_raw"]["n_tokens"]
+    assert sum(r["tok_selected"] for r in rep) == fun["s5_token_budget"]["n_tokens"]
+    ev = [r for r in rep if r["source"] == "src0"]
+    assert ev and ev[0]["n_decontaminated"] == 0 and ev[0]["n_selected"] == 0
+    for r in rep:
+        assert r["sel_docs_ppm"] == r["n_selected"] * 1_000_000 // r["n_docs"]

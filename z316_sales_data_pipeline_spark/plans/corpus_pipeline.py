@@ -516,3 +516,66 @@ def curation_funnel_incremental(
         .select("doc_id", "n_tokens", "level")
     )
     return _funnel_rows(union_lab, checksum_mod)
+
+
+def curation_report(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    source_col: str,
+    *,
+    keep_lang: str = "en",
+    min_quality_x3: int = 3,
+    eval_source: str = "src0",
+    shingle_k: int = 8,
+    budget_tokens: int = 200,
+) -> DataFrame:
+    """Per-source curation release report — the data-card grain of
+    :func:`curation_funnel` (the span_contamination_report /
+    source_data_card precedent): one row per source with its survivor
+    count at every stage, raw and selected token mass, and the
+    selected shares as FLOOR-SCALED integer ppm (ratios of small exact
+    counts hit the .5 boundary in practice — micro-units, never
+    round-6 floats). The eval source appears with zeros past stage 3
+    (it is dropped there by definition), which is itself the report's
+    audit value: a nonzero eval selection is a pipeline bug.
+
+    One per-source hash aggregate over the labeled relation — the
+    funnel's single-pass shape at source grain, no window, no join.
+    """
+    lab = curation_levels(
+        docs,
+        text_col,
+        id_col,
+        lang_col,
+        source_col,
+        keep_lang=keep_lang,
+        min_quality_x3=min_quality_x3,
+        eval_source=eval_source,
+        shingle_k=shingle_k,
+        budget_tokens=budget_tokens,
+    )
+    lvl = F.col("level")
+    agg = lab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tok_raw"),
+        F.sum((lvl >= 1).cast("long")).alias("n_quality"),
+        F.sum((lvl >= 2).cast("long")).alias("n_lang"),
+        F.sum((lvl >= 3).cast("long")).alias("n_dedup"),
+        F.sum((lvl >= 4).cast("long")).alias("n_decontaminated"),
+        F.sum((lvl >= 5).cast("long")).alias("n_selected"),
+        F.sum(F.when(lvl >= 5, F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tok_selected"),
+    )
+    return agg.select(
+        "*",
+        F.expr("n_selected * 1000000L div n_docs").alias("sel_docs_ppm"),
+        F.when(
+            F.col("tok_raw") > 0, F.expr("tok_selected * 1000000L div tok_raw")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("sel_tok_ppm"),
+    )
