@@ -690,3 +690,48 @@ def test_curation_report_sums_to_funnel(spark, sf_dir):
     assert ev and ev[0]["n_decontaminated"] == 0 and ev[0]["n_selected"] == 0
     for r in rep:
         assert r["sel_docs_ppm"] == r["n_selected"] * 1_000_000 // r["n_docs"]
+
+
+@pytest.mark.parametrize("seed", [7, 19, 41])
+def test_curation_funnel_incremental_randomized_equivalence(spark, seed):
+    """Seeded randomized corpora (tiny vocab so exact-dup fingerprints
+    collide across the split by construction, mixed langs/quality,
+    random budget pressure): the fold must equal the full batch-path
+    funnel on every generated corpus. Contracts hold by construction —
+    batch ids all exceed prior non-eval ids and the batch carries no
+    eval rows — so any divergence is a fold bug, not a contract
+    violation."""
+    import random
+
+    from z316_sales_data_pipeline_spark.plans import corpus_pipeline
+
+    rng = random.Random(seed)
+    texts = [
+        " ".join(rng.choice(["alpha", "bravo", "carol", "delta", "echox"])
+                 for _ in range(rng.randint(12, 60)))
+        for _ in range(12)
+    ]  # 12 base texts -> guaranteed duplicate fingerprints among 40 docs
+    rows = []
+    for i in range(40):
+        rows.append(
+            (
+                i,
+                rng.choice(texts),
+                rng.choice(["en", "en", "en", "fr"]),
+                rng.choice(["src0", "srcA", "srcB", "srcC"]) if i < 20
+                else rng.choice(["srcA", "srcB", "srcC"]),
+            )
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    prior = docs.filter((F.col("doc_id") < 20) | (F.col("source") == "src0"))
+    batch = docs.filter((F.col("doc_id") >= 20) & (F.col("source") != "src0"))
+    kw = dict(min_quality_x3=2, shingle_k=8, budget_tokens=rng.choice([60, 150, 400]))
+    got = corpus_pipeline.curation_funnel_incremental(
+        prior, batch, "text", "doc_id", "lang", "source", **kw
+    ).collect()
+    want = corpus_pipeline.curation_funnel(
+        docs, "text", "doc_id", "lang", "source", **kw
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)), seed
