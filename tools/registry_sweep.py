@@ -35,6 +35,19 @@ RATIO, DELTA = 2.5, 0.5
 
 def sweep(sf_dir: str) -> dict[str, float]:
     spark = get_spark("registry_sweep")
+    # Arrow + embeddings-scan warmup: the FIRST Arrow-batched query of
+    # a session pays ~5-7 s of one-time setup (pinned r14 — the
+    # knn_graph false alert: 2.1 s one-shot vs 0.48 s warm min-of-5,
+    # purely because the sample-head rotation moved which entry ran
+    # first). One throwaway applyInPandas over one embeddings row
+    # charges that cost to nobody, so one-shot numbers stay
+    # position-independent across head rotations.
+    import pandas as _pd
+
+    emb1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(1)
+    emb1.groupBy("label").applyInPandas(
+        lambda pdf: _pd.DataFrame({"n": [len(pdf)]}), "n long"
+    ).count()
     out: dict[str, float] = {}
     for name, fn in entrymod.bench_queries().items():
         t0 = time.time()
