@@ -2783,3 +2783,56 @@ def test_curation_gate_sink_crash_windows_converge(spark, sf_dir, tmp_path, monk
             map(tuple, sinks.read_snapshot(spark, f"{clean}/sel").collect())
         )
         assert got_sel == want_sel, mode
+
+
+def test_curation_gate_sink_randomized_stream_equivalence(spark, tmp_path):
+    """Seeded randomized corpora (tiny vocab — cross-epoch and
+    eval/train fingerprint collisions guaranteed) streamed in three
+    monotone-id epochs: after the last epoch the gate's funnel must
+    equal the batch twin restricted to train docs. Complements the
+    crafted-path test with seam coverage no hand-built corpus
+    enumerates."""
+    import random
+
+    from z316_sales_data_pipeline_spark.plans import corpus_pipeline
+    from z316_sales_data_pipeline_spark.streaming import pipeline as P
+
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        texts = [
+            " ".join(rng.choice(["alpha", "bravo", "carol", "delta", "echox"])
+                     for _ in range(rng.randint(12, 60)))
+            for _ in range(10)
+        ]
+        rows = []
+        for i in range(36):
+            src = rng.choice(["src0", "srcA", "srcB"]) if i < 12 else rng.choice(
+                ["srcA", "srcB", "srcC"]
+            )
+            rows.append((i, rng.choice(texts), rng.choice(["en", "en", "fr"]), src))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        eval_docs = docs.filter(F.col("source") == "src0")
+        train = docs.filter(F.col("source") != "src0")
+        budget = rng.choice([60, 150, 400])
+        st = str(tmp_path / f"cgr{seed}_state")
+        fold = P.curation_gate_sink(
+            st,
+            str(tmp_path / f"cgr{seed}_acc"),
+            str(tmp_path / f"cgr{seed}_qua"),
+            "text", "doc_id", "lang", "source", eval_docs,
+            min_quality_x3=2, budget_tokens=budget,
+        )
+        for e, (lo, hi) in enumerate([(0, 12), (12, 24), (24, 36)]):
+            fold(train.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), e)
+        got = sorted(map(tuple, P.curation_gate_funnel(spark, st).collect()))
+        twin_lab = corpus_pipeline.curation_levels(
+            train.unionByName(eval_docs), "text", "doc_id", "lang", "source",
+            min_quality_x3=2,
+            budget_tokens=budget,
+        ).filter(F.col("source") != "src0")
+        want = sorted(
+            map(tuple, corpus_pipeline._funnel_rows(twin_lab, 262139).collect())
+        )
+        assert got == want, seed
