@@ -868,6 +868,12 @@ CHECKLIST = {
         "the budget (selected ∪ gated batch) two-phase re-rank; the "
         "same single stacked funnel aggregate on top."
     ),
+    "curation_report": (
+        "Per-source release report (r14). Expect: ONE source-grain "
+        "hash aggregate over the labeled relation (partial-agg before "
+        "its single exchange), integer div projections for the ppm "
+        "shares — no window, no join after the levels flags."
+    ),
 }
 
 
