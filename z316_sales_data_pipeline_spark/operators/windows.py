@@ -295,17 +295,29 @@ def partitioned_running_sum_two_phase(
         "__v2p", F.when(guard.isNull(), value).cast("long")
     )
     ranged = _ranged(with_val, [*keys, *order_by], num_partitions)
-    per_sum = ranged.groupBy("__pid").agg(F.sum("__v2p").cast("long").alias("__c"))
-    per_cnt = ranged.groupBy("__pid").agg(F.count(F.lit(1)).cast("long").alias("__c"))
-    off_sum, _ = _two_phase_offsets(ranged, per_sum, 0)
-    off_cnt, _ = _two_phase_offsets(ranged, per_cnt, 0)
+    # ONE totals pass and ONE collect for BOTH offset kinds (r14): the
+    # sum and count per range partition come from the same tiny
+    # aggregate, and the exclusive prefixes broadcast back as one
+    # two-column relation — halving the offsets-exchange jobs and
+    # joins the old per-sum/per-count split paid.
+    per = ranged.groupBy("__pid").agg(
+        F.sum("__v2p").cast("long").alias("__cs"),
+        F.count(F.lit(1)).cast("long").alias("__cc"),
+    )
+    spark = ranged.sparkSession
+    rows = sorted((r["__pid"], r["__cs"], r["__cc"]) for r in per.collect())
+    offs, acc_s, acc_c = [], 0, 0
+    for pid, cs, cc in rows:
+        offs.append((int(pid), acc_s, acc_c))
+        acc_s += cs
+        acc_c += cc
+    off_df = spark.createDataFrame(offs, "__pid int, __offc long, __offr long")
     w = Window.partitionBy("__pid").orderBy(*keys, *order_by)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     summed = (
         ranged.withColumn("__lr", F.row_number().over(w).cast("long"))
         .withColumn("__lc", F.sum("__v2p").over(wsum).cast("long"))
-        .join(F.broadcast(off_cnt.withColumnRenamed("__off", "__offr")), "__pid", "left")
-        .join(F.broadcast(off_sum.withColumnRenamed("__off", "__offc")), "__pid", "left")
+        .join(F.broadcast(off_df), "__pid", "left")
         .withColumn("__gr", F.col("__lr") + F.coalesce(F.col("__offr"), F.lit(0)))
         .withColumn("__gc", F.col("__lc") + F.coalesce(F.col("__offc"), F.lit(0)))
         .drop("__pid", "__lr", "__lc", "__offr", "__offc")

@@ -200,6 +200,14 @@ def curation_levels(
     never documents.
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    # Lazy persist (r14): base is consumed by three arms (stage-1/2
+    # filter chain, the winner flag join, the final labeling join) —
+    # the pin stops re-scoring text per arm, while staying LAZY so the
+    # whole cascade executes as one job at the consumer's action
+    # instead of paying an eager materialization job up front (the
+    # iterative-loop lesson, operators/graph.py module docstring);
+    # persist also keeps lineage, the right 100 TB posture for a
+    # doc-grain frame (persistence.py).
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(lang_col).alias("lang"),
@@ -207,7 +215,7 @@ def curation_levels(
         text.quality_score_int3(text_col).alias("quality_x3"),
         text.whitespace_token_count(text_col).cast("long").alias("n_tokens"),
         F.md5(norm).alias("fp"),
-    ).localCheckpoint(eager=True)
+    ).persist()
 
     s2 = base.filter(
         (F.col("quality_x3") >= min_quality_x3)
@@ -216,10 +224,14 @@ def curation_levels(
     winners = s2.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     s3 = s2.join(winners, ["fp", "doc_id"], "semi")
 
+    # pinned lazily: the distinct eval-shingle set feeds BOTH the bloom
+    # build and the exact semi-join — without the pin each consumer
+    # re-explodes and re-distincts the eval text
     eval_sh = (
         docs.filter(F.col(source_col) == eval_source)
         .select(F.explode(F.array_distinct(text.shingles(text_col, shingle_k))).alias("s"))
         .distinct()
+        .persist()
     )
     ebloom = bloom.build_bloom(eval_sh, "s")
     train = s3.filter(F.col("source") != eval_source)
@@ -230,13 +242,14 @@ def curation_levels(
         "doc_id", F.explode(F.array_distinct(text.shingles("__text", shingle_k))).alias("s")
     )
     # small id set, consumed twice (s4 below + the level flag join):
-    # one eager checkpoint stops the shingle arm re-executing per branch
+    # one LAZY pin stops the shingle arm re-executing per branch while
+    # keeping the cascade a single job (see the base pin note above)
     contaminated = (
         bloom.bloom_prune(train_sh, "s", ebloom)
         .join(eval_sh, "s", "semi")
         .select("doc_id")
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
     s4 = train.join(contaminated, "doc_id", "anti")
     s5 = corpus.token_budget_select_scored(
