@@ -14,6 +14,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from z316_sales_data_pipeline_spark.persistence import persist_fact
+
 from z316_sales_data_pipeline_spark import sinks as sinks_mod
 from z316_sales_data_pipeline_spark.functions import scalar, text, vector
 from z316_sales_data_pipeline_spark.operators import (
@@ -691,7 +693,7 @@ def _tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "lang", "text", F.length("text").alias("__chars"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)  # independent consumers (tokenizer apply + metadata join) race a lazy pin
     )
     per_doc = corpus.bpe_token_count(docs, "text", "doc_id", n_merges=3)
     return (
@@ -1244,7 +1246,7 @@ def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort = (
         ev.groupBy("user_id")
         .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
-        .localCheckpoint(eager=True)
+        .persist()  # user-grain; activity join + cohort sizes (lazy pin)
     )
     sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
     active = ev.select(
@@ -1477,7 +1479,7 @@ def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
-        .localCheckpoint(eager=True)
+        .persist()  # customer-grain; three rank passes (lazy pin)
     )
     ranked, n = windows.two_phase_row_number(
         per, [F.col("last_order").desc(), F.col("o_custkey").asc()], "__rr"
@@ -1800,7 +1802,7 @@ def _lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf = (
         pred.groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+        .persist()  # confusion-grain; totals + rate join (lazy pin)
     )
     tot = conf.groupBy("lang").agg(F.sum("n").alias("__t"))
     return conf.join(tot, "lang").select(
@@ -1852,7 +1854,7 @@ def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         pairs.groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+        .persist()  # transition-grain; totals + rate join (lazy pin)
     )
     tot = counts.groupBy("event_type").agg(F.sum("n").alias("__t"))
     return counts.join(tot, "event_type").select(
@@ -2027,7 +2029,7 @@ def _heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_count"))
         .orderBy(F.col("exact_count").desc(), F.col("user_id"))
         .limit(20)
-        .localCheckpoint(eager=True)
+        .persist()  # top-20; probe + report join (lazy pin)
     )
     est = sketch.cms_probe(merged, top.select("user_id"), "user_id", d=4, w=64)
     return top.join(est, "user_id").select(
@@ -2714,6 +2716,10 @@ def _q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
         .distinct()
+        # (order, supplier)-grain reduction consumed by the semi-join
+        # probe AND the anti-join build — independent stages, so the
+        # pin is eager (grain rule: reductions may localCheckpoint)
+        .localCheckpoint(eager=True)
     )
     # Both probe sides are renamed end-to-end (no shared column names with
     # the left) so the self-join predicates resolve by name — avoids the
@@ -3296,9 +3302,8 @@ def _suffix_span_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash channel and made 'exact <= hash' data-dependent; counted
     this way it is a theorem)."""
     docs = load_table(spark, sf_dir, "documents")
-    hits = dedup.suffix_dup_hits(docs, "text", "doc_id", min_tokens=8).localCheckpoint(
-        eager=True
-    )  # hit grain: feeds the position count AND the island merge
+    hits = dedup.suffix_dup_hits(docs, "text", "doc_id", min_tokens=8).persist()
+    # hit grain: feeds the position count AND the island merge (lazy pin)
     spans = dedup._merge_window_islands(hits, "doc_id", 8)
     sd = dedup.span_dedup(docs, "text", "doc_id", k=8)
     n_spans = spans.agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
@@ -6309,7 +6314,7 @@ def _dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = (
         docs.filter(F.col("source") == "src0")
         .select("doc_id", fp.alias("fp"))
-        .localCheckpoint(eager=True)
+        .persist()  # batch-grain; bloom build + probe join (lazy pin)
     )
     corpus = docs.filter(F.col("source") != "src0").select(
         F.col("doc_id").alias("corpus_doc_id"), fp.alias("fp")
@@ -6411,7 +6416,7 @@ def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = (
         docs.select("source", text.token_set_fingerprint("text").alias("fp"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()  # doc-grain; size agg + both self-join sides (lazy pin)
     )
     sizes = fps.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
     a = fps.select(F.col("source").alias("src_a"), "fp")
@@ -6666,8 +6671,8 @@ def _semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized once: feeds the batch dedup AND the kept-rep join —
     # without it every lineage reuse re-scans the embeddings parquet
     clustered = (
-        corpus.select("vec_id", "embedding").join(assign, "vec_id").localCheckpoint(eager=True)
-    )
+        corpus.select("vec_id", "embedding").join(assign, "vec_id").persist()
+    )  # corpus-grain; batch dedup + kept-rep join (lazy pin)
     flags = dedup.semantic_dedup(clustered, "embedding", "vec_id", "cluster", threshold=0.3)
     kept = clustered.join(flags.filter(F.col("keep")).select("vec_id"), "vec_id")
     cents = similarity.centroid_table(assign, corpus, "embedding", "vec_id")
@@ -7128,11 +7133,17 @@ def _scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     green iff fold(base) + batch == recompute(everything)."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     cutoff = F.lit("2024-01-25").cast("timestamp")
+    # the fold consumes the history TWICE (untouched anti + touched
+    # semi — independent stages, so the pin must be EAGER: a lazy pin
+    # loses the race and both sides recompute the window build,
+    # measured 2× slower). In a real serving stack this relation is
+    # at rest, read not rebuilt.
     base = windows.scd2_history(
         ev.filter(F.col("ts") < cutoff),
         key="user_id", attr="event_type", ts="ts", tiebreak="event_id",
         carry_last=True,
     )
+    base = persist_fact(base)
     return windows.scd2_apply_batch(
         base,
         ev.filter(F.col("ts") >= cutoff),
@@ -7157,10 +7168,15 @@ def _scd2_fold_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.lit("2024-01-20").cast("timestamp")
     late = (F.col("ts") >= lo) & (F.col("ts") < hi)
     prior = ev.filter(~late)
+    # consumed by the late-key split AND both fold arms (≥ 3
+    # independent subtree references through scd2_fold_or_repair):
+    # EAGER pin — independent consumers race a lazy cache and each
+    # recompute the window build; at rest in a lake
     base = windows.scd2_history(
         prior, key="user_id", attr="event_type", ts="ts", tiebreak="event_id",
         carry_last=True,
     )
+    base = persist_fact(base)
     return windows.scd2_fold_or_repair(
         base, ev.filter(late), prior,
         key="user_id", attr="event_type", ts="ts", tiebreak="event_id",
@@ -8440,7 +8456,7 @@ def _item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     item_n = (
         li.groupBy(F.col("l_partkey").alias("pk"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+        .persist()  # item-grain; both cosine sides (lazy pin)
     )
     a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
@@ -8556,7 +8572,7 @@ def _forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
-        .localCheckpoint(eager=True)
+        .persist()  # day-grain; both bake-off arms (lazy pin)
     )
     ew = timeseries.ewma_forecast(daily, "day", "cents", k=30).select(
         "day", "value", "forecast_floor", "abs_err_floor"
@@ -8572,7 +8588,7 @@ def _forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_err_floor",
             F.abs(F.col("value") - F.col("cents_lag7")).alias("abs_err_naive"),
         )
-        .localCheckpoint(eager=True)
+        .persist()  # day-grain; both method rows (lazy pin)
     )
     ewma_row = both.agg(
         F.lit("ewma").alias("method"),
@@ -9862,8 +9878,18 @@ def _scd2_agg_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     cut = F.lit("2024-01-15").cast("timestamp")
     scd2_args = dict(key="user_id", attr="event_type", ts="ts", tiebreak="event_id")
-    h1 = windows.scd2_history(ev.filter(F.col("ts") < cut), carry_last=True, **scd2_args)
-    cur1 = h1.filter(F.col("is_current") == 1).select("user_id", "event_type")
+    # h1 is referenced by cur1 (×3 below) AND twice inside
+    # scd2_apply_batch; cur1 by the base MV, the diff and the
+    # retraction semi-join — all INDEPENDENT stages, so the pins are
+    # EAGER (a lazy pin is raced and recomputed per consumer; measured
+    # 2× slower). Without pins the physical plan re-derived the
+    # epoch-1 history ~6× (36 parquet scans, plans/r14).
+    h1 = persist_fact(
+        windows.scd2_history(ev.filter(F.col("ts") < cut), carry_last=True, **scd2_args)
+    )
+    cur1 = persist_fact(
+        h1.filter(F.col("is_current") == 1).select("user_id", "event_type")
+    )
     mv1 = cur1.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("user_id").cast("long").alias("sum_uid"),
@@ -9879,6 +9905,7 @@ def _scd2_agg_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
         F.lit(1).cast("long").alias("ver"),
     )
+    changes = persist_fact(changes)  # change-grain; cdc_winners consumes it twice (independent arms)
     mv2 = ivm.retractable_agg_maintain(
         mv1, cur1, changes, key="user_id", op_col="op", version_col="ver",
         group_col="event_type", measures={"sum_uid": F.col("user_id")},
@@ -11818,20 +11845,41 @@ def _fdr_bh_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("prio"), "cents"
     )
     v = F.col("cents").cast("decimal(18,0)")
-    stacked = j.select(
-        F.concat(F.lit("seg:"), F.col("seg")).alias("test_id"), v.alias("__v")
-    ).unionByName(
-        j.select(F.concat(F.lit("prio:"), F.col("prio")).alias("test_id"), v.alias("__v"))
+    # ONE aggregate pass to the (seg, prio) cell grain (≤ |segs|·|prios|
+    # rows); every test arm and the totals roll up from the cells —
+    # the old shape unioned two full projections of j and aggregated
+    # the doubled rows, then scanned j a third time for the totals
+    # (3 passes over the fact for one battery). Decimal moment sums
+    # are associative and overflow-capped identically, so every z, p
+    # and BH rank is bit-identical (oracle-checked).
+    cells = (
+        j.groupBy("seg", "prio")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("__cn"),
+            F.sum(v).alias("__cs"),
+            F.sum(v * v).alias("__css"),
+        )
+        .localCheckpoint(eager=True)  # cell-grain reduction; 3 independent consumers
     )
-    per = stacked.groupBy("test_id").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("__ng"),
-        F.sum("__v").alias("__sg"),
-        F.sum(F.col("__v") * F.col("__v")).alias("__ssg"),
+    per = (
+        cells.groupBy(F.concat(F.lit("seg:"), F.col("seg")).alias("test_id"))
+        .agg(
+            F.sum("__cn").cast("decimal(38,0)").alias("__ng"),
+            F.sum("__cs").alias("__sg"),
+            F.sum("__css").alias("__ssg"),
+        )
+        .unionByName(
+            cells.groupBy(F.concat(F.lit("prio:"), F.col("prio")).alias("test_id")).agg(
+                F.sum("__cn").cast("decimal(38,0)").alias("__ng"),
+                F.sum("__cs").alias("__sg"),
+                F.sum("__css").alias("__ssg"),
+            )
+        )
     )
-    tot = j.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
-        F.sum(v).alias("__s"),
-        F.sum(v * v).alias("__ss"),
+    tot = cells.agg(
+        F.sum("__cn").cast("decimal(38,0)").alias("__n"),
+        F.sum("__cs").alias("__s"),
+        F.sum("__css").alias("__ss"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     calc = per.crossJoin(F.broadcast(tot)).select(

@@ -197,6 +197,35 @@ def test_two_phase_handles_empty_and_single_partition_input(spark):
     assert n == 1 and [tuple(r) for r in got.collect()] == [(7, 3, 1)]
 
 
+def test_two_phase_running_sums_matches_chained_single(spark):
+    """Law for the r14 multi-column variant: ONE two-phase pass over
+    several value columns is bit-identical to chaining the
+    single-column primitive per column (same total order, same
+    offsets arithmetic), including negatives, zeros, empty input and
+    the per-column grand totals."""
+    import random
+
+    from z316_sales_data_pipeline_spark.operators import windows as W
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randint(-5, 9), rnd.randint(0, 3)) for i in range(257)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    order = [F.col("id").asc()]
+    multi, totals = W.two_phase_running_sums(
+        df, order, {"ca": F.col("a"), "cb": F.col("b")}, num_partitions=7
+    )
+    s1, ta = W.two_phase_running_sum(df, order, F.col("a"), "ca1", num_partitions=7)
+    s2, tb = W.two_phase_running_sum(s1, order, F.col("b"), "cb1", num_partitions=7)
+    got = {r["id"]: (r["ca"], r["cb"]) for r in multi.collect()}
+    want = {r["id"]: (r["ca1"], r["cb1"]) for r in s2.collect()}
+    assert got == want
+    assert totals == {"ca": ta, "cb": tb}
+
+    empty = spark.createDataFrame([], "id long, a long, b long")
+    out, tot = W.two_phase_running_sums(empty, order, {"ca": "a", "cb": "b"})
+    assert out.count() == 0 and tot == {"ca": 0, "cb": 0}
+
+
 def test_append_snapshot_exactly_once_under_replay(spark, sf_dir, tmp_path):
     """foreachBatch is at-least-once: the same epoch can be re-delivered
     after a crash. With txn_key, a replayed append is a no-op against

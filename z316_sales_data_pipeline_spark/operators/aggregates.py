@@ -84,7 +84,7 @@ def association_rules(
     item_cnt = (
         items.groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("__cnt"))
-        .localCheckpoint(eager=True)
+        .persist()  # item-grain; consumed by both rule sides (lazy pin)
     )
     a = items.select(basket_col, F.col(item_col).alias("ante"))
     b = items.select(basket_col, F.col(item_col).alias("cons"))
@@ -97,9 +97,9 @@ def association_rules(
         .groupBy("ante", "cons")
         .agg(F.count(F.lit(1)).alias("pair_n"))
         .filter(F.col("pair_n") >= min_pair_count)
-        # consumed twice (identity + mirror): materialize the reduced
-        # relation so the Σ|basket|² aggregate runs once
-        .localCheckpoint(eager=True)
+        # consumed twice (identity + mirror): lazy pin so the
+        # Σ|basket|² aggregate runs once and in the SAME job
+        .persist()
     )
     pairs = half.unionByName(
         half.select(
@@ -885,7 +885,7 @@ def lorenz_deciles(
             F.count(F.lit(1)).cast("long").alias("n_units"),
             F.sum("__t").cast("long").alias("decile_value"),
         )
-        .localCheckpoint(eager=True)
+        .persist()  # decile-grain; three consumers (lazy pin)
     )
     tot = dec.agg(F.sum("decile_value").cast("long").alias("__tot"))
     older = dec.select(

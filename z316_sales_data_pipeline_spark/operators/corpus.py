@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..persistence import persist_fact
+from ..persistence import persist_fact, pin_fact
 
 
 def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
@@ -212,9 +212,9 @@ def tfidf_top_terms(
     # feeds dfreq, the group count AND the scored join; without the
     # checkpoint each consumer re-inlines the explode+aggregate, i.e.
     # three full corpus scans for one query
-    tf = persist_fact(
+    tf = pin_fact(
         tokens.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    )  # group-x-term grain (fact when group=doc): keep lineage
+    )  # group-x-term grain (fact when group=doc): lazy pin, keep lineage
     # df(term) aggregated from the reduced tf relation (one row per
     # (group, term)) — a hash agg over the small relation. (A window
     # count over partition-by-term was measured 5× SLOWER: WindowExec
@@ -266,7 +266,7 @@ def source_mixture(
     per = df.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(whitespace_token_count(text_col)).alias("n_tokens"),
-    ).localCheckpoint(eager=True)
+    ).persist()  # source-grain; two consumers (lazy pin)
     tot = per.agg(
         F.sum("n_tokens").alias("__tot"),
         F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("__tot_w"),
@@ -306,9 +306,7 @@ def vocab_coverage(
     second full corpus scan at lake scale.
     """
     tokens = df.select(F.explode(_norm_tokens(text_col)).alias("token"))
-    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
-        eager=True
-    )
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).persist()
     tot = counts.agg(F.sum("cnt").alias("__tot"))
     top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(top_n)
     w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
@@ -396,7 +394,7 @@ def _bpe_train(df: DataFrame, text_col: str, n_merges: int):
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("word", "cnt", F.split(F.col("word"), "").alias("syms"))
-        .localCheckpoint(eager=True)
+        .persist()  # vocab-grain; materialized by the first step's collect
     )
     empty_pairs = F.array().cast("array<struct<lhs:string,rhs:string>>")
     rows = []
@@ -453,7 +451,7 @@ def _bpe_train(df: DataFrame, text_col: str, n_merges: int):
         pair_count = -stat["best"]["neg_cnt"]
         words = words.select(
             "word", "cnt", _merge_pair_fold(F.col("syms"), lhs, rhs).alias("syms")
-        ).localCheckpoint(eager=True)
+        ).persist()  # per-step state; the step's own collect materializes it
         pending = (step_no, lhs, rhs, pair_count)
     if pending is not None:  # the last step's symbols_after: one tail job
         total = words.agg(F.sum(F.size("syms") * F.col("cnt"))).collect()[0][0]
@@ -521,7 +519,7 @@ def distribution_drift(
     base = (
         toks.groupBy(group_col, snap_col, "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .persist()  # (group, snap, token) grain; two consumers (lazy pin)
     )
     vocab = (
         base.groupBy("token")
@@ -539,7 +537,7 @@ def distribution_drift(
             F.sum(F.when(F.col(snap_col) == old_val, F.col("cnt")).otherwise(F.lit(0))).alias("c_old"),
             F.sum(F.when(F.col(snap_col) == new_val, F.col("cnt")).otherwise(F.lit(0))).alias("c_new"),
         )
-        .localCheckpoint(eager=True)
+        .persist()  # (group, bucket) grain; two consumers (lazy pin)
     )
     tots = bucketed.groupBy(group_col).agg(
         F.sum("c_old").alias("t_old"), F.sum("c_new").alias("t_new")
@@ -603,7 +601,7 @@ def contrastive_triples(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
     indexed, n_total = _windows.two_phase_row_number(
         ids, [F.col("__h").asc(), F.col("__rid").asc()], "__pos"
     )
-    ring = persist_fact(indexed.select("__rid", "__pos"))  # doc-grain: keep lineage
+    ring = pin_fact(indexed.select("__rid", "__pos"))  # doc-grain: lazy pin, keep lineage
     n_df = docs.sparkSession.range(1).select(F.lit(n_total).cast("long").alias("__n"))
     t0 = _md5_long(F.concat(F.col("id_a").cast("string"), F.lit("#"), F.col("id_b").cast("string")))
     base = (
@@ -720,7 +718,7 @@ def bm25_rank(
             ],
         )
     )
-    per_doc = persist_fact(per_doc)  # doc-grain: keep lineage
+    per_doc = pin_fact(per_doc)  # doc-grain: lazy pin, keep lineage
     return _bm25_score(per_doc, id_col, len(terms), k1, b, k)
 
 
@@ -851,7 +849,8 @@ def dsir_weights(
     # bucket models AND the final score join
     doc_feats = persist_fact(
         feats.groupBy(id_col, "__target", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    )  # doc-x-bucket grain (fact): keep lineage
+    )  # doc-x-bucket grain (fact): eager — the bucket models and the
+    # score join are independent stages that would race a lazy pin
     # n_buckets rows; checkpointed because BOTH totals and bucket_lr
     # consume it — without this each consumer re-aggregates the full
     # doc-grain relation (seen as a second ExistingRDD scan + hash agg
@@ -862,7 +861,7 @@ def dsir_weights(
             F.sum(F.when(F.col("__target"), F.col("n")).otherwise(F.lit(0))).alias("ct"),
             F.sum("n").alias("cr"),
         )
-        .localCheckpoint(eager=True)
+        .persist()  # bucket-grain; two consumers (lazy pin)
     )
     totals = models.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
     # one ln per bucket on one exact rational (products stay < 2^53):
@@ -982,6 +981,10 @@ def ngram_novelty(
         )
         .distinct()
     )
+    # (doc, gram-hash)-grain, consumed by the first-occurrence
+    # aggregate AND the join probe — independent stages: eager pin so
+    # the explode + distinct run once (keep-lineage disk pin)
+    grams = persist_fact(grams)
     first_seen = grams.groupBy("__g").agg(F.min("doc_id").alias("__first"))
     return (
         grams.join(first_seen, "__g")
@@ -1031,7 +1034,7 @@ def tfidf_query_rank(
             ]
         )
     )
-    per_doc = persist_fact(per_doc)  # doc-grain: keep lineage
+    per_doc = pin_fact(per_doc)  # doc-grain: lazy pin, keep lineage
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         *[
@@ -1226,6 +1229,11 @@ def lm_trigram_backoff(
         fingerprint64(F.col("__g.t2")).alias("__h2"),
         fingerprint64(F.col("__g.t1")).alias("__h1"),
     )
+    # deliberately NOT pinned (r14 opt round): the 4-consumer
+    # re-tokenize costs less at sf0.1 than materializing the relation
+    # (0.80 -> 1.11 s with an eager pin, paired A/B) — the lighter
+    # 3-hash row makes this the assoc_rules trade, unlike
+    # trigram_doc_logprob's 5-hash, 7-consumer base, which pins.
     is_target = F.col(id_col) % holdout_mod == 0
     target = base.filter(is_target)
     ref = base.filter(~is_target)
@@ -1412,6 +1420,11 @@ def trigram_doc_logprob(
             fingerprint64(F.col("__g.t1")).alias("__h1"),
         )
     )
+    # trigram-grain, consumed by SEVEN independent arms (five count
+    # models + N over ref, plus the target probe): without the eager
+    # pin every arm re-tokenizes and re-explodes the corpus (measured
+    # 14 scans in plans/r14/trigram_doc_logprob_before.txt)
+    base = persist_fact(base)
     is_target = F.col(id_col) % holdout_mod == 0
     target = base.filter(is_target)
     ref = base.filter(~is_target)
@@ -1865,7 +1878,7 @@ def mix_epoch_plan(
             .cast("long")
             .alias("n_tokens"),
         )
-        .localCheckpoint(eager=True)
+        .persist()  # source-grain; two consumers (lazy pin)
     )
     tot = srcs.agg(F.sum("n_tokens").cast("long").alias("__t"))
     p = F.col("n_tokens").cast("double") / F.col("__t").cast("double")
@@ -2193,10 +2206,16 @@ def heaps_law_curve(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     curve should be bucketed to e.g. per-million-docs grain upstream
     when the full resolution isn't wanted).
     """
-    from .windows import two_phase_running_sum
+    from .windows import two_phase_running_sums
 
-    toks = df.select(
-        F.col(id_col).alias("__doc"), F.explode(_norm_tokens(text_col)).alias("token")
+    # token-grain (fact), consumed by BOTH aggregates (per-doc counts
+    # and first-occurrence types) — independent stages, so the pin is
+    # eager (one tokenize pass instead of two); persist_fact, not
+    # localCheckpoint (grain rule: fact-grain keeps lineage)
+    toks = persist_fact(
+        df.select(
+            F.col(id_col).alias("__doc"), F.explode(_norm_tokens(text_col)).alias("token")
+        )
     )
     per_doc = toks.groupBy("__doc").agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
     first = toks.groupBy("token").agg(F.min("__doc").alias("__doc"))
@@ -2214,9 +2233,12 @@ def heaps_law_curve(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
     )
     order = [F.col("__doc").asc()]
-    cum1, _ = two_phase_running_sum(base, order, F.col("n_tokens"), "cum_tokens")
-    cum2, _ = two_phase_running_sum(cum1, order, F.col("n_new_types"), "cum_types")
-    return cum2.select(
+    # ONE two-phase pass for both cumulative sums (same total order):
+    # halves the range shuffle + pin + offsets collect + broadcast
+    cum, _ = two_phase_running_sums(
+        base, order, {"cum_tokens": F.col("n_tokens"), "cum_types": F.col("n_new_types")}
+    )
+    return cum.select(
         F.col("__doc").alias(id_col), "n_tokens", "n_new_types", "cum_tokens", "cum_types"
     )
 
@@ -2249,7 +2271,7 @@ def temperature_mix_weights(
             .cast("long")
             .alias("n_tokens"),
         )
-        .localCheckpoint(eager=True)
+        .persist()  # source-grain; two consumers (lazy pin)
     )
     tot = srcs.agg(F.sum("n_tokens").cast("long").alias("__t"))
     p = F.col("n_tokens").cast("double") / F.col("__t").cast("double")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint64, shingles
 from ..functions.vector import cosine
-from ..persistence import persist_fact
+from ..persistence import persist_fact, pin_fact
 
 
 # ---------------------------------------------------------------------------
@@ -803,9 +803,9 @@ def semantic_dedup(
     ``similarity.kmeans_assign`` or an IVF cell / LSH bucket).
     Output: (id, cluster, keep boolean) at input grain.
 
-    The normed base relation is materialized eagerly: it feeds both
-    self-join sides AND the final keep-flag join, and without the
-    checkpoint each use re-scans the embedding source and re-evaluates
+    The normed base relation is pinned (lazy DISK_ONLY): it feeds both
+    self-join sides AND the final keep-flag join, and without the pin
+    each use re-scans the embedding source and re-evaluates
     the norm HOF (measured 6 parquet scans for the one query). At lake
     scale this is the clustered-assignment relation you'd persist at
     rest anyway.
@@ -816,7 +816,7 @@ def semantic_dedup(
         emb.select(F.col(id_col), F.col(cluster_col), F.col(vec_col))
         .withColumn("__nrm", norm(vec_col))
     )
-    base = persist_fact(base)  # corpus-grain: keep lineage
+    base = pin_fact(base)  # corpus-grain: keep lineage
     a = base.select(
         F.col(cluster_col),
         F.col(id_col).alias("__ida"),
@@ -941,7 +941,7 @@ def semantic_dedup_incremental(
     ``corpus_kept``: (cluster, vec) of at-rest representatives;
     ``new_assigned``: (id, cluster, vec) of the batch. Output:
     (id, cluster, keep) at batch grain. The normed batch relation is
-    materialized eagerly (three consumers: both in-batch join sides
+    pinned lazily (three consumers: both in-batch join sides
     and the final keep-flag join — same re-scan trap as
     ``semantic_dedup``).
     """
@@ -951,7 +951,7 @@ def semantic_dedup_incremental(
         new_assigned.select(F.col(id_col), F.col(cluster_col), F.col(vec_col))
         .withColumn("__nrm", norm(vec_col))
     )
-    nb = persist_fact(nb)  # batch-doc grain (history-sized on backfill): keep lineage
+    nb = pin_fact(nb)  # batch-doc grain (history-sized on backfill): keep lineage
     a = nb.select(
         F.col(cluster_col),
         F.col(id_col).alias("__ida"),
@@ -1012,7 +1012,7 @@ def span_dedup(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFra
         df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("__w"))
         .select(F.col(id_col), _rolling_hash(F.col("__w")).alias("__h"))
     )
-    rel = persist_fact(rel)  # window-grain (larger than corpus): keep lineage
+    rel = persist_fact(rel)  # window-grain, 2 independent consumers: eager pin, keep lineage
     flagged = (
         rel.groupBy("__h")
         .agg(F.count_distinct(id_col).alias("__nd"))
@@ -1101,7 +1101,7 @@ def suffix_dup_hits(
     merged islands include gap positions that are not themselves
     duplicated, ADVICE r13)."""
     win = suffix_window_table(df, text_col, id_col, min_tokens, max_tokens)
-    win = persist_fact(win)  # window-grain: feeds the candidate reduce AND the semi-join
+    win = persist_fact(win)  # window-grain: candidate reduce + semi-join are independent stages — eager (lazy pin races, duplicating the window build)
     cand_h = (
         win.groupBy("__h")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
@@ -1110,7 +1110,7 @@ def suffix_dup_hits(
     )
     cand = win.join(cand_h, "__h", "left_semi")
     wrows = _extract_windows(df, cand, text_col, id_col, min_tokens)
-    wrows = persist_fact(wrows)  # candidate grain: verify agg + join back
+    wrows = persist_fact(wrows)  # candidate grain: verify agg + join back (independent — eager)
     verified = (
         wrows.groupBy("__h", "__w")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
@@ -1155,7 +1155,7 @@ def intra_doc_repeat_spans(
     from pyspark.sql import Window
 
     win = suffix_window_table(df, text_col, id_col, min_tokens, max_tokens)
-    win = persist_fact(win)  # window grain: feeds candidate count + semi-join
+    win = persist_fact(win)  # window grain: candidate count + semi-join are independent — eager
     cand_h = (
         win.groupBy(id_col, "__h")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -1315,7 +1315,7 @@ def suffix_dedup_spans_incremental(
         )
     if win_new is None:
         win_new = suffix_window_table(new_docs, text_col, id_col, min_tokens, max_tokens)
-        win_new = persist_fact(win_new)  # batch-window grain: reused thrice
+        win_new = persist_fact(win_new)  # batch-window grain: reused thrice by independent stages — eager
     if bloom_m_bits:
         from .bloom import bloom_prune, build_bloom
 
@@ -1337,7 +1337,7 @@ def suffix_dedup_spans_incremental(
     cand_new = win_new.join(cand_h, "__h", "left_semi")
     batch_w = persist_fact(
         _extract_windows(new_docs, cand_new, text_col, id_col, min_tokens)
-    )  # candidate grain: corpus-verify join + within-batch agg + output
+    )  # candidate grain: corpus-verify join + within-batch agg + output (independent — eager)
     # verify arm, corpus side: re-slice ONLY hash-matched corpus windows
     cand_corpus = corpus_windows.join(matched_h, "__h", "left_semi")
     corpus_hw = (
@@ -1406,7 +1406,7 @@ def eval_span_contamination(
         .distinct()
         .select(F.xxhash64("__w").alias("__h"), F.col("__w"))
     )
-    eval_hw = persist_fact(eval_hw)  # eval grain: hash semi-join + verify join
+    eval_hw = pin_fact(eval_hw)  # eval grain: hash semi-join + verify join
     if bloom_m_bits:
         from .bloom import bloom_prune, build_bloom
 
@@ -1647,7 +1647,7 @@ def simhash_near_dup_incremental(
             idc, "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
         )
 
-    new_sigs = persist_fact(
+    new_sigs = pin_fact(
         simhash_signatures(new_df, text_col, id_col, n_bits, portable)
     )  # batch-doc grain: keep lineage
     nb = banded(new_sigs.select(F.col(id_col), "simhash"), id_col)
@@ -1711,7 +1711,7 @@ def span_dedup_incremental(
     n_dup_windows, dup_span_frac) — same shape as :func:`span_dedup`
     so downstream curation thresholds apply unchanged.
     """
-    new_rel = persist_fact(span_hash_table(new_df, text_col, id_col, k))  # batch-doc grain
+    new_rel = pin_fact(span_hash_table(new_df, text_col, id_col, k))  # batch-doc grain
     corpus_h = corpus_spans.select("__h").distinct().withColumn("__dup", F.lit(1))
     return (
         new_rel.join(corpus_h, "__h", "left")
@@ -1770,7 +1770,7 @@ def span_scrub(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFra
             _rolling_hash(F.col("__ws.w")).alias("__h"),
         )
     )
-    win = persist_fact(win)  # window-grain: keep lineage
+    win = persist_fact(win)  # window-grain, independent consumers: eager pin, keep lineage
     flagged = (
         win.groupBy("__h")
         .agg(F.count_distinct(id_col).alias("__nd"))
@@ -1902,8 +1902,13 @@ def prefix_jaccard_join(
         F.col("__grams"),
     )
     # doc-grain (fact) frame consumed by sets + both expansions:
-    # persist_fact, NOT localCheckpoint — lineage must survive executor
-    # loss at 100 TB (see persistence.py grain rule).
+    # persist_fact (EAGER), NOT localCheckpoint — lineage must survive
+    # executor loss at 100 TB (persistence.py grain rule). Eager, not
+    # the lazy pin: the consumers (set reduction, identical-pair join
+    # sides, both expansions) are INDEPENDENT stages that race to
+    # materialize a lazy cache and each recompute it (measured 4.3 →
+    # 15.3 s with a lazy pin, r14 opt round — the one-job rule only
+    # helps when consumption is sequential).
     members = persist_fact(members)
     sets = (
         members.groupBy("__fp")
@@ -1912,7 +1917,7 @@ def prefix_jaccard_join(
             F.min("__s").alias("__s"),
             F.count(F.lit(1)).alias("__m"),
         )
-        .localCheckpoint(eager=True)  # set-grain; consumed 3x below
+        .localCheckpoint(eager=True)  # set-grain; consumed 3x below by independent stages
     )
     # identical-set pairs: J = 1 by definition, emitted directly
     ma = members.select(F.col("__fp"), F.col(id_col).alias("doc_a"), F.col("__s"))
@@ -2107,12 +2112,10 @@ def edit_distance_join(
     """
     if k not in (1, 2):
         raise ValueError("edit_distance_join supports k=1 or k=2")
-    # distinct-string grain = a reduction, so localCheckpoint is the
-    # right pin (grain rule); it also keeps the guard's length scan
-    # from re-reading the fact input a second time for the join.
-    uniq = df.select(F.col(text_col).alias("__s")).distinct().localCheckpoint(
-        eager=True
-    )
+    # distinct-string grain = a reduction; a LAZY pin is enough — the
+    # guard's length collect right below materializes it, so the guard
+    # scan and the join share one compute without an extra eager job.
+    uniq = df.select(F.col(text_col).alias("__s")).distinct().persist()
     longest = uniq.agg(F.max(F.length("__s")).alias("m")).collect()[0]["m"]
     if longest is not None and int(longest) > max_len:
         raise ValueError(
@@ -2152,6 +2155,10 @@ def edit_distance_join(
     rel = uniq.select(
         "__s", F.explode(neighborhood).alias("__n")
     ).select("__s", fingerprint64(F.col("__n")).alias("__nh")).distinct()
+    # neighborhood-grain (O(len^k) rows per distinct string) and
+    # consumed by BOTH self-join sides: lazy pin so the explode +
+    # distinct run once, not per side
+    rel = pin_fact(rel)
     cand = (
         rel.alias("l")
         .join(rel.alias("r"), "__nh")
@@ -2234,12 +2241,12 @@ def containment_join(
         ).alias("__fp"),
         F.col("__grams"),
     )
-    members = persist_fact(members)  # doc-grain: keep lineage
+    members = persist_fact(members)  # doc-grain: keep lineage (eager — independent consumers race a lazy pin)
     sets = members.groupBy("__grp", "__fp").agg(
         F.min_by("__grams", F.col(id_col)).alias("__grams"),
         F.min("__s").alias("__s"),
         F.count(F.lit(1)).alias("__m"),
-    ).localCheckpoint(eager=True)  # set-grain reduction, consumed twice
+    ).localCheckpoint(eager=True)  # set-grain reduction, consumed twice by independent stages
     rel = sets.select("__grp", "__fp", "__s", F.explode("__grams").alias("g"))
     pairs = (
         rel.alias("a")

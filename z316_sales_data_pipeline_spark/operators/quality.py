@@ -548,7 +548,7 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .groupBy(x_col, y_col)
         .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=True)
+        .persist()  # cell-grain; multiple marginal consumers (lazy pin)
     )
     mx = cells.groupBy(x_col).agg(F.sum("__c").alias("__nx"))
     my = cells.groupBy(y_col).agg(F.sum("__c").alias("__ny"))
@@ -718,7 +718,7 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
         .groupBy(col_a, col_b)
         .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=True)
+        .persist()  # cell-grain; multiple marginal consumers (lazy pin)
     )
     ra = cells.groupBy(col_a).agg(F.sum("__c").cast("decimal(19,0)").alias("__ra"))
     cb = cells.groupBy(col_b).agg(F.sum("__c").cast("decimal(19,0)").alias("__cb"))
@@ -773,7 +773,7 @@ def cramers_v(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .groupBy(x_col, y_col)
         .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=True)
+        .persist()  # cell-grain; multiple marginal consumers (lazy pin)
     )
     rt = cells.groupBy(x_col).agg(F.sum("__c").alias("__rt"))
     ct = cells.groupBy(y_col).agg(F.sum("__c").alias("__ct"))

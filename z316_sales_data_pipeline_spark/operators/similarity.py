@@ -16,7 +16,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..persistence import persist_fact
+from ..persistence import pin_fact
 
 from ..functions.vector import cosine, dot, literal_vector
 
@@ -186,11 +186,12 @@ def kmeans_assign(
     data size with a tiny all-to-one at each centroid update —
     the textbook Spark k-means shape without MLlib's private formats.
     """
-    # Materialized once (eager localCheckpoint): every iteration joins
-    # this (vid, pos, x) grain twice; recomputing the explode per use
-    # would rescan the vectors 2·n_iters times. Checkpoint also keeps
-    # the plan constant-depth across iterations.
-    ex = persist_fact(
+    # Pinned once (lazy DISK_ONLY): every iteration joins this
+    # (vid, pos, x) grain twice; recomputing the explode per use
+    # would rescan the vectors 2·n_iters times. The InMemoryRelation
+    # keeps the plan constant-depth across iterations, and the lazy
+    # pin lets the whole loop run as one job.
+    ex = pin_fact(
         df.select(
             F.col(id_col).alias("__vid"),
             F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__x"),
@@ -387,17 +388,17 @@ def power_iteration_top_pc(
 
     Output: (pos, loading) at dimension grain.
     """
-    ex = persist_fact(
+    ex = pin_fact(
         df.select(
             F.col(id_col).alias("__vid"),
             F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__x"),
         )
-    )  # vector-x-dim grain (fact): keep lineage; one-explode lineage stays constant-depth
+    )  # vector-x-dim grain (fact): lazy pin; one-explode lineage stays constant-depth
     means = ex.groupBy("__pos").agg(F.round(F.avg("__x"), 6).alias("__mu"))
     cent = (
         ex.join(F.broadcast(means), "__pos")
         .select("__vid", "__pos", (F.col("__x") - F.col("__mu")).alias("__xc"))
-        .localCheckpoint(eager=True)
+        .persist()  # centered grain; both covariance sides (lazy pin)
     )
     a = cent.select("__vid", F.col("__pos").alias("p"), F.col("__xc").alias("__xa"))
     b = cent.select("__vid", F.col("__pos").alias("q"), F.col("__xc").alias("__xb"))
@@ -405,7 +406,7 @@ def power_iteration_top_pc(
         a.join(b, "__vid")
         .groupBy("p", "q")
         .agg(F.round(F.sum(F.col("__xa") * F.col("__xb")), 6).alias("c"))
-        .localCheckpoint(eager=True)
+        .persist()  # d²-grain; probed every iteration (lazy pin)
     )
     v = means.select(F.col("__pos").alias("q")).withColumn("v", F.lit(1.0))
     for _ in range(n_iters):
@@ -497,7 +498,7 @@ def _recall_eval_with_cents(
         .withColumn("cell", (F.array_position("__dots", F.array_max("__dots")) - 1).cast("int"))
         .drop("__dots")
     )
-    e = persist_fact(e)  # corpus-grain embeddings: keep lineage
+    e = pin_fact(e)  # corpus-grain embeddings: lazy pin, keep lineage
     q = e.filter(_query_sample_pred(F.col("vid"), query_mod, query_cap)).select(
         F.col("vid").alias("query_id"), F.col("v").alias("qv")
     )
@@ -648,7 +649,7 @@ def dim_truncation_recall(
             for d in dims
         ],
     )
-    cand = persist_fact(cand)  # candidate grain: shared by every width
+    cand = pin_fact(cand)  # candidate grain: shared by every width (lazy pin)
     wk = lambda c: Window.partitionBy("query_id").orderBy(  # noqa: E731
         F.col(c).desc(), F.col("vid").asc()
     )
@@ -729,7 +730,7 @@ def embedding_outlier_audit(
         .withColumn("__d2q", F.floor(F.col("__d2") * F.lit(1000000.0)).cast("long"))
         .select("vid", "cell", "__d2q")
     )
-    assigned = persist_fact(assigned)  # corpus-grain assignment: shared twice
+    assigned = pin_fact(assigned)  # corpus-grain assignment: shared twice (lazy pin)
     stats = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("__d2q").cast("decimal(38,0)").alias("__s"),
@@ -1010,7 +1011,7 @@ def ivf_retrain_plan(
         .withColumn("__rn", F.row_number().over(wk))
         .filter(F.col("__rn") <= k)
         .select("query_id", "vid")
-        .localCheckpoint(eager=True)
+        .persist()  # query-x-k grain; both recall arms (lazy pin)
     )
     aged = _recall_eval_with_cents(
         union, vec_col, id_col, stale, query_mod, k, n_probe, query_cap, brute=brute
@@ -1107,7 +1108,7 @@ def ivf_probe_sweep(
         .withColumn("cell", (F.array_position("__dots", F.array_max("__dots")) - 1).cast("int"))
         .drop("__dots")
     )
-    e = persist_fact(e)  # corpus-grain embeddings: keep lineage
+    e = pin_fact(e)  # corpus-grain embeddings: lazy pin, keep lineage
     q = e.filter(_query_sample_pred(F.col("vid"), query_mod, query_cap)).select(
         F.col("vid").alias("query_id"), F.col("v").alias("qv")
     )
@@ -1122,7 +1123,7 @@ def ivf_probe_sweep(
         probe.join(e, "cell")
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
         .select("query_id", "vid", "cell_rank", "cos")
-        .localCheckpoint(eager=True)  # one candidate set serves every probe point
+        .persist()  # one candidate set serves every probe point (lazy pin)
     )
     wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vid").asc())
     brute = (
@@ -1132,7 +1133,7 @@ def ivf_probe_sweep(
         .filter(F.col("__rn") <= k)
         .select("query_id", "vid")
     )
-    brute = persist_fact(brute)  # query-x-k grain (fact): keep lineage
+    brute = pin_fact(brute)  # query-x-k grain (fact): lazy pin, keep lineage
     n_queries = q.select(F.count(F.lit(1)).alias("__nq"))
     out = None
     for p in probes:
@@ -1495,7 +1496,7 @@ def sq8_reconstruction_stats(
         exploded.groupBy("dim")
         .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
         .withColumn("step", (F.col("hi") - F.col("lo")) / F.lit(255.0))
-        .localCheckpoint(eager=True)
+        .persist()  # dim-grain; encode + decode consumers (lazy pin)
     )
     code = F.when(F.col("step") == 0.0, F.lit(0.0)).otherwise(
         F.least(F.floor((F.col("x") - F.col("lo")) / F.col("step")), F.lit(255.0))
@@ -1614,7 +1615,7 @@ def ndcg_eval(
         .withColumn("cell", (F.array_position("__dots", F.array_max("__dots")) - 1).cast("int"))
         .drop("__dots")
     )
-    e = persist_fact(e)  # corpus-grain embeddings: keep lineage
+    e = pin_fact(e)  # corpus-grain embeddings: lazy pin, keep lineage
     q = e.filter(_query_sample_pred(F.col("vid"), query_mod, query_cap)).select(
         F.col("vid").alias("query_id"), F.col("v").alias("qv")
     )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..persistence import persist_fact
+from ..persistence import pin_fact
 
 
 def ewma_forecast(
@@ -65,9 +65,10 @@ def ewma_forecast(
     k; the bound scales as 2^-k.
     """
     # Day-grain (calendar-bounded) but consumed by BOTH sides of the
-    # lag self-join — checkpoint once so the caller's corpus-to-day
-    # aggregate (a full fact scan) isn't paid twice.
-    daily = daily.localCheckpoint(eager=True)
+    # lag self-join — pin once (lazy: the guard collect below
+    # materializes it) so the caller's corpus-to-day aggregate (a full
+    # fact scan) isn't paid twice.
+    daily = daily.persist()
     max_abs = daily.agg(
         F.max(F.abs(F.col(value_col).cast("long"))).alias("m")
     ).collect()[0]["m"]
@@ -138,13 +139,13 @@ def mann_kendall_sen(
     # so the caller's fact-to-period reduction isn't paid three times,
     # and broadcast the pair contributor side so the equality-keyed
     # inequality join compiles to BroadcastHashJoin, never SortMerge.
-    l = persist_fact(
+    l = pin_fact(
         df.select(
             *keys,
             F.col(t_col).cast("long").alias("__t"),
             F.col(value_col).cast("long").alias("__v"),
         )
-    )  # event-grain (fact): keep lineage
+    )  # event-grain (fact): lazy pin, keep lineage
     r = l.select(
         *[F.col(c).alias(f"__r_{c}") for c in keys],
         F.col("__t").alias("__t2"),
@@ -211,9 +212,9 @@ def kaplan_meier(
         .agg(F.count(F.lit(1)).alias("__c"), F.sum("__e").alias("d_events"))
         # Duration-grain (calendar-bounded, KB-sized) but consumed by
         # SIX downstream arms (risk a/b, steps a/b via per_t+risk) —
-        # without this checkpoint Catalyst re-runs the subject-grain
+        # without this pin Catalyst re-runs the subject-grain
         # aggregate, and whatever windowed plan feeds it, once per arm.
-        .localCheckpoint(eager=True)
+        .persist()
     )
     # The triangular (>=) joins run on the duration-grain aggregate —
     # broadcast the contributor side so they compile to
@@ -609,7 +610,7 @@ def conformal_residual_interval(
         .filter(F.col("__yhat").isNotNull())
         .withColumn("__r", F.abs(F.col("__y") - F.col("__yhat")))
         .withColumn("__cal", F.col("__d") < F.lit(split_date).cast("date"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     cal = resid.filter(F.col("__cal"))
     wr = Window.partitionBy("__k").orderBy(F.col("__r").asc(), F.col("__d").asc())
@@ -687,7 +688,7 @@ def acf_table(
         )
         .groupBy("__k", "__d")
         .agg(F.sum("__v").cast("decimal(18,0)").alias("__y"))
-        .localCheckpoint(eager=True)
+        .persist()  # (key, day) grain; spine + lag consumers (lazy pin)
     )
     spine = df.sparkSession.range(1, max_lag + 1).select(
         F.col("id").cast("int").alias("lag")
@@ -757,7 +758,7 @@ def interarrival_fit(
     )
     ranked = partitioned_row_number_two_phase(
         base, ["__k"], [F.col("__m").asc(), F.col("__id").asc()], "__rn"
-    ).localCheckpoint(eager=True)
+    ).persist()  # event-grain; both lag-join sides (lazy pin)
     prev = ranked.select(
         "__k", (F.col("__rn") + 1).alias("__rn"), F.col("__m").alias("__pm")
     )

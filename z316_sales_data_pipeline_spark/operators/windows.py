@@ -205,6 +205,57 @@ def two_phase_running_sum(
     return out, int(total)
 
 
+def two_phase_running_sums(
+    df: DataFrame,
+    order_by: list[Column],
+    values: dict[str, Column | str],
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Several global cumulative sums over the SAME total order in ONE
+    two-phase pass (r14 optimization): one range shuffle + pin, one
+    per-partition totals aggregate over every value column, one driver
+    collect, one broadcast offsets join — a caller chaining N
+    :func:`two_phase_running_sum` calls pays all of that N times for
+    the identical ordering. Values must be integral (the same
+    associativity rule as the single-column primitive); each output
+    column is bit-identical to its chained-call equivalent. Returns
+    ``(df_with_out_cols, {out_col: grand_total})``.
+    """
+    vals = {k: (F.col(v) if isinstance(v, str) else v) for k, v in values.items()}
+    ranged = _ranged(df, order_by, num_partitions)
+    per = ranged.groupBy("__pid").agg(
+        *[F.sum(v).cast("long").alias(f"__c_{k}") for k, v in vals.items()]
+    )
+    rows = sorted(
+        (r["__pid"], tuple(r[f"__c_{k}"] or 0 for k in vals)) for r in per.collect()
+    )
+    offs, acc = [], [0] * len(vals)
+    for pid, cs in rows:
+        offs.append((int(pid), *acc))
+        acc = [a + int(c) for a, c in zip(acc, cs)]
+    schema = "__pid int, " + ", ".join(f"__off_{k} long" for k in vals)
+    off_df = df.sparkSession.createDataFrame(offs, schema)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ranged
+    for k, v in vals.items():
+        out = out.withColumn(f"__loc_{k}", F.sum(v).over(w).cast("long"))
+    out = out.join(F.broadcast(off_df), "__pid", "left")
+    for k in vals:
+        out = out.withColumn(
+            k, F.col(f"__loc_{k}") + F.coalesce(F.col(f"__off_{k}"), F.lit(0))
+        )
+    out = out.drop(
+        "__pid",
+        *[f"__loc_{k}" for k in vals],
+        *[f"__off_{k}" for k in vals],
+    )
+    return out, {k: int(a) for k, a in zip(vals, acc)}
+
+
 def ntile_from_rank(rank: Column, n_buckets: int, total: int) -> Column:
     """``ntile(n_buckets)`` reconstructed from a global 1-based rank
     and the (driver-known) total row count — Spark's exact NTile

@@ -26,6 +26,23 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 
+def pin_fact(df: DataFrame) -> DataFrame:
+    """LAZY variant of :func:`persist_fact` (r14 optimization): same
+    DISK_ONLY storage level and same lineage-keeping posture, but no
+    eager ``count()`` — the frame materializes at the consumer's own
+    action, so a multi-consumer reduction dedupes through the
+    CacheManager while the whole query still executes as ONE job
+    (the graph-loop lesson: an eager pin pays one extra
+    materialization job per pin inside every query that uses the
+    operator). Use wherever nothing between the pin and the final
+    action *requires* the data to exist yet; keep :func:`persist_fact`
+    where a caller unpersists the pinned frame's parents right after
+    (the eager count is what makes that safe) or where a driver-side
+    decision reads the frame before the main action.
+    """
+    return df.persist(StorageLevel.DISK_ONLY)
+
+
 def persist_fact(df: DataFrame) -> DataFrame:
     """Eagerly materialize a fact-grain frame to disk WITHOUT severing
     lineage (recompute-on-loss stays possible at 100 TB, where an

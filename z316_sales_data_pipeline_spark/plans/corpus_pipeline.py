@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from .. import sinks
 from ..functions import text
 from ..operators import bloom, corpus, dedup
-from ..persistence import persist_fact
+from ..persistence import pin_fact
 from ..sources.tables import load_table
 
 
@@ -96,10 +96,11 @@ def run_corpus_pipeline(
     """
     docs = load_table(spark, sf_dir, "documents")
     kept = curated_documents(spark, sf_dir)
-    # corpus-grain (fact) frame consumed 4x below: persist_fact, not
-    # localCheckpoint — lineage must survive executor loss (grain rule
-    # in persistence.py).
-    survivors = persist_fact(collapse_near_dups(kept))
+    # corpus-grain (fact) frame consumed 4x below across several
+    # actions: lazy DISK_ONLY pin (the first write materializes it),
+    # not localCheckpoint — lineage must survive executor loss (grain
+    # rule in persistence.py).
+    survivors = pin_fact(collapse_near_dups(kept))
     split_docs = corpus.dataset_split(survivors, "doc_id")
     chunks = corpus.chunk_documents(
         split_docs, "text", "doc_id", chunk_tokens, stride, carry_cols=("split",)

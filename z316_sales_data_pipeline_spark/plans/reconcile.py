@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..persistence import persist_fact
+from ..persistence import pin_fact
 
 from ..operators import setops
 from ..sources.tables import load_table
@@ -101,9 +101,9 @@ def repair_plan(
         )
     )
     # doc-grain (fact), feeds the report AND the delete list; the
-    # row_number recompute is deterministic (orderBy id asc), so
-    # persist_fact's keep-lineage recompute is safe
-    tagged = persist_fact(tagged)
+    # row_number recompute is deterministic (orderBy id asc), so the
+    # lazy keep-lineage pin is safe
+    tagged = pin_fact(tagged)
     losers = tagged.filter(F.col("rn") > 1).select(id_col, source_col, "fp")
     return tagged, losers
 
