@@ -1854,7 +1854,8 @@ def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         pairs.groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()  # transition-grain; totals + rate join (lazy pin)
+        .localCheckpoint(eager=True)  # transition-grain reduction;
+        # eager — zero-FileScan plan invariant (test_plan_properties)
     )
     tot = counts.groupBy("event_type").agg(F.sum("n").alias("__t"))
     return counts.join(tot, "event_type").select(

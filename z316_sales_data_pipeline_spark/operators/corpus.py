@@ -266,7 +266,9 @@ def source_mixture(
     per = df.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(whitespace_token_count(text_col)).alias("n_tokens"),
-    ).persist()  # source-grain; two consumers (lazy pin)
+    ).localCheckpoint(eager=True)  # source-grain reduction; eager — the
+    # zero-FileScan plan invariant (test_plan_properties) pins the
+    # corpus-scanned-once mechanism at the plan level
     tot = per.agg(
         F.sum("n_tokens").alias("__tot"),
         F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("__tot_w"),
@@ -306,7 +308,10 @@ def vocab_coverage(
     second full corpus scan at lake scale.
     """
     tokens = df.select(F.explode(_norm_tokens(text_col)).alias("token"))
-    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
+        eager=True
+    )  # vocab-grain reduction; eager — the zero-FileScan plan
+    # invariant (test_plan_properties) pins the scanned-once mechanism
     tot = counts.agg(F.sum("cnt").alias("__tot"))
     top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(top_n)
     w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
@@ -1878,7 +1883,9 @@ def mix_epoch_plan(
             .cast("long")
             .alias("n_tokens"),
         )
-        .persist()  # source-grain; two consumers (lazy pin)
+        .localCheckpoint(eager=True)  # source-grain reduction; eager —
+        # the zero-FileScan plan invariant (test_plan_properties) pins
+        # the corpus-scanned-once mechanism at the plan level
     )
     tot = srcs.agg(F.sum("n_tokens").cast("long").alias("__t"))
     p = F.col("n_tokens").cast("double") / F.col("__t").cast("double")
@@ -2271,7 +2278,9 @@ def temperature_mix_weights(
             .cast("long")
             .alias("n_tokens"),
         )
-        .persist()  # source-grain; two consumers (lazy pin)
+        .localCheckpoint(eager=True)  # source-grain reduction; eager —
+        # the zero-FileScan plan invariant (test_plan_properties) pins
+        # the corpus-scanned-once mechanism at the plan level
     )
     tot = srcs.agg(F.sum("n_tokens").cast("long").alias("__t"))
     p = F.col("n_tokens").cast("double") / F.col("__t").cast("double")

@@ -86,7 +86,11 @@ def extract_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_extract, FEATURE_SCHEMA)
+    # project to the two columns the kernel reads BEFORE the opaque
+    # boundary (guide §4.1): Spark cannot see which columns the Python
+    # function touches, so without this every caller column — here the
+    # synthesized media_type/source_uri — crosses JVM→Arrow→JVM per row
+    return media.select("media_id", "payload").mapInPandas(_extract, FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:

@@ -609,6 +609,14 @@ def scd2_fold_or_repair(
         )
         .select(key)
         .distinct()
+        # key-grain reduction broadcast into THREE independent arms
+        # (fold anti ×2 + repair semi) — eager pin so the
+        # batch-vs-watermark split runs once, not per arm (grain rule:
+        # reductions may localCheckpoint). Streaming-safe: a
+        # localCheckpoint is NOT a CacheManager entry — its blocks die
+        # with the epoch's frame references (ContextCleaner), so the
+        # per-epoch fold cannot accumulate cache state.
+        .localCheckpoint(eager=True)
     )
     ok_batch = batch.join(F.broadcast(late_keys), key, "left_anti")
     folded = scd2_apply_batch(
