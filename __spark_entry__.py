@@ -8449,7 +8449,16 @@ def _item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. Ordering is on the ROUNDED cosine with a
     (part_a, part_b) total tiebreak — fully deterministic across
     engines (single IEEE sqrt + divide on exact integers)."""
-    li = (
+    # The EXPENSIVE shared subtree is the distinct itself — consumed by
+    # the item-frequency aggregate AND both pair-join sides (the
+    # aliased projections defeat exchange reuse), i.e. THREE distinct
+    # computations without a pin. Pin it eagerly ONCE (r15): the
+    # fact-grain distinct runs a single time, and the derived
+    # item-grain aggregate below is a cheap scan of the cache, so its
+    # lazy race (driver r14: 2.01 → 3.68 s when everything was lazy)
+    # costs at most one re-aggregation of cached data, never a fact
+    # rescan.
+    li = persist_fact(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
@@ -8457,7 +8466,7 @@ def _item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     item_n = (
         li.groupBy(F.col("l_partkey").alias("pk"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()  # item-grain; both cosine sides (lazy pin)
+        .persist()  # item-grain over the cached distinct (cheap either way)
     )
     a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
@@ -8573,7 +8582,12 @@ def _forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
-        .persist()  # day-grain; both bake-off arms (lazy pin)
+        # day-grain; both bake-off arms (lazy pin). NO race exists
+        # here despite the two arms: ewma_forecast's overflow-guard
+        # collect is a driver action that materializes this pin
+        # SEQUENTIALLY before the main action (measured r15: an eager
+        # checkpoint just added a job, 0.63 → 0.96 s at local[32]).
+        .persist()
     )
     ew = timeseries.ewma_forecast(daily, "day", "cents", k=30).select(
         "day", "value", "forecast_floor", "abs_err_floor"
@@ -8589,7 +8603,10 @@ def _forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_err_floor",
             F.abs(F.col("value") - F.col("cents_lag7")).alias("abs_err_naive"),
         )
-        .persist()  # day-grain; both method rows (lazy pin)
+        # day-grain derived from the already-materialized daily pin: a
+        # lazy race between the two method rows re-joins tiny cached
+        # day-grain inputs, never a fact rescan — lazy pin
+        .persist()
     )
     ewma_row = both.agg(
         F.lit("ewma").alias("method"),

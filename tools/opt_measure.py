@@ -41,7 +41,7 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     names = sys.argv[3:] or list(benchmod.HEADLINE)
-    out_dir = REPO / "plans" / "r14"
+    out_dir = REPO / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = get_spark("opt_measure")

@@ -413,6 +413,8 @@ def _bpe_train(df: DataFrame, text_col: str, n_merges: int):
     # n_merges + 1 collects + n_merges eager checkpoints — is recorded
     # in docs/PERF.md.
     pending: tuple | None = None  # (step, lhs, rhs, pair_count) awaiting symbols_after
+    prev_words: DataFrame | None = None  # superseded step state, released
+    # once the NEXT step's collect has materialized its successor
     for step_no in range(1, n_merges + 1):
         pair_arr = F.when(
             F.size("syms") >= 2,
@@ -447,6 +449,13 @@ def _bpe_train(df: DataFrame, text_col: str, n_merges: int):
             )
             .collect()[0]
         )
+        # the collect above materialized the CURRENT words frame, so
+        # the previous step's cache entry is now dead weight — release
+        # it (ADVICE r14: without this each merge step leaks a cache
+        # entry for the session's lifetime)
+        if prev_words is not None:
+            prev_words.unpersist()
+            prev_words = None
         if pending is not None:
             rows.append((*pending, stat["total_syms"]))
             pending = None
@@ -454,6 +463,7 @@ def _bpe_train(df: DataFrame, text_col: str, n_merges: int):
             break
         lhs, rhs = stat["best"]["lhs"], stat["best"]["rhs"]
         pair_count = -stat["best"]["neg_cnt"]
+        prev_words = words
         words = words.select(
             "word", "cnt", _merge_pair_fold(F.col("syms"), lhs, rhs).alias("syms")
         ).persist()  # per-step state; the step's own collect materializes it
@@ -461,6 +471,9 @@ def _bpe_train(df: DataFrame, text_col: str, n_merges: int):
     if pending is not None:  # the last step's symbols_after: one tail job
         total = words.agg(F.sum(F.size("syms") * F.col("cnt"))).collect()[0][0]
         rows.append((*pending, total))
+    if prev_words is not None:  # the tail collect materialized the
+        # final words frame; its predecessor is now releasable
+        prev_words.unpersist()
     return rows, words
 
 
@@ -723,7 +736,12 @@ def bm25_rank(
             ],
         )
     )
-    per_doc = pin_fact(per_doc)  # doc-grain: lazy pin, keep lineage
+    # EAGER pin (r15, VERDICT r14 item 1): the 1-row stats aggregate
+    # (broadcast build) and the scoring scan are independent consumers
+    # — a lazy pin races and each side re-runs the corpus explode
+    # (driver r14: rrf_fusion, which runs two such rankers in one
+    # action, 1.02 → 2.03 s at local[32]).
+    per_doc = persist_fact(per_doc)
     return _bm25_score(per_doc, id_col, len(terms), k1, b, k)
 
 
@@ -1039,7 +1057,9 @@ def tfidf_query_rank(
             ]
         )
     )
-    per_doc = pin_fact(per_doc)  # doc-grain: lazy pin, keep lineage
+    # EAGER pin (r15, VERDICT r14 item 1): stats broadcast build +
+    # scoring scan are independent consumers — see bm25_rank.
+    per_doc = persist_fact(per_doc)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         *[

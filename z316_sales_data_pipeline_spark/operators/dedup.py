@@ -2118,6 +2118,9 @@ def edit_distance_join(
     uniq = df.select(F.col(text_col).alias("__s")).distinct().persist()
     longest = uniq.agg(F.max(F.length("__s")).alias("m")).collect()[0]["m"]
     if longest is not None and int(longest) > max_len:
+        uniq.unpersist()  # release the pin on the refusal path — the
+        # raise would otherwise leave the cache entry registered for
+        # the session's lifetime (ADVICE r14)
         raise ValueError(
             f"edit_distance_join: max length({text_col}) = {longest} exceeds "
             f"max_len={max_len}; the k={k} deletion neighborhood is "

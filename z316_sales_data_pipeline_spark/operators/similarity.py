@@ -16,7 +16,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..persistence import pin_fact
+from ..persistence import persist_fact, pin_fact
 
 from ..functions.vector import cosine, dot, literal_vector
 
@@ -395,18 +395,21 @@ def power_iteration_top_pc(
         )
     )  # vector-x-dim grain (fact): lazy pin; one-explode lineage stays constant-depth
     means = ex.groupBy("__pos").agg(F.round(F.avg("__x"), 6).alias("__mu"))
-    cent = (
+    cent = persist_fact(
         ex.join(F.broadcast(means), "__pos")
         .select("__vid", "__pos", (F.col("__x") - F.col("__mu")).alias("__xc"))
-        .persist()  # centered grain; both covariance sides (lazy pin)
-    )
+    )  # centered grain (fact): both covariance sides consume it as
+    # independent stages — eager pin (r15, VERDICT r14 item 1)
     a = cent.select("__vid", F.col("__pos").alias("p"), F.col("__xc").alias("__xa"))
     b = cent.select("__vid", F.col("__pos").alias("q"), F.col("__xc").alias("__xb"))
     cov = (
         a.join(b, "__vid")
         .groupBy("p", "q")
         .agg(F.round(F.sum(F.col("__xa") * F.col("__xb")), 6).alias("c"))
-        .persist()  # d²-grain; probed every iteration (lazy pin)
+        # d²-grain reduction probed by every iteration — eager pin so
+        # the covariance self-join runs exactly once (grain rule:
+        # reductions may localCheckpoint)
+        .localCheckpoint(eager=True)
     )
     v = means.select(F.col("__pos").alias("q")).withColumn("v", F.lit(1.0))
     for _ in range(n_iters):
@@ -498,7 +501,11 @@ def _recall_eval_with_cents(
         .withColumn("cell", (F.array_position("__dots", F.array_max("__dots")) - 1).cast("int"))
         .drop("__dots")
     )
-    e = pin_fact(e)  # corpus-grain embeddings: lazy pin, keep lineage
+    # EAGER pin (r15, VERDICT r14 item 1): the assignment feeds the
+    # query sample, the probed-candidate join AND the brute-force arm —
+    # INDEPENDENT stages of one action, which race a lazy cache and
+    # each recompute the 16-dot argmax over the corpus.
+    e = persist_fact(e)
     q = e.filter(_query_sample_pred(F.col("vid"), query_mod, query_cap)).select(
         F.col("vid").alias("query_id"), F.col("v").alias("qv")
     )
@@ -649,7 +656,8 @@ def dim_truncation_recall(
             for d in dims
         ],
     )
-    cand = pin_fact(cand)  # candidate grain: shared by every width (lazy pin)
+    cand = persist_fact(cand)  # candidate grain: every width's top-k arm
+    # is an independent stage — eager pin (r15, VERDICT r14 item 1)
     wk = lambda c: Window.partitionBy("query_id").orderBy(  # noqa: E731
         F.col(c).desc(), F.col("vid").asc()
     )
@@ -730,7 +738,9 @@ def embedding_outlier_audit(
         .withColumn("__d2q", F.floor(F.col("__d2") * F.lit(1000000.0)).cast("long"))
         .select("vid", "cell", "__d2q")
     )
-    assigned = pin_fact(assigned)  # corpus-grain assignment: shared twice (lazy pin)
+    assigned = persist_fact(assigned)  # corpus-grain assignment: the
+    # stats aggregate and the outlier probe are independent consumers —
+    # eager pin (r15, VERDICT r14 item 1)
     stats = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("__d2q").cast("decimal(38,0)").alias("__s"),
@@ -1108,7 +1118,11 @@ def ivf_probe_sweep(
         .withColumn("cell", (F.array_position("__dots", F.array_max("__dots")) - 1).cast("int"))
         .drop("__dots")
     )
-    e = pin_fact(e)  # corpus-grain embeddings: lazy pin, keep lineage
+    # EAGER pins (r15, VERDICT r14 item 1): the assignment feeds the
+    # query sample, the candidate join and the brute arm; the candidate
+    # set and the brute baseline each feed EVERY probe point's arm —
+    # all independent stages that race a lazy cache.
+    e = persist_fact(e)
     q = e.filter(_query_sample_pred(F.col("vid"), query_mod, query_cap)).select(
         F.col("vid").alias("query_id"), F.col("v").alias("qv")
     )
@@ -1119,12 +1133,11 @@ def ivf_probe_sweep(
         .filter(F.col("cell_rank") <= max_probe)
         .select("query_id", "qv", "cell", "cell_rank")
     )
-    cand = (
+    cand = persist_fact(
         probe.join(e, "cell")
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
         .select("query_id", "vid", "cell_rank", "cos")
-        .persist()  # one candidate set serves every probe point (lazy pin)
-    )
+    )  # one candidate set serves every probe point
     wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vid").asc())
     brute = (
         e.crossJoin(F.broadcast(q))
@@ -1133,7 +1146,7 @@ def ivf_probe_sweep(
         .filter(F.col("__rn") <= k)
         .select("query_id", "vid")
     )
-    brute = pin_fact(brute)  # query-x-k grain (fact): lazy pin, keep lineage
+    brute = persist_fact(brute)  # query-x-k grain: every probe arm probes it
     n_queries = q.select(F.count(F.lit(1)).alias("__nq"))
     out = None
     for p in probes:
@@ -1615,7 +1628,10 @@ def ndcg_eval(
         .withColumn("cell", (F.array_position("__dots", F.array_max("__dots")) - 1).cast("int"))
         .drop("__dots")
     )
-    e = pin_fact(e)  # corpus-grain embeddings: lazy pin, keep lineage
+    # EAGER pin (r15, VERDICT r14 item 1): query sample + probed join +
+    # brute arm are independent stages — a lazy pin races (driver r14:
+    # ndcg_eval 1.82 → 6.63 s at local[32]).
+    e = persist_fact(e)
     q = e.filter(_query_sample_pred(F.col("vid"), query_mod, query_cap)).select(
         F.col("vid").alias("query_id"), F.col("v").alias("qv")
     )

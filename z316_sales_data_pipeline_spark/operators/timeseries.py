@@ -214,7 +214,9 @@ def kaplan_meier(
         # SIX downstream arms (risk a/b, steps a/b via per_t+risk) —
         # without this pin Catalyst re-runs the subject-grain
         # aggregate, and whatever windowed plan feeds it, once per arm.
-        .persist()
+        # EAGER (r15, VERDICT r14 item 1): the six arms are independent
+        # stages that race a lazy pin; grain rule allows checkpoint.
+        .localCheckpoint(eager=True)
     )
     # The triangular (>=) joins run on the duration-grain aggregate —
     # broadcast the contributor side so they compile to
@@ -610,8 +612,10 @@ def conformal_residual_interval(
         .filter(F.col("__yhat").isNotNull())
         .withColumn("__r", F.abs(F.col("__y") - F.col("__yhat")))
         .withColumn("__cal", F.col("__d") < F.lit(split_date).cast("date"))
-        .persist()
     )
+    resid = pin_fact(resid)  # (key, day) grain — DISK_ONLY per the
+    # grain rule (ADVICE r14): at scale this competes with executor
+    # memory if held deserialized
     cal = resid.filter(F.col("__cal"))
     wr = Window.partitionBy("__k").orderBy(F.col("__r").asc(), F.col("__d").asc())
     cal_ranked = cal.withColumn("__rn", F.row_number().over(wr))
@@ -688,8 +692,9 @@ def acf_table(
         )
         .groupBy("__k", "__d")
         .agg(F.sum("__v").cast("decimal(18,0)").alias("__y"))
-        .persist()  # (key, day) grain; spine + lag consumers (lazy pin)
     )
+    daily = pin_fact(daily)  # (key, day) grain; spine + lag consumers
+    # — DISK_ONLY per the grain rule (ADVICE r14)
     spine = df.sparkSession.range(1, max_lag + 1).select(
         F.col("id").cast("int").alias("lag")
     )
@@ -758,7 +763,10 @@ def interarrival_fit(
     )
     ranked = partitioned_row_number_two_phase(
         base, ["__k"], [F.col("__m").asc(), F.col("__id").asc()], "__rn"
-    ).persist()  # event-grain; both lag-join sides (lazy pin)
+    )
+    ranked = pin_fact(ranked)  # event-grain (fact): DISK_ONLY per the
+    # grain rule (ADVICE r14) — a bare persist would hold the event
+    # stream deserialized in executor memory at scale
     prev = ranked.select(
         "__k", (F.col("__rn") + 1).alias("__rn"), F.col("__m").alias("__pm")
     )

@@ -227,7 +227,11 @@ def curation_levels(
 
     # pinned lazily: the distinct eval-shingle set feeds BOTH the bloom
     # build and the exact semi-join — without the pin each consumer
-    # re-explodes and re-distincts the eval text
+    # re-explodes and re-distincts the eval text. Kept LAZY after a
+    # measured r15 A/B: the eager checkpoint serialized the shingle
+    # job ahead of the cascade and read 1.76 → 3.14 s at local[32];
+    # the driver's own contended r14 capture showed no race penalty
+    # here (curation_funnel 1.75 s).
     eval_sh = (
         docs.filter(F.col(source_col) == eval_source)
         .select(F.explode(F.array_distinct(text.shingles(text_col, shingle_k))).alias("s"))
