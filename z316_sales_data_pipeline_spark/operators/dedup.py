@@ -1224,7 +1224,15 @@ def _extract_windows(
     token stream at pos — (id, pos, __h, __w). One doc-grain join and
     one tokenize pass over CANDIDATE DOCS only (positions fold to an
     array per doc first, so each doc's text is scanned once, not once
-    per window); window content exists only inside this stage."""
+    per window); window content exists only inside this stage.
+
+    The candidate join runs on the RAW text column and the tokenize
+    projection sits ABOVE it (r15): with the projection below the
+    join, the split/normalize expression was evaluated for EVERY doc
+    before the inner join dropped the non-candidates — Catalyst never
+    hoists an expensive projection past a join on its own, so the
+    code order is what decides whether the verify arm tokenizes the
+    corpus or just the candidate docs."""
     per_doc = cand.groupBy(id_col).agg(
         F.collect_list(F.struct(F.col("pos"), F.col("__h"))).alias("__cs")
     )
@@ -1232,8 +1240,9 @@ def _extract_windows(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
     )
     return (
-        docs.select(F.col(id_col), toks.alias("__toks"))
+        docs.select(F.col(id_col), F.col(text_col))
         .join(per_doc, id_col)
+        .select(F.col(id_col), toks.alias("__toks"), F.col("__cs"))
         .select(
             F.col(id_col),
             F.explode(

@@ -490,20 +490,26 @@ def scd2_apply_batch(
     keeps the open interval's original ``valid_from``.
 
     Plan shape: one distinct on the batch keys (broadcast — O(batch),
-    bounded by the micro-batch — to split history into
-    touched/untouched via semi/anti), then :func:`scd2_history` over
-    open-rows ∪ batch — work is O(touched keys × batch), never
-    O(history).
+    bounded by the micro-batch), ONE broadcast left join that tags
+    history rows as touched/untouched (r15: the earlier anti+semi pair
+    consumed the history subtree three times — untouched anti, closed
+    filter, open filter — which re-derived a derived history per
+    consumer; untouched rows and touched CLOSED rows pass through
+    unchanged either way, so they share one consumer and the history
+    is read exactly twice: pass-through + open-row seed), then
+    :func:`scd2_history` over open-rows ∪ batch — work is
+    O(touched keys × batch), never O(history).
     """
     carry = "last_ts" in history.columns and "last_tb" in history.columns
     out_cols = [key, attr, "valid_from", "valid_to", "is_current"]
     if carry:
         out_cols += ["last_ts", "last_tb"]
-    touched = batch.select(key).distinct()
-    untouched = history.join(F.broadcast(touched), key, "left_anti")
-    cur = history.join(F.broadcast(touched), key, "left_semi")
-    closed = cur.filter(F.col("valid_to").isNotNull()).select(*out_cols)
-    open_rows = cur.filter(F.col("valid_to").isNull())
+    touched = batch.select(key).distinct().withColumn("__t", F.lit(1))
+    flagged = history.join(F.broadcast(touched), key, "left")
+    passthrough = flagged.filter(
+        F.col("__t").isNull() | F.col("valid_to").isNotNull()
+    ).select(*out_cols)
+    open_rows = flagged.filter(F.col("__t").isNotNull() & F.col("valid_to").isNull())
     if carry:
         seed = open_rows.select(
             F.col(key),
@@ -531,11 +537,7 @@ def scd2_apply_batch(
         )
         replay = seed.unionByName(batch.select(key, attr, ts, tiebreak))
         rebuilt = scd2_history(replay, key=key, attr=attr, ts=ts, tiebreak=tiebreak)
-    return (
-        untouched.select(*out_cols)
-        .unionByName(closed)
-        .unionByName(rebuilt.select(*out_cols))
-    )
+    return passthrough.unionByName(rebuilt.select(*out_cols))
 
 
 def scd2_repair_keys(
@@ -578,6 +580,7 @@ def scd2_fold_or_repair(
     attr: str,
     ts: str,
     tiebreak: str,
+    derive_watermarks: bool = False,
 ) -> DataFrame:
     """Exact SCD2 maintenance under OUT-OF-ORDER delivery: batch keys
     whose every event is strictly newer than the key's folded
@@ -595,12 +598,33 @@ def scd2_fold_or_repair(
     keys' batch rows are unioned into their recompute internally.
     Entirely lazy — late-key detection is a join against the open
     rows, no driver action.
+
+    ``derive_watermarks=True`` (r15) computes the per-key fold
+    watermark as a plain map-side-combinable MAX aggregate over
+    ``events`` instead of filtering the history's open rows: by the
+    carry contract the open row's ``(last_ts, last_tb)`` IS
+    ``max(struct(ts, tiebreak))`` over the key's previously-folded
+    events, so the two are identical — but when the history is
+    DERIVED inline from the raw log (the bench/test shape; a serving
+    stack reads it at rest), the filter forms a third consumer of the
+    expensive window build while the aggregate costs one cheap partial
+    agg over the scan. Leave False when the history is at rest and
+    smaller than the raw log.
     """
     if "last_ts" not in history.columns:
         raise ValueError("scd2_fold_or_repair needs a carry_last=True history")
-    open_last = history.filter(F.col("is_current") == 1).select(
-        key, "last_ts", "last_tb"
-    )
+    if derive_watermarks:
+        open_last = events.groupBy(key).agg(
+            F.max(F.struct(F.col(ts), F.col(tiebreak))).alias("__l")
+        ).select(
+            F.col(key),
+            F.col(f"__l.{ts}").alias("last_ts"),
+            F.col(f"__l.{tiebreak}").alias("last_tb"),
+        )
+    else:
+        open_last = history.filter(F.col("is_current") == 1).select(
+            key, "last_ts", "last_tb"
+        )
     late_keys = (
         batch.join(open_last, key, "inner")
         .filter(
